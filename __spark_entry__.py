@@ -1,10 +1,12 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+``entry(spark)`` — flagship query smoke check at sf0.001.
+``queries()`` — every declared query from SURVEY.md §2 (Tier B SQL
+surface + Tier C pipeline operators), (spark, sf_dir) -> DataFrame.
+``oracle_sql()`` — matching DuckDB SQL for the hash-checked subset;
+sketch-based ops (MinHash/SimHash/RP-LSH) are deterministic but not
+DuckDB-expressible and are omitted (rows-only check), their semantics
+are verified against exact ground truth in tests/.
 """
 
 from __future__ import annotations
@@ -15,24 +17,19 @@ from pyspark.sql import DataFrame, SparkSession
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: 5-way star join + aggregate over sf0.001 (DQ-B3i)."""
+    from dust_spark.queries import all_queries
+
+    return all_queries()["b3i_star_join"].fn(spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
+    from dust_spark.queries import all_queries
 
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {name: q.fn for name, q in all_queries().items()}
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    from dust_spark.queries import all_queries
+
+    return {name: q.oracle for name, q in all_queries().items() if q.oracle}

@@ -1,0 +1,204 @@
+"""Versioned table catalog — the storage half of the engine.
+
+The reference holds one mutable SQLite store (db/src/db.rs:71-101);
+Spark storage is immutable, so every write produces a new table
+*version* and transactions become a staged-swap protocol (SURVEY.md
+§7.3 hard part #1):
+
+- ``Catalog`` maps table name → ``TableState`` (definition + current
+  DataFrame + id high-water mark).
+- A write batch runs against an ``Overlay`` (copy-on-write dict of
+  staged states). Non-transactional batches publish after every
+  statement; transactional batches publish once at COMMIT, or drop the
+  overlay wholesale on first error — voiding the batch exactly like
+  the reference's ROLLBACK (db/src/db.rs:733-791).
+- Disk mode persists each version as parquet under
+  ``{warehouse}/{table}/v{n}`` plus an atomically-replaced
+  ``catalog.json`` manifest and an append-only statement journal —
+  the deterministic-replay residue of the reference's Raft log
+  (DOC/DESIGN.md:47-49).
+
+Single-writer semantics are inherited from the reference (its whole
+store sits behind a global mutex, http/src/service.rs:140), so version
+publication needs no distributed locking; readers always see the last
+published catalog snapshot.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import tempfile
+from dataclasses import dataclass, replace
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from dust_spark.dialect import TableDef
+
+
+@dataclass
+class TableState:
+    tdef: TableDef
+    df: DataFrame
+    high_water: int = 0  # rowid high-water mark for last_insert_id
+    version: int = 0
+
+    def with_df(self, df: DataFrame, bump: bool = True) -> "TableState":
+        return replace(self, df=df, version=self.version + (1 if bump else 0))
+
+
+class Catalog:
+    """Published (committed) engine state."""
+
+    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+        self.spark = spark
+        self.warehouse = warehouse
+        self.tables: dict[str, TableState] = {}
+        self.views: dict[str, str] = {}  # view name -> SELECT sql
+        if warehouse:
+            os.makedirs(warehouse, exist_ok=True)
+            self._load_manifest()
+
+    # -- persistence -------------------------------------------------------
+
+    def _manifest_path(self) -> str:
+        return os.path.join(self.warehouse, "catalog.json")
+
+    def _load_manifest(self) -> None:
+        path = self._manifest_path()
+        if not os.path.exists(path):
+            return
+        with open(path) as f:
+            man = json.load(f)
+        for name, meta in man.get("tables", {}).items():
+            tdef = _tdef_from_json(meta["tdef"])
+            df = self.spark.read.schema(tdef.schema).parquet(meta["path"])
+            self.tables[name] = TableState(
+                tdef=tdef, df=df, high_water=meta["high_water"], version=meta["version"]
+            )
+            df.createOrReplaceTempView(name)
+        self.views = man.get("views", {})
+        for vname, vsql in self.views.items():
+            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
+
+    def _save_manifest(self) -> None:
+        man = {
+            "tables": {
+                name: {
+                    "tdef": _tdef_to_json(st.tdef),
+                    "path": os.path.join(self.warehouse, name, f"v{st.version}"),
+                    "high_water": st.high_water,
+                    "version": st.version,
+                }
+                for name, st in self.tables.items()
+            },
+            "views": self.views,
+        }
+        fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".json")
+        with os.fdopen(fd, "w") as f:
+            json.dump(man, f, indent=1)
+        os.replace(tmp, self._manifest_path())  # atomic publish
+
+    # -- materialization ---------------------------------------------------
+
+    def materialize(self, name: str, st: TableState) -> TableState:
+        """Pin a new table version: parquet write (disk mode) or eager
+        localCheckpoint (memory mode). Either way the lineage is
+        truncated so repeated DML doesn't grow an unbounded plan."""
+        if self.warehouse:
+            path = os.path.join(self.warehouse, name, f"v{st.version}")
+            st.df.write.mode("overwrite").parquet(path)
+            df = self.spark.read.schema(st.tdef.schema).parquet(path)
+            return replace(st, df=df)
+        return replace(st, df=st.df.localCheckpoint(eager=True))
+
+    # -- publication -------------------------------------------------------
+
+    def publish(self, staged: dict[str, TableState | None]) -> None:
+        """Atomically adopt staged table states (None = dropped) and
+        refresh the session views."""
+        for name, st in staged.items():
+            if st is None:
+                self.tables.pop(name, None)
+                self.spark.catalog.dropTempView(name)
+            else:
+                self.tables[name] = st
+                st.df.createOrReplaceTempView(name)
+        if self.warehouse:
+            self._save_manifest()
+        # re-resolve dependent views against the new table versions
+        for vname, vsql in self.views.items():
+            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
+
+
+class Overlay:
+    """Copy-on-write staging layer for one write batch."""
+
+    def __init__(self, catalog: Catalog):
+        self.catalog = catalog
+        self.staged: dict[str, TableState | None] = {}
+
+    def get(self, name: str) -> TableState | None:
+        if name in self.staged:
+            return self.staged[name]
+        return self.catalog.tables.get(name)
+
+    def exists(self, name: str) -> bool:
+        return self.get(name) is not None
+
+    def put(self, name: str, st: TableState) -> None:
+        self.staged[name] = st
+        # staged state must be visible to later statements in the batch
+        st.df.createOrReplaceTempView(name)
+
+    def drop(self, name: str) -> None:
+        self.staged[name] = None
+        self.catalog.spark.catalog.dropTempView(name)
+
+    def commit(self) -> None:
+        self.catalog.publish(self.staged)
+        self.staged = {}
+
+    def rollback(self) -> None:
+        """Void the batch: restore the published views for every table
+        the batch touched (reference rollback semantics,
+        db/src/db.rs:200-206,733-791)."""
+        for name in self.staged:
+            cur = self.catalog.tables.get(name)
+            if cur is not None:
+                cur.df.createOrReplaceTempView(name)
+            else:
+                self.catalog.spark.catalog.dropTempView(name)
+        self.staged = {}
+
+
+# -- TableDef JSON round-trip (manifest) ------------------------------------
+
+
+def _tdef_to_json(tdef: TableDef) -> dict:
+    return {
+        "name": tdef.name,
+        "schema": tdef.schema.json(),
+        "declared_types": tdef.declared_types,
+        "primary_key": tdef.primary_key,
+        "not_null": sorted(tdef.not_null),
+        "unique": tdef.unique,
+        "foreign_keys": [[fk.column, fk.ref_table, fk.ref_column] for fk in tdef.foreign_keys],
+        "rowid_column": tdef.rowid_column,
+    }
+
+
+def _tdef_from_json(d: dict) -> TableDef:
+    from dust_spark.dialect import ForeignKey
+
+    return TableDef(
+        name=d["name"],
+        schema=T.StructType.fromJson(json.loads(d["schema"])),
+        declared_types=d.get("declared_types", {}),
+        primary_key=d.get("primary_key", []),
+        not_null=set(d.get("not_null", [])),
+        unique=d.get("unique", []),
+        foreign_keys=[ForeignKey(*fk) for fk in d.get("foreign_keys", [])],
+        rowid_column=d.get("rowid_column"),
+    )

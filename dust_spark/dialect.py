@@ -1,0 +1,381 @@
+"""SQLite-dialect front end: statement classification, CREATE TABLE
+parsing with SQLite type affinity, SET-clause / VALUES splitting, and
+the deterministic-statement guard.
+
+The reference passes SQL text straight to SQLite (db/src/db.rs:176,278).
+We pass query text straight to Spark SQL; this module only parses the
+*shape* of write statements (INSERT/UPDATE/DELETE/DDL) — all expression
+evaluation stays inside Catalyst (SURVEY.md §4.2 "custom needed" rows).
+"""
+
+from __future__ import annotations
+
+import re
+from dataclasses import dataclass, field
+
+from pyspark.sql import types as T
+
+# --------------------------------------------------------------------------
+# statement classification
+# --------------------------------------------------------------------------
+
+_FIRST_WORD = re.compile(r"^\s*([A-Za-z]+)", re.S)
+
+WRITE_KINDS = {
+    "INSERT",
+    "UPDATE",
+    "DELETE",
+    "CREATE",
+    "DROP",
+    "ALTER",
+    "PRAGMA",
+    "REPLACE",
+}
+
+
+def statement_kind(sql: str) -> str:
+    """First keyword, uppercased: SELECT / INSERT / CREATE / ... ;
+    'EMPTY' for blank statements."""
+    m = _FIRST_WORD.match(sql or "")
+    if not m:
+        return "EMPTY"
+    kind = m.group(1).upper()
+    if kind == "CREATE":
+        rest = sql[m.end() :].lstrip().upper()
+        if rest.startswith("INDEX") or rest.startswith("UNIQUE"):
+            return "CREATE_INDEX"
+        if rest.startswith("VIEW") or rest.startswith("TEMP VIEW") or rest.startswith("TEMPORARY VIEW"):
+            return "CREATE_VIEW"
+        return "CREATE_TABLE"
+    return kind
+
+
+def is_write(sql: str) -> bool:
+    return statement_kind(sql) in WRITE_KINDS or statement_kind(sql) in (
+        "CREATE_TABLE",
+        "CREATE_INDEX",
+        "CREATE_VIEW",
+    )
+
+
+# --------------------------------------------------------------------------
+# deterministic-statement guard (reference README.md:30-33: only
+# deterministic SQL is safe under statement-based replication)
+# --------------------------------------------------------------------------
+
+_NONDET = re.compile(
+    r"\b(random|randomblob|rand|randn|uuid|current_timestamp|current_date|"
+    r"current_time|now|unix_timestamp\s*\(\s*\)|monotonically_increasing_id)\b",
+    re.I,
+)
+
+
+def nondeterministic_reason(sql: str) -> str | None:
+    m = _NONDET.search(sql)
+    if m:
+        return (
+            f"non-deterministic function '{m.group(1)}' rejected: statement-based "
+            "replication requires deterministic SQL"
+        )
+    return None
+
+
+# --------------------------------------------------------------------------
+# identifier / literal helpers
+# --------------------------------------------------------------------------
+
+
+def unquote_ident(name: str) -> str:
+    name = name.strip()
+    if len(name) >= 2 and name[0] == name[-1] and name[0] in ('"', "`", "[", "'"):
+        return name[1:-1]
+    if name.startswith("[") and name.endswith("]"):
+        return name[1:-1]
+    return name
+
+
+def split_top_level(s: str, sep: str = ",") -> list[str]:
+    """Split on ``sep`` outside parens/quotes."""
+    parts, depth, cur, i = [], 0, [], 0
+    in_str: str | None = None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            cur.append(ch)
+            if ch == in_str:
+                if i + 1 < len(s) and s[i + 1] == in_str:  # doubled quote escape
+                    cur.append(s[i + 1])
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+            cur.append(ch)
+        elif ch == "(":
+            depth += 1
+            cur.append(ch)
+        elif ch == ")":
+            depth -= 1
+            cur.append(ch)
+        elif ch == sep and depth == 0:
+            parts.append("".join(cur))
+            cur = []
+        else:
+            cur.append(ch)
+        i += 1
+    if cur:
+        parts.append("".join(cur))
+    return [p.strip() for p in parts if p.strip()]
+
+
+# --------------------------------------------------------------------------
+# SQLite type affinity → Spark types (SURVEY.md §1.2; SQLite affinity
+# rules: INT→INTEGER, CHAR/CLOB/TEXT→TEXT, BLOB/none→BLOB, REAL/FLOA/
+# DOUB→REAL, else NUMERIC)
+# --------------------------------------------------------------------------
+
+
+def affinity_type(decl: str) -> T.DataType:
+    d = (decl or "").upper()
+    if "INT" in d:
+        return T.LongType()
+    if "CHAR" in d or "CLOB" in d or "TEXT" in d or "JSON" in d or "STRING" in d:
+        return T.StringType()
+    if d == "" or "BLOB" in d:
+        return T.BinaryType()
+    if "REAL" in d or "FLOA" in d or "DOUB" in d:
+        return T.DoubleType()
+    if "BOOL" in d:
+        return T.BooleanType()
+    if "TIMESTAMP" in d or "DATETIME" in d:
+        return T.TimestampType()
+    if "DATE" in d:
+        return T.DateType()
+    if "DEC" in d or "NUM" in d:
+        return T.DoubleType()
+    return T.StringType()
+
+
+# --------------------------------------------------------------------------
+# CREATE TABLE parser
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class ForeignKey:
+    column: str
+    ref_table: str
+    ref_column: str
+
+
+@dataclass
+class TableDef:
+    name: str
+    schema: T.StructType
+    declared_types: dict[str, str] = field(default_factory=dict)
+    primary_key: list[str] = field(default_factory=list)
+    not_null: set = field(default_factory=set)
+    unique: list[list[str]] = field(default_factory=list)
+    foreign_keys: list[ForeignKey] = field(default_factory=list)
+    rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
+    if_not_exists: bool = False
+
+
+_CREATE_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*\((?P<body>.*)\)\s*;?\s*$",
+    re.S | re.I,
+)
+
+_COL_CONSTRAINT_WORDS = ("NOT", "PRIMARY", "UNIQUE", "REFERENCES", "DEFAULT", "CHECK", "COLLATE", "AUTOINCREMENT")
+
+_REF_RE = re.compile(r"REFERENCES\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((\s*[^)]+\s*)\))?", re.I)
+
+
+def parse_create_table(sql: str) -> TableDef:
+    m = _CREATE_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    name = unquote_ident(m.group("name")).lower()
+    body = m.group("body")
+    fields: list[T.StructField] = []
+    td = TableDef(name=name, schema=T.StructType([]), if_not_exists=bool(m.group("ine")))
+
+    for item in split_top_level(body):
+        up = item.upper()
+        if up.startswith("PRIMARY KEY"):
+            cols = [unquote_ident(c).lower() for c in split_top_level(item[item.index("(") + 1 : item.rindex(")")])]
+            td.primary_key = cols
+            continue
+        if up.startswith("UNIQUE"):
+            cols = [unquote_ident(c).lower() for c in split_top_level(item[item.index("(") + 1 : item.rindex(")")])]
+            td.unique.append(cols)
+            continue
+        if up.startswith("FOREIGN KEY"):
+            inner = item[item.index("(") + 1 :]
+            col = unquote_ident(inner[: inner.index(")")]).lower()
+            ref = _REF_RE.search(item)
+            if ref:
+                rt = unquote_ident(ref.group(1)).lower()
+                rc = unquote_ident(ref.group(2) or col).lower()
+                td.foreign_keys.append(ForeignKey(col, rt, rc))
+            continue
+        if up.startswith("CHECK") or up.startswith("CONSTRAINT"):
+            continue  # accepted, not enforced (matches SQLite leniency posture)
+
+        # column definition: name [type tokens...] [constraints...]
+        toks = item.split()
+        col = unquote_ident(toks[0]).lower()
+        type_toks: list[str] = []
+        i = 1
+        while i < len(toks):
+            w = toks[i].upper().rstrip("(")
+            if w in _COL_CONSTRAINT_WORDS:
+                break
+            type_toks.append(toks[i])
+            i += 1
+        decl = " ".join(type_toks)
+        rest = " ".join(toks[i:]).upper()
+        rest_raw = " ".join(toks[i:])
+
+        dtype = affinity_type(decl)
+        if "NOT NULL" in rest:
+            td.not_null.add(col)
+        if "PRIMARY KEY" in rest:
+            td.primary_key = [col]
+            if isinstance(dtype, T.LongType):
+                td.rowid_column = col  # SQLite: INTEGER PRIMARY KEY = rowid alias
+        if re.search(r"\bUNIQUE\b", rest):
+            td.unique.append([col])
+        ref = _REF_RE.search(rest_raw)
+        if ref:
+            rt = unquote_ident(ref.group(1)).lower()
+            rc = unquote_ident(ref.group(2) or col).lower()
+            td.foreign_keys.append(ForeignKey(col, rt, rc))
+
+        td.declared_types[col] = decl
+        fields.append(T.StructField(col, dtype, nullable=True))
+
+    td.schema = T.StructType(fields)
+    if td.primary_key and td.primary_key not in td.unique:
+        td.unique.insert(0, td.primary_key)
+    return td
+
+
+# --------------------------------------------------------------------------
+# INSERT / UPDATE / DELETE shape parsers
+# --------------------------------------------------------------------------
+
+_INSERT_RE = re.compile(
+    r"^\s*(?:INSERT|REPLACE)\s+(?:OR\s+\w+\s+)?INTO\s+"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*"
+    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>VALUES\s*.*|SELECT\s+.*|WITH\s+.*)$",
+    re.S | re.I,
+)
+
+_UPDATE_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+SET\s+(?P<sets>.*?)"
+    r"(?:\s+WHERE\s+(?P<where>.*))?\s*;?\s*$",
+    re.S | re.I,
+)
+
+_DELETE_RE = re.compile(
+    r"^\s*DELETE\s+FROM\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)"
+    r"(?:\s+WHERE\s+(?P<where>.*))?\s*;?\s*$",
+    re.S | re.I,
+)
+
+_DROP_RE = re.compile(
+    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
+    re.S | re.I,
+)
+
+_ALTER_ADD_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+ADD\s+(?:COLUMN\s+)?(?P<def>.*)$",
+    re.S | re.I,
+)
+
+_PRAGMA_RE = re.compile(r"^\s*PRAGMA\s+(?P<key>\w+)\s*(?:=\s*(?P<val>\w+))?\s*;?\s*$", re.S | re.I)
+
+
+@dataclass
+class InsertStmt:
+    table: str
+    columns: list[str] | None
+    source_sql: str  # "VALUES ..." or "SELECT ..." / "WITH ..."
+
+
+def parse_insert(sql: str) -> InsertStmt:
+    m = _INSERT_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    cols = None
+    if m.group("cols") is not None:
+        cols = [unquote_ident(c).lower() for c in split_top_level(m.group("cols"))]
+    return InsertStmt(
+        table=unquote_ident(m.group("name")).lower(),
+        columns=cols,
+        source_sql=m.group("rest").strip().rstrip(";"),
+    )
+
+
+@dataclass
+class UpdateStmt:
+    table: str
+    sets: list[tuple[str, str]]  # (column, expression SQL)
+    where: str | None
+
+
+def parse_update(sql: str) -> UpdateStmt:
+    m = _UPDATE_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    sets = []
+    for part in split_top_level(m.group("sets")):
+        eq = part.index("=")
+        sets.append((unquote_ident(part[:eq]).lower(), part[eq + 1 :].strip()))
+    return UpdateStmt(
+        table=unquote_ident(m.group("name")).lower(),
+        sets=sets,
+        where=(m.group("where") or "").strip().rstrip(";") or None,
+    )
+
+
+@dataclass
+class DeleteStmt:
+    table: str
+    where: str | None
+
+
+def parse_delete(sql: str) -> DeleteStmt:
+    m = _DELETE_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    return DeleteStmt(
+        table=unquote_ident(m.group("name")).lower(),
+        where=(m.group("where") or "").strip().rstrip(";") or None,
+    )
+
+
+def parse_drop(sql: str) -> tuple[str, bool]:
+    m = _DROP_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    return unquote_ident(m.group("name")).lower(), bool(m.group("ie"))
+
+
+def parse_alter_add(sql: str) -> tuple[str, str, T.DataType]:
+    m = _ALTER_ADD_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    toks = m.group("def").split()
+    col = unquote_ident(toks[0]).lower()
+    decl = " ".join(toks[1:])
+    return unquote_ident(m.group("name")).lower(), col, affinity_type(decl)
+
+
+def parse_pragma(sql: str) -> tuple[str, str | None]:
+    m = _PRAGMA_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    return m.group("key").lower(), (m.group("val") or None)

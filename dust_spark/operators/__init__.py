@@ -1,0 +1,58 @@
+"""Tier C operators: LLM-data-pipeline operations at 100 TB scale
+(SURVEY.md §2.C) — dedup, similarity search, text analysis, as-of
+joins, multimodal columns."""
+
+from dust_spark.operators.asof import asof_aggregate, asof_join
+from dust_spark.operators.dedup import (
+    exact_dedup,
+    exact_dedup_count,
+    minhash_dedup,
+    minhash_lsh_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash_pairs,
+    simhash_table,
+)
+from dust_spark.operators.multimodal import (
+    attach_media,
+    decode_media,
+    media_stats,
+)
+from dust_spark.operators.similarity import (
+    cosine_topk,
+    embedding_near_dup,
+    rp_lsh_topk,
+)
+from dust_spark.operators.text import (
+    bpe_ish_token_count,
+    fingerprint,
+    lang_id,
+    quality_scores,
+    rolling_hash_fingerprint,
+    token_count,
+)
+
+__all__ = [
+    "asof_join",
+    "asof_aggregate",
+    "exact_dedup",
+    "exact_dedup_count",
+    "minhash_dedup",
+    "minhash_lsh_pairs",
+    "minhash_signatures",
+    "ngram_jaccard_pairs",
+    "simhash_pairs",
+    "simhash_table",
+    "attach_media",
+    "decode_media",
+    "media_stats",
+    "cosine_topk",
+    "embedding_near_dup",
+    "rp_lsh_topk",
+    "bpe_ish_token_count",
+    "fingerprint",
+    "lang_id",
+    "quality_scores",
+    "rolling_hash_fingerprint",
+    "token_count",
+]

@@ -1,0 +1,149 @@
+"""Multimodal columns (SURVEY.md §2.C C5): image/audio/video as opaque
+``binary`` columns with typed metadata.
+
+The Spark-side plumbing — schema, partitioning, Arrow batch shape, UDF
+signatures — is real and tested. The actual media decoding is STUBBED
+(image/audio libraries are not in this container): ``decode_media``
+raises ``NotImplementedError`` unless ``fake=True``, in which case a
+deterministic fake feature extractor runs through the identical
+``mapInPandas`` path, proving the distributed plumbing end-to-end.
+
+Design for 100 TB of media:
+- bytes live in a ``binary`` column next to a ``meta`` struct, so
+  metadata-only queries prune the (huge) bytes column at the parquet
+  reader — verified via ReadSchema;
+- decode/feature-extract is an Arrow-batched ``mapInPandas`` (one
+  Python worker round-trip per batch, not per row);
+- ``content_hash`` gives a stable partition/bucket key so re-ingestion
+  dedups at the storage layer.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+MEDIA_META = T.StructType(
+    [
+        T.StructField("media_type", T.StringType()),  # image|audio|video
+        T.StructField("mime", T.StringType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("duration_ms", T.LongType()),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+MEDIA_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("uri", T.StringType()),
+        T.StructField("bytes", T.BinaryType()),
+        T.StructField("meta", MEDIA_META),
+        T.StructField("content_hash", T.StringType()),
+    ]
+)
+
+FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("media_id", T.LongType(), False),
+        T.StructField("media_type", T.StringType()),
+        T.StructField("feature", T.ArrayType(T.FloatType())),
+        T.StructField("n_bytes", T.LongType()),
+    ]
+)
+
+
+def attach_media(
+    df: DataFrame, id_col: str, payload_col: str, media_type: str = "image"
+) -> DataFrame:
+    """Wrap an existing column's bytes as a multimodal media column with
+    typed metadata + content hash (synthetic-payload path for tests:
+    any binary/string column works as the payload)."""
+    payload = F.col(payload_col).cast("binary")
+    return df.select(
+        F.col(id_col).cast("long").alias("media_id"),
+        F.concat(F.lit("synthetic://"), F.col(id_col).cast("string")).alias("uri"),
+        payload.alias("bytes"),
+        F.struct(
+            F.lit(media_type).alias("media_type"),
+            F.lit(f"{media_type}/x-synthetic").alias("mime"),
+            F.lit(None).cast("int").alias("width"),
+            F.lit(None).cast("int").alias("height"),
+            F.lit(None).cast("long").alias("duration_ms"),
+            F.length(payload).cast("long").alias("n_bytes"),
+        ).alias("meta"),
+        F.sha2(payload, 256).alias("content_hash"),
+    )
+
+
+def _fake_feature(data: bytes, dim: int) -> list[float]:
+    """Deterministic fake 'embedding': bytes → sha256 stream → floats in
+    [0,1). Stands in for a real image/audio encoder."""
+    out: list[float] = []
+    counter = 0
+    while len(out) < dim:
+        h = hashlib.sha256(data + counter.to_bytes(4, "big")).digest()
+        out.extend(int.from_bytes(h[i : i + 4], "big") / 2**32 for i in range(0, 32, 4))
+        counter += 1
+    return out[:dim]
+
+
+def decode_media(df: DataFrame, dim: int = 16, fake: bool = False, batch_size: int = 256) -> DataFrame:
+    """Decode + feature-extract media rows via Arrow-batched mapInPandas.
+
+    With ``fake=False`` this raises ``NotImplementedError`` at task
+    runtime (real decoders — PIL/torchaudio/ffmpeg — are not in this
+    container). With ``fake=True`` the identical distributed path runs a
+    deterministic stand-in featurizer.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if not fake:
+                raise NotImplementedError(
+                    "real media decode requires PIL/torchaudio/ffmpeg; "
+                    "run with fake=True for the deterministic stand-in"
+                )
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "media_type": [m["media_type"] if m is not None else None for m in pdf["meta"]],
+                    "feature": [
+                        _fake_feature(bytes(b) if b is not None else b"", dim) for b in pdf["bytes"]
+                    ],
+                    "n_bytes": [len(b) if b is not None else 0 for b in pdf["bytes"]],
+                }
+            )
+
+    return df.mapInPandas(run, FEATURE_SCHEMA)
+
+
+def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
+    """STUB: image resize (no imaging libs in container). The plumbing
+    contract: bytes in → bytes out, meta.width/height updated."""
+    raise NotImplementedError("image resize requires PIL; not available in this container")
+
+
+def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
+    """STUB: video frame sampling (no ffmpeg in container)."""
+    raise NotImplementedError("frame sampling requires ffmpeg; not available in this container")
+
+
+def media_stats(df: DataFrame) -> DataFrame:
+    """Metadata-only aggregate — reads meta/content_hash, prunes bytes
+    at the parquet scan (the 100 TB-friendly access path)."""
+    return (
+        df.groupBy(F.col("meta.media_type").alias("media_type"))
+        .agg(
+            F.count("*").alias("n"),
+            F.sum("meta.n_bytes").alias("total_bytes"),
+            F.countDistinct("content_hash").alias("distinct_content"),
+        )
+        .orderBy("media_type")
+    )

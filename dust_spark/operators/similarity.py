@@ -1,0 +1,177 @@
+"""Similarity search over embedding columns (SURVEY.md §2.C C3).
+
+- :func:`cosine_topk` — exact brute-force top-k (the correctness
+  baseline; broadcast the query side).
+- :func:`rp_lsh_topk` — random-hyperplane LSH bucketed ANN (the scale
+  path: candidates come from equi-joins on signature prefixes instead
+  of a crossJoin).
+- :func:`embedding_near_dup` — all pairs above a cosine threshold via
+  the same bucketing.
+
+Vector math is pure Catalyst (zip_with/aggregate in DOUBLE); the
+hyperplanes are generated driver-side from a fixed seed (deterministic,
+tiny, shipped as literals — no UDF, no broadcast variable needed).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from dust_spark.functions import cosine, vec_dot, vec_norm
+
+
+def _normalize(df: DataFrame, vec_col: str) -> DataFrame:
+    """Add unit-norm vector + original norm (cosine → dot product)."""
+    n = vec_norm(F.col(vec_col))
+    return df.withColumn("__norm", n).withColumn(
+        "__unit",
+        F.when(n == 0, F.col(vec_col).cast("array<double>")).otherwise(
+            F.transform(F.col(vec_col), lambda x: x.cast("double") / F.col("__norm"))
+        ),
+    )
+
+
+def cosine_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for every query vector.
+
+    Output: qid, nid, cos (rounded 4dp), deterministic tie-break on nid.
+
+    Scale shape: the query side is broadcast (queries are typically ≪
+    corpus), so the corpus is scanned exactly once with no shuffle;
+    per-query top-k then reduces through a partial window. For
+    query-set sizes beyond broadcast range, use :func:`rp_lsh_topk`.
+    """
+    from pyspark.sql import Window as W
+
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    scored = (
+        F.broadcast(q)
+        .join(c, F.col("qid") != F.col("nid"))
+        .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("__cos"))
+    )
+    w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
+    return (
+        scored.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "nid", F.round("__cos", 4).alias("cos"))
+        .orderBy("qid", "nid")
+    )
+
+
+def rp_signature(vec_col, planes: np.ndarray):
+    """Random-hyperplane sign bits packed into bigints (one per 64
+    planes). ``planes`` is (n_planes, dim); emitted as literal arrays —
+    Catalyst folds them into constants."""
+    n_planes = planes.shape[0]
+    words = []
+    for w0 in range(0, n_planes, 64):
+        word = F.lit(0).cast("long")
+        for j, p in enumerate(range(w0, min(w0 + 64, n_planes))):
+            plane = F.array(*[F.lit(float(x)) for x in planes[p]])
+            dot = vec_dot(vec_col, plane)
+            word = word.bitwiseOR(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
+        words.append(word)
+    return F.array(*words)
+
+
+def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
+    rng = np.random.RandomState(seed)
+    return rng.standard_normal((n_planes, dim))
+
+
+def rp_lsh_topk(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """Approximate top-k via random-hyperplane LSH.
+
+    ``n_tables`` independent signatures of ``bits_per_table`` bits each;
+    candidates = pairs sharing any full table signature (equi-join on a
+    (table, bucket) key → shuffle on 16-byte keys, no crossJoin), then
+    exact cosine re-rank within candidates.
+
+    Tuning: P(same bucket) = (1 − θ/π)^bits per table; 8 tables × 12
+    bits keeps recall ≈ 0.9 for cos ≥ 0.8 neighborhoods while cutting
+    candidate volume by ~2^12 per table at uniform load.
+    """
+    from pyspark.sql import Window as W
+
+    planes = _planes(dim, n_tables * bits_per_table, seed)
+
+    def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        idc = F.col(id_col).alias(f"{prefix}id")
+        vec = F.col(vec_col).alias(f"{prefix}v")
+        buckets = []
+        for t in range(n_tables):
+            tp = planes[t * bits_per_table : (t + 1) * bits_per_table]
+            sig = rp_signature(F.col(vec_col), tp)[0]
+            buckets.append(F.xxhash64(F.lit(t), sig))
+        return df.select(idc, vec, F.posexplode(F.array(*buckets)).alias("t", "bucket"))
+
+    qb = with_buckets(queries, "q")
+    cb = with_buckets(corpus, "n")
+    cand = (
+        qb.join(cb, ["t", "bucket"])
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "qv", "nid", "nv")
+        .distinct()
+    )
+    w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
+    return (
+        cand.withColumn("__cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "nid", F.round("__cos", 4).alias("cos"))
+        .orderBy("qid", "nid")
+    )
+
+
+def embedding_near_dup(
+    df: DataFrame,
+    threshold: float = 0.95,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 8,
+    bits_per_table: int = 12,
+    seed: int = 42,
+) -> DataFrame:
+    """All pairs (id_a < id_b) with cosine >= threshold, via RP-LSH
+    candidate buckets + exact verification. Near-dup semantics of
+    dedup.embedding flavor (SURVEY §2.C C1 embedding-cosine)."""
+    planes = _planes(dim, n_tables * bits_per_table, seed)
+    buckets = []
+    for t in range(n_tables):
+        tp = planes[t * bits_per_table : (t + 1) * bits_per_table]
+        buckets.append(F.xxhash64(F.lit(t), rp_signature(F.col(vec_col), tp)[0]))
+    tagged = df.select(
+        F.col(id_col).alias("id"),
+        F.col(vec_col).alias("v"),
+        F.posexplode(F.array(*buckets)).alias("t", "bucket"),
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    return (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .distinct()
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", "cos")
+    )

@@ -1,0 +1,132 @@
+"""Text-analysis operators (SURVEY.md §2.C C4): language ID, quality
+scoring, token counting, document fingerprinting.
+
+Everything is a Catalyst expression pipeline over built-in functions —
+designed so each operator is a narrow map over the documents scan (zero
+shuffles until an explicit aggregation), which is the only shape that
+survives a 100 TB corpus.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from dust_spark.functions import tokens
+
+# Tiny per-language stopword marker sets for the n-gram/stopword-ratio
+# heuristic. Deliberately small and fixed: the point is a deterministic,
+# cheap, SQL-expressible language scorer (mirrorable in the DuckDB
+# oracle), not a production langid model.
+STOPWORDS = {
+    "en": ("the", "and", "of", "to", "in", "is", "that", "it"),
+    "de": ("der", "die", "und", "das", "nicht", "ist", "ich", "ein"),
+    "fr": ("le", "la", "et", "les", "des", "est", "un", "une"),
+    "es": ("el", "la", "que", "de", "los", "se", "un", "es"),
+}
+
+
+def _stopword_hits(text: Column, words: tuple) -> Column:
+    pat = r"\b(" + "|".join(words) + r")\b"
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(pat), F.lit(0)))
+
+
+def lang_scores(text: Column) -> dict[str, Column]:
+    return {lang: _stopword_hits(text, words) for lang, words in STOPWORDS.items()}
+
+
+def lang_id(df: DataFrame, text_col: str = "text", out_col: str = "pred_lang") -> DataFrame:
+    """Predict language by stopword-hit argmax; ties resolve in the fixed
+    order en > de > fr > es; zero hits everywhere → 'und' (undetermined).
+    """
+    s = lang_scores(F.col(text_col))
+    best = F.greatest(*s.values())
+    pred = (
+        F.when(best == 0, F.lit("und"))
+        .when(s["en"] == best, F.lit("en"))
+        .when(s["de"] == best, F.lit("de"))
+        .when(s["fr"] == best, F.lit("fr"))
+        .otherwise(F.lit("es"))
+    )
+    return df.withColumn(out_col, pred)
+
+
+def token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_tokens") -> DataFrame:
+    """Whitespace token count (BIGINT for cross-engine hash parity)."""
+    return df.withColumn(out_col, F.size(tokens(text_col, lowercase=False)).cast("long"))
+
+
+def bpe_ish_token_count(df: DataFrame, text_col: str = "text", out_col: str = "n_bpe_tokens") -> DataFrame:
+    """BPE-ish token estimate: count word pieces + digits + punctuation
+    via a GPT-style pre-tokenizer regex (contractions, letter runs,
+    digit runs, punctuation runs)."""
+    pat = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return df.withColumn(
+        out_col, F.size(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(0))).cast("long")
+    )
+
+
+def quality_scores(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Length / punctuation / stopword / uppercase heuristics — the
+    standard cheap quality filters of a pretraining pipeline.
+
+    Adds: n_chars_q, n_tokens, avg_token_len, punct_ratio, upper_ratio,
+    stopword_ratio, quality_score (all DOUBLE, rounded 4dp).
+    """
+    text = F.col(text_col)
+    tok = tokens(text_col, lowercase=False)
+    n_chars = F.length(text).cast("double")
+    n_tok = F.size(tok).cast("double")
+    safe_chars = F.when(n_chars == 0, F.lit(1.0)).otherwise(n_chars)
+    safe_tok = F.when(n_tok == 0, F.lit(1.0)).otherwise(n_tok)
+
+    punct = F.length(F.regexp_replace(text, r"[^.,;:!?'\"]", "")).cast("double")
+    upper = F.length(F.regexp_replace(text, r"[^A-Z]", "")).cast("double")
+    stop_hits = F.size(
+        F.regexp_extract_all(F.lower(text), F.lit(r"\b(the|and|of|to|in|is|that|it)\b"), F.lit(0))
+    ).cast("double")
+
+    avg_token_len = (n_chars - (n_tok - 1)) / safe_tok
+    punct_ratio = punct / safe_chars
+    upper_ratio = upper / safe_chars
+    stop_ratio = stop_hits / safe_tok
+
+    # simple monotone blend: long-enough docs with natural punctuation,
+    # some stopwords, and mostly-lowercase text score high
+    quality = (
+        F.least(n_tok / 100.0, F.lit(1.0)) * 0.4
+        + F.least(stop_ratio * 5.0, F.lit(1.0)) * 0.3
+        + (1.0 - F.least(upper_ratio * 5.0, F.lit(1.0))) * 0.15
+        + (1.0 - F.least(punct_ratio * 10.0, F.lit(1.0))) * 0.15
+    )
+    return (
+        df.withColumn("n_chars_q", n_chars)
+        .withColumn("n_tokens", n_tok)
+        .withColumn("avg_token_len", F.round(avg_token_len, 4))
+        .withColumn("punct_ratio", F.round(punct_ratio, 4))
+        .withColumn("upper_ratio", F.round(upper_ratio, 4))
+        .withColumn("stopword_ratio", F.round(stop_ratio, 4))
+        .withColumn("quality_score", F.round(quality, 4))
+    )
+
+
+def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> DataFrame:
+    """Content fingerprint: md5 hex of the whitespace-normalized,
+    lowercased text (stable under formatting noise)."""
+    norm = F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " ")
+    return df.withColumn(out_col, F.md5(norm))
+
+
+def rolling_hash_fingerprint(
+    df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "rfp"
+) -> DataFrame:
+    """Winnowing-style rolling fingerprint: min of xxhash64 over
+    ``window``-token rolling windows — robust to local edits; equal
+    fingerprints are strong near-dup candidates."""
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (window - 1), F.lit(1)))
+    win_hash = F.transform(
+        idx,
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i, window))),
+    )
+    return df.withColumn(out_col, F.when(F.size(tok) == 0, F.lit(None).cast("long")).otherwise(F.array_min(win_hash)))

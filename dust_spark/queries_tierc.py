@@ -1,0 +1,399 @@
+"""Tier C declared queries (SURVEY.md §2.C): dedup, similarity search,
+text analysis, as-of correlation, multimodal, sessionization.
+
+Each entry runs a real operator from ``dust_spark.operators`` and —
+wherever the semantics are SQL-expressible — pairs it with an exact
+DuckDB oracle. Sketch-based ops (MinHash/SimHash/RP-LSH) are
+deterministic (fixed seeds, xxhash64) but not portable to DuckDB, so
+they are registered without an oracle (driver records the weaker
+rows-only check; engine tests in tests/ verify their semantics against
+exact ground truth instead).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dust_spark import operators as ops
+from dust_spark.queries import register
+from dust_spark.tables import register_views
+
+
+def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.table("documents")
+
+
+# ---------------------------------------------------------------------------
+# C1 — exact dedup
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c1a_exact_dedup_count",
+    oracle="SELECT count(*) AS n FROM (SELECT text, MIN(doc_id) AS keeper FROM documents GROUP BY text) t",
+    tags=("tierc", "dedup"),
+)
+def exact_dedup_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.exact_dedup_count(_docs(spark, sf_dir))
+
+
+@register(
+    "c1b_exact_dedup_keepers",
+    oracle="SELECT MIN(doc_id) AS keeper FROM documents GROUP BY text ORDER BY keeper",
+    tags=("tierc", "dedup"),
+)
+def exact_dedup_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.exact_dedup(_docs(spark, sf_dir))
+        .select(F.col("doc_id").alias("keeper"))
+        .orderBy("keeper")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C2 — near-dup detection (sketches: deterministic, engine-verified;
+# exact n-gram Jaccard: DuckDB-oracled)
+# ---------------------------------------------------------------------------
+
+
+@register("c2a_minhash_lsh_pairs", tags=("tierc", "dedup", "no-oracle"))
+def minhash_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("c2b_simhash_table", tags=("tierc", "dedup", "no-oracle"))
+def simhash_table_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic 64-bit SimHash per document (pair detection at
+    hamming<=3 is exercised in tests/test_operators.py on a corpus with
+    constructed near-dups; this synthetic word-soup corpus has none)."""
+    return ops.simhash_table(_docs(spark, sf_dir)).orderBy("id")
+
+
+_NGRAM_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, ROUND(inter / (sa.sz + sb.sz - inter), 4) AS jaccard
+FROM inter
+JOIN sizes sa ON sa.doc_id = id_a
+JOIN sizes sb ON sb.doc_id = id_b
+WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+ORDER BY id_a, id_b
+"""
+
+
+@register("c2c_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("tierc", "dedup"))
+def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).orderBy("id_a", "id_b")
+
+
+@register("c2d_embedding_near_dup", tags=("tierc", "dedup", "no-oracle"))
+def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return ops.embedding_near_dup(spark.table("embeddings"), threshold=0.3).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# C3 — similarity search over embeddings
+# ---------------------------------------------------------------------------
+
+_TOPK_ORACLE = """
+WITH pairs AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id <= 5
+), ranked AS (
+  SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn FROM pairs
+)
+SELECT qid, nid, ROUND(c, 4) AS cos FROM ranked WHERE rn <= 3 ORDER BY qid, nid
+"""
+
+
+@register("c3a_cosine_topk", oracle=_TOPK_ORACLE, tags=("tierc", "similarity"))
+def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ops.cosine_topk(emb.filter(F.col("vec_id") <= 5), emb, k=3)
+
+
+@register(
+    "c3b_dot_pairs",
+    oracle=(
+        "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
+        "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS dot "
+        "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
+        "WHERE a.vec_id <= 5 ORDER BY id_a, id_b"
+    ),
+    tags=("tierc", "similarity"),
+)
+def dot_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dust_spark.functions import vec_dot
+
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")).filter(F.col("id_a") <= 5)
+    b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    return (
+        F.broadcast(a)
+        .join(b, F.col("id_a") < F.col("id_b"))
+        .select("id_a", "id_b", F.round(vec_dot(F.col("va"), F.col("vb")), 4).alias("dot"))
+        .orderBy("id_a", "id_b")
+    )
+
+
+@register("c3c_ann_rp_lsh", tags=("tierc", "similarity", "no-oracle"))
+def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    emb = spark.table("embeddings")
+    return ops.rp_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, bits_per_table=6)
+
+
+# ---------------------------------------------------------------------------
+# C4 — text analysis
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c4a_text_stats",
+    oracle=(
+        "SELECT lang, count(*) AS n, ROUND(AVG(n_chars),4) AS avg_chars "
+        "FROM documents GROUP BY lang ORDER BY lang"
+    ),
+    tags=("tierc", "text"),
+)
+def text_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        _docs(spark, sf_dir)
+        .groupBy("lang")
+        .agg(F.count("*").alias("n"), F.round(F.avg("n_chars"), 4).alias("avg_chars"))
+        .orderBy("lang")
+    )
+
+
+@register(
+    "c4b_token_count",
+    oracle=(
+        "SELECT doc_id, CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tags=("tierc", "text"),
+)
+def token_count_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.token_count(_docs(spark, sf_dir)).select("doc_id", "n_tokens").orderBy("doc_id")
+
+
+@register(
+    "c4c_fingerprint",
+    oracle=(
+        "SELECT doc_id, md5(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tags=("tierc", "text"),
+)
+def fingerprint_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return ops.fingerprint(_docs(spark, sf_dir)).select("doc_id", "fp").orderBy("doc_id")
+
+
+@register(
+    "c4d_lang_id",
+    oracle=None,  # set below — long SQL mirroring the stopword argmax
+    tags=("tierc", "text"),
+)
+def lang_id_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.lang_id(_docs(spark, sf_dir))
+        .groupBy("lang", "pred_lang")
+        .agg(F.count("*").alias("n"))
+        .orderBy("lang", "pred_lang")
+    )
+
+
+def _langid_oracle() -> str:
+    from dust_spark.operators.text import STOPWORDS
+
+    score = {
+        lang: f"len(regexp_extract_all(lower(text), '\\b({'|'.join(words)})\\b'))"
+        for lang, words in STOPWORDS.items()
+    }
+    best = f"greatest({score['en']}, {score['de']}, {score['fr']}, {score['es']})"
+    pred = (
+        f"CASE WHEN {best} = 0 THEN 'und' "
+        f"WHEN {score['en']} = {best} THEN 'en' "
+        f"WHEN {score['de']} = {best} THEN 'de' "
+        f"WHEN {score['fr']} = {best} THEN 'fr' "
+        f"ELSE 'es' END"
+    )
+    return (
+        f"SELECT lang, {pred} AS pred_lang, count(*) AS n FROM documents "
+        f"GROUP BY lang, pred_lang ORDER BY lang, pred_lang"
+    )
+
+
+from dust_spark.queries import QUERIES as _Q  # noqa: E402
+
+_Q["c4d_lang_id"].oracle = _langid_oracle()
+
+
+@register(
+    "c4e_quality_scores",
+    oracle=(
+        "WITH q AS (SELECT doc_id, CAST(length(text) AS DOUBLE) AS n_chars_d, "
+        "CASE WHEN length(trim(text)) = 0 THEN CAST(0 AS DOUBLE) "
+        "ELSE CAST(len(regexp_split_to_array(trim(lower(text)), '\\s+')) AS DOUBLE) END AS n_tok, "
+        "CAST(length(regexp_replace(text, '[^.,;:!?''\"]', '', 'g')) AS DOUBLE) AS punct, "
+        "CAST(length(regexp_replace(text, '[^A-Z]', '', 'g')) AS DOUBLE) AS upper_, "
+        "CAST(len(regexp_extract_all(lower(text), '\\b(the|and|of|to|in|is|that|it)\\b')) AS DOUBLE) AS stop_hits "
+        "FROM documents) "
+        "SELECT doc_id, "
+        "ROUND(punct / (CASE WHEN n_chars_d = 0 THEN 1 ELSE n_chars_d END), 4) AS punct_ratio, "
+        "ROUND(upper_ / (CASE WHEN n_chars_d = 0 THEN 1 ELSE n_chars_d END), 4) AS upper_ratio, "
+        "ROUND(stop_hits / (CASE WHEN n_tok = 0 THEN 1 ELSE n_tok END), 4) AS stopword_ratio "
+        "FROM q ORDER BY doc_id"
+    ),
+    tags=("tierc", "text"),
+)
+def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.quality_scores(_docs(spark, sf_dir))
+        .select("doc_id", "punct_ratio", "upper_ratio", "stopword_ratio")
+        .orderBy("doc_id")
+    )
+
+
+@register("c4f_rolling_fingerprint", tags=("tierc", "text", "no-oracle"))
+def rolling_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.rolling_hash_fingerprint(_docs(spark, sf_dir))
+        .select("doc_id", "rfp")
+        .orderBy("doc_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C5 — multimodal columns (synthetic payload = document text bytes; real
+# decode stubbed, distributed plumbing exercised via fake featurizer)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c5a_media_stats",
+    oracle=(
+        "SELECT 'image' AS media_type, count(*) AS n, "
+        "CAST(SUM(strlen(text)) AS BIGINT) AS total_bytes, "
+        "count(DISTINCT text) AS distinct_content FROM documents"
+    ),
+    tags=("tierc", "multimodal"),
+)
+def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ops.attach_media(_docs(spark, sf_dir), "doc_id", "text", media_type="image")
+    return ops.media_stats(media)
+
+
+@register("c5b_media_features", tags=("tierc", "multimodal", "no-oracle"))
+def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    media = ops.attach_media(_docs(spark, sf_dir), "doc_id", "text", media_type="image")
+    feats = ops.decode_media(media, dim=8, fake=True)
+    return feats.select(
+        "media_id",
+        "media_type",
+        "n_bytes",
+        F.round(F.aggregate("feature", F.lit(0.0), lambda s, x: s + x.cast("double")), 4).alias("feat_sum"),
+    ).orderBy("media_id")
+
+
+# ---------------------------------------------------------------------------
+# C6 — as-of / event-time correlation
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c6a_asof_max_order",
+    oracle=(
+        "SELECT e.event_id, (SELECT MAX(o_orderkey) FROM orders o "
+        "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_order "
+        "FROM events e WHERE e.event_id <= 50 ORDER BY e.event_id"
+    ),
+    tags=("tierc", "asof"),
+)
+def asof_max_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    events = spark.table("events").filter(F.col("event_id") <= 50)
+    orders = spark.table("orders")
+    return (
+        ops.asof_aggregate(
+            events, orders, "ts", "o_orderdate", "user_id", "o_custkey",
+            agg_col="o_orderkey", agg="max", out_col="last_order",
+        )
+        .select("event_id", "last_order")
+        .orderBy("event_id")
+    )
+
+
+@register(
+    "c6b_asof_latest_odate",
+    oracle=(
+        "SELECT e.event_id, (SELECT MAX(o_orderdate) FROM orders o "
+        "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts) AS last_odate "
+        "FROM events e WHERE e.event_id <= 50 ORDER BY e.event_id"
+    ),
+    tags=("tierc", "asof"),
+)
+def asof_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    events = spark.table("events").filter(F.col("event_id") <= 50)
+    orders = spark.table("orders")
+    return (
+        ops.asof_join(
+            events, orders, "ts", "o_orderdate", "user_id", "o_custkey",
+            value_cols=["o_orderdate"], direction="backward",
+        )
+        .select("event_id", F.col("o_orderdate").alias("last_odate"))
+        .orderBy("event_id")
+    )
+
+
+# ---------------------------------------------------------------------------
+# C7 — sessionization (batch form; streaming form in dust_spark.streaming)
+# ---------------------------------------------------------------------------
+
+_SESSION_SQL = """
+WITH g AS (
+  SELECT user_id, ts, event_id,
+         CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) > INTERVAL 30 MINUTE
+              THEN 1 ELSE 0 END AS new_s
+  FROM events
+), s AS (
+  SELECT user_id, event_id,
+         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS sess
+  FROM g
+)
+SELECT user_id, CAST(sess AS BIGINT) AS sess, count(*) AS n_events
+FROM s GROUP BY user_id, sess ORDER BY user_id, sess
+"""
+
+
+@register("c7a_sessionize", oracle=_SESSION_SQL, tags=("tierc", "streaming"))
+def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spark.sql(_SESSION_SQL)

@@ -1,0 +1,583 @@
+"""DustSession — the engine: batched execute/query with the reference's
+API contract (reference db/src/db.rs), Spark-first.
+
+Semantics reproduced (with file:line provenance):
+- ``execute(Request)`` → per-statement ``Response``; empty statements
+  skipped (db/src/db.rs:169-175); continue-on-error when
+  non-transactional (db/src/db.rs:178-190), break + void batch when
+  transactional (db/src/db.rs:184-188,200-206).
+- ``query(Request)`` → list of ``Rows`` in the ``{columns,types,values}``
+  contract (db/src/db.rs:223-290); DDL/DML through the query path
+  executes and yields an empty Rows (mirrors rusqlite prepare/query_map
+  behavior exercised at db/src/db.rs:694,737).
+- ``last_insert_id`` is connection-level sticky state — an UPDATE
+  response reports the id of the *previous* insert
+  (db/src/db.rs:192-197; golden expectation at :396-401).
+- SQLite-format constraint errors: ``UNIQUE constraint failed: t.c``
+  (db/src/db.rs:373,762), ``NOT NULL constraint failed: t.c``,
+  ``FOREIGN KEY constraint failed``; FK toggle ≈ PRAGMA foreign_keys
+  (db/src/db.rs:7-9,120-140).
+- Positional ``?`` binding, Integer/Real/Text (db/src/db.rs:312-321) —
+  write statements inline-bind (single-writer, so no injection surface
+  beyond what the reference has: it executes arbitrary SQL by design);
+  read statements use Spark's native parameterized ``spark.sql``.
+
+Spark-first mechanics: all expression evaluation — INSERT VALUES
+literals, UPDATE SET expressions, WHERE predicates — happens inside
+Catalyst via ``spark.sql`` rewrites; this module never interprets a
+scalar expression itself (SURVEY.md §7.2). Writes are copy-on-write
+DataFrame transforms published through the versioned catalog
+(dust_spark.catalog).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import re
+from typing import Any
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dust_spark import dialect
+from dust_spark.catalog import Catalog, Overlay, TableState
+from dust_spark.dialect import TableDef, statement_kind
+from dust_spark.model import Request, Response, Rows, Statement, rows_from_dataframe
+
+
+class DustError(Exception):
+    """Engine error; message format mirrors SQLite where the reference
+    asserts on exact text."""
+
+
+_CREATE_VIEW_RE = re.compile(
+    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\w+)\s+AS\s+(?P<sel>.*)$",
+    re.S | re.I,
+)
+
+
+def bind_params(sql: str, params: list[Any]) -> str:
+    """Inline positional ``?`` parameters as SQL literals (write path).
+
+    Only Integer/Real/Text/None/bytes exist in the parameter domain
+    (reference command/src/lib.rs:25-30 + our Null/Blob extension), so
+    literal encoding is complete and unambiguous.
+    """
+    if not params:
+        return sql
+    out: list[str] = []
+    it = iter(params)
+    in_str: str | None = None
+    for ch in sql:
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+        elif ch == "?":
+            try:
+                v = next(it)
+            except StopIteration:
+                raise DustError("not enough parameters for statement") from None
+            out.append(_sql_literal(v))
+        else:
+            out.append(ch)
+    return "".join(out)
+
+
+def _sql_literal(v: Any) -> str:
+    if v is None:
+        return "NULL"
+    if isinstance(v, bool):
+        return "1" if v else "0"
+    if isinstance(v, int):
+        return str(v)
+    if isinstance(v, float):
+        return repr(v)
+    if isinstance(v, (bytes, bytearray)):
+        return f"X'{bytes(v).hex()}'"
+    s = str(v).replace("'", "''")
+    return f"'{s}'"
+
+
+class DustSession:
+    """One engine session = one warehouse (disk mode) or a temp-view
+    namespace (memory mode) — reference DB lifecycle A10
+    (db/src/db.rs:77-117)."""
+
+    def __init__(
+        self,
+        spark: SparkSession | None = None,
+        warehouse: str | None = None,
+        deterministic_guard: bool = False,
+    ):
+        self.spark = spark or _default_session()
+        # SQLite's lax dynamic typing: ANSI strictness off (SURVEY §4.2)
+        self.spark.conf.set("spark.sql.ansi.enabled", "false")
+        self.catalog = Catalog(self.spark, warehouse)
+        self.deterministic_guard = deterministic_guard
+        self._fk_enabled = False
+        self._last_insert_id = 0
+        self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
+
+    # ------------------------------------------------------------------
+    # public API (reference store/src/lib.rs Database trait)
+    # ------------------------------------------------------------------
+
+    def execute(self, req: Request) -> list[Response]:
+        """Write batch (reference db/src/db.rs:154-209)."""
+        overlay = Overlay(self.catalog)
+        responses: list[Response] = []
+        rollback = False
+        for stmt in req.statements:
+            if stmt.sql == "":  # skipped, no Response (db/src/db.rs:170-172)
+                continue
+            try:
+                responses.append(self._apply(overlay, stmt))
+                if not req.transaction:
+                    overlay.commit()
+                    self._log_journal(stmt, False)
+            except DustError as e:
+                responses.append(Response(error=str(e)))
+                if req.transaction:
+                    rollback = True
+                    break  # tx: no further statements (db/src/db.rs:184-188)
+                overlay.rollback()
+        if req.transaction:
+            if rollback:
+                overlay.rollback()
+            else:
+                overlay.commit()
+                for stmt in req.statements:
+                    if stmt.sql:
+                        self._log_journal(stmt, True)
+        return responses
+
+    def query(self, req: Request) -> list[Rows]:
+        """Read batch (reference db/src/db.rs:223-290)."""
+        results: list[Rows] = []
+        for stmt in req.statements:
+            if stmt.sql == "":
+                continue
+            kind = statement_kind(stmt.sql)
+            if kind == "PRAGMA":
+                results.append(self._pragma_query(stmt.sql))
+            elif kind in dialect.WRITE_KINDS or kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW"):
+                # rusqlite happily runs DDL/DML through prepare/query_map
+                # (exercised at db/src/db.rs:694,737) → empty result set
+                overlay = Overlay(self.catalog)
+                err = None
+                try:
+                    self._apply(overlay, stmt)
+                    overlay.commit()
+                    self._log_journal(stmt, False)
+                except DustError as e:
+                    overlay.rollback()
+                    err = e
+                if err is not None:
+                    raise err
+                results.append(Rows())
+            else:
+                df = self._sql(stmt.sql, stmt.parameters)
+                renamed = self._sqlite_column_names(stmt.sql, df)
+                results.append(rows_from_dataframe(renamed if renamed is not None else df))
+        return results
+
+    def execute_string_stmt(self, sql: str, parameters: list[Any] | None = None) -> list[Response]:
+        return self.execute(Request.single(sql, parameters))
+
+    def query_string_stmt(self, sql: str, parameters: list[Any] | None = None) -> list[Rows]:
+        return self.query(Request.single(sql, parameters))
+
+    # FK toggle (reference db/src/db.rs:120-140)
+    def enable_fk_constraints(self, enabled: bool) -> None:
+        self._fk_enabled = enabled
+
+    def fk_constraints(self) -> bool:
+        return self._fk_enabled
+
+    def close(self) -> None:
+        for name in list(self.catalog.tables):
+            self.spark.catalog.dropTempView(name)
+        self.catalog.tables.clear()
+
+    # ------------------------------------------------------------------
+    # statement application
+    # ------------------------------------------------------------------
+
+    def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
+        sql = bind_params(stmt.sql, list(stmt.parameters or []))
+        kind = statement_kind(sql)
+        if self.deterministic_guard and kind in ("INSERT", "UPDATE", "DELETE", "REPLACE"):
+            reason = dialect.nondeterministic_reason(sql)
+            if reason:
+                raise DustError(reason)
+        try:
+            if kind == "CREATE_TABLE":
+                return self._create_table(overlay, sql)
+            if kind == "CREATE_INDEX":
+                return self._ok()  # accepted & ignored (SURVEY §2 B10)
+            if kind == "CREATE_VIEW":
+                return self._create_view(sql)
+            if kind == "DROP":
+                return self._drop_table(overlay, sql)
+            if kind == "ALTER":
+                return self._alter_table(overlay, sql)
+            if kind == "PRAGMA":
+                return self._pragma_exec(sql)
+            if kind in ("INSERT", "REPLACE"):
+                return self._insert(overlay, sql)
+            if kind == "UPDATE":
+                return self._update(overlay, sql)
+            if kind == "DELETE":
+                return self._delete(overlay, sql)
+            # SELECT & co through the execute path: SQLite's conn.execute
+            # rejects row-returning statements
+            raise DustError("Execute returned results - did you mean to call query?")
+        except DustError:
+            raise
+        except Exception as e:  # AnalysisException etc. → message contract
+            raise DustError(_clean_error(e)) from e
+
+    def _ok(self, rows_affected: int = 0) -> Response:
+        return Response(last_insert_id=self._last_insert_id, rows_affected=rows_affected)
+
+    # -- DDL ------------------------------------------------------------
+
+    def _create_table(self, overlay: Overlay, sql: str) -> Response:
+        tdef = dialect.parse_create_table(sql)
+        if overlay.exists(tdef.name):
+            if tdef.if_not_exists:
+                return self._ok()
+            raise DustError(f"table {tdef.name} already exists")
+        df = self.spark.createDataFrame([], tdef.schema)
+        st = self.catalog.materialize(tdef.name, TableState(tdef=tdef, df=df, version=0))
+        overlay.put(tdef.name, st)
+        return self._ok()
+
+    def _create_view(self, sql: str) -> Response:
+        m = _CREATE_VIEW_RE.match(sql)
+        if not m:
+            raise DustError(f'near "{sql.strip()[:40]}": syntax error')
+        name = dialect.unquote_ident(m.group("name")).lower()
+        sel = m.group("sel").strip().rstrip(";")
+        self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sel}")
+        self.catalog.views[name] = sel
+        if self.catalog.warehouse:
+            self.catalog._save_manifest()
+        return self._ok()
+
+    def _drop_table(self, overlay: Overlay, sql: str) -> Response:
+        name, if_exists = dialect.parse_drop(sql)
+        if not overlay.exists(name):
+            if if_exists:
+                return self._ok()
+            raise DustError(f"no such table: {name}")
+        overlay.drop(name)
+        return self._ok()
+
+    def _alter_table(self, overlay: Overlay, sql: str) -> Response:
+        name, col, dtype = dialect.parse_alter_add(sql)
+        st = overlay.get(name)
+        if st is None:
+            raise DustError(f"no such table: {name}")
+        if col in [f.name for f in st.tdef.schema.fields]:
+            raise DustError(f"duplicate column name: {col}")
+        import copy
+
+        tdef = copy.deepcopy(st.tdef)
+        tdef.schema = tdef.schema.add(col, dtype, True)
+        new_df = st.df.withColumn(col, F.lit(None).cast(dtype))
+        new_st = self.catalog.materialize(name, TableState(tdef, new_df, st.high_water, st.version + 1))
+        overlay.put(name, new_st)
+        return self._ok()
+
+    # -- PRAGMA -----------------------------------------------------------
+
+    def _pragma_exec(self, sql: str) -> Response:
+        key, val = dialect.parse_pragma(sql)
+        if key == "foreign_keys" and val is not None:
+            self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
+        return self._ok()
+
+    def _pragma_query(self, sql: str) -> Rows:
+        key, val = dialect.parse_pragma(sql)
+        if key == "foreign_keys":
+            if val is not None:
+                self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
+                return Rows()
+            return Rows(columns=["foreign_keys"], types=["integer"], values=[[1 if self._fk_enabled else 0]])
+        return Rows()
+
+    # -- DML --------------------------------------------------------------
+
+    def _insert(self, overlay: Overlay, sql: str) -> Response:
+        ins = dialect.parse_insert(sql)
+        st = overlay.get(ins.table)
+        if st is None:
+            raise DustError(f"no such table: {ins.table}")
+        tdef = st.tdef
+        schema_cols = [f.name for f in tdef.schema.fields]
+
+        src_sql = ins.source_sql
+        if src_sql.upper().startswith("VALUES"):
+            src = self.spark.sql(f"SELECT * FROM {src_sql}")
+        else:
+            src = self.spark.sql(src_sql)
+
+        cols = ins.columns or schema_cols
+        if len(src.columns) != len(cols):
+            raise DustError(f"{len(src.columns)} values for {len(cols)} columns")
+        unknown = [c for c in cols if c not in schema_cols]
+        if unknown:
+            raise DustError(f"table {ins.table} has no column named {unknown[0]}")
+        src = src.toDF(*cols)
+
+        # insertion-order row number (auto-id + last_insert_id semantics)
+        w = Window.orderBy(F.monotonically_increasing_id())
+        src = src.withColumn("__rn", F.row_number().over(w))
+
+        projected = []
+        for f in tdef.schema.fields:
+            if f.name in cols:
+                c = F.col(f.name).cast(f.dataType)
+            else:
+                c = F.lit(None).cast(f.dataType)
+            if f.name == tdef.rowid_column:
+                c = F.coalesce(c, F.lit(st.high_water) + F.col("__rn"))
+            projected.append(c.alias(f.name))
+        new_rows = src.select(*projected, F.col("__rn"))
+
+        self._check_constraints(overlay, tdef, new_rows.drop("__rn"), st.df)
+
+        n = new_rows.count()
+        if n == 0:
+            return self._ok(0)
+
+        if tdef.rowid_column:
+            stats = new_rows.agg(
+                F.max(tdef.rowid_column).alias("mx"),
+                F.max(F.struct(F.col("__rn"), F.col(tdef.rowid_column))).alias("last"),
+            ).collect()[0]
+            high_water = max(st.high_water, int(stats.mx))
+            last_id = int(stats.last[tdef.rowid_column])
+        else:
+            high_water = st.high_water + n
+            last_id = high_water
+
+        out_df = st.df.unionByName(new_rows.drop("__rn"))
+        new_st = self.catalog.materialize(
+            ins.table, TableState(tdef, out_df, high_water, st.version + 1)
+        )
+        overlay.put(ins.table, new_st)
+        self._last_insert_id = last_id
+        return Response(last_insert_id=last_id, rows_affected=n)
+
+    def _update(self, overlay: Overlay, sql: str) -> Response:
+        up = dialect.parse_update(sql)
+        st = overlay.get(up.table)
+        if st is None:
+            raise DustError(f"no such table: {up.table}")
+        tdef = st.tdef
+        where = up.where or "TRUE"
+        assigned = dict(up.sets)
+        unknown = [c for c in assigned if c not in [f.name for f in tdef.schema.fields]]
+        if unknown:
+            raise DustError(f"no such column: {unknown[0]}")
+
+        st.df.createOrReplaceTempView("__dust_stage")
+        projs = []
+        for f in tdef.schema.fields:
+            if f.name in assigned:
+                projs.append(
+                    f"CAST((CASE WHEN ({where}) THEN ({assigned[f.name]}) ELSE `{f.name}` END) "
+                    f"AS {f.dataType.simpleString()}) AS `{f.name}`"
+                )
+            else:
+                projs.append(f"`{f.name}`")
+        marked = self.spark.sql(
+            f"SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m FROM __dust_stage"
+        )
+        marked = marked.localCheckpoint(eager=True)
+        n = marked.filter(F.col("__m") == 1).count()
+        new_df = marked.drop("__m")
+
+        self._check_constraints(overlay, tdef, new_df, None, full_table=True)
+
+        new_st = self.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
+        overlay.put(up.table, new_st)
+        return self._ok(n)
+
+    def _delete(self, overlay: Overlay, sql: str) -> Response:
+        de = dialect.parse_delete(sql)
+        st = overlay.get(de.table)
+        if st is None:
+            raise DustError(f"no such table: {de.table}")
+        st.df.createOrReplaceTempView("__dust_stage")
+        if de.where is None:
+            n = st.df.count()
+            new_df = self.spark.createDataFrame([], st.tdef.schema)
+        else:
+            new_df = self.spark.sql(
+                f"SELECT * FROM __dust_stage WHERE NOT coalesce(({de.where}), false)"
+            ).localCheckpoint(eager=True)
+            n = st.df.count() - new_df.count()
+        new_st = self.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
+        overlay.put(de.table, new_st)
+        return self._ok(n)
+
+    # -- constraints (SURVEY §4.2 custom: Spark doesn't enforce) ----------
+
+    def _check_constraints(
+        self,
+        overlay: Overlay,
+        tdef: TableDef,
+        new_rows: DataFrame,
+        existing: DataFrame | None,
+        full_table: bool = False,
+    ) -> None:
+        """NOT NULL → UNIQUE → FK, with SQLite error strings. For inserts
+        ``new_rows`` are the incoming rows and ``existing`` the current
+        table; for updates ``new_rows`` is the whole post-image
+        (full_table=True)."""
+        for c in sorted(tdef.not_null):
+            if new_rows.filter(F.col(c).isNull()).limit(1).count() > 0:
+                raise DustError(f"NOT NULL constraint failed: {tdef.name}.{c}")
+
+        for colset in tdef.unique:
+            cand = new_rows.select(*colset).na.drop()
+            label = ", ".join(f"{tdef.name}.{c}" for c in colset)
+            if cand.groupBy(*colset).count().filter(F.col("count") > 1).limit(1).count() > 0:
+                raise DustError(f"UNIQUE constraint failed: {label}")
+            if not full_table and existing is not None:
+                clash = cand.join(existing.select(*colset).na.drop(), list(colset), "left_semi")
+                if clash.limit(1).count() > 0:
+                    raise DustError(f"UNIQUE constraint failed: {label}")
+
+        if self._fk_enabled:
+            for fk in tdef.foreign_keys:
+                if fk.ref_table == tdef.name:
+                    ref = new_rows.select(F.col(fk.ref_column).alias("__ref"))
+                    if not full_table and existing is not None:
+                        ref = ref.unionByName(existing.select(F.col(fk.ref_column).alias("__ref")))
+                else:
+                    ref_st = overlay.get(fk.ref_table)
+                    if ref_st is None:
+                        raise DustError(f"no such table: {fk.ref_table}")
+                    ref = ref_st.df.select(F.col(fk.ref_column).alias("__ref"))
+                dangling = (
+                    new_rows.filter(F.col(fk.column).isNotNull())
+                    .join(ref.distinct(), F.col(fk.column) == F.col("__ref"), "left_anti")
+                )
+                if dangling.limit(1).count() > 0:
+                    raise DustError("FOREIGN KEY constraint failed")
+
+    # ------------------------------------------------------------------
+    # read path helpers
+    # ------------------------------------------------------------------
+
+    def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
+        try:
+            if params:
+                return self.spark.sql(sql, args=list(params))
+            return self.spark.sql(sql)
+        except Exception as e:
+            raise DustError(_clean_error(e)) from e
+
+    def _sqlite_column_names(self, sql: str, df: DataFrame) -> DataFrame | None:
+        """Best-effort SQLite output-column naming: unaliased expressions
+        are named by their source text, bare (possibly qualified) column
+        refs by the column name (reference golden at db/src/db.rs:497-504
+        expects ``id || "_bar"``). Returns None when the select list
+        can't be confidently mapped (names then stay Spark-derived)."""
+        m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.S | re.I)
+        if not m:
+            return None
+        rest = m.group(1)
+        # cut at top-level FROM
+        depth = 0
+        in_str: str | None = None
+        cut = len(rest)
+        for i, ch in enumerate(rest):
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            elif depth == 0 and rest[i : i + 5].upper() == "FROM " and (i == 0 or rest[i - 1].isspace()):
+                cut = i
+                break
+        items = dialect.split_top_level(rest[:cut])
+        if not items:
+            return None
+        names: list[str] = []
+        for item in items:
+            am = re.search(r"\s+AS\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*$", item, re.I)
+            if am:
+                names.append(dialect.unquote_ident(am.group(1)))
+            elif item == "*" or item.endswith(".*"):
+                names.append("*")
+            elif re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", item):
+                names.append(item.split(".")[-1])
+            else:
+                names.append(item)
+        n_stars = names.count("*")
+        if n_stars > 1:
+            return None
+        if n_stars == 1:
+            width = len(df.columns) - (len(names) - 1)
+            if width < 0:
+                return None
+            i = names.index("*")
+            names = names[:i] + list(df.columns[i : i + width]) + names[i + 1 :]
+        if len(names) != len(df.columns):
+            return None
+        return df.toDF(*names)
+
+    # ------------------------------------------------------------------
+    # journal (deterministic-replay residue of the Raft statement log,
+    # reference DOC/DESIGN.md:47-49, README.md:30)
+    # ------------------------------------------------------------------
+
+    def _log_journal(self, stmt: Statement, transaction: bool) -> None:
+        if not self._journal:
+            return
+        with open(self._journal, "a") as f:
+            f.write(
+                json.dumps(
+                    {"sql": stmt.sql, "parameters": list(stmt.parameters or []), "transaction": transaction}
+                )
+                + "\n"
+            )
+
+
+def _clean_error(e: Exception) -> str:
+    msg = str(e)
+    m = re.search(r"TABLE_OR_VIEW_NOT_FOUND.*?`?([\w.]+)`? cannot be found", msg, re.S)
+    if m:
+        return f"no such table: {m.group(1).split('.')[-1]}"
+    m = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`", msg, re.S)
+    if m:
+        return f"no such column: {m.group(1)}"
+    first = msg.strip().splitlines()[0] if msg.strip() else repr(e)
+    return first
+
+
+def _default_session() -> SparkSession:
+    return (
+        SparkSession.builder.master("local[*]")
+        .appName("dust_spark")
+        .config("spark.sql.shuffle.partitions", "32")
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
