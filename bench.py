@@ -1,0 +1,82 @@
+#!/usr/bin/env python
+"""Benchmark: run the full declared-query catalog at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS] and print ONE
+JSON line: {"metric", "value", "unit", "queries", "sf", ...}.
+
+Execution discipline:
+- each query is executed via a noop sink (full plan runs distributed;
+  nothing is collected to the driver — collect would dominate timing and
+  is not how a 100 TB job terminates),
+- AQE + shuffle partitions sized to cores,
+- value = p50 seconds per query across the catalog (BASELINE.md metric).
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+import time
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dust_spark_bench")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dust_spark.queries import all_queries
+    from dust_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+
+    # warm the JVM + parquet footers once with the flagship query
+    qs = all_queries()
+    qs["b3i_star_join"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+
+    timings: dict[str, float] = {}
+    errors: dict[str, str] = {}
+    for name in sorted(qs):
+        t0 = time.perf_counter()
+        try:
+            df = qs[name].fn(spark, sf_dir)
+            df.write.format("noop").mode("overwrite").save()
+            timings[name] = round(time.perf_counter() - t0, 4)
+        except Exception as e:  # keep the bench line parseable on failure
+            errors[name] = str(e).splitlines()[0][:200]
+
+    vals = sorted(timings.values())
+    p50 = statistics.median(vals) if vals else float("nan")
+    out = {
+        "metric": "p50_query_sec",
+        "value": round(p50, 4),
+        "unit": "sec",
+        "queries": timings,
+        "sf": sf_dir.rstrip("/").rsplit("sf", 1)[-1],
+        "total_sec": round(sum(vals), 2),
+        "n_queries": len(timings),
+        "cpus": int(cpus),
+    }
+    if errors:
+        out["errors"] = errors
+    print(json.dumps(out))
+    spark.stop()
+
+
+if __name__ == "__main__":
+    sys.exit(main())

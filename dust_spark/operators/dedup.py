@@ -28,8 +28,6 @@ from dust_spark.functions import (
     hamming64,
     jaccard,
     lsh_band_hashes,
-    minhash_signature,
-    simhash64,
     tokens,
     word_shingles,
 )
@@ -72,6 +70,9 @@ def exact_dedup_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------------------
 
 
+_EMPTY_MIN = 0x7FFFFFFFFFFFFFFF  # sentinel for empty shingle sets
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -79,13 +80,38 @@ def minhash_signatures(
     num_hashes: int = 64,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """id, shingles, MinHash signature per document — narrow (no shuffle)."""
-    tok = tokens(text_col)
-    sh = word_shingles(tok, shingle_words)
-    return df.select(
+    """id, shingles (distinct set), MinHash signature per document.
+
+    Shape: explode shingles once → one hash-aggregate computing all
+    ``num_hashes`` mins (plus collect_set for later verification) — one
+    shuffle on the doc id with map-side partial combine. This beats the
+    per-row nested-lambda formulation (functions.minhash_signature)
+    decisively: Catalyst inlines nested higher-order lambdas, turning
+    O(shingles × hashes) into O(shingles² × hashes) re-evaluation; the
+    explode+agg form is linear and scales to arbitrarily long documents.
+    """
+    exploded = df.select(
         F.col(id_col).alias("id"),
-        sh.alias("shingles"),
-        minhash_signature(sh, num_hashes).alias("sig"),
+        F.explode_outer(word_shingles(tokens(text_col), shingle_words)).alias("shingle"),
+    )
+    # xxhash64 skips NULL args, so guard explicitly: empty docs must get
+    # NULL mins, then a per-doc sentinel signature (empty docs must never
+    # collide with each other — exact dedup owns the empty-doc case)
+    aggs = [
+        F.min(F.when(F.col("shingle").isNotNull(), F.xxhash64("shingle", F.lit(i)))).alias(f"__h{i}")
+        for i in range(num_hashes)
+    ]
+    aggs.append(F.collect_set("shingle").alias("shingles"))
+    sigs = exploded.groupBy("id").agg(*aggs)
+    return sigs.select(
+        "id",
+        F.col("shingles"),
+        F.array(
+            *[
+                F.coalesce(F.col(f"__h{i}"), F.xxhash64(F.col("id"), F.lit(i + num_hashes)))
+                for i in range(num_hashes)
+            ]
+        ).alias("sig"),
     )
 
 
@@ -172,8 +198,35 @@ def minhash_dedup(
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """id + 64-bit simhash (narrow projection, codegen only)."""
-    return df.select(F.col(id_col).alias("id"), simhash64(tokens(text_col)).alias("simhash"))
+    """id + 64-bit simhash.
+
+    Same explode+aggregate shape as :func:`minhash_signatures` (one
+    shuffle, 64 conditional sums with map-side combine), then the bit
+    fold happens on one row per doc. Empty docs → simhash 0."""
+    tok_hashes = df.select(
+        F.col(id_col).alias("id"),
+        F.explode_outer(tokens(text_col)).alias("__tok"),
+    ).select(
+        "id",
+        F.when(F.col("__tok").isNotNull(), F.xxhash64("__tok")).alias("h"),
+    )
+    one = F.lit(1).cast("long")
+    bit_sums = tok_hashes.groupBy("id").agg(
+        *[
+            F.sum(
+                F.when(F.col("h").isNull(), 0)
+                .when(F.shiftright(F.col("h"), j).bitwiseAND(one) != 0, 1)
+                .otherwise(-1)
+            ).alias(f"__b{j}")
+            for j in range(64)
+        ]
+    )
+    sim = F.lit(0).cast("long")
+    for j in range(64):
+        sim = sim.bitwiseOR(
+            F.when(F.col(f"__b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+        )
+    return bit_sums.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -243,7 +296,7 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(word_shingles(tokens(text_col), shingle_words)).alias("shingle"),
-    )
+    ).persist()  # read 3× below (postings filter, both join sides, sizes)
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     postings = sh.groupBy("shingle").agg(F.count("*").alias("df_"))

@@ -17,12 +17,17 @@ from pyspark.sql import functions as F
 
 from dust_spark import operators as ops
 from dust_spark.queries import register
-from dust_spark.tables import register_views
+from dust_spark.tables import register_views, spread
 
 
 def _docs(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
-    return spark.table("documents")
+    return spread(spark.table("documents"))
+
+
+def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    return spread(spark.table("embeddings"))
 
 
 # ---------------------------------------------------------------------------
@@ -107,8 +112,7 @@ def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("c2d_embedding_near_dup", tags=("tierc", "dedup", "no-oracle"))
 def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    return ops.embedding_near_dup(spark.table("embeddings"), threshold=0.3).orderBy("id_a", "id_b")
+    return ops.embedding_near_dup(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
 # ---------------------------------------------------------------------------
@@ -130,8 +134,7 @@ SELECT qid, nid, ROUND(c, 4) AS cos FROM ranked WHERE rn <= 3 ORDER BY qid, nid
 
 @register("c3a_cosine_topk", oracle=_TOPK_ORACLE, tags=("tierc", "similarity"))
 def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark, sf_dir)
     return ops.cosine_topk(emb.filter(F.col("vec_id") <= 5), emb, k=3)
 
 
@@ -162,8 +165,7 @@ def dot_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register("c3c_ann_rp_lsh", tags=("tierc", "similarity", "no-oracle"))
 def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    register_views(spark, sf_dir)
-    emb = spark.table("embeddings")
+    emb = _emb(spark, sf_dir)
     return ops.rp_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, bits_per_table=6)
 
 

@@ -32,6 +32,19 @@ DIM_TABLES = ("region", "nation", "supplier")
 _registered: set[tuple[int, str]] = set()
 
 
+def spread(df: DataFrame, min_factor: int = 2) -> DataFrame:
+    """Repartition a narrow scan across the cluster when the source has
+    too few input splits to use it (locally: one small parquet file =
+    one partition = one core; on a cluster: a handful of huge files).
+    Cheap for small dims, essential before explode-heavy operators that
+    multiply per-row work."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < max(1, target // min_factor):
+        return df.repartition(target)
+    return df
+
+
 def table_path(sf_dir: str, name: str) -> str:
     return os.path.join(sf_dir, f"{name}.parquet")
 
