@@ -1,0 +1,357 @@
+"""Golden-contract tests: byte-for-byte mirrors of the reference's own
+unit tests (reference db/src/db.rs:328-827) against DustSession. Each
+assertion string is copied from the reference test expectations —
+SURVEY.md §5.2 requires these to match exactly."""
+
+from __future__ import annotations
+
+import pytest
+
+from dust_spark import DustSession, Request, Statement
+from dust_spark.model import responses_to_json, rows_to_json
+from dust_spark.session import DustError
+
+
+@pytest.fixture()
+def db(spark):
+    s = DustSession(spark)
+    yield s
+    s.close()
+
+
+def ex(db, sql, params=None):
+    return responses_to_json(db.execute_string_stmt(sql, params))
+
+
+def q(db, sql, params=None):
+    return rows_to_json(db.query_string_stmt(sql, params))
+
+
+# -- test_fk_constraints (db/src/db.rs:350-376) -----------------------------
+
+
+def test_fk_constraints(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, ref INTEGER REFERENCES foo(id))")
+
+    db.enable_fk_constraints(False)
+    assert db.fk_constraints() is False
+    assert ex(db, "INSERT INTO foo(id, ref) VALUES(1, 2)") == '[{"last_insert_id":1,"rows_affected":1}]'
+
+    db.enable_fk_constraints(True)
+    assert db.fk_constraints() is True
+    assert ex(db, "INSERT INTO foo(id, ref) VALUES(1, 3)") == '[{"error":"UNIQUE constraint failed: foo.id"}]'
+    # new id, dangling ref → FK failure (SQLite error text)
+    assert ex(db, "INSERT INTO foo(id, ref) VALUES(2, 9)") == '[{"error":"FOREIGN KEY constraint failed"}]'
+    # valid self-reference passes
+    assert ex(db, "INSERT INTO foo(id, ref) VALUES(2, 1)") == '[{"last_insert_id":2,"rows_affected":1}]'
+
+
+# -- test_empty_stmt (db/src/db.rs:378-382) ---------------------------------
+
+
+def test_empty_stmt(db):
+    assert ex(db, "") == "[]"
+
+
+# -- test_execute_success (db/src/db.rs:384-402) ----------------------------
+
+
+def test_execute_success(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    assert ex(db, 'INSERT INTO foo(name) VALUES("fiona")') == '[{"last_insert_id":1,"rows_affected":1}]'
+    # sticky last_insert_id through the UPDATE (reference :396-401)
+    assert ex(db, 'UPDATE foo SET name="dana" WHERE ID=1') == '[{"last_insert_id":1,"rows_affected":1}]'
+
+
+# -- test_simple_string_stmt (db/src/db.rs:404-447) --------------------------
+
+
+def test_simple_string_stmt(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, 'INSERT INTO foo(name) VALUES("fiona")')
+    ex(db, 'INSERT INTO foo(name) VALUES("aoife")')
+
+    assert q(db, "SELECT * FROM foo") == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"]]}]'
+    )
+    assert q(db, 'SELECT * FROM foo WHERE name="aoife"') == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"]]}]'
+    )
+    assert q(db, 'SELECT * FROM foo WHERE name="unknown"') == '[{"columns":[],"types":[],"values":[]}]'
+    assert q(db, "SELECT * FROM foo ORDER BY name") == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"],[1,"fiona"]]}]'
+    )
+    assert q(db, "SELECT *,name FROM foo") == (
+        '[{"columns":["id","name","name"],"types":["integer","text","text"],'
+        '"values":[[1,"fiona","fiona"],[2,"aoife","aoife"]]}]'
+    )
+
+
+# -- test_simple_join_stmts (db/src/db.rs:465-490) ---------------------------
+
+
+def test_simple_join_stmts(db):
+    ex(db, "CREATE TABLE names (id INTEGER NOT NULL PRIMARY KEY, name TEXT, ssn TEXT)")
+    ex(db, "CREATE TABLE staff (id INTEGER NOT NULL PRIMARY KEY, employer TEXT, ssn TEXT)")
+    req = Request(
+        transaction=False,
+        statements=[
+            Statement("INSERT INTO \"names\" VALUES(1,'bob','123-45-678')"),
+            Statement("INSERT INTO \"names\" VALUES(2,'tom','111-22-333')"),
+            Statement("INSERT INTO \"names\" VALUES(3,'matt','222-22-333')"),
+        ],
+    )
+    db.execute(req)
+    ex(db, "INSERT INTO \"staff\" VALUES(1,'acme','222-22-333')")
+    assert q(db, "SELECT names.id,name,names.ssn,employer FROM names INNER JOIN staff ON staff.ssn = names.ssn") == (
+        '[{"columns":["id","name","ssn","employer"],"types":["integer","text","text","text"],'
+        '"values":[[3,"matt","222-22-333","acme"]]}]'
+    )
+
+
+# -- test_single_concat_stmts (db/src/db.rs:492-505) --------------------------
+
+
+def test_single_concat_stmts(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, 'INSERT INTO foo(name) VALUES("fiona")')
+    assert q(db, 'SELECT id || "_bar", name FROM foo') == (
+        '[{"columns":["id || \\"_bar\\"","name"],"types":["text","text"],"values":[["1_bar","fiona"]]}]'
+    )
+
+
+# -- test_simple_multi_stmts (db/src/db.rs:507-550) ---------------------------
+
+
+def test_simple_multi_stmts(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    req = Request(
+        statements=[
+            Statement('INSERT INTO foo(name) VALUES("fiona")'),
+            Statement('INSERT INTO foo(name) VALUES("dana")'),
+        ]
+    )
+    assert responses_to_json(db.execute(req)) == (
+        '[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1}]'
+    )
+    req = Request(statements=[Statement("SELECT * FROM foo"), Statement("SELECT * FROM foo")])
+    assert rows_to_json(db.query(req)) == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"dana"]]},'
+        '{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"dana"]]}]'
+    )
+
+
+# -- test_single_multiline_stmt (db/src/db.rs:552-587) ------------------------
+
+
+def test_single_multiline_stmt(db):
+    ex(
+        db,
+        """
+                CREATE TABLE foo (
+                id INTEGER NOT NULL PRIMARY KEY,
+                name TEXT
+                )""",
+    )
+    req = Request(
+        statements=[
+            Statement('INSERT INTO foo(name) VALUES("fiona")'),
+            Statement('INSERT INTO foo(name) VALUES("dana")'),
+        ]
+    )
+    assert responses_to_json(db.execute(req)) == (
+        '[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1}]'
+    )
+
+
+# -- test_parameterized_all_type_stmts (db/src/db.rs:589-616) ------------------
+
+
+def test_parameterized_all_type_stmts(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT, age INT, money FLOAT)")
+    db.execute(
+        Request(
+            statements=[Statement("INSERT INTO foo(name, age, money) VALUES(?, ?, ?)", ["fiona", 20, 100.75])]
+        )
+    )
+    assert q(db, "SELECT * FROM foo") == (
+        '[{"columns":["id","name","age","money"],"types":["integer","text","integer","real"],'
+        '"values":[[1,"fiona",20,100.75]]}]'
+    )
+
+
+# -- test_simple_parameterized_stmts (db/src/db.rs:618-687) --------------------
+
+
+def test_simple_parameterized_stmts(db):
+    ex(db, "CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, "INSERT INTO foo(name) VALUES(?)", ["fiona"])
+    ex(db, "INSERT INTO foo(name) VALUES(?)", ["aoife"])
+    assert q(db, "SELECT * FROM foo") == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"],[2,"aoife"]]}]'
+    )
+    assert q(db, "SELECT * FROM foo WHERE name=?", ["aoife"]) == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"]]}]'
+    )
+    assert q(db, "SELECT * FROM foo WHERE name=?", ["fiona"]) == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]'
+    )
+    # two parameterized statements in one batch, case-insensitive column
+    req = Request(
+        statements=[
+            Statement("SELECT * FROM foo WHERE NAME=?", ["fiona"]),
+            Statement("SELECT * FROM foo WHERE NAME=?", ["aoife"]),
+        ]
+    )
+    assert rows_to_json(db.query(req)) == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]},'
+        '{"columns":["id","name"],"types":["integer","text"],"values":[[2,"aoife"]]}]'
+    )
+
+
+# -- test_simple_transaction (db/src/db.rs:689-730) ----------------------------
+
+
+def test_simple_transaction(db):
+    db.query_string_stmt("CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    req = Request(
+        transaction=True,
+        statements=[Statement(f'INSERT INTO foo(id, name) VALUES({i}, "fiona")') for i in (1, 2, 3, 4)],
+    )
+    assert responses_to_json(db.execute(req)) == (
+        '[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},'
+        '{"last_insert_id":3,"rows_affected":1},{"last_insert_id":4,"rows_affected":1}]'
+    )
+    assert q(db, "SELECT * FROM foo") == (
+        '[{"columns":["id","name"],"types":["integer","text"],'
+        '"values":[[1,"fiona"],[2,"fiona"],[3,"fiona"],[4,"fiona"]]}]'
+    )
+
+
+# -- test_partial_fail_transaction (db/src/db.rs:732-791) ----------------------
+
+
+def test_partial_fail_transaction(db):
+    db.query_string_stmt("CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    req = Request(
+        transaction=True,
+        statements=[Statement(f'INSERT INTO foo(id, name) VALUES({i}, "fiona")') for i in (1, 2, 1, 4)],
+    )
+    assert responses_to_json(db.execute(req)) == (
+        '[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},'
+        '{"error":"UNIQUE constraint failed: foo.id"}]'
+    )
+    # whole batch voided; case-insensitive table name (reference :767)
+    assert q(db, "SELECT * FROM FOO") == '[{"columns":[],"types":[],"values":[]}]'
+
+    req = Request(transaction=True, statements=[Statement('INSERT INTO foo(id, name) VALUES(1, "fiona")')])
+    db.execute(req)
+    assert q(db, "SELECT * FROM FOO") == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]'
+    )
+
+
+# -- test_partial_fail_without_transaction (db/src/db.rs:793-826) --------------
+
+
+def test_partial_fail_without_transaction(db):
+    db.query_string_stmt("CREATE TABLE foo (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    req = Request(
+        transaction=False,
+        statements=[Statement(f'INSERT INTO foo(id, name) VALUES({i}, "fiona")') for i in (1, 2, 1, 4)],
+    )
+    assert responses_to_json(db.execute(req)) == (
+        '[{"last_insert_id":1,"rows_affected":1},{"last_insert_id":2,"rows_affected":1},'
+        '{"error":"UNIQUE constraint failed: foo.id"},{"last_insert_id":4,"rows_affected":1}]'
+    )
+
+
+# -- beyond the reference's own tests: engine behaviors the reference
+#    implies (SURVEY §2 B10) --------------------------------------------------
+
+
+def test_update_delete_where(db):
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute(Request(statements=[Statement(f"INSERT INTO t(v) VALUES({i * 10})") for i in range(1, 6)]))
+    assert ex(db, "UPDATE t SET v = v + 1 WHERE v >= 30") == '[{"last_insert_id":5,"rows_affected":3}]'
+    assert q(db, "SELECT v FROM t ORDER BY id") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[10],[20],[31],[41],[51]]}]'
+    )
+    assert ex(db, "DELETE FROM t WHERE v > 40") == '[{"last_insert_id":5,"rows_affected":2}]'
+    assert q(db, "SELECT count(*) AS n FROM t") == '[{"columns":["n"],"types":["integer"],"values":[[3]]}]'
+
+
+def test_not_null_constraint(db):
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, name TEXT NOT NULL)")
+    assert ex(db, "INSERT INTO t(id) VALUES(1)") == '[{"error":"NOT NULL constraint failed: t.name"}]'
+
+
+def test_drop_and_alter(db):
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
+    assert ex(db, "ALTER TABLE t ADD COLUMN note TEXT") == "[{}]"
+    ex(db, "INSERT INTO t(id, note) VALUES(1, 'x')")
+    assert q(db, "SELECT * FROM t") == (
+        '[{"columns":["id","note"],"types":["integer","text"],"values":[[1,"x"]]}]'
+    )
+    assert ex(db, "CREATE INDEX idx ON t(id)") != ""  # accepted no-op
+    # sticky last_insert_id from the prior insert (connection-level state)
+    assert ex(db, "DROP TABLE t") == '[{"last_insert_id":1}]'
+    with pytest.raises(DustError, match="no such table"):
+        db.query_string_stmt("SELECT * FROM t")
+
+
+def test_create_view(db):
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    ex(db, "INSERT INTO t(v) VALUES(5)")
+    ex(db, "CREATE VIEW big AS SELECT id, v * 2 AS v2 FROM t")
+    assert q(db, "SELECT v2 FROM big") == '[{"columns":["v2"],"types":["integer"],"values":[[10]]}]'
+
+
+def test_exotic_declared_types(db):
+    # reference db/src/db.rs:449-463 (typed round-trip commented out
+    # there because rusqlite can't; we CAN — affinity maps all to text)
+    ex(db, "CREATE TABLE foo (c0 VARCHAR(36), c1 JSON, c2 NCHAR, c3 NVARCHAR, c4 CLOB)")
+    ex(db, """INSERT INTO foo(c0, c1, c2, c3, c4) VALUES("fiona", '{"mittens": "foobar"}', "bob", "dana", "declan")""")
+    assert q(db, "SELECT * FROM foo") == (
+        '[{"columns":["c0","c1","c2","c3","c4"],"types":["text","text","text","text","text"],'
+        '"values":[["fiona","{\\"mittens\\": \\"foobar\\"}","bob","dana","declan"]]}]'
+    )
+
+
+def test_insert_select(db):
+    ex(db, "CREATE TABLE src (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    ex(db, "CREATE TABLE dst (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute(Request(statements=[Statement(f"INSERT INTO src(v) VALUES({i})") for i in (7, 8, 9)]))
+    r = ex(db, "INSERT INTO dst SELECT id, v FROM src WHERE v > 7")
+    assert '"rows_affected":2' in r
+    assert q(db, "SELECT v FROM dst ORDER BY id") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[8],[9]]}]'
+    )
+
+
+def test_deterministic_guard(spark):
+    db = DustSession(spark, deterministic_guard=True)
+    try:
+        db.execute_string_stmt("CREATE TABLE g (id INTEGER NOT NULL PRIMARY KEY, v REAL)")
+        r = db.execute_string_stmt("INSERT INTO g(v) VALUES(random())")
+        assert "non-deterministic" in r[0].error
+    finally:
+        db.close()
+
+
+def test_disk_mode_persistence(spark, tmp_path):
+    wh = str(tmp_path / "wh")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    db.execute_string_stmt('INSERT INTO t(name) VALUES("fiona")')
+    db.close()
+
+    db2 = DustSession(spark, warehouse=wh)
+    assert rows_to_json(db2.query_string_stmt("SELECT * FROM t")) == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"fiona"]]}]'
+    )
+    # journal recorded the statements for deterministic replay
+    import os
+
+    assert os.path.exists(os.path.join(wh, "journal.jsonl"))
+    db2.close()
