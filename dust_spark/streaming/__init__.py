@@ -1,0 +1,23 @@
+"""Structured Streaming operators (SURVEY.md §2 B11)."""
+
+from dust_spark.streaming.stateful import running_user_counters
+from dust_spark.streaming.windows import (
+    dedup_stream,
+    run_stream_to_memory,
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    stream_static_join,
+    tumbling_window_agg,
+)
+
+__all__ = [
+    "stream_events",
+    "tumbling_window_agg",
+    "sliding_window_agg",
+    "session_window_agg",
+    "dedup_stream",
+    "stream_static_join",
+    "run_stream_to_memory",
+    "running_user_counters",
+]

@@ -1,0 +1,130 @@
+"""Structured Streaming operators (SURVEY.md §2 B11): windowed
+aggregation (tumbling/sliding/session), watermarked late-data handling,
+stateful dedup, stream-static joins.
+
+Each operator is transformation-only: it takes a (possibly streaming)
+DataFrame and returns one, so identical logic runs in batch mode — the
+batch run IS the correctness oracle (tests/test_streaming.py asserts
+stream == batch on the same inputs, reference-free since dust has no
+streaming surface at all).
+
+Scale posture: state stores are keyed by (window/key) — the same hash
+partitioning as a batch groupBy; watermarks bound state size, which is
+the only thing that matters at 100 TB/day ingest.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dust_spark.tables import load_table, table_path
+
+
+_stream_dirs: dict[str, str] = {}
+
+
+def _as_stream_dir(sf_dir: str, name: str) -> str:
+    """Streaming file sources require a directory; the fixtures are
+    single files — expose each through a symlinked temp directory."""
+    import os
+    import tempfile
+
+    src = table_path(sf_dir, name)
+    key = os.path.abspath(src)
+    if key not in _stream_dirs:
+        d = tempfile.mkdtemp(prefix=f"dust_stream_{name}_")
+        os.symlink(src, os.path.join(d, f"{name}.parquet"))
+        _stream_dirs[key] = d
+    return _stream_dirs[key]
+
+
+def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The events fixture as a file-source stream (schema pinned from the
+    batch read; ns→µs ts normalization identical to the batch path)."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    batch = spark.read.parquet(table_path(sf_dir, "events"))
+    reader = (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(sf_dir, "events"))
+    )
+    from pyspark.sql import types as T
+
+    if isinstance(reader.schema["ts"].dataType, T.LongType):
+        reader = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    return reader
+
+
+def tumbling_window_agg(events: DataFrame, window: str = "1 hour", watermark: str = "10 minutes") -> DataFrame:
+    """count + sum(value) per tumbling event-time window."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window))
+        .agg(F.count("*").alias("n"), F.round(F.sum("value"), 4).alias("sv"))
+        .select(F.col("window.start").alias("ws"), "n", "sv")
+    )
+
+
+def sliding_window_agg(
+    events: DataFrame,
+    window: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "10 minutes",
+) -> DataFrame:
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.window("ts", window, slide), "event_type")
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "event_type", "n")
+    )
+
+
+def session_window_agg(events: DataFrame, gap: str = "30 minutes", watermark: str = "10 minutes") -> DataFrame:
+    """Per-user session windows with a fixed inactivity gap."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    return (
+        src.groupBy(F.session_window("ts", gap), "user_id")
+        .agg(F.count("*").alias("n_events"))
+        .select(
+            F.col("session_window.start").alias("ss"),
+            F.col("session_window.end").alias("se"),
+            "user_id",
+            "n_events",
+        )
+    )
+
+
+def dedup_stream(events: DataFrame, watermark: str = "1 hour") -> DataFrame:
+    """Stateful exactly-once dedup on event_id within the watermark
+    horizon (batch mode: plain dropDuplicates)."""
+    if events.isStreaming:
+        return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(["event_id"])
+    return events.dropDuplicates(["event_id"])
+
+
+def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
+    """Enrich the event stream with the customer dimension — the static
+    side broadcasts; no state store involved."""
+    return events.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        events.user_id == F.col("c_custkey"),
+        "left",
+    ).drop("c_custkey")
+
+
+def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
+    """Drive a streaming DataFrame to completion against the current
+    file set (test/dev harness): memory sink + processAllAvailable."""
+    q = (
+        stream_df.writeStream.outputMode(output_mode)
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    q.processAllAvailable()
+    return q
+
+
+def load_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return load_table(spark, sf_dir, "customer")

@@ -1,0 +1,197 @@
+"""Streaming tests: every streaming operator's output must equal its
+batch-mode execution on the same files (SURVEY.md §5.2 'streaming ops
+tested with file sources + processAllAvailable against their batch-mode
+results'), plus a watermark late-data scenario on a controlled
+two-batch source."""
+
+from __future__ import annotations
+
+import os
+import shutil
+
+import pytest
+from pyspark.sql import functions as F
+
+from dust_spark.streaming import (
+    dedup_stream,
+    run_stream_to_memory,
+    running_user_counters,
+    session_window_agg,
+    sliding_window_agg,
+    stream_events,
+    stream_static_join,
+    tumbling_window_agg,
+)
+from dust_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def _assert_same(spark, stream_df, batch_df, name, sort_cols):
+    q = run_stream_to_memory(stream_df, name)
+    try:
+        got = spark.table(name).orderBy(*sort_cols).collect()
+        want = batch_df.orderBy(*sort_cols).collect()
+        assert got == want, f"{name}: stream != batch ({len(got)} vs {len(want)} rows)"
+        assert len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_tumbling_window_parity(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    # complete mode: emit all windows regardless of watermark progress
+    q = (
+        tumbling_window_agg(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("tumble")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("tumble").orderBy("ws").collect()
+        want = tumbling_window_agg(events_b).orderBy("ws").collect()
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_sliding_window_parity(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        sliding_window_agg(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("slide")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("slide").orderBy("ws", "event_type").collect()
+        want = sliding_window_agg(events_b).orderBy("ws", "event_type").collect()
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_session_window_parity(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        session_window_agg(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("sess")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("sess").orderBy("user_id", "ss").collect()
+        want = session_window_agg(events_b).orderBy("user_id", "ss").collect()
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
+
+
+def test_dedup_stream_parity(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = run_stream_to_memory(dedup_stream(events_s).select("event_id"), "dedup")
+    try:
+        q.processAllAvailable()
+        got = spark.table("dedup").count()
+        want = dedup_stream(events_b).count()
+        assert got == want > 0
+    finally:
+        q.stop()
+
+
+def test_stream_static_join(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    cust = load_table(spark, SF_DIR, "customer")
+    agg_cols = [F.count("*").alias("n"), F.count("c_mktsegment").alias("matched")]
+    q = run_stream_to_memory(stream_static_join(events_s, cust), "enrich")
+    try:
+        got = spark.table("enrich").agg(*agg_cols).collect()
+        want = stream_static_join(events_b, cust).agg(*agg_cols).collect()
+        assert got == want
+        assert got[0]["matched"] > 0
+    finally:
+        q.stop()
+
+
+def test_stateful_counters_parity(spark):
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        running_user_counters(events_s)
+        .writeStream.outputMode("update")
+        .format("memory")
+        .queryName("counters")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        # update mode emits one row per key per batch; the LAST emission
+        # per user must equal the batch aggregate
+        from pyspark.sql import Window as W
+
+        got = spark.table("counters")
+        # memory sink appends update rows in batch order; the max n_events
+        # per user is the final state (counters only grow)
+        final = got.groupBy("user_id").agg(
+            F.max("n_events").alias("n_events"), F.max("total_value").alias("total_value")
+        )
+        want = running_user_counters(events_b)
+        assert final.orderBy("user_id").collect() == want.orderBy("user_id").collect()
+    finally:
+        q.stop()
+
+
+def test_watermark_drops_late_rows(spark, tmp_path):
+    """Two controlled micro-batches: batch 2 carries an event far older
+    than the watermark advanced by batch 1 → append-mode windowed agg
+    never includes it."""
+    src = str(tmp_path / "wm_src")
+    os.makedirs(src)
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    schema = "ts timestamp, value double"
+    batch1 = spark.createDataFrame(
+        [
+            Row(ts=t0 + dt.timedelta(minutes=m), value=1.0)
+            for m in (5, 10, 55)  # windows 00:00 and 00:50 (10-min tumble)
+        ]
+        + [Row(ts=t0 + dt.timedelta(hours=3), value=1.0)],  # advances watermark to ~02:50
+        schema,
+    )
+    batch1.coalesce(1).write.mode("append").parquet(src)
+
+    stream = (
+        spark.readStream.schema(batch1.schema)
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+        .withWatermark("ts", "10 minutes")
+        .groupBy(F.window("ts", "10 minutes"))
+        .agg(F.count("*").alias("n"))
+        .select(F.col("window.start").alias("ws"), "n")
+    )
+    q = stream.writeStream.outputMode("append").format("memory").queryName("wm").start()
+    try:
+        q.processAllAvailable()
+        # late row: inside the already-finalized 00:00 window
+        late = spark.createDataFrame([Row(ts=t0 + dt.timedelta(minutes=7), value=1.0)], schema)
+        late.coalesce(1).write.mode("append").parquet(src)
+        q.processAllAvailable()
+        rows = {r["ws"]: r["n"] for r in spark.table("wm").collect()}
+        # window 00:00 held exactly one on-time event (minute 5); the late
+        # minute-7 event arrived after the watermark passed and was dropped
+        assert rows.get(t0) == 1, f"late row must be dropped, got {rows}"
+    finally:
+        q.stop()
+        shutil.rmtree(src, ignore_errors=True)
