@@ -379,3 +379,56 @@ def parse_pragma(sql: str) -> tuple[str, str | None]:
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
     return m.group("key").lower(), (m.group("val") or None)
+
+
+# --------------------------------------------------------------------------
+# SQLite function-name dialect (SURVEY.md §4.2 'custom needed' row):
+# expression-macro SQL UDFs (JVM-evaluated, zero Python cost) + a
+# token-level rename for the few cases where only the name differs.
+# --------------------------------------------------------------------------
+
+SQLITE_FN_DDL = (
+    # julian day number of a timestamp (SQLite julianday())
+    "CREATE OR REPLACE TEMPORARY FUNCTION julianday(t TIMESTAMP) RETURNS DOUBLE "
+    "RETURN CAST(unix_micros(t) AS DOUBLE)/86400000000.0 + 2440587.5",
+    # zeroblob(n) → n zero bytes
+    "CREATE OR REPLACE TEMPORARY FUNCTION zeroblob(n INT) RETURNS BINARY "
+    "RETURN unhex(repeat('00', n))",
+    # strftime with the common SQLite format specifiers mapped to
+    # java.time patterns
+    "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING "
+    "RETURN date_format(t, replace(replace(replace(replace(replace(replace(replace("
+    "fmt,'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'),'%j','DDD'))",
+)
+
+_FN_RENAMES = {
+    "iif": "if",                 # SQLite iif(cond, a, b) ≡ Spark if()
+    "group_concat": "string_agg",  # same 1- and 2-arg forms in Spark 4
+}
+
+_FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
+
+
+def rewrite_sqlite_fns(sql: str) -> str:
+    """Rename SQLite-only function names outside string literals."""
+    out, i, in_str = [], 0, None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+        elif ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+        else:
+            m = _FN_RENAME_RE.match(sql, i)
+            if m:
+                out.append(_FN_RENAMES[m.group(1).lower()] + "(")
+                i = m.end()
+            else:
+                out.append(ch)
+                i += 1
+    return "".join(out)

@@ -445,6 +445,15 @@ sql_query(
 )
 
 sql_query(
+    "b8f_recursive_cte",
+    # SQLite has recursive CTEs; Spark gained them in 4.0 — full parity
+    "WITH RECURSIVE seq(n) AS (SELECT 1 UNION ALL SELECT n + 1 FROM seq WHERE n < 10) "
+    "SELECT s.n, count(o.o_orderkey) AS cnt FROM seq s "
+    "LEFT JOIN orders o ON o.o_orderkey % 10 = s.n - 1 GROUP BY s.n ORDER BY s.n",
+    tags=("subquery", "recursive"),
+)
+
+sql_query(
     "b8e_correlated_scalar",
     "SELECT c_custkey, (SELECT count(*) FROM orders WHERE o_custkey = c_custkey) AS n_orders "
     "FROM customer ORDER BY c_custkey",

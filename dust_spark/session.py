@@ -118,6 +118,11 @@ class DustSession:
         self.spark = spark or _default_session()
         # SQLite's lax dynamic typing: ANSI strictness off (SURVEY §4.2)
         self.spark.conf.set("spark.sql.ansi.enabled", "false")
+        for ddl in dialect.SQLITE_FN_DDL:  # zero-cost expression macros
+            try:
+                self.spark.sql(ddl)
+            except Exception:
+                pass  # older Spark without SQL UDFs: functions unavailable
         self.catalog = Catalog(self.spark, warehouse)
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False
@@ -210,7 +215,7 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
-        sql = bind_params(stmt.sql, list(stmt.parameters or []))
+        sql = dialect.rewrite_sqlite_fns(bind_params(stmt.sql, list(stmt.parameters or [])))
         kind = statement_kind(sql)
         if self.deterministic_guard and kind in ("INSERT", "UPDATE", "DELETE", "REPLACE"):
             reason = dialect.nondeterministic_reason(sql)
@@ -481,6 +486,7 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
+        sql = dialect.rewrite_sqlite_fns(sql)
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))
