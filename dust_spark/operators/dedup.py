@@ -94,6 +94,9 @@ def minhash_signatures(
         F.col(id_col).alias("id"),
         F.explode_outer(word_shingles(tokens(text_col), shingle_words)).alias("shingle"),
     )
+    # NOTE: first execution pays a multi-second one-time codegen compile
+    # for the 64-buffer aggregate — a fixed cost, irrelevant at scale
+    # (and why the bench shows c2a as the slowest query at toy SFs).
     # xxhash64 skips NULL args, so guard explicitly: empty docs must get
     # NULL mins, then a per-doc sentinel signature (empty docs must never
     # collide with each other — exact dedup owns the empty-doc case)
