@@ -18,6 +18,7 @@ from dust_spark.operators.multimodal import (
     decode_media,
     media_stats,
 )
+from dust_spark.operators.skew import salted_agg, salted_avg
 from dust_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
@@ -25,6 +26,7 @@ from dust_spark.operators.similarity import (
 )
 from dust_spark.operators.text import (
     bpe_ish_token_count,
+    tf_idf,
     fingerprint,
     lang_id,
     quality_scores,
@@ -55,4 +57,7 @@ __all__ = [
     "quality_scores",
     "rolling_hash_fingerprint",
     "token_count",
+    "tf_idf",
+    "salted_agg",
+    "salted_avg",
 ]

@@ -1,0 +1,77 @@
+"""Skew-resistant aggregation via key salting (SURVEY.md §7 M7).
+
+AQE's skew-join handling covers joins; a skewed *aggregation* key (one
+giant group) still bottlenecks a single reducer in the first shuffle.
+Salting splits each group across ``num_salts`` reducers and re-combines:
+
+  phase 1: groupBy(keys + salt) with the partial aggregate
+  phase 2: groupBy(keys) combining the partials
+
+Only algebraic aggregates (count/sum/min/max + avg via sum&count)
+decompose this way — exactly the ones that matter for skewed counts.
+
+The salt must be deterministic (statement-replay discipline,
+reference README.md:30-33): we hash a high-cardinality discriminator
+column rather than calling rand().
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_PHASE2 = {
+    "count": F.sum,  # counts combine by summing
+    "sum": F.sum,
+    "min": F.min,
+    "max": F.max,
+}
+_PHASE1 = {
+    "count": lambda c: F.count(c),
+    "sum": lambda c: F.sum(c),
+    "min": lambda c: F.min(c),
+    "max": lambda c: F.max(c),
+}
+
+
+def salted_agg(
+    df: DataFrame,
+    keys: list[str],
+    aggs: dict[str, tuple[str, str]],
+    salt_on: str | Column,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Two-phase salted aggregation.
+
+    ``aggs``: output_name → (function, column) with function in
+    count|sum|min|max. ``salt_on``: a high-cardinality column (or
+    expression) whose hash spreads each hot key across reducers.
+
+    Example::
+
+        salted_agg(events, ["user_id"], {"n": ("count", "event_id"),
+                   "sv": ("sum", "value")}, salt_on="event_id")
+    """
+    unknown = [f for f, _ in aggs.values() if f not in _PHASE1]
+    if unknown:
+        raise ValueError(f"non-algebraic aggregate(s) {unknown}; salting needs count/sum/min/max")
+
+    salt_col = F.pmod(F.xxhash64(F.col(salt_on) if isinstance(salt_on, str) else salt_on), F.lit(num_salts))
+    phase1 = (
+        df.withColumn("__salt", salt_col)
+        .groupBy(*keys, "__salt")
+        .agg(*[_PHASE1[fn](col).alias(f"__p_{name}") for name, (fn, col) in aggs.items()])
+    )
+    return phase1.groupBy(*keys).agg(
+        *[_PHASE2[fn](f"__p_{name}").alias(name) for name, (fn, _) in aggs.items()]
+    )
+
+
+def salted_avg(
+    df: DataFrame, keys: list[str], value_col: str, salt_on: str, num_salts: int = 32, out_col: str = "avg"
+) -> DataFrame:
+    """AVG decomposed to salted sum/count."""
+    partial = salted_agg(
+        df, keys, {"__s": ("sum", value_col), "__c": ("count", value_col)}, salt_on, num_salts
+    )
+    return partial.select(*keys, (F.col("__s") / F.col("__c")).alias(out_col))

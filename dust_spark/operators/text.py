@@ -130,3 +130,36 @@ def rolling_hash_fingerprint(
         lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i, window))),
     )
     return df.withColumn(out_col, F.when(F.size(tok) == 0, F.lit(None).cast("long")).otherwise(F.array_min(win_hash)))
+
+
+def tf_idf(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    round_to: int = 4,
+) -> DataFrame:
+    """TF-IDF per (document, term): tf × (ln((N+1)/(df+1)) + 1) with
+    smoothed IDF (sklearn convention).
+
+    Shape: explode terms → two hash-aggregations (term frequency by
+    (doc, term); document frequency by term) → broadcast-joined with the
+    scalar corpus size. Both aggregations get map-side partial combine;
+    the df table is term-keyed (vocabulary-sized, ≪ corpus) so the final
+    join broadcasts at any corpus scale.
+    """
+    tok = df.select(F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("term"))
+    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id_").alias("df"))
+    n_docs = df.count()  # scalar; folded into the expression as a literal
+    return (
+        tf.join(F.broadcast(dfreq), "term")
+        .select(
+            F.col("doc_id_").alias(id_col),
+            "term",
+            "tf",
+            "df",
+            F.round(
+                F.col("tf") * (F.log((F.lit(n_docs) + 1.0) / (F.col("df") + 1.0)) + 1.0), round_to
+            ).alias("tfidf"),
+        )
+    )

@@ -413,3 +413,54 @@ FROM s GROUP BY user_id, sess ORDER BY user_id, sess
 def sessionize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     register_views(spark, sf_dir)
     return spark.sql(_SESSION_SQL)
+
+
+# ---------------------------------------------------------------------------
+# C4 (cont.) — TF-IDF
+# ---------------------------------------------------------------------------
+
+_TFIDF_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0 AND doc_id < 50
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), n AS (
+  SELECT count(*) AS n FROM documents WHERE doc_id < 50
+)
+SELECT doc_id, term, tf, df,
+       ROUND(tf * (ln((n + 1.0) / (df + 1.0)) + 1.0), 4) AS tfidf
+FROM tf JOIN dfreq USING (term), n
+ORDER BY doc_id, term
+"""
+
+
+@register("c4g_tf_idf", oracle=_TFIDF_ORACLE, tags=("tierc", "text"))
+def tf_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
+    return ops.tf_idf(docs).orderBy("doc_id", "term")
+
+
+# ---------------------------------------------------------------------------
+# C8 — skew-resistant salted aggregation (same result as plain groupBy,
+# verified by the oracle; the point is the two-phase physical shape)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c8a_salted_agg",
+    oracle=(
+        "SELECT user_id, count(*) AS n, ROUND(SUM(value),4) AS sv "
+        "FROM events GROUP BY user_id ORDER BY user_id"
+    ),
+    tags=("tierc", "skew"),
+)
+def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    register_views(spark, sf_dir)
+    events = spark.table("events")
+    out = ops.salted_agg(
+        events, ["user_id"], {"n": ("count", "event_id"), "sv": ("sum", "value")}, salt_on="event_id"
+    )
+    return out.select("user_id", "n", F.round("sv", 4).alias("sv")).orderBy("user_id")

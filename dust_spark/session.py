@@ -210,6 +210,22 @@ class DustSession:
             self.spark.catalog.dropTempView(name)
         self.catalog.tables.clear()
 
+    @staticmethod
+    def replay(journal_path: str, spark: SparkSession | None = None, warehouse: str | None = None) -> "DustSession":
+        """Rebuild engine state by re-executing the statement journal in
+        order — the deterministic-replay guarantee the reference gets
+        from its Raft log of SQL statements (DOC/DESIGN.md:47-49,
+        README.md:30). Only works because journaled statements passed
+        the determinism discipline when first executed."""
+        sess = DustSession(spark, warehouse=warehouse)
+        with open(journal_path) as f:
+            for line in f:
+                if not line.strip():
+                    continue
+                doc = json.loads(line)
+                sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
+        return sess
+
     # ------------------------------------------------------------------
     # statement application
     # ------------------------------------------------------------------

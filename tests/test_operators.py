@@ -258,3 +258,50 @@ def test_text_quality_and_langid(spark):
     import hashlib
 
     assert fp[4] == hashlib.md5(b"zzz qqq xxx").hexdigest()
+
+
+def test_tf_idf_matches_sklearn_convention(spark, corpus):
+    from collections import Counter
+    import math
+
+    got = {(r.doc_id, r.term): (r.tf, r.df, r.tfidf) for r in ops.tf_idf(corpus).collect()}
+    rows = corpus.collect()
+    docs = {r.doc_id: r.text.lower().split() for r in rows if r.text.strip()}
+    n = corpus.count()
+    dfreq = Counter()
+    for toks in docs.values():
+        dfreq.update(set(toks))
+    for did, toks in list(docs.items())[:10]:
+        for term, tf in Counter(toks).items():
+            want = round(tf * (math.log((n + 1) / (dfreq[term] + 1)) + 1), 4)
+            gtf, gdf, gtfidf = got[(did, term)]
+            assert gtf == tf and gdf == dfreq[term]
+            assert abs(gtfidf - want) < 1e-6, (did, term)
+
+
+def test_salted_agg_equals_plain(spark):
+    from dust_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    events = load_table(spark, SF_DIR, "events")
+    plain = {
+        r.user_id: (r.n, round(r.sv, 4))
+        for r in events.groupBy("user_id")
+        .agg(F.count("*").alias("n"), F.sum("value").alias("sv"))
+        .collect()
+    }
+    salted = {
+        r.user_id: (r.n, round(r.sv, 4))
+        for r in ops.salted_agg(
+            events, ["user_id"], {"n": ("count", "event_id"), "sv": ("sum", "value")}, salt_on="event_id"
+        ).collect()
+    }
+    assert salted == plain
+    avg = {r.user_id: r.avg for r in ops.salted_avg(events, ["user_id"], "value", "event_id").collect()}
+    for uid, (n, sv) in plain.items():
+        assert abs(avg[uid] - sv / n) < 1e-6
+
+
+def test_salted_agg_rejects_non_algebraic(spark, corpus):
+    with pytest.raises(ValueError, match="non-algebraic"):
+        ops.salted_agg(corpus, ["doc_id"], {"m": ("median", "doc_id")}, salt_on="text")

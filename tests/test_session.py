@@ -355,3 +355,20 @@ def test_disk_mode_persistence(spark, tmp_path):
 
     assert os.path.exists(os.path.join(wh, "journal.jsonl"))
     db2.close()
+
+
+def test_journal_replay(spark, tmp_path):
+    import os
+
+    wh = str(tmp_path / "wh_src")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    db.execute_string_stmt('INSERT INTO t(name) VALUES("fiona")')
+    db.execute_string_stmt("INSERT INTO t(name) VALUES(?)", ["dana"])
+    db.execute_string_stmt('UPDATE t SET name="edna" WHERE id=2')
+    want = rows_to_json(db.query_string_stmt("SELECT * FROM t"))
+    db.close()
+
+    replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
+    assert rows_to_json(replayed.query_string_stmt("SELECT * FROM t")) == want
+    replayed.close()
