@@ -586,3 +586,50 @@ def all_queries() -> dict[str, QueryDef]:
     import dust_spark.queries_tierc  # noqa: F401  (registration side effect)
 
     return QUERIES
+
+
+# ---------------------------------------------------------------------------
+# late additions: exact percentiles, array functions, date arithmetic
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "b4i_percentile",
+    # exact interpolated percentile — Spark percentile() ≡ DuckDB quantile_cont()
+    "SELECT o_orderstatus, ROUND(percentile(o_totalprice, 0.5), 4) AS med, "
+    "ROUND(percentile(o_totalprice, 0.9), 4) AS p90 "
+    "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus",
+    oracle=(
+        "SELECT o_orderstatus, ROUND(quantile_cont(o_totalprice, 0.5), 4) AS med, "
+        "ROUND(quantile_cont(o_totalprice, 0.9), 4) AS p90 "
+        "FROM orders GROUP BY o_orderstatus ORDER BY o_orderstatus"
+    ),
+    tags=("agg",),
+)
+
+sql_query(
+    "b9h_array_funcs",
+    "SELECT vec_id, CAST(size(embedding) AS BIGINT) AS dim, "
+    "ROUND(aggregate(embedding, 0D, (s, x) -> s + CAST(x AS DOUBLE)), 4) AS vsum, "
+    "ROUND(CAST(element_at(embedding, 1) AS DOUBLE), 4) AS first_c "
+    "FROM embeddings WHERE vec_id < 20 ORDER BY vec_id",
+    oracle=(
+        "SELECT vec_id, len(embedding) AS dim, "
+        "ROUND(list_sum(CAST(embedding AS DOUBLE[])), 4) AS vsum, "
+        "ROUND(CAST(embedding[1] AS DOUBLE), 4) AS first_c "
+        "FROM embeddings WHERE vec_id < 20 ORDER BY vec_id"
+    ),
+    tags=("functions", "array"),
+)
+
+sql_query(
+    "b9i_date_arith",
+    "SELECT o_orderkey, timestampadd(DAY, 30, o_orderdate) AS due, "
+    "CAST(datediff(TIMESTAMP '1996-01-01', o_orderdate) AS BIGINT) AS age_days "
+    "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey",
+    oracle=(
+        "SELECT o_orderkey, o_orderdate + INTERVAL 30 DAY AS due, "
+        "datediff('day', CAST(o_orderdate AS DATE), DATE '1996-01-01') AS age_days "
+        "FROM orders WHERE o_orderkey < 200 ORDER BY o_orderkey"
+    ),
+    tags=("functions", "datetime"),
+)
