@@ -22,6 +22,8 @@ from dust_spark.operators.skew import salted_agg, salted_avg
 from dust_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
+    ivf_topk,
+    kmeans_centroids,
     rp_lsh_topk,
 )
 from dust_spark.operators.text import (
@@ -50,6 +52,8 @@ __all__ = [
     "media_stats",
     "cosine_topk",
     "embedding_near_dup",
+    "ivf_topk",
+    "kmeans_centroids",
     "rp_lsh_topk",
     "bpe_ish_token_count",
     "fingerprint",

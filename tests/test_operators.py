@@ -305,3 +305,30 @@ def test_salted_agg_equals_plain(spark):
 def test_salted_agg_rejects_non_algebraic(spark, corpus):
     with pytest.raises(ValueError, match="non-algebraic"):
         ops.salted_agg(corpus, ["doc_id"], {"m": ("median", "doc_id")}, salt_on="text")
+
+
+def test_ivf_ann_recall(spark):
+    """IVF-Flat: on clustered vectors the coarse quantizer's lists align
+    with the clusters, so n_probe=4/16 lists must recover most true
+    neighbors."""
+    import math
+
+    rows = []
+    for c in range(8):
+        base = [math.cos(c * 1.7 + d * 0.23) for d in range(16)]
+        for j in range(25):
+            rows.append(
+                Row(
+                    vec_id=c * 25 + j,
+                    embedding=[b + 0.04 * math.sin(j * 1.1 + d) for d, b in enumerate(base)],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    queries = df.filter(F.col("vec_id") % 25 == 0)
+    exact = {(r.qid, r.nid) for r in ops.cosine_topk(queries, df, k=5).collect()}
+    approx = {
+        (r.qid, r.nid)
+        for r in ops.ivf_topk(queries, df, k=5, n_lists=16, n_probe=4).collect()
+    }
+    recall = len(exact & approx) / len(exact)
+    assert recall >= 0.8, f"IVF recall {recall}"
