@@ -464,3 +464,9 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         events, ["user_id"], {"n": ("count", "event_id"), "sv": ("sum", "value")}, salt_on="event_id"
     )
     return out.select("user_id", "n", F.round("sv", 4).alias("sv")).orderBy("user_id")
+
+
+@register("c3d_ann_ivf", tags=("tierc", "similarity", "no-oracle"))
+def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = _emb(spark, sf_dir)
+    return ops.ivf_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, n_lists=8, n_probe=3, iterations=2)
