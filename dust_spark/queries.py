@@ -327,9 +327,11 @@ sql_query(
 
 sql_query(
     "b5c_first_value",
+    # (l_orderkey, l_linenumber) is NOT unique in the fixtures — the
+    # window order needs the quantity tiebreak for a deterministic frame
     "SELECT l_orderkey, l_linenumber, "
-    "FIRST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber) AS fq "
-    "FROM lineitem ORDER BY l_orderkey, l_linenumber",
+    "FIRST_VALUE(l_quantity) OVER (PARTITION BY l_orderkey ORDER BY l_linenumber, l_quantity) AS fq "
+    "FROM lineitem ORDER BY l_orderkey, l_linenumber, fq",
     tags=("window",),
 )
 
