@@ -179,6 +179,7 @@ class TableDef:
     foreign_keys: list[ForeignKey] = field(default_factory=list)
     rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
     if_not_exists: bool = False
+    defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
 
 
 _CREATE_RE = re.compile(
@@ -252,6 +253,9 @@ def parse_create_table(sql: str) -> TableDef:
             rt = unquote_ident(ref.group(1)).lower()
             rc = unquote_ident(ref.group(2) or col).lower()
             td.foreign_keys.append(ForeignKey(col, rt, rc))
+        dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
+        if dm:
+            td.defaults[col] = dm.group(1)
 
         td.declared_types[col] = decl
         fields.append(T.StructField(col, dtype, nullable=True))
@@ -303,6 +307,7 @@ class InsertStmt:
     table: str
     columns: list[str] | None
     source_sql: str  # "VALUES ..." or "SELECT ..." / "WITH ..."
+    or_replace: bool = False  # REPLACE INTO / INSERT OR REPLACE
 
 
 def parse_insert(sql: str) -> InsertStmt:
@@ -312,10 +317,12 @@ def parse_insert(sql: str) -> InsertStmt:
     cols = None
     if m.group("cols") is not None:
         cols = [unquote_ident(c).lower() for c in split_top_level(m.group("cols"))]
+    head = sql[: m.start("name")].upper()
     return InsertStmt(
         table=unquote_ident(m.group("name")).lower(),
         columns=cols,
         source_sql=m.group("rest").strip().rstrip(";"),
+        or_replace=head.lstrip().startswith("REPLACE") or "OR REPLACE" in head,
     )
 
 

@@ -366,6 +366,8 @@ class DustSession:
         for f in tdef.schema.fields:
             if f.name in cols:
                 c = F.col(f.name).cast(f.dataType)
+            elif f.name in tdef.defaults:
+                c = F.expr(tdef.defaults[f.name]).cast(f.dataType)
             else:
                 c = F.lit(None).cast(f.dataType)
             if f.name == tdef.rowid_column:
@@ -373,7 +375,24 @@ class DustSession:
             projected.append(c.alias(f.name))
         new_rows = src.select(*projected, F.col("__rn"))
 
-        self._check_constraints(overlay, tdef, new_rows.drop("__rn"), st.df)
+        existing = st.df
+        if ins.or_replace:
+            # SQLite REPLACE semantics: conflicting existing rows are
+            # deleted; within the batch the LAST conflicting row wins
+            for colset in tdef.unique:
+                w2 = Window.partitionBy(*colset).orderBy(F.col("__rn").desc())
+                new_rows = (
+                    new_rows.withColumn("__rk", F.row_number().over(w2))
+                    .filter(F.col("__rk") == 1)
+                    .drop("__rk")
+                )
+                existing = existing.join(
+                    new_rows.select(*colset).na.drop().distinct(), list(colset), "left_anti"
+                )
+
+        self._check_constraints(
+            overlay, tdef, new_rows.drop("__rn"), None if ins.or_replace else existing
+        )
 
         n = new_rows.count()
         if n == 0:
@@ -390,7 +409,7 @@ class DustSession:
             high_water = st.high_water + n
             last_id = high_water
 
-        out_df = st.df.unionByName(new_rows.drop("__rn"))
+        out_df = existing.unionByName(new_rows.drop("__rn"))
         new_st = self.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
         )

@@ -372,3 +372,28 @@ def test_journal_replay(spark, tmp_path):
     replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
     assert rows_to_json(replayed.query_string_stmt("SELECT * FROM t")) == want
     replayed.close()
+
+
+def test_default_values(db):
+    ex(db, "CREATE TABLE d (id INTEGER NOT NULL PRIMARY KEY, status TEXT DEFAULT 'open', n INT DEFAULT 7)")
+    ex(db, "INSERT INTO d(id) VALUES(1)")
+    assert q(db, "SELECT * FROM d") == (
+        '[{"columns":["id","status","n"],"types":["integer","text","integer"],"values":[[1,"open",7]]}]'
+    )
+    ex(db, "INSERT INTO d(id, status) VALUES(2, 'closed')")
+    assert q(db, "SELECT status, n FROM d WHERE id = 2") == (
+        '[{"columns":["status","n"],"types":["text","integer"],"values":[["closed",7]]}]'
+    )
+
+
+def test_insert_or_replace(db):
+    ex(db, "CREATE TABLE r (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, 'INSERT INTO r(id, name) VALUES(1, "fiona")')
+    # plain insert on dup pk fails
+    assert ex(db, 'INSERT INTO r(id, name) VALUES(1, "x")') == '[{"error":"UNIQUE constraint failed: r.id"}]'
+    # REPLACE upserts
+    assert ex(db, 'REPLACE INTO r(id, name) VALUES(1, "dana")') == '[{"last_insert_id":1,"rows_affected":1}]'
+    assert ex(db, 'INSERT OR REPLACE INTO r(id, name) VALUES(2, "tom"), (2, "tim")') != ""
+    assert q(db, "SELECT * FROM r ORDER BY id") == (
+        '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"dana"],[2,"tim"]]}]'
+    )
