@@ -397,3 +397,14 @@ def test_insert_or_replace(db):
     assert q(db, "SELECT * FROM r ORDER BY id") == (
         '[{"columns":["id","name"],"types":["integer","text"],"values":[[1,"dana"],[2,"tim"]]}]'
     )
+
+
+def test_query_error_messages(db):
+    with pytest.raises(DustError, match="no such table: missing"):
+        db.query_string_stmt("SELECT * FROM missing")
+    ex(db, "CREATE TABLE em (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    with pytest.raises(DustError, match="no such column|UNRESOLVED"):
+        db.query_string_stmt("SELECT nope FROM em")
+    # execute() of a row-returning statement mirrors rusqlite's refusal
+    r = db.execute_string_stmt("SELECT 1")
+    assert r[0].error == "Execute returned results - did you mean to call query?"
