@@ -195,3 +195,51 @@ def test_watermark_drops_late_rows(spark, tmp_path):
     finally:
         q.stop()
         shutil.rmtree(src, ignore_errors=True)
+
+
+def test_foreach_batch_exactly_once_sink(spark, tmp_path):
+    """foreachBatch + checkpoint: the sink sees each micro-batch once
+    with its epoch id; restarting from the checkpoint does not re-emit
+    processed batches (the exactly-once recipe for arbitrary sinks)."""
+    import json
+    import os
+
+    src = str(tmp_path / "fb_src")
+    sink = str(tmp_path / "fb_sink.jsonl")
+    ckpt = str(tmp_path / "fb_ckpt")
+    os.makedirs(src)
+
+    from pyspark.sql import Row
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    schema = "ts timestamp, value double"
+    spark.createDataFrame([Row(ts=t0, value=1.0)], schema).coalesce(1).write.mode("append").parquet(src)
+
+    def emit(df, epoch_id):
+        rows = df.count()
+        with open(sink, "a") as f:
+            f.write(json.dumps({"epoch": epoch_id, "rows": rows}) + "\n")
+
+    def run_once():
+        q = (
+            spark.readStream.schema(schema).parquet(src)
+            .writeStream.option("checkpointLocation", ckpt)
+            .foreachBatch(emit)
+            .start()
+        )
+        q.processAllAvailable()
+        q.stop()
+
+    run_once()
+    first = [json.loads(x) for x in open(sink)]
+    assert sum(e["rows"] for e in first) == 1
+
+    # add data, restart from checkpoint: only the NEW rows are emitted
+    spark.createDataFrame([Row(ts=t0 + dt.timedelta(minutes=1), value=2.0)], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+    run_once()
+    second = [json.loads(x) for x in open(sink)]
+    assert sum(e["rows"] for e in second) == 2  # 1 old (already emitted) + 1 new
+    assert len({e["epoch"] for e in second}) == len(second)  # distinct epochs only
