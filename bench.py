@@ -45,9 +45,14 @@ def main() -> None:
 
     register_views(spark, sf_dir)
 
-    # warm the JVM + parquet footers once with the flagship query
+    # warm the JVM + parquet footers once with the flagship query, and the
+    # Python worker fleet (mapInPandas queries would otherwise charge
+    # ~0.5s/core of worker startup to whichever runs first)
     qs = all_queries()
     qs["b3i_star_join"].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+    spark.range(0, int(cpus) * 2, 1, int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
 
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}

@@ -210,6 +210,15 @@ class DustSession:
             self.spark.catalog.dropTempView(name)
         self.catalog.tables.clear()
 
+    def compact_journal(self) -> None:
+        """Log compaction (reference DOC/DESIGN.md:54-55: periodic
+        snapshot + raft-log truncation): the parquet versions + manifest
+        ARE the snapshot, so compaction just truncates the statement
+        journal — recovery = load manifest, then replay the journal
+        tail."""
+        if self._journal and os.path.exists(self._journal):
+            open(self._journal, "w").close()
+
     @staticmethod
     def replay(journal_path: str, spark: SparkSession | None = None, warehouse: str | None = None) -> "DustSession":
         """Rebuild engine state by re-executing the statement journal in

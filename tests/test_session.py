@@ -408,3 +408,26 @@ def test_query_error_messages(db):
     # execute() of a row-returning statement mirrors rusqlite's refusal
     r = db.execute_string_stmt("SELECT 1")
     assert r[0].error == "Execute returned results - did you mean to call query?"
+
+
+def test_journal_compaction(spark, tmp_path):
+    import os
+
+    wh = str(tmp_path / "wh_c")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO t(v) VALUES(1)")
+    jp = os.path.join(wh, "journal.jsonl")
+    assert len(open(jp).readlines()) == 2
+    db.compact_journal()  # snapshot = parquet versions + manifest
+    assert open(jp).read() == ""
+    db.execute_string_stmt("INSERT INTO t(v) VALUES(2)")
+    assert len(open(jp).readlines()) == 1  # only the journal tail
+    db.close()
+
+    # recovery: manifest snapshot already holds everything
+    db2 = DustSession(spark, warehouse=wh)
+    assert rows_to_json(db2.query_string_stmt("SELECT v FROM t ORDER BY id")) == (
+        '[{"columns":["v"],"types":["integer"],"values":[[1],[2]]}]'
+    )
+    db2.close()

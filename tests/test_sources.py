@@ -1,0 +1,45 @@
+"""Sources/sinks round-trips (SURVEY §2 B1 source-format extensions)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dust_spark import sources
+from dust_spark.tables import load_table
+from tests.conftest import SF_DIR
+
+
+def test_csv_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "region_csv")
+    region = load_table(spark, SF_DIR, "region")
+    sources.write_csv(region, out)
+    back = sources.read_csv(spark, out, schema="r_regionkey int, r_name string")
+    assert sorted(r.r_name for r in back.collect()) == sorted(r.r_name for r in region.collect())
+
+
+def test_json_roundtrip(spark, tmp_path):
+    out = str(tmp_path / "nation_json")
+    nation = load_table(spark, SF_DIR, "nation")
+    sources.write_json(nation, out)
+    back = sources.read_json(spark, out, schema="n_nationkey int, n_name string, n_regionkey int")
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {r.n_name for r in nation.collect()}
+
+
+def test_parquet_projection_reader(spark):
+    df = sources.read_parquet(spark, f"{SF_DIR}/lineitem.parquet", columns=["l_orderkey", "l_quantity"])
+    assert df.columns == ["l_orderkey", "l_quantity"]
+
+
+def test_result_json_contract(spark):
+    df = spark.sql("SELECT 1 AS a, 'x' AS b")
+    assert sources.result_json(df) == '[{"columns":["a","b"],"types":["integer","text"],"values":[[1,"x"]]}]'
+
+
+def test_connector_stubs_raise(spark):
+    import pytest
+
+    with pytest.raises(NotImplementedError):
+        sources.read_delta(spark, "/nope")
+    with pytest.raises(ValueError):
+        sources.streaming_source(spark, "/not-a-dir", "id long")
