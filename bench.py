@@ -67,6 +67,8 @@ def main() -> None:
 
     vals = sorted(timings.values())
     p50 = statistics.median(vals) if vals else float("nan")
+    tier_b = [v for k, v in timings.items() if k.startswith("b")]
+    tier_c = [v for k, v in timings.items() if k.startswith("c")]
     out = {
         "metric": "p50_query_sec",
         "value": round(p50, 4),
@@ -76,6 +78,8 @@ def main() -> None:
         "total_sec": round(sum(vals), 2),
         "n_queries": len(timings),
         "cpus": int(cpus),
+        "tier_b_p50": round(statistics.median(tier_b), 4) if tier_b else None,
+        "tier_c_total_sec": round(sum(tier_c), 2),
     }
     if errors:
         out["errors"] = errors

@@ -635,3 +635,18 @@ sql_query(
     ),
     tags=("functions", "datetime"),
 )
+
+sql_query(
+    "b9j_regexp_funcs",
+    "SELECT event_id, regexp_extract(props, '\"k\": ?(-?\\\\d+)', 1) AS kstr, "
+    "split_part(event_type, 'i', 1) AS sp, "
+    "concat_ws('-', event_type, CAST(user_id AS STRING)) AS cw "
+    "FROM events ORDER BY event_id",
+    oracle=(
+        "SELECT event_id, regexp_extract(props, '\"k\": ?(-?\\d+)', 1) AS kstr, "
+        "split_part(event_type, 'i', 1) AS sp, "
+        "concat_ws('-', event_type, CAST(user_id AS STRING)) AS cw "
+        "FROM events ORDER BY event_id"
+    ),
+    tags=("functions", "regexp"),
+)

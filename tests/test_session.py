@@ -431,3 +431,20 @@ def test_journal_compaction(spark, tmp_path):
         '[{"columns":["v"],"types":["integer"],"values":[[1],[2]]}]'
     )
     db2.close()
+
+
+def test_tx_rolls_back_ddl(db):
+    """A transaction containing CREATE + INSERT + a failing statement
+    voids everything — including the table creation."""
+    req = Request(
+        transaction=True,
+        statements=[
+            Statement("CREATE TABLE txt (id INTEGER NOT NULL PRIMARY KEY, v INT)"),
+            Statement("INSERT INTO txt(v) VALUES(1)"),
+            Statement("INSERT INTO nosuch VALUES(1)"),
+        ],
+    )
+    out = db.execute(req)
+    assert out[-1].error == "no such table: nosuch"
+    with pytest.raises(DustError, match="no such table"):
+        db.query_string_stmt("SELECT * FROM txt")
