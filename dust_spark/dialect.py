@@ -30,6 +30,9 @@ WRITE_KINDS = {
     "ALTER",
     "PRAGMA",
     "REPLACE",
+    "VACUUM",
+    "ANALYZE",
+    "REINDEX",
 }
 
 

@@ -259,6 +259,8 @@ class DustSession:
                 return self._alter_table(overlay, sql)
             if kind == "PRAGMA":
                 return self._pragma_exec(sql)
+            if kind in ("VACUUM", "ANALYZE", "REINDEX"):
+                return self._ok()  # maintenance statements: accepted no-ops
             if kind in ("INSERT", "REPLACE"):
                 return self._insert(overlay, sql)
             if kind == "UPDATE":

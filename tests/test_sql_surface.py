@@ -133,3 +133,18 @@ def test_typeof_like(db):
         "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(CAST(1.5 AS DOUBLE)) AS t3"
     )
     assert out[0].values == [["int", "string", "double"]]
+
+
+def test_explain_through_engine(db):
+    db.execute_string_stmt("CREATE TABLE e (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    out = db.query_string_stmt("EXPLAIN SELECT v FROM e WHERE id = 1")
+    assert out[0].columns == ["plan"]
+    assert "Scan" in out[0].values[0][0] or "Physical" in out[0].values[0][0]
+
+
+def test_maintenance_statements_are_noops(db):
+    db.execute_string_stmt("CREATE TABLE m (id INTEGER NOT NULL PRIMARY KEY)")
+    r = db.execute_string_stmt("VACUUM")
+    assert r[0].error == ""
+    r = db.execute_string_stmt("ANALYZE")
+    assert r[0].error == ""
