@@ -18,6 +18,12 @@ from dust_spark.operators.multimodal import (
     decode_media,
     media_stats,
 )
+from dust_spark.operators.sampling import (
+    hash_sample,
+    stratified_hash_sample,
+    train_val_test_split,
+    weighted_interleave,
+)
 from dust_spark.operators.skew import salted_agg, salted_avg
 from dust_spark.operators.similarity import (
     cosine_topk,
@@ -28,6 +34,8 @@ from dust_spark.operators.similarity import (
 )
 from dust_spark.operators.text import (
     bpe_ish_token_count,
+    chunk_documents,
+    clean_text,
     tf_idf,
     fingerprint,
     lang_id,
@@ -64,4 +72,10 @@ __all__ = [
     "tf_idf",
     "salted_agg",
     "salted_avg",
+    "hash_sample",
+    "train_val_test_split",
+    "stratified_hash_sample",
+    "weighted_interleave",
+    "clean_text",
+    "chunk_documents",
 ]

@@ -1,0 +1,92 @@
+"""Deterministic sampling & dataset-split operators.
+
+Training pipelines need *reproducible* sampling — rand()-based sampling
+changes run to run and is exactly what statement-replay determinism
+forbids (reference README.md:30-33). Everything here derives from
+``xxhash64(key, seed)``, so results are stable across runs, executors,
+and engines:
+
+- :func:`hash_sample` — keep a deterministic fraction of rows.
+- :func:`train_val_test_split` — disjoint, exhaustive splits by weight.
+- :func:`stratified_hash_sample` — per-stratum fractions.
+- :func:`weighted_interleave` — mix datasets by target proportions.
+
+All are narrow (filter on a hash of the key — no shuffle) and push the
+hash predicate into the scan where the key is a stored column.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+_BUCKETS = 1_000_000
+
+
+def _bucket(key: Column, seed: int) -> Column:
+    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+
+
+def hash_sample(df: DataFrame, fraction: float, key: str = "doc_id", seed: int = 42) -> DataFrame:
+    """Deterministic ~``fraction`` sample keyed on ``key``. Same key +
+    seed always lands on the same side — stable under reprocessing and
+    incremental ingestion (a re-run never resamples old rows)."""
+    return df.filter(_bucket(F.col(key), seed) < int(fraction * _BUCKETS))
+
+
+def train_val_test_split(
+    df: DataFrame,
+    weights: tuple[float, float, float] = (0.8, 0.1, 0.1),
+    key: str = "doc_id",
+    seed: int = 42,
+    out_col: str = "split",
+) -> DataFrame:
+    """Label every row train/val/test — disjoint and exhaustive, stable
+    across runs. One narrow projection; downstream filters prune."""
+    w_train, w_val, _ = weights
+    b = _bucket(F.col(key), seed)
+    t1 = int(w_train * _BUCKETS)
+    t2 = int((w_train + w_val) * _BUCKETS)
+    return df.withColumn(
+        out_col,
+        F.when(b < t1, F.lit("train")).when(b < t2, F.lit("val")).otherwise(F.lit("test")),
+    )
+
+
+def stratified_hash_sample(
+    df: DataFrame,
+    fractions: dict[str, float],
+    stratum_col: str,
+    key: str = "doc_id",
+    seed: int = 42,
+    default_fraction: float = 0.0,
+) -> DataFrame:
+    """Per-stratum deterministic sampling (e.g. language-balanced
+    downsampling: {'en': 0.1, 'de': 1.0, ...})."""
+    b = _bucket(F.col(key), seed)
+    thresh = F.lit(int(default_fraction * _BUCKETS))
+    for value, frac in fractions.items():
+        thresh = F.when(F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))).otherwise(thresh)
+    return df.filter(b < thresh)
+
+
+def weighted_interleave(
+    sources: list[tuple[DataFrame, float]],
+    key: str = "doc_id",
+    seed: int = 42,
+    source_col: str = "source_idx",
+) -> DataFrame:
+    """Mix datasets to target proportions: downsample each source by
+    weight/max(weight) (the largest weight keeps everything), tag the
+    provenance, and union. Deterministic; no shuffle beyond the unions.
+    """
+    if not sources:
+        raise ValueError("at least one source required")
+    max_w = max(w for _, w in sources)
+    out = None
+    for i, (df, w) in enumerate(sources):
+        part = hash_sample(df, w / max_w, key=key, seed=seed + i).withColumn(
+            source_col, F.lit(i)
+        )
+        out = part if out is None else out.unionByName(part)
+    return out

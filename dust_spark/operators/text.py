@@ -163,3 +163,50 @@ def tf_idf(
             ).alias("tfidf"),
         )
     )
+
+
+def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") -> DataFrame:
+    """Standard pretraining text normalization, pure Catalyst:
+    control chars stripped, URLs and e-mail addresses masked, whitespace
+    collapsed, edges trimmed."""
+    c = F.col(text_col)
+    c = F.regexp_replace(c, r"[\x00-\x08\x0b\x0c\x0e-\x1f]", "")
+    c = F.regexp_replace(c, r"https?://\S+", "<URL>")
+    c = F.regexp_replace(c, r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>")
+    c = F.trim(F.regexp_replace(c, r"\s+", " "))
+    return df.withColumn(out_col, c)
+
+
+def chunk_documents(
+    df: DataFrame,
+    chunk_tokens: int = 128,
+    stride: int = 96,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Split documents into overlapping token-window chunks — the
+    standard context-window prep for training/embedding pipelines.
+
+    Output: id, chunk_idx (0-based), chunk_text, n_chunk_tokens.
+    Chunks start every ``stride`` tokens (overlap = chunk_tokens −
+    stride); every document emits at least one chunk (empty docs emit an
+    empty chunk 0). Pure Catalyst: tokenize → slice windows via
+    transform → posexplode. Narrow until the explode, which multiplies
+    rows by ~n_tokens/stride — exactly the fan-out the downstream
+    pipeline wants partitioned, so no extra shuffle is introduced here.
+    """
+    if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
+        raise ValueError("need 0 < stride <= chunk_tokens")
+    tok = tokens(text_col, lowercase=False)
+    n = F.size(tok)
+    n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)).cast("int")
+    starts = F.sequence(F.lit(0), n_chunks - 1)
+    chunks = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tok, i * stride + 1, chunk_tokens)))
+    out = df.select(
+        F.col(id_col),
+        F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
+    )
+    return out.withColumn(
+        "n_chunk_tokens",
+        F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(F.size(F.split("chunk_text", " "))).cast("long"),
+    )

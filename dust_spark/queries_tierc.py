@@ -470,3 +470,65 @@ def salted_agg_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ann_ivf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = _emb(spark, sf_dir)
     return ops.ivf_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, n_lists=8, n_probe=3, iterations=2)
+
+
+# ---------------------------------------------------------------------------
+# C9 — pipeline prep: cleaning, chunking, deterministic splits
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "c9a_clean_text",
+    oracle=(
+        "SELECT doc_id, md5(trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace("
+        "text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'), 'https?://\\S+', '<URL>', 'g'), "
+        "'[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'), '\\s+', ' ', 'g'))) AS h "
+        "FROM documents ORDER BY doc_id"
+    ),
+    tags=("tierc", "text"),
+)
+def clean_text_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.clean_text(_docs(spark, sf_dir))
+        .select("doc_id", F.md5("clean").alias("h"))
+        .orderBy("doc_id")
+    )
+
+
+_CHUNK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tok
+  FROM documents
+), c AS (
+  SELECT doc_id, n_tok,
+         greatest(CAST(ceil((n_tok - 128) / 96.0) AS BIGINT) + 1, 1) AS n_chunks
+  FROM tok
+)
+SELECT doc_id, n_chunks,
+       CAST(list_sum(list_transform(range(0, n_chunks), i -> least(128, n_tok - i * 96))) AS BIGINT) AS total_tokens
+FROM c ORDER BY doc_id
+"""
+
+
+@register("c9b_chunk_documents", oracle=_CHUNK_ORACLE, tags=("tierc", "text"))
+def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    chunks = ops.chunk_documents(_docs(spark, sf_dir), chunk_tokens=128, stride=96)
+    return (
+        chunks.groupBy("doc_id")
+        .agg(F.count("*").alias("n_chunks"), F.sum("n_chunk_tokens").alias("total_tokens"))
+        .orderBy("doc_id")
+    )
+
+
+@register("c9c_train_val_test_split", tags=("tierc", "sampling", "no-oracle"))
+def split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # xxhash64 buckets aren't portable to DuckDB → rows-only; split
+    # invariants (disjoint, exhaustive, stable) are asserted in tests
+    return (
+        ops.train_val_test_split(_docs(spark, sf_dir))
+        .groupBy("split")
+        .agg(F.count("*").alias("n"))
+        .orderBy("split")
+    )

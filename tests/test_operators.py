@@ -332,3 +332,70 @@ def test_ivf_ann_recall(spark):
     }
     recall = len(exact & approx) / len(exact)
     assert recall >= 0.8, f"IVF recall {recall}"
+
+
+def test_hash_split_invariants(spark, corpus):
+    s1 = ops.train_val_test_split(corpus)
+    s2 = ops.train_val_test_split(corpus)
+    rows1 = {r.doc_id: r.split for r in s1.collect()}
+    rows2 = {r.doc_id: r.split for r in s2.collect()}
+    assert rows1 == rows2  # stable across runs
+    assert set(rows1) == {r.doc_id for r in corpus.collect()}  # exhaustive
+    counts = {k: list(rows1.values()).count(k) for k in ("train", "val", "test")}
+    n = len(rows1)
+    assert counts["train"] / n > 0.6  # rough proportions on a small corpus
+    # sample ⊂ full, deterministic
+    samp = {r.doc_id for r in ops.hash_sample(corpus, 0.3).collect()}
+    samp2 = {r.doc_id for r in ops.hash_sample(corpus, 0.3).collect()}
+    assert samp == samp2 and samp <= set(rows1)
+    # larger fraction is a superset (nested samples property)
+    samp_big = {r.doc_id for r in ops.hash_sample(corpus, 0.6).collect()}
+    assert samp <= samp_big
+
+
+def test_stratified_and_interleave(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=i, lang=("en" if i % 2 else "de"), text=f"doc {i}") for i in range(200)]
+    )
+    out = ops.stratified_hash_sample(docs, {"en": 1.0, "de": 0.2}, "lang")
+    got = out.groupBy("lang").count().collect()
+    c = {r.lang: r["count"] for r in got}
+    assert c["en"] == 100 and 5 <= c.get("de", 0) <= 40
+
+    a = docs.filter(F.col("lang") == "en")
+    b = docs.filter(F.col("lang") == "de")
+    mixed = ops.weighted_interleave([(a, 1.0), (b, 0.5)], key="doc_id")
+    by_src = {r.source_idx: r["count"] for r in mixed.groupBy("source_idx").count().collect()}
+    assert by_src[0] == 100 and 20 <= by_src[1] <= 80
+
+
+def test_chunk_documents_reassembles(spark):
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=" ".join(f"w{i}" for i in range(300))),
+            Row(doc_id=2, text=" ".join(f"w{i}" for i in range(50))),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    ch = ops.chunk_documents(docs, chunk_tokens=128, stride=96).collect()
+    by_doc = {}
+    for r in ch:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # 300 tokens: ceil((300-128)/96)+1 = 3 chunks; starts 0,96,192
+    assert len(by_doc[1]) == 3
+    c0 = sorted(by_doc[1], key=lambda r: r.chunk_idx)
+    assert c0[0].chunk_text.split()[:2] == ["w0", "w1"]
+    assert c0[1].chunk_text.split()[0] == "w96"
+    assert c0[2].chunk_text.split()[0] == "w192"
+    assert c0[2].n_chunk_tokens == 300 - 192
+    # short doc: one chunk with all tokens; empty doc: one empty chunk
+    assert len(by_doc[2]) == 1 and by_doc[2][0].n_chunk_tokens == 50
+    assert len(by_doc[3]) == 1 and by_doc[3][0].n_chunk_tokens == 0
+
+
+def test_clean_text(spark):
+    docs = spark.createDataFrame(
+        [Row(doc_id=1, text="  see https://x.io/a?b=1  mail me@example.com \x07 now\t\n ok ")]
+    )
+    out = ops.clean_text(docs).collect()[0].clean
+    assert out == "see <URL> mail <EMAIL> now ok"
