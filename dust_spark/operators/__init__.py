@@ -4,6 +4,7 @@ joins, multimodal columns."""
 
 from dust_spark.operators.asof import asof_aggregate, asof_join
 from dust_spark.operators.dedup import (
+    decontaminate,
     exact_dedup,
     exact_dedup_count,
     minhash_dedup,
@@ -13,6 +14,7 @@ from dust_spark.operators.dedup import (
     simhash_pairs,
     simhash_table,
 )
+from dust_spark.operators.graph import cluster_dedup, connected_components
 from dust_spark.operators.multimodal import (
     attach_media,
     decode_media,
@@ -78,4 +80,7 @@ __all__ = [
     "weighted_interleave",
     "clean_text",
     "chunk_documents",
+    "connected_components",
+    "cluster_dedup",
+    "decontaminate",
 ]

@@ -186,9 +186,9 @@ def minhash_dedup(
     """Drop near-duplicates: for each verified pair keep the lower id.
 
     Connected-component-lite: a doc is dropped if it is the larger id of
-    any verified pair (single pass — standard MinHash-dedup keep rule;
-    full transitive closure would need iterative joins, intentionally
-    avoided at scale).
+    any verified pair (single pass — standard MinHash-dedup keep rule).
+    For full transitive-closure clusters use
+    ``operators.graph.cluster_dedup`` with these pairs.
     """
     pairs = minhash_lsh_pairs(df, text_col, id_col, **kwargs)
     losers = pairs.select(F.col("id_b").alias(id_col)).distinct()
@@ -324,3 +324,39 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+
+
+# ---------------------------------------------------------------------------
+# benchmark decontamination
+# ---------------------------------------------------------------------------
+
+
+def decontaminate(
+    df: DataFrame,
+    benchmark: DataFrame,
+    text_col: str = "text",
+    benchmark_text_col: str = "text",
+    ngram_words: int = 8,
+) -> DataFrame:
+    """Remove training documents that contain any ``ngram_words``-gram
+    from the benchmark corpus — the standard eval-contamination filter.
+
+    Shape: benchmark n-grams hash to a small key set (benchmarks are
+    ~10³-10⁶ rows, training corpora 10⁹+), so the contaminated-doc
+    detection is a broadcast-able semi-join from exploded training
+    n-grams to benchmark n-gram hashes, then an anti-join back by doc.
+    Exact-match n-gram policy (lowercased, whitespace-normalized).
+    """
+    bench_grams = benchmark.select(
+        F.explode(word_shingles(tokens(benchmark_text_col), ngram_words)).alias("__g")
+    ).select(F.xxhash64("__g").alias("__gh")).distinct()
+
+    doc_grams = df.select(
+        F.col("*"),
+        F.explode_outer(word_shingles(tokens(text_col), ngram_words)).alias("__g"),
+    ).select(F.col("*"), F.xxhash64("__g").alias("__gh")).drop("__g")
+
+    contaminated = (
+        doc_grams.join(F.broadcast(bench_grams), "__gh", "left_semi").drop("__gh").distinct()
+    )
+    return df.join(contaminated.select(*df.columns).distinct(), df.columns, "left_anti")

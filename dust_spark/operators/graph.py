@@ -1,0 +1,90 @@
+"""Connected components over near-duplicate pair graphs.
+
+:func:`minhash_dedup` uses a single-pass keep rule (drop the larger id
+of each pair), which under-merges chains (a~b, b~c but a≁c). Full
+duplicate *clusters* need the transitive closure — connected components.
+
+:func:`connected_components` implements min-label propagation with
+pointer jumping (path doubling): each round every node takes the
+minimum label over itself and its neighbors, then chases its label's
+label. The jump step doubles the distance a label travels per round, so
+convergence is O(log n) rounds even on path graphs (plain propagation
+is O(diameter)). Each round is two joins + one aggregation shuffling on
+node ids, with the iterate localCheckpointed so the plan stays flat —
+the standard shuffle-bounded CC shape for data-parallel engines (same
+round structure as the large-star/small-star family of Kiveris et al.,
+SoCC'14).
+
+:func:`cluster_dedup` composes it with any pair generator to keep one
+representative (min id) per duplicate cluster.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    pairs: DataFrame,
+    src: str = "id_a",
+    dst: str = "id_b",
+    max_iterations: int = 25,
+) -> DataFrame:
+    """(node, component) for every node appearing in ``pairs``; the
+    component label is the minimum node id in the component."""
+    edges = (
+        pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
+        .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
+        .distinct()
+        .persist()
+    )
+    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+
+    for _ in range(max_iterations):
+        # 1) propagate: min label over the closed neighborhood
+        neighbor_min = (
+            edges.join(labels.withColumnRenamed("u", "v"), "v")
+            .groupBy("u")
+            .agg(F.min("label").alias("nlabel"))
+        )
+        propagated = labels.join(neighbor_min, "u", "left").select(
+            "u",
+            F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("l1"),
+        )
+        # 2) pointer jump: follow the label's own label (path doubling)
+        jumped = propagated.join(
+            labels.select(F.col("u").alias("l1"), F.col("label").alias("l2")), "l1", "left"
+        ).select(
+            "u",
+            F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias("label"),
+        )
+        new_labels = jumped.localCheckpoint(eager=True)
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "u")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .limit(1)
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    edges.unpersist()
+    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def cluster_dedup(
+    df: DataFrame,
+    pairs: DataFrame,
+    id_col: str = "doc_id",
+    src: str = "id_a",
+    dst: str = "id_b",
+) -> DataFrame:
+    """Keep one representative (the minimum id) per duplicate cluster —
+    the transitive-closure version of minhash_dedup's keep rule."""
+    comps = connected_components(pairs, src, dst)
+    losers = comps.filter(F.col("node") != F.col("component")).select(
+        F.col("node").alias(id_col)
+    )
+    return df.join(losers, id_col, "left_anti")

@@ -399,3 +399,42 @@ def test_clean_text(spark):
     )
     out = ops.clean_text(docs).collect()[0].clean
     assert out == "see <URL> mail <EMAIL> now ok"
+
+
+def test_connected_components_and_cluster_dedup(spark):
+    # chain a-b-c plus isolated pair d-e: cluster {1,2,3} and {7,8}
+    pairs = spark.createDataFrame(
+        [Row(id_a=1, id_b=2), Row(id_a=2, id_b=3), Row(id_a=7, id_b=8)]
+    )
+    from dust_spark.operators import cluster_dedup, connected_components
+
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert comps == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+    docs = spark.createDataFrame([Row(doc_id=i, text=f"d{i}") for i in (1, 2, 3, 5, 7, 8)])
+    kept = {r.doc_id for r in cluster_dedup(docs, pairs).collect()}
+    assert kept == {1, 5, 7}  # one representative per cluster + untouched 5
+
+
+def test_connected_components_long_chain(spark):
+    # a 30-node path exercises multi-round convergence
+    pairs = spark.createDataFrame([Row(id_a=i, id_b=i + 1) for i in range(30)])
+    from dust_spark.operators import connected_components
+
+    comps = {r.node: r.component for r in connected_components(pairs).collect()}
+    assert set(comps.values()) == {0} and len(comps) == 31
+
+
+def test_decontaminate(spark):
+    bench = spark.createDataFrame(
+        [Row(text="the quick brown fox jumps over the lazy dog tonight")]
+    )
+    train = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="intro words then the quick brown fox jumps over the lazy dog tonight and more"),
+            Row(doc_id=2, text="completely unrelated content about sparkling distributed engines at scale"),
+            Row(doc_id=3, text="the quick brown fox appears briefly"),  # < 8-gram overlap
+        ]
+    )
+    kept = {r.doc_id for r in ops.decontaminate(train, bench, ngram_words=8).collect()}
+    assert kept == {2, 3}
