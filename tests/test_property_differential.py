@@ -73,3 +73,27 @@ def test_random_groupby_matches_duckdb(spark, duck_orders, pred, key):
     got = [(r.k, r.n) for r in spark.sql(sql).collect()]
     want = duck_orders.execute(sql).fetchall()
     assert got == want, f"predicate: {pred}"
+
+
+@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    pred=predicates(depth=1),
+    join_type=st.sampled_from(["JOIN", "LEFT JOIN"]),
+)
+def test_random_join_matches_duckdb(spark, duck_all, pred, join_type):
+    register_views(spark, SF_DIR)
+    sql = (
+        f"SELECT count(*) AS n, COALESCE(SUM(c_nationkey), 0) AS sk "
+        f"FROM orders {join_type} customer ON o_custkey = c_custkey WHERE {pred}"
+    )
+    got = spark.sql(sql).collect()[0]
+    want = duck_all.execute(sql).fetchone()
+    assert (got.n, got.sk) == want, f"{join_type} with {pred}"
+
+
+@pytest.fixture(scope="module")
+def duck_all():
+    con = duckdb.connect()
+    for t in ("orders", "customer"):
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')")
+    return con
