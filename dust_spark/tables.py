@@ -78,6 +78,10 @@ def register_views(spark: SparkSession, sf_dir: str, force: bool = False) -> Non
     the sf_dir changed or ``force`` is set.
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # DuckDB timestamps are UTC-naive; every date/window extraction in the
+    # catalog assumes the session clock is UTC — pin it here so the gate
+    # holds in ANY host session (the driver builds its own SparkSession)
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     key = (id(spark), os.path.abspath(sf_dir))
     stale = [k for k in _registered if k[0] == id(spark) and k[1] != key[1]]
     if key in _registered and not force and not stale:
