@@ -8,14 +8,18 @@
 - :func:`embedding_near_dup` — all pairs above a cosine threshold via
   the same bucketing.
 
-Vector math is pure Catalyst (zip_with/aggregate in DOUBLE); the
-hyperplanes are generated driver-side from a fixed seed (deterministic,
-tiny, shipped as literals — no UDF, no broadcast variable needed).
+Exact scoring (cosine re-rank) is pure Catalyst (zip_with/aggregate in
+DOUBLE). Hyperplanes/centroids are generated driver-side from a fixed
+seed and shipped as SparkContext broadcasts, scored by Arrow-batched
+pandas UDFs (one GEMM per batch) — plan size stays O(1) in the
+plane/centroid count, so real dims (1024) and list counts (tens of
+thousands) never blow up codegen.
 """
 
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -70,7 +74,10 @@ def cosine_topk(
 def rp_signature(vec_col, planes: np.ndarray):
     """Random-hyperplane sign bits packed into bigints (one per 64
     planes). ``planes`` is (n_planes, dim); emitted as literal arrays —
-    Catalyst folds them into constants."""
+    Catalyst folds them into constants. Kept for small plane counts /
+    UDF-free contexts; the LSH operators use :func:`_rp_tables_udf`
+    (broadcast planes + one GEMM per Arrow batch) because the literal
+    form costs O(n_planes × dim) codegen nodes."""
     n_planes = planes.shape[0]
     words = []
     for w0 in range(0, n_planes, 64):
@@ -81,6 +88,32 @@ def rp_signature(vec_col, planes: np.ndarray):
             word = word.bitwiseOR(F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(F.lit(0).cast("long")))
         words.append(word)
     return F.array(*words)
+
+
+def _rp_tables_udf(df: DataFrame, planes: np.ndarray, n_tables: int, bits: int):
+    """Per-table LSH signatures as one Arrow-batched scorer: sign bits
+    of vec·planes (``>= 0``, matching :func:`rp_signature`), packed
+    per-table into a long. Planes travel as a SparkContext broadcast;
+    per batch this is a single (n, dim) × (dim, n_tables·bits) GEMM, so
+    plan size and codegen time are O(1) in the plane count."""
+    from pyspark.sql.functions import pandas_udf
+
+    bc = df.sparkSession.sparkContext.broadcast(
+        np.ascontiguousarray(planes, dtype=np.float64)
+    )
+
+    @pandas_udf("array<long>")
+    def sigs(v: pd.Series) -> pd.Series:
+        P = bc.value
+        M = _batch_matrix(v, P.shape[1])
+        bits_m = (M @ P.T) >= 0  # (n, n_tables*bits)
+        words = np.zeros((len(M), n_tables), dtype=np.int64)
+        for t in range(n_tables):
+            for j in range(bits):
+                words[:, t] |= bits_m[:, t * bits + j].astype(np.int64) << j
+        return pd.Series(list(words))
+
+    return sigs
 
 
 def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
@@ -115,26 +148,35 @@ def rp_lsh_topk(
     planes = _planes(dim, n_tables * bits_per_table, seed)
 
     def with_buckets(df: DataFrame, prefix: str) -> DataFrame:
+        # ids + bucket keys only — the exploded table (n_tables rows per
+        # input row) must not replicate the embedding arrays
         idc = F.col(id_col).alias(f"{prefix}id")
-        vec = F.col(vec_col).alias(f"{prefix}v")
-        buckets = []
-        for t in range(n_tables):
-            tp = planes[t * bits_per_table : (t + 1) * bits_per_table]
-            sig = rp_signature(F.col(vec_col), tp)[0]
-            buckets.append(F.xxhash64(F.lit(t), sig))
-        return df.select(idc, vec, F.posexplode(F.array(*buckets)).alias("t", "bucket"))
+        sigs = _rp_tables_udf(df, planes, n_tables, bits_per_table)
+        tagged = df.select(idc, F.posexplode(sigs(F.col(vec_col))).alias("t", "sig"))
+        return tagged.select(
+            f"{prefix}id", "t", F.xxhash64("t", "sig").alias("bucket")
+        )
 
     qb = with_buckets(queries, "q")
     cb = with_buckets(corpus, "n")
+    # Candidate dedup on the id PAIR only — the bucket join and the
+    # distinct shuffle never carry embedding arrays (at dim=1024 the
+    # vectors would dominate shuffle bytes ~32×). Vectors are re-joined
+    # by id afterwards: two narrow equi-joins on int keys, and the small
+    # query side broadcasts under AQE.
     cand = (
         qb.join(cb, ["t", "bucket"])
         .filter(F.col("qid") != F.col("nid"))
-        .select("qid", "qv", "nid", "nv")
+        .select("qid", "nid")
         .distinct()
     )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
     w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
     return (
-        cand.withColumn("__cos", cosine(F.col("qv"), F.col("nv")))
+        cand.join(q, "qid")
+        .join(c, "nid")
+        .withColumn("__cos", cosine(F.col("qv"), F.col("nv")))
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("qid", "nid", F.round("__cos", 4).alias("cos"))
@@ -156,21 +198,25 @@ def embedding_near_dup(
     candidate buckets + exact verification. Near-dup semantics of
     dedup.embedding flavor (SURVEY §2.C C1 embedding-cosine)."""
     planes = _planes(dim, n_tables * bits_per_table, seed)
-    buckets = []
-    for t in range(n_tables):
-        tp = planes[t * bits_per_table : (t + 1) * bits_per_table]
-        buckets.append(F.xxhash64(F.lit(t), rp_signature(F.col(vec_col), tp)[0]))
+    sigs = _rp_tables_udf(df, planes, n_tables, bits_per_table)
+    # Bucket table carries ids only; candidate pairs are deduped on the
+    # (id_a, id_b) key and vectors re-joined by id for verification —
+    # the wide arrays never enter a shuffle hash key.
     tagged = df.select(
         F.col(id_col).alias("id"),
-        F.col(vec_col).alias("v"),
-        F.posexplode(F.array(*buckets)).alias("t", "bucket"),
-    )
+        F.posexplode(sigs(F.col(vec_col))).alias("t", "sig"),
+    ).select("id", "t", F.xxhash64("t", "sig").alias("bucket"))
     a, b = tagged.alias("a"), tagged.alias("b")
-    return (
+    pairs = (
         a.join(b, ["t", "bucket"])
         .filter(F.col("a.id") < F.col("b.id"))
-        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"), F.col("a.v").alias("va"), F.col("b.v").alias("vb"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
+    )
+    vecs = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    return (
+        pairs.join(vecs.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(vecs.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
         .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", "cos")
@@ -182,6 +228,51 @@ def embedding_near_dup(
 # ---------------------------------------------------------------------------
 
 
+def _batch_matrix(series, dim: int) -> np.ndarray:
+    """Arrow batch of array<float> → (n, dim) float64 matrix."""
+    if len(series) == 0:
+        return np.zeros((0, dim), dtype=np.float64)
+    return np.stack([np.asarray(x, dtype=np.float64) for x in series])
+
+
+def _sq_dists(M: np.ndarray, C: np.ndarray) -> np.ndarray:
+    """(n, dim) × (k, dim) → (n, k) squared L2 distances (one GEMM)."""
+    return (M * M).sum(1, keepdims=True) - 2.0 * (M @ C.T) + (C * C).sum(1)
+
+
+def _nearest_udf(bc):
+    """Arrow-batched nearest-centroid scorer. Centroids travel as a
+    SparkContext broadcast (``bc``) — the plan stays O(1) in
+    n_lists × dim, so real IVF list counts (tens of thousands of
+    centroids) are a data-size concern, not an expression-tree one.
+    Ties break to the lowest list id (np.argmin), matching a
+    lexicographic (distance, id) struct-min."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("int")
+    def nearest(v: pd.Series) -> pd.Series:
+        C = bc.value
+        M = _batch_matrix(v, C.shape[1])
+        return pd.Series(_sq_dists(M, C).argmin(1).astype("int32"))
+
+    return nearest
+
+
+def _probe_udf(bc, n_probe: int):
+    """Arrow-batched top-``n_probe`` nearest-list scorer for the query
+    side; stable argsort ties to the lowest list id."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("array<int>")
+    def probes(v: pd.Series) -> pd.Series:
+        C = bc.value
+        M = _batch_matrix(v, C.shape[1])
+        idx = np.argsort(_sq_dists(M, C), axis=1, kind="stable")[:, :n_probe]
+        return pd.Series(list(idx.astype("int32")))
+
+    return probes
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -190,60 +281,59 @@ def kmeans_centroids(
     sample: int = 2048,
     seed: int = 42,
 ) -> np.ndarray:
-    """Deterministic mini k-means for IVF coarse quantization.
+    """Deterministic mini k-means (Lloyd's) for IVF coarse quantization.
 
     Init: seeded choice from a driver-side sample (standard IVF
     training practice — the sample is tiny and bounded regardless of
-    corpus size). Iterations run distributed: assignment is a broadcast
-    nearest-centroid argmin (pure Catalyst), update is one groupBy
-    aggregating per-dimension sums.
+    corpus size). Each iteration: assignment via the broadcast pandas
+    scorer (no per-centroid literal expressions), update via
+    ``mapInPandas`` per-partition partial sums — at most
+    numPartitions × k tiny rows reach the driver, never the vectors.
     """
+    spark = df.sparkSession
     rng = np.random.RandomState(seed)
     pool = np.array(
         [list(r[0]) for r in df.select(vec_col).limit(sample).collect()], dtype=np.float64
     )
     cents = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)]
-    dim = cents.shape[1]
+    dim = int(cents.shape[1])
+    kk = int(cents.shape[0])
+
+    def partial_sums(batches):
+        n = np.zeros(kk, dtype=np.int64)
+        s = np.zeros((kk, dim), dtype=np.float64)
+        seen = False
+        for pdf in batches:
+            seen = True
+            cs = pdf["c"].to_numpy()
+            M = _batch_matrix(pdf["v"], dim)
+            np.add.at(n, cs, 1)
+            np.add.at(s, cs, M)
+        if seen:
+            nz = np.nonzero(n)[0]
+            yield pd.DataFrame(
+                {"c": nz.astype("int32"), "n": n[nz], "s": [s[i] for i in nz]}
+            )
 
     for _ in range(iterations):
+        bc = spark.sparkContext.broadcast(np.ascontiguousarray(cents))
         assigned = df.select(
-            _nearest_centroid(F.col(vec_col), cents).alias("c"),
-            F.col(vec_col).alias("v"),
+            _nearest_udf(bc)(F.col(vec_col)).alias("c"), F.col(vec_col).alias("v")
         )
-        sums = assigned.groupBy("c").agg(
-            F.count("*").alias("n"),
-            *[F.sum(F.element_at(F.col("v"), d + 1)).alias(f"s{d}") for d in range(dim)],
-        )
-        rows = {r["c"]: r for r in sums.collect()}
+        partials = assigned.mapInPandas(
+            partial_sums, schema="c int, n long, s array<double>"
+        ).collect()
+        bc.unpersist()
+        n_tot = np.zeros(kk, dtype=np.int64)
+        s_tot = np.zeros((kk, dim), dtype=np.float64)
+        for r in partials:
+            n_tot[r["c"]] += r["n"]
+            s_tot[r["c"]] += np.asarray(r["s"], dtype=np.float64)
         new = cents.copy()
-        for c, r in rows.items():
-            if r["n"]:
-                new[c] = [r[f"s{d}"] / r["n"] for d in range(dim)]
+        mask = n_tot > 0
+        new[mask] = s_tot[mask] / n_tot[mask, None]
         cents = new
     return cents
-
-
-def _sq_dist(vec, cent: np.ndarray):
-    plane = F.array(*[F.lit(float(x)) for x in cent])
-    return F.aggregate(
-        F.zip_with(vec, plane, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-
-
-def _nearest_centroid(vec, cents: np.ndarray):
-    """argmin over squared L2 distance to each centroid: array_min over
-    (distance, index) structs — linear expression size. (A chained
-    when() argmin triples the expression per centroid → 3^k nodes; this
-    shape stays O(k).)"""
-    dists = F.array(
-        *[
-            F.struct(_sq_dist(vec, cent).alias("d"), F.lit(ci).alias("c"))
-            for ci, cent in enumerate(cents)
-        ]
-    )
-    return F.array_min(dists)["c"]
 
 
 def ivf_topk(
@@ -261,30 +351,30 @@ def ivf_topk(
     by nearest centroid (the inverted lists) → each query probes its
     ``n_probe`` nearest lists → exact cosine re-rank within candidates.
 
-    Scale shape: one narrow pass tags the corpus with its list id; the
-    query→candidate join is an equi-join on the list id (shuffle keys
-    are ints). Recall/cost tuned by n_lists × n_probe exactly as in
-    FAISS-style IVF-Flat.
+    Scale shape: one narrow pass tags the corpus with its list id via
+    the Arrow-batched broadcast-centroid scorer (one GEMM per batch,
+    plan size O(1) in n_lists × dim — a literal-expression centroid
+    table caps out around n_lists × dim ≈ a few thousand, this form
+    carries tens of thousands of lists as a ~n_lists×dim×8-byte
+    broadcast); the query→candidate join is an equi-join on the list
+    id (shuffle keys are ints). Recall/cost tuned by n_lists × n_probe
+    exactly as in FAISS-style IVF-Flat.
     """
     from pyspark.sql import Window as W
 
     cents = kmeans_centroids(corpus, vec_col, n_lists, iterations, seed=seed)
+    bc = corpus.sparkSession.sparkContext.broadcast(np.ascontiguousarray(cents))
 
     c_tagged = corpus.select(
         F.col(id_col).alias("nid"),
         F.col(vec_col).alias("nv"),
-        _nearest_centroid(F.col(vec_col), cents).alias("list_id"),
+        _nearest_udf(bc)(F.col(vec_col)).alias("list_id"),
     )
     # each query probes its n_probe nearest lists
-    dists = [
-        F.struct(_sq_dist(F.col(vec_col), cent).alias("d"), F.lit(ci).alias("c"))
-        for ci, cent in enumerate(cents)
-    ]
-    probes = F.slice(F.array_sort(F.array(*dists)), 1, n_probe)
     q_tagged = queries.select(
         F.col(id_col).alias("qid"),
         F.col(vec_col).alias("qv"),
-        F.explode(F.transform(probes, lambda s: s["c"])).alias("list_id"),
+        F.explode(_probe_udf(bc, n_probe)(F.col(vec_col))).alias("list_id"),
     )
 
     w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
