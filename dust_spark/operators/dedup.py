@@ -79,8 +79,12 @@ def minhash_signatures(
     id_col: str = "doc_id",
     num_hashes: int = 64,
     shingle_words: int = 3,
+    include_shingles: bool = True,
 ) -> DataFrame:
     """id, shingles (distinct set), MinHash signature per document.
+    With ``include_shingles=False`` the shingle sets are dropped from
+    the aggregate — the signature-only form is what estimate-mode
+    verification consumes at scale.
 
     Shape: explode shingles once → one hash-aggregate computing all
     ``num_hashes`` mins (plus collect_set for later verification) — one
@@ -104,11 +108,12 @@ def minhash_signatures(
         F.min(F.when(F.col("shingle").isNotNull(), F.xxhash64("shingle", F.lit(i)))).alias(f"__h{i}")
         for i in range(num_hashes)
     ]
-    aggs.append(F.collect_set("shingle").alias("shingles"))
+    if include_shingles:
+        aggs.append(F.collect_set("shingle").alias("shingles"))
     sigs = exploded.groupBy("id").agg(*aggs)
     return sigs.select(
         "id",
-        F.col("shingles"),
+        *(["shingles"] if include_shingles else []),
         F.array(
             *[
                 F.coalesce(F.col(f"__h{i}"), F.xxhash64(F.col("id"), F.lit(i + num_hashes)))
@@ -127,22 +132,38 @@ def minhash_lsh_pairs(
     shingle_words: int = 3,
     threshold: float = 0.7,
     max_bucket: int = 10_000,
+    verify: str = "exact",
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
 
     Pipeline: signature (narrow) → explode band keys → self-join on
-    (band, hash) → distinct candidate pairs → verify exact Jaccard on
-    shingle sets. With b=16 bands of r=4 rows the S-curve threshold is
-    (1/16)^(1/4) ≈ 0.5, so recall at 0.7 is high.
+    (band, hash) → distinct candidate pairs → verify Jaccard. With b=16
+    bands of r=4 rows the S-curve threshold is (1/16)^(1/4) ≈ 0.5, so
+    recall at 0.7 is high.
+
+    ``verify`` selects the verification payload:
+
+    - ``"exact"`` (default, right at test SF): join the full shingle
+      sets back by id and compute exact Jaccard.
+    - ``"estimate"``: join only the num_hashes-long signatures and use
+      the standard MinHash estimator Ĵ = (# matching components)/k —
+      unbiased, stderr ≈ sqrt(J(1−J)/k) (~0.06 at k=64). At 100 TB the
+      exact mode's collect_set(shingles) shuffle is ≈ corpus size;
+      estimate mode ships 8·k bytes per doc instead.
 
     100 TB posture: candidates come from equi-joins on 8-byte band
     hashes (shuffle keys are tiny); ``max_bucket`` drops degenerate
     buckets (e.g. empty/boilerplate docs) that would otherwise create
     quadratic blowup inside a single hot key — the classic LSH skew
-    guard. Verification joins signatures back by id, so full shingle
-    arrays travel through exactly one shuffle each.
+    guard. Verification joins signatures back by id, so the payload
+    (shingle sets or signatures) travels through exactly one shuffle.
     """
-    sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_words)
+    if verify not in ("exact", "estimate"):
+        raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    sigs = minhash_signatures(
+        df, text_col, id_col, num_hashes, shingle_words,
+        include_shingles=(verify == "exact"),
+    )
     sigs = sigs.persist()
 
     bands_df = sigs.select(
@@ -165,15 +186,32 @@ def minhash_lsh_pairs(
         .distinct()
     )
 
-    sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-    sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    if verify == "exact":
+        sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        jac = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
+    else:
+        sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sh_a"))
+        sb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sh_b"))
+        matches = F.size(
+            F.filter(F.zip_with("sh_a", "sh_b", lambda x, y: x == y), lambda m: m)
+        )
+        jac = F.round(matches / F.lit(num_hashes), 4)
     verified = (
         candidates.join(sa, "id_a")
         .join(sb, "id_b")
-        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .withColumn("jaccard", jac)
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # Scope the big signature cache to this call: materialize the (small)
+    # verified-pair output, then release the signatures — long-lived
+    # sessions running many dedups must not accumulate signature blocks
+    # in executor memory. The persisted result is pairs-only (tiny); a
+    # lost block recomputes through full lineage.
+    verified = verified.persist()
+    verified.count()
+    sigs.unpersist()
     return verified
 
 
@@ -314,7 +352,7 @@ def ngram_jaccard_pairs(
     )
     sa = sizes.select(F.col("id").alias("id_a"), F.col("sz").alias("sz_a"))
     sb = sizes.select(F.col("id").alias("id_b"), F.col("sz").alias("sz_b"))
-    return (
+    result = (
         inter.join(sa, "id_a")
         .join(sb, "id_b")
         .withColumn(
@@ -324,6 +362,12 @@ def ngram_jaccard_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
+    # same cache-scoping discipline as minhash_lsh_pairs: keep only the
+    # small pair output cached, release the exploded shingle table
+    result = result.persist()
+    result.count()
+    sh.unpersist()
+    return result
 
 
 # ---------------------------------------------------------------------------
@@ -337,6 +381,7 @@ def decontaminate(
     text_col: str = "text",
     benchmark_text_col: str = "text",
     ngram_words: int = 8,
+    id_col: str = "doc_id",
 ) -> DataFrame:
     """Remove training documents that contain any ``ngram_words``-gram
     from the benchmark corpus — the standard eval-contamination filter.
@@ -344,7 +389,10 @@ def decontaminate(
     Shape: benchmark n-grams hash to a small key set (benchmarks are
     ~10³-10⁶ rows, training corpora 10⁹+), so the contaminated-doc
     detection is a broadcast-able semi-join from exploded training
-    n-grams to benchmark n-gram hashes, then an anti-join back by doc.
+    (id, gram-hash) pairs to benchmark n-gram hashes; the final
+    anti-join keys on ``id_col`` alone. The document payload is never
+    shuffled, and an id-key anti-join (unlike the full-row form) cannot
+    null-reject rows that carry NULLs in other columns.
     Exact-match n-gram policy (lowercased, whitespace-normalized).
     """
     bench_grams = benchmark.select(
@@ -352,11 +400,13 @@ def decontaminate(
     ).select(F.xxhash64("__g").alias("__gh")).distinct()
 
     doc_grams = df.select(
-        F.col("*"),
-        F.explode_outer(word_shingles(tokens(text_col), ngram_words)).alias("__g"),
-    ).select(F.col("*"), F.xxhash64("__g").alias("__gh")).drop("__g")
+        F.col(id_col),
+        F.explode(word_shingles(tokens(text_col), ngram_words)).alias("__g"),
+    ).select(id_col, F.xxhash64("__g").alias("__gh"))
 
-    contaminated = (
-        doc_grams.join(F.broadcast(bench_grams), "__gh", "left_semi").drop("__gh").distinct()
+    contaminated_ids = (
+        doc_grams.join(F.broadcast(bench_grams), "__gh", "left_semi")
+        .select(id_col)
+        .distinct()
     )
-    return df.join(contaminated.select(*df.columns).distinct(), df.columns, "left_anti")
+    return df.join(contaminated_ids, id_col, "left_anti")

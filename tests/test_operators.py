@@ -84,6 +84,40 @@ def test_minhash_recall_and_precision(spark, corpus):
     assert recall >= 0.9, f"recall {recall}: {truth - got}"
 
 
+def test_minhash_estimate_verify_bounds(spark, corpus):
+    """Estimate mode (signature-component Jaccard, no shingle sets) must
+    bracket the exact values: stderr ≈ sqrt(J(1-J)/64) ≈ 0.06, so with a
+    0.25 guard band every strong true pair is recalled at a lower
+    threshold and no weak pair sneaks in."""
+    from dust_spark.functions import jaccard, tokens, word_shingles
+
+    exact_j = {}
+    sh = corpus.select("doc_id", word_shingles(tokens("text"), 3).alias("sh")).filter(
+        F.size("sh") > 0  # empty shingle sets are never paired (operator convention)
+    )
+    a = sh.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sa"))
+    b = sh.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sb"))
+    for r in (
+        a.crossJoin(b)
+        .filter(F.col("id_a") < F.col("id_b"))
+        .withColumn("j", jaccard(F.col("sa"), F.col("sb")))
+        .collect()
+    ):
+        exact_j[(r.id_a, r.id_b)] = r.j
+    est = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in ops.minhash_lsh_pairs(corpus, threshold=0.5, verify="estimate").collect()
+    }
+    strong = {p for p, j in exact_j.items() if j >= 0.75}
+    assert strong, "fixture must contain strong near-dups"
+    missed = {p for p in strong if p not in est}
+    assert not missed, f"estimate mode missed strong pairs: {missed}"
+    for p, je in est.items():
+        assert exact_j.get(p, 0.0) >= 0.25, f"{p}: est {je} but exact {exact_j.get(p)}"
+        if p in exact_j:
+            assert abs(je - exact_j[p]) <= 0.25, f"{p}: est {je} vs exact {exact_j[p]}"
+
+
 def test_minhash_dedup_drops_losers(spark, corpus):
     pairs = ops.minhash_lsh_pairs(corpus, threshold=0.5).collect()
     losers = {r.id_b for r in pairs}
