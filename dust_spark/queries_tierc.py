@@ -532,3 +532,93 @@ def split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count("*").alias("n"))
         .orderBy("split")
     )
+
+
+# ---------------------------------------------------------------------------
+# C10 — benchmark decontamination + transitive-closure cluster dedup
+# ---------------------------------------------------------------------------
+
+_DECON_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 8
+         THEN list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         ELSE [] END)) AS g
+  FROM tok
+), bench AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), bad AS (
+  SELECT DISTINCT doc_id FROM grams JOIN bench USING (g)
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+ORDER BY doc_id
+"""
+
+
+@register("c10a_decontaminate", oracle=_DECON_ORACLE, tags=("tierc", "dedup"))
+def decontaminate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benchmark decontamination: every 50th document plays the eval
+    benchmark; training docs sharing any exact 8-gram with it are
+    dropped. Detection semi-joins hashed (id, gram) pairs against the
+    broadcast benchmark gram set; the final anti-join keys on doc_id."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    return (
+        ops.decontaminate(docs, bench, ngram_words=8)
+        .select("doc_id")
+        .orderBy("doc_id")
+    )
+
+
+_CLUSTER_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n, LEAST(n, MIN(m)) AS root FROM reach GROUP BY n
+)
+SELECT doc_id FROM documents
+WHERE doc_id NOT IN (SELECT n FROM comp WHERE root < n)
+ORDER BY doc_id
+"""
+
+
+@register("c10b_cluster_dedup", oracle=_CLUSTER_ORACLE, tags=("tierc", "dedup", "graph"))
+def cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Transitive-closure dedup: exact n-gram Jaccard pairs (>= 0.2)
+    feed pointer-jumping connected components; one representative (the
+    minimum doc_id) survives per cluster. The DuckDB oracle replays the
+    closure with a recursive CTE."""
+    docs = _docs(spark, sf_dir)
+    pairs = ops.ngram_jaccard_pairs(docs, threshold=0.2)
+    return ops.cluster_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
