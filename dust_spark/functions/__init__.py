@@ -39,6 +39,21 @@ def word_shingles(tok: Column, n: int = 3) -> Column:
     return F.array_distinct(F.when(F.size(tok) >= n, sh).otherwise(F.array().cast("array<string>")))
 
 
+def shingle_hashes(tok: Column, n: int = 3) -> Column:
+    """xxhash64 of each n-word shingle, emitted directly from the token
+    array in a SINGLE-level ``transform`` → array<long> (with
+    duplicates; min/majority sketches are duplicate-insensitive).
+
+    Deliberately not ``transform(word_shingles(...), xxhash64)``: that
+    nests higher-order lambdas, and Catalyst inlines the inner array
+    expression per outer element — O(shingles²) re-evaluation per row.
+    """
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    parts = lambda i: [F.element_at(tok, i + j) for j in range(n)]  # noqa: E731
+    sh = F.transform(idx, lambda i: F.xxhash64(F.concat_ws(" ", *parts(i))))
+    return F.when(F.size(tok) >= n, sh).otherwise(F.array().cast("array<long>"))
+
+
 def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles (distinct)."""
     c = F.col(col) if isinstance(col, str) else col

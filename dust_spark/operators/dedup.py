@@ -21,6 +21,8 @@ All signature/sketch computation is pure Catalyst expressions
 
 from __future__ import annotations
 
+import numpy as np
+import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
@@ -28,6 +30,7 @@ from dust_spark.functions import (
     hamming64,
     jaccard,
     lsh_band_hashes,
+    shingle_hashes,
     tokens,
     word_shingles,
 )
@@ -73,6 +76,18 @@ def exact_dedup_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 _EMPTY_MIN = 0x7FFFFFFFFFFFFFFF  # sentinel for empty shingle sets
 
 
+_MERSENNE61 = (1 << 61) - 1
+
+
+def _affine_params(num_hashes: int, seed: int = 7) -> tuple:
+    """The standard MinHash permutation family: k affine transforms of a
+    64-bit base hash (the datasketch construction, public knowledge)."""
+    rng = np.random.RandomState(seed)
+    a = rng.randint(1, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    b = rng.randint(0, _MERSENNE61, size=num_hashes).astype(np.uint64)
+    return a, b
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -82,45 +97,44 @@ def minhash_signatures(
     include_shingles: bool = True,
 ) -> DataFrame:
     """id, shingles (distinct set), MinHash signature per document.
-    With ``include_shingles=False`` the shingle sets are dropped from
-    the aggregate — the signature-only form is what estimate-mode
-    verification consumes at scale.
+    With ``include_shingles=False`` the shingle sets are dropped —
+    the signature-only form is what estimate-mode verification
+    consumes at scale.
 
-    Shape: explode shingles once → one hash-aggregate computing all
-    ``num_hashes`` mins (plus collect_set for later verification) — one
-    shuffle on the doc id with map-side partial combine. This beats the
-    per-row nested-lambda formulation (functions.minhash_signature)
-    decisively: Catalyst inlines nested higher-order lambdas, turning
-    O(shingles × hashes) into O(shingles² × hashes) re-evaluation; the
-    explode+agg form is linear and scales to arbitrarily long documents.
+    Shape: fully NARROW — no shuffle. Base shingle hashes are JVM-side
+    ``xxhash64`` through a single-level ``transform`` lambda (one level:
+    Catalyst's nested-lambda inlining blowup doesn't apply), then one
+    Arrow-batched numpy kernel takes the k affine-transform minima per
+    row. This replaces the round-1 explode + 64-buffer hash-aggregate,
+    which paid one shuffle on the doc id plus a multi-second one-time
+    codegen compile for the 64 aggregate buffers.
     """
-    exploded = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(word_shingles(tokens(text_col), shingle_words)).alias("shingle"),
-    )
-    # NOTE: first execution pays a multi-second one-time codegen compile
-    # for the 64-buffer aggregate — a fixed cost, irrelevant at scale
-    # (and why the bench shows c2a as the slowest query at toy SFs).
-    # xxhash64 skips NULL args, so guard explicitly: empty docs must get
-    # NULL mins, then a per-doc sentinel signature (empty docs must never
-    # collide with each other — exact dedup owns the empty-doc case)
-    aggs = [
-        F.min(F.when(F.col("shingle").isNotNull(), F.xxhash64("shingle", F.lit(i)))).alias(f"__h{i}")
-        for i in range(num_hashes)
-    ]
+    from pyspark.sql.functions import pandas_udf
+
+    a, b = _affine_params(num_hashes)
+
+    @pandas_udf("array<long>")
+    def sig_udf(ids: pd.Series, hashes: pd.Series) -> pd.Series:
+        out = []
+        for i, h in zip(ids, hashes):
+            if h is None or len(h) == 0:
+                # per-doc sentinel — empty docs must never collide with
+                # each other (exact dedup owns the empty-doc case)
+                base = np.array([np.uint64(np.int64(i)) + np.uint64(0x9E3779B97F4A7C15)])
+            else:
+                base = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            # (a·h + b) mod 2^64 mod M61 — affine family over the base hash
+            sig = ((a[:, None] * base[None, :] + b[:, None]) % np.uint64(_MERSENNE61)).min(1)
+            out.append(sig.astype(np.int64))
+        return pd.Series(out)
+
+    shingle_set = word_shingles(tokens(text_col), shingle_words)  # distinct, for verify
+    base_hashes = shingle_hashes(tokens(text_col), shingle_words)  # single-level lambda
+    cols = [F.col(id_col).alias("id")]
     if include_shingles:
-        aggs.append(F.collect_set("shingle").alias("shingles"))
-    sigs = exploded.groupBy("id").agg(*aggs)
-    return sigs.select(
-        "id",
-        *(["shingles"] if include_shingles else []),
-        F.array(
-            *[
-                F.coalesce(F.col(f"__h{i}"), F.xxhash64(F.col("id"), F.lit(i + num_hashes)))
-                for i in range(num_hashes)
-            ]
-        ).alias("sig"),
-    )
+        cols.append(shingle_set.alias("shingles"))
+    cols.append(sig_udf(F.col(id_col), base_hashes).alias("sig"))
+    return df.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -166,15 +180,19 @@ def minhash_lsh_pairs(
     )
     sigs = sigs.persist()
 
+    from pyspark.sql import Window as W
+
     bands_df = sigs.select(
         "id",
         F.posexplode(lsh_band_hashes(F.col("sig"), bands, num_hashes)).alias("band", "bh"),
     )
-    # skew guard: drop buckets that would explode quadratically
-    bucket_sizes = bands_df.groupBy("band", "bh").agg(F.count("*").alias("bc"))
-    bands_df = bands_df.join(
-        bucket_sizes.filter(F.col("bc") <= max_bucket).select("band", "bh"),
-        ["band", "bh"],
+    # skew guard: drop buckets that would explode quadratically — a
+    # count-over-window on the same (band, bh) partitioning the
+    # self-join shuffles on anyway, so the guard adds no extra join
+    bands_df = (
+        bands_df.withColumn("__bc", F.count("*").over(W.partitionBy("band", "bh")))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
     )
 
     a = bands_df.alias("a")
@@ -239,35 +257,34 @@ def minhash_dedup(
 
 
 def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id") -> DataFrame:
-    """id + 64-bit simhash.
+    """id + 64-bit simhash (per-bit majority vote over token hashes,
+    token multiplicity counted; empty docs → simhash 0).
 
-    Same explode+aggregate shape as :func:`minhash_signatures` (one
-    shuffle, 64 conditional sums with map-side combine), then the bit
-    fold happens on one row per doc. Empty docs → simhash 0."""
-    tok_hashes = df.select(
-        F.col(id_col).alias("id"),
-        F.explode_outer(tokens(text_col)).alias("__tok"),
-    ).select(
-        "id",
-        F.when(F.col("__tok").isNotNull(), F.xxhash64("__tok")).alias("h"),
+    Shape: fully NARROW — token base hashes are JVM-side ``xxhash64``
+    through a single-level ``transform`` lambda, the 64-bit majority
+    fold is one Arrow-batched numpy kernel. Replaces the round-1
+    explode + 64-conditional-sum aggregate (one shuffle + multi-second
+    one-time codegen, the slowest query in the round-1 bench)."""
+    from pyspark.sql.functions import pandas_udf
+
+    shifts = np.arange(64, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def simhash_udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for r, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            H = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            bits = (H[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, 64)
+            maj = 2 * bits.sum(0, dtype=np.int64) - len(H)  # Σ(+1/-1) per bit
+            out[r] = ((maj > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
+
+    base_hashes = F.transform(tokens(text_col), lambda t: F.xxhash64(t))
+    return df.select(
+        F.col(id_col).alias("id"), simhash_udf(base_hashes).alias("simhash")
     )
-    one = F.lit(1).cast("long")
-    bit_sums = tok_hashes.groupBy("id").agg(
-        *[
-            F.sum(
-                F.when(F.col("h").isNull(), 0)
-                .when(F.shiftright(F.col("h"), j).bitwiseAND(one) != 0, 1)
-                .otherwise(-1)
-            ).alias(f"__b{j}")
-            for j in range(64)
-        ]
-    )
-    sim = F.lit(0).cast("long")
-    for j in range(64):
-        sim = sim.bitwiseOR(
-            F.when(F.col(f"__b{j}") > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
-        )
-    return bit_sums.select("id", sim.alias("simhash"))
 
 
 def simhash_pairs(
@@ -334,18 +351,23 @@ def ngram_jaccard_pairs(
     the cap) — they add candidates but almost no signal, and they are
     exactly the skewed keys that hurt at scale.
     """
+    shingle_set = word_shingles(tokens(text_col), shingle_words)
+    # postings carry an 8-byte shingle hash, never the string — join and
+    # shuffle keys stay fixed-width (collision odds ~n²/2^65: irrelevant
+    # below ~10^8 distinct shingles per partition-disjoint corpus slice)
     sh = df.select(
         F.col(id_col).alias("id"),
-        F.explode(word_shingles(tokens(text_col), shingle_words)).alias("shingle"),
-    ).persist()  # read 3× below (postings filter, both join sides, sizes)
-    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
+        F.explode(shingle_set).alias("__s"),
+    ).select("id", F.xxhash64("__s").alias("gh")).persist()  # read 3× below
+    # set sizes come straight off the narrow per-row arrays — no shuffle
+    sizes = df.select(F.col(id_col).alias("id"), F.size(shingle_set).alias("sz"))
 
-    postings = sh.groupBy("shingle").agg(F.count("*").alias("df_"))
-    sh = sh.join(postings.filter(F.col("df_") <= max_postings).select("shingle"), "shingle")
+    postings = sh.groupBy("gh").agg(F.count("*").alias("df_"))
+    sh = sh.join(postings.filter(F.col("df_") <= max_postings).select("gh"), "gh")
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
-        a.join(b, "shingle")
+        a.join(b, "gh")
         .filter(F.col("a.id") < F.col("b.id"))
         .groupBy(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .agg(F.count("*").alias("inter"))

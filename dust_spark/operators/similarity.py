@@ -283,55 +283,27 @@ def kmeans_centroids(
 ) -> np.ndarray:
     """Deterministic mini k-means (Lloyd's) for IVF coarse quantization.
 
-    Init: seeded choice from a driver-side sample (standard IVF
-    training practice — the sample is tiny and bounded regardless of
-    corpus size). Each iteration: assignment via the broadcast pandas
-    scorer (no per-centroid literal expressions), update via
-    ``mapInPandas`` per-partition partial sums — at most
-    numPartitions × k tiny rows reach the driver, never the vectors.
+    Trains entirely on a bounded driver-side sample (seeded init +
+    numpy Lloyd iterations) — the standard IVF practice: the coarse
+    quantizer is fit on ~10⁴-10⁵ sampled vectors regardless of corpus
+    size (FAISS trains IVF the same way), so training costs zero Spark
+    jobs and the only distributed passes are the one-shot list
+    assignments in :func:`ivf_topk`. ``sample`` bounds driver memory:
+    sample × dim × 8 bytes.
     """
-    spark = df.sparkSession
     rng = np.random.RandomState(seed)
     pool = np.array(
         [list(r[0]) for r in df.select(vec_col).limit(sample).collect()], dtype=np.float64
     )
     cents = pool[rng.choice(len(pool), size=min(k, len(pool)), replace=False)]
-    dim = int(cents.shape[1])
-    kk = int(cents.shape[0])
-
-    def partial_sums(batches):
-        n = np.zeros(kk, dtype=np.int64)
-        s = np.zeros((kk, dim), dtype=np.float64)
-        seen = False
-        for pdf in batches:
-            seen = True
-            cs = pdf["c"].to_numpy()
-            M = _batch_matrix(pdf["v"], dim)
-            np.add.at(n, cs, 1)
-            np.add.at(s, cs, M)
-        if seen:
-            nz = np.nonzero(n)[0]
-            yield pd.DataFrame(
-                {"c": nz.astype("int32"), "n": n[nz], "s": [s[i] for i in nz]}
-            )
 
     for _ in range(iterations):
-        bc = spark.sparkContext.broadcast(np.ascontiguousarray(cents))
-        assigned = df.select(
-            _nearest_udf(bc)(F.col(vec_col)).alias("c"), F.col(vec_col).alias("v")
-        )
-        partials = assigned.mapInPandas(
-            partial_sums, schema="c int, n long, s array<double>"
-        ).collect()
-        bc.unpersist()
-        n_tot = np.zeros(kk, dtype=np.int64)
-        s_tot = np.zeros((kk, dim), dtype=np.float64)
-        for r in partials:
-            n_tot[r["c"]] += r["n"]
-            s_tot[r["c"]] += np.asarray(r["s"], dtype=np.float64)
+        assign = _sq_dists(pool, cents).argmin(1)
         new = cents.copy()
-        mask = n_tot > 0
-        new[mask] = s_tot[mask] / n_tot[mask, None]
+        for c in range(len(cents)):
+            members = pool[assign == c]
+            if len(members):
+                new[c] = members.mean(0)
         cents = new
     return cents
 

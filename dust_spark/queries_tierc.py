@@ -44,6 +44,20 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_input(spark, sf_dir, "embeddings")
 
 
+_pairs_cache: dict[tuple[int, str], DataFrame] = {}
+
+
+def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard pairs at threshold 0.2 — consumed by both c2c and
+    c10b; computed once per (session, sf_dir). The operator already
+    persists its (tiny) pair output, so memoizing the DataFrame handle
+    is enough to share the materialization."""
+    key = (id(spark), sf_dir)
+    if key not in _pairs_cache:
+        _pairs_cache[key] = ops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
+    return _pairs_cache[key]
+
+
 # ---------------------------------------------------------------------------
 # C1 — exact dedup
 # ---------------------------------------------------------------------------
@@ -121,7 +135,7 @@ ORDER BY id_a, id_b
 
 @register("c2c_ngram_jaccard_pairs", oracle=_NGRAM_ORACLE, tags=("tierc", "dedup"))
 def ngram_jaccard_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    return ops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2).orderBy("id_a", "id_b")
+    return _ngram_pairs(spark, sf_dir).orderBy("id_a", "id_b")
 
 
 @register("c2d_embedding_near_dup", tags=("tierc", "dedup", "no-oracle"))
@@ -620,5 +634,5 @@ def cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     minimum doc_id) survives per cluster. The DuckDB oracle replays the
     closure with a recursive CTE."""
     docs = _docs(spark, sf_dir)
-    pairs = ops.ngram_jaccard_pairs(docs, threshold=0.2)
+    pairs = _ngram_pairs(spark, sf_dir)
     return ops.cluster_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
