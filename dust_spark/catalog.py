@@ -56,6 +56,10 @@ class Catalog:
         self.warehouse = warehouse
         self.tables: dict[str, TableState] = {}
         self.views: dict[str, str] = {}  # view name -> SELECT sql
+        # journal high-water mark: seq of the last statement reflected in
+        # this manifest — replay() skips entries at or below it, so
+        # "load manifest + replay journal tail" never double-applies
+        self.journal_seq: int = 0
         if warehouse:
             os.makedirs(warehouse, exist_ok=True)
             self._load_manifest()
@@ -79,6 +83,7 @@ class Catalog:
             )
             df.createOrReplaceTempView(name)
         self.views = man.get("views", {})
+        self.journal_seq = man.get("journal_seq", 0)
         for vname, vsql in self.views.items():
             self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
 
@@ -94,6 +99,7 @@ class Catalog:
                 for name, st in self.tables.items()
             },
             "views": self.views,
+            "journal_seq": self.journal_seq,
         }
         fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".json")
         with os.fdopen(fd, "w") as f:

@@ -302,7 +302,11 @@ _ALTER_ADD_RE = re.compile(
     re.S | re.I,
 )
 
-_PRAGMA_RE = re.compile(r"^\s*PRAGMA\s+(?P<key>\w+)\s*(?:=\s*(?P<val>\w+))?\s*;?\s*$", re.S | re.I)
+_PRAGMA_RE = re.compile(
+    r"^\s*PRAGMA\s+(?P<key>\w+)\s*"
+    r"(?:=\s*(?P<val>\w+)|\(\s*(?P<arg>[^)]*?)\s*\))?\s*;?\s*$",
+    re.S | re.I,
+)
 
 
 @dataclass
@@ -384,11 +388,15 @@ def parse_alter_add(sql: str) -> tuple[str, str, T.DataType]:
     return unquote_ident(m.group("name")).lower(), col, affinity_type(decl)
 
 
-def parse_pragma(sql: str) -> tuple[str, str | None]:
+def parse_pragma(sql: str) -> tuple[str, str | None, str | None]:
+    """(key, value, call_arg) — SQLite pragmas come in three shapes:
+    ``PRAGMA k``, ``PRAGMA k = v``, and the call form ``PRAGMA k(arg)``
+    (e.g. ``PRAGMA table_info(t)``)."""
     m = _PRAGMA_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
-    return m.group("key").lower(), (m.group("val") or None)
+    arg = m.group("arg")
+    return m.group("key").lower(), (m.group("val") or None), (unquote_ident(arg) if arg else None)
 
 
 # --------------------------------------------------------------------------

@@ -128,6 +128,14 @@ class DustSession:
         self._fk_enabled = False
         self._last_insert_id = 0
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
+        # continue the statement seq from max(manifest, journal tail) so a
+        # crash between journal-append and publish can't reuse a seq
+        self._journal_seq = self.catalog.journal_seq
+        if self._journal and os.path.exists(self._journal):
+            with open(self._journal) as f:
+                for i, line in enumerate(l for l in f if l.strip()):
+                    doc = json.loads(line)
+                    self._journal_seq = max(self._journal_seq, doc.get("seq", i + 1))
 
     # ------------------------------------------------------------------
     # public API (reference store/src/lib.rs Database trait)
@@ -144,8 +152,10 @@ class DustSession:
             try:
                 responses.append(self._apply(overlay, stmt))
                 if not req.transaction:
-                    overlay.commit()
+                    # write-ahead: journal first, then publish — a crash
+                    # in between replays the statement onto the manifest
                     self._log_journal(stmt, False)
+                    overlay.commit()
             except DustError as e:
                 responses.append(Response(error=str(e)))
                 if req.transaction:
@@ -156,10 +166,10 @@ class DustSession:
             if rollback:
                 overlay.rollback()
             else:
-                overlay.commit()
                 for stmt in req.statements:
                     if stmt.sql:
                         self._log_journal(stmt, True)
+                overlay.commit()
         return responses
 
     def query(self, req: Request) -> list[Rows]:
@@ -178,8 +188,8 @@ class DustSession:
                 err = None
                 try:
                     self._apply(overlay, stmt)
-                    overlay.commit()
                     self._log_journal(stmt, False)
+                    overlay.commit()
                 except DustError as e:
                     overlay.rollback()
                     err = e
@@ -227,12 +237,17 @@ class DustSession:
         README.md:30). Only works because journaled statements passed
         the determinism discipline when first executed."""
         sess = DustSession(spark, warehouse=warehouse)
+        snapshot_seq = sess.catalog.journal_seq  # 0 for a fresh warehouse
+        sess._journal_seq = snapshot_seq  # re-journal the tail from here
+        # snapshot the lines up front: replaying appends to this same
+        # file when warehouse == the journal's own warehouse
         with open(journal_path) as f:
-            for line in f:
-                if not line.strip():
-                    continue
-                doc = json.loads(line)
-                sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
+            lines = [ln for ln in f if ln.strip()]
+        for i, line in enumerate(lines):
+            doc = json.loads(line)
+            if doc.get("seq", i + 1) <= snapshot_seq:
+                continue  # already in the manifest snapshot
+            sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
         return sess
 
     # ------------------------------------------------------------------
@@ -331,19 +346,47 @@ class DustSession:
     # -- PRAGMA -----------------------------------------------------------
 
     def _pragma_exec(self, sql: str) -> Response:
-        key, val = dialect.parse_pragma(sql)
+        try:
+            key, val, _arg = dialect.parse_pragma(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
         if key == "foreign_keys" and val is not None:
             self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
         return self._ok()
 
     def _pragma_query(self, sql: str) -> Rows:
-        key, val = dialect.parse_pragma(sql)
+        try:
+            key, val, arg = dialect.parse_pragma(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
         if key == "foreign_keys":
             if val is not None:
                 self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
                 return Rows()
             return Rows(columns=["foreign_keys"], types=["integer"], values=[[1 if self._fk_enabled else 0]])
-        return Rows()
+        if key == "table_info":
+            # call-form pragma (SQLite PRAGMA table_info(t), implied
+            # surface of the reference's SQLite pass-through)
+            return self._pragma_table_info(arg or val)
+        return Rows()  # unknown pragmas: empty result, like SQLite
+
+    def _pragma_table_info(self, table: str | None) -> Rows:
+        cols = ["cid", "name", "type", "notnull", "dflt_value", "pk"]
+        types = ["integer", "text", "text", "integer", "text", "integer"]
+        st = self.catalog.tables.get(table) if table else None
+        if st is None:
+            return Rows(columns=cols, types=types, values=[])
+        tdef = st.tdef
+        pk_cols = tdef.primary_key or ([tdef.rowid_column] if tdef.rowid_column else [])
+        values = []
+        for i, f in enumerate(tdef.schema.fields):
+            decl = tdef.declared_types.get(f.name, f.dataType.simpleString().upper())
+            notnull = 1 if f.name in tdef.not_null else 0
+            dflt = tdef.defaults.get(f.name)
+            # SQLite: pk = 1-based position within the primary key, else 0
+            pk = pk_cols.index(f.name) + 1 if f.name in pk_cols else 0
+            values.append([i, f.name, decl, notnull, dflt, pk])
+        return Rows(columns=cols, types=types, values=values)
 
     # -- DML --------------------------------------------------------------
 
@@ -458,6 +501,7 @@ class DustSession:
         new_df = marked.drop("__m")
 
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
+        self._check_child_fks(overlay, up.table, new_df)
 
         new_st = self.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(up.table, new_st)
@@ -477,11 +521,39 @@ class DustSession:
                 f"SELECT * FROM __dust_stage WHERE NOT coalesce(({de.where}), false)"
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
+        self._check_child_fks(overlay, de.table, new_df)
         new_st = self.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
         overlay.put(de.table, new_st)
         return self._ok(n)
 
     # -- constraints (SURVEY §4.2 custom: Spark doesn't enforce) ----------
+
+    def _check_child_fks(self, overlay: Overlay, parent: str, parent_new_df: DataFrame) -> None:
+        """Reverse FK enforcement: DELETE/UPDATE of a referenced parent
+        row must fail while child rows still point at it (real SQLite
+        with PRAGMA foreign_keys=ON raises 'FOREIGN KEY constraint
+        failed'; the reference inherits that via its pass-through,
+        db/src/db.rs:350-376)."""
+        if not self._fk_enabled:
+            return
+        names = set(self.catalog.tables) | {
+            n for n, cst in overlay.staged.items() if cst is not None
+        }
+        for child in sorted(names):
+            cst = overlay.get(child)
+            if cst is None:
+                continue
+            for fk in cst.tdef.foreign_keys:
+                if fk.ref_table != parent:
+                    continue
+                # self-referencing tables check against their post-image
+                child_df = parent_new_df if child == parent else cst.df
+                ref = parent_new_df.select(F.col(fk.ref_column).alias("__ref")).distinct()
+                dangling = child_df.filter(F.col(fk.column).isNotNull()).join(
+                    ref, F.col(fk.column) == F.col("__ref"), "left_anti"
+                )
+                if dangling.limit(1).count() > 0:
+                    raise DustError("FOREIGN KEY constraint failed")
 
     def _check_constraints(
         self,
@@ -602,10 +674,19 @@ class DustSession:
     def _log_journal(self, stmt: Statement, transaction: bool) -> None:
         if not self._journal:
             return
+        self._journal_seq += 1
+        # the manifest saved by the following publish records this seq,
+        # marking the statement as reflected in the snapshot
+        self.catalog.journal_seq = self._journal_seq
         with open(self._journal, "a") as f:
             f.write(
                 json.dumps(
-                    {"sql": stmt.sql, "parameters": list(stmt.parameters or []), "transaction": transaction}
+                    {
+                        "seq": self._journal_seq,
+                        "sql": stmt.sql,
+                        "parameters": list(stmt.parameters or []),
+                        "transaction": transaction,
+                    }
                 )
                 + "\n"
             )

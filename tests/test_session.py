@@ -448,3 +448,78 @@ def test_tx_rolls_back_ddl(db):
     assert out[-1].error == "no such table: nosuch"
     with pytest.raises(DustError, match="no such table"):
         db.query_string_stmt("SELECT * FROM txt")
+
+
+def test_fk_parent_delete_update_enforced(db):
+    """With PRAGMA foreign_keys=ON, deleting or re-keying a referenced
+    parent row fails like real SQLite (reference inherits this via its
+    SQLite pass-through, db/src/db.rs:350-376)."""
+    ex(db, "PRAGMA foreign_keys = ON")
+    ex(db, "CREATE TABLE p (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, "CREATE TABLE c (id INTEGER NOT NULL PRIMARY KEY, pid INTEGER, FOREIGN KEY(pid) REFERENCES p(id))")
+    ex(db, "INSERT INTO p(id, name) VALUES(1, 'a'), (2, 'b')")
+    ex(db, "INSERT INTO c(id, pid) VALUES(10, 1)")
+    # deleting the referenced parent fails; the unreferenced one succeeds
+    assert ex(db, "DELETE FROM p WHERE id = 1") == '[{"error":"FOREIGN KEY constraint failed"}]'
+    assert ex(db, "DELETE FROM p WHERE id = 2") == '[{"last_insert_id":10,"rows_affected":1}]'
+    # re-keying the referenced parent fails
+    assert ex(db, "UPDATE p SET id = 5 WHERE id = 1") == '[{"error":"FOREIGN KEY constraint failed"}]'
+    # with the child pointer cleared, the delete goes through
+    ex(db, "UPDATE c SET pid = NULL")
+    assert ex(db, "DELETE FROM p WHERE id = 1") == '[{"last_insert_id":10,"rows_affected":1}]'
+    # and with enforcement off, dangling deletes are allowed again
+    ex(db, "PRAGMA foreign_keys = OFF")
+    ex(db, "INSERT INTO p(id, name) VALUES(3, 'c')")
+    ex(db, "UPDATE c SET pid = 3")
+    assert '"error"' not in ex(db, "DELETE FROM p WHERE id = 3")
+
+
+def test_pragma_call_form(db):
+    """PRAGMA table_info(t) (call form) answers with SQLite's shape;
+    unknown call-form pragmas return empty rows instead of crashing."""
+    ex(db, "CREATE TABLE ti (id INTEGER NOT NULL PRIMARY KEY, name TEXT NOT NULL, score REAL)")
+    out = q(db, "PRAGMA table_info(ti)")
+    assert '"columns":["cid","name","type","notnull","dflt_value","pk"]' in out
+    assert '[0,"id","INTEGER",1,null,1]' in out
+    assert '"name"' in out and '"score"' in out
+    # unknown pragmas (value-form or call-form) don't error
+    assert q(db, "PRAGMA journal_mode(wal)") == '[{"columns":[],"types":[],"values":[]}]'
+    assert q(db, "PRAGMA table_info(nosuch)") == (
+        '[{"columns":["cid","name","type","notnull","dflt_value","pk"],'
+        '"types":["integer","text","text","integer","text","integer"],"values":[]}]'
+    )
+
+
+def test_replay_skips_snapshot(spark, tmp_path):
+    """replay() over a warehouse that already loaded the manifest must
+    not double-apply committed statements: the manifest records a
+    journal high-water mark and replay starts after it."""
+    import os
+
+    wh = str(tmp_path / "wh_hw")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO t(v) VALUES(1)")
+    db.execute_string_stmt("INSERT INTO t(v) VALUES(2)")
+    want = rows_to_json(db.query_string_stmt("SELECT * FROM t ORDER BY id"))
+    db.close()
+
+    # same warehouse: manifest snapshot + journal → no duplicates, no
+    # 'table already exists'
+    replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark, warehouse=wh)
+    assert rows_to_json(replayed.query_string_stmt("SELECT * FROM t ORDER BY id")) == want
+    replayed.close()
+
+    # crash-tail simulation: journal has an extra entry the manifest
+    # hasn't seen (write-ahead ordering) → exactly that entry replays
+    with open(os.path.join(wh, "journal.jsonl")) as f:
+        lines = [ln for ln in f if ln.strip()]
+    import json as _json
+
+    last_seq = max(_json.loads(ln)["seq"] for ln in lines)
+    with open(os.path.join(wh, "journal.jsonl"), "a") as f:
+        f.write(_json.dumps({"seq": last_seq + 1, "sql": "INSERT INTO t(v) VALUES(3)", "parameters": [], "transaction": False}) + "\n")
+    replayed2 = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark, warehouse=wh)
+    out = rows_to_json(replayed2.query_string_stmt("SELECT v FROM t ORDER BY id"))
+    assert out == '[{"columns":["v"],"types":["integer"],"values":[[1],[2],[3]]}]'
+    replayed2.close()
