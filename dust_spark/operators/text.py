@@ -142,17 +142,19 @@ def tf_idf(
     smoothed IDF (sklearn convention).
 
     Shape: explode terms → two hash-aggregations (term frequency by
-    (doc, term); document frequency by term) → broadcast-joined with the
-    scalar corpus size. Both aggregations get map-side partial combine;
-    the df table is term-keyed (vocabulary-sized, ≪ corpus) so the final
-    join broadcasts at any corpus scale.
+    (doc, term); document frequency by term) → joined with the scalar
+    corpus size. Both aggregations get map-side partial combine; the
+    doc-frequency table is term-keyed (vocabulary-sized, ≪ corpus), so
+    AQE broadcasts it when it fits and falls back to a shuffle join for
+    web-scale vocabularies (10⁸+ terms) that would OOM a forced
+    broadcast at any corpus scale.
     """
     tok = df.select(F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("term"))
     tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf"))
     dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id_").alias("df"))
     n_docs = df.count()  # scalar; folded into the expression as a literal
     return (
-        tf.join(F.broadcast(dfreq), "term")
+        tf.join(dfreq, "term")
         .select(
             F.col("doc_id_").alias(id_col),
             "term",

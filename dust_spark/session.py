@@ -115,6 +115,8 @@ class DustSession:
         warehouse: str | None = None,
         deterministic_guard: bool = False,
     ):
+        if warehouse:
+            warehouse = self._resolve_dsn(warehouse)
         self.spark = spark or _default_session()
         # SQLite's lax dynamic typing: ANSI strictness off (SURVEY §4.2)
         self.spark.conf.set("spark.sql.ansi.enabled", "false")
@@ -136,6 +138,55 @@ class DustSession:
                 for i, line in enumerate(l for l in f if l.strip()):
                     doc = json.loads(line)
                     self._journal_seq = max(self._journal_seq, doc.get("seq", i + 1))
+
+    # -- DSN / open-mode parity (reference db/src/db.rs:76-117,304-309) --
+
+    @staticmethod
+    def format_dsn(path: str, dsn: str = "") -> str:
+        """``file:{path}?{dsn}`` when dsn options are present, else the
+        bare path (db/src/db.rs:304-309)."""
+        return f"file:{path}?{dsn}" if dsn else path
+
+    @staticmethod
+    def _resolve_dsn(warehouse: str) -> str | None:
+        """Accept ``file:path?opt=v&...`` DSN strings (SQLite URI
+        filenames) for the warehouse: ``mode=memory`` or ``:memory:``
+        selects memory mode; a path whose parent directory is missing
+        fails like the reference ("unable to open database file: ...",
+        db/src/db.rs:343-346 — SQLite creates the file, not its dirs)."""
+        from urllib.parse import parse_qs
+
+        path, opts = warehouse, {}
+        if warehouse.startswith("file:"):
+            rest = warehouse[5:]
+            path, _, query = rest.partition("?")
+            opts = {k: v[-1] for k, v in parse_qs(query).items()}
+        if path == ":memory:" or opts.get("mode") == "memory":
+            return None  # in-memory session
+        parent = os.path.dirname(os.path.abspath(path))
+        if not os.path.isdir(parent):
+            raise DustError(f"unable to open database file: {path}")
+        return path
+
+    @classmethod
+    def open(cls, path: str, spark: SparkSession | None = None) -> "DustSession":
+        """File-backed session, created if absent (db/src/db.rs:77-79)."""
+        return cls(spark, warehouse=path)
+
+    @classmethod
+    def open_with_dsn(cls, path: str, dsn: str, spark: SparkSession | None = None) -> "DustSession":
+        """File-backed session with DSN options (db/src/db.rs:81-84)."""
+        return cls(spark, warehouse=cls.format_dsn(path, dsn))
+
+    @classmethod
+    def open_in_memory(cls, spark: SparkSession | None = None) -> "DustSession":
+        """In-memory session (db/src/db.rs:86-89)."""
+        return cls(spark)
+
+    @classmethod
+    def open_in_memory_with_dsn(cls, dsn: str, spark: SparkSession | None = None) -> "DustSession":
+        """In-memory session with DSN options (db/src/db.rs:91-94)."""
+        return cls(spark, warehouse=cls.format_dsn(":memory:", dsn))
 
     # ------------------------------------------------------------------
     # public API (reference store/src/lib.rs Database trait)
@@ -413,8 +464,17 @@ class DustSession:
         src = src.toDF(*cols)
 
         # insertion-order row number (auto-id + last_insert_id semantics)
-        w = Window.orderBy(F.monotonically_increasing_id())
-        src = src.withColumn("__rn", F.row_number().over(w))
+        if src_sql.upper().startswith("VALUES"):
+            # literal batches are driver-sized: the global window is fine
+            w = Window.orderBy(F.monotonically_increasing_id())
+            src = src.withColumn("__rn", F.row_number().over(w))
+        else:
+            # INSERT...SELECT can be billions of rows: per-partition
+            # row_number + collected partition offsets keeps the same
+            # (partition, row) total order as a global sort on
+            # monotonically_increasing_id without funnelling the batch
+            # through one task
+            src = self._with_insertion_index(src)
 
         projected = []
         for f in tdef.schema.fields:
@@ -470,6 +530,40 @@ class DustSession:
         overlay.put(ins.table, new_st)
         self._last_insert_id = last_id
         return Response(last_insert_id=last_id, rows_affected=n)
+
+    def _with_insertion_index(self, src: DataFrame) -> DataFrame:
+        """Add ``__rn`` = 1..n in insertion order, in parallel: tag rows
+        with (partition id, intra-partition position), collect only the
+        per-partition counts (numPartitions tiny rows), and offset each
+        partition's row_numbers — the zipWithIndex construction in
+        DataFrame form. A global Window.orderBy would serialize the
+        whole batch through a single task."""
+        from pyspark.sql import types as T
+
+        tagged = src.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
+            "__pid", F.spark_partition_id()
+        )
+        counts = sorted(
+            (r["__pid"], r["n"])
+            for r in tagged.groupBy("__pid").agg(F.count("*").alias("n")).collect()
+        )
+        offsets, acc = [], 0
+        for pid, n in counts:
+            offsets.append((pid, acc))
+            acc += int(n)
+        schema = T.StructType(
+            [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
+        )
+        if not offsets:
+            return src.withColumn("__rn", F.lit(1))  # empty source
+        off_df = self.spark.createDataFrame(offsets, schema)
+        pw = Window.partitionBy("__pid").orderBy("__mid")
+        return (
+            tagged.withColumn("__pos", F.row_number().over(pw))
+            .join(F.broadcast(off_df), "__pid")
+            .withColumn("__rn", (F.col("__off") + F.col("__pos")).cast("int"))
+            .drop("__mid", "__pid", "__off", "__pos")
+        )
 
     def _update(self, overlay: Overlay, sql: str) -> Response:
         up = dialect.parse_update(sql)

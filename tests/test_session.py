@@ -523,3 +523,66 @@ def test_replay_skips_snapshot(spark, tmp_path):
     out = rows_to_json(replayed2.query_string_stmt("SELECT v FROM t ORDER BY id"))
     assert out == '[{"columns":["v"],"types":["integer"],"values":[[1],[2],[3]]}]'
     replayed2.close()
+
+
+def test_dsn_open_modes(spark, tmp_path, monkeypatch):
+    """Constructor/DSN parity with the reference's test_initialise_db
+    (db/src/db.rs:328-348): open, open_with_dsn, open_in_memory,
+    open_in_memory_with_dsn, format_dsn, and the missing-parent error."""
+    monkeypatch.chdir(tmp_path)
+    assert DustSession.format_dsn("sample.db", "") == "sample.db"
+    assert DustSession.format_dsn("sample.db", "cache=shared") == "file:sample.db?cache=shared"
+
+    db = DustSession.open("sample.db", spark)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
+    db.close()
+    import os
+
+    assert os.path.isdir("sample.db")  # warehouse created like the db file
+
+    # mode=memory in the DSN wins over the file path (SQLite URI rule)
+    mem = DustSession.open_with_dsn("sample2.db", "cache=shared&mode=memory", spark)
+    mem.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
+    mem.close()
+    assert not os.path.exists("sample2.db")
+
+    DustSession.open_in_memory(spark).close()
+    DustSession.open_in_memory_with_dsn("cache=shared&mode=memory", spark).close()
+
+    # missing parent directory: reference error string verbatim
+    with pytest.raises(DustError, match="unable to open database file: etc/sample.db"):
+        DustSession.open("etc/sample.db", spark)
+
+    # file:...?opts form accepted straight through the constructor
+    db3 = DustSession(spark, warehouse="file:w3?cache=shared")
+    db3.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
+    db3.close()
+    assert os.path.isdir("w3")
+
+
+def test_bulk_insert_select_parallel_rowid(db, spark):
+    """INSERT...SELECT assigns ids 1..n in select order without a
+    single-partition global window (the plan windows per __pid)."""
+    ex(db, "CREATE TABLE src (v INTEGER NOT NULL)")
+    ex(db, "INSERT INTO src(v) VALUES " + ", ".join(f"({i})" for i in range(200)))
+    ex(db, "CREATE TABLE dst (id INTEGER NOT NULL PRIMARY KEY, v INTEGER)")
+    out = ex(db, "INSERT INTO dst(v) SELECT v FROM src ORDER BY v DESC")
+    assert '"rows_affected":200' in out and '"last_insert_id":200' in out
+    # ids are 1..200 and follow the SELECT's output order (v descending)
+    rows = q(db, "SELECT id, v FROM dst ORDER BY id")
+    import json as _json
+
+    got = _json.loads(rows)[0]["values"]
+    assert [r[0] for r in got] == list(range(1, 201))
+    assert [r[1] for r in got] == list(range(199, -1, -1))
+
+    # plan shape: the insertion-index helper windows by partition id,
+    # never over a single global partition
+    from pyspark.sql import functions as F
+
+    src_df = spark.range(0, 1000).repartition(8).select(F.col("id").alias("v"))
+    indexed = db._with_insertion_index(src_df)
+    plan = indexed._jdf.queryExecution().executedPlan().toString()
+    assert "partitionBy" not in plan or "__pid" in plan
+    ids = [r["__rn"] for r in indexed.collect()]
+    assert sorted(ids) == list(range(1, 1001))
