@@ -582,6 +582,60 @@ sql_query(
 )
 
 
+@register(
+    "b11c_sliding_window",
+    oracle=(
+        # 1h window sliding by 30m ⇒ each event lands in exactly two windows:
+        # the 30m bucket it falls in and the one before it
+        "SELECT ws, event_type, count(*) AS n FROM ("
+        "  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) AS ws, event_type FROM events"
+        "  UNION ALL"
+        "  SELECT CAST(time_bucket(INTERVAL '30 minutes', ts) AS TIMESTAMP) - INTERVAL 30 MINUTE, event_type FROM events"
+        ") GROUP BY ws, event_type ORDER BY ws, event_type"
+    ),
+    tags=("streaming", "agg"),
+)
+def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sliding 1-hour/30-minute window counts per event type — the same
+    groupBy(window(ts, w, slide)) runs unchanged under readStream +
+    watermark (dust_spark.streaming.windows.sliding_window_agg)."""
+    from dust_spark.streaming.windows import sliding_window_agg
+
+    register_views(spark, sf_dir)
+    return sliding_window_agg(spark.table("events")).orderBy("ws", "event_type")
+
+
+@register(
+    "b11d_session_window",
+    oracle=(
+        # gap-based sessionization replayed with lag + cumulative-sum
+        "WITH marked AS ("
+        "  SELECT user_id, ts,"
+        "         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"
+        "               OR ts - lag(ts) OVER (PARTITION BY user_id ORDER BY ts) > INTERVAL 30 MINUTE"
+        "              THEN 1 ELSE 0 END AS new_s"
+        "  FROM events"
+        "), sess AS ("
+        "  SELECT user_id, ts,"
+        "         SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts ROWS UNBOUNDED PRECEDING) AS sid"
+        "  FROM marked"
+        ")"
+        "SELECT CAST(MIN(ts) AS TIMESTAMP) AS ss,"
+        "       CAST(MAX(ts) + INTERVAL 30 MINUTE AS TIMESTAMP) AS se,"
+        "       user_id, count(*) AS n_events "
+        "FROM sess GROUP BY user_id, sid ORDER BY user_id, ss"
+    ),
+    tags=("streaming", "agg"),
+)
+def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user 30-minute-gap session windows (session_window groupBy;
+    streaming parity in dust_spark.streaming.windows.session_window_agg)."""
+    from dust_spark.streaming.windows import session_window_agg
+
+    register_views(spark, sf_dir)
+    return session_window_agg(spark.table("events")).orderBy("user_id", "ss")
+
+
 def all_queries() -> dict[str, QueryDef]:
     """Full catalog, Tier B + Tier C (importing operators registers the
     Tier C entries)."""
