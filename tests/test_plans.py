@@ -63,3 +63,69 @@ def test_explain_summary_shape(spark):
     # pre-execution we assert the shuffle budget + no row-Python
     assert s["shuffles"] >= 1
     assert not s["python_row_udfs"]
+
+
+def test_minhash_signatures_fully_narrow(spark):
+    """The signature stage must not shuffle at all: base hashing is a
+    single-level JVM transform, the k-minima kernel a per-row Arrow
+    batch — signatures for a 100 TB corpus are a pure map."""
+    from dust_spark.operators import minhash_signatures
+
+    docs = load_table(spark, SF_DIR, "documents")
+    df = minhash_signatures(docs)
+    n = plans.count_shuffles(df)
+    assert n == 0, f"signature stage should be narrow, got {n} exchanges"
+
+
+def test_simhash_fully_narrow(spark):
+    from dust_spark.operators import simhash_table
+
+    docs = load_table(spark, SF_DIR, "documents")
+    assert plans.count_shuffles(simhash_table(docs)) == 0
+
+
+def test_lsh_exchanges_never_carry_vectors(spark):
+    """Candidate generation / dedup must shuffle ids and bucket keys
+    only — never the embedding arrays (the round-1 anti-pattern)."""
+    import re
+
+    from dust_spark.operators import embedding_near_dup, rp_lsh_topk
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    for df in (
+        rp_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, bits_per_table=6),
+        embedding_near_dup(emb, threshold=0.3),
+    ):
+        plan = plans.formatted_plan(df)
+        for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+            keys = m.group(1)
+            assert "embedding" not in keys and "qv" not in keys and "nv" not in keys \
+                and "va" not in keys and "vb" not in keys, f"vector in shuffle key: {keys}"
+
+
+def test_decontaminate_shuffles_ids_not_documents(spark):
+    """The anti-join must key on doc_id; document text never enters an
+    exchange (hash key or payload)."""
+    import re
+
+    from dust_spark.operators import decontaminate
+
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    plan = plans.formatted_plan(decontaminate(docs, bench, ngram_words=8))
+    for m in re.finditer(r"Exchange hashpartitioning\(([^)]*)\)", plan):
+        assert "text" not in m.group(1), f"text in shuffle key: {m.group(1)}"
+
+
+def test_ngram_postings_join_on_hashes(spark):
+    """The inverted-index self-join keys on the 8-byte shingle hash, not
+    the shingle string."""
+    import re
+
+    from dust_spark.operators import ngram_jaccard_pairs
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = plans.formatted_plan(ngram_jaccard_pairs(docs, threshold=0.2))
+    joins = re.findall(r"SortMergeJoin.*|ShuffledHashJoin.*|BroadcastHashJoin.*", plan)
+    assert joins, "expected joins in the pair plan"
+    assert any("gh" in j for j in joins), f"no hash-keyed join found:\n{plan[:1500]}"
