@@ -32,6 +32,7 @@ from dust_spark.operators.similarity import (
     embedding_near_dup,
     ivf_topk,
     kmeans_centroids,
+    quantize_vectors,
     rp_lsh_topk,
 )
 from dust_spark.operators.text import (
@@ -64,6 +65,7 @@ __all__ = [
     "embedding_near_dup",
     "ivf_topk",
     "kmeans_centroids",
+    "quantize_vectors",
     "rp_lsh_topk",
     "bpe_ish_token_count",
     "fingerprint",

@@ -299,6 +299,15 @@ sql_query(
     tags=("agg",),
 )
 
+sql_query(
+    "b4j_grouping_sets",
+    "SELECT o_orderstatus, o_orderpriority, count(*) AS n, "
+    "ROUND(SUM(o_totalprice), 2) AS tp "
+    "FROM orders GROUP BY GROUPING SETS ((o_orderstatus, o_orderpriority), (o_orderstatus), ()) "
+    "ORDER BY o_orderstatus NULLS FIRST, o_orderpriority NULLS FIRST",
+    tags=("agg",),
+)
+
 # ---------------------------------------------------------------------------
 # B5 — window functions. Spark's rank family returns INT, DuckDB's BIGINT —
 # Spark side casts.
@@ -353,6 +362,19 @@ sql_query(
         "DENSE_RANK() OVER (ORDER BY o_orderpriority) AS dr "
         "FROM orders ORDER BY o_orderkey"
     ),
+    tags=("window",),
+)
+
+sql_query(
+    "b5f_range_frame",
+    # RANGE frame over a numeric order key + distribution functions;
+    # rank-family INT vs BIGINT handled by the CAST discipline
+    "SELECT o_orderkey, "
+    "ROUND(SUM(o_totalprice) OVER (PARTITION BY o_custkey ORDER BY o_totalprice "
+    "RANGE BETWEEN 10000 PRECEDING AND CURRENT ROW), 2) AS near_sum, "
+    "ROUND(percent_rank() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS pr, "
+    "ROUND(cume_dist() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice), 4) AS cd "
+    "FROM orders ORDER BY o_orderkey",
     tags=("window",),
 )
 

@@ -636,3 +636,30 @@ def cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = _ngram_pairs(spark, sf_dir)
     return ops.cluster_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
+
+
+_QUANT_ORACLE = """
+WITH s AS (
+  SELECT vec_id,
+         list_max(list_transform(CAST(embedding AS DOUBLE[]), x -> abs(x))) AS amax
+  FROM embeddings
+)
+SELECT e.vec_id,
+       ROUND(CASE WHEN s.amax = 0 THEN 0.0 ELSE 127.0 / s.amax END, 4) AS scale,
+       CAST(list_sum(list_transform(CAST(e.embedding AS DOUBLE[]),
+            x -> round(x * CASE WHEN s.amax = 0 THEN 0.0 ELSE 127.0 / s.amax END))) AS BIGINT) AS qsum
+FROM embeddings e JOIN s USING (vec_id)
+ORDER BY e.vec_id
+"""
+
+
+@register("c3e_vector_quantize", oracle=_QUANT_ORACLE, tags=("tierc", "similarity"))
+def quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization summary per vector (scale + quantized
+    checksum) — storage-shrink pass of an embedding corpus; fully narrow."""
+    q = ops.quantize_vectors(_emb(spark, sf_dir))
+    return q.select(
+        "vec_id",
+        F.round("scale", 4).alias("scale"),
+        F.aggregate("qvec", F.lit(0).cast("long"), lambda s, x: s + x).alias("qsum"),
+    ).orderBy("vec_id")

@@ -472,3 +472,29 @@ def test_decontaminate(spark):
     )
     kept = {r.doc_id for r in ops.decontaminate(train, bench, ngram_words=8).collect()}
     assert kept == {2, 3}
+
+
+def test_quantize_vectors_roundtrip(spark):
+    """int8 quantization: |x − q/scale| ≤ 0.5/scale per component, zero
+    vectors get scale 0, and the pass is fully narrow (no shuffle)."""
+    import math
+
+    from dust_spark import plans
+
+    rows = [
+        Row(vec_id=1, embedding=[1.0, -2.0, 0.5, 4.0]),
+        Row(vec_id=2, embedding=[0.0, 0.0, 0.0, 0.0]),
+        Row(vec_id=3, embedding=[-0.25, 0.125, 0.0625, -1.0]),
+    ]
+    df = spark.createDataFrame(rows)
+    out = ops.quantize_vectors(df)
+    assert plans.count_shuffles(out) == 0
+    got = {r.vec_id: r for r in out.collect()}
+    assert got[2].scale == 0.0 and got[2].qvec == [0, 0, 0, 0]
+    for vid in (1, 3):
+        r = got[vid]
+        src = dict(enumerate([x for x in next(x.embedding for x in rows if x.vec_id == vid)]))
+        assert max(abs(q) for q in r.qvec) == 127
+        for i, q in enumerate(r.qvec):
+            assert abs(q) <= 127
+            assert math.isclose(q, round(src[i] * r.scale), abs_tol=0.51)
