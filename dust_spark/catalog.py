@@ -51,9 +51,12 @@ class TableState:
 class Catalog:
     """Published (committed) engine state."""
 
-    def __init__(self, spark: SparkSession, warehouse: str | None = None):
+    def __init__(self, spark: SparkSession, warehouse: str | None = None, view_prefix: str = ""):
         self.spark = spark
         self.warehouse = warehouse
+        # attached databases register their tables under a prefixed view
+        # name (Spark temp views have a flat namespace); '' for main
+        self.view_prefix = view_prefix
         self.tables: dict[str, TableState] = {}
         self.views: dict[str, str] = {}  # view name -> SELECT sql
         # journal high-water mark: seq of the last statement reflected in
@@ -65,6 +68,9 @@ class Catalog:
             self._load_manifest()
 
     # -- persistence -------------------------------------------------------
+
+    def view_name(self, name: str) -> str:
+        return f"{self.view_prefix}{name}"
 
     def _manifest_path(self) -> str:
         return os.path.join(self.warehouse, "catalog.json")
@@ -81,7 +87,7 @@ class Catalog:
             self.tables[name] = TableState(
                 tdef=tdef, df=df, high_water=meta["high_water"], version=meta["version"]
             )
-            df.createOrReplaceTempView(name)
+            df.createOrReplaceTempView(self.view_name(name))
         self.views = man.get("views", {})
         self.journal_seq = man.get("journal_seq", 0)
         for vname, vsql in self.views.items():
@@ -127,10 +133,10 @@ class Catalog:
         for name, st in staged.items():
             if st is None:
                 self.tables.pop(name, None)
-                self.spark.catalog.dropTempView(name)
+                self.spark.catalog.dropTempView(self.view_name(name))
             else:
                 self.tables[name] = st
-                st.df.createOrReplaceTempView(name)
+                st.df.createOrReplaceTempView(self.view_name(name))
         if self.warehouse:
             self._save_manifest()
         # re-resolve dependent views against the new table versions
@@ -156,11 +162,11 @@ class Overlay:
     def put(self, name: str, st: TableState) -> None:
         self.staged[name] = st
         # staged state must be visible to later statements in the batch
-        st.df.createOrReplaceTempView(name)
+        st.df.createOrReplaceTempView(self.catalog.view_name(name))
 
     def drop(self, name: str) -> None:
         self.staged[name] = None
-        self.catalog.spark.catalog.dropTempView(name)
+        self.catalog.spark.catalog.dropTempView(self.catalog.view_name(name))
 
     def commit(self) -> None:
         self.catalog.publish(self.staged)
@@ -173,9 +179,9 @@ class Overlay:
         for name in self.staged:
             cur = self.catalog.tables.get(name)
             if cur is not None:
-                cur.df.createOrReplaceTempView(name)
+                cur.df.createOrReplaceTempView(self.catalog.view_name(name))
             else:
-                self.catalog.spark.catalog.dropTempView(name)
+                self.catalog.spark.catalog.dropTempView(self.catalog.view_name(name))
         self.staged = {}
 
 

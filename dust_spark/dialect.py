@@ -388,6 +388,50 @@ def parse_alter_add(sql: str) -> tuple[str, str, T.DataType]:
     return unquote_ident(m.group("name")).lower(), col, affinity_type(decl)
 
 
+_ATTACH_RE = re.compile(
+    r"^\s*ATTACH\s+(?:DATABASE\s+)?(?P<path>'[^']*'|\"[^\"]*\"|\S+)\s+AS\s+(?P<alias>\w+)\s*;?\s*$",
+    re.S | re.I,
+)
+_DETACH_RE = re.compile(r"^\s*DETACH\s+(?:DATABASE\s+)?(?P<alias>\w+)\s*;?\s*$", re.S | re.I)
+
+
+def parse_attach(sql: str) -> tuple[str, str]:
+    """(path, alias) from ATTACH [DATABASE] 'path' AS alias."""
+    m = _ATTACH_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    path = m.group("path")
+    if path[:1] in ("'", '\"'):
+        path = path[1:-1]
+    return path, m.group("alias").lower()
+
+
+def parse_detach(sql: str) -> str:
+    m = _DETACH_RE.match(sql)
+    if not m:
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    return m.group("alias").lower()
+
+
+def rewrite_attached_names(sql: str, aliases: dict[str, str]) -> str:
+    """Rewrite ``alias.table`` qualified names to the attached catalog's
+    prefixed view names (``{prefix}{table}``). Token-level: skips string
+    literals so data containing "alias.x" is untouched."""
+    if not aliases:
+        return sql
+    pat = re.compile(
+        r"('(?:[^']|'')*')|\b(" + "|".join(map(re.escape, aliases)) + r")\.(\w+)",
+        re.I,
+    )
+
+    def sub(m):
+        if m.group(1) is not None:
+            return m.group(1)  # string literal — leave alone
+        return aliases[m.group(2).lower()] + m.group(3)
+
+    return pat.sub(sub, sql)
+
+
 def parse_pragma(sql: str) -> tuple[str, str | None, str | None]:
     """(key, value, call_arg) — SQLite pragmas come in three shapes:
     ``PRAGMA k``, ``PRAGMA k = v``, and the call form ``PRAGMA k(arg)``

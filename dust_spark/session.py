@@ -128,6 +128,7 @@ class DustSession:
         self.catalog = Catalog(self.spark, warehouse)
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False
+        self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
@@ -232,7 +233,7 @@ class DustSession:
             kind = statement_kind(stmt.sql)
             if kind == "PRAGMA":
                 results.append(self._pragma_query(stmt.sql))
-            elif kind in dialect.WRITE_KINDS or kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW"):
+            elif kind in dialect.WRITE_KINDS or kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW", "ATTACH", "DETACH"):
                 # rusqlite happily runs DDL/DML through prepare/query_map
                 # (exercised at db/src/db.rs:694,737) → empty result set
                 overlay = Overlay(self.catalog)
@@ -270,6 +271,8 @@ class DustSession:
         for name in list(self.catalog.tables):
             self.spark.catalog.dropTempView(name)
         self.catalog.tables.clear()
+        for alias in list(self._attached):
+            self._detach_alias(alias)
 
     def compact_journal(self) -> None:
         """Log compaction (reference DOC/DESIGN.md:54-55: periodic
@@ -308,6 +311,11 @@ class DustSession:
     def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
         sql = dialect.rewrite_sqlite_fns(bind_params(stmt.sql, list(stmt.parameters or [])))
         kind = statement_kind(sql)
+        if kind == "ATTACH":
+            return self._attach(sql)
+        if kind == "DETACH":
+            return self._detach(sql)
+        sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         if self.deterministic_guard and kind in ("INSERT", "UPDATE", "DELETE", "REPLACE"):
             reason = dialect.nondeterministic_reason(sql)
             if reason:
@@ -348,6 +356,7 @@ class DustSession:
 
     def _create_table(self, overlay: Overlay, sql: str) -> Response:
         tdef = dialect.parse_create_table(sql)
+        self._guard_readonly(tdef.name)
         if overlay.exists(tdef.name):
             if tdef.if_not_exists:
                 return self._ok()
@@ -371,6 +380,7 @@ class DustSession:
 
     def _drop_table(self, overlay: Overlay, sql: str) -> Response:
         name, if_exists = dialect.parse_drop(sql)
+        self._guard_readonly(name)
         if not overlay.exists(name):
             if if_exists:
                 return self._ok()
@@ -380,6 +390,7 @@ class DustSession:
 
     def _alter_table(self, overlay: Overlay, sql: str) -> Response:
         name, col, dtype = dialect.parse_alter_add(sql)
+        self._guard_readonly(name)
         st = overlay.get(name)
         if st is None:
             raise DustError(f"no such table: {name}")
@@ -393,6 +404,47 @@ class DustSession:
         new_st = self.catalog.materialize(name, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(name, new_st)
         return self._ok()
+
+    # -- ATTACH / DETACH (implied SQLite surface via the reference's
+    # pass-through, db/src/db.rs:176) --------------------------------------
+
+    def _attached_prefixes(self) -> dict[str, str]:
+        return {alias: cat.view_prefix for alias, cat in self._attached.items()}
+
+    def _guard_readonly(self, table: str) -> None:
+        """Attached databases are readable (cross-db joins, subqueries)
+        but read-only in this engine — writes answer with SQLite's
+        readonly-database error. Write-through ATTACH would need
+        per-catalog overlay routing; scoped out deliberately."""
+        for cat in self._attached.values():
+            if table.startswith(cat.view_prefix):
+                raise DustError("attempt to write a readonly database")
+
+    def _attach(self, sql: str) -> Response:
+        try:
+            path, alias = dialect.parse_attach(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
+        if alias in ("main", "temp") or alias in self._attached:
+            raise DustError(f"database {alias} is already in use")
+        wh = self._resolve_dsn(path) if path else None
+        self._attached[alias] = Catalog(self.spark, wh, view_prefix=f"__att_{alias}_")
+        return self._ok()
+
+    def _detach(self, sql: str) -> Response:
+        try:
+            alias = dialect.parse_detach(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
+        if alias not in self._attached:
+            raise DustError(f"no such database: {alias}")
+        self._detach_alias(alias)
+        return self._ok()
+
+    def _detach_alias(self, alias: str) -> None:
+        cat = self._attached.pop(alias)
+        for name in list(cat.tables):
+            self.spark.catalog.dropTempView(cat.view_name(name))
 
     # -- PRAGMA -----------------------------------------------------------
 
@@ -443,6 +495,7 @@ class DustSession:
 
     def _insert(self, overlay: Overlay, sql: str) -> Response:
         ins = dialect.parse_insert(sql)
+        self._guard_readonly(ins.table)
         st = overlay.get(ins.table)
         if st is None:
             raise DustError(f"no such table: {ins.table}")
@@ -567,6 +620,7 @@ class DustSession:
 
     def _update(self, overlay: Overlay, sql: str) -> Response:
         up = dialect.parse_update(sql)
+        self._guard_readonly(up.table)
         st = overlay.get(up.table)
         if st is None:
             raise DustError(f"no such table: {up.table}")
@@ -603,6 +657,7 @@ class DustSession:
 
     def _delete(self, overlay: Overlay, sql: str) -> Response:
         de = dialect.parse_delete(sql)
+        self._guard_readonly(de.table)
         st = overlay.get(de.table)
         if st is None:
             raise DustError(f"no such table: {de.table}")
@@ -699,6 +754,7 @@ class DustSession:
 
     def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
         sql = dialect.rewrite_sqlite_fns(sql)
+        sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))

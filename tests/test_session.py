@@ -586,3 +586,48 @@ def test_bulk_insert_select_parallel_rowid(db, spark):
     assert "partitionBy" not in plan or "__pid" in plan
     ids = [r["__rn"] for r in indexed.collect()]
     assert sorted(ids) == list(range(1, 1001))
+
+
+def test_attach_database(spark, tmp_path, db):
+    """ATTACH DATABASE (implied SQLite surface, db/src/db.rs:176):
+    attached warehouses are readable with alias-qualified names —
+    cross-db joins included — and answer writes with SQLite's
+    readonly error. DETACH removes the namespace."""
+    wh = str(tmp_path / "aux_wh")
+    src = DustSession(spark, warehouse=wh)
+    src.execute_string_stmt("CREATE TABLE prices (id INTEGER NOT NULL PRIMARY KEY, p REAL)")
+    src.execute_string_stmt("INSERT INTO prices(id, p) VALUES(1, 10.5), (2, 20.0)")
+    src.close()
+
+    ex(db, "CREATE TABLE items (id INTEGER NOT NULL PRIMARY KEY, name TEXT)")
+    ex(db, "INSERT INTO items(id, name) VALUES(1, 'apple'), (2, 'pear')")
+    assert ex(db, f"ATTACH DATABASE '{wh}' AS aux") == '[{"last_insert_id":2}]'
+
+    # alias-qualified read + cross-db join
+    assert q(db, "SELECT p FROM aux.prices WHERE id = 2") == (
+        '[{"columns":["p"],"types":["real"],"values":[[20.0]]}]'
+    )
+    out = q(db, "SELECT name, p FROM items JOIN aux.prices ON items.id = aux.prices.id ORDER BY items.id")
+    assert '"values":[["apple",10.5],["pear",20.0]]' in out
+
+    # alias collisions + unknown detach: SQLite error strings
+    assert ex(db, f"ATTACH '{wh}' AS aux") == '[{"error":"database aux is already in use"}]'
+    assert ex(db, "DETACH nosuch") == '[{"error":"no such database: nosuch"}]'
+
+    # attached side is read-only in this engine
+    assert ex(db, "INSERT INTO aux.prices(id, p) VALUES(3, 1.0)") == (
+        '[{"error":"attempt to write a readonly database"}]'
+    )
+    assert ex(db, "DROP TABLE aux.prices") == '[{"error":"attempt to write a readonly database"}]'
+
+    # string literals containing 'aux.' are not rewritten
+    assert q(db, "SELECT 'aux.prices' AS s") == (
+        '[{"columns":["s"],"types":["text"],"values":[["aux.prices"]]}]'
+    )
+
+    ex(db, "DETACH DATABASE aux")
+    assert ex(db, "ATTACH ':memory:' AS scratch") != ""
+    r = db.query_string_stmt("SELECT count(*) AS n FROM items")
+    assert r[0].values == [[2]]
+    with pytest.raises(DustError, match="no such table"):
+        db.query_string_stmt("SELECT * FROM aux.prices")
