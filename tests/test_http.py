@@ -84,3 +84,23 @@ def test_bad_json_400(service):
     with pytest.raises(urllib.error.HTTPError) as e:
         urllib.request.urlopen(req)
     assert e.value.code == 400
+
+
+def test_pragma_call_form_over_http(service):
+    """Argument-form pragmas must answer 200 (known: table_info) or an
+    empty result (unknown) — never a dropped connection/500 (the parse
+    error wraps into DustError → the handler's 400 path)."""
+    _post(service, "/db/execute", {"request": {"transaction": False, "statements": [
+        {"sql": "CREATE TABLE ti (id INTEGER NOT NULL PRIMARY KEY, s TEXT)", "parameters": []},
+    ]}})
+    status, body = _post(service, "/db/query", {"request": {"transaction": False, "statements": [
+        {"sql": "PRAGMA table_info(ti)", "parameters": []}
+    ]}})
+    assert status == 200
+    assert '"columns":["cid","name","type","notnull","dflt_value","pk"]' in body
+
+    status, body = _post(service, "/db/query", {"request": {"transaction": False, "statements": [
+        {"sql": "PRAGMA mmap_size(268435456)", "parameters": []}
+    ]}})
+    assert status == 200
+    assert body == '[{"columns":[],"types":[],"values":[]}]'
