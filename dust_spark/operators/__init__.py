@@ -26,7 +26,7 @@ from dust_spark.operators.sampling import (
     train_val_test_split,
     weighted_interleave,
 )
-from dust_spark.operators.skew import salted_agg, salted_avg
+from dust_spark.operators.skew import salted_agg, salted_avg, salted_join
 from dust_spark.operators.similarity import (
     cosine_topk,
     embedding_near_dup,
@@ -76,6 +76,7 @@ __all__ = [
     "tf_idf",
     "salted_agg",
     "salted_avg",
+    "salted_join",
     "hash_sample",
     "train_val_test_split",
     "stratified_hash_sample",

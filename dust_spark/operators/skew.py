@@ -75,3 +75,44 @@ def salted_avg(
         df, keys, {"__s": ("sum", value_col), "__c": ("count", value_col)}, salt_on, num_salts
     )
     return partial.select(*keys, (F.col("__s") / F.col("__c")).alias(out_col))
+
+
+def salted_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    how: str = "inner",
+    num_salts: int = 16,
+    salt_on: str | Column | None = None,
+) -> DataFrame:
+    """Skew-resistant equi-join by salting the hot side and replicating
+    the other: ``left`` rows get a deterministic salt in [0, num_salts),
+    ``right`` rows are replicated once per salt value, and the join key
+    becomes (keys..., salt) — a single hot key spreads across
+    ``num_salts`` reducers instead of one.
+
+    Use when AQE's skew-join split can't help (e.g. the skew is in a
+    shuffle feeding a later stage, or AQE is disabled); cost is
+    ``num_salts``× replication of the right side, so put the smaller
+    input on the right. The salt hashes a high-cardinality ``salt_on``
+    discriminator (default: the whole left row via ``monotonically``-free
+    xxhash of all non-key columns is NOT deterministic across retries —
+    so pass a stable unique column when exact replay matters; default
+    uses the key columns plus every left column deterministically).
+
+    Semantics equal ``left.join(right, on, how)`` for 'inner' and
+    'left' joins (each left row keeps exactly one salt; every right row
+    exists under every salt).
+    """
+    if how not in ("inner", "left"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    disc = (
+        (F.col(salt_on) if isinstance(salt_on, str) else salt_on)
+        if salt_on is not None
+        else F.struct(*[F.col(c) for c in left.columns])
+    )
+    salted_l = left.withColumn("__salt", F.pmod(F.xxhash64(disc), F.lit(num_salts)))
+    salts = F.explode(F.sequence(F.lit(0), F.lit(num_salts - 1)))
+    salted_r = right.withColumn("__salt", salts)
+    out = salted_l.join(salted_r, [*on, "__salt"], how)
+    return out.drop("__salt")

@@ -658,6 +658,34 @@ def session_window_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return session_window_agg(spark.table("events")).orderBy("user_id", "ss")
 
 
+@register(
+    "b11e_stream_stream_join",
+    oracle=(
+        "SELECT v.user_id, v.event_id AS l_id, p.event_id AS r_id "
+        "FROM events v JOIN events p ON p.user_id = v.user_id "
+        "AND v.event_type = 'view' AND p.event_type = 'purchase' "
+        "AND p.ts > v.ts AND p.ts <= v.ts + INTERVAL 30 MINUTE "
+        "ORDER BY v.user_id, l_id, r_id"
+    ),
+    tags=("streaming", "join"),
+)
+def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """view→purchase attribution within 30 minutes — the batch form of
+    the watermarked stream-stream join (streaming parity in
+    tests/test_streaming.py::test_stream_stream_join_parity)."""
+    from pyspark.sql import functions as F
+
+    from dust_spark.streaming.windows import stream_stream_join
+
+    register_views(spark, sf_dir)
+    ev = spark.table("events")
+    out = stream_stream_join(
+        ev.filter(F.col("event_type") == "view"),
+        ev.filter(F.col("event_type") == "purchase"),
+    )
+    return out.select("user_id", "l_id", "r_id").orderBy("user_id", "l_id", "r_id")
+
+
 def all_queries() -> dict[str, QueryDef]:
     """Full catalog, Tier B + Tier C (importing operators registers the
     Tier C entries)."""

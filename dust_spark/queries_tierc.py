@@ -663,3 +663,26 @@ def quantize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("scale", 4).alias("scale"),
         F.aggregate("qvec", F.lit(0).cast("long"), lambda s, x: s + x).alias("qsum"),
     ).orderBy("vec_id")
+
+
+@register(
+    "c8b_salted_join",
+    oracle=(
+        "SELECT user_id AS k, event_id, c_mktsegment FROM events "
+        "JOIN customer ON c_custkey = user_id AND c_custkey <= 200 "
+        "ORDER BY k, event_id"
+    ),
+    tags=("tierc", "skew", "join"),
+)
+def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-salted equi-join (hot keys spread across 8 salt buckets) —
+    must equal the plain join, which is exactly what the oracle checks."""
+    register_views(spark, sf_dir)
+    ev = spark.table("events").select(F.col("user_id").alias("k"), "event_id")
+    dim = (
+        spark.table("customer")
+        .select(F.col("c_custkey").alias("k"), "c_mktsegment")
+        .filter(F.col("k") <= 200)
+    )
+    out = ops.salted_join(ev, dim, ["k"], "inner", num_salts=8, salt_on="event_id")
+    return out.select("k", "event_id", "c_mktsegment").orderBy("k", "event_id")

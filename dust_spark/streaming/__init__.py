@@ -8,6 +8,7 @@ from dust_spark.streaming.windows import (
     sliding_window_agg,
     stream_events,
     stream_static_join,
+    stream_stream_join,
     tumbling_window_agg,
 )
 
@@ -18,6 +19,7 @@ __all__ = [
     "session_window_agg",
     "dedup_stream",
     "stream_static_join",
+    "stream_stream_join",
     "run_stream_to_memory",
     "running_user_counters",
 ]

@@ -113,6 +113,40 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).drop("c_custkey")
 
 
+def stream_stream_join(
+    left: DataFrame,
+    right: DataFrame,
+    key: str = "user_id",
+    within: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream inner join: correlate a right-side event to each
+    left-side event of the same ``key`` within ``(l_ts, l_ts + within]``
+    — click→purchase-style attribution.
+
+    Streaming semantics (Spark requirement, and what bounds state at
+    100 TB/day): BOTH sides carry watermarks and the join condition
+    includes the time range, so each side's state store evicts rows
+    older than watermark + interval. Batch mode is the same join minus
+    watermarks — the parity oracle."""
+    lsrc = left.withWatermark("ts", watermark) if left.isStreaming else left
+    rsrc = right.withWatermark("ts", watermark) if right.isStreaming else right
+    la = lsrc.select(
+        F.col(key).alias("k"), F.col("ts").alias("l_ts"), F.col("event_id").alias("l_id")
+    )
+    ra = rsrc.select(
+        F.col(key).alias("rk"), F.col("ts").alias("r_ts"), F.col("event_id").alias("r_id")
+    )
+    cond = (
+        (la["k"] == ra["rk"])
+        & (ra["r_ts"] > la["l_ts"])
+        & (ra["r_ts"] <= la["l_ts"] + F.expr(f"INTERVAL {within}"))
+    )
+    return la.join(ra, cond).select(
+        F.col("k").alias(key), "l_id", "r_id", "l_ts", "r_ts"
+    )
+
+
 def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "append"):
     """Drive a streaming DataFrame to completion against the current
     file set (test/dev harness): memory sink + processAllAvailable."""

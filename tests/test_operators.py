@@ -498,3 +498,21 @@ def test_quantize_vectors_roundtrip(spark):
         for i, q in enumerate(r.qvec):
             assert abs(q) <= 127
             assert math.isclose(q, round(src[i] * r.scale), abs_tol=0.51)
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the plain join's rows (inner and
+    left), spreading hot keys across salt buckets."""
+    left = spark.createDataFrame(
+        [Row(k=1, lv=i) for i in range(500)]  # hot key 1
+        + [Row(k=2, lv=900), Row(k=3, lv=901)]
+    ).repartition(8)
+    right = spark.createDataFrame([Row(k=1, rv="a"), Row(k=1, rv="b"), Row(k=2, rv="c"), Row(k=9, rv="z")])
+
+    plain = left.join(right, ["k"], "inner")
+    salted = ops.salted_join(left, right, ["k"], "inner", num_salts=8, salt_on="lv")
+    assert sorted(map(tuple, salted.collect())) == sorted(map(tuple, plain.collect()))
+
+    plain_l = left.join(right, ["k"], "left")
+    salted_l = ops.salted_join(left, right, ["k"], "left", num_salts=8, salt_on="lv")
+    assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(map(tuple, plain_l.collect()), key=str)

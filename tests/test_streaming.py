@@ -243,3 +243,20 @@ def test_foreach_batch_exactly_once_sink(spark, tmp_path):
     second = [json.loads(x) for x in open(sink)]
     assert sum(e["rows"] for e in second) == 2  # 1 old (already emitted) + 1 new
     assert len({e["epoch"] for e in second}) == len(second)  # distinct epochs only
+
+
+def test_stream_stream_join_parity(spark):
+    """view→purchase attribution: stream-stream inner join with
+    watermarks on both sides must equal the batch join."""
+    from dust_spark.streaming import stream_stream_join
+
+    batch = load_table(spark, SF_DIR, "events")
+    views_b = batch.filter(F.col("event_type") == "view")
+    buys_b = batch.filter(F.col("event_type") == "purchase")
+    want_df = stream_stream_join(views_b, buys_b)
+
+    stream = stream_events(spark, SF_DIR)
+    views_s = stream.filter(F.col("event_type") == "view")
+    buys_s = stream.filter(F.col("event_type") == "purchase")
+    got_df = stream_stream_join(views_s, buys_s)
+    _assert_same(spark, got_df, want_df, "ss_join", ["user_id", "l_id", "r_id"])
