@@ -185,6 +185,26 @@ class TableDef:
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
 
 
+_CTAS_RE = re.compile(
+    r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+AS\s+(?P<sel>SELECT\s+.*|WITH\s+.*)$",
+    re.S | re.I,
+)
+
+
+def parse_ctas(sql: str):
+    """(name, if_not_exists, select_sql) for CREATE TABLE ... AS SELECT,
+    or None when the statement is a column-list CREATE TABLE."""
+    m = _CTAS_RE.match(sql)
+    if not m:
+        return None
+    return (
+        unquote_ident(m.group("name")).lower(),
+        bool(m.group("ine")),
+        m.group("sel").strip().rstrip(";"),
+    )
+
+
 _CREATE_RE = re.compile(
     r"^\s*CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
     r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*\((?P<body>.*)\)\s*;?\s*$",
@@ -315,9 +335,34 @@ class InsertStmt:
     columns: list[str] | None
     source_sql: str  # "VALUES ..." or "SELECT ..." / "WITH ..."
     or_replace: bool = False  # REPLACE INTO / INSERT OR REPLACE
+    # SQLite upsert clause: None | ("nothing", target_cols | None)
+    #                            | ("update", target_cols | None, sets)
+    on_conflict: tuple | None = None
+
+
+_ON_CONFLICT_RE = re.compile(
+    r"\sON\s+CONFLICT\s*(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*DO\s+"
+    r"(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<sets>.*?))\s*;?\s*$",
+    re.S | re.I,
+)
 
 
 def parse_insert(sql: str) -> InsertStmt:
+    on_conflict = None
+    oc = _ON_CONFLICT_RE.search(sql)
+    if oc:
+        target = None
+        if oc.group("cols"):
+            target = [unquote_ident(c).lower() for c in split_top_level(oc.group("cols"))]
+        if oc.group("nothing"):
+            on_conflict = ("nothing", target)
+        else:
+            sets = []
+            for part in split_top_level(oc.group("sets")):
+                eq = part.index("=")
+                sets.append((unquote_ident(part[:eq]).lower(), part[eq + 1 :].strip()))
+            on_conflict = ("update", target, sets)
+        sql = sql[: oc.start()]
     m = _INSERT_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -330,6 +375,7 @@ def parse_insert(sql: str) -> InsertStmt:
         columns=cols,
         source_sql=m.group("rest").strip().rstrip(";"),
         or_replace=head.lstrip().startswith("REPLACE") or "OR REPLACE" in head,
+        on_conflict=on_conflict,
     )
 
 

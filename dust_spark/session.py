@@ -355,6 +355,9 @@ class DustSession:
     # -- DDL ------------------------------------------------------------
 
     def _create_table(self, overlay: Overlay, sql: str) -> Response:
+        ctas = dialect.parse_ctas(sql)
+        if ctas is not None:
+            return self._create_table_as(overlay, *ctas)
         tdef = dialect.parse_create_table(sql)
         self._guard_readonly(tdef.name)
         if overlay.exists(tdef.name):
@@ -364,6 +367,27 @@ class DustSession:
         df = self.spark.createDataFrame([], tdef.schema)
         st = self.catalog.materialize(tdef.name, TableState(tdef=tdef, df=df, version=0))
         overlay.put(tdef.name, st)
+        return self._ok()
+
+    def _create_table_as(self, overlay: Overlay, name: str, if_not_exists: bool, sel: str) -> Response:
+        """CREATE TABLE ... AS SELECT (implied SQLite surface): schema
+        inferred from the SELECT, data snapshotted at creation; like
+        SQLite the result has no declared constraints."""
+        self._guard_readonly(name)
+        if overlay.exists(name):
+            if if_not_exists:
+                return self._ok()
+            raise DustError(f"table {name} already exists")
+        df = self.spark.sql(dialect.rewrite_sqlite_fns(sel))
+        tdef = TableDef(
+            name=name,
+            schema=df.schema,
+            declared_types={f.name: f.dataType.simpleString().upper() for f in df.schema.fields},
+        )
+        st = self.catalog.materialize(
+            name, TableState(tdef=tdef, df=df, high_water=df.count(), version=0)
+        )
+        overlay.put(name, st)
         return self._ok()
 
     def _create_view(self, sql: str) -> Response:
@@ -557,6 +581,9 @@ class DustSession:
                     new_rows.select(*colset).na.drop().distinct(), list(colset), "left_anti"
                 )
 
+        if ins.on_conflict is not None:
+            return self._upsert(overlay, st, tdef, ins, new_rows)
+
         self._check_constraints(
             overlay, tdef, new_rows.drop("__rn"), None if ins.or_replace else existing
         )
@@ -583,6 +610,98 @@ class DustSession:
         overlay.put(ins.table, new_st)
         self._last_insert_id = last_id
         return Response(last_insert_id=last_id, rows_affected=n)
+
+    def _upsert(self, overlay: Overlay, st: TableState, tdef, ins, new_rows: DataFrame) -> Response:
+        """SQLite upsert (INSERT ... ON CONFLICT DO NOTHING / DO UPDATE
+        SET): conflict target defaults to the primary key; ``excluded.x``
+        in DO UPDATE expressions refers to the incoming row. Rows are
+        conceptually processed in statement order — first insert wins
+        for DO NOTHING, last update wins for DO UPDATE."""
+        kind, target = ins.on_conflict[0], ins.on_conflict[1]
+        if not target:
+            if tdef.primary_key:
+                target = [c.lower() for c in tdef.primary_key]
+            elif tdef.rowid_column:
+                target = [tdef.rowid_column]
+            elif tdef.unique:
+                target = list(tdef.unique[0])
+            else:
+                raise DustError(
+                    "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"
+                )
+        existing = st.df
+        schema_cols = [f.name for f in tdef.schema.fields]
+        conflict_keys = existing.select(*target).na.drop().distinct()
+
+        if kind == "nothing":
+            w = Window.partitionBy(*target).orderBy("__rn")  # first wins in-batch
+            incoming = (
+                new_rows.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            fresh = incoming.join(conflict_keys, target, "left_anti")
+            updated = existing
+            n_updated = 0
+        else:
+            sets = dict(ins.on_conflict[2])
+            unknown = [c for c in sets if c not in schema_cols]
+            if unknown:
+                raise DustError(f"no such column: {unknown[0]}")
+            w = Window.partitionBy(*target).orderBy(F.col("__rn").desc())  # last wins
+            incoming = (
+                new_rows.withColumn("__rk", F.row_number().over(w))
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+            fresh = incoming.join(conflict_keys, target, "left_anti")
+            upd_src = incoming.join(conflict_keys, target, "left_semi")
+            exc = upd_src.select(
+                F.lit(1).alias("__exc_m"),
+                *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+            )
+            cond = None
+            for c in target:
+                eq = existing[c] == exc[f"__exc_{c}"]
+                cond = eq if cond is None else (cond & eq)
+            joined = existing.join(exc, cond, "left")
+            projs = []
+            for f in tdef.schema.fields:
+                if f.name in sets:
+                    e = re.sub(r"\bexcluded\.", "__exc_", sets[f.name], flags=re.I)
+                    projs.append(
+                        f"CAST(CASE WHEN __exc_m = 1 THEN ({e}) ELSE `{f.name}` END "
+                        f"AS {f.dataType.simpleString()}) AS `{f.name}`"
+                    )
+                else:
+                    projs.append(f"`{f.name}`")
+            projs.append("__exc_m")
+            marked = joined.selectExpr(*projs).localCheckpoint(eager=True)
+            n_updated = marked.filter(F.col("__exc_m") == 1).count()
+            updated = marked.drop("__exc_m")
+
+        n_fresh = fresh.count()
+        out_df = updated.unionByName(fresh.drop("__rn"))
+        self._check_constraints(overlay, tdef, out_df, None, full_table=True)
+        self._check_child_fks(overlay, ins.table, out_df)
+
+        if n_fresh and tdef.rowid_column:
+            stats = fresh.agg(
+                F.max(tdef.rowid_column).alias("mx"),
+                F.max(F.struct(F.col("__rn"), F.col(tdef.rowid_column))).alias("last"),
+            ).collect()[0]
+            high_water = max(st.high_water, int(stats.mx))
+            self._last_insert_id = int(stats.last[tdef.rowid_column])
+        elif n_fresh:
+            high_water = st.high_water + n_fresh
+            self._last_insert_id = high_water
+        else:
+            high_water = st.high_water
+        new_st = self.catalog.materialize(
+            ins.table, TableState(tdef, out_df, high_water, st.version + 1)
+        )
+        overlay.put(ins.table, new_st)
+        return Response(last_insert_id=self._last_insert_id, rows_affected=n_fresh + n_updated)
 
     def _with_insertion_index(self, src: DataFrame) -> DataFrame:
         """Add ``__rn`` = 1..n in insertion order, in parallel: tag rows

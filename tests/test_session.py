@@ -631,3 +631,65 @@ def test_attach_database(spark, tmp_path, db):
     assert r[0].values == [[2]]
     with pytest.raises(DustError, match="no such table"):
         db.query_string_stmt("SELECT * FROM aux.prices")
+
+
+def test_create_table_as_select(db):
+    """CTAS (implied SQLite surface): schema inferred, data snapshotted
+    — later writes to the source don't leak into the CTAS table."""
+    ex(db, "CREATE TABLE src (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    ex(db, "INSERT INTO src(v) VALUES(10), (20), (30)")
+    assert ex(db, "CREATE TABLE big AS SELECT id, v * 2 AS v2 FROM src WHERE v >= 20") == (
+        '[{"last_insert_id":3}]'
+    )
+    assert q(db, "SELECT * FROM big ORDER BY id") == (
+        '[{"columns":["id","v2"],"types":["integer","integer"],"values":[[2,40],[3,60]]}]'
+    )
+    ex(db, "INSERT INTO src(v) VALUES(40)")
+    assert q(db, "SELECT count(*) AS n FROM big") == (
+        '[{"columns":["n"],"types":["integer"],"values":[[2]]}]'
+    )
+    assert ex(db, "CREATE TABLE big AS SELECT 1 AS x") == '[{"error":"table big already exists"}]'
+    assert '"error"' not in ex(db, "CREATE TABLE IF NOT EXISTS big AS SELECT 1 AS x")
+    # CTAS tables take ordinary DML
+    ex(db, "INSERT INTO big(id, v2) VALUES(9, 99)")
+    assert q(db, "SELECT v2 FROM big WHERE id = 9") == (
+        '[{"columns":["v2"],"types":["integer"],"values":[[99]]}]'
+    )
+
+
+def test_insert_on_conflict_upsert(db):
+    """SQLite upsert: DO NOTHING skips conflicting rows; DO UPDATE SET
+    applies with excluded.* references; within-batch first-wins /
+    last-wins ordering."""
+    ex(db, "CREATE TABLE u (id INTEGER NOT NULL PRIMARY KEY, v INT, n TEXT)")
+    ex(db, "INSERT INTO u(id, v, n) VALUES(1, 10, 'a'), (2, 20, 'b')")
+
+    # DO NOTHING: conflict skipped, fresh row inserted; changes() = 1
+    assert ex(db, "INSERT INTO u(id, v, n) VALUES(1, 99, 'x'), (3, 30, 'c') ON CONFLICT(id) DO NOTHING") == (
+        '[{"last_insert_id":3,"rows_affected":1}]'
+    )
+    assert q(db, "SELECT id, v FROM u ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,10],[2,20],[3,30]]}]'
+    )
+
+    # DO UPDATE with excluded.* and a self-reference
+    out = ex(db, "INSERT INTO u(id, v, n) VALUES(2, 5, 'z'), (4, 40, 'd') "
+                 "ON CONFLICT(id) DO UPDATE SET v = v + excluded.v, n = excluded.n")
+    assert '"rows_affected":2' in out
+    assert q(db, "SELECT id, v, n FROM u ORDER BY id") == (
+        '[{"columns":["id","v","n"],"types":["integer","integer","text"],'
+        '"values":[[1,10,"a"],[2,25,"z"],[3,30,"c"],[4,40,"d"]]}]'
+    )
+
+    # within one batch: last conflicting row wins for DO UPDATE
+    ex(db, "INSERT INTO u(id, v, n) VALUES(1, 1, 'p'), (1, 2, 'q') "
+           "ON CONFLICT(id) DO UPDATE SET v = excluded.v, n = excluded.n")
+    assert q(db, "SELECT v, n FROM u WHERE id = 1") == (
+        '[{"columns":["v","n"],"types":["integer","text"],"values":[[2,"q"]]}]'
+    )
+
+    # no conflict target: defaults to the primary key
+    ex(db, "INSERT INTO u(id, v, n) VALUES(3, 7, 'w') ON CONFLICT DO UPDATE SET v = excluded.v")
+    assert q(db, "SELECT v FROM u WHERE id = 3") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[7]]}]'
+    )
