@@ -516,3 +516,25 @@ def test_salted_join_equals_plain_join(spark):
     plain_l = left.join(right, ["k"], "left")
     salted_l = ops.salted_join(left, right, ["k"], "left", num_salts=8, salt_on="lv")
     assert sorted(map(tuple, salted_l.collect()), key=str) == sorted(map(tuple, plain_l.collect()), key=str)
+
+
+def test_ivf_large_list_count_envelope(spark):
+    """n_lists=64 at dim=64 (the scale envelope a literal-expression
+    centroid table cannot reach): recall >= 0.8 vs exact on the fixture
+    embeddings, and the plan carries no per-centroid literal arrays."""
+    from dust_spark import plans
+    from dust_spark.tables import load_table
+    from tests.conftest import SF_DIR
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 10)
+    exact = {
+        (r.qid, r.nid) for r in ops.cosine_topk(queries, emb, k=5).collect()
+    }
+    got_df = ops.ivf_topk(queries, emb, k=5, n_lists=64, n_probe=16, iterations=3)
+    plan = plans.formatted_plan(got_df)
+    # a literal centroid table would inline 64*64 float literals
+    assert plan.count("0.") < 500, "per-centroid literals leaked into the plan"
+    got = {(r.qid, r.nid) for r in got_df.collect()}
+    recall = len(got & exact) / len(exact)
+    assert recall >= 0.8, f"recall {recall}"
