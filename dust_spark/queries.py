@@ -686,6 +686,56 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "l_id", "r_id").orderBy("user_id", "l_id", "r_id")
 
 
+# ---------------------------------------------------------------------------
+# B13 — TPC-H-shaped composite queries (join + agg + sort + limit in one
+# plan; the fixtures are TPC-H-ish so the classic public shapes apply).
+# Money sums accumulate in DECIMAL(18,4) (parallel double summation is
+# order-dependent; decimals are exact on both engines), then emit as
+# ROUND(double) — decimal literal rendering differs across engines.
+# ---------------------------------------------------------------------------
+
+sql_query(
+    "b13a_tpch_q3_shape",
+    "SELECT l_orderkey, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, "
+    "o_orderdate, o_orderpriority "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "WHERE c_mktsegment = 'BUILDING' "
+    "GROUP BY l_orderkey, o_orderdate, o_orderpriority "
+    "ORDER BY revenue DESC, o_orderdate, l_orderkey LIMIT 10",
+    tags=("join", "agg", "composite"),
+)
+
+sql_query(
+    "b13b_tpch_q5_shape",
+    "SELECT n_name, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey "
+    "JOIN nation ON s_nationkey = n_nationkey "
+    "JOIN region ON n_regionkey = r_regionkey "
+    "WHERE r_name = 'ASIA' "
+    "GROUP BY n_name ORDER BY revenue DESC, n_name",
+    tags=("join", "agg", "composite"),
+)
+
+sql_query(
+    "b13c_tpch_q10_shape",
+    "SELECT c_custkey, c_name, "
+    "ROUND(CAST(SUM(CAST(l_extendedprice * (1 - l_discount) AS DECIMAL(18,4))) AS DOUBLE), 4) AS revenue, "
+    "n_name "
+    "FROM customer JOIN orders ON c_custkey = o_custkey "
+    "JOIN lineitem ON l_orderkey = o_orderkey "
+    "JOIN nation ON c_nationkey = n_nationkey "
+    "WHERE l_returnflag = 'R' "
+    "GROUP BY c_custkey, c_name, n_name "
+    "ORDER BY revenue DESC, c_custkey LIMIT 20",
+    tags=("join", "agg", "composite"),
+)
+
+
 def all_queries() -> dict[str, QueryDef]:
     """Full catalog, Tier B + Tier C (importing operators registers the
     Tier C entries)."""
