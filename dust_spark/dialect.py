@@ -293,6 +293,38 @@ def parse_create_table(sql: str) -> TableDef:
 # INSERT / UPDATE / DELETE shape parsers
 # --------------------------------------------------------------------------
 
+def find_top_level_keyword(s: str, keyword: str) -> int:
+    """Index of the first occurrence of ``keyword`` (word-bounded,
+    case-insensitive) outside parens/quotes, or -1. Lets UPDATE/DELETE
+    parsing skip the WHERE of a nested subquery."""
+    kw = keyword.upper()
+    depth, i = 0, 0
+    in_str: str | None = None
+    n = len(s)
+    while i < n:
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                if i + 1 < n and s[i + 1] == in_str:
+                    i += 1
+                else:
+                    in_str = None
+        elif ch in ("'", '"', "`"):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and s[i : i + len(kw)].upper() == kw:
+            before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
+            j = i + len(kw)
+            after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
+            if before_ok and after_ok:
+                return i
+        i += 1
+    return -1
+
+
 _INSERT_RE = re.compile(
     r"^\s*(?:INSERT|REPLACE)\s+(?:OR\s+\w+\s+)?INTO\s+"
     r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*"
@@ -300,9 +332,8 @@ _INSERT_RE = re.compile(
     re.S | re.I,
 )
 
-_UPDATE_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+SET\s+(?P<sets>.*?)"
-    r"(?:\s+WHERE\s+(?P<where>.*))?\s*;?\s*$",
+_UPDATE_HEAD_RE = re.compile(
+    r"^\s*UPDATE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+SET\s+",
     re.S | re.I,
 )
 
@@ -387,17 +418,21 @@ class UpdateStmt:
 
 
 def parse_update(sql: str) -> UpdateStmt:
-    m = _UPDATE_RE.match(sql)
+    m = _UPDATE_HEAD_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    rest = sql[m.end():].rstrip().rstrip(";")
+    # the WHERE boundary must ignore subquery WHEREs inside SET exprs
+    wi = find_top_level_keyword(rest, "WHERE")
+    sets_sql, where = (rest[:wi], rest[wi + 5 :].strip()) if wi >= 0 else (rest, "")
     sets = []
-    for part in split_top_level(m.group("sets")):
+    for part in split_top_level(sets_sql):
         eq = part.index("=")
         sets.append((unquote_ident(part[:eq]).lower(), part[eq + 1 :].strip()))
     return UpdateStmt(
         table=unquote_ident(m.group("name")).lower(),
         sets=sets,
-        where=(m.group("where") or "").strip().rstrip(";") or None,
+        where=where or None,
     )
 
 

@@ -760,8 +760,11 @@ class DustSession:
                 )
             else:
                 projs.append(f"`{f.name}`")
+        # alias the staged view as the target table so correlated
+        # subqueries (SET v = (SELECT ... WHERE b.id = t.id)) resolve
         marked = self.spark.sql(
-            f"SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m FROM __dust_stage"
+            f"SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m "
+            f"FROM __dust_stage AS `{up.table}`"
         )
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
@@ -786,7 +789,8 @@ class DustSession:
             new_df = self.spark.createDataFrame([], st.tdef.schema)
         else:
             new_df = self.spark.sql(
-                f"SELECT * FROM __dust_stage WHERE NOT coalesce(({de.where}), false)"
+                f"SELECT * FROM __dust_stage AS `{de.table}` "
+                f"WHERE NOT coalesce(({de.where}), false)"
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
         self._check_child_fks(overlay, de.table, new_df)

@@ -693,3 +693,27 @@ def test_insert_on_conflict_upsert(db):
     assert q(db, "SELECT v FROM u WHERE id = 3") == (
         '[{"columns":["v"],"types":["integer"],"values":[[7]]}]'
     )
+
+
+def test_correlated_dml_subqueries(db):
+    """Correlated scalar subqueries in UPDATE SET, EXISTS in DELETE
+    WHERE, IN-subqueries — the staged view is aliased as the target
+    table so outer references resolve, and the WHERE-boundary parser
+    skips subquery WHEREs."""
+    ex(db, "CREATE TABLE ta (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    ex(db, "CREATE TABLE tb (id INTEGER NOT NULL PRIMARY KEY, w INT)")
+    ex(db, "INSERT INTO ta(id, v) VALUES(1, 1), (2, 2), (3, 3)")
+    ex(db, "INSERT INTO tb(id, w) VALUES(1, 100), (3, 300)")
+
+    out = ex(db, "UPDATE ta SET v = coalesce((SELECT w FROM tb WHERE tb.id = ta.id), v)")
+    assert '"rows_affected":3' in out
+    assert q(db, "SELECT v FROM ta ORDER BY id") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[100],[2],[300]]}]'
+    )
+    out = ex(db, "UPDATE ta SET v = v * 10 WHERE id IN (SELECT id FROM tb WHERE w >= 300)")
+    assert '"rows_affected":1' in out
+    out = ex(db, "DELETE FROM ta WHERE EXISTS (SELECT 1 FROM tb WHERE tb.id = ta.id AND tb.w > 200)")
+    assert '"rows_affected":1' in out
+    assert q(db, "SELECT id, v FROM ta ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,100],[2,2]]}]'
+    )
