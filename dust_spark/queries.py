@@ -686,6 +686,26 @@ def stream_stream_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("user_id", "l_id", "r_id").orderBy("user_id", "l_id", "r_id")
 
 
+sql_query(
+    "b9k_string_funcs2",
+    # second string-family sweep: pad/translate/case/repeat/reverse/locate
+    "SELECT c_custkey, lpad(c_name, 25, '.') AS lp, rpad(c_mktsegment, 12, '-') AS rp, "
+    "translate(c_name, '#', '_') AS tr, initcap(c_mktsegment) AS ic, "
+    "repeat(c_mktsegment, 0) AS z, reverse(c_name) AS rv, "
+    "CAST(instr(c_name, '1') AS BIGINT) AS ix "
+    "FROM customer ORDER BY c_custkey",
+    oracle=(
+        "SELECT c_custkey, lpad(c_name, 25, '.') AS lp, rpad(c_mktsegment, 12, '-') AS rp, "
+        "translate(c_name, '#', '_') AS tr, "
+        "list_aggr(list_transform(string_split(lower(c_mktsegment), ' '), x -> upper(x[1]) || x[2:]), 'string_agg', ' ') AS ic, "
+        "repeat(c_mktsegment, 0) AS z, reverse(c_name) AS rv, "
+        "CAST(instr(c_name, '1') AS BIGINT) AS ix "
+        "FROM customer ORDER BY c_custkey"
+    ),
+    tags=("functions",),
+)
+
+
 # ---------------------------------------------------------------------------
 # B13 — TPC-H-shaped composite queries (join + agg + sort + limit in one
 # plan; the fixtures are TPC-H-ish so the classic public shapes apply).
