@@ -42,6 +42,7 @@ from dust_spark.operators.text import (
     tf_idf,
     fingerprint,
     lang_id,
+    pack_sequences,
     quality_scores,
     rolling_hash_fingerprint,
     token_count,
@@ -70,6 +71,7 @@ __all__ = [
     "bpe_ish_token_count",
     "fingerprint",
     "lang_id",
+    "pack_sequences",
     "quality_scores",
     "rolling_hash_fingerprint",
     "token_count",

@@ -212,3 +212,62 @@ def chunk_documents(
         "n_chunk_tokens",
         F.when(F.length("chunk_text") == 0, F.lit(0)).otherwise(F.size(F.split("chunk_text", " "))).cast("long"),
     )
+
+
+def pack_sequences(
+    df: DataFrame,
+    block_tokens: int = 512,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """GPT-style pretraining packing: conceptually concatenate every
+    document's token stream in ``id_col`` order and split it into
+    fixed ``block_tokens`` training sequences. Returns one row per doc:
+    its token count, the global token offset where it starts, and the
+    first/last sequence ids it lands in.
+
+    Scale shape: the global ordered cumulative sum is two-phase — an
+    intra-partition window over ``repartitionByRange(id)`` plus
+    collected per-partition totals (numPartitions tiny rows) — the same
+    zipWithIndex construction as the bulk-insert row ids; NO
+    single-partition global window. Output values are independent of
+    the partitioning, so range-sampling nondeterminism can't leak in.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    n_tok = F.size(tokens(text_col, lowercase=False)).cast("long")
+    base = (
+        df.select(F.col(id_col), n_tok.alias("n_tokens"))
+        .repartitionByRange(F.col(id_col))
+        .sortWithinPartitions(id_col)
+        .withColumn("__pid", F.spark_partition_id())
+    )
+    w = W.partitionBy("__pid").orderBy(id_col)
+    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w))
+    counts = sorted(
+        (r["__pid"], r["s"])
+        for r in base.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
+    )
+    offsets, acc = [], 0
+    for pid, tot in counts:
+        offsets.append((pid, acc))
+        acc += int(tot or 0)
+    from pyspark.sql import types as T
+
+    off_schema = T.StructType(
+        [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
+    )
+    off_df = spark.createDataFrame(offsets or [(0, 0)], off_schema)
+    out = (
+        base.join(F.broadcast(off_df), "__pid")
+        .withColumn("token_offset", (F.col("__off") + F.col("__cum_in") - F.col("n_tokens")))
+        .withColumn("first_seq", F.floor(F.col("token_offset") / block_tokens))
+        .withColumn(
+            "last_seq",
+            F.when(
+                F.col("n_tokens") == 0, F.col("first_seq")
+            ).otherwise(F.floor((F.col("token_offset") + F.col("n_tokens") - 1) / block_tokens)),
+        )
+    )
+    return out.select(id_col, "n_tokens", "token_offset", "first_seq", "last_seq")

@@ -686,3 +686,31 @@ def salted_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = ops.salted_join(ev, dim, ["k"], "inner", num_salts=8, salt_on="event_id")
     return out.select("k", "event_id", "c_mktsegment").orderBy("k", "event_id")
+
+
+_PACK_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), c AS (
+  SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS BIGINT) AS token_offset
+  FROM tok
+)
+SELECT doc_id, n_tokens, token_offset,
+       CAST(FLOOR(token_offset / 512.0) AS BIGINT) AS first_seq,
+       CAST(CASE WHEN n_tokens = 0 THEN FLOOR(token_offset / 512.0)
+                 ELSE FLOOR((token_offset + n_tokens - 1) / 512.0) END AS BIGINT) AS last_seq
+FROM c ORDER BY doc_id
+"""
+
+
+@register("c9d_pack_sequences", oracle=_PACK_ORACLE, tags=("tierc", "text"))
+def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GPT-style fixed-block sequence packing over the concatenated
+    token stream (512-token blocks): per-doc global token offset and
+    first/last training-sequence ids, via the two-phase distributed
+    cumulative sum."""
+    return ops.pack_sequences(_docs(spark, sf_dir), block_tokens=512).orderBy("doc_id")

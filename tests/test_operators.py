@@ -538,3 +538,28 @@ def test_ivf_large_list_count_envelope(spark):
     got = {(r.qid, r.nid) for r in got_df.collect()}
     recall = len(got & exact) / len(exact)
     assert recall >= 0.8, f"recall {recall}"
+
+
+def test_pack_sequences_invariants(spark):
+    """Offsets are contiguous in id order (cumsum), block math is right,
+    and the cumulative window partitions by __pid (never a global
+    single-partition window)."""
+    import re as _re
+
+    from dust_spark import plans
+
+    rows = [Row(doc_id=i, text=" ".join(f"w{j}" for j in range(i * 7 % 90))) for i in range(50)]
+    df = spark.createDataFrame(rows).repartition(8)
+    out_df = ops.pack_sequences(df, block_tokens=64)
+    plan = plans.formatted_plan(out_df)
+    for m in _re.finditer(r"Window \[[^\]]*\], \[([^\]]*)\]", plan):
+        assert "__pid" in m.group(1), f"global window in plan: {m.group(0)[:120]}"
+    out = {r.doc_id: r for r in out_df.collect()}
+    acc = 0
+    for i in range(50):
+        n = len(rows[i].text.split()) if rows[i].text.strip() else 0
+        r = out[i]
+        assert r.n_tokens == n and r.token_offset == acc, (i, r)
+        assert r.first_seq == acc // 64
+        assert r.last_seq == (acc // 64 if n == 0 else (acc + n - 1) // 64)
+        acc += n
