@@ -12,6 +12,7 @@ exact ground truth instead).
 
 from __future__ import annotations
 
+import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -714,3 +715,59 @@ def pack_sequences_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     first/last training-sequence ids, via the two-phase distributed
     cumulative sum."""
     return ops.pack_sequences(_docs(spark, sf_dir), block_tokens=512).orderBy("doc_id")
+
+
+@register(
+    "b12a_pandas_udaf",
+    oracle=(
+        "SELECT c_mktsegment, "
+        "ROUND(SUM(c_acctbal * c_custkey) / SUM(c_custkey), 4) AS wmean "
+        "FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment"
+    ),
+    tags=("udf",),
+)
+def pandas_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-aggregate pandas UDF (Arrow-batched, JVM<->numpy): the
+    weighted mean the oracle states in plain SQL — puts the B12 UDF
+    surface under the driver's hash gate."""
+    from pyspark.sql.functions import pandas_udf
+
+    @pandas_udf("double")
+    def wmean(bal: pd.Series, key: pd.Series) -> float:
+        return float((bal * key).sum() / key.sum())
+
+    register_views(spark, sf_dir)
+    return (
+        spark.table("customer")
+        .groupBy("c_mktsegment")
+        .agg(F.round(wmean("c_acctbal", "c_custkey"), 4).alias("wmean"))
+        .orderBy("c_mktsegment")
+    )
+
+
+@register(
+    "c4h_corpus_stats",
+    oracle=(
+        "WITH t AS (SELECT CASE WHEN length(trim(text)) = 0 THEN 0 "
+        "ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS n FROM documents) "
+        "SELECT CAST(count(*) AS BIGINT) AS docs, CAST(SUM(n) AS BIGINT) AS total_tokens, "
+        "ROUND(AVG(n), 4) AS mean_tokens, CAST(MIN(n) AS BIGINT) AS min_tokens, "
+        "CAST(MAX(n) AS BIGINT) AS max_tokens, "
+        "ROUND(quantile_cont(n, 0.5), 4) AS med_tokens FROM t"
+    ),
+    tags=("tierc", "text", "agg"),
+)
+def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-level token statistics — the one-glance health check of a
+    training corpus; single map + one global aggregate."""
+    from dust_spark.operators import token_count
+
+    out = token_count(_docs(spark, sf_dir))
+    return out.agg(
+        F.count("*").alias("docs"),
+        F.sum("n_tokens").alias("total_tokens"),
+        F.round(F.avg("n_tokens"), 4).alias("mean_tokens"),
+        F.min("n_tokens").alias("min_tokens"),
+        F.max("n_tokens").alias("max_tokens"),
+        F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("med_tokens"),
+    )
