@@ -4,6 +4,7 @@ joins, multimodal columns."""
 
 from dust_spark.operators.asof import asof_aggregate, asof_join
 from dust_spark.operators.dedup import (
+    dedup_lines,
     decontaminate,
     exact_dedup,
     exact_dedup_count,
@@ -43,6 +44,7 @@ from dust_spark.operators.text import (
     fingerprint,
     lang_id,
     pack_sequences,
+    repetition_score,
     quality_scores,
     rolling_hash_fingerprint,
     token_count,
@@ -72,6 +74,7 @@ __all__ = [
     "fingerprint",
     "lang_id",
     "pack_sequences",
+    "repetition_score",
     "quality_scores",
     "rolling_hash_fingerprint",
     "token_count",
@@ -88,4 +91,5 @@ __all__ = [
     "connected_components",
     "cluster_dedup",
     "decontaminate",
+    "dedup_lines",
 ]

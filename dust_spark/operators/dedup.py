@@ -432,3 +432,48 @@ def decontaminate(
         .distinct()
     )
     return df.join(contaminated_ids, id_col, "left_anti")
+
+
+def dedup_lines(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_line_chars: int = 1,
+) -> DataFrame:
+    """Corpus-wide duplicate-line removal (the CCNet/boilerplate
+    filter): every line keeps only its first occurrence across the
+    corpus — ordered by (doc id, line position) — and documents are
+    reassembled from their surviving lines in original order.
+
+    Scale shape: lines shuffle once on their content hash (fixed-width
+    key) for the first-occurrence window; reassembly is one groupBy on
+    the doc id with an order-carrying struct sort — no full-document
+    payloads in any join key. Blank/short lines (< min_line_chars) are
+    kept verbatim (they carry structure, not signal).
+    """
+    from pyspark.sql import Window as W
+
+    lines = df.select(
+        F.col(id_col).alias("id"),
+        F.posexplode(F.split(F.col(text_col), "\n")).alias("line_no", "line"),
+    )
+    short = F.length(F.trim(F.col("line"))) < min_line_chars
+    w = W.partitionBy(F.xxhash64("line")).orderBy("id", "line_no")
+    survivors = (
+        lines.withColumn("__rn", F.when(short, F.lit(1)).otherwise(F.row_number().over(w)))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+    return (
+        survivors.groupBy("id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("line_no", "line"))),
+                    lambda s: s["line"],
+                ),
+                "\n",
+            ).alias("clean_text")
+        )
+        .withColumnRenamed("id", id_col)
+    )

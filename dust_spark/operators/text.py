@@ -271,3 +271,25 @@ def pack_sequences(
         )
     )
     return out.select(id_col, "n_tokens", "token_offset", "first_seq", "last_seq")
+
+
+def repetition_score(
+    df: DataFrame,
+    n: int = 3,
+    text_col: str = "text",
+    out_col: str = "dup_ngram_frac",
+) -> DataFrame:
+    """Within-document repetition: fraction of duplicated word n-grams
+    (1 − distinct/total) — the standard self-repetition quality filter
+    for generated/boilerplate text. Narrow map; docs with < n tokens
+    score 0.0."""
+    tok = tokens(text_col)
+    idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
+    parts = lambda i: [F.element_at(tok, i + j) for j in range(n)]  # noqa: E731
+    grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
+    total = F.size(tok) - (n - 1)
+    distinct = F.size(F.array_distinct(grams))
+    score = F.when(total <= 0, F.lit(0.0)).otherwise(
+        F.round(1.0 - distinct / total.cast("double"), 4)
+    )
+    return df.withColumn(out_col, score)

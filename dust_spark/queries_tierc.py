@@ -771,3 +771,50 @@ def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("n_tokens").alias("max_tokens"),
         F.round(F.expr("percentile(n_tokens, 0.5)"), 4).alias("med_tokens"),
     )
+
+
+@register(
+    "c4i_repetition_score",
+    oracle=(
+        "WITH tok AS (SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+        "FROM documents WHERE length(trim(text)) > 0), "
+        "g AS (SELECT doc_id, CASE WHEN len(w) >= 3 THEN "
+        "list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]) "
+        "ELSE [] END AS grams FROM tok) "
+        "SELECT doc_id, CASE WHEN len(grams) = 0 THEN 0.0 "
+        "ELSE ROUND(1.0 - len(list_distinct(grams)) / CAST(len(grams) AS DOUBLE), 4) END AS dup_ngram_frac "
+        "FROM g "
+        "UNION ALL SELECT doc_id, 0.0 FROM documents WHERE length(trim(text)) = 0 "
+        "ORDER BY doc_id"
+    ),
+    tags=("tierc", "text"),
+)
+def repetition_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        ops.repetition_score(_docs(spark, sf_dir))
+        .select("doc_id", "dup_ngram_frac")
+        .orderBy("doc_id")
+    )
+
+
+_LINE_DEDUP_ORACLE = """
+WITH lines AS (
+  SELECT doc_id, g.i AS line_no, split_part(text, chr(10), g.i) AS line
+  FROM documents,
+       LATERAL (SELECT unnest(range(1, len(string_split(text, chr(10))) + 1)) AS i) g
+), ranked AS (
+  SELECT doc_id, line_no, line,
+         CASE WHEN length(trim(line)) < 1 THEN 1
+              ELSE row_number() OVER (PARTITION BY line ORDER BY doc_id, line_no) END AS rn
+  FROM lines
+)
+SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text
+FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("c1c_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("tierc", "dedup"))
+def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus-wide duplicate-line removal (CCNet-style boilerplate
+    filter); reassembled docs hash-checked against the DuckDB replay."""
+    return ops.dedup_lines(_docs(spark, sf_dir)).orderBy("doc_id")

@@ -563,3 +563,15 @@ def test_pack_sequences_invariants(spark):
         assert r.first_seq == acc // 64
         assert r.last_seq == (acc // 64 if n == 0 else (acc + n - 1) // 64)
         acc += n
+
+
+def test_dedup_lines_keeps_first_occurrence(spark):
+    docs = spark.createDataFrame([
+        Row(doc_id=1, text="alpha\ncommon line\nbeta"),
+        Row(doc_id=2, text="common line\ngamma\n\ndelta"),
+        Row(doc_id=3, text="gamma\nepsilon"),
+    ]).repartition(4)
+    out = {r.doc_id: r.clean_text for r in ops.dedup_lines(docs).collect()}
+    assert out[1] == "alpha\ncommon line\nbeta"
+    assert out[2] == "gamma\n\ndelta"  # 'common line' removed, blank kept
+    assert out[3] == "epsilon"  # 'gamma' first occurred in doc 2
