@@ -46,12 +46,22 @@ _ROUND1_VERIFIED = (
 ).split()
 
 
+# Within the unverified block, these four are low-priority: each is a
+# variant of a query family already driver-verified green in round 1
+# (b9a strings, b4e/b4h rollup/cube, b5a-e windows, b9e conditionals).
+# They sit just past the ~50-entry window; rotation picks them up next
+# round.
+_LOW_PRIORITY = ["b9f_cast", "b9k_string_funcs2", "b4j_grouping_sets", "b5f_range_frame"]
+
+
 def _prioritized():
     from dust_spark.queries import all_queries
 
     cat = all_queries()
     verified = set(_ROUND1_VERIFIED)
-    order = [n for n in cat if n not in verified]
+    low = set(_LOW_PRIORITY)
+    order = [n for n in cat if n not in verified and n not in low]
+    order += [n for n in _LOW_PRIORITY if n in cat]
     order += [n for n in _ROUND1_VERIFIED if n in cat]
     return {n: cat[n] for n in order}
 
