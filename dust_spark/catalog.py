@@ -70,7 +70,17 @@ class Catalog:
     # -- persistence -------------------------------------------------------
 
     def view_name(self, name: str) -> str:
-        return f"{self.view_prefix}{name}"
+        # attached-catalog table keys already carry the prefix (see
+        # _load_manifest); main-catalog keys don't and prefix is ''
+        return name if name.startswith(self.view_prefix) else f"{self.view_prefix}{name}"
+
+    def storage_name(self, name: str) -> str:
+        """Local (on-disk / manifest) name: the prefix is a session-level
+        namespace only — a standalone session must open the same
+        warehouse with plain names."""
+        if self.view_prefix and name.startswith(self.view_prefix):
+            return name[len(self.view_prefix):]
+        return name
 
     def _manifest_path(self) -> str:
         return os.path.join(self.warehouse, "catalog.json")
@@ -84,21 +94,38 @@ class Catalog:
         for name, meta in man.get("tables", {}).items():
             tdef = _tdef_from_json(meta["tdef"])
             df = self.spark.read.schema(tdef.schema).parquet(meta["path"])
-            self.tables[name] = TableState(
+            key = self.view_name(name)
+            if self.view_prefix:
+                # in-session FK references resolve within this catalog
+                tdef.name = key
+                for fk in tdef.foreign_keys:
+                    fk.ref_table = self.view_name(fk.ref_table)
+            self.tables[key] = TableState(
                 tdef=tdef, df=df, high_water=meta["high_water"], version=meta["version"]
             )
-            df.createOrReplaceTempView(self.view_name(name))
+            df.createOrReplaceTempView(key)
         self.views = man.get("views", {})
         self.journal_seq = man.get("journal_seq", 0)
         for vname, vsql in self.views.items():
             self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
 
     def _save_manifest(self) -> None:
+        def tdef_json_local(st):
+            doc = _tdef_to_json(st.tdef)
+            if self.view_prefix:
+                doc["name"] = self.storage_name(doc["name"])
+                doc["foreign_keys"] = [
+                    [c, self.storage_name(rt), rc] for c, rt, rc in doc.get("foreign_keys", [])
+                ]
+            return doc
+
         man = {
             "tables": {
-                name: {
-                    "tdef": _tdef_to_json(st.tdef),
-                    "path": os.path.join(self.warehouse, name, f"v{st.version}"),
+                self.storage_name(name): {
+                    "tdef": tdef_json_local(st),
+                    "path": os.path.join(
+                        self.warehouse, self.storage_name(name), f"v{st.version}"
+                    ),
                     "high_water": st.high_water,
                     "version": st.version,
                 }
@@ -119,7 +146,7 @@ class Catalog:
         localCheckpoint (memory mode). Either way the lineage is
         truncated so repeated DML doesn't grow an unbounded plan."""
         if self.warehouse:
-            path = os.path.join(self.warehouse, name, f"v{st.version}")
+            path = os.path.join(self.warehouse, self.storage_name(name), f"v{st.version}")
             st.df.write.mode("overwrite").parquet(path)
             df = self.spark.read.schema(st.tdef.schema).parquet(path)
             return replace(st, df=df)
@@ -145,11 +172,30 @@ class Catalog:
 
 
 class Overlay:
-    """Copy-on-write staging layer for one write batch."""
+    """Copy-on-write staging layer for one write batch. One overlay per
+    catalog; a batch touching attached databases routes through
+    ``sibling()`` and the whole family commits or rolls back together —
+    SQLite's cross-database transaction atomicity."""
 
-    def __init__(self, catalog: Catalog):
+    def __init__(self, catalog: Catalog, root: "Overlay | None" = None):
         self.catalog = catalog
         self.staged: dict[str, TableState | None] = {}
+        self._root: Overlay = root or self
+        self._siblings: dict[int, Overlay] | None = {} if root is None else None
+
+    def sibling(self, catalog: Catalog) -> "Overlay":
+        root = self._root
+        if catalog is root.catalog:
+            return root
+        assert root._siblings is not None
+        key = id(catalog)
+        if key not in root._siblings:
+            root._siblings[key] = Overlay(catalog, root=root)
+        return root._siblings[key]
+
+    def _family(self) -> list["Overlay"]:
+        root = self._root
+        return [root, *(root._siblings or {}).values()]
 
     def get(self, name: str) -> TableState | None:
         if name in self.staged:
@@ -169,20 +215,22 @@ class Overlay:
         self.catalog.spark.catalog.dropTempView(self.catalog.view_name(name))
 
     def commit(self) -> None:
-        self.catalog.publish(self.staged)
-        self.staged = {}
+        for ov in self._family():
+            ov.catalog.publish(ov.staged)
+            ov.staged = {}
 
     def rollback(self) -> None:
         """Void the batch: restore the published views for every table
         the batch touched (reference rollback semantics,
         db/src/db.rs:200-206,733-791)."""
-        for name in self.staged:
-            cur = self.catalog.tables.get(name)
-            if cur is not None:
-                cur.df.createOrReplaceTempView(self.catalog.view_name(name))
-            else:
-                self.catalog.spark.catalog.dropTempView(self.catalog.view_name(name))
-        self.staged = {}
+        for ov in self._family():
+            for name in ov.staged:
+                cur = ov.catalog.tables.get(name)
+                if cur is not None:
+                    cur.df.createOrReplaceTempView(ov.catalog.view_name(name))
+                else:
+                    ov.catalog.spark.catalog.dropTempView(ov.catalog.view_name(name))
+            ov.staged = {}
 
 
 # -- TableDef JSON round-trip (manifest) ------------------------------------

@@ -359,13 +359,13 @@ class DustSession:
         if ctas is not None:
             return self._create_table_as(overlay, *ctas)
         tdef = dialect.parse_create_table(sql)
-        self._guard_readonly(tdef.name)
+        overlay = self._route(overlay, tdef.name)
         if overlay.exists(tdef.name):
             if tdef.if_not_exists:
                 return self._ok()
             raise DustError(f"table {tdef.name} already exists")
         df = self.spark.createDataFrame([], tdef.schema)
-        st = self.catalog.materialize(tdef.name, TableState(tdef=tdef, df=df, version=0))
+        st = overlay.catalog.materialize(tdef.name, TableState(tdef=tdef, df=df, version=0))
         overlay.put(tdef.name, st)
         return self._ok()
 
@@ -373,7 +373,7 @@ class DustSession:
         """CREATE TABLE ... AS SELECT (implied SQLite surface): schema
         inferred from the SELECT, data snapshotted at creation; like
         SQLite the result has no declared constraints."""
-        self._guard_readonly(name)
+        overlay = self._route(overlay, name)
         if overlay.exists(name):
             if if_not_exists:
                 return self._ok()
@@ -384,7 +384,7 @@ class DustSession:
             schema=df.schema,
             declared_types={f.name: f.dataType.simpleString().upper() for f in df.schema.fields},
         )
-        st = self.catalog.materialize(
+        st = overlay.catalog.materialize(
             name, TableState(tdef=tdef, df=df, high_water=df.count(), version=0)
         )
         overlay.put(name, st)
@@ -404,7 +404,7 @@ class DustSession:
 
     def _drop_table(self, overlay: Overlay, sql: str) -> Response:
         name, if_exists = dialect.parse_drop(sql)
-        self._guard_readonly(name)
+        overlay = self._route(overlay, name)
         if not overlay.exists(name):
             if if_exists:
                 return self._ok()
@@ -414,7 +414,7 @@ class DustSession:
 
     def _alter_table(self, overlay: Overlay, sql: str) -> Response:
         name, col, dtype = dialect.parse_alter_add(sql)
-        self._guard_readonly(name)
+        overlay = self._route(overlay, name)
         st = overlay.get(name)
         if st is None:
             raise DustError(f"no such table: {name}")
@@ -425,7 +425,7 @@ class DustSession:
         tdef = copy.deepcopy(st.tdef)
         tdef.schema = tdef.schema.add(col, dtype, True)
         new_df = st.df.withColumn(col, F.lit(None).cast(dtype))
-        new_st = self.catalog.materialize(name, TableState(tdef, new_df, st.high_water, st.version + 1))
+        new_st = overlay.catalog.materialize(name, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(name, new_st)
         return self._ok()
 
@@ -435,14 +435,15 @@ class DustSession:
     def _attached_prefixes(self) -> dict[str, str]:
         return {alias: cat.view_prefix for alias, cat in self._attached.items()}
 
-    def _guard_readonly(self, table: str) -> None:
-        """Attached databases are readable (cross-db joins, subqueries)
-        but read-only in this engine — writes answer with SQLite's
-        readonly-database error. Write-through ATTACH would need
-        per-catalog overlay routing; scoped out deliberately."""
+    def _route(self, overlay: Overlay, table: str) -> Overlay:
+        """Pick the overlay owning ``table``: attached catalogs own the
+        names carrying their view prefix (full DML parity — SQLite's
+        ATTACH is read-write, and a transaction spans all attached
+        databases atomically)."""
         for cat in self._attached.values():
             if table.startswith(cat.view_prefix):
-                raise DustError("attempt to write a readonly database")
+                return overlay.sibling(cat)
+        return overlay
 
     def _attach(self, sql: str) -> Response:
         try:
@@ -519,7 +520,7 @@ class DustSession:
 
     def _insert(self, overlay: Overlay, sql: str) -> Response:
         ins = dialect.parse_insert(sql)
-        self._guard_readonly(ins.table)
+        overlay = self._route(overlay, ins.table)
         st = overlay.get(ins.table)
         if st is None:
             raise DustError(f"no such table: {ins.table}")
@@ -604,7 +605,7 @@ class DustSession:
             last_id = high_water
 
         out_df = existing.unionByName(new_rows.drop("__rn"))
-        new_st = self.catalog.materialize(
+        new_st = overlay.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
         )
         overlay.put(ins.table, new_st)
@@ -697,7 +698,7 @@ class DustSession:
             self._last_insert_id = high_water
         else:
             high_water = st.high_water
-        new_st = self.catalog.materialize(
+        new_st = overlay.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
         )
         overlay.put(ins.table, new_st)
@@ -739,7 +740,7 @@ class DustSession:
 
     def _update(self, overlay: Overlay, sql: str) -> Response:
         up = dialect.parse_update(sql)
-        self._guard_readonly(up.table)
+        overlay = self._route(overlay, up.table)
         st = overlay.get(up.table)
         if st is None:
             raise DustError(f"no such table: {up.table}")
@@ -773,13 +774,13 @@ class DustSession:
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
         self._check_child_fks(overlay, up.table, new_df)
 
-        new_st = self.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
+        new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(up.table, new_st)
         return self._ok(n)
 
     def _delete(self, overlay: Overlay, sql: str) -> Response:
         de = dialect.parse_delete(sql)
-        self._guard_readonly(de.table)
+        overlay = self._route(overlay, de.table)
         st = overlay.get(de.table)
         if st is None:
             raise DustError(f"no such table: {de.table}")
@@ -794,7 +795,7 @@ class DustSession:
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
         self._check_child_fks(overlay, de.table, new_df)
-        new_st = self.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
+        new_st = overlay.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
         overlay.put(de.table, new_st)
         return self._ok(n)
 
@@ -808,11 +809,13 @@ class DustSession:
         db/src/db.rs:350-376)."""
         if not self._fk_enabled:
             return
-        names = set(self.catalog.tables) | {
-            n for n, cst in overlay.staged.items() if cst is not None
-        }
+        cats = [self.catalog, *self._attached.values()]
+        names: set[str] = set()
+        for cat in cats:
+            ov = overlay.sibling(cat)
+            names |= set(cat.tables) | {n for n, cst in ov.staged.items() if cst is not None}
         for child in sorted(names):
-            cst = overlay.get(child)
+            cst = self._route(overlay, child).get(child)
             if cst is None:
                 continue
             for fk in cst.tdef.foreign_keys:

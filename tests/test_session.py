@@ -614,11 +614,19 @@ def test_attach_database(spark, tmp_path, db):
     assert ex(db, f"ATTACH '{wh}' AS aux") == '[{"error":"database aux is already in use"}]'
     assert ex(db, "DETACH nosuch") == '[{"error":"no such database: nosuch"}]'
 
-    # attached side is read-only in this engine
+    # attached side is read-write (SQLite ATTACH semantics) and
+    # persists to the attached warehouse
     assert ex(db, "INSERT INTO aux.prices(id, p) VALUES(3, 1.0)") == (
-        '[{"error":"attempt to write a readonly database"}]'
+        '[{"last_insert_id":3,"rows_affected":1}]'
     )
-    assert ex(db, "DROP TABLE aux.prices") == '[{"error":"attempt to write a readonly database"}]'
+    assert ex(db, "UPDATE aux.prices SET p = 2.5 WHERE id = 3") == (
+        '[{"last_insert_id":3,"rows_affected":1}]'
+    )
+    assert q(db, "SELECT p FROM aux.prices WHERE id = 3") == (
+        '[{"columns":["p"],"types":["real"],"values":[[2.5]]}]'
+    )
+    ex(db, "CREATE TABLE aux.extra (id INTEGER NOT NULL PRIMARY KEY, s TEXT)")
+    ex(db, "INSERT INTO aux.extra(s) VALUES('x')")
 
     # string literals containing 'aux.' are not rewritten
     assert q(db, "SELECT 'aux.prices' AS s") == (
@@ -631,6 +639,16 @@ def test_attach_database(spark, tmp_path, db):
     assert r[0].values == [[2]]
     with pytest.raises(DustError, match="no such table"):
         db.query_string_stmt("SELECT * FROM aux.prices")
+
+    # the attached warehouse reopens standalone with the writes applied
+    src2 = DustSession(db.spark, warehouse=wh)
+    assert q(src2, "SELECT id, p FROM prices ORDER BY id") == (
+        '[{"columns":["id","p"],"types":["integer","real"],"values":[[1,10.5],[2,20.0],[3,2.5]]}]'
+    )
+    assert q(src2, "SELECT s FROM extra") == (
+        '[{"columns":["s"],"types":["text"],"values":[["x"]]}]'
+    )
+    src2.close()
 
 
 def test_create_table_as_select(db):
@@ -717,3 +735,42 @@ def test_correlated_dml_subqueries(db):
     assert q(db, "SELECT id, v FROM ta ORDER BY id") == (
         '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,100],[2,2]]}]'
     )
+
+
+def test_attach_cross_db_transaction_atomicity(spark, tmp_path, db):
+    """A transaction spanning main + attached databases rolls back BOTH
+    when any statement fails (SQLite cross-database atomicity)."""
+    wh = str(tmp_path / "aux2_wh")
+    src = DustSession(spark, warehouse=wh)
+    src.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    src.execute_string_stmt("INSERT INTO t(id, v) VALUES(1, 1)")
+    src.close()
+
+    ex(db, "CREATE TABLE m (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    ex(db, f"ATTACH '{wh}' AS aux2")
+    req = Request(
+        transaction=True,
+        statements=[
+            Statement("INSERT INTO m(id, v) VALUES(1, 10)"),
+            Statement("INSERT INTO aux2.t(id, v) VALUES(2, 2)"),
+            Statement("INSERT INTO m(id, v) VALUES(1, 99)"),  # UNIQUE violation
+        ],
+    )
+    responses = db.execute(req)
+    assert any(r.error for r in responses)
+    assert q(db, "SELECT count(*) AS n FROM m") == (
+        '[{"columns":["n"],"types":["integer"],"values":[[0]]}]'
+    )
+    assert q(db, "SELECT count(*) AS n FROM aux2.t") == (
+        '[{"columns":["n"],"types":["integer"],"values":[[1]]}]'
+    )
+    # and a clean tx commits both sides
+    ok = db.execute(Request(transaction=True, statements=[
+        Statement("INSERT INTO m(id, v) VALUES(1, 10)"),
+        Statement("INSERT INTO aux2.t(id, v) VALUES(2, 2)"),
+    ]))
+    assert not any(r.error for r in ok)
+    assert q(db, "SELECT v FROM aux2.t WHERE id = 2") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[2]]}]'
+    )
+    ex(db, "DETACH aux2")
