@@ -244,7 +244,10 @@ def pack_sequences(
         .withColumn("__pid", F.spark_partition_id())
     )
     w = W.partitionBy("__pid").orderBy(id_col)
-    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w))
+    # the narrow (id, n_tokens, pid, cum) projection is computed for the
+    # offsets collect AND the returned plan — cache it (16 bytes/row;
+    # the caller's corpus text never enters this table)
+    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w)).persist()
     counts = sorted(
         (r["__pid"], r["s"])
         for r in base.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
