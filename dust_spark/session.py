@@ -634,10 +634,20 @@ class DustSession:
         schema_cols = [f.name for f in tdef.schema.fields]
         conflict_keys = existing.select(*target).na.drop().distinct()
 
+        # rows with NULL in any target column never conflict (SQLite
+        # NULL semantics) — exempt them from in-batch dedup entirely
+        null_target = None
+        for c in target:
+            cnd = F.col(c).isNull()
+            null_target = cnd if null_target is None else (null_target | cnd)
+
         if kind == "nothing":
             w = Window.partitionBy(*target).orderBy("__rn")  # first wins in-batch
             incoming = (
-                new_rows.withColumn("__rk", F.row_number().over(w))
+                new_rows.withColumn(
+                    "__rk",
+                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w)),
+                )
                 .filter(F.col("__rk") == 1)
                 .drop("__rk")
             )
@@ -651,7 +661,10 @@ class DustSession:
                 raise DustError(f"no such column: {unknown[0]}")
             w = Window.partitionBy(*target).orderBy(F.col("__rn").desc())  # last wins
             incoming = (
-                new_rows.withColumn("__rk", F.row_number().over(w))
+                new_rows.withColumn(
+                    "__rk",
+                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w)),
+                )
                 .filter(F.col("__rk") == 1)
                 .drop("__rk")
             )

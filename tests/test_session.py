@@ -774,3 +774,19 @@ def test_attach_cross_db_transaction_atomicity(spark, tmp_path, db):
         '[{"columns":["v"],"types":["integer"],"values":[[2]]}]'
     )
     ex(db, "DETACH aux2")
+
+
+def test_upsert_null_targets_never_conflict(db):
+    """SQLite NULL semantics: rows with NULL in the conflict-target
+    column never conflict — with each other or with existing NULLs."""
+    ex(db, "CREATE TABLE un (id INTEGER NOT NULL PRIMARY KEY, u INT, v INT)")
+    ex(db, "CREATE UNIQUE INDEX iu ON un(u)")  # accepted-ignored index; use table constraint instead
+    ex(db, "DROP TABLE un")
+    ex(db, "CREATE TABLE un (id INTEGER NOT NULL PRIMARY KEY, u INT UNIQUE, v INT)")
+    ex(db, "INSERT INTO un(id, u, v) VALUES(1, NULL, 1)")
+    out = ex(db, "INSERT INTO un(id, u, v) VALUES(2, NULL, 2), (3, NULL, 3) "
+                 "ON CONFLICT(u) DO NOTHING")
+    assert '"rows_affected":2' in out
+    assert q(db, "SELECT count(*) AS n FROM un") == (
+        '[{"columns":["n"],"types":["integer"],"values":[[3]]}]'
+    )
