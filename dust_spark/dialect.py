@@ -380,7 +380,10 @@ _ON_CONFLICT_RE = re.compile(
 
 def parse_insert(sql: str) -> InsertStmt:
     on_conflict = None
-    oc = _ON_CONFLICT_RE.search(sql)
+    # locate the clause with the paren/quote-aware scanner — a bare
+    # regex search could match inside a trailing string literal
+    oc_i = find_top_level_keyword(sql, "ON CONFLICT")
+    oc = _ON_CONFLICT_RE.match(sql, oc_i - 1) if oc_i > 0 else None
     if oc:
         target = None
         if oc.group("cols"):

@@ -114,13 +114,15 @@ def minhash_signatures(
     a, b = _affine_params(num_hashes)
 
     @pandas_udf("array<long>")
-    def sig_udf(ids: pd.Series, hashes: pd.Series) -> pd.Series:
+    def sig_udf(id_hashes: pd.Series, hashes: pd.Series) -> pd.Series:
         out = []
-        for i, h in zip(ids, hashes):
+        for ih, h in zip(id_hashes, hashes):
             if h is None or len(h) == 0:
                 # per-doc sentinel — empty docs must never collide with
-                # each other (exact dedup owns the empty-doc case)
-                base = np.array([np.uint64(np.int64(i)) + np.uint64(0x9E3779B97F4A7C15)])
+                # each other (exact dedup owns the empty-doc case). The
+                # id hash arrives as xxhash64(id) computed JVM-side, so
+                # string/any-typed ids work.
+                base = np.array([np.uint64(np.int64(ih)) + np.uint64(0x9E3779B97F4A7C15)])
             else:
                 base = np.asarray(h, dtype=np.int64).astype(np.uint64)
             # (a·h + b) mod 2^64 mod M61 — affine family over the base hash
@@ -133,7 +135,7 @@ def minhash_signatures(
     cols = [F.col(id_col).alias("id")]
     if include_shingles:
         cols.append(shingle_set.alias("shingles"))
-    cols.append(sig_udf(F.col(id_col), base_hashes).alias("sig"))
+    cols.append(sig_udf(F.xxhash64(F.col(id_col)), base_hashes).alias("sig"))
     return df.select(*cols)
 
 

@@ -243,7 +243,14 @@ def pack_sequences(
         .sortWithinPartitions(id_col)
         .withColumn("__pid", F.spark_partition_id())
     )
-    w = W.partitionBy("__pid").orderBy(id_col)
+    # explicit ROWS frame: the default RANGE frame would hand duplicate
+    # ids an identical cumulative sum (overlapping offsets); ids are
+    # expected unique, the ROWS frame keeps contiguity regardless
+    w = (
+        W.partitionBy("__pid")
+        .orderBy(id_col)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
     # the narrow (id, n_tokens, pid, cum) projection is computed for the
     # offsets collect AND the returned plan — cache it (16 bytes/row;
     # the caller's corpus text never enters this table)

@@ -630,7 +630,9 @@ def sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "b11d_session_window",
     oracle=(
-        # gap-based sessionization replayed with lag + cumulative-sum
+        # gap-based sessionization replayed with lag + cumulative-sum;
+        # boundary verified empirically: session_window MERGES an event
+        # at exactly prev_ts + gap (split requires gap strictly greater)
         "WITH marked AS ("
         "  SELECT user_id, ts,"
         "         CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts) IS NULL"

@@ -299,8 +299,11 @@ class DustSession:
             lines = [ln for ln in f if ln.strip()]
         for i, line in enumerate(lines):
             doc = json.loads(line)
-            if doc.get("seq", i + 1) <= snapshot_seq:
-                continue  # already in the manifest snapshot
+            kind = statement_kind(doc["sql"])
+            if doc.get("seq", i + 1) <= snapshot_seq and kind not in ("ATTACH", "DETACH"):
+                continue  # data already in the manifest snapshot
+            # ATTACH/DETACH always re-execute: alias state lives only in
+            # the session, so the journal tail may reference alias.* names
             sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
         return sess
 
@@ -501,7 +504,20 @@ class DustSession:
     def _pragma_table_info(self, table: str | None) -> Rows:
         cols = ["cid", "name", "type", "notnull", "dflt_value", "pk"]
         types = ["integer", "text", "text", "integer", "text", "integer"]
-        st = self.catalog.tables.get(table) if table else None
+        st = None
+        if table:
+            t = table.lower()
+            if "." in t:
+                alias, _, local = t.partition(".")
+                cat = self._attached.get(alias)
+                st = cat.tables.get(cat.view_name(local)) if cat else None
+            else:
+                st = self.catalog.tables.get(t)
+                if st is None:
+                    for cat in self._attached.values():
+                        st = cat.tables.get(cat.view_name(t))
+                        if st is not None:
+                            break
         if st is None:
             return Rows(columns=cols, types=types, values=[])
         tdef = st.tdef
@@ -619,17 +635,25 @@ class DustSession:
         conceptually processed in statement order — first insert wins
         for DO NOTHING, last update wins for DO UPDATE."""
         kind, target = ins.on_conflict[0], ins.on_conflict[1]
+        all_constraints = [list(u) for u in tdef.unique]
+        if tdef.rowid_column and [tdef.rowid_column] not in all_constraints:
+            all_constraints.insert(0, [tdef.rowid_column])
         if not target:
-            if tdef.primary_key:
-                target = [c.lower() for c in tdef.primary_key]
-            elif tdef.rowid_column:
-                target = [tdef.rowid_column]
-            elif tdef.unique:
-                target = list(tdef.unique[0])
-            else:
+            if kind == "update" and len(all_constraints) > 1:
+                # modern SQLite fires targetless DO UPDATE on any
+                # constraint; with several constraints the row pairing is
+                # ambiguous in our set-based merge — require a target
+                raise DustError('near "DO": syntax error')
+            if not all_constraints:
                 raise DustError(
                     "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"
                 )
+            # targetless DO NOTHING skips a row conflicting on ANY
+            # uniqueness constraint
+            targets = all_constraints
+        else:
+            targets = [[c.lower() for c in target]]
+        target = targets[0]
         existing = st.df
         schema_cols = [f.name for f in tdef.schema.fields]
         conflict_keys = existing.select(*target).na.drop().distinct()
@@ -642,16 +666,22 @@ class DustSession:
             null_target = cnd if null_target is None else (null_target | cnd)
 
         if kind == "nothing":
-            w = Window.partitionBy(*target).orderBy("__rn")  # first wins in-batch
-            incoming = (
-                new_rows.withColumn(
-                    "__rk",
-                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w)),
+            fresh = new_rows
+            for tgt in targets:
+                nt = None
+                for c in tgt:
+                    cnd = F.col(c).isNull()
+                    nt = cnd if nt is None else (nt | cnd)
+                w = Window.partitionBy(*tgt).orderBy("__rn")  # first wins in-batch
+                fresh = (
+                    fresh.withColumn(
+                        "__rk",
+                        F.when(nt, F.lit(1)).otherwise(F.row_number().over(w)),
+                    )
+                    .filter(F.col("__rk") == 1)
+                    .drop("__rk")
+                    .join(existing.select(*tgt).na.drop().distinct(), tgt, "left_anti")
                 )
-                .filter(F.col("__rk") == 1)
-                .drop("__rk")
-            )
-            fresh = incoming.join(conflict_keys, target, "left_anti")
             updated = existing
             n_updated = 0
         else:
@@ -726,8 +756,14 @@ class DustSession:
         whole batch through a single task."""
         from pyspark.sql import types as T
 
-        tagged = src.withColumn("__mid", F.monotonically_increasing_id()).withColumn(
-            "__pid", F.spark_partition_id()
+        # pin the tagging: the counts job and the final insert would
+        # otherwise evaluate the source twice, and partition ids are not
+        # guaranteed stable across evaluations (AQE re-plans, LIMIT) —
+        # an unseen pid would silently drop rows through the inner join
+        tagged = (
+            src.withColumn("__mid", F.monotonically_increasing_id())
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint(eager=True)
         )
         counts = sorted(
             (r["__pid"], r["n"])

@@ -790,3 +790,64 @@ def test_upsert_null_targets_never_conflict(db):
     assert q(db, "SELECT count(*) AS n FROM un") == (
         '[{"columns":["n"],"types":["integer"],"values":[[3]]}]'
     )
+
+
+def test_upsert_targetless_and_string_ids(db, spark):
+    """Targetless DO NOTHING catches ANY unique constraint; targetless
+    DO UPDATE is SQLite's syntax error."""
+    ex(db, "CREATE TABLE tn (id INTEGER NOT NULL PRIMARY KEY, u INT UNIQUE)")
+    ex(db, "INSERT INTO tn(id, u) VALUES(1, 5)")
+    out = ex(db, "INSERT INTO tn(id, u) VALUES(2, 5) ON CONFLICT DO NOTHING")
+    assert out == '[{"last_insert_id":1}]', out  # 0 rows affected
+    out = ex(db, "INSERT INTO tn(id, u) VALUES(1, 9) ON CONFLICT DO NOTHING")
+    assert out == '[{"last_insert_id":1}]', out  # pk conflict skipped
+    out = ex(db, "INSERT INTO tn(id, u) VALUES(3, 7) ON CONFLICT DO NOTHING")
+    assert '"rows_affected":1' in out
+    # with more than one uniqueness constraint the targetless DO UPDATE
+    # row pairing is ambiguous — rejected with SQLite's parse error
+    assert ex(db, "INSERT INTO tn(id, u) VALUES(4, 8) ON CONFLICT DO UPDATE SET u = 1") == (
+        '[{"error":"near \\"DO\\": syntax error"}]'
+    )
+
+
+def test_replay_preserves_attach_tail(spark, tmp_path):
+    """A journaled write to an attached database after the snapshot must
+    replay — ATTACH statements re-execute regardless of the seq mark."""
+    import json as _json
+    import os
+
+    aux = str(tmp_path / "aux_r")
+    a = DustSession(spark, warehouse=aux)
+    a.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    a.close()
+
+    wh = str(tmp_path / "main_r")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE m (id INTEGER NOT NULL PRIMARY KEY)")
+    db.execute_string_stmt(f"ATTACH '{aux}' AS aux")
+    db.close()
+    # crash-tail: journaled but unpublished write to the attached db
+    jp = os.path.join(wh, "journal.jsonl")
+    last_seq = max(_json.loads(ln)["seq"] for ln in open(jp) if ln.strip())
+    with open(jp, "a") as f:
+        f.write(_json.dumps({"seq": last_seq + 1, "sql": "INSERT INTO aux.t(id, v) VALUES(1, 7)",
+                             "parameters": [], "transaction": False}) + "\n")
+    re = DustSession.replay(jp, spark, warehouse=wh)
+    assert rows_to_json(re.query_string_stmt("SELECT v FROM aux.t")) == (
+        '[{"columns":["v"],"types":["integer"],"values":[[7]]}]'
+    )
+    re.close()
+
+
+def test_pragma_table_info_case_and_attached(spark, tmp_path, db):
+    ex(db, "CREATE TABLE MixedCase (id INTEGER NOT NULL PRIMARY KEY, s TEXT)")
+    out = q(db, "PRAGMA table_info(MixedCase)")
+    assert '"values":[[0,"id","INTEGER",1,null,1],[1,"s","TEXT",0,null,0]]' in out
+    aux = str(tmp_path / "ti_aux")
+    a = DustSession(spark, warehouse=aux)
+    a.execute_string_stmt("CREATE TABLE at (x INT)")
+    a.close()
+    ex(db, f"ATTACH '{aux}' AS aux9")
+    out = q(db, "PRAGMA table_info(aux9.at)")
+    assert '"values":[[0,"x","INT",0,null,0]]' in out
+    ex(db, "DETACH aux9")
