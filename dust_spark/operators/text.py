@@ -254,7 +254,11 @@ def pack_sequences(
     # the narrow (id, n_tokens, pid, cum) projection is computed for the
     # offsets collect AND the returned plan — cache it (16 bytes/row;
     # the caller's corpus text never enters this table)
-    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w)).persist()
+    # eager localCheckpoint: computed once for both consumers, lineage
+    # truncated, and blocks are released by the ContextCleaner when the
+    # returned plan is garbage-collected (a bare persist would pin them
+    # for the session's lifetime)
+    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w)).localCheckpoint(eager=True)
     counts = sorted(
         (r["__pid"], r["s"])
         for r in base.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()

@@ -21,7 +21,7 @@ from dust_spark.queries import register
 from dust_spark.tables import register_views, spread
 
 
-_input_cache: dict[tuple[int, str, str], DataFrame] = {}
+_input_cache: dict[tuple, DataFrame] = {}
 
 
 def _cached_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
@@ -30,7 +30,9 @@ def _cached_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     queries don't each re-scan + re-repartition. At real corpus scale
     this cache is simply not used (spread() keeps the native splits and
     persist of a 100 TB table would be disabled by storage level)."""
-    key = (id(spark), sf_dir, name)
+    # key on the session object itself — id() can be reused after a
+    # stopped session is garbage-collected
+    key = (spark, sf_dir, name)
     if key not in _input_cache:
         register_views(spark, sf_dir)
         _input_cache[key] = spread(spark.table(name)).persist()
@@ -45,7 +47,7 @@ def _emb(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _cached_input(spark, sf_dir, "embeddings")
 
 
-_pairs_cache: dict[tuple[int, str], DataFrame] = {}
+_pairs_cache: dict[tuple, DataFrame] = {}
 
 
 def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -53,7 +55,7 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     c10b; computed once per (session, sf_dir). The operator already
     persists its (tiny) pair output, so memoizing the DataFrame handle
     is enough to share the materialization."""
-    key = (id(spark), sf_dir)
+    key = (spark, sf_dir)
     if key not in _pairs_cache:
         _pairs_cache[key] = ops.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.2)
     return _pairs_cache[key]
