@@ -328,7 +328,7 @@ def find_top_level_keyword(s: str, keyword: str) -> int:
 _INSERT_RE = re.compile(
     r"^\s*(?:INSERT|REPLACE)\s+(?:OR\s+\w+\s+)?INTO\s+"
     r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*"
-    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>VALUES\s*.*|SELECT\s+.*|WITH\s+.*)$",
+    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>DEFAULT\s+VALUES|VALUES\s*.*|SELECT\s+.*|WITH\s+.*)\s*$",
     re.S | re.I,
 )
 
@@ -369,6 +369,16 @@ class InsertStmt:
     # SQLite upsert clause: None | ("nothing", target_cols | None)
     #                            | ("update", target_cols | None, sets)
     on_conflict: tuple | None = None
+
+
+def strip_returning(sql: str) -> tuple[str, str | None]:
+    """Split a DML statement's top-level RETURNING clause (SQLite
+    3.35+): returns (core_sql, projection_sql | None). Scanner-based —
+    a RETURNING inside a string literal or subquery is left alone."""
+    i = find_top_level_keyword(sql, "RETURNING")
+    if i < 0:
+        return sql, None
+    return sql[:i].rstrip(), sql[i + len("RETURNING"):].strip().rstrip(";").strip() or None
 
 
 _ON_CONFLICT_RE = re.compile(

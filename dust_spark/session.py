@@ -130,6 +130,10 @@ class DustSession:
         self._fk_enabled = False
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
+        # RETURNING support: query() arms capture before applying DML,
+        # handlers leave the affected-row DataFrame here
+        self._capture_returning = False
+        self._returning_df: DataFrame | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
         # crash between journal-append and publish can't reuse a seq
@@ -235,19 +239,38 @@ class DustSession:
                 results.append(self._pragma_query(stmt.sql))
             elif kind in dialect.WRITE_KINDS or kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW", "ATTACH", "DETACH"):
                 # rusqlite happily runs DDL/DML through prepare/query_map
-                # (exercised at db/src/db.rs:694,737) → empty result set
+                # (exercised at db/src/db.rs:694,737) → empty result set,
+                # unless a RETURNING clause projects the affected rows
+                returning = None
+                core = stmt.sql
+                if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
+                    core, returning = dialect.strip_returning(stmt.sql)
+                stmt_core = Statement(core, list(stmt.parameters or []))
                 overlay = Overlay(self.catalog)
                 err = None
+                self._capture_returning = returning is not None
+                self._returning_df = None
                 try:
-                    self._apply(overlay, stmt)
-                    self._log_journal(stmt, False)
+                    self._apply(overlay, stmt_core)
+                    self._log_journal(stmt_core, False)
                     overlay.commit()
                 except DustError as e:
                     overlay.rollback()
                     err = e
+                finally:
+                    self._capture_returning = False
                 if err is not None:
                     raise err
-                results.append(Rows())
+                if returning is not None and self._returning_df is not None:
+                    rdf = self._returning_df
+                    rdf.createOrReplaceTempView("__dust_ret")
+                    out = self.spark.sql(
+                        dialect.rewrite_sqlite_fns(f"SELECT {returning} FROM __dust_ret")
+                    )
+                    results.append(rows_from_dataframe(out))
+                    self._returning_df = None
+                else:
+                    results.append(Rows())
             else:
                 df = self._sql(stmt.sql, stmt.parameters)
                 renamed = self._sqlite_column_names(stmt.sql, df)
@@ -314,6 +337,11 @@ class DustSession:
     def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
         sql = dialect.rewrite_sqlite_fns(bind_params(stmt.sql, list(stmt.parameters or [])))
         kind = statement_kind(sql)
+        if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE") and not self._capture_returning:
+            _core, _ret = dialect.strip_returning(sql)
+            if _ret:
+                # rusqlite: execute() refuses row-returning statements
+                raise DustError("Execute returned results - did you mean to call query?")
         if kind == "ATTACH":
             return self._attach(sql)
         if kind == "DETACH":
@@ -544,12 +572,18 @@ class DustSession:
         schema_cols = [f.name for f in tdef.schema.fields]
 
         src_sql = ins.source_sql
-        if src_sql.upper().startswith("VALUES"):
+        default_values = src_sql.upper().replace("  ", " ").startswith("DEFAULT VALUES")
+        if default_values:
+            # INSERT INTO t DEFAULT VALUES: one row, every column takes
+            # its default (or NULL / the next rowid)
+            src = self.spark.range(1).select()
+            cols = []
+        elif src_sql.upper().startswith("VALUES"):
             src = self.spark.sql(f"SELECT * FROM {src_sql}")
+            cols = ins.columns or schema_cols
         else:
             src = self.spark.sql(src_sql)
-
-        cols = ins.columns or schema_cols
+            cols = ins.columns or schema_cols
         if len(src.columns) != len(cols):
             raise DustError(f"{len(src.columns)} values for {len(cols)} columns")
         unknown = [c for c in cols if c not in schema_cols]
@@ -620,6 +654,10 @@ class DustSession:
             high_water = st.high_water + n
             last_id = high_water
 
+        if self._capture_returning:
+            self._returning_df = (
+                new_rows.orderBy("__rn").drop("__rn").localCheckpoint(eager=True)
+            )
         out_df = existing.unionByName(new_rows.drop("__rn"))
         new_st = overlay.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
@@ -725,6 +763,15 @@ class DustSession:
             updated = marked.drop("__exc_m")
 
         n_fresh = fresh.count()
+        if self._capture_returning:
+            upd_rows = (
+                marked.filter(F.col("__exc_m") == 1).drop("__exc_m")
+                if kind == "update"
+                else self.spark.createDataFrame([], tdef.schema)
+            )
+            self._returning_df = upd_rows.unionByName(
+                fresh.drop("__rn").localCheckpoint(eager=True)
+            )
         out_df = updated.unionByName(fresh.drop("__rn"))
         self._check_constraints(overlay, tdef, out_df, None, full_table=True)
         self._check_child_fks(overlay, ins.table, out_df)
@@ -819,6 +866,8 @@ class DustSession:
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")
+        if self._capture_returning:
+            self._returning_df = marked.filter(F.col("__m") == 1).drop("__m")
 
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
         self._check_child_fks(overlay, up.table, new_df)
@@ -836,6 +885,8 @@ class DustSession:
         st.df.createOrReplaceTempView("__dust_stage")
         if de.where is None:
             n = st.df.count()
+            if self._capture_returning:
+                self._returning_df = st.df
             new_df = self.spark.createDataFrame([], st.tdef.schema)
         else:
             new_df = self.spark.sql(
@@ -843,6 +894,11 @@ class DustSession:
                 f"WHERE NOT coalesce(({de.where}), false)"
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
+            if self._capture_returning:
+                self._returning_df = self.spark.sql(
+                    f"SELECT * FROM __dust_stage AS `{de.table}` "
+                    f"WHERE coalesce(({de.where}), false)"
+                )
         self._check_child_fks(overlay, de.table, new_df)
         new_st = overlay.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
         overlay.put(de.table, new_st)

@@ -851,3 +851,53 @@ def test_pragma_table_info_case_and_attached(spark, tmp_path, db):
     out = q(db, "PRAGMA table_info(aux9.at)")
     assert '"values":[[0,"x","INT",0,null,0]]' in out
     ex(db, "DETACH aux9")
+
+
+def test_returning_clause(db):
+    """SQLite 3.35 RETURNING through query(): inserted rows (with
+    assigned rowids), updated post-images, deleted pre-images; execute()
+    refuses it like rusqlite refuses row-returning statements."""
+    ex(db, "CREATE TABLE r2 (id INTEGER NOT NULL PRIMARY KEY, v INT, s TEXT DEFAULT 'd')")
+    out = q(db, "INSERT INTO r2(v) VALUES(10), (20) RETURNING id, v, s")
+    assert out == (
+        '[{"columns":["id","v","s"],"types":["integer","integer","text"],'
+        '"values":[[1,10,"d"],[2,20,"d"]]}]'
+    )
+    out = q(db, "UPDATE r2 SET v = v * 2 WHERE id = 2 RETURNING id, v")
+    assert out == '[{"columns":["id","v"],"types":["integer","integer"],"values":[[2,40]]}]'
+    out = q(db, "DELETE FROM r2 WHERE v >= 40 RETURNING *")
+    assert out == (
+        '[{"columns":["id","v","s"],"types":["integer","integer","text"],"values":[[2,40,"d"]]}]'
+    )
+    assert q(db, "SELECT count(*) AS n FROM r2") == (
+        '[{"columns":["n"],"types":["integer"],"values":[[1]]}]'
+    )
+    # expression projections work too
+    out = q(db, "INSERT INTO r2(v) VALUES(5) RETURNING v + 100 AS vv")
+    assert out == '[{"columns":["vv"],"types":["integer"],"values":[[105]]}]'
+    # upsert RETURNING covers both inserted and updated rows
+    out = q(db, "INSERT INTO r2(id, v) VALUES(1, 7), (9, 9) "
+                "ON CONFLICT(id) DO UPDATE SET v = excluded.v RETURNING id, v")
+    import json as _json
+
+    rows = sorted(_json.loads(out)[0]["values"])
+    assert rows == [[1, 7], [9, 9]]
+    # execute() path refuses row-returning DML (rusqlite behavior)
+    r = db.execute_string_stmt("INSERT INTO r2(v) VALUES(1) RETURNING id")
+    assert r[0].error == "Execute returned results - did you mean to call query?"
+    # a RETURNING inside a string literal is data, not a clause
+    ex(db, "CREATE TABLE rl (id INTEGER NOT NULL PRIMARY KEY, s TEXT)")
+    ex(db, "INSERT INTO rl(s) VALUES('no RETURNING x here')")
+    assert q(db, "SELECT s FROM rl") == (
+        '[{"columns":["s"],"types":["text"],"values":[["no RETURNING x here"]]}]'
+    )
+
+
+def test_insert_default_values(db):
+    ex(db, "CREATE TABLE dv (id INTEGER NOT NULL PRIMARY KEY, s TEXT DEFAULT 'x', n INT)")
+    assert ex(db, "INSERT INTO dv DEFAULT VALUES") == '[{"last_insert_id":1,"rows_affected":1}]'
+    assert ex(db, "INSERT INTO dv DEFAULT VALUES") == '[{"last_insert_id":2,"rows_affected":1}]'
+    assert q(db, "SELECT * FROM dv ORDER BY id") == (
+        '[{"columns":["id","s","n"],"types":["integer","text","integer"],'
+        '"values":[[1,"x",null],[2,"x",null]]}]'
+    )
