@@ -820,3 +820,29 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-wide duplicate-line removal (CCNet-style boilerplate
     filter); reassembled docs hash-checked against the DuckDB replay."""
     return ops.dedup_lines(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register(
+    "c4j_top_terms",
+    oracle=(
+        "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "
+        "FROM documents WHERE length(trim(text)) > 0) "
+        "SELECT term, count(*) AS n FROM tok GROUP BY term "
+        "ORDER BY n DESC, term LIMIT 50"
+    ),
+    tags=("tierc", "text", "agg"),
+)
+def top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Corpus heavy hitters (stopword discovery): exact top-50 terms by
+    frequency — explode + hash-agg with map-side combine, capped by a
+    TakeOrderedAndProject (never a full sort)."""
+    from dust_spark.functions import tokens
+
+    docs = _docs(spark, sf_dir)
+    return (
+        docs.select(F.explode(tokens("text")).alias("term"))
+        .groupBy("term")
+        .agg(F.count("*").alias("n"))
+        .orderBy(F.desc("n"), "term")
+        .limit(50)
+    )
