@@ -294,10 +294,14 @@ def parse_create_table(sql: str) -> TableDef:
 # --------------------------------------------------------------------------
 
 def find_top_level_keyword(s: str, keyword: str) -> int:
-    """Index of the first occurrence of ``keyword`` (word-bounded,
-    case-insensitive) outside parens/quotes, or -1. Lets UPDATE/DELETE
-    parsing skip the WHERE of a nested subquery."""
-    kw = keyword.upper()
+    """Index of the first occurrence of ``keyword`` outside parens and
+    quotes, or -1 (word-bounded, case-insensitive; a multi-word keyword
+    like "ON CONFLICT" tolerates any whitespace run between its words).
+    Lets UPDATE/DELETE parsing skip the WHERE of a nested subquery."""
+    pat = re.compile(
+        r"\s+".join(re.escape(w) for w in keyword.upper().split()) + r"(?![\w])",
+        re.I | re.S,
+    )
     depth, i = 0, 0
     in_str: str | None = None
     n = len(s)
@@ -315,11 +319,9 @@ def find_top_level_keyword(s: str, keyword: str) -> int:
             depth += 1
         elif ch == ")":
             depth -= 1
-        elif depth == 0 and s[i : i + len(kw)].upper() == kw:
+        elif depth == 0 and pat.match(s, i):
             before_ok = i == 0 or not (s[i - 1].isalnum() or s[i - 1] == "_")
-            j = i + len(kw)
-            after_ok = j >= n or not (s[j].isalnum() or s[j] == "_")
-            if before_ok and after_ok:
+            if before_ok:
                 return i
         i += 1
     return -1
@@ -328,7 +330,7 @@ def find_top_level_keyword(s: str, keyword: str) -> int:
 _INSERT_RE = re.compile(
     r"^\s*(?:INSERT|REPLACE)\s+(?:OR\s+\w+\s+)?INTO\s+"
     r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*"
-    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>DEFAULT\s+VALUES|VALUES\s*.*|SELECT\s+.*|WITH\s+.*)\s*$",
+    r"(?:\((?P<cols>[^)]*)\))?\s*(?P<rest>DEFAULT\s+VALUES\s*;?|VALUES\s*.*|SELECT\s+.*|WITH\s+.*)\s*$",
     re.S | re.I,
 )
 
@@ -382,7 +384,7 @@ def strip_returning(sql: str) -> tuple[str, str | None]:
 
 
 _ON_CONFLICT_RE = re.compile(
-    r"\sON\s+CONFLICT\s*(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*DO\s+"
+    r"ON\s+CONFLICT\s*(?:\(\s*(?P<cols>[^)]*?)\s*\))?\s*DO\s+"
     r"(?:(?P<nothing>NOTHING)|UPDATE\s+SET\s+(?P<sets>.*?))\s*;?\s*$",
     re.S | re.I,
 )
@@ -393,7 +395,7 @@ def parse_insert(sql: str) -> InsertStmt:
     # locate the clause with the paren/quote-aware scanner — a bare
     # regex search could match inside a trailing string literal
     oc_i = find_top_level_keyword(sql, "ON CONFLICT")
-    oc = _ON_CONFLICT_RE.match(sql, oc_i - 1) if oc_i > 0 else None
+    oc = _ON_CONFLICT_RE.match(sql, oc_i) if oc_i > 0 else None
     if oc:
         target = None
         if oc.group("cols"):

@@ -97,6 +97,8 @@ def minhash_signatures(
     include_shingles: bool = True,
 ) -> DataFrame:
     """id, shingles (distinct set), MinHash signature per document.
+    ``id_col`` must be unique and non-null (NULL ids would share one
+    empty-doc sentinel — xxhash64(NULL) is a constant).
     With ``include_shingles=False`` the shingle sets are dropped —
     the signature-only form is what estimate-mode verification
     consumes at scale.

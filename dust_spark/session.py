@@ -134,6 +134,7 @@ class DustSession:
         # handlers leave the affected-row DataFrame here
         self._capture_returning = False
         self._returning_df: DataFrame | None = None
+        self._returning_table: str | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
         # crash between journal-append and publish can't reuse a seq
@@ -244,8 +245,13 @@ class DustSession:
                 returning = None
                 core = stmt.sql
                 if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
-                    core, returning = dialect.strip_returning(stmt.sql)
-                stmt_core = Statement(core, list(stmt.parameters or []))
+                    # bind positional parameters across the WHOLE
+                    # statement first — the projection may hold some
+                    bound = bind_params(stmt.sql, list(stmt.parameters or []))
+                    core, returning = dialect.strip_returning(bound)
+                    stmt_core = Statement(core, [])
+                else:
+                    stmt_core = Statement(core, list(stmt.parameters or []))
                 overlay = Overlay(self.catalog)
                 err = None
                 self._capture_returning = returning is not None
@@ -264,8 +270,11 @@ class DustSession:
                 if returning is not None and self._returning_df is not None:
                     rdf = self._returning_df
                     rdf.createOrReplaceTempView("__dust_ret")
+                    # alias as the target table so qualified refs
+                    # (RETURNING t.col) resolve like SQLite's
+                    alias = f" AS `{self._returning_table}`" if self._returning_table else ""
                     out = self.spark.sql(
-                        dialect.rewrite_sqlite_fns(f"SELECT {returning} FROM __dust_ret")
+                        dialect.rewrite_sqlite_fns(f"SELECT {returning} FROM __dust_ret{alias}")
                     )
                     results.append(rows_from_dataframe(out))
                     self._returning_df = None
@@ -323,11 +332,20 @@ class DustSession:
         for i, line in enumerate(lines):
             doc = json.loads(line)
             kind = statement_kind(doc["sql"])
-            if doc.get("seq", i + 1) <= snapshot_seq and kind not in ("ATTACH", "DETACH"):
+            pre_snapshot = doc.get("seq", i + 1) <= snapshot_seq
+            if pre_snapshot and kind not in ("ATTACH", "DETACH"):
                 continue  # data already in the manifest snapshot
-            # ATTACH/DETACH always re-execute: alias state lives only in
-            # the session, so the journal tail may reference alias.* names
-            sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
+            if pre_snapshot:
+                # ATTACH/DETACH re-execute (alias state lives only in
+                # the session) but must NOT re-journal — the journal
+                # would otherwise grow a duplicate per recovery
+                jp, sess._journal = sess._journal, None
+                try:
+                    sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
+                finally:
+                    sess._journal = jp
+            else:
+                sess.execute_string_stmt(doc["sql"], doc.get("parameters") or [])
         return sess
 
     # ------------------------------------------------------------------
@@ -572,7 +590,7 @@ class DustSession:
         schema_cols = [f.name for f in tdef.schema.fields]
 
         src_sql = ins.source_sql
-        default_values = src_sql.upper().replace("  ", " ").startswith("DEFAULT VALUES")
+        default_values = re.match(r"DEFAULT\s+VALUES\s*;?\s*$", src_sql, re.I | re.S) is not None
         if default_values:
             # INSERT INTO t DEFAULT VALUES: one row, every column takes
             # its default (or NULL / the next rowid)
@@ -655,9 +673,11 @@ class DustSession:
             last_id = high_water
 
         if self._capture_returning:
-            self._returning_df = (
-                new_rows.orderBy("__rn").drop("__rn").localCheckpoint(eager=True)
-            )
+            # checkpoint once, reuse for BOTH the returning capture and
+            # the table union — no double evaluation of the source plan
+            new_rows = new_rows.localCheckpoint(eager=True)
+            self._returning_df = new_rows.orderBy("__rn").drop("__rn")
+            self._returning_table = ins.table
         out_df = existing.unionByName(new_rows.drop("__rn"))
         new_st = overlay.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
@@ -671,7 +691,15 @@ class DustSession:
         SET): conflict target defaults to the primary key; ``excluded.x``
         in DO UPDATE expressions refers to the incoming row. Rows are
         conceptually processed in statement order — first insert wins
-        for DO NOTHING, last update wins for DO UPDATE."""
+        for DO NOTHING, last update wins for DO UPDATE.
+
+        Known divergence (set-based vs SQLite's row-by-row loop): with a
+        targetless DO NOTHING over MULTIPLE constraints, a batch row
+        that loses the in-batch race on constraint A does not "free" its
+        claim under constraint B for later rows — SQLite, processing
+        sequentially, would. Batches that rely on that interleaving are
+        pathological; the common paths (single constraint, or rows
+        conflicting with existing data) match exactly."""
         kind, target = ins.on_conflict[0], ins.on_conflict[1]
         all_constraints = [list(u) for u in tdef.unique]
         if tdef.rowid_column and [tdef.rowid_column] not in all_constraints:
@@ -762,6 +790,8 @@ class DustSession:
             n_updated = marked.filter(F.col("__exc_m") == 1).count()
             updated = marked.drop("__exc_m")
 
+        if self._capture_returning:
+            fresh = fresh.localCheckpoint(eager=True)  # reused below
         n_fresh = fresh.count()
         if self._capture_returning:
             upd_rows = (
@@ -769,9 +799,8 @@ class DustSession:
                 if kind == "update"
                 else self.spark.createDataFrame([], tdef.schema)
             )
-            self._returning_df = upd_rows.unionByName(
-                fresh.drop("__rn").localCheckpoint(eager=True)
-            )
+            self._returning_df = upd_rows.unionByName(fresh.drop("__rn"))
+            self._returning_table = ins.table
         out_df = updated.unionByName(fresh.drop("__rn"))
         self._check_constraints(overlay, tdef, out_df, None, full_table=True)
         self._check_child_fks(overlay, ins.table, out_df)
@@ -868,6 +897,7 @@ class DustSession:
         new_df = marked.drop("__m")
         if self._capture_returning:
             self._returning_df = marked.filter(F.col("__m") == 1).drop("__m")
+            self._returning_table = up.table
 
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
         self._check_child_fks(overlay, up.table, new_df)
@@ -887,6 +917,7 @@ class DustSession:
             n = st.df.count()
             if self._capture_returning:
                 self._returning_df = st.df
+                self._returning_table = de.table
             new_df = self.spark.createDataFrame([], st.tdef.schema)
         else:
             new_df = self.spark.sql(
@@ -899,6 +930,7 @@ class DustSession:
                     f"SELECT * FROM __dust_stage AS `{de.table}` "
                     f"WHERE coalesce(({de.where}), false)"
                 )
+                self._returning_table = de.table
         self._check_child_fks(overlay, de.table, new_df)
         new_st = overlay.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
         overlay.put(de.table, new_st)

@@ -901,3 +901,40 @@ def test_insert_default_values(db):
         '[{"columns":["id","s","n"],"types":["integer","text","integer"],'
         '"values":[[1,"x",null],[2,"x",null]]}]'
     )
+
+
+def test_dml_clause_whitespace_tolerance(db):
+    """Formatted SQL: newlines/tabs inside ON CONFLICT, DEFAULT VALUES,
+    RETURNING clauses; trailing semicolons; qualified RETURNING refs and
+    bound parameters in the projection."""
+    ex(db, "CREATE TABLE wt (id INTEGER NOT NULL PRIMARY KEY, v INT DEFAULT 3)")
+    assert '"rows_affected":1' in ex(db, "INSERT INTO wt DEFAULT\n  VALUES;")
+    assert '"rows_affected":1' in ex(db, "INSERT INTO wt(id, v) VALUES(2, 1)\nON\nCONFLICT(id)\nDO\tNOTHING")
+    out = ex(db, "INSERT INTO wt(id, v) VALUES(2, 9)\n  ON CONFLICT(id) DO UPDATE SET v = excluded.v;")
+    assert '"rows_affected":1' in out
+    assert q(db, "SELECT v FROM wt WHERE id = 2") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[9]]}]'
+    )
+    out = q(db, "INSERT INTO wt(id, v) VALUES(5, ?)\nRETURNING wt.id, v + ? AS vp", [7, 100])
+    assert out == '[{"columns":["id","vp"],"types":["integer","integer"],"values":[[5,107]]}]'
+
+
+def test_replay_does_not_duplicate_attach(spark, tmp_path):
+    import json as _json
+    import os
+
+    aux = str(tmp_path / "aux_nd")
+    DustSession(spark, warehouse=aux).execute_string_stmt(
+        "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)"
+    )
+    wh = str(tmp_path / "main_nd")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt(f"ATTACH '{aux}' AS a1")
+    db.close()
+    jp = os.path.join(wh, "journal.jsonl")
+    n0 = sum(1 for ln in open(jp) if ln.strip())
+    for _ in range(2):
+        DustSession.replay(jp, spark, warehouse=wh).close()
+    n1 = sum(1 for ln in open(jp) if ln.strip())
+    attaches = [ln for ln in open(jp) if "ATTACH" in ln.upper()]
+    assert n1 == n0 and len(attaches) == 1, (n0, n1, attaches)
