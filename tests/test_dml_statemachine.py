@@ -1,0 +1,179 @@
+"""Model-based DML state-machine test: hypothesis drives random
+statement sequences (insert / REPLACE / upsert / update / delete /
+RETURNING) against DustSession AND an exact Python model of the
+engine's documented semantics; table contents must agree after every
+statement. This probes the write-path state machine *between* the
+hand-written golden tests — the territory where both review rounds
+found bugs.
+
+Model semantics (the engine's documented contract):
+- rowid: NULL/omitted id takes high_water + row_number; high_water is
+  monotone (never reused after DELETE of the max — diverges from bare
+  SQLite rowid reuse, matches TableState.high_water).
+- REPLACE: conflicting existing rows deleted; last in-batch dup wins.
+- ON CONFLICT(id) DO NOTHING: first in-batch wins, existing wins over
+  incoming. DO UPDATE: last in-batch wins, excluded.* = incoming row.
+- UPDATE/DELETE: whole-table scans with a predicate.
+"""
+
+from __future__ import annotations
+
+import pytest
+from hypothesis import HealthCheck, settings
+from hypothesis import strategies as st
+from hypothesis.stateful import RuleBasedStateMachine, initialize, invariant, precondition, rule
+
+from dust_spark import DustSession
+
+VALS = st.integers(-5, 20)
+IDS = st.integers(1, 8)
+
+
+class DmlModel:
+    """id -> v, plus the engine's monotone high-water mark."""
+
+    def __init__(self):
+        self.rows: dict[int, int | None] = {}
+        self.high_water = 0
+
+    def _assign_ids(self, batch):
+        out = []
+        rn = 0
+        for vid, v in batch:
+            if vid is None:
+                rn += 1
+                vid = self.high_water + rn
+            out.append((vid, v))
+        return out
+
+    def bump(self, assigned):
+        if assigned:
+            self.high_water = max(self.high_water, max(i for i, _ in assigned))
+
+    def insert(self, batch):
+        assigned = self._assign_ids(batch)
+        if any(i in self.rows for i, _ in assigned) or len({i for i, _ in assigned}) < len(assigned):
+            return False  # UNIQUE violation → statement rejected
+        self.rows.update(assigned)
+        self.bump(assigned)
+        return True
+
+    def replace(self, batch):
+        assigned = self._assign_ids(batch)
+        last = {}
+        for i, v in assigned:  # last in-batch dup wins
+            last[i] = v
+        self.rows.update(last)
+        self.bump(assigned)
+        return True
+
+    def upsert_nothing(self, batch):
+        assigned = self._assign_ids(batch)
+        seen = set()
+        for i, v in assigned:
+            if i in self.rows or i in seen:
+                continue  # first wins / existing wins
+            self.rows[i] = v
+            seen.add(i)
+        self.bump(assigned)
+        return True
+
+    def upsert_update(self, batch):
+        assigned = self._assign_ids(batch)
+        for i, v in assigned:  # sequential: last wins, updates apply
+            self.rows[i] = v
+        self.bump(assigned)
+        return True
+
+    def update_where(self, threshold, delta):
+        for i, v in self.rows.items():
+            if v is not None and v >= threshold:
+                self.rows[i] = v + delta
+
+    def delete_where(self, threshold):
+        self.rows = {i: v for i, v in self.rows.items() if not (v is not None and v < threshold)}
+
+
+class DmlMachine(RuleBasedStateMachine):
+    spark = None  # injected by the test wrapper
+
+    @initialize()
+    def setup(self):
+        self.db = DustSession(DmlMachine.spark)
+        self.db.execute_string_stmt(
+            "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)"
+        )
+        self.model = DmlModel()
+
+    def teardown(self):
+        self.db.close()
+
+    def _values(self, batch):
+        return ", ".join(
+            f"({'NULL' if i is None else i}, {'NULL' if v is None else v})" for i, v in batch
+        )
+
+    @rule(batch=st.lists(st.tuples(st.one_of(st.none(), IDS), st.one_of(st.none(), VALS)), min_size=1, max_size=3))
+    def insert(self, batch):
+        r = self.db.execute_string_stmt(f"INSERT INTO t(id, v) VALUES {self._values(batch)}")
+        ok = self.model.insert(batch)
+        assert bool(not r[0].error) == ok, (r[0].error, ok, batch)
+
+    @rule(batch=st.lists(st.tuples(IDS, st.one_of(st.none(), VALS)), min_size=1, max_size=3))
+    def replace(self, batch):
+        r = self.db.execute_string_stmt(f"REPLACE INTO t(id, v) VALUES {self._values(batch)}")
+        assert not r[0].error, r[0].error
+        self.model.replace(batch)
+
+    @rule(batch=st.lists(st.tuples(IDS, VALS), min_size=1, max_size=3))
+    def upsert_nothing(self, batch):
+        r = self.db.execute_string_stmt(
+            f"INSERT INTO t(id, v) VALUES {self._values(batch)} ON CONFLICT(id) DO NOTHING"
+        )
+        assert not r[0].error, r[0].error
+        self.model.upsert_nothing(batch)
+
+    @rule(batch=st.lists(st.tuples(IDS, VALS), min_size=1, max_size=3))
+    def upsert_update(self, batch):
+        r = self.db.execute_string_stmt(
+            f"INSERT INTO t(id, v) VALUES {self._values(batch)} "
+            "ON CONFLICT(id) DO UPDATE SET v = excluded.v"
+        )
+        assert not r[0].error, r[0].error
+        self.model.upsert_update(batch)
+
+    @rule(threshold=VALS, delta=st.integers(-3, 3))
+    def update_where(self, threshold, delta):
+        r = self.db.execute_string_stmt(f"UPDATE t SET v = v + {delta} WHERE v >= {threshold}")
+        assert not r[0].error, r[0].error
+        self.model.update_where(threshold, delta)
+
+    @rule(threshold=VALS)
+    def delete_where(self, threshold):
+        r = self.db.execute_string_stmt(f"DELETE FROM t WHERE v < {threshold}")
+        assert not r[0].error, r[0].error
+        self.model.delete_where(threshold)
+
+    @precondition(lambda self: True)
+    @invariant()
+    def table_matches_model(self):
+        rows = self.db.query_string_stmt("SELECT id, v FROM t ORDER BY id")[0]
+        got = {r[0]: r[1] for r in rows.values}
+        assert got == self.model.rows, f"engine {got} != model {self.model.rows}"
+
+
+@pytest.mark.usefixtures("spark")
+def test_dml_state_machine(spark):
+    DmlMachine.spark = spark
+    DmlMachine.TestCase.settings = settings(
+        max_examples=6,
+        stateful_step_count=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+        derandomize=True,
+    )
+    import unittest
+
+    runner = unittest.TextTestRunner(verbosity=0)
+    result = runner.run(unittest.TestLoader().loadTestsFromTestCase(DmlMachine.TestCase))
+    assert result.wasSuccessful(), result.failures or result.errors
