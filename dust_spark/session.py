@@ -591,6 +591,7 @@ class DustSession:
 
         src_sql = ins.source_sql
         default_values = re.match(r"DEFAULT\s+VALUES\s*;?\s*$", src_sql, re.I | re.S) is not None
+        values_src = default_values or src_sql.upper().startswith("VALUES")
         if default_values:
             # INSERT INTO t DEFAULT VALUES: one row, every column takes
             # its default (or NULL / the next rowid)
@@ -630,8 +631,31 @@ class DustSession:
                 c = F.expr(tdef.defaults[f.name]).cast(f.dataType)
             else:
                 c = F.lit(None).cast(f.dataType)
-            if f.name == tdef.rowid_column:
+            if f.name == tdef.rowid_column and not values_src:
+                # bulk INSERT...SELECT keeps the parallel partition-
+                # offset assignment (a sequential scan would serialize
+                # billions of rows through one task); explicit/auto
+                # mixing there takes the monotone approximation
                 c = F.coalesce(c, F.lit(st.high_water) + F.col("__rn"))
+            elif f.name == tdef.rowid_column:
+                # SQLite auto-rowid is SEQUENTIAL: each NULL id takes
+                # (max rowid seen so far, incl. larger EXPLICIT ids
+                # earlier in this batch) + 1. Closed form over the batch
+                # order: id(rn) = A(rn) + max(high_water,
+                # max_{j<=rn, explicit}(E(j) − A(j))) where A = running
+                # count of auto rows. All-auto batches reduce to the old
+                # high_water + row_number.
+                run = Window.orderBy("__rn").rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+                a_run = F.sum(F.when(c.isNull(), 1).otherwise(0)).over(run)
+                e_base = F.max(
+                    F.when(c.isNotNull(), c.cast("long") - a_run)
+                ).over(run)
+                auto_id = a_run + F.greatest(
+                    F.lit(st.high_water).cast("long"), F.coalesce(e_base, F.lit(st.high_water).cast("long"))
+                )
+                c = F.coalesce(c, auto_id.cast(f.dataType))
             projected.append(c.alias(f.name))
         new_rows = src.select(*projected, F.col("__rn"))
 

@@ -7,9 +7,11 @@ hand-written golden tests — the territory where both review rounds
 found bugs.
 
 Model semantics (the engine's documented contract):
-- rowid: NULL/omitted id takes high_water + row_number; high_water is
-  monotone (never reused after DELETE of the max — diverges from bare
-  SQLite rowid reuse, matches TableState.high_water).
+- rowid: NULL/omitted id takes (max rowid seen so far, including larger
+  explicit ids earlier in the same batch) + 1 — SQLite's sequential
+  assignment; high_water is monotone (never reused after DELETE of the
+  max — diverges from bare SQLite rowid reuse, matches
+  TableState.high_water).
 - REPLACE: conflicting existing rows deleted; last in-batch dup wins.
 - ON CONFLICT(id) DO NOTHING: first in-batch wins, existing wins over
   incoming. DO UPDATE: last in-batch wins, excluded.* = incoming row.
@@ -37,12 +39,14 @@ class DmlModel:
         self.high_water = 0
 
     def _assign_ids(self, batch):
+        # SQLite sequential auto-rowid: NULL id = (max seen so far,
+        # including larger explicit ids earlier in the batch) + 1
         out = []
-        rn = 0
+        cur = self.high_water
         for vid, v in batch:
             if vid is None:
-                rn += 1
-                vid = self.high_water + rn
+                vid = cur + 1
+            cur = max(cur, vid)
             out.append((vid, v))
         return out
 
@@ -141,6 +145,31 @@ class DmlMachine(RuleBasedStateMachine):
         )
         assert not r[0].error, r[0].error
         self.model.upsert_update(batch)
+
+    @rule(batch=st.lists(st.tuples(IDS, VALS), min_size=1, max_size=3))
+    def upsert_update_returning(self, batch):
+        """RETURNING must project exactly the inserted+updated rows."""
+        rows = self.db.query_string_stmt(
+            f"INSERT INTO t(id, v) VALUES {self._values(batch)} "
+            "ON CONFLICT(id) DO UPDATE SET v = excluded.v RETURNING id, v"
+        )[0]
+        self.model.upsert_update(batch)
+        got = sorted(map(tuple, rows.values))
+        want = sorted({(i, self.model.rows[i]) for i, _ in batch})
+        assert got == want, (got, want)
+
+    @rule(threshold=VALS)
+    def delete_where_returning(self, threshold):
+        """DELETE RETURNING projects the pre-image of removed rows."""
+        rows = self.db.query_string_stmt(
+            f"DELETE FROM t WHERE v < {threshold} RETURNING id, v"
+        )[0]
+        want = sorted(
+            (i, v) for i, v in self.model.rows.items() if v is not None and v < threshold
+        )
+        self.model.delete_where(threshold)
+        got = sorted(map(tuple, rows.values))
+        assert got == want, (got, want)
 
     @rule(threshold=VALS, delta=st.integers(-3, 3))
     def update_where(self, threshold, delta):
