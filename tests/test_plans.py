@@ -129,3 +129,15 @@ def test_ngram_postings_join_on_hashes(spark):
     joins = re.findall(r"SortMergeJoin.*|ShuffledHashJoin.*|BroadcastHashJoin.*", plan)
     assert joins, "expected joins in the pair plan"
     assert any("gh" in j for j in joins), f"no hash-keyed join found:\n{plan[:1500]}"
+
+
+def test_tpch_q3_shape_single_shuffle_topk(spark):
+    """The Q3-shaped composite must plan as: broadcast dimension hops,
+    ONE fact-fact exchange (plus AQE's post-agg coalesce), and a
+    TakeOrderedAndProject cap — the 100 TB shape."""
+    df = QUERIES["b13a_tpch_q3_shape"].fn(spark, SF_DIR)
+    plan = plans.formatted_plan(df)
+    assert "TakeOrderedAndProject" in plan
+    assert plan.count("BroadcastHashJoin") >= 2
+    n = plans.count_shuffles(df)
+    assert n <= 2, f"expected <=2 exchanges, got {n}"
