@@ -172,24 +172,34 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c3b_dot_pairs",
     oracle=(
+        # per-element products cast to DECIMAL before summing: float
+        # accumulation order differs between engines and can flip a
+        # value straddling the 4dp rounding boundary (seen at sf0.1);
+        # decimal sums are exact and order-independent; '+ 0.0'
+        # normalizes IEEE negative zero (engines disagree on -0.0 vs 0.0)
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(list_dot_product(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), 4) AS dot "
+        "ROUND(CAST(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), "
+        "x -> CAST(x[1] * x[2] AS DECIMAL(26,12)))) AS DOUBLE), 4) + 0.0 AS dot "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE a.vec_id <= 5 ORDER BY id_a, id_b"
     ),
     tags=("tierc", "similarity"),
 )
 def dot_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dust_spark.functions import vec_dot
-
     register_views(spark, sf_dir)
     emb = spark.table("embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")).filter(F.col("id_a") <= 5)
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
+    dec = "decimal(26,12)"
+    dot = F.aggregate(
+        F.zip_with("va", "vb", lambda x, y: (x.cast("double") * y.cast("double")).cast(dec)),
+        F.lit(0).cast(dec),
+        lambda s, x: (s + x).cast(dec),
+    )
     return (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", F.round(vec_dot(F.col("va"), F.col("vb")), 4).alias("dot"))
+        .select("id_a", "id_b", (F.round(dot.cast("double"), 4) + F.lit(0.0)).alias("dot"))
         .orderBy("id_a", "id_b")
     )
 
