@@ -178,11 +178,17 @@ def minhash_lsh_pairs(
     """
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    # signature-only table: (id, 8·k-byte sig) — shingle sets never enter
+    # the cache (or any shuffle; exact verification recomputes them
+    # map-side below). Persist keeps the columnar, column-prunable cache;
+    # the eager count() runs the Arrow sig kernel in exactly one job no
+    # matter how many downstream branches reference the table (the
+    # round-2 plan restated it 16×).
     sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_words,
-        include_shingles=(verify == "exact"),
+        df, text_col, id_col, num_hashes, shingle_words, include_shingles=False
     )
     sigs = sigs.persist()
+    sigs.count()
 
     from pyspark.sql import Window as W
 
@@ -209,8 +215,17 @@ def minhash_lsh_pairs(
     )
 
     if verify == "exact":
-        sa = sigs.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
-        sb = sigs.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+        # exact Jaccard needs the shingle sets — recompute them map-side
+        # for the verification join instead of caching them for every
+        # doc: candidates ≪ corpus, so the candidate pairs broadcast and
+        # the shingle sets are built streaming during the probe-side
+        # corpus scan. No shuffle ever carries a shingle set.
+        shing = df.select(
+            F.col(id_col).alias("id"),
+            word_shingles(tokens(text_col), shingle_words).alias("shingles"),
+        )
+        sa = shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+        sb = shing.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
         jac = F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4)
     else:
         sa = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sh_a"))
@@ -226,11 +241,9 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("id_a", "id_b", "jaccard")
     )
-    # Scope the big signature cache to this call: materialize the (small)
+    # Scope the signature cache to this call: materialize the (small)
     # verified-pair output, then release the signatures — long-lived
-    # sessions running many dedups must not accumulate signature blocks
-    # in executor memory. The persisted result is pairs-only (tiny); a
-    # lost block recomputes through full lineage.
+    # sessions running many dedups must not accumulate cache blocks.
     verified = verified.persist()
     verified.count()
     sigs.unpersist()
