@@ -375,12 +375,21 @@ def ngram_jaccard_pairs(
     sh = df.select(
         F.col(id_col).alias("id"),
         F.explode(shingle_set).alias("__s"),
-    ).select("id", F.xxhash64("__s").alias("gh")).persist()  # read 3× below
-    # set sizes come straight off the narrow per-row arrays — no shuffle
-    sizes = df.select(F.col(id_col).alias("id"), F.size(shingle_set).alias("sz"))
+    ).select("id", F.xxhash64("__s").alias("gh")).persist()  # read 4× below
+    # set sizes = postings per id (word_shingles is already distinct) —
+    # reads the persisted postings instead of re-evaluating the shingle
+    # lambda over the corpus a second time
+    sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
+    # prune both tails of the document-frequency spectrum before the
+    # self-join: df_ == 1 shingles (the vast majority of an organic
+    # corpus) cannot produce a pair, and df_ > max_postings stop-shingles
+    # are the skewed keys that explode quadratically
     postings = sh.groupBy("gh").agg(F.count("*").alias("df_"))
-    sh = sh.join(postings.filter(F.col("df_") <= max_postings).select("gh"), "gh")
+    sh = sh.join(
+        postings.filter((F.col("df_") >= 2) & (F.col("df_") <= max_postings)).select("gh"),
+        "gh",
+    )
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (

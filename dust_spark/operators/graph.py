@@ -39,7 +39,9 @@ def connected_components(
         .distinct()
         .persist()
     )
-    labels = edges.select("u").distinct().withColumn("label", F.col("u"))
+    # label init = min over the closed neighborhood — one aggregation that
+    # does the work of the loop's first propagate round for free
+    labels = edges.groupBy("u").agg(F.least(F.col("u"), F.min("v")).alias("label"))
 
     for _ in range(max_iterations):
         # 1) propagate: min label over the closed neighborhood
@@ -50,24 +52,27 @@ def connected_components(
         )
         propagated = labels.join(neighbor_min, "u", "left").select(
             "u",
+            F.col("label").alias("l0"),
             F.least(F.col("label"), F.coalesce(F.col("nlabel"), F.col("label"))).alias("l1"),
         )
-        # 2) pointer jump: follow the label's own label (path doubling)
-        jumped = propagated.join(
-            labels.select(F.col("u").alias("l1"), F.col("label").alias("l2")), "l1", "left"
-        ).select(
-            "u",
-            F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias("label"),
+        # 2) pointer jump: follow the label's own label (path doubling).
+        # The round's change flag rides along into the checkpoint so the
+        # convergence check below is a filter over the materialized RDD —
+        # no join back against the previous labels, no extra shuffle.
+        jumped = (
+            propagated.join(
+                labels.select(F.col("u").alias("l1"), F.col("label").alias("l2")), "l1", "left"
+            )
+            .select(
+                "u",
+                "l0",
+                F.least(F.col("l1"), F.coalesce(F.col("l2"), F.col("l1"))).alias("label"),
+            )
+            .select("u", "label", (F.col("label") != F.col("l0")).alias("__changed"))
         )
         new_labels = jumped.localCheckpoint(eager=True)
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "u")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
-        labels = new_labels
+        changed = new_labels.filter("__changed").limit(1).count()
+        labels = new_labels.drop("__changed")
         if changed == 0:
             break
     edges.unpersist()
