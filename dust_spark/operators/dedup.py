@@ -430,6 +430,7 @@ def decontaminate(
     benchmark_text_col: str = "text",
     ngram_words: int = 8,
     id_col: str = "doc_id",
+    broadcast_limit: int = 10_000_000,
 ) -> DataFrame:
     """Remove training documents that contain any ``ngram_words``-gram
     from the benchmark corpus — the standard eval-contamination filter.
@@ -452,8 +453,18 @@ def decontaminate(
         F.explode(word_shingles(tokens(text_col), ngram_words)).alias("__g"),
     ).select(id_col, F.xxhash64("__g").alias("__gh"))
 
+    # size-gate the broadcast: a typical benchmark suite explodes to
+    # ~10³-10⁷ 8-byte gram hashes (broadcastable), but an oversized one
+    # must fall back to a shuffled semi-join instead of OOMing the
+    # driver. The capped count stops scanning at limit+1 rows.
+    if broadcast_limit:
+        small = bench_grams.limit(broadcast_limit + 1).count() <= broadcast_limit
+        hinted = F.broadcast(bench_grams) if small else bench_grams
+    else:
+        hinted = F.broadcast(bench_grams)
+
     contaminated_ids = (
-        doc_grams.join(F.broadcast(bench_grams), "__gh", "left_semi")
+        doc_grams.join(hinted, "__gh", "left_semi")
         .select(id_col)
         .distinct()
     )

@@ -43,23 +43,34 @@ def cosine_topk(
     k: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    broadcast_limit: int = 100_000,
 ) -> DataFrame:
     """Exact top-k neighbors by cosine for every query vector.
 
     Output: qid, nid, cos (rounded 4dp), deterministic tie-break on nid.
 
-    Scale shape: the query side is broadcast (queries are typically ≪
-    corpus), so the corpus is scanned exactly once with no shuffle;
-    per-query top-k then reduces through a partial window. For
-    query-set sizes beyond broadcast range, use :func:`rp_lsh_topk`.
+    Scale shape: the query side is broadcast when it holds at most
+    ``broadcast_limit`` rows (queries are typically ≪ corpus), so the
+    corpus is scanned exactly once with no shuffle; per-query top-k then
+    reduces through a partial window. Beyond the limit the hint is
+    dropped and the planner falls back to a shuffled join rather than
+    OOMing the driver on an oversized broadcast — but at that scale
+    prefer :func:`rp_lsh_topk`. ``broadcast_limit=0`` disables the gate
+    (always hint).
     """
     from pyspark.sql import Window as W
 
     q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
     c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    if broadcast_limit:
+        # capped count (no rows reach the driver); the limit stops the
+        # scan as soon as the side is provably too big to broadcast
+        small = q.limit(broadcast_limit + 1).count() <= broadcast_limit
+        q = F.broadcast(q) if small else q
+    else:
+        q = F.broadcast(q)
     scored = (
-        F.broadcast(q)
-        .join(c, F.col("qid") != F.col("nid"))
+        q.join(c, F.col("qid") != F.col("nid"))
         .select("qid", "nid", cosine(F.col("qv"), F.col("nv")).alias("__cos"))
     )
     w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))

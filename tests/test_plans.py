@@ -141,3 +141,35 @@ def test_tpch_q3_shape_single_shuffle_topk(spark):
     assert plan.count("BroadcastHashJoin") >= 2
     n = plans.count_shuffles(df)
     assert n <= 2, f"expected <=2 exchanges, got {n}"
+
+
+def test_broadcast_size_gates(spark):
+    """cosine_topk / decontaminate hint a broadcast only when the small
+    side is under the row limit; an oversized side must drop the hint so
+    the planner (not an unconditional F.broadcast) owns the strategy.
+    Auto-broadcast is disabled here so a surviving hint is the only way
+    a Broadcast* join could appear."""
+    from dust_spark.operators import cosine_topk, decontaminate
+
+    emb = load_table(spark, SF_DIR, "embeddings")
+    docs = load_table(spark, SF_DIR, "documents")
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        # hint survives under the limit (forces broadcast past the conf)
+        small = plans.formatted_plan(cosine_topk(emb.filter(F.col("vec_id") <= 5), emb, k=3))
+        assert "BroadcastNestedLoopJoin" in small or "BroadcastHashJoin" in small
+        # limit below the query-side size -> hint must be dropped
+        big = plans.formatted_plan(
+            cosine_topk(emb.filter(F.col("vec_id") <= 5), emb, k=3, broadcast_limit=3)
+        )
+        assert "BroadcastNestedLoopJoin" not in big, f"oversized side still broadcast:\n{big[:1500]}"
+
+        gated = plans.formatted_plan(decontaminate(docs, bench, ngram_words=8, broadcast_limit=1))
+        semi = [ln for ln in gated.splitlines() if "LeftSemi" in ln]
+        assert semi and all("Broadcast" not in ln for ln in semi), (
+            f"oversized benchmark still broadcast in semi-join:\n{gated[:1500]}"
+        )
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
