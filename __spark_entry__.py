@@ -64,11 +64,11 @@ _ROUND2_VERIFIED = (
 
 # Sketch queries recorded rows-only in r02 (no DuckDB oracle by
 # construction): keep them in the window for fresh rows-only records,
-# after anything that can still earn a first hash-green row.
+# after anything that can still earn a first hash-green row. c4f and c9c
+# left this pool in round 3 — they gained portable-hash oracles.
 _ROWS_ONLY_DONE = (
     "c2a_minhash_lsh_pairs c2b_simhash_table c2d_embedding_near_dup "
-    "c3c_ann_rp_lsh c3d_ann_ivf c4f_rolling_fingerprint c5b_media_features "
-    "c9c_train_val_test_split"
+    "c3c_ann_rp_lsh c3d_ann_ivf c5b_media_features"
 ).split()
 
 

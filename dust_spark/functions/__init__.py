@@ -54,6 +54,33 @@ def shingle_hashes(tok: Column, n: int = 3) -> Column:
     return F.when(F.size(tok) >= n, sh).otherwise(F.array().cast("array<long>"))
 
 
+#: modulus for :func:`portable_char_hash` — 2^31-1 keeps every
+#: intermediate (acc*31 + char) below 2^36, exactly representable in the
+#: int64 arithmetic of any SQL engine (no unsigned/overflow divergence).
+PORTABLE_HASH_MOD = 2_147_483_647
+
+
+def portable_char_hash(col: Column | str, seed: int = 0) -> Column:
+    """Deterministic cross-engine string hash: Horner fold of the byte
+    values, ``acc = (acc*31 + ascii(char)) % (2^31-1)`` starting from
+    ``seed``. Unlike xxhash64 this is expressible verbatim in DuckDB
+    (``list_reduce(list_prepend(seed, chars), ...)``), so operators built
+    on it get hard driver oracles instead of rows-only checks.
+    """
+    c = F.col(col) if isinstance(col, str) else col
+    chars = F.transform(
+        F.sequence(F.lit(1), F.length(c)),
+        lambda i: F.ascii(F.substring(c, i, F.lit(1))).cast("long"),
+    )
+    return F.when(F.length(c) == 0, F.lit(seed).cast("long")).otherwise(
+        F.aggregate(
+            chars,
+            F.lit(seed).cast("long"),
+            lambda acc, ch: (acc * 31 + ch) % PORTABLE_HASH_MOD,
+        )
+    )
+
+
 def char_shingles(col: Column | str, n: int = 5) -> Column:
     """Character n-gram shingles (distinct)."""
     c = F.col(col) if isinstance(col, str) else col

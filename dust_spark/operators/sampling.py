@@ -23,8 +23,24 @@ from pyspark.sql import functions as F
 _BUCKETS = 1_000_000
 
 
-def _bucket(key: Column, seed: int) -> Column:
-    return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+def _bucket(key: Column, seed: int, hash_fn: str = "xxhash64") -> Column:
+    """Deterministic bucket in [0, _BUCKETS). ``hash_fn='xxhash64'``
+    (default) is the strongest mixer; ``'portable'`` uses the
+    cross-engine char-Horner hash over CAST(key AS STRING) — weaker
+    mixing but exactly replayable in DuckDB SQL, which upgrades split
+    queries from rows-only to hard hash oracles."""
+    if hash_fn == "xxhash64":
+        return F.pmod(F.xxhash64(key, F.lit(seed)), F.lit(_BUCKETS))
+    if hash_fn == "portable":
+        from dust_spark.functions import PORTABLE_HASH_MOD, portable_char_hash
+
+        # multiplicative scramble (Knuth 2654435761): short sequential
+        # keys Horner-hash to near-contiguous values, which would land
+        # whole id ranges in one split; one multiply mod 2^31-1 spreads
+        # them (product < 2^63, int64-safe in Spark and DuckDB alike)
+        h = portable_char_hash(key.cast("string"), seed=seed)
+        return F.pmod(F.pmod(h * F.lit(2654435761), F.lit(PORTABLE_HASH_MOD)), F.lit(_BUCKETS))
+    raise ValueError(f"hash_fn must be 'xxhash64' or 'portable', got {hash_fn!r}")
 
 
 def hash_sample(df: DataFrame, fraction: float, key: str = "doc_id", seed: int = 42) -> DataFrame:
@@ -40,11 +56,12 @@ def train_val_test_split(
     key: str = "doc_id",
     seed: int = 42,
     out_col: str = "split",
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Label every row train/val/test — disjoint and exhaustive, stable
     across runs. One narrow projection; downstream filters prune."""
     w_train, w_val, _ = weights
-    b = _bucket(F.col(key), seed)
+    b = _bucket(F.col(key), seed, hash_fn)
     t1 = int(w_train * _BUCKETS)
     t2 = int((w_train + w_val) * _BUCKETS)
     return df.withColumn(

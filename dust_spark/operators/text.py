@@ -117,19 +117,71 @@ def fingerprint(df: DataFrame, text_col: str = "text", out_col: str = "fp") -> D
     return df.withColumn(out_col, F.md5(norm))
 
 
+#: token-level Horner base for the rolling window hash; with token
+#: hashes < 2^31 every intermediate stays under 2^62 (int64-safe in any
+#: engine). _ROLL_PW = _ROLL_P^(window-1) mod M removes the departing
+#: token when the window slides.
+_ROLL_P = 1_000_003
+
+
 def rolling_hash_fingerprint(
     df: DataFrame, text_col: str = "text", window: int = 8, out_col: str = "rfp"
 ) -> DataFrame:
-    """Winnowing-style rolling fingerprint: min of xxhash64 over
-    ``window``-token rolling windows — robust to local edits; equal
-    fingerprints are strong near-dup candidates."""
+    """Winnowing-style rolling fingerprint (Schleimer et al., SIGMOD'03
+    shape): min over all ``window``-token Rabin-Karp hashes — robust to
+    local edits; equal fingerprints are strong near-dup candidates.
+
+    The hash is the portable polynomial family (:func:`portable_char_hash`
+    per token, base-P Horner per window, everything mod 2^31-1), so a
+    DuckDB oracle can replay it exactly — xxhash64 would be rows-only.
+
+    Shape: narrow single pass. Token hashes come from one ``transform``
+    (per-char work bound to lambda variables — no re-evaluated outer
+    expression), and the rolling minimum is ONE ``aggregate`` fold with a
+    (last-w-hashes buffer, rolling hash, min) accumulator — the classic
+    Rabin-Karp slide. The O(n·w) ``transform(idx, j -> hash(slice(...)))``
+    form is deliberately avoided: Catalyst inlines the token-hash array
+    per window (the nested-lambda re-evaluation trap).
+    """
+    from dust_spark.functions import PORTABLE_HASH_MOD as M
+    from dust_spark.functions import portable_char_hash
+
+    pw = pow(_ROLL_P, window - 1, M)
     tok = tokens(text_col)
-    idx = F.sequence(F.lit(1), F.greatest(F.size(tok) - (window - 1), F.lit(1)))
-    win_hash = F.transform(
-        idx,
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(tok, i, window))),
+    th = F.transform(tok, lambda w: portable_char_hash(w))
+
+    # accumulator: buf = last `window` token hashes, rh = current window
+    # hash, mn = min over all full windows (M sentinel = "none yet")
+    init = F.struct(
+        F.array().cast("array<long>").alias("buf"),
+        F.lit(0).cast("long").alias("rh"),
+        F.lit(M).cast("long").alias("mn"),
     )
-    return df.withColumn(out_col, F.when(F.size(tok) == 0, F.lit(None).cast("long")).otherwise(F.array_min(win_hash)))
+
+    def step(acc, h):
+        full = F.size(acc["buf"]) >= window
+        # slide: remove the oldest token's P^(w-1) term before adding h
+        rh_kept = F.when(
+            full, F.pmod(acc["rh"] - F.element_at(acc["buf"], 1) * pw, F.lit(M))
+        ).otherwise(acc["rh"])
+        rh = F.pmod(rh_kept * _ROLL_P + h, F.lit(M))
+        buf = F.when(full, F.slice(F.concat(acc["buf"], F.array(h)), 2, window)).otherwise(
+            F.concat(acc["buf"], F.array(h))
+        )
+        mn = F.when(F.size(buf) >= window, F.least(acc["mn"], rh)).otherwise(acc["mn"])
+        return F.struct(buf.alias("buf"), rh.alias("rh"), mn.alias("mn"))
+
+    # finish: min over full windows; a doc shorter than `window` has one
+    # (short) window whose hash is the final rh
+    fp = F.aggregate(
+        th,
+        init,
+        step,
+        lambda acc: F.when(acc["mn"] < M, acc["mn"]).otherwise(acc["rh"]),
+    )
+    return df.withColumn(
+        out_col, F.when(F.size(tok) == 0, F.lit(None).cast("long")).otherwise(fp)
+    )
 
 
 def tf_idf(

@@ -323,8 +323,34 @@ def quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c4f_rolling_fingerprint", tags=("tierc", "text", "no-oracle"))
+_ROLLING_FP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(w, t ->
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(1, length(t)+1), i -> ascii(t[i])::BIGINT)),
+             (a, c) -> (a*31 + c) % 2147483647)) AS h
+  FROM tok
+)
+SELECT doc_id,
+       CASE WHEN len(h) = 0 THEN NULL ELSE
+         list_min(list_transform(range(1, greatest(len(h)-7, 1)+1), j ->
+           list_reduce(list_prepend(0::BIGINT, h[j:j+7]),
+             (a, b) -> (a*1000003 + b) % 2147483647)))
+       END AS rfp
+FROM th ORDER BY doc_id
+"""
+
+
+@register("c4f_rolling_fingerprint", oracle=_ROLLING_FP_ORACLE, tags=("tierc", "text"))
 def rolling_fp_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Portable Rabin-Karp winnowing fingerprint — the DuckDB oracle
+    recomputes every window hash directly (materialized lists, so the
+    O(n·w) form is fine there); Spark does the single-pass slide."""
     return (
         ops.rolling_hash_fingerprint(_docs(spark, sf_dir))
         .select("doc_id", "rfp")
@@ -549,12 +575,29 @@ def chunk_documents_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("c9c_train_val_test_split", tags=("tierc", "sampling", "no-oracle"))
+_SPLIT_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_prepend(42::BIGINT,
+           list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+             i -> ascii(CAST(doc_id AS VARCHAR)[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) * 2654435761) % 2147483647 % 1000000 AS bk
+  FROM documents
+)
+SELECT CASE WHEN bk < 800000 THEN 'train'
+            WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split,
+       count(*) AS n
+FROM b GROUP BY 1 ORDER BY 1
+"""
+
+
+@register("c9c_train_val_test_split", oracle=_SPLIT_ORACLE, tags=("tierc", "sampling"))
 def split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    # xxhash64 buckets aren't portable to DuckDB → rows-only; split
-    # invariants (disjoint, exhaustive, stable) are asserted in tests
+    """Portable-hash split mode: the DuckDB oracle replays the
+    char-Horner bucket exactly. The xxhash64 default mode keeps its
+    invariant tests (disjoint, exhaustive, stable) in tests/."""
     return (
-        ops.train_val_test_split(_docs(spark, sf_dir))
+        ops.train_val_test_split(_docs(spark, sf_dir), hash_fn="portable")
         .groupBy("split")
         .agg(F.count("*").alias("n"))
         .orderBy("split")
