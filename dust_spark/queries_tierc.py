@@ -146,6 +146,20 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.embedding_near_dup(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
+@register("c2e_minhash_estimate", tags=("tierc", "dedup", "no-oracle"))
+def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB MinHash path: verification via the signature-component
+    estimator (Ĵ = matches/k, stderr ≈ sqrt(J(1-J)/k)) instead of exact
+    shingle Jaccard — candidate payloads are the fixed 8·k-byte
+    signatures, never shingle sets. Estimate-vs-exact agreement is
+    asserted in tests/test_operators.py::test_minhash_estimate_verify_bounds;
+    xxhash64 signatures aren't DuckDB-expressible → rows-only."""
+    return (
+        ops.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2, verify="estimate")
+        .orderBy("id_a", "id_b")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C3 — similarity search over embeddings
 # ---------------------------------------------------------------------------
