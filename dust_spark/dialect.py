@@ -403,6 +403,12 @@ def parse_insert(sql: str) -> InsertStmt:
         if oc.group("nothing"):
             on_conflict = ("nothing", target)
         else:
+            # SQLite allows a conditional `DO UPDATE SET ... WHERE pred`;
+            # our set-based merge doesn't implement it — fail loudly
+            # instead of silently absorbing the WHERE text into the last
+            # SET expression (which would misparse or mis-update)
+            if find_top_level_keyword(oc.group("sets"), "WHERE") >= 0:
+                raise ValueError("unsupported: ON CONFLICT ... DO UPDATE SET ... WHERE")
             sets = []
             for part in split_top_level(oc.group("sets")):
                 eq = part.index("=")
@@ -511,19 +517,27 @@ def parse_detach(sql: str) -> str:
 
 def rewrite_attached_names(sql: str, aliases: dict[str, str]) -> str:
     """Rewrite ``alias.table`` qualified names to the attached catalog's
-    prefixed view names (``{prefix}{table}``). Token-level: skips string
-    literals so data containing "alias.x" is untouched."""
+    prefixed view names (``{prefix}{table}``). Token-level: skips
+    single-quoted string literals AND double-quoted/backtick identifier
+    segments, so data containing "alias.x" is untouched.
+
+    Known limitation (documented, matches SQLite only approximately): a
+    query table alias that shadows an attached database name
+    (``ATTACH ... AS a; SELECT a.col FROM t AS a``) is still rewritten —
+    SQLite would resolve the table alias. Rename the query alias or
+    quote it (``"a".col`` is left alone) to disambiguate."""
     if not aliases:
         return sql
     pat = re.compile(
-        r"('(?:[^']|'')*')|\b(" + "|".join(map(re.escape, aliases)) + r")\.(\w+)",
+        r"('(?:[^']|'')*')|(\"(?:[^\"]|\"\")*\")|(`(?:[^`]|``)*`)"
+        r"|\b(" + "|".join(map(re.escape, aliases)) + r")\.(\w+)",
         re.I,
     )
 
     def sub(m):
-        if m.group(1) is not None:
-            return m.group(1)  # string literal — leave alone
-        return aliases[m.group(2).lower()] + m.group(3)
+        if m.group(4) is None:
+            return m.group(0)  # quoted literal/identifier — leave alone
+        return aliases[m.group(4).lower()] + m.group(5)
 
     return pat.sub(sub, sql)
 

@@ -488,11 +488,16 @@ class DustSession:
         """Pick the overlay owning ``table``: attached catalogs own the
         names carrying their view prefix (full DML parity — SQLite's
         ATTACH is read-write, and a transaction spans all attached
-        databases atomically)."""
+        databases atomically). Longest prefix wins: with aliases ``a``
+        and ``a_b``, table ``__att_a_b_t`` must route to ``a_b``, not be
+        claimed by ``a``'s shorter ``__att_a_`` prefix."""
+        best = None
         for cat in self._attached.values():
-            if table.startswith(cat.view_prefix):
-                return overlay.sibling(cat)
-        return overlay
+            if table.startswith(cat.view_prefix) and (
+                best is None or len(cat.view_prefix) > len(best.view_prefix)
+            ):
+                best = cat
+        return overlay.sibling(best) if best is not None else overlay
 
     def _attach(self, sql: str) -> Response:
         try:
@@ -779,17 +784,53 @@ class DustSession:
             unknown = [c for c in sets if c not in schema_cols]
             if unknown:
                 raise DustError(f"no such column: {unknown[0]}")
-            w = Window.partitionBy(*target).orderBy(F.col("__rn").desc())  # last wins
-            incoming = (
-                new_rows.withColumn(
+            # SQLite processes the batch row-by-row: the FIRST row of an
+            # in-batch conflict group inserts (or updates the existing
+            # row); every later row fires DO UPDATE SET again. Folded
+            # set-based: non-SET columns come from the group's first row,
+            # SET columns apply with excluded = the group's last row.
+            # (A SET expression referencing the target row's own columns
+            # folds once, not per-row — divergence only for
+            # self-accumulating SETs across 3+ conflicting batch rows.)
+            w_first = Window.partitionBy(*target).orderBy("__rn")
+            w_last = Window.partitionBy(*target).orderBy(F.col("__rn").desc())
+            ranked = new_rows.withColumn(
+                "__nk",
+                F.when(null_target, F.lit(1)).otherwise(
+                    F.count("*").over(Window.partitionBy(*target))
+                ),
+            )
+            firsts = (
+                ranked.withColumn(
                     "__rk",
-                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w)),
+                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w_first)),
                 )
                 .filter(F.col("__rk") == 1)
                 .drop("__rk")
             )
-            fresh = incoming.join(conflict_keys, target, "left_anti")
-            upd_src = incoming.join(conflict_keys, target, "left_semi")
+            lasts = (
+                ranked.withColumn(
+                    "__rk",
+                    F.when(null_target, F.lit(1)).otherwise(F.row_number().over(w_last)),
+                )
+                .filter(F.col("__rk") == 1)
+                .drop("__rk")
+            )
+
+            def _set_projs(extra: list[str]) -> list[str]:
+                projs = []
+                for f in tdef.schema.fields:
+                    if f.name in sets:
+                        e = re.sub(r"\bexcluded\.", "__exc_", sets[f.name], flags=re.I)
+                        projs.append(
+                            f"CAST(CASE WHEN __exc_m = 1 THEN ({e}) ELSE `{f.name}` END "
+                            f"AS {f.dataType.simpleString()}) AS `{f.name}`"
+                        )
+                    else:
+                        projs.append(f"`{f.name}`")
+                return projs + extra
+
+            upd_src = lasts.join(conflict_keys, target, "left_semi")
             exc = upd_src.select(
                 F.lit(1).alias("__exc_m"),
                 *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
@@ -799,20 +840,23 @@ class DustSession:
                 eq = existing[c] == exc[f"__exc_{c}"]
                 cond = eq if cond is None else (cond & eq)
             joined = existing.join(exc, cond, "left")
-            projs = []
-            for f in tdef.schema.fields:
-                if f.name in sets:
-                    e = re.sub(r"\bexcluded\.", "__exc_", sets[f.name], flags=re.I)
-                    projs.append(
-                        f"CAST(CASE WHEN __exc_m = 1 THEN ({e}) ELSE `{f.name}` END "
-                        f"AS {f.dataType.simpleString()}) AS `{f.name}`"
-                    )
-                else:
-                    projs.append(f"`{f.name}`")
-            projs.append("__exc_m")
-            marked = joined.selectExpr(*projs).localCheckpoint(eager=True)
+            marked = joined.selectExpr(*_set_projs(["__exc_m"])).localCheckpoint(eager=True)
             n_updated = marked.filter(F.col("__exc_m") == 1).count()
             updated = marked.drop("__exc_m")
+
+            # fresh keys: insert the FIRST batch row, then fold the later
+            # rows' DO UPDATE (excluded = last row) onto it when the
+            # group has more than one batch row
+            fresh_base = firsts.join(conflict_keys, target, "left_anti")
+            exc_new = lasts.filter(F.col("__nk") > 1).select(
+                F.lit(1).alias("__exc_m"),
+                *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+            )
+            condf = None
+            for c in target:
+                eq = fresh_base[c] == exc_new[f"__exc_{c}"]
+                condf = eq if condf is None else (condf & eq)
+            fresh = fresh_base.join(exc_new, condf, "left").selectExpr(*_set_projs(["__rn"]))
 
         if self._capture_returning:
             fresh = fresh.localCheckpoint(eager=True)  # reused below
@@ -877,13 +921,13 @@ class DustSession:
             [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
         )
         if not offsets:
-            return src.withColumn("__rn", F.lit(1))  # empty source
+            return src.withColumn("__rn", F.lit(1).cast("long"))  # empty source
         off_df = self.spark.createDataFrame(offsets, schema)
         pw = Window.partitionBy("__pid").orderBy("__mid")
         return (
             tagged.withColumn("__pos", F.row_number().over(pw))
             .join(F.broadcast(off_df), "__pid")
-            .withColumn("__rn", (F.col("__off") + F.col("__pos")).cast("int"))
+            .withColumn("__rn", (F.col("__off") + F.col("__pos")).cast("long"))
             .drop("__mid", "__pid", "__off", "__pos")
         )
 

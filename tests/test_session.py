@@ -938,3 +938,71 @@ def test_replay_does_not_duplicate_attach(spark, tmp_path):
     n1 = sum(1 for ln in open(jp) if ln.strip())
     attaches = [ln for ln in open(jp) if "ATTACH" in ln.upper()]
     assert n1 == n0 and len(attaches) == 1, (n0, n1, attaches)
+
+
+def test_upsert_in_batch_fresh_key_first_insert_then_update(db):
+    """SQLite row-by-row upsert semantics for a key that is NEW to the
+    table but appears twice in one batch: the first row INSERTS, the
+    second fires DO UPDATE SET — so non-SET columns keep the FIRST row's
+    values while SET columns take the later row's (mirrors sqlite3
+    behavior for INSERT ... ON CONFLICT DO UPDATE; cf. db/src/db.rs's
+    pass-through at :176)."""
+    ex(db, "CREATE TABLE ub (id INTEGER NOT NULL PRIMARY KEY, a TEXT, b INT)")
+    ex(db, "INSERT INTO ub(id, a, b) VALUES(1, 'x', 1), (1, 'y', 2) "
+           "ON CONFLICT(id) DO UPDATE SET b = excluded.b")
+    assert q(db, "SELECT id, a, b FROM ub") == (
+        '[{"columns":["id","a","b"],"types":["integer","text","integer"],'
+        '"values":[[1,"x",2]]}]'
+    )
+    # three rows: non-SET from first, SET folds to the last row's value
+    ex(db, "INSERT INTO ub(id, a, b) VALUES(2, 'p', 1), (2, 'q', 2), (2, 'r', 3) "
+           "ON CONFLICT(id) DO UPDATE SET b = excluded.b")
+    assert q(db, "SELECT a, b FROM ub WHERE id = 2") == (
+        '[{"columns":["a","b"],"types":["text","integer"],"values":[["p",3]]}]'
+    )
+
+
+def test_upsert_do_update_where_rejected(db):
+    """SQLite's conditional `DO UPDATE SET ... WHERE pred` is not
+    implemented — it must surface as a clear per-statement error, not be
+    silently absorbed into the last SET expression."""
+    ex(db, "CREATE TABLE uw (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    out = ex(db, "INSERT INTO uw(id, v) VALUES(1, 1) "
+                 "ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE uw.v < excluded.v")
+    assert "unsupported: ON CONFLICT" in out
+    # a WHERE inside a string literal in the SET expr is NOT a clause
+    ex(db, "INSERT INTO uw(id, v) VALUES(1, 1)")
+    ex(db, "CREATE TABLE uw2 (id INTEGER NOT NULL PRIMARY KEY, t TEXT)")
+    ex(db, "INSERT INTO uw2(id, t) VALUES(1, 'a'), (1, 'WHERE x') "
+           "ON CONFLICT(id) DO UPDATE SET t = excluded.t")
+    assert q(db, "SELECT t FROM uw2") == (
+        '[{"columns":["t"],"types":["text"],"values":[["WHERE x"]]}]'
+    )
+
+
+def test_attach_prefix_alias_routing(spark, tmp_path, db):
+    """One alias a prefix of another (a, a_b): tables must route to the
+    catalog with the LONGEST matching prefix, and double-quoted segments
+    must survive name rewriting untouched."""
+    wh_a = str(tmp_path / "wh_a")
+    wh_ab = str(tmp_path / "wh_ab")
+    for wh, val in ((wh_a, 1), (wh_ab, 2)):
+        src = DustSession(spark, warehouse=wh)
+        src.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+        src.execute_string_stmt(f"INSERT INTO t(id, v) VALUES(1, {val})")
+        src.close()
+    ex(db, f"ATTACH '{wh_a}' AS a")
+    ex(db, f"ATTACH '{wh_ab}' AS a_b")
+    assert q(db, "SELECT v FROM a.t") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[1]]}]'
+    )
+    assert q(db, "SELECT v FROM a_b.t") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[2]]}]'
+    )
+    # writes land in the right catalog (longest prefix, not dict order)
+    ex(db, "INSERT INTO a_b.t(id, v) VALUES(9, 9)")
+    assert '"values":[[2]]' in q(db, "SELECT count(*) AS n FROM a_b.t")
+    assert '"values":[[1]]' in q(db, "SELECT count(*) AS n FROM a.t")
+    # a double-quoted string containing 'a.t' is data, not a name
+    out = q(db, "SELECT 'a.t' AS s FROM a.t")
+    assert '"values":[["a.t"]]' in out
