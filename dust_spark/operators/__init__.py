@@ -20,6 +20,8 @@ from dust_spark.operators.multimodal import (
     attach_media,
     decode_media,
     media_stats,
+    resize_images,
+    sample_frames,
 )
 from dust_spark.operators.sampling import (
     hash_sample,
@@ -64,6 +66,8 @@ __all__ = [
     "attach_media",
     "decode_media",
     "media_stats",
+    "resize_images",
+    "sample_frames",
     "cosine_topk",
     "embedding_near_dup",
     "ivf_topk",

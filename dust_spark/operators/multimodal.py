@@ -94,29 +94,60 @@ def _fake_feature(data: bytes, dim: int) -> list[float]:
     return out[:dim]
 
 
+def _pil_image():
+    """Runtime probe for a real image decoder. Returns PIL.Image or
+    None — checked inside the task (executor environments may differ
+    from the driver's)."""
+    try:
+        from PIL import Image
+
+        return Image
+    except ImportError:
+        return None
+
+
+def _pil_feature(Image, data: bytes, dim: int) -> list[float]:
+    """Real image feature: decode, grayscale, resize to the smallest
+    square covering ``dim`` pixels, emit the first ``dim`` pixel
+    intensities in [0,1) — a deterministic, dependency-light visual
+    signature (average-hash family)."""
+    import io
+    import math
+
+    side = max(1, math.isqrt(dim - 1) + 1) if dim > 1 else 1
+    img = Image.open(io.BytesIO(data)).convert("L").resize((side, side))
+    px = list(img.getdata())
+    return [p / 256.0 for p in px[:dim]] + [0.0] * max(0, dim - len(px))
+
+
 def decode_media(df: DataFrame, dim: int = 16, fake: bool = False, batch_size: int = 256) -> DataFrame:
     """Decode + feature-extract media rows via Arrow-batched mapInPandas.
 
-    With ``fake=False`` this raises ``NotImplementedError`` at task
-    runtime (real decoders — PIL/torchaudio/ffmpeg — are not in this
-    container). With ``fake=True`` the identical distributed path runs a
-    deterministic stand-in featurizer.
+    With ``fake=True`` a deterministic stand-in featurizer runs through
+    the full distributed path. With ``fake=False`` the task probes for a
+    real decoder at runtime (PIL for images) and uses it when present;
+    without one it raises ``NotImplementedError`` — honestly, rather
+    than silently degrading to the fake.
     """
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        Image = None if fake else _pil_image()
         for pdf in batches:
-            if not fake:
+            if not fake and Image is None:
                 raise NotImplementedError(
                     "real media decode requires PIL/torchaudio/ffmpeg; "
-                    "run with fake=True for the deterministic stand-in"
+                    "install PIL or run with fake=True for the deterministic stand-in"
                 )
+            feat = (
+                (lambda b: _fake_feature(b, dim))
+                if fake
+                else (lambda b: _pil_feature(Image, b, dim))
+            )
             yield pd.DataFrame(
                 {
                     "media_id": pdf["media_id"],
                     "media_type": [m["media_type"] if m is not None else None for m in pdf["meta"]],
-                    "feature": [
-                        _fake_feature(bytes(b) if b is not None else b"", dim) for b in pdf["bytes"]
-                    ],
+                    "feature": [feat(bytes(b) if b is not None else b"") for b in pdf["bytes"]],
                     "n_bytes": [len(b) if b is not None else 0 for b in pdf["bytes"]],
                 }
             )
@@ -124,10 +155,50 @@ def decode_media(df: DataFrame, dim: int = 16, fake: bool = False, batch_size: i
     return df.mapInPandas(run, FEATURE_SCHEMA)
 
 
-def resize_images(df: DataFrame, width: int, height: int) -> DataFrame:
-    """STUB: image resize (no imaging libs in container). The plumbing
-    contract: bytes in → bytes out, meta.width/height updated."""
-    raise NotImplementedError("image resize requires PIL; not available in this container")
+def resize_images(df: DataFrame, width: int, height: int, format: str = "PNG") -> DataFrame:
+    """Resize image bytes via Arrow-batched mapInPandas when PIL is
+    available (bytes in → re-encoded bytes out, meta.width/height/
+    n_bytes and content_hash updated); raises ``NotImplementedError``
+    at task runtime without a decoder."""
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import io
+
+        Image = _pil_image()
+        for pdf in batches:
+            if Image is None:
+                raise NotImplementedError(
+                    "image resize requires PIL; not available in this environment"
+                )
+            out_bytes, metas, hashes = [], [], []
+            for b, m in zip(pdf["bytes"], pdf["meta"]):
+                img = Image.open(io.BytesIO(bytes(b))).resize((width, height))
+                buf = io.BytesIO()
+                img.save(buf, format=format)
+                data = buf.getvalue()
+                meta = dict(m) if m is not None else {}
+                meta.update(
+                    {
+                        "width": width,
+                        "height": height,
+                        "n_bytes": len(data),
+                        "mime": f"image/{format.lower()}",
+                    }
+                )
+                out_bytes.append(data)
+                metas.append(meta)
+                hashes.append(hashlib.sha256(data).hexdigest())
+            yield pd.DataFrame(
+                {
+                    "media_id": pdf["media_id"],
+                    "uri": pdf["uri"],
+                    "bytes": out_bytes,
+                    "meta": metas,
+                    "content_hash": hashes,
+                }
+            )
+
+    return df.mapInPandas(run, MEDIA_SCHEMA)
 
 
 def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:

@@ -260,8 +260,33 @@ def test_multimodal_plumbing(spark, corpus):
     stats = ops.media_stats(media).collect()
     assert stats[0]["media_type"] == "image" and stats[0]["n"] == corpus.count()
 
-    with pytest.raises(Exception, match="NotImplementedError|real media decode"):
-        ops.decode_media(media, fake=False).collect()
+    try:
+        import PIL  # noqa: F401
+
+        has_pil = True
+    except ImportError:
+        has_pil = False
+    if has_pil:
+        # real-decode path: attach_media payloads aren't valid images, so
+        # exercise PIL decode on a genuine encoded image instead
+        import io
+
+        from PIL import Image
+
+        buf = io.BytesIO()
+        Image.new("RGB", (10, 10), (255, 0, 0)).save(buf, format="PNG")
+        img_df = spark.createDataFrame([(1, bytearray(buf.getvalue()))], "doc_id long, payload binary")
+        real = ops.decode_media(
+            ops.attach_media(img_df, "doc_id", "payload"), dim=4, fake=False
+        ).collect()
+        assert len(real) == 1 and len(real[0].feature) == 4
+        resized = ops.resize_images(
+            ops.attach_media(img_df, "doc_id", "payload"), 4, 4
+        ).collect()
+        assert resized[0].meta["width"] == 4 and resized[0].meta["n_bytes"] > 0
+    else:
+        with pytest.raises(Exception, match="NotImplementedError|real media decode"):
+            ops.decode_media(media, fake=False).collect()
 
 
 def test_text_quality_and_langid(spark):
