@@ -84,11 +84,13 @@ def attach_media(
 
 def _fake_feature(data: bytes, dim: int) -> list[float]:
     """Deterministic fake 'embedding': bytes → sha256 stream → floats in
-    [0,1). Stands in for a real image/audio encoder."""
+    [0,1). Stands in for a real image/audio encoder. The counter suffix
+    is ASCII (``data + b"0"``, ``+ b"1"``, ...) so the stream is
+    replayable in engines whose sha256 takes strings (DuckDB oracle)."""
     out: list[float] = []
     counter = 0
     while len(out) < dim:
-        h = hashlib.sha256(data + counter.to_bytes(4, "big")).digest()
+        h = hashlib.sha256(data + str(counter).encode()).digest()
         out.extend(int.from_bytes(h[i : i + 4], "big") / 2**32 for i in range(0, 32, 4))
         counter += 1
     return out[:dim]

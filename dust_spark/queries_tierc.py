@@ -392,8 +392,30 @@ def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.media_stats(media)
 
 
-@register("c5b_media_features", tags=("tierc", "multimodal", "no-oracle"))
+_MEDIA_FEATURES_ORACLE = """
+WITH h AS (
+  SELECT doc_id, sha256(text || '0') AS hx, strlen(text) AS nb FROM documents
+), f AS (
+  SELECT doc_id, nb,
+    list_transform(range(0, 8), i ->
+      CAST(CAST(list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, 9),
+          j -> CAST(strpos('0123456789abcdef', hx[CAST(i*8+j AS INT)]) - 1 AS BIGINT))),
+        (a, c) -> a*16 + c) / 4294967296.0 AS FLOAT) AS DOUBLE)) AS feats
+  FROM h
+)
+SELECT doc_id AS media_id, 'image' AS media_type, CAST(nb AS BIGINT) AS n_bytes,
+       ROUND(list_sum(feats), 4) AS feat_sum
+FROM f ORDER BY media_id
+"""
+
+
+@register("c5b_media_features", oracle=_MEDIA_FEATURES_ORACLE, tags=("tierc", "multimodal"))
 def media_features_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The mapInPandas decode path with the deterministic stand-in
+    featurizer — sha256-stream features are replayed bit-exactly by the
+    DuckDB oracle (incl. the float32 quantization the Arrow transfer
+    applies), so even the Python-side plumbing is hash-verified."""
     media = ops.attach_media(_docs(spark, sf_dir), "doc_id", "text", media_type="image")
     feats = ops.decode_media(media, dim=8, fake=True)
     return feats.select(
