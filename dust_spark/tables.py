@@ -51,6 +51,7 @@ def table_path(sf_dir: str, name: str) -> str:
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
     return _read_fixture(spark, sf_dir, name)
 
 
@@ -68,6 +69,12 @@ def _read_fixture(spark: SparkSession, sf_dir: str, name: str):
     for f in df.schema.fields:
         if name == "events" and f.name == "ts" and isinstance(f.dataType, T.LongType):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif name == "events" and f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
+            # fixture generations vary: TIMESTAMP(MICROS, isAdjustedToUTC=false)
+            # reads as NTZ, which watermarks/windows reject — with the session
+            # clock pinned to UTC the cast to LTZ is value-preserving and
+            # restores the type every downstream path (and DuckDB) expects
+            df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
 
