@@ -62,13 +62,30 @@ _ROUND2_VERIFIED = (
     "b9f_cast"
 ).split()
 
-# Sketch queries recorded rows-only in r02 (no DuckDB oracle by
-# construction): keep them in the window for fresh rows-only records,
-# after anything that can still earn a first hash-green row. c4f and c9c
-# left this pool in round 3 — they gained portable-hash oracles.
+# Hash-green in CORRECTNESS_r03 (leading 12 of the r03 window plus the
+# re-confirmed r1 filler b1a..b7c; c4f/c9c/c5b earned their first hard
+# oracle rows there):
+_ROUND3_VERIFIED = (
+    "b4j_grouping_sets b5f_range_frame b9k_string_funcs2 "
+    "c4f_rolling_fingerprint c9c_train_val_test_split c5b_media_features "
+    "b1a_full_scan b1b_dup_projection b1c_expr_projection "
+    "b2a_eq_filter b2b_empty_result b2c_range_in_ts b2d_like_or_not b2e_null_pred "
+    "b3a_inner_join b3b_left_join b3c_full_join b3d_cross_join b3e_semi_join "
+    "b3f_anti_join b3g_theta_join b3h_self_join b3i_star_join b3j_using_join "
+    "b4a_groupby_aggs b4b_count_distinct b4c_having b4d_global_agg b4e_rollup "
+    "b4f_conditional_agg b4g_distinct b4h_cube "
+    "b5a_row_number_rank b5b_lag_lead b5c_first_value b5d_running_sum b5e_ntile_dense_rank "
+    "b6a_order_by b6b_multi_key_order b6c_top_k b6d_limit_offset "
+    "b7a_union_all b7b_union_distinct b7c_intersect"
+).split()
+
+# Sketch queries whose best-achievable record is rows-only (no DuckDB
+# oracle by construction): keep them in the window for fresh rows-only
+# records, after anything that can still earn a first hash-green row.
+# c4f/c9c (round 3) and c5b left this pool when they gained oracles.
 _ROWS_ONLY_DONE = (
     "c2a_minhash_lsh_pairs c2b_simhash_table c2d_embedding_near_dup "
-    "c3c_ann_rp_lsh c3d_ann_ivf c5b_media_features"
+    "c3c_ann_rp_lsh c3d_ann_ivf c2e_minhash_estimate"
 ).split()
 
 
@@ -76,15 +93,20 @@ def _prioritized():
     from dust_spark.queries import all_queries
 
     cat = all_queries()
-    verified = set(_ROUND1_VERIFIED) | set(_ROUND2_VERIFIED)
+    verified = (
+        set(_ROUND1_VERIFIED) | set(_ROUND2_VERIFIED) | set(_ROUND3_VERIFIED)
+    )
     rows_only = set(_ROWS_ONLY_DONE)
-    # 1. never recorded by the driver at all (b4j/b5f/b9k + anything new)
+    # 1. never recorded by the driver at all (anything newly added)
     order = [n for n in cat if n not in verified and n not in rows_only]
     # 2. rows-only sketches (fresh rows-only rows each round)
     order += [n for n in _ROWS_ONLY_DONE if n in cat]
-    # 3. rotation filler: least-recently-confirmed first (r1 pool, then r2)
-    order += [n for n in _ROUND1_VERIFIED if n in cat]
-    order += [n for n in _ROUND2_VERIFIED if n in cat]
+    # 3. rotation filler, least-recently-confirmed first: the r1 names
+    #    NOT re-confirmed in r3, then the r2 pool, then the r3 pool
+    r3 = set(_ROUND3_VERIFIED)
+    order += [n for n in _ROUND1_VERIFIED if n in cat and n not in r3]
+    order += [n for n in _ROUND2_VERIFIED if n in cat and n not in r3]
+    order += [n for n in _ROUND3_VERIFIED if n in cat]
     return {n: cat[n] for n in order}
 
 

@@ -53,6 +53,11 @@ def stream_events(spark: SparkSession, sf_dir: str, max_files_per_trigger: int =
 
     if isinstance(reader.schema["ts"].dataType, T.LongType):
         reader = reader.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    elif isinstance(reader.schema["ts"].dataType, T.TimestampNTZType):
+        # mirror tables._read_fixture: the NTZ fixture generation must
+        # stream with the same LTZ type the batch path produces, or the
+        # stream==batch parity invariant breaks on non-UTC hosts
+        reader = reader.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return reader
 
 

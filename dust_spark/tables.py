@@ -71,9 +71,10 @@ def _read_fixture(spark: SparkSession, sf_dir: str, name: str):
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif name == "events" and f.name == "ts" and isinstance(f.dataType, T.TimestampNTZType):
             # fixture generations vary: TIMESTAMP(MICROS, isAdjustedToUTC=false)
-            # reads as NTZ, which watermarks/windows reject — with the session
-            # clock pinned to UTC the cast to LTZ is value-preserving and
-            # restores the type every downstream path (and DuckDB) expects
+            # reads as NTZ — cast to LTZ for type consistency with the
+            # nanos-long generation above and for DuckDB oracle parity;
+            # with the session clock pinned to UTC the cast is
+            # value-preserving
             df = df.withColumn("ts", F.col("ts").cast(T.TimestampType()))
     return df
 
