@@ -132,13 +132,22 @@ def minhash_signatures(
             out.append(sig.astype(np.int64))
         return pd.Series(out)
 
-    shingle_set = word_shingles(tokens(text_col), shingle_words)  # distinct, for verify
-    base_hashes = shingle_hashes(tokens(text_col), shingle_words)  # single-level lambda
-    cols = [F.col(id_col).alias("id")]
+    # two-step projection: tokens materialize as a real attribute before
+    # any per-element lambda touches them. Passing the split() expression
+    # straight into transform would re-evaluate the full tokenization per
+    # shingle element (Catalyst evaluates non-attribute expressions inside
+    # lambdas per element — O(tokens²)/row; measured 25× slower at sf0.1).
+    # CollapseProject keeps the projections separate because the alias is
+    # expensive and multiply-referenced.
+    base = df.select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tok")
+    )
+    tok = F.col("__tok")
+    cols = [F.col("id")]
     if include_shingles:
-        cols.append(shingle_set.alias("shingles"))
-    cols.append(sig_udf(F.xxhash64(F.col(id_col)), base_hashes).alias("sig"))
-    return df.select(*cols)
+        cols.append(word_shingles(tok, shingle_words).alias("shingles"))
+    cols.append(sig_udf(F.xxhash64(F.col("id")), shingle_hashes(tok, shingle_words)).alias("sig"))
+    return base.select(*cols)
 
 
 def minhash_lsh_pairs(
@@ -180,15 +189,16 @@ def minhash_lsh_pairs(
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
     # signature-only table: (id, 8·k-byte sig) — shingle sets never enter
     # the cache (or any shuffle; exact verification recomputes them
-    # map-side below). Persist keeps the columnar, column-prunable cache;
-    # the eager count() runs the Arrow sig kernel in exactly one job no
-    # matter how many downstream branches reference the table (the
-    # round-2 plan restated it 16×).
+    # map-side below). Persist guarantees the Arrow sig kernel runs once
+    # per partition even though the band self-join (and estimate-mode
+    # verify) reference the table from multiple stages — BlockManager's
+    # per-block write lock de-duplicates concurrent fills, so no eager
+    # count job is needed (the round-2 plan without persist restated the
+    # UDF 16×; the round-3 eager count paid one extra job per call).
     sigs = minhash_signatures(
         df, text_col, id_col, num_hashes, shingle_words, include_shingles=False
     )
     sigs = sigs.persist()
-    sigs.count()
 
     from pyspark.sql import Window as W
 
@@ -221,8 +231,9 @@ def minhash_lsh_pairs(
         # the shingle sets are built streaming during the probe-side
         # corpus scan. No shuffle ever carries a shingle set.
         shing = df.select(
-            F.col(id_col).alias("id"),
-            word_shingles(tokens(text_col), shingle_words).alias("shingles"),
+            F.col(id_col).alias("id"), tokens(text_col).alias("__tok")
+        ).select(
+            "id", word_shingles(F.col("__tok"), shingle_words).alias("shingles")
         )
         sa = shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
         sb = shing.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
@@ -368,14 +379,17 @@ def ngram_jaccard_pairs(
     the cap) — they add candidates but almost no signal, and they are
     exactly the skewed keys that hurt at scale.
     """
-    shingle_set = word_shingles(tokens(text_col), shingle_words)
     # postings carry an 8-byte shingle hash, never the string — join and
     # shuffle keys stay fixed-width (collision odds ~n²/2^65: irrelevant
-    # below ~10^8 distinct shingles per partition-disjoint corpus slice)
-    sh = df.select(
-        F.col(id_col).alias("id"),
-        F.explode(shingle_set).alias("__s"),
-    ).select("id", F.xxhash64("__s").alias("gh")).persist()  # read 4× below
+    # below ~10^8 distinct shingles per partition-disjoint corpus slice).
+    # Tokens materialize as an attribute before the shingle lambda (the
+    # per-element re-evaluation trap, see minhash_signatures).
+    sh = (
+        df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+        .select("id", F.explode(word_shingles(F.col("__tok"), shingle_words)).alias("__s"))
+        .select("id", F.xxhash64("__s").alias("gh"))
+        .persist()
+    )  # read 4× below
     # set sizes = postings per id (word_shingles is already distinct) —
     # reads the persisted postings instead of re-evaluating the shingle
     # lambda over the corpus a second time
@@ -444,22 +458,41 @@ def decontaminate(
     null-reject rows that carry NULLs in other columns.
     Exact-match n-gram policy (lowercased, whitespace-normalized).
     """
-    bench_grams = benchmark.select(
-        F.explode(word_shingles(tokens(benchmark_text_col), ngram_words)).alias("__g")
-    ).select(F.xxhash64("__g").alias("__gh")).distinct()
+    # tokens materialize as attributes before the n-gram lambda (the
+    # per-element re-evaluation trap, see minhash_signatures) — the
+    # 8-gram explode is ~40× cheaper with an attribute input
+    bench_grams = (
+        benchmark.select(tokens(benchmark_text_col).alias("__tok"))
+        .select(F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
 
-    doc_grams = df.select(
-        F.col(id_col),
-        F.explode(word_shingles(tokens(text_col), ngram_words)).alias("__g"),
-    ).select(id_col, F.xxhash64("__g").alias("__gh"))
+    doc_grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+    )
 
     # size-gate the broadcast: a typical benchmark suite explodes to
     # ~10³-10⁷ 8-byte gram hashes (broadcastable), but an oversized one
     # must fall back to a shuffled semi-join instead of OOMing the
-    # driver. The capped count stops scanning at limit+1 rows.
+    # driver. The gate probes a cheap UPPER BOUND — the benchmark's
+    # total word count (one narrow agg over the small side, no explode,
+    # no distinct, no cache): grams-with-duplicates ≥ distinct grams, so
+    # overshooting only ever falls back to the planner-owned shuffle,
+    # never force-broadcasts an oversized side. Keeping the operator
+    # fully lazy (no persist) also means repeated calls can't
+    # cross-pollinate through the plan cache (CacheManager matches plans
+    # with hints stripped).
     if broadcast_limit:
-        small = bench_grams.limit(broadcast_limit + 1).count() <= broadcast_limit
-        hinted = F.broadcast(bench_grams) if small else bench_grams
+        approx_grams = (
+            benchmark.select(
+                F.sum(F.size(tokens(benchmark_text_col))).alias("s")
+            ).first()["s"]
+            or 0
+        )
+        hinted = F.broadcast(bench_grams) if approx_grams <= broadcast_limit else bench_grams
     else:
         hinted = F.broadcast(bench_grams)
 

@@ -251,12 +251,16 @@ def chunk_documents(
     """
     if stride <= 0 or chunk_tokens <= 0 or stride > chunk_tokens:
         raise ValueError("need 0 < stride <= chunk_tokens")
-    tok = tokens(text_col, lowercase=False)
+    # tokens materialize as an attribute before the window-slice lambda:
+    # a split() expression inside transform is re-evaluated per chunk
+    # (O(tokens²/stride) per doc — the Catalyst lambda re-eval trap)
+    base = df.select(F.col(id_col), tokens(text_col, lowercase=False).alias("__tok"))
+    tok = F.col("__tok")
     n = F.size(tok)
     n_chunks = F.greatest(F.ceil((n - F.lit(chunk_tokens)) / F.lit(stride)) + 1, F.lit(1)).cast("int")
     starts = F.sequence(F.lit(0), n_chunks - 1)
     chunks = F.transform(starts, lambda i: F.concat_ws(" ", F.slice(tok, i * stride + 1, chunk_tokens)))
-    out = df.select(
+    out = base.select(
         F.col(id_col),
         F.posexplode(chunks).alias("chunk_idx", "chunk_text"),
     )
@@ -349,7 +353,10 @@ def repetition_score(
     (1 − distinct/total) — the standard self-repetition quality filter
     for generated/boilerplate text. Narrow map; docs with < n tokens
     score 0.0."""
-    tok = tokens(text_col)
+    # tokens materialize as an attribute before the gram lambda (the
+    # per-element re-evaluation trap, see chunk_documents)
+    base = df.withColumn("__tok", tokens(text_col))
+    tok = F.col("__tok")
     idx = F.sequence(F.lit(1), F.size(tok) - (n - 1))
     parts = lambda i: [F.element_at(tok, i + j) for j in range(n)]  # noqa: E731
     grams = F.transform(idx, lambda i: F.concat_ws(" ", *parts(i)))
@@ -358,4 +365,4 @@ def repetition_score(
     score = F.when(total <= 0, F.lit(0.0)).otherwise(
         F.round(1.0 - distinct / total.cast("double"), 4)
     )
-    return df.withColumn(out_col, score)
+    return base.withColumn(out_col, score).drop("__tok")

@@ -526,7 +526,7 @@ ORDER BY doc_id, term
 """
 
 
-@register("c4g_tf_idf", oracle=_TFIDF_ORACLE, tags=("tierc", "text"))
+@register("c4g_tf_idf", oracle=_TFIDF_ORACLE, tags=("tierc", "text", "agg"))
 def tf_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     return ops.tf_idf(docs).orderBy("doc_id", "term")
