@@ -151,6 +151,34 @@ def simhash64(tok: Column) -> Column:
     return out
 
 
+def simhash_bits(hashes: Column, bits: int = 31) -> Column:
+    """SimHash over a pre-computed token-hash array column: per-bit
+    majority vote (+1/−1 per token, ties → 0), empty array → 0.
+
+    ``hashes`` MUST be a real attribute column (not an inline
+    expression): it is referenced ``bits`` + 1 times, and a non-attribute
+    input would be re-evaluated per reference (the lambda re-eval trap).
+    Pure Catalyst — exact integers, replayable verbatim in any engine.
+    """
+    one = F.lit(1).cast("long")
+
+    def bit(j: int) -> Column:
+        maj = F.aggregate(
+            hashes,
+            F.lit(0).cast("long"),
+            lambda acc, h: acc
+            + F.when(F.shiftright(h, j).bitwiseAND(one) != 0, one).otherwise(
+                F.lit(-1).cast("long")
+            ),
+        )
+        return F.when(maj > 0, F.shiftleft(one, j)).otherwise(F.lit(0).cast("long"))
+
+    out = F.lit(0).cast("long")
+    for j in range(bits):
+        out = out.bitwiseOR(bit(j))
+    return F.when(F.size(hashes) == 0, F.lit(0).cast("long")).otherwise(out)
+
+
 def hamming64(a: Column, b: Column) -> Column:
     """Hamming distance between two 64-bit SimHashes."""
     return F.bit_count(a.bitwiseXOR(b))

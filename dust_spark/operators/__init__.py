@@ -14,6 +14,7 @@ from dust_spark.operators.dedup import (
     ngram_jaccard_pairs,
     simhash_pairs,
     simhash_table,
+    simhash_table_portable,
 )
 from dust_spark.operators.graph import cluster_dedup, connected_components
 from dust_spark.operators.multimodal import (
@@ -29,6 +30,7 @@ from dust_spark.operators.sampling import (
     train_val_test_split,
     weighted_interleave,
 )
+from dust_spark.operators.rollup import hypertable_rollup
 from dust_spark.operators.skew import salted_agg, salted_avg, salted_join
 from dust_spark.operators.similarity import (
     cosine_topk,
@@ -46,10 +48,12 @@ from dust_spark.operators.text import (
     fingerprint,
     lang_id,
     pack_sequences,
+    redact_pii,
     repetition_score,
     quality_scores,
     rolling_hash_fingerprint,
     token_count,
+    top_domains,
 )
 
 __all__ = [
@@ -96,4 +100,8 @@ __all__ = [
     "cluster_dedup",
     "decontaminate",
     "dedup_lines",
+    "hypertable_rollup",
+    "redact_pii",
+    "simhash_table_portable",
+    "top_domains",
 ]

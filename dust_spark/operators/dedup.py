@@ -315,6 +315,33 @@ def simhash_table(df: DataFrame, text_col: str = "text", id_col: str = "doc_id")
     )
 
 
+def simhash_table_portable(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id", bits: int = 31
+) -> DataFrame:
+    """``bits``-bit SimHash over the portable polynomial token hashes
+    (:func:`dust_spark.functions.portable_char_hash`) — the same
+    majority-vote construction as :func:`simhash_table`, but on the
+    cross-engine hash family (< 2^31), so a DuckDB oracle replays it
+    bit-exactly and the driver records a hard hash row (the
+    xxhash64-based table is rows-only by construction).
+
+    Shape: narrow and 100% Catalyst — no Python stage at all. Three
+    projections: tokens → per-token Horner hashes → ``bits`` aggregate
+    majority folds, each input materialized as an attribute so no
+    expression is re-evaluated inside a lambda. Default 31 bits because
+    the portable hashes carry 31 bits of entropy; the hamming-pigeonhole
+    candidate trick works the same, just with 8-bit pieces.
+    """
+    from dust_spark.functions import portable_char_hash, simhash_bits
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+    hashed = base.select(
+        "id",
+        F.transform(F.col("__tok"), lambda t: portable_char_hash(t)).alias("__th"),
+    )
+    return hashed.select("id", simhash_bits(F.col("__th"), bits).alias("simhash"))
+
+
 def simhash_pairs(
     df: DataFrame,
     text_col: str = "text",

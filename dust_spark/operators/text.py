@@ -219,6 +219,70 @@ def tf_idf(
     )
 
 
+#: PII patterns (applied in order; counts are taken on the ORIGINAL
+#: text). Regex syntax restricted to the Java-regex ∩ RE2 subset —
+#: char classes, bounded repeats, \b — so a DuckDB oracle replays the
+#: redaction verbatim.
+PII_PATTERNS = (
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}", "<EMAIL>"),
+    ("ip", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    ("number", r"\d[\d \-]{6,}\d", "<NUM>"),
+)
+
+
+def redact_pii(
+    df: DataFrame, text_col: str = "text", out_col: str = "redacted"
+) -> DataFrame:
+    """Mask emails, IPv4 addresses, and long digit runs (phone/card
+    shaped) — the standard PII scrub before pretraining. Adds
+    ``out_col`` plus per-category match counts (n_email, n_ip,
+    n_number, counted on the unredacted text).
+
+    Narrow Catalyst map — a handful of regexp passes per row, no
+    shuffle, no UDF; scales as a pure map stage over any corpus size.
+    """
+    c = F.col(text_col)
+    counts = [
+        F.size(F.regexp_extract_all(c, F.lit(pat), F.lit(0))).alias(f"n_{name}")
+        for name, pat, _ in PII_PATTERNS
+    ]
+    red = c
+    for _name, pat, repl in PII_PATTERNS:
+        red = F.regexp_replace(red, pat, repl)
+    return df.select("*", red.alias(out_col), *counts)
+
+
+def top_domains(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+) -> DataFrame:
+    """Most-referenced URL domains across the corpus: extract
+    ``https?://host`` references, lowercase the host, count referencing
+    documents and total references — the standard source-mix audit for
+    a web-scraped training set.
+
+    Shape: regexp_extract_all → explode → one hash-aggregation on the
+    domain (map-side combine; domain cardinality ≪ corpus), then a
+    TakeOrdered top-k — no full sort at scale.
+    """
+    pat = r"https?://([A-Za-z0-9.-]+)"
+    doms = df.select(
+        F.col(id_col).alias("__id"),
+        F.explode(F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))).alias("d"),
+    ).select("__id", F.lower(F.col("d")).alias("domain"))
+    return (
+        doms.groupBy("domain")
+        .agg(
+            F.countDistinct("__id").alias("n_docs"),
+            F.count("*").alias("n_refs"),
+        )
+        .orderBy(F.col("n_refs").desc(), "domain")
+        .limit(k)
+    )
+
+
 def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") -> DataFrame:
     """Standard pretraining text normalization, pure Catalyst:
     control chars stripped, URLs and e-mail addresses masked, whitespace

@@ -935,3 +935,163 @@ def top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n"), "term")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# round 4 additions: portable SimHash, PII redaction, domain stats,
+# hypertable rollups
+# ---------------------------------------------------------------------------
+
+# The Horner token-hash fold shared with the c4f oracle — both replay
+# dust_spark.functions.portable_char_hash exactly.
+_PORTABLE_SIMHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), th AS (
+  SELECT doc_id, list_transform(w, t ->
+           list_reduce(list_prepend(0::BIGINT,
+             list_transform(range(1, length(t)+1), i -> ascii(t[i])::BIGINT)),
+             (a, c) -> (a*31 + c) % 2147483647)) AS h
+  FROM tok
+)
+SELECT doc_id AS id,
+       CASE WHEN len(h) = 0 THEN 0 ELSE
+         CAST(list_sum(list_transform(range(0, 31), j ->
+           CASE WHEN list_sum(list_transform(h,
+                  x -> CASE WHEN (x >> j) & 1 = 1 THEN 1 ELSE -1 END)) > 0
+                THEN (1::BIGINT << j) ELSE 0 END)) AS BIGINT)
+       END AS simhash
+FROM th ORDER BY id
+"""
+
+
+@register("c2f_simhash_portable", oracle=_PORTABLE_SIMHASH_ORACLE, tags=("tierc", "dedup"))
+def simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """31-bit SimHash on the portable polynomial hash family — the
+    hard-oracled twin of c2b (whose xxhash64 base is rows-only): DuckDB
+    replays token hashing and the per-bit majority vote bit-exactly."""
+    return ops.simhash_table_portable(_docs(spark, sf_dir)).orderBy("id")
+
+
+# Deterministic PII injection shared by both engines: the synthetic
+# corpus has no real PII, so the query plants one email, one IPv4 and
+# one phone-shaped digit run per document before redacting.
+_PII_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' contact user' || CAST(doc_id AS VARCHAR)
+              || '@mail.example.com from 10.7.0.'
+              || CAST(doc_id % 256 AS VARCHAR)
+              || ' tel 555-0107-7788' AS t
+  FROM documents
+)
+SELECT doc_id,
+       regexp_replace(
+         regexp_replace(
+           regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b', '<IP>', 'g'),
+         '\\d[\\d \\-]{6,}\\d', '<NUM>', 'g') AS redacted,
+       len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n_email,
+       len(regexp_extract_all(t, '\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b')) AS n_ip,
+       len(regexp_extract_all(t, '\\d[\\d \\-]{6,}\\d')) AS n_number
+FROM seeded ORDER BY doc_id
+"""
+
+
+@register("c9e_pii_redact", oracle=_PII_ORACLE, tags=("tierc", "text"))
+def pii_redact_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrub over deterministically seeded text (emails / IPv4 /
+    digit runs planted per doc — the fixture corpus carries none).
+    Narrow regex map; counts taken pre-redaction."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" contact user"),
+            F.col("doc_id").cast("string"),
+            F.lit("@mail.example.com from 10.7.0."),
+            (F.col("doc_id") % 256).cast("string"),
+            F.lit(" tel 555-0107-7788"),
+        ).alias("t"),
+    )
+    out = ops.redact_pii(seeded, text_col="t")
+    return (
+        out.select(
+            "doc_id",
+            "redacted",
+            F.col("n_email").cast("long").alias("n_email"),
+            F.col("n_ip").cast("long").alias("n_ip"),
+            F.col("n_number").cast("long").alias("n_number"),
+        ).orderBy("doc_id")
+    )
+
+
+_DOMAINS_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+         text || ' see https://' ||
+         (['alpha.example','beta.example','gamma.example'])[(doc_id % 3) + 1]
+         || '/p/' || CAST(doc_id AS VARCHAR)
+         || CASE WHEN doc_id % 7 = 0 THEN ' and http://Mirror.Example/x' ELSE '' END AS t
+  FROM documents
+), refs AS (
+  SELECT doc_id, lower(unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1))) AS domain
+  FROM seeded
+)
+SELECT domain, count(DISTINCT doc_id) AS n_docs, count(*) AS n_refs
+FROM refs GROUP BY domain
+ORDER BY n_refs DESC, domain LIMIT 20
+"""
+
+
+@register("c4k_top_domains", oracle=_DOMAINS_ORACLE, tags=("tierc", "text", "agg"))
+def top_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-mix audit: top URL domains by reference count over
+    deterministically seeded links (3 rotating domains + a 1-in-7
+    mixed-case mirror, exercising host lowercasing)."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" see https://"),
+            F.element_at(
+                F.array(F.lit("alpha.example"), F.lit("beta.example"), F.lit("gamma.example")),
+                (F.col("doc_id") % 3 + 1).cast("int"),
+            ),
+            F.lit("/p/"),
+            F.col("doc_id").cast("string"),
+            F.when(F.col("doc_id") % 7 == 0, F.lit(" and http://Mirror.Example/x")).otherwise(
+                F.lit("")
+            ),
+        ).alias("t"),
+    )
+    return ops.top_domains(seeded, text_col="t", id_col="doc_id", k=20)
+
+
+_ROLLUP_ORACLE = """
+WITH x AS (
+  SELECT CAST(res AS BIGINT) AS res_s,
+         CAST(floor(epoch(ts) / res) * res AS BIGINT) AS bucket_s,
+         event_type, value
+  FROM events, (SELECT unnest([3600, 21600, 86400]) AS res)
+)
+SELECT res_s, bucket_s, event_type, count(*) AS n, ROUND(SUM(value), 4) AS sum_value
+FROM x GROUP BY res_s, bucket_s, event_type
+ORDER BY res_s, bucket_s, event_type
+"""
+
+
+@register("c7b_hypertable_rollup", oracle=_ROLLUP_ORACLE, tags=("tierc", "rollup"))
+def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-resolution (1h/6h/1d) continuous-aggregate rollup of the
+    events hypertable: one scan, constant explode fan-out, one shuffle
+    on (resolution, bucket, event_type)."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.hypertable_rollup(ev).orderBy("res_s", "bucket_s", "event_type")

@@ -600,3 +600,72 @@ def test_dedup_lines_keeps_first_occurrence(spark):
     assert out[1] == "alpha\ncommon line\nbeta"
     assert out[2] == "gamma\n\ndelta"  # 'common line' removed, blank kept
     assert out[3] == "epsilon"  # 'gamma' first occurred in doc 2
+
+
+def test_redact_pii(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="mail me at jo.doe+x@site.org or 10.0.0.255 now"),
+            Row(doc_id=1, text="call 555-123-4567 or 08 15 99 33 21"),
+            Row(doc_id=2, text="nothing to hide here"),
+            Row(doc_id=3, text=""),
+        ]
+    )
+    out = {r["doc_id"]: r for r in ops.redact_pii(df).collect()}
+    assert out[0]["redacted"] == "mail me at <EMAIL> or <IP> now"
+    assert out[0]["n_email"] == 1 and out[0]["n_ip"] == 1 and out[0]["n_number"] == 0
+    assert out[1]["redacted"] == "call <NUM> or <NUM>"
+    assert out[1]["n_number"] == 2
+    assert out[2]["redacted"] == "nothing to hide here"
+    assert out[3]["redacted"] == ""
+
+
+def test_top_domains(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="see https://A.example/x and http://b.example/y"),
+            Row(doc_id=1, text="again https://a.example/z https://a.example/w"),
+            Row(doc_id=2, text="no links"),
+        ]
+    )
+    rows = ops.top_domains(df, k=10).collect()
+    assert [(r["domain"], r["n_docs"], r["n_refs"]) for r in rows] == [
+        ("a.example", 2, 3),
+        ("b.example", 1, 1),
+    ]
+
+
+def test_simhash_portable_semantics(spark, corpus):
+    tab = {r["id"]: r["simhash"] for r in ops.simhash_table_portable(corpus).collect()}
+    # deterministic + empty doc convention
+    assert tab[300] == 0
+    # 31-bit range
+    assert all(0 <= v < (1 << 31) for v in tab.values())
+    # exact dups agree bit-for-bit; near-dups are close, unrelated far
+    from dust_spark.functions import hamming64
+
+    assert tab[200] == tab[0]
+    near = bin(tab[100] ^ tab[0]).count("1")
+    far = bin(tab[1] ^ tab[0]).count("1")
+    assert near < far, (near, far)
+
+
+def test_hypertable_rollup(spark):
+    import datetime as dt
+
+    base = dt.datetime(2024, 1, 1, 0, 30, 0)
+    rows = [
+        Row(ts=base + dt.timedelta(hours=h), event_type="a" if h % 2 == 0 else "b", value=1.5)
+        for h in range(30)
+    ]
+    out = ops.hypertable_rollup(spark.createDataFrame(rows))
+    got = {(r["res_s"], r["bucket_s"], r["event_type"]): (r["n"], r["sum_value"]) for r in out.collect()}
+    # 1h buckets: one row each
+    assert sum(1 for k in got if k[0] == 3600) == 30
+    # 1d buckets: 30 hourly events starting 00:30 span 2 days; day-1 has
+    # 24 events (hours 0..23), 12 of each type
+    day0 = dt.datetime(2024, 1, 1).timestamp()
+    assert got[(86400, int(day0), "a")] == (12, 18.0)
+    assert got[(86400, int(day0), "b")] == (12, 18.0)
+    # 6h bucket (hours 0-5 → 6 events, 3 per type)
+    assert got[(21600, int(day0), "a")] == (3, 4.5)
