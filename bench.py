@@ -34,10 +34,13 @@ _CODEGEN_MIN_INPUT_BYTES = 32 << 20  # 32 MB
 
 
 def interpret_small_input(q, sf_dir: str) -> bool:
-    # explode-aggregate queries ("agg" tag: tf-idf, corpus stats, top
-    # terms) multiply the corpus into token-level row counts where
-    # codegen pays for itself even at bench scale — keep it on for them
-    if not (_DOC_CORPUS_TAGS & set(q.tags)) or "agg" in q.tags:
+    # "jit"-tagged queries (tf-idf, corpus stats, top terms) explode the
+    # corpus into token-level row counts with LIGHT per-row expressions —
+    # there codegen pays for itself even at bench scale, so they keep it.
+    # (Explode-aggregates with heavy expressions — e.g. the 8-gram
+    # span-dup score — measure 3-14x faster interpreted: the compile
+    # cost scales with expression width, not row count.)
+    if not (_DOC_CORPUS_TAGS & set(q.tags)) or "jit" in q.tags:
         return False
     corpus = 0
     for t in ("documents", "embeddings"):

@@ -15,6 +15,7 @@ from dust_spark.operators.dedup import (
     simhash_pairs,
     simhash_table,
     simhash_table_portable,
+    span_dup_fraction,
 )
 from dust_spark.operators.graph import cluster_dedup, connected_components
 from dust_spark.operators.multimodal import (
@@ -103,5 +104,6 @@ __all__ = [
     "hypertable_rollup",
     "redact_pii",
     "simhash_table_portable",
+    "span_dup_fraction",
     "top_domains",
 ]

@@ -531,6 +531,50 @@ def decontaminate(
     return df.join(contaminated_ids, id_col, "left_anti")
 
 
+def span_dup_fraction(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    ngram_words: int = 8,
+    out_col: str = "dup_span_frac",
+) -> DataFrame:
+    """Per-document corpus-level span duplication: the fraction of a
+    document's distinct ``ngram_words``-grams that also occur in at
+    least one OTHER document — the span-level signal behind
+    suffix-array substring dedup (Lee et al. 2022, "Deduplicating
+    Training Data Makes Language Models Better"), approximated at
+    fixed n-gram granularity so it distributes.
+
+    Shape: explode (id, gram-hash) once (word_shingles is per-doc
+    distinct, so the pairs are already unique — no dedup shuffle); gram
+    document-frequency from one hash-agg over the 8-byte hash (map-side
+    combine); a second agg back to the document. Shuffle keys are
+    fixed-width hashes — the gram strings never leave the map side.
+    Docs with fewer than ``ngram_words`` tokens score 0.0.
+    """
+    grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+    )
+    # document frequency per gram ((id, gh) pairs are distinct already)
+    gdf = grams.groupBy("__gh").agg(F.count("*").alias("__df"))
+    per_doc = (
+        grams.join(gdf, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.round(
+                F.sum(F.when(F.col("__df") >= 2, 1).otherwise(0))
+                / F.count("*").cast("double"),
+                4,
+            ).alias(out_col)
+        )
+    )
+    return df.select(id_col).join(per_doc, id_col, "left").select(
+        id_col, F.coalesce(F.col(out_col), F.lit(0.0)).alias(out_col)
+    )
+
+
 def dedup_lines(
     df: DataFrame,
     text_col: str = "text",

@@ -526,7 +526,7 @@ ORDER BY doc_id, term
 """
 
 
-@register("c4g_tf_idf", oracle=_TFIDF_ORACLE, tags=("tierc", "text", "agg"))
+@register("c4g_tf_idf", oracle=_TFIDF_ORACLE, tags=("tierc", "text", "agg", "jit"))
 def tf_idf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir).filter(F.col("doc_id") < 50)
     return ops.tf_idf(docs).orderBy("doc_id", "term")
@@ -846,7 +846,7 @@ def pandas_udaf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(MAX(n) AS BIGINT) AS max_tokens, "
         "ROUND(quantile_cont(n, 0.5), 4) AS med_tokens FROM t"
     ),
-    tags=("tierc", "text", "agg"),
+    tags=("tierc", "text", "agg", "jit"),
 )
 def corpus_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus-level token statistics — the one-glance health check of a
@@ -919,7 +919,7 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT term, count(*) AS n FROM tok GROUP BY term "
         "ORDER BY n DESC, term LIMIT 50"
     ),
-    tags=("tierc", "text", "agg"),
+    tags=("tierc", "text", "agg", "jit"),
 )
 def top_terms_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Corpus heavy hitters (stopword discovery): exact top-50 terms by
@@ -1095,3 +1095,37 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ops.hypertable_rollup(ev).orderBy("res_s", "bucket_s", "event_type")
+
+
+_SPAN_DUP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 8
+         THEN list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         ELSE [] END)) AS g
+  FROM tok
+), gdf AS (
+  SELECT g, count(*) AS df_ FROM grams GROUP BY g
+), per_doc AS (
+  SELECT doc_id,
+         ROUND(SUM(CASE WHEN df_ >= 2 THEN 1 ELSE 0 END) / CAST(count(*) AS DOUBLE), 4)
+           AS dup_span_frac
+  FROM grams JOIN gdf USING (g) GROUP BY doc_id
+)
+SELECT d.doc_id, COALESCE(p.dup_span_frac, 0.0) AS dup_span_frac
+FROM documents d LEFT JOIN per_doc p ON p.doc_id = d.doc_id
+ORDER BY d.doc_id
+"""
+
+
+@register("c1d_span_dup_fraction", oracle=_SPAN_DUP_ORACLE, tags=("tierc", "dedup", "agg"))
+def span_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span-level duplication score: per document, the fraction of its
+    distinct 8-grams shared with any other document (the fixed-gram
+    approximation of suffix-array substring dedup)."""
+    return ops.span_dup_fraction(_docs(spark, sf_dir)).orderBy("doc_id")

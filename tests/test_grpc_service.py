@@ -1,0 +1,47 @@
+"""Wire-parity tests for the RaftApi facade: proto3 bytes must match
+what a protoc-generated tonic/protobuf stub produces for
+grpc/proto/service.proto (single string field, id 1)."""
+
+import pytest
+
+from dust_spark.grpc_service import HelloReply, HelloRequest, RaftApiService
+
+
+def test_proto3_wire_bytes():
+    # canonical encoding: tag 0x0A (field 1, wire type 2), varint len
+    assert HelloRequest(name="dust").encode() == b"\x0a\x04dust"
+    assert HelloRequest(name="").encode() == b""  # proto3 default elided
+    long = "x" * 300  # 2-byte varint length
+    assert HelloRequest(name=long).encode() == b"\x0a\xac\x02" + long.encode()
+
+
+def test_proto3_decode_roundtrip_and_unknown_fields():
+    assert HelloRequest.decode(b"\x0a\x04dust").name == "dust"
+    assert HelloRequest.decode(b"").name == ""
+    # unknown varint field 2 + unknown fixed64 field 3 are skipped
+    buf = b"\x10\x2a" + b"\x19" + b"\x00" * 8 + b"\x0a\x02hi"
+    assert HelloRequest.decode(buf).name == "hi"
+    # last-value-wins
+    assert HelloRequest.decode(b"\x0a\x01a\x0a\x01b").name == "b"
+
+
+def test_say_hello_semantics():
+    # mirrors grpc/src/raft_service.rs:24-31
+    reply = RaftApiService().say_hello(HelloRequest(name="fiona"))
+    assert reply == HelloReply(message="Hello fiona!")
+    assert HelloReply.decode(reply.encode()) == reply
+
+
+def test_serve_requires_grpcio_or_runs():
+    try:
+        import grpc  # noqa: F401
+    except ImportError:
+        with pytest.raises(ImportError):
+            from dust_spark.grpc_service import serve
+
+            serve()
+    else:  # pragma: no cover - env-dependent
+        from dust_spark.grpc_service import serve
+
+        s = serve("127.0.0.1:0")
+        s.stop(0)

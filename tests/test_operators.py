@@ -669,3 +669,20 @@ def test_hypertable_rollup(spark):
     assert got[(86400, int(day0), "b")] == (12, 18.0)
     # 6h bucket (hours 0-5 → 6 events, 3 per type)
     assert got[(21600, int(day0), "a")] == (3, 4.5)
+
+
+def test_span_dup_fraction(spark):
+    eight = "w1 w2 w3 w4 w5 w6 w7 w8"
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=0, text=eight),                      # fully shared with doc 1
+            Row(doc_id=1, text=eight + " tail1 tail2"),     # 3 grams, 1 shared
+            Row(doc_id=2, text="a b c d e f g h"),          # unique
+            Row(doc_id=3, text="short doc"),                # < 8 tokens -> 0.0
+        ]
+    )
+    got = {r["doc_id"]: r["dup_span_frac"] for r in ops.span_dup_fraction(df).collect()}
+    assert got[0] == 1.0
+    assert got[1] == round(1 / 3, 4)
+    assert got[2] == 0.0
+    assert got[3] == 0.0
