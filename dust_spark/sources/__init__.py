@@ -62,6 +62,20 @@ def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataF
     return spark.read.option("wholetext", whole_file).text(path)
 
 
+def read_binary_files(
+    spark: SparkSession, path: str, glob: str | None = None
+) -> DataFrame:
+    """Raw-file ingestion (images/audio/any blob) via Spark's binaryFile
+    source: (path, modificationTime, length, content BINARY) — the
+    ingest side of the multimodal operators (operators.multimodal
+    consumes the content column). ``glob`` filters by pattern, e.g.
+    ``*.png``; the filter is applied at file listing, not post-scan."""
+    reader = spark.read.format("binaryFile")
+    if glob:
+        reader = reader.option("pathGlobFilter", glob)
+    return reader.load(path)
+
+
 def read_jdbc(
     spark: SparkSession,
     url: str,

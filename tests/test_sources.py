@@ -43,3 +43,13 @@ def test_connector_stubs_raise(spark):
         sources.read_delta(spark, "/nope")
     with pytest.raises(ValueError):
         sources.streaming_source(spark, "/not-a-dir", "id long")
+
+
+def test_binary_file_reader(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x00\x01payload")
+    (tmp_path / "b.txt").write_text("not binary target")
+    df = sources.read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = df.collect()
+    assert len(rows) == 1
+    assert rows[0]["content"] == bytearray(b"\x00\x01payload")
+    assert rows[0]["length"] == 9
