@@ -1,0 +1,124 @@
+#!/usr/bin/env python
+"""Scaling smoke: run the headline corpus operators at 1x / 4x / 16x the
+sf0.1 documents corpus and report wall-clock growth.
+
+The scaled corpora are derived from the driver fixture (never replaces
+it — correctness still runs on the pristine tables): replica r applies a
+per-replica character rotation to the text (`translate`), so replicas
+share NO shingles with each other and the near-dup structure within each
+replica is preserved exactly. A replicated corpus with identical text
+would instead manufacture O(K^2) cross-replica duplicate pairs — a
+pathological workload no real pipeline has.
+
+An operator with the right 100 TB shape should scale ~linearly in rows
+here (constant overheads shrink, never grow). Output: one JSON line per
+(operator, scale) plus a summary table for SCALE.md.
+
+Usage: python tools/scale_smoke.py [--scales 1,4,16]
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+ALPHA = "abcdefghijklmnopqrstuvwxyz"
+
+
+def scaled_docs(spark, sf_dir: str, k: int):
+    from pyspark.sql import functions as F
+
+    from dust_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "documents").select("doc_id", "text")
+    n = base.count()
+    reps = []
+    for r in range(k):
+        rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
+        reps.append(
+            base.select(
+                (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
+                F.translate(F.col("text"), ALPHA, rot).alias("text"),
+            )
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionAll(rep)
+    return out.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+
+def main() -> None:
+    scales = [1, 4, 16]
+    for a in sys.argv[1:]:
+        if a.startswith("--scales"):
+            scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+
+    from pyspark.sql import SparkSession
+    from pyspark.sql import functions as F
+
+    spark = (
+        SparkSession.builder.master(f"local[{cpus}]")
+        .appName("dust_spark_scale_smoke")
+        .config("spark.sql.shuffle.partitions", cpus)
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "48g"))
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.ui.showConsoleProgress", "false")
+        .getOrCreate()
+    )
+    spark.sparkContext.setLogLevel("ERROR")
+
+    from dust_spark import operators as ops
+
+    def run(name, fn):
+        t0 = time.perf_counter()
+        fn().write.format("noop").mode("overwrite").save()
+        dt = time.perf_counter() - t0
+        print(json.dumps({"op": name, "scale": k, "rows": rows, "sec": round(dt, 2)}), flush=True)
+        return dt
+
+    # warm JVM + python workers once
+    spark.range(0, int(cpus) * 2, 1, int(cpus)).mapInPandas(
+        lambda it: it, schema="id long"
+    ).write.format("noop").mode("overwrite").save()
+
+    results: dict[str, dict[int, float]] = {}
+    for k in scales:
+        docs = scaled_docs(spark, sf_dir, k).persist()
+        rows = docs.count()
+        bench = docs.filter(F.col("doc_id") % 50 == 0)
+        for name, fn in [
+            ("exact_dedup_count", lambda: ops.exact_dedup_count(docs)),
+            ("minhash_estimate", lambda: ops.minhash_lsh_pairs(docs, threshold=0.2, verify="estimate")),
+            ("simhash_table", lambda: ops.simhash_table(docs)),
+            ("decontaminate", lambda: ops.decontaminate(docs, bench, ngram_words=8)),
+            ("span_dup_fraction", lambda: ops.span_dup_fraction(docs)),
+            ("token_count_agg", lambda: ops.token_count(docs).agg(F.sum("n_tokens"))),
+        ]:
+            results.setdefault(name, {})[k] = run(name, fn)
+        docs.unpersist()
+
+    print("\n| operator | " + " | ".join(f"{k}x ({k*5000} rows)" for k in scales) + " | growth vs rows |")
+    print("|---|" + "---|" * (len(scales) + 1))
+    for name, per in results.items():
+        ratio = per[scales[-1]] / per[scales[0]] if per[scales[0]] else float("nan")
+        rows_ratio = scales[-1] / scales[0]
+        print(
+            f"| {name} | "
+            + " | ".join(f"{per[k]:.2f}s" for k in scales)
+            + f" | {ratio:.1f}x time for {rows_ratio}x rows |"
+        )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()
