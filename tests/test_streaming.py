@@ -260,3 +260,57 @@ def test_stream_stream_join_parity(spark):
     buys_s = stream.filter(F.col("event_type") == "purchase")
     got_df = stream_stream_join(views_s, buys_s)
     _assert_same(spark, got_df, want_df, "ss_join", ["user_id", "l_id", "r_id"])
+
+
+def test_ntz_fixture_generation_parity(spark, tmp_path):
+    """Fixture generations vary: some write ts as TIMESTAMP_NTZ instead
+    of nanos-long. Both load_table and stream_events must normalize NTZ
+    to TimestampType so stream == batch holds (and values match the
+    nanos generation) on any host timezone."""
+    import datetime as dt
+
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    base = dt.datetime(2024, 3, 1, 0, 10, 0)
+    rows = [(i, base + dt.timedelta(minutes=7 * i), i % 3, f"e{i % 2}", float(i)) for i in range(40)]
+    schema = T.StructType(
+        [
+            T.StructField("event_id", T.LongType()),
+            T.StructField("ts", T.TimestampNTZType()),
+            T.StructField("user_id", T.LongType()),
+            T.StructField("event_type", T.StringType()),
+            T.StructField("value", T.DoubleType()),
+        ]
+    )
+    sf_dir = tmp_path / "sf"
+    sf_dir.mkdir()
+    spark.createDataFrame(rows, schema).coalesce(1).write.mode("overwrite").parquet(
+        str(tmp_path / "raw")
+    )
+    import glob as g
+    import shutil
+
+    part = g.glob(str(tmp_path / "raw" / "part-*.parquet"))[0]
+    shutil.copy(part, str(sf_dir / "events.parquet"))
+
+    batch = load_table(spark, str(sf_dir), "events")
+    assert isinstance(batch.schema["ts"].dataType, T.TimestampType)
+
+    events_s = stream_events(spark, str(sf_dir))
+    assert isinstance(events_s.schema["ts"].dataType, T.TimestampType)
+
+    q = (
+        tumbling_window_agg(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ntz_tumble")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("ntz_tumble").orderBy("ws").collect()
+        want = tumbling_window_agg(batch).orderBy("ws").collect()
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
