@@ -30,9 +30,23 @@ def connected_components(
     src: str = "id_a",
     dst: str = "id_b",
     max_iterations: int = 25,
+    local_threshold: int = 100_000,
 ) -> DataFrame:
     """(node, component) for every node appearing in ``pairs``; the
-    component label is the minimum node id in the component."""
+    component label is the minimum node id in the component.
+
+    Size-gated hybrid (the GraphFrames/GraphX practice): near-dup pair
+    graphs are tiny relative to the corpus (pairs ≪ rows), so when the
+    edge set fits ``local_threshold`` (capped count — stops scanning at
+    threshold+1) the closure folds driver-side with union-find in one
+    collect of the ALREADY-REDUCED pair set — never corpus data. Larger
+    graphs take the O(log n)-round distributed pointer-jumping loop,
+    which is the 100 TB path.
+    """
+    if local_threshold:
+        cap = pairs.select(src, dst).limit(local_threshold + 1).count()
+        if cap <= local_threshold:
+            return _local_components(pairs, src, dst)
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -77,6 +91,37 @@ def connected_components(
             break
     edges.unpersist()
     return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+
+
+def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
+    """Driver-side union-find over a bounded edge list (min-id labels,
+    identical output contract to the distributed loop)."""
+    parent: dict = {}
+
+    def find(x):
+        root = x
+        while parent[root] != root:
+            root = parent[root]
+        while parent[x] != root:  # path compression
+            parent[x], x = root, parent[x]
+        return root
+
+    edges = pairs.select(src, dst).collect()
+    for r in edges:
+        u, v = r[0], r[1]
+        parent.setdefault(u, u)
+        parent.setdefault(v, v)
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            # union by min id keeps the label deterministic
+            lo, hi = (ru, rv) if ru < rv else (rv, ru)
+            parent[hi] = lo
+    rows = [(n, find(n)) for n in parent]
+    spark = pairs.sparkSession
+    schema = pairs.select(
+        F.col(src).alias("node"), F.col(src).alias("component")
+    ).schema
+    return spark.createDataFrame(rows or [], schema)
 
 
 def cluster_dedup(

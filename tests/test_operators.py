@@ -686,3 +686,16 @@ def test_span_dup_fraction(spark):
     assert got[1] == round(1 / 3, 4)
     assert got[2] == 0.0
     assert got[3] == 0.0
+
+
+def test_connected_components_local_vs_distributed(spark):
+    pairs = spark.createDataFrame(
+        [Row(id_a=a, id_b=b) for a, b in [(1, 2), (2, 3), (10, 11), (3, 4), (20, 21), (21, 22)]]
+    )
+    local = {(r["node"], r["component"]) for r in ops.connected_components(pairs).collect()}
+    dist = {
+        (r["node"], r["component"])
+        for r in ops.connected_components(pairs, local_threshold=0).collect()
+    }
+    assert local == dist
+    assert local == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
