@@ -26,7 +26,9 @@ def test_proto3_decode_roundtrip_and_unknown_fields():
 
 
 def test_say_hello_semantics():
-    # mirrors grpc/src/raft_service.rs:24-31
+    # mirrors grpc/src/raft_service.rs:24-31; golden string matches the
+    # reference's own test_dump (raft_service.rs:113-118)
+    assert RaftApiService().say_hello(HelloRequest(name="Tonic")).message == "Hello Tonic!"
     reply = RaftApiService().say_hello(HelloRequest(name="fiona"))
     assert reply == HelloReply(message="Hello fiona!")
     assert HelloReply.decode(reply.encode()) == reply

@@ -314,3 +314,27 @@ def test_ntz_fixture_generation_parity(spark, tmp_path):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_hypertable_rollup_stream_parity(spark):
+    """The multi-resolution rollup groups on integer bucket keys, so the
+    identical operator runs as a streaming aggregation (complete mode)
+    — stream == batch on the events fixture."""
+    from dust_spark.operators import hypertable_rollup
+
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        hypertable_rollup(events_s.withWatermark("ts", "10 minutes"))
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("rollup_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("rollup_stream").orderBy("res_s", "bucket_s", "event_type").collect()
+        want = hypertable_rollup(events_b).orderBy("res_s", "bucket_s", "event_type").collect()
+        assert got == want and len(got) > 0
+    finally:
+        q.stop()
