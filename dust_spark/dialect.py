@@ -571,18 +571,36 @@ SQLITE_FN_DDL = (
     "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING "
     "RETURN date_format(t, replace(replace(replace(replace(replace(replace(replace("
     "fmt,'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'),'%j','DDD'))",
+    # SQLite glob(PATTERN, VALUE): translate glob syntax to an anchored
+    # regex (escape regex metachars; * -> .*, ? -> .; [..]/[^..] char
+    # classes are already regex-compatible — note SQLite's glob negates
+    # with [^..], NOT the fnmatch-style [!..], verified empirically);
+    # returns INTEGER 0/1 like SQLite, NULL-propagating
+    "CREATE OR REPLACE TEMPORARY FUNCTION __sqlite_glob(pat STRING, x STRING) RETURNS INT "
+    "RETURN CAST(x RLIKE concat('^', "
+    "replace(replace(replace(replace(replace(replace(replace(replace(replace(replace("
+    "pat, '\\\\', '\\\\\\\\'), '.', '\\\\.'), '+', '\\\\+'), '(', '\\\\('), ')', '\\\\)'), "
+    "'$', '\\\\$'), '{', '\\\\{'), '|', '\\\\|'), "
+    "'*', '.*'), '?', '.'), "
+    "'$') AS INT)",
 )
 
 _FN_RENAMES = {
     "iif": "if",                 # SQLite iif(cond, a, b) ≡ Spark if()
     "group_concat": "string_agg",  # same 1- and 2-arg forms in Spark 4
+    "unicode": "ascii",          # code point of first char
+    "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
+    "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
 }
 
 _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
 
 
 def rewrite_sqlite_fns(sql: str) -> str:
-    """Rename SQLite-only function names outside string literals."""
+    """SQLite→Spark function dialect: token renames outside string
+    literals, then the argument-aware pass for calls whose arity or
+    semantics differ (variadic char/max/min, 2-arg trims, typeof/quote,
+    the date/time/datetime modifier family)."""
     out, i, in_str = [], 0, None
     while i < len(sql):
         ch = sql[i]
@@ -603,4 +621,140 @@ def rewrite_sqlite_fns(sql: str) -> str:
             else:
                 out.append(ch)
                 i += 1
+    return _rewrite_arg_fns("".join(out))
+
+
+# -- argument-aware SQLite call rewriting ----------------------------------
+
+_ARG_FN_RE = re.compile(
+    r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime)\s*\(", re.I
+)
+
+_SQLITE_TYPEOF_MAP = (
+    "CASE WHEN ({a}) IS NULL THEN 'null' ELSE "
+    "CASE typeof({a}) WHEN 'void' THEN 'null' WHEN 'string' THEN 'text' "
+    "WHEN 'binary' THEN 'blob' WHEN 'boolean' THEN 'integer' "
+    "WHEN 'tinyint' THEN 'integer' WHEN 'smallint' THEN 'integer' "
+    "WHEN 'int' THEN 'integer' WHEN 'bigint' THEN 'integer' "
+    "ELSE CASE WHEN typeof({a}) RLIKE '^(double|float|decimal)' THEN 'real' "
+    "ELSE typeof({a}) END END END"
+)
+
+_DT_FMT = {"date": "yyyy-MM-dd", "time": "HH:mm:ss", "datetime": "yyyy-MM-dd HH:mm:ss"}
+
+
+def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
+    """date/time/datetime with SQLite modifier strings → Spark expr;
+    None when a modifier is not a recognized literal (call left as-is).
+    SQLite semantics: text in, text out (db/src/db.rs delegates all of
+    this to SQLite's date functions)."""
+    v, mods = args[0], [a.strip() for a in args[1:]]
+    if mods and mods[0].lower() == "'unixepoch'":
+        e = f"timestamp_seconds(CAST({v} AS BIGINT))"
+        mods = mods[1:]
+    else:
+        # accept both full datetimes and bare time-of-day strings
+        e = (
+            f"coalesce(CAST({v} AS TIMESTAMP), "
+            f"CAST(concat('1970-01-01 ', {v}) AS TIMESTAMP))"
+        )
+    for m in mods:
+        step = re.match(r"^'([+-]?\d+)\s+(day|hour|minute|second|month|year)s?'$", m, re.I)
+        if step:
+            e = f"timestampadd({step.group(2).upper()}, {step.group(1)}, {e})"
+            continue
+        start = re.match(r"^'start of (day|month|year)'$", m, re.I)
+        if start:
+            e = f"date_trunc('{start.group(1).upper()}', {e})"
+            continue
+        return None
+    return f"date_format({e}, '{_DT_FMT[kind]}')"
+
+
+def _rewrite_one_call(name: str, args: list[str]) -> str | None:
+    """Replacement text for one SQLite call (args already rewritten),
+    or None to keep the original call."""
+    n = name.lower()
+    if n == "char" and len(args) > 1:
+        return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
+    if n in ("max", "min") and len(args) > 1:  # scalar form, not the aggregate
+        return ("greatest(" if n == "max" else "least(") + ", ".join(args) + ")"
+    if n == "sign" and len(args) == 1:
+        return f"CAST(sign({args[0]}) AS BIGINT)"  # SQLite returns INTEGER
+    if n in ("ltrim", "rtrim", "trim") and len(args) == 2:
+        where = {"ltrim": "LEADING", "rtrim": "TRAILING", "trim": "BOTH"}[n]
+        return f"TRIM({where} {args[1]} FROM {args[0]})"
+    if n == "typeof" and len(args) == 1:
+        return _SQLITE_TYPEOF_MAP.format(a=args[0])
+    if n == "quote" and len(args) == 1:
+        a = args[0]
+        return (
+            f"CASE WHEN ({a}) IS NULL THEN 'NULL' ELSE "
+            f"concat('''', replace(CAST(({a}) AS STRING), '''', ''''''), '''') END"
+        )
+    if n in ("date", "time", "datetime") and (len(args) >= 2 or n in ("time", "datetime")):
+        # 1-arg date(x) keeps Spark's DATE cast; time/datetime always
+        # need the text formatting (Spark has no such builtins)
+        return _sqlite_datetime_expr(n, args)
+    return None
+
+
+def _rewrite_arg_fns(sql: str) -> str:
+    """Single left-to-right scan, string-literal aware; args are
+    rewritten recursively FIRST, and replacement text is emitted
+    without rescanning (no self-recursion on e.g. sign→sign)."""
+    out, i, in_str = [], 0, None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        m = _ARG_FN_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        try:
+            end = _balanced_end(sql, m.end() - 1)
+        except ValueError:
+            out.append(ch)
+            i += 1
+            continue
+        inner = sql[m.end() : end - 1]
+        args = [a.strip() for a in split_top_level(inner)] if inner.strip() else []
+        args = [_rewrite_arg_fns(a) for a in args]
+        repl = _rewrite_one_call(m.group(1), args) if args else None
+        if repl is None:
+            out.append(m.group(1) + "(" + ", ".join(args) + ")" if args else sql[i:end])
+        else:
+            out.append(repl)
+        i = end
     return "".join(out)
+
+
+def _balanced_end(s: str, i: int) -> int:
+    """``i`` at '(' → index one past the matching ')', string-aware."""
+    depth, in_str = 0, None
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth == 0:
+                return i + 1
+        i += 1
+    raise ValueError("unbalanced parentheses")

@@ -1,0 +1,94 @@
+"""Differential scalar-function parity: DustSession vs an in-process
+sqlite3 — the reference delegates 100% of query processing to SQLite
+(db/src/db.rs:176,278), so SQLite's own answers are the golden oracle
+for the function dialect (dialect.rewrite_sqlite_fns + SQLITE_FN_DDL).
+
+Known, documented divergences (not asserted): printf('%f', <decimal
+literal>) — Spark types the literal DECIMAL where SQLite uses REAL;
+quote(<number>) quotes the text form; glob patterns with a literal '^'
+outside a character class.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+
+from dust_spark import DustSession
+
+CASES = [
+    # glob translation (incl. char classes — SQLite negates with [^..])
+    "SELECT glob('a*c', 'abc')",
+    "SELECT glob('a?c', 'axc')",
+    "SELECT glob('a[^xy]c', 'azc')",
+    "SELECT glob('a[xy]c', 'ayc')",
+    "SELECT glob('a.c', 'abc')",
+    "SELECT glob('*.txt', 'note.txt')",
+    "SELECT glob('x+y', 'x+y')",
+    "SELECT glob('a*', NULL)",
+    # variadic scalar forms
+    "SELECT char(72, 105)",
+    "SELECT char(65)",
+    "SELECT max(1,2,3)",
+    "SELECT min(4,2,9)",
+    # strings
+    "SELECT unicode('A')",
+    "SELECT quote('it''s')",
+    "SELECT quote(NULL)",
+    "SELECT ltrim('xxay', 'x')",
+    "SELECT rtrim('ayxx', 'x')",
+    "SELECT trim('xayx', 'x')",
+    "SELECT ltrim('  a ')",
+    "SELECT replace('aXbXc', 'X', '-')",
+    "SELECT instr('hello world', 'wor')",
+    "SELECT format('%d-%s', 7, 'x')",
+    "SELECT printf('%d|%s', 9, 'y')",
+    # typeof mapping (static Spark type -> SQLite storage class)
+    "SELECT typeof(42)",
+    "SELECT typeof('x')",
+    "SELECT typeof(4.2)",
+    "SELECT typeof(NULL)",
+    "SELECT typeof(x'41')",
+    # numeric
+    "SELECT sign(-42)",
+    "SELECT sign(3.7)",
+    "SELECT hex('ab')",
+    # date/time/datetime modifier family
+    "SELECT time('2024-03-05 10:20:30')",
+    "SELECT time('10:20:30')",
+    "SELECT datetime(1700000000, 'unixepoch')",
+    "SELECT date('2024-03-05', '+1 day')",
+    "SELECT date('2024-03-05', '-2 months')",
+    "SELECT date('2024-03-05', '+1 year')",
+    "SELECT date('2024-03-17', 'start of month')",
+    "SELECT datetime('2024-03-05 10:20:30', '+90 minutes')",
+    "SELECT datetime('2024-03-05 10:20:30', '+1 day', 'start of day')",
+    "SELECT strftime('%Y|%m|%d', '2024-03-05')",
+    "SELECT julianday('2024-01-01')",
+    # composition through the rewriter (nested calls, renames)
+    "SELECT iif(max(1,2) = 2, quote('q'), 'n')",
+    "SELECT trim(char(32, 97, 32), ' ')",
+]
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    s = DustSession(spark)
+    yield s
+    s.close()
+
+
+@pytest.fixture(scope="module")
+def ref():
+    con = sqlite3.connect(":memory:")
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("q", CASES)
+def test_scalar_fn_matches_sqlite(db, ref, q):
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
