@@ -621,13 +621,53 @@ def rewrite_sqlite_fns(sql: str) -> str:
             else:
                 out.append(ch)
                 i += 1
-    return _rewrite_arg_fns("".join(out))
+    return _rewrite_operators(_rewrite_arg_fns("".join(out)))
+
+
+# -- operator-level SQLite semantics ---------------------------------------
+
+# SQLite `a IS b` / `a IS NOT b` are null-safe comparisons for ANY
+# operands (db delegates to SQLite); Spark spells them IS [NOT]
+# DISTINCT FROM. LIKE is case-insensitive for ASCII in SQLite → ILIKE.
+_IS_NOT_RE = re.compile(r"\bIS\s+NOT\b(?!\s+(?:NULL|DISTINCT)\b)", re.I)
+_IS_RE = re.compile(r"\bIS\b(?!\s+(?:NOT|NULL|DISTINCT)\b)", re.I)
+_LIKE_RE = re.compile(r"\bLIKE\b", re.I)
+
+
+def _map_outside_strings(sql: str, fn) -> str:
+    """Apply ``fn`` to the segments of ``sql`` outside string literals."""
+    out, seg, i, in_str = [], [], 0, None
+    while i < len(sql):
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            out.append(fn("".join(seg)))
+            seg = []
+            out.append(ch)
+            in_str = ch
+        else:
+            seg.append(ch)
+        i += 1
+    out.append(fn("".join(seg)))
+    return "".join(out)
+
+
+def _rewrite_operators(sql: str) -> str:
+    def fix(seg: str) -> str:
+        seg = _IS_NOT_RE.sub("IS DISTINCT FROM", seg)
+        seg = _IS_RE.sub("IS NOT DISTINCT FROM", seg)
+        return _LIKE_RE.sub("ILIKE", seg)
+
+    return _map_outside_strings(sql, fix)
 
 
 # -- argument-aware SQLite call rewriting ----------------------------------
 
 _ARG_FN_RE = re.compile(
-    r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime)\s*\(", re.I
+    r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast)\s*\(", re.I
 )
 
 _SQLITE_TYPEOF_MAP = (
@@ -671,10 +711,77 @@ def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
     return f"date_format({e}, '{_DT_FMT[kind]}')"
 
 
+# SQLite CAST affinity semantics (db delegates to SQLite): junk strings
+# prefix-parse (CAST('12abc' AS INTEGER)=12, CAST('abc' AS INTEGER)=0),
+# and the SQLite type names map to Spark types (TEXT→STRING, BLOB→
+# BINARY, INTEGER is 64-bit). Only SQLite-dialect type names rewrite —
+# Spark-native names (string/bigint/double/…) pass through untouched.
+_CAST_INT_NAMES = {"integer", "int", "bigint", "smallint", "tinyint", "mediumint", "int2", "int8"}
+_CAST_REAL_NAMES = {"real", "float", "double", "double precision"}
+_CAST_TEXT_NAMES = {"text", "clob", "nchar", "nvarchar", "varchar", "character"}
+
+_CAST_INT_WRAP = (
+    "CASE WHEN ({x}) IS NULL THEN CAST(NULL AS BIGINT) ELSE coalesce("
+    "try_cast(({x}) AS BIGINT), "
+    "CAST(try_cast(({x}) AS DOUBLE) AS BIGINT), "
+    "try_cast(regexp_extract(CAST(({x}) AS STRING), '^\\\\s*[+-]?[0-9]+', 0) AS BIGINT), "
+    "CAST(0 AS BIGINT)) END"
+)
+
+_CAST_REAL_WRAP = (
+    "CASE WHEN ({x}) IS NULL THEN CAST(NULL AS DOUBLE) ELSE coalesce("
+    "try_cast(({x}) AS DOUBLE), "
+    "try_cast(regexp_extract(CAST(({x}) AS STRING), "
+    "'^\\\\s*[+-]?([0-9]+([.][0-9]*)?([eE][+-]?[0-9]+)?|[.][0-9]+)', 0) AS DOUBLE), "
+    "CAST(0.0 AS DOUBLE)) END"
+)
+
+
+def _last_top_level_as(s: str) -> int:
+    """Offset of the last top-level ``AS`` keyword in ``s`` (−1: none)."""
+    depth, in_str, last = 0, None, -1
+    i = 0
+    while i < len(s):
+        ch = s[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0 and ch in "aA" and re.match(r"\bAS\b", s[i:], re.I):
+            if i == 0 or not (s[i - 1].isalnum() or s[i - 1] in "_`"):
+                last = i
+        i += 1
+    return last
+
+
+def _rewrite_cast(arg: str) -> str | None:
+    j = _last_top_level_as(arg)
+    if j < 0:
+        return None
+    expr, typ = arg[:j].strip(), arg[j + 2 :].strip()
+    base = re.sub(r"\s*\(.*\)$", "", typ).strip().lower()  # drop (n)/(p,s)
+    if base in _CAST_TEXT_NAMES:
+        return f"CAST({expr} AS STRING)"
+    if base == "blob":
+        return f"CAST({expr} AS BINARY)"
+    if base in _CAST_INT_NAMES:
+        return _CAST_INT_WRAP.format(x=expr)
+    if base in _CAST_REAL_NAMES:
+        return _CAST_REAL_WRAP.format(x=expr)
+    return None
+
+
 def _rewrite_one_call(name: str, args: list[str]) -> str | None:
     """Replacement text for one SQLite call (args already rewritten),
     or None to keep the original call."""
     n = name.lower()
+    if n == "cast" and len(args) == 1:
+        return _rewrite_cast(args[0])
     if n == "char" and len(args) > 1:
         return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
     if n in ("max", "min") and len(args) > 1:  # scalar form, not the aggregate

@@ -127,12 +127,14 @@ def test_recursive_cte_engine(db):
 
 
 def test_typeof_like(db):
-    # SQLite typeof() has no direct Spark twin; typeof in Spark returns
-    # the Spark type name — document the mapping stays engine-level
+    # typeof() maps Spark's static type to the SQLite storage class
+    # (dialect._SQLITE_TYPEOF_MAP); per-value NULLs report 'null' like
+    # SQLite's dynamic typing
     out = db.query_string_stmt(
-        "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(CAST(1.5 AS DOUBLE)) AS t3"
+        "SELECT typeof(1) AS t1, typeof('x') AS t2, typeof(CAST(1.5 AS DOUBLE)) AS t3, "
+        "typeof(NULL) AS t4"
     )
-    assert out[0].values == [["int", "string", "double"]]
+    assert out[0].values == [["integer", "text", "real", "null"]]
 
 
 def test_explain_through_engine(db):

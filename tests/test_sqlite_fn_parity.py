@@ -69,6 +69,34 @@ CASES = [
     # composition through the rewriter (nested calls, renames)
     "SELECT iif(max(1,2) = 2, quote('q'), 'n')",
     "SELECT trim(char(32, 97, 32), ' ')",
+    # operator semantics: null-safe IS / IS NOT, case-insensitive LIKE
+    "SELECT 1 IS 1",
+    "SELECT 1 IS 2",
+    "SELECT NULL IS 5",
+    "SELECT 1 IS NOT 2",
+    "SELECT NULL IS NULL",
+    "SELECT 1 IS NOT NULL",
+    "SELECT 'abc' LIKE 'AB%'",
+    "SELECT 'abc' NOT LIKE 'z%'",
+    "SELECT 'a%c' LIKE 'a/%c' ESCAPE '/'",
+    "SELECT 'A' LIKE 'a'",
+    # CAST affinity: SQLite prefix-parse + type-name mapping
+    "SELECT CAST('3.7' AS INTEGER)",
+    "SELECT CAST(3.7 AS INTEGER)",
+    "SELECT CAST(-3.7 AS INTEGER)",
+    "SELECT CAST('12abc' AS INTEGER)",
+    "SELECT CAST('abc' AS INTEGER)",
+    "SELECT CAST('' AS INTEGER)",
+    "SELECT CAST('  42' AS INTEGER)",
+    "SELECT CAST(NULL AS INTEGER)",
+    "SELECT CAST(1 AS TEXT)",
+    "SELECT CAST(2.5 AS TEXT)",
+    "SELECT CAST('7.5e2xy' AS REAL)",
+    "SELECT CAST('junk' AS REAL)",
+    "SELECT CAST('3.25' AS REAL)",
+    "SELECT CAST(CAST('12abc' AS INTEGER) AS TEXT)",
+    "SELECT typeof(CAST('abc' AS INTEGER))",
+    "SELECT typeof(CAST(1 AS TEXT))",
 ]
 
 
