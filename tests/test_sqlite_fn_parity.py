@@ -3,10 +3,15 @@ sqlite3 — the reference delegates 100% of query processing to SQLite
 (db/src/db.rs:176,278), so SQLite's own answers are the golden oracle
 for the function dialect (dialect.rewrite_sqlite_fns + SQLITE_FN_DDL).
 
-Known, documented divergences (not asserted): printf('%f', <decimal
-literal>) — Spark types the literal DECIMAL where SQLite uses REAL;
-quote(<number>) quotes the text form; glob patterns with a literal '^'
-outside a character class.
+Known, documented divergences (not asserted — all stem from SQLite's
+dynamic typing, which no static-typed engine can reproduce textually):
+integer division (SQLite 5/2=2, Spark 2.5 — a text rewrite cannot know
+operand types); implicit cross-type comparison ordering (SQLite orders
+numbers < text, '10'=10 is false; Spark coerces); integer truthiness in
+boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
+literals (SQLite literal, Spark escape); printf('%f', <decimal
+literal>); quote(<number>) quotes the text form; glob patterns with a
+literal '^' outside a character class.
 """
 
 from __future__ import annotations
