@@ -1,0 +1,124 @@
+"""Property-based differential testing of the engine's SQLite scalar
+dialect: hypothesis composes random nested expressions from the
+rewritten function families (dialect.rewrite_sqlite_fns) and DustSession
+must agree with an in-process sqlite3 byte-for-byte.
+
+The generator stays inside the documented parity envelope (see
+test_sqlite_fn_parity): no integer division, no cross-type comparisons,
+no month/year date steps (SQLite normalizes Feb 31 → Mar 2 where
+timestampadd clamps), no empty replace() search strings, 1-based
+substr offsets.
+"""
+
+from __future__ import annotations
+
+import sqlite3
+
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dust_spark import DustSession
+
+WORDS = ["alpha", "bravo charlie", "delta42", "Echo Foxtrot", "golf  hotel", "x"]
+TRIMSETS = ["x", "ab", " ", "z"]
+
+
+@st.composite
+def str_exprs(draw, depth: int = 2):
+    if depth == 0:
+        return "'" + draw(st.sampled_from(WORDS)) + "'"
+    kind = draw(st.integers(0, 7))
+    if kind == 0:
+        return "'" + draw(st.sampled_from(WORDS)) + "'"
+    if kind == 1:
+        codes = draw(st.lists(st.integers(65, 122), min_size=1, max_size=3))
+        return "char(" + ", ".join(map(str, codes)) + ")"
+    if kind == 2:
+        fn = draw(st.sampled_from(["trim", "ltrim", "rtrim"]))
+        inner = draw(str_exprs(depth=depth - 1))
+        if draw(st.booleans()):
+            return f"{fn}({inner}, '{draw(st.sampled_from(TRIMSETS))}')"
+        return f"{fn}({inner})"
+    if kind == 3:
+        inner = draw(str_exprs(depth=depth - 1))
+        a = draw(st.sampled_from(["a", "o", "l", "x"]))
+        b = draw(st.sampled_from(["", "_", "QQ"]))
+        return f"replace({inner}, '{a}', '{b}')"
+    if kind == 4:
+        return f"quote({draw(str_exprs(depth=depth - 1))})"
+    if kind == 5:
+        fn = draw(st.sampled_from(["lower", "upper"]))
+        return f"{fn}({draw(str_exprs(depth=depth - 1))})"
+    if kind == 6:
+        inner = draw(str_exprs(depth=depth - 1))
+        start = draw(st.integers(1, 6))
+        n = draw(st.integers(0, 5))
+        return f"substr({inner}, {start}, {n})"
+    base = draw(st.sampled_from(["'2024-01-15'", "'2023-11-30'", "'2024-02-29'"]))
+    step = draw(st.integers(-400, 400))
+    unit = draw(st.sampled_from(["days", "hours", "minutes", "seconds"]))
+    mod = draw(st.sampled_from([f"'{step:+d} {unit}'", "'start of month'", "'start of year'"]))
+    kindfn = draw(st.sampled_from(["date", "datetime"]))
+    return f"{kindfn}({base}, {mod})"
+
+
+@st.composite
+def int_exprs(draw, depth: int = 1):
+    if depth == 0:
+        return str(draw(st.integers(-1000, 1000)))
+    kind = draw(st.integers(0, 4))
+    if kind == 0:
+        return str(draw(st.integers(-1000, 1000)))
+    if kind == 1:
+        args = draw(st.lists(int_exprs(depth=depth - 1), min_size=2, max_size=3))
+        fn = draw(st.sampled_from(["max", "min"]))
+        return f"{fn}(" + ", ".join(args) + ")"
+    if kind == 2:
+        return f"sign({draw(int_exprs(depth=depth - 1))})"
+    if kind == 3:
+        return f"length({draw(str_exprs(depth=1))})"
+    return f"unicode({draw(str_exprs(depth=1))})"
+
+
+@st.composite
+def scalar_exprs(draw):
+    kind = draw(st.integers(0, 3))
+    if kind == 0:
+        return draw(str_exprs())
+    if kind == 1:
+        return draw(int_exprs())
+    if kind == 2:
+        pat = "".join(
+            draw(st.lists(st.sampled_from(list("abcxyz*?") + ["[ab]"]), min_size=1, max_size=4))
+        )
+        return f"glob('{pat}', {draw(str_exprs(depth=1))})"
+    return f"typeof({draw(st.one_of(str_exprs(depth=1), int_exprs(depth=1)))})"
+
+
+@pytest.fixture(scope="module")
+def db(spark):
+    s = DustSession(spark)
+    yield s
+    s.close()
+
+
+@pytest.fixture(scope="module")
+def ref():
+    con = sqlite3.connect(":memory:")
+    yield con
+    con.close()
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=scalar_exprs())
+def test_scalar_expr_matches_sqlite(db, ref, expr):
+    q = f"SELECT {expr} AS v"
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
