@@ -569,8 +569,13 @@ SQLITE_FN_DDL = (
     # strftime with the common SQLite format specifiers mapped to
     # java.time patterns
     "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING "
-    "RETURN date_format(t, replace(replace(replace(replace(replace(replace(replace("
-    "fmt,'%Y','yyyy'),'%m','MM'),'%d','dd'),'%H','HH'),'%M','mm'),'%S','ss'),'%j','DDD'))",
+    "RETURN date_format(t, replace(replace(replace(replace(replace(replace(replace(replace("
+    "fmt,'%Y','yyyy'),'%m','MM'),'%d','dd'),'%f','ss.SSS'),'%H','HH'),'%M','mm'),'%S','ss'),"
+    "'%j','DDD'))",
+    # SQLite randomblob(n): n pseudo-random bytes (flagged by the
+    # determinism guard on the journaled write path, like random())
+    "CREATE OR REPLACE TEMPORARY FUNCTION randomblob(n INT) RETURNS BINARY "
+    "RETURN unhex(substr(repeat(md5(CAST(rand() AS STRING)), CAST(n/16 AS INT) + 1), 1, 2*n))",
     # SQLite glob(PATTERN, VALUE): translate glob syntax to an anchored
     # regex (escape regex metachars; * -> .*, ? -> .; [..]/[^..] char
     # classes are already regex-compatible — note SQLite's glob negates
@@ -587,7 +592,6 @@ SQLITE_FN_DDL = (
 
 _FN_RENAMES = {
     "iif": "if",                 # SQLite iif(cond, a, b) ≡ Spark if()
-    "group_concat": "string_agg",  # same 1- and 2-arg forms in Spark 4
     "unicode": "ascii",          # code point of first char
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
@@ -667,7 +671,9 @@ def _rewrite_operators(sql: str) -> str:
 # -- argument-aware SQLite call rewriting ----------------------------------
 
 _ARG_FN_RE = re.compile(
-    r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast)\s*\(", re.I
+    r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
+    r"|total|group_concat|round|strftime)\s*\(",
+    re.I,
 )
 
 _SQLITE_TYPEOF_MAP = (
@@ -782,6 +788,34 @@ def _rewrite_one_call(name: str, args: list[str]) -> str | None:
     n = name.lower()
     if n == "cast" and len(args) == 1:
         return _rewrite_cast(args[0])
+    if n == "total" and len(args) == 1:
+        # SQLite total(): sum over DOUBLE, 0.0 (never NULL) for no rows
+        return f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+    if n == "group_concat":
+        # SQLite's default separator is ','; Spark's string_agg 1-arg
+        # form concatenates with no separator
+        if len(args) == 1:
+            return f"string_agg({args[0]}, ',')"
+        if len(args) == 2:
+            return f"string_agg({args[0]}, {args[1]})"
+        return None
+    if n == "round" and len(args) in (1, 2):
+        # SQLite round() always returns REAL (Spark preserves DECIMAL)
+        return f"CAST(round({', '.join(args)}) AS DOUBLE)"
+    if n == "strftime" and len(args) == 2:
+        # single-specifier formats with no date_format pattern equivalent
+        fmt, t = args[0].strip(), args[1]
+        ts = f"CAST({t} AS TIMESTAMP)"
+        if fmt == "'%s'":
+            return f"CAST(unix_timestamp({ts}) AS STRING)"
+        if fmt == "'%w'":  # day of week 0-6, Sunday = 0
+            return f"CAST(dayofweek({ts}) - 1 AS STRING)"
+        if fmt == "'%W'":  # C-standard Monday-based week of year 00-53
+            return (
+                f"lpad(CAST(CAST(floor((dayofyear({ts}) - 1 + 7 - "
+                f"pmod(dayofweek({ts}) + 5, 7)) / 7) AS INT) AS STRING), 2, '0')"
+            )
+        return None  # general formats go through the strftime macro
     if n == "char" and len(args) > 1:
         return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
     if n in ("max", "min") and len(args) > 1:  # scalar form, not the aggregate

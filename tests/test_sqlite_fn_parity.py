@@ -102,7 +102,48 @@ CASES = [
     "SELECT CAST(CAST('12abc' AS INTEGER) AS TEXT)",
     "SELECT typeof(CAST('abc' AS INTEGER))",
     "SELECT typeof(CAST(1 AS TEXT))",
+    # aggregates + REAL round + strftime single-specifier fast paths
+    "SELECT round(2.5)",
+    "SELECT round(3.5)",
+    "SELECT round(-2.5)",
+    "SELECT round(2.567, 2)",
+    "SELECT typeof(round(1.1))",
+    "SELECT strftime('%s', '2024-03-05 10:20:30')",
+    "SELECT strftime('%w', '2024-03-05')",
+    "SELECT strftime('%w', '2024-03-03')",
+    "SELECT strftime('%W', '2024-03-05')",
+    "SELECT strftime('%W', '2024-01-01')",
+    "SELECT strftime('%W', '2023-01-01')",
+    "SELECT strftime('%H:%M:%f', '2024-03-05 10:20:30.125')",
 ]
+
+
+AGG_CASES = [
+    "SELECT total(v) FROM t",
+    "SELECT total(v) FROM t WHERE v > 99",
+    "SELECT sum(v) FROM t WHERE v > 99",
+    "SELECT group_concat(s) FROM t",
+    "SELECT group_concat(s, '|') FROM t",
+    "SELECT count(*) - count(v) FROM t",
+]
+
+
+@pytest.fixture(scope="module")
+def agg_tables(db, ref):
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT, s TEXT)")
+    db.execute_string_stmt("INSERT INTO t(v, s) VALUES (3,'c'), (1,'a'), (2,'b'), (NULL,'d')")
+    ref.execute("CREATE TABLE t (id INTEGER PRIMARY KEY, v INT, s TEXT)")
+    ref.execute("INSERT INTO t(v, s) VALUES (3,'c'), (1,'a'), (2,'b'), (NULL,'d')")
+    return db, ref
+
+
+@pytest.mark.parametrize("q", AGG_CASES)
+def test_aggregate_matches_sqlite(agg_tables, q):
+    db, ref = agg_tables
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
 
 
 @pytest.fixture(scope="module")
