@@ -576,6 +576,23 @@ SQLITE_FN_DDL = (
     # determinism guard on the journaled write path, like random())
     "CREATE OR REPLACE TEMPORARY FUNCTION randomblob(n INT) RETURNS BINARY "
     "RETURN unhex(substr(repeat(md5(CAST(rand() AS STRING)), CAST(n/16 AS INT) + 1), 1, 2*n))",
+    # json1 extension surface over Spark's VARIANT type: json() canonical
+    # minification, json_valid(), json_type() (invalid input → NULL where
+    # SQLite raises — documented). json_extract is a rename to
+    # get_json_object; json_array/json_object/json_quote are
+    # per-argument inline rewrites (_rewrite_one_call) because their
+    # serialization must see the original argument TYPES.
+    "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING "
+    "RETURN to_json(parse_json(j))",
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_valid(j STRING) RETURNS INT "
+    "RETURN CASE WHEN try_parse_json(j) IS NULL THEN 0 ELSE 1 END",  # NULL → 0, like SQLite
+    "CREATE OR REPLACE TEMPORARY FUNCTION json_type(j STRING) RETURNS STRING "
+    "RETURN CASE WHEN j IS NULL OR try_parse_json(j) IS NULL THEN NULL ELSE "
+    "CASE substr(to_json(parse_json(j)), 1, 1) "
+    "WHEN '{' THEN 'object' WHEN '[' THEN 'array' WHEN '\"' THEN 'text' "
+    "WHEN 't' THEN 'true' WHEN 'f' THEN 'false' WHEN 'n' THEN 'null' "
+    "ELSE CASE WHEN to_json(parse_json(j)) RLIKE '^-?[0-9]+$' THEN 'integer' "
+    "ELSE 'real' END END END",
     # SQLite glob(PATTERN, VALUE): translate glob syntax to an anchored
     # regex (escape regex metachars; * -> .*, ? -> .; [..]/[^..] char
     # classes are already regex-compatible — note SQLite's glob negates
@@ -595,6 +612,7 @@ _FN_RENAMES = {
     "unicode": "ascii",          # code point of first char
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
+    "json_extract": "get_json_object",  # same $.path syntax; scalars as text
 }
 
 _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
@@ -672,9 +690,14 @@ def _rewrite_operators(sql: str) -> str:
 
 _ARG_FN_RE = re.compile(
     r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
-    r"|total|group_concat|round|strftime)\s*\(",
+    r"|total|group_concat|round|strftime|json_array|json_object|json_quote)\s*\(",
     re.I,
 )
+
+#: serialize ONE argument of any type to its JSON text — the
+#: to_json(array(x)) bracket-strip trick keeps the argument's Spark type
+#: (numbers unquoted, strings quoted+escaped, booleans, nulls)
+_JV = "substr(to_json(array({a})), 2, length(to_json(array({a}))) - 2)"
 
 _SQLITE_TYPEOF_MAP = (
     "CASE WHEN ({a}) IS NULL THEN 'null' ELSE "
@@ -802,6 +825,23 @@ def _rewrite_one_call(name: str, args: list[str]) -> str | None:
     if n == "round" and len(args) in (1, 2):
         # SQLite round() always returns REAL (Spark preserves DECIMAL)
         return f"CAST(round({', '.join(args)}) AS DOUBLE)"
+    if n == "json_quote" and len(args) == 1:
+        return _JV.format(a=args[0])
+    if n == "json_array":
+        if not args:
+            return "'[]'"
+        parts = ", ".join(_JV.format(a=a) for a in args)
+        return f"concat('[', concat_ws(',', {parts}), ']')"
+    if n == "json_object":
+        if not args:
+            return "'{}'"
+        if len(args) % 2:
+            return None  # SQLite raises on odd arg count; leave to parse
+        pairs = ", ".join(
+            f"concat({_JV.format(a=args[i])}, ':', {_JV.format(a=args[i + 1])})"
+            for i in range(0, len(args), 2)
+        )
+        return f"concat('{{', concat_ws(',', {pairs}), '}}')"
     if n == "strftime" and len(args) == 2:
         # single-specifier formats with no date_format pattern equivalent
         fmt, t = args[0].strip(), args[1]
@@ -872,11 +912,13 @@ def _rewrite_arg_fns(sql: str) -> str:
         inner = sql[m.end() : end - 1]
         args = [a.strip() for a in split_top_level(inner)] if inner.strip() else []
         args = [_rewrite_arg_fns(a) for a in args]
-        repl = _rewrite_one_call(m.group(1), args) if args else None
-        if repl is None:
-            out.append(m.group(1) + "(" + ", ".join(args) + ")" if args else sql[i:end])
-        else:
+        repl = _rewrite_one_call(m.group(1), args)
+        if repl is not None:
             out.append(repl)
+        elif args:
+            out.append(m.group(1) + "(" + ", ".join(args) + ")")
+        else:
+            out.append(sql[i:end])
         i = end
     return "".join(out)
 

@@ -11,7 +11,9 @@ numbers < text, '10'=10 is false; Spark coerces); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
 literals (SQLite literal, Spark escape); printf('%f', <decimal
 literal>); quote(<number>) quotes the text form; glob patterns with a
-literal '^' outside a character class.
+literal '^' outside a character class; json_extract composed INTO other
+json builders re-serializes scalars as text (get_json_object is
+string-typed where SQLite's json_extract returns dynamic values).
 """
 
 from __future__ import annotations
@@ -162,6 +164,42 @@ def ref():
 
 @pytest.mark.parametrize("q", CASES)
 def test_scalar_fn_matches_sqlite(db, ref, q):
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
+
+
+JSON_CASES = [
+    'SELECT json_extract(\'{"a": 1, "b": {"c": [5,6]}}\', \'$.a\')',
+    'SELECT json_extract(\'{"a": 1, "b": {"c": [5,6]}}\', \'$.b.c[1]\')',
+    'SELECT json_extract(\'{"a": "txt"}\', \'$.a\')',
+    'SELECT json_extract(\'{"a": 1}\', \'$.missing\')',
+    'SELECT json_extract(\'{"b": {"c": 1}}\', \'$.b\')',
+    "SELECT json_array(1, 2, 'x')",
+    "SELECT json_array()",
+    "SELECT json_array(NULL, 2.5, 'he\"llo')",
+    "SELECT json_object('a', 1, 'b', 'two')",
+    "SELECT json_object()",
+    "SELECT json_array_length('[1,2,3]')",
+    "SELECT json_valid('{\"a\":1}')",
+    "SELECT json_valid('nope{')",
+    "SELECT json_valid(NULL)",
+    "SELECT json_type('{\"a\":1}')",
+    "SELECT json_type('[1]')",
+    "SELECT json_type('\"x\"')",
+    "SELECT json_type('3')",
+    "SELECT json_type('3.5')",
+    "SELECT json_type('true')",
+    "SELECT json_type('null')",
+    "SELECT json('{\"a\":  1}')",
+    "SELECT json_quote('hi')",
+    "SELECT json_quote(7)",
+]
+
+
+@pytest.mark.parametrize("q", JSON_CASES)
+def test_json1_matches_sqlite(db, ref, q):
     want = ref.execute(q).fetchone()[0]
     rs = db.query_string_stmt(q)
     got = rs[0].values[0][0] if rs and rs[0].values else None
