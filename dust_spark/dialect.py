@@ -677,10 +677,14 @@ def _map_outside_strings(sql: str, fn) -> str:
     return "".join(out)
 
 
+_NEG_LIMIT_RE = re.compile(r"\bLIMIT\s+-\d+\b", re.I)
+
+
 def _rewrite_operators(sql: str) -> str:
     def fix(seg: str) -> str:
         seg = _IS_NOT_RE.sub("IS DISTINCT FROM", seg)
         seg = _IS_RE.sub("IS NOT DISTINCT FROM", seg)
+        seg = _NEG_LIMIT_RE.sub("", seg)  # SQLite: negative LIMIT = unlimited
         return _LIKE_RE.sub("ILIKE", seg)
 
     return _map_outside_strings(sql, fix)

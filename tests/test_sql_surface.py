@@ -150,3 +150,11 @@ def test_maintenance_statements_are_noops(db):
     assert r[0].error == ""
     r = db.execute_string_stmt("ANALYZE")
     assert r[0].error == ""
+
+
+def test_negative_limit_is_unlimited(db):
+    # SQLite treats a negative LIMIT as "no limit"
+    db.execute_string_stmt("CREATE TABLE neglim (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO neglim(v) VALUES (1), (2), (3)")
+    out = db.query_string_stmt("SELECT v FROM neglim ORDER BY v LIMIT -1")
+    assert [r[0] for r in out[0].values] == [1, 2, 3]
