@@ -690,6 +690,27 @@ def _rewrite_operators(sql: str) -> str:
     return _map_outside_strings(sql, fix)
 
 
+# SQLite rowid alias: bare rowid/_rowid_/oid name the INTEGER PRIMARY
+# KEY column of a rowid table (TableDef.rowid_column); a real column
+# with one of these names shadows the alias, exactly like SQLite.
+_ROWID_RE = re.compile(r"\b(rowid|_rowid_|oid)\b", re.I)
+
+
+def resolve_rowid(sql: str, tdef) -> str:
+    if not tdef or not tdef.rowid_column or not _ROWID_RE.search(sql):
+        return sql
+    cols = {f.name.lower() for f in tdef.schema.fields}
+
+    def sub(m):
+        return m.group(1) if m.group(1).lower() in cols else tdef.rowid_column
+
+    return _map_outside_strings(sql, lambda seg: _ROWID_RE.sub(sub, seg))
+
+
+def has_rowid_token(sql: str) -> bool:
+    return bool(_ROWID_RE.search(sql))
+
+
 # -- argument-aware SQLite call rewriting ----------------------------------
 
 _ARG_FN_RE = re.compile(

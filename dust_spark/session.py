@@ -938,8 +938,8 @@ class DustSession:
         if st is None:
             raise DustError(f"no such table: {up.table}")
         tdef = st.tdef
-        where = up.where or "TRUE"
-        assigned = dict(up.sets)
+        where = dialect.resolve_rowid(up.where or "TRUE", tdef)
+        assigned = {c: dialect.resolve_rowid(e, tdef) for c, e in dict(up.sets).items()}
         unknown = [c for c in assigned if c not in [f.name for f in tdef.schema.fields]]
         if unknown:
             raise DustError(f"no such column: {unknown[0]}")
@@ -981,6 +981,8 @@ class DustSession:
         if st is None:
             raise DustError(f"no such table: {de.table}")
         st.df.createOrReplaceTempView("__dust_stage")
+        if de.where is not None:
+            de = de.__class__(de.table, dialect.resolve_rowid(de.where, st.tdef))
         if de.where is None:
             n = st.df.count()
             if self._capture_returning:
@@ -1086,6 +1088,27 @@ class DustSession:
     def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
         sql = dialect.rewrite_sqlite_fns(sql)
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
+        # last_insert_rowid() is connection state in SQLite — inline the
+        # session's current value as a literal
+        sql = re.sub(
+            r"\blast_insert_rowid\s*\(\s*\)",
+            str(int(self._last_insert_id)),
+            sql,
+            flags=re.I,
+        )
+        if dialect.has_rowid_token(sql):
+            # bare rowid resolves against the single referenced rowid
+            # table (SQLite alias semantics); ambiguous multi-table SQL
+            # is left alone and surfaces SQLite's own "no such column"
+            named = [
+                st.tdef
+                for name, st in self.catalog.tables.items()
+                if st is not None
+                and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
+                and st.tdef.rowid_column
+            ]
+            if len(named) == 1:
+                sql = dialect.resolve_rowid(sql, named[0])
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))

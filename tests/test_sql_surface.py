@@ -158,3 +158,23 @@ def test_negative_limit_is_unlimited(db):
     db.execute_string_stmt("INSERT INTO neglim(v) VALUES (1), (2), (3)")
     out = db.query_string_stmt("SELECT v FROM neglim ORDER BY v LIMIT -1")
     assert [r[0] for r in out[0].values] == [1, 2, 3]
+
+
+def test_rowid_alias(db):
+    """SQLite rowid semantics: bare rowid/_rowid_/oid alias the INTEGER
+    PRIMARY KEY column; a real column named rowid shadows the alias;
+    last_insert_rowid() reflects connection state."""
+    db.execute_string_stmt("CREATE TABLE rt (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO rt(v) VALUES (10), (20), (30)")
+    out = db.query_string_stmt("SELECT rowid, v FROM rt ORDER BY rowid")
+    assert out[0].values == [[1, 10], [2, 20], [3, 30]]
+    out = db.query_string_stmt("SELECT v FROM rt WHERE rowid = last_insert_rowid()")
+    assert out[0].values == [[30]]
+    db.execute_string_stmt("UPDATE rt SET v = rowid * 100 WHERE rowid <= 2")
+    db.execute_string_stmt("DELETE FROM rt WHERE _rowid_ = 1")
+    out = db.query_string_stmt("SELECT oid, v FROM rt ORDER BY oid")
+    assert out[0].values == [[2, 200], [3, 30]]
+    # shadowing: a real column named rowid wins over the alias
+    db.execute_string_stmt("CREATE TABLE rs (id INTEGER NOT NULL PRIMARY KEY, rowid INT)")
+    db.execute_string_stmt("INSERT INTO rs(rowid) VALUES (99)")
+    assert db.query_string_stmt("SELECT rowid FROM rs")[0].values == [[99]]
