@@ -715,7 +715,8 @@ def has_rowid_token(sql: str) -> bool:
 
 _ARG_FN_RE = re.compile(
     r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
-    r"|total|group_concat|round|strftime|json_array|json_object|json_quote)\s*\(",
+    r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
+    r"|json_set|json_insert|json_replace|json_remove)\s*\(",
     re.I,
 )
 
@@ -723,6 +724,20 @@ _ARG_FN_RE = re.compile(
 #: to_json(array(x)) bracket-strip trick keeps the argument's Spark type
 #: (numbers unquoted, strings quoted+escaped, booleans, nulls)
 _JV = "substr(to_json(array({a})), 2, length(to_json(array({a}))) - 2)"
+
+#: a value argument that is itself a json-builder call carries SQLite's
+#: JSON subtype: it embeds as raw JSON text, never re-quoted
+_JSON_SUBTYPE_RE = re.compile(
+    r"^\s*(json|json_array|json_object|json_quote|json_set|json_insert"
+    r"|json_replace|json_remove|json_patch)\s*\(",
+    re.I,
+)
+
+
+def _jval(rewritten: str, raw: str) -> str:
+    if _JSON_SUBTYPE_RE.match(raw):
+        return rewritten
+    return _JV.format(a=rewritten)
 
 _SQLITE_TYPEOF_MAP = (
     "CASE WHEN ({a}) IS NULL THEN 'null' ELSE "
@@ -830,9 +845,12 @@ def _rewrite_cast(arg: str) -> str | None:
     return None
 
 
-def _rewrite_one_call(name: str, args: list[str]) -> str | None:
-    """Replacement text for one SQLite call (args already rewritten),
-    or None to keep the original call."""
+def _rewrite_one_call(
+    name: str, args: list[str], raw_args: list[str] | None = None
+) -> str | None:
+    """Replacement text for one SQLite call (args already rewritten;
+    ``raw_args`` holds the pre-rewrite text for syntax checks), or None
+    to keep the original call."""
     n = name.lower()
     if n == "cast" and len(args) == 1:
         return _rewrite_cast(args[0])
@@ -852,18 +870,36 @@ def _rewrite_one_call(name: str, args: list[str]) -> str | None:
         return f"CAST(round({', '.join(args)}) AS DOUBLE)"
     if n == "json_quote" and len(args) == 1:
         return _JV.format(a=args[0])
+    if n in ("json_set", "json_insert", "json_replace") and len(args) >= 3 and len(args) % 2:
+        # (path, value) pairs serialize per-argument (_JV) so SQL text
+        # values insert as JSON strings and numbers keep their types —
+        # exactly SQLite's json_set value rule. Values built by json
+        # functions carry SQLite's JSON subtype and embed as raw JSON.
+        mode = n[5:]
+        pairs = ", ".join(
+            f"concat('[', {_JV.format(a=args[i])}, ',', {_jval(args[i + 1], (raw_args or args)[i + 1])}, ']')"
+            for i in range(1, len(args), 2)
+        )
+        return f"__json_mutate({args[0]}, '{mode}', concat('[', concat_ws(',', {pairs}), ']'))"
+    if n == "json_remove" and len(args) >= 2:
+        pairs = ", ".join(
+            f"concat('[', {_JV.format(a=a)}, ',null]')" for a in args[1:]
+        )
+        return f"__json_mutate({args[0]}, 'remove', concat('[', concat_ws(',', {pairs}), ']'))"
     if n == "json_array":
         if not args:
             return "'[]'"
-        parts = ", ".join(_JV.format(a=a) for a in args)
+        raws = raw_args or args
+        parts = ", ".join(_jval(a, raws[i]) for i, a in enumerate(args))
         return f"concat('[', concat_ws(',', {parts}), ']')"
     if n == "json_object":
         if not args:
             return "'{}'"
         if len(args) % 2:
             return None  # SQLite raises on odd arg count; leave to parse
+        raws = raw_args or args
         pairs = ", ".join(
-            f"concat({_JV.format(a=args[i])}, ':', {_JV.format(a=args[i + 1])})"
+            f"concat({_JV.format(a=args[i])}, ':', {_jval(args[i + 1], raws[i + 1])})"
             for i in range(0, len(args), 2)
         )
         return f"concat('{{', concat_ws(',', {pairs}), '}}')"
@@ -935,9 +971,9 @@ def _rewrite_arg_fns(sql: str) -> str:
             i += 1
             continue
         inner = sql[m.end() : end - 1]
-        args = [a.strip() for a in split_top_level(inner)] if inner.strip() else []
-        args = [_rewrite_arg_fns(a) for a in args]
-        repl = _rewrite_one_call(m.group(1), args)
+        raw_args = [a.strip() for a in split_top_level(inner)] if inner.strip() else []
+        args = [_rewrite_arg_fns(a) for a in raw_args]
+        repl = _rewrite_one_call(m.group(1), args, raw_args)
         if repl is not None:
             out.append(repl)
         elif args:

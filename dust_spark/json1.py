@@ -1,0 +1,172 @@
+"""json1 mutation + table-valued surface: json_set / json_insert /
+json_replace / json_remove and the json_each UDTF.
+
+The reference delegates these to SQLite's json1 extension; here the
+mutators run as one registered scalar UDF (``__json_mutate``) whose
+(path, value) pairs arrive PRE-SERIALIZED to JSON text by the dialect
+rewriter's per-argument ``_JV`` trick — that reproduces SQLite's rule
+that SQL text values insert as JSON strings (json_set(j,'$.a','x') →
+"x"), while numbers/booleans/nulls keep their types. Small-data,
+row-at-a-time by design: these are engine (DustSession) functions, not
+catalog operators — the no-BatchEvalPython plan rule covers the
+analytics catalog only.
+"""
+
+from __future__ import annotations
+
+import json
+import re
+
+_STEP_RE = re.compile(r"\.([^.\[\]]+)|\[(\d+)\]|\[#-(\d+)\]")
+
+
+def parse_path(path: str) -> list:
+    """'$.a.b[2]' → [('key','a'), ('key','b'), ('idx',2)]; raises on
+    malformed paths (mirrors SQLite's 'JSON path error')."""
+    if not path.startswith("$"):
+        raise ValueError(f"JSON path error near {path!r}")
+    steps, pos = [], 1
+    while pos < len(path):
+        m = _STEP_RE.match(path, pos)
+        if not m:
+            raise ValueError(f"JSON path error near {path[pos:]!r}")
+        if m.group(1) is not None:
+            steps.append(("key", m.group(1)))
+        elif m.group(2) is not None:
+            steps.append(("idx", int(m.group(2))))
+        else:
+            steps.append(("end", int(m.group(3))))
+        pos = m.end()
+    return steps
+
+
+def _navigate(doc, steps, create: bool):
+    """Walk to the parent of the final step; returns (parent, last_step)
+    or (None, None) when the path can't resolve (and create is False)."""
+    cur = doc
+    for kind, key in steps[:-1]:
+        if kind == "key":
+            if not isinstance(cur, dict):
+                return None, None
+            if key not in cur:
+                if not create:
+                    return None, None
+                cur[key] = {}
+            cur = cur[key]
+        else:
+            if not isinstance(cur, list):
+                return None, None
+            i = key if kind == "idx" else len(cur) - key
+            if not (0 <= i < len(cur)):
+                return None, None
+            cur = cur[i]
+    return cur, steps[-1]
+
+
+def mutate(j: str, mode: str, pairs_json: str) -> str | None:
+    """Apply (path, value) pairs to JSON text ``j``.
+
+    mode: 'set' (create or overwrite), 'insert' (create only),
+    'replace' (overwrite only), 'remove' (values ignored).
+    """
+    if j is None:
+        return None
+    doc = json.loads(j)
+    for path, value in json.loads(pairs_json):
+        if isinstance(value, bool):
+            value = int(value)  # SQLite has no bool: SQL TRUE/FALSE → 1/0
+        steps = parse_path(path)
+        if not steps:  # '$' root
+            if mode in ("set", "replace"):
+                doc = value
+            continue
+        parent, last = _navigate(doc, steps, create=mode in ("set", "insert"))
+        if parent is None:
+            continue
+        kind, key = last
+        if kind == "key":
+            if not isinstance(parent, dict):
+                continue
+            exists = key in parent
+            if mode == "remove":
+                if exists:
+                    del parent[key]
+            elif (
+                mode == "set"
+                or (mode == "insert" and not exists)
+                or (mode == "replace" and exists)
+            ):
+                parent[key] = value
+        else:
+            if not isinstance(parent, list):
+                continue
+            i = key if kind == "idx" else len(parent) - key
+            exists = 0 <= i < len(parent)
+            if mode == "remove":
+                if exists:
+                    del parent[i]
+            elif exists and mode in ("set", "replace"):
+                parent[i] = value
+            elif not exists and mode in ("set", "insert") and i == len(parent):
+                parent.append(value)
+    return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+
+def _json_type(v) -> str:
+    if v is None:
+        return "null"
+    if v is True:
+        return "true"
+    if v is False:
+        return "false"
+    if isinstance(v, int):
+        return "integer"
+    if isinstance(v, float):
+        return "real"
+    if isinstance(v, str):
+        return "text"
+    return "object" if isinstance(v, dict) else "array"
+
+
+def each_rows(j: str):
+    """json_each rows: (key, value, type, fullkey, path). Scalars render
+    their text form, containers their minified JSON (SQLite returns
+    dynamic values; the wire here is string-typed — documented)."""
+    if j is None:
+        return
+    doc = json.loads(j)
+
+    def render(v):
+        if v is None:
+            return None
+        if isinstance(v, (dict, list)):
+            return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+        if v is True:
+            return "1"
+        if v is False:
+            return "0"
+        return str(v)
+
+    if isinstance(doc, dict):
+        for k, v in doc.items():
+            yield (str(k), render(v), _json_type(v), f"$.{k}", "$")
+    elif isinstance(doc, list):
+        for i, v in enumerate(doc):
+            yield (str(i), render(v), _json_type(v), f"$[{i}]", "$")
+    else:
+        yield (None, render(doc), _json_type(doc), "$", "$")
+
+
+def register(spark) -> None:
+    """Register __json_mutate (scalar) and json_each (UDTF) on a
+    SparkSession — called from DustSession init."""
+    spark.udf.register("__json_mutate", mutate, "string")
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType="key string, value string, type string, fullkey string, path string")
+    class JsonEach:
+        def eval(self, j: str):
+            yield from each_rows(j)
+
+    spark.udtf.register("json_each", JsonEach)

@@ -125,6 +125,12 @@ class DustSession:
                 self.spark.sql(ddl)
             except Exception:
                 pass  # older Spark without SQL UDFs: functions unavailable
+        from dust_spark import json1
+
+        try:
+            json1.register(self.spark)  # json_set/insert/replace/remove + json_each
+        except Exception:
+            pass  # older Spark without UDTF support
         self.catalog = Catalog(self.spark, warehouse)
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False

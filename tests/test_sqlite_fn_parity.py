@@ -204,3 +204,47 @@ def test_json1_matches_sqlite(db, ref, q):
     rs = db.query_string_stmt(q)
     got = rs[0].values[0][0] if rs and rs[0].values else None
     assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
+
+
+JSON_MUTATE_CASES = [
+    'SELECT json_set(\'{"a":1}\', \'$.b\', 5)',
+    "SELECT json_set('{\"a\":1}', '$.a', 'x')",
+    "SELECT json_set('{\"a\":1}', '$.a', '\"x\"')",
+    'SELECT json_insert(\'{"a":1}\', \'$.a\', 9, \'$.c\', 3)',
+    'SELECT json_replace(\'{"a":1}\', \'$.a\', 9, \'$.c\', 3)',
+    'SELECT json_remove(\'{"a":1,"b":2}\', \'$.b\')',
+    "SELECT json_remove('[1,2,3]', '$[1]')",
+    "SELECT json_set('{}', '$.a.b', 1)",
+    "SELECT json_set('[1,2]', '$[2]', 9)",
+    "SELECT json_set('{\"a\": true}', '$.a', false)",
+    "SELECT json_remove('[1,2,3]', '$[0]', '$[1]')",
+    "SELECT json_set('{\"a\":1}', '$.b', json_array(1, 'x'))",
+    "SELECT json_array(json_array(1,2), 3)",
+    "SELECT json_object('a', json_object('b', 1))",
+    "SELECT json_array(json_quote('x'))",
+    "SELECT json_array(1, 'plain')",
+    "SELECT json_insert('[1,2]', '$[2]', json_object('k', 'v'))",
+]
+
+
+@pytest.mark.parametrize("q", JSON_MUTATE_CASES)
+def test_json_mutation_matches_sqlite(db, ref, q):
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
+
+
+def test_json_each_table_function(db, ref):
+    """json_each as a FROM-clause table function (Python UDTF). The key
+    and value columns are string-typed on our wire (SQLite returns
+    dynamic values) — the rendered content matches."""
+    q = "SELECT key, value, type FROM json_each('[1, \"x\", null]')"
+    got = db.query_string_stmt(q)[0].values
+    want = [[str(k) if k is not None else None, None if v is None else str(v), t]
+            for k, v, t in ref.execute(q).fetchall()]
+    assert got == want
+    q2 = 'SELECT key, value, type FROM json_each(\'{"a": 1, "b": [2,3]}\')'
+    got2 = db.query_string_stmt(q2)[0].values
+    want2 = [[str(k), None if v is None else str(v), t] for k, v, t in ref.execute(q2).fetchall()]
+    assert got2 == want2
