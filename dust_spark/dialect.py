@@ -143,6 +143,11 @@ def affinity_type(decl: str) -> T.DataType:
     if "INT" in d:
         return T.LongType()
     if "CHAR" in d or "CLOB" in d or "TEXT" in d or "JSON" in d or "STRING" in d:
+        # column-level COLLATE NOCASE maps to a collated Spark string
+        # type: comparisons/ORDER BY against the column are then
+        # case-insensitive engine-wide, like SQLite
+        if re.search(r"\bCOLLATE\s+(NOCASE|UTF8_LCASE)\b", re.sub(r"\s+", " ", d)):
+            return T.StringType("UTF8_LCASE")
         return T.StringType()
     if d == "" or "BLOB" in d:
         return T.BinaryType()
@@ -263,6 +268,14 @@ def parse_create_table(sql: str) -> TableDef:
         rest_raw = " ".join(toks[i:])
 
         dtype = affinity_type(decl)
+        # SQLite column-level NOCASE → collated Spark string type:
+        # comparisons/ORDER BY on the column go case-insensitive
+        # engine-wide without touching any query text (the operator
+        # rewriter has usually already renamed NOCASE → UTF8_LCASE)
+        if isinstance(dtype, T.StringType) and re.search(
+            r"\bCOLLATE\s+(NOCASE|UTF8_LCASE)\b", rest
+        ):
+            dtype = T.StringType("UTF8_LCASE")
         if "NOT NULL" in rest:
             td.not_null.add(col)
         if "PRIMARY KEY" in rest:
@@ -678,6 +691,11 @@ def _map_outside_strings(sql: str, fn) -> str:
 
 
 _NEG_LIMIT_RE = re.compile(r"\bLIMIT\s+-\d+\b", re.I)
+# SQLite collation names → Spark 4 collations (same postfix COLLATE
+# syntax); RTRIM (trailing-space-insensitive) has no Spark equivalent
+# and surfaces Spark's own unknown-collation error
+_COLLATE_NOCASE_RE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.I)
+_COLLATE_BINARY_RE = re.compile(r"\bCOLLATE\s+BINARY\b", re.I)
 
 
 def _rewrite_operators(sql: str) -> str:
@@ -685,6 +703,8 @@ def _rewrite_operators(sql: str) -> str:
         seg = _IS_NOT_RE.sub("IS DISTINCT FROM", seg)
         seg = _IS_RE.sub("IS NOT DISTINCT FROM", seg)
         seg = _NEG_LIMIT_RE.sub("", seg)  # SQLite: negative LIMIT = unlimited
+        seg = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", seg)
+        seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)
         return _LIKE_RE.sub("ILIKE", seg)
 
     return _map_outside_strings(sql, fix)

@@ -178,3 +178,22 @@ def test_rowid_alias(db):
     db.execute_string_stmt("CREATE TABLE rs (id INTEGER NOT NULL PRIMARY KEY, rowid INT)")
     db.execute_string_stmt("INSERT INTO rs(rowid) VALUES (99)")
     assert db.query_string_stmt("SELECT rowid FROM rs")[0].values == [[99]]
+
+
+def test_collate_nocase(db):
+    """SQLite NOCASE collation: expression-level (COLLATE NOCASE →
+    Spark UTF8_LCASE) and column-level (collated string type — equality,
+    ORDER BY and GROUP BY all case-insensitive engine-wide)."""
+    out = db.query_string_stmt("SELECT 'Abc' = 'abc' COLLATE NOCASE")
+    assert out[0].values == [[1]]
+    db.execute_string_stmt(
+        "CREATE TABLE nc (id INTEGER NOT NULL PRIMARY KEY, s TEXT COLLATE NOCASE)"
+    )
+    db.execute_string_stmt("INSERT INTO nc(s) VALUES('Apple'), ('BANANA'), ('apple')")
+    assert db.query_string_stmt("SELECT count(*) FROM nc WHERE s = 'apple'")[0].values == [[2]]
+    assert db.query_string_stmt("SELECT s FROM nc ORDER BY s, id")[0].values == [
+        ["Apple"], ["apple"], ["BANANA"]
+    ]
+    assert db.query_string_stmt(
+        "SELECT count(*) AS n FROM nc GROUP BY s ORDER BY n DESC"
+    )[0].values == [[2], [1]]
