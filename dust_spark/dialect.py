@@ -736,7 +736,8 @@ def has_rowid_token(sql: str) -> bool:
 _ARG_FN_RE = re.compile(
     r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
-    r"|json_set|json_insert|json_replace|json_remove)\s*\(",
+    r"|json_set|json_insert|json_replace|json_remove"
+    r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
 
@@ -888,6 +889,17 @@ def _rewrite_one_call(
     if n == "round" and len(args) in (1, 2):
         # SQLite round() always returns REAL (Spark preserves DECIMAL)
         return f"CAST(round({', '.join(args)}) AS DOUBLE)"
+    if n == "log" and len(args) == 1:
+        # SQLite log(X) is base-10 (Spark's is natural; ln stays ln)
+        return f"log10({args[0]})"
+    if n in ("floor", "ceil", "ceiling", "mod") and len(args) in (1, 2):
+        # SQLite math functions return REAL (floor(2.7)=2.0); the
+        # integer-input no-op case diverges (SQLite keeps INTEGER) —
+        # documented in test_sqlite_fn_parity
+        return f"CAST({n}({', '.join(args)}) AS DOUBLE)"
+    if n == "trunc" and len(args) == 1:
+        # numeric truncation toward zero (Spark's trunc is date-only)
+        return f"CAST(CAST({args[0]} AS BIGINT) AS DOUBLE)"
     if n == "json_quote" and len(args) == 1:
         return _JV.format(a=args[0])
     if n in ("json_set", "json_insert", "json_replace") and len(args) >= 3 and len(args) % 2:

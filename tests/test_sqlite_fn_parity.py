@@ -11,7 +11,10 @@ numbers < text, '10'=10 is false; Spark coerces); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
 literals (SQLite literal, Spark escape); printf('%f', <decimal
 literal>); quote(<number>) quotes the text form; glob patterns with a
-literal '^' outside a character class; json_extract composed INTO other
+literal '^' outside a character class; floor/ceil of INTEGER inputs
+(SQLite keeps INTEGER, our REAL wrapper returns 2.0); log10(1000)
+(SQLite's own ln-ratio artifact 2.999…96 vs our exact 3.0);
+json_extract composed INTO other
 json builders re-serializes scalars as text (get_json_object is
 string-typed where SQLite's json_extract returns dynamic values).
 """
@@ -117,6 +120,21 @@ CASES = [
     "SELECT strftime('%W', '2024-01-01')",
     "SELECT strftime('%W', '2023-01-01')",
     "SELECT strftime('%H:%M:%f', '2024-03-05 10:20:30.125')",
+    # math functions: SQLite's log(X) is base-10 and math fns return REAL
+    "SELECT log(100)",
+    "SELECT log(2, 8)",
+    "SELECT ln(1)",
+    "SELECT floor(2.7)",
+    "SELECT ceil(2.1)",
+    "SELECT ceiling(2.1)",
+    "SELECT mod(7, 3)",
+    "SELECT trunc(2.7)",
+    "SELECT trunc(-2.7)",
+    "SELECT sqrt(9.0)",
+    "SELECT pow(2, 10)",
+    "SELECT exp(0)",
+    "SELECT atan2(0, 1)",
+    "SELECT degrees(0)",
 ]
 
 
