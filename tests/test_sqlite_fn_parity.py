@@ -266,3 +266,43 @@ def test_json_each_table_function(db, ref):
     got2 = db.query_string_stmt(q2)[0].values
     want2 = [[str(k), None if v is None else str(v), t] for k, v, t in ref.execute(q2).fetchall()]
     assert got2 == want2
+
+
+WINDOW_CASES = [
+    "SELECT s, row_number() OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT s, rank() OVER (ORDER BY v) FROM wt ORDER BY s",
+    "SELECT s, dense_rank() OVER (ORDER BY v) FROM wt ORDER BY s",
+    "SELECT s, lag(s) OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT s, lead(s, 1, 'zz') OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT s, sum(v) OVER (ORDER BY v, s ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) FROM wt ORDER BY s",
+    "SELECT s, ntile(2) OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT s, first_value(s) OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT s, sum(v) OVER (PARTITION BY v % 2 ORDER BY s) FROM wt ORDER BY s",
+    "SELECT s, avg(v) OVER (ORDER BY v, s ROWS BETWEEN 1 PRECEDING AND 1 FOLLOWING) FROM wt ORDER BY s",
+    "SELECT s, nth_value(s, 2) OVER (ORDER BY v, s ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM wt ORDER BY s",
+    "SELECT s, last_value(s) OVER (ORDER BY v, s ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) FROM wt ORDER BY s",
+    "SELECT s, cume_dist() OVER (ORDER BY v) FROM wt ORDER BY s",
+    "SELECT s, percent_rank() OVER (ORDER BY v) FROM wt ORDER BY s",
+    "SELECT s, group_concat(s, '+') OVER (ORDER BY v, s) FROM wt ORDER BY s",
+    "SELECT sum(v) FILTER (WHERE v > 1) FROM wt",
+    "SELECT count(*) FILTER (WHERE s < 'c') FROM wt",
+]
+
+
+@pytest.fixture(scope="module")
+def window_tables(db, ref):
+    db.execute_string_stmt("CREATE TABLE wt (id INTEGER NOT NULL PRIMARY KEY, v INT, s TEXT)")
+    db.execute_string_stmt("INSERT INTO wt(v, s) VALUES (3,'c'), (1,'a'), (2,'b'), (2,'d')")
+    ref.execute("CREATE TABLE wt (id INTEGER PRIMARY KEY, v INT, s TEXT)")
+    ref.execute("INSERT INTO wt(v, s) VALUES (3,'c'), (1,'a'), (2,'b'), (2,'d')")
+    return db, ref
+
+
+@pytest.mark.parametrize("q", WINDOW_CASES)
+def test_window_fn_matches_sqlite(window_tables, q):
+    """SQLite >=3.25 window functions through the engine (SURVEY B5) —
+    incl. aggregate FILTER clauses and windowed group_concat."""
+    db, ref = window_tables
+    want = [list(r) for r in ref.execute(q).fetchall()]
+    got = [list(r) for r in db.query_string_stmt(q)[0].values]
+    assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
