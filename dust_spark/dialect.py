@@ -36,13 +36,51 @@ WRITE_KINDS = {
 }
 
 
+_WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(?:RECURSIVE\s+)?", re.I)
+_CTE_DEF_RE = re.compile(r'\s*("[^"]+"|`[^`]+`|\[[^\]]+\]|\w+)\s*(\([^)]*\))?\s+AS\s*\(', re.I)
+
+
+def split_with_prefix(sql: str):
+    """Split ``WITH ctes... <stmt>`` into (cte_text, rest_stmt); None
+    when ``sql`` isn't WITH-prefixed or the CTE list doesn't parse."""
+    m = _WITH_HEAD_RE.match(sql)
+    if not m:
+        return None
+    i = m.end()
+    while True:
+        mm = _CTE_DEF_RE.match(sql, i)
+        if not mm:
+            return None
+        try:
+            i = _balanced_end(sql, mm.end() - 1)
+        except ValueError:
+            return None
+        mc = re.match(r"\s*,", sql[i:])
+        if mc:
+            i += mc.end()
+            continue
+        break
+    rest = sql[i:].lstrip()
+    return (sql[:i], rest) if rest else None
+
+
 def statement_kind(sql: str) -> str:
     """First keyword, uppercased: SELECT / INSERT / CREATE / ... ;
-    'EMPTY' for blank statements."""
+    'EMPTY' for blank statements. ``WITH ctes INSERT/UPDATE/DELETE``
+    classifies as the DML statement it wraps (SQLite allows CTEs on
+    DML), plain ``WITH ... SELECT`` stays a read."""
     m = _FIRST_WORD.match(sql or "")
     if not m:
         return "EMPTY"
     kind = m.group(1).upper()
+    if kind == "WITH":
+        sp = split_with_prefix(sql)
+        if sp:
+            w = _FIRST_WORD.match(sp[1])
+            inner = w.group(1).upper() if w else ""
+            if inner in ("INSERT", "UPDATE", "DELETE", "REPLACE"):
+                return inner
+        return "WITH"
     if kind == "CREATE":
         rest = sql[m.end() :].lstrip().upper()
         if rest.startswith("INDEX") or rest.startswith("UNIQUE"):
@@ -222,6 +260,12 @@ _REF_RE = re.compile(r"REFERENCES\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((\s*[^)]+\s*
 
 
 def parse_create_table(sql: str) -> TableDef:
+    # WITHOUT ROWID tables store by PK directly in SQLite; here every
+    # table is PK-organized anyway — accept the clause, and suppress
+    # the rowid alias (such tables have none in SQLite either)
+    without_rowid = bool(re.search(r"\)\s*WITHOUT\s+ROWID\s*;?\s*$", sql, re.I))
+    if without_rowid:
+        sql = re.sub(r"WITHOUT\s+ROWID\s*;?\s*$", "", sql, flags=re.I)
     m = _CREATE_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -299,6 +343,8 @@ def parse_create_table(sql: str) -> TableDef:
     td.schema = T.StructType(fields)
     if td.primary_key and td.primary_key not in td.unique:
         td.unique.insert(0, td.primary_key)
+    if without_rowid:
+        td.rowid_column = None
     return td
 
 
@@ -404,6 +450,22 @@ _ON_CONFLICT_RE = re.compile(
 
 
 def parse_insert(sql: str) -> InsertStmt:
+    # WITH ctes INSERT INTO t SELECT ... — the CTEs scope to the source
+    # select; fold them into it (SQLite CTE-on-DML semantics)
+    sp = split_with_prefix(sql)
+    ctes = None
+    if sp:
+        ctes, sql = sp
+    stmt = _parse_insert_body(sql)
+    if ctes:
+        src = stmt.source_sql.lstrip()
+        if not src.upper().startswith(("SELECT", "WITH")):
+            raise ValueError("unsupported: WITH ... INSERT ... VALUES")
+        stmt.source_sql = f"{ctes} {src}"
+    return stmt
+
+
+def _parse_insert_body(sql: str) -> InsertStmt:
     on_conflict = None
     # locate the clause with the paren/quote-aware scanner — a bare
     # regex search could match inside a trailing string literal
@@ -452,6 +514,8 @@ class UpdateStmt:
 
 
 def parse_update(sql: str) -> UpdateStmt:
+    if _WITH_HEAD_RE.match(sql):
+        raise ValueError("unsupported: WITH ... UPDATE")
     m = _UPDATE_HEAD_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -459,6 +523,10 @@ def parse_update(sql: str) -> UpdateStmt:
     # the WHERE boundary must ignore subquery WHEREs inside SET exprs
     wi = find_top_level_keyword(rest, "WHERE")
     sets_sql, where = (rest[:wi], rest[wi + 5 :].strip()) if wi >= 0 else (rest, "")
+    # UPDATE ... FROM (SQLite >= 3.33 join-update): fail loudly rather
+    # than absorbing the FROM clause into the last SET expression
+    if find_top_level_keyword(sets_sql, "FROM") >= 0:
+        raise ValueError("unsupported: UPDATE ... FROM (join update)")
     sets = []
     for part in split_top_level(sets_sql):
         eq = part.index("=")
@@ -477,6 +545,8 @@ class DeleteStmt:
 
 
 def parse_delete(sql: str) -> DeleteStmt:
+    if _WITH_HEAD_RE.match(sql):
+        raise ValueError("unsupported: WITH ... DELETE")
     m = _DELETE_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')

@@ -197,3 +197,38 @@ def test_collate_nocase(db):
     assert db.query_string_stmt(
         "SELECT count(*) AS n FROM nc GROUP BY s ORDER BY n DESC"
     )[0].values == [[2], [1]]
+
+
+def test_with_cte_dml(db):
+    """SQLite CTEs on DML: WITH ... INSERT folds the CTEs into the
+    source select (incl. RECURSIVE); WITH ... UPDATE/DELETE and
+    UPDATE ... FROM fail loudly instead of mis-parsing."""
+    db.execute_string_stmt("CREATE TABLE wd (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO wd(id, v) VALUES (1, 10)")
+    r = db.execute_string_stmt(
+        "WITH src AS (SELECT 2 AS id, 20 AS v) INSERT INTO wd SELECT id, v FROM src"
+    )
+    assert r[0].error == "" and r[0].rows_affected == 1
+    r = db.execute_string_stmt(
+        "WITH RECURSIVE c(n) AS (SELECT 5 UNION ALL SELECT n+1 FROM c WHERE n < 7) "
+        "INSERT INTO wd SELECT n, n FROM c"
+    )
+    assert r[0].error == "" and r[0].rows_affected == 3
+    out = db.query_string_stmt("SELECT id FROM wd ORDER BY id")
+    assert [r0[0] for r0 in out[0].values] == [1, 2, 5, 6, 7]
+    assert "unsupported" in db.execute_string_stmt(
+        "WITH c AS (SELECT 1) UPDATE wd SET v = 1"
+    )[0].error
+    assert "unsupported" in db.execute_string_stmt(
+        "UPDATE wd SET v = 1 FROM wd w2 WHERE wd.id = w2.id"
+    )[0].error
+
+
+def test_without_rowid_table(db):
+    db.execute_string_stmt("CREATE TABLE worow (k TEXT NOT NULL PRIMARY KEY, v INT) WITHOUT ROWID")
+    db.execute_string_stmt("INSERT INTO worow VALUES ('x', 1), ('y', 2)")
+    out = db.query_string_stmt("SELECT k, v FROM worow ORDER BY k")
+    assert out[0].values == [["x", 1], ["y", 2]]
+    # PK still enforced
+    r = db.execute_string_stmt("INSERT INTO worow VALUES ('x', 9)")
+    assert "UNIQUE constraint failed" in r[0].error
