@@ -82,8 +82,33 @@ def int_exprs(draw, depth: int = 1):
 
 
 @st.composite
+def json_exprs(draw, depth: int = 1):
+    """json builders composed per SQLite's subtype rule."""
+    kind = draw(st.integers(0, 2 if depth > 0 else 1))
+    if kind == 0:
+        vals = draw(
+            st.lists(
+                st.one_of(int_exprs(depth=0), str_exprs(depth=0), st.just("NULL")),
+                min_size=0,
+                max_size=3,
+            )
+        )
+        return "json_array(" + ", ".join(vals) + ")"
+    if kind == 1:
+        n = draw(st.integers(1, 2))
+        pairs = []
+        for i in range(n):
+            k = draw(st.sampled_from(["'a'", "'b'", "'k2'"]))
+            v = draw(st.one_of(int_exprs(depth=0), str_exprs(depth=0)))
+            pairs += [k, v]
+        return "json_object(" + ", ".join(pairs) + ")"
+    inner = draw(json_exprs(depth=depth - 1))
+    return f"json_array({inner}, {draw(int_exprs(depth=0))})"
+
+
+@st.composite
 def scalar_exprs(draw):
-    kind = draw(st.integers(0, 3))
+    kind = draw(st.integers(0, 6))
     if kind == 0:
         return draw(str_exprs())
     if kind == 1:
@@ -93,7 +118,20 @@ def scalar_exprs(draw):
             draw(st.lists(st.sampled_from(list("abcxyz*?") + ["[ab]"]), min_size=1, max_size=4))
         )
         return f"glob('{pat}', {draw(str_exprs(depth=1))})"
-    return f"typeof({draw(st.one_of(str_exprs(depth=1), int_exprs(depth=1)))})"
+    if kind == 3:
+        return f"typeof({draw(st.one_of(str_exprs(depth=1), int_exprs(depth=1)))})"
+    if kind == 4:
+        j = draw(json_exprs())
+        return draw(
+            st.sampled_from(
+                [j, f"json_type({j})", f"json_valid({j})", f"json_array_length(json_array({j}))"]
+            )
+        )
+    if kind == 5:
+        x = draw(st.sampled_from(["2.5", "3.49", "-7.5", "0.0", "123.456"]))
+        fn = draw(st.sampled_from(["round", "floor", "ceil", "trunc"]))
+        return f"{fn}({x})"
+    return f"{draw(str_exprs(depth=1))} LIKE '{draw(st.sampled_from(['%A%', 'a%', '%42%', '_']))}'"
 
 
 @pytest.fixture(scope="module")
