@@ -556,7 +556,51 @@ class DustSession:
             # call-form pragma (SQLite PRAGMA table_info(t), implied
             # surface of the reference's SQLite pass-through)
             return self._pragma_table_info(arg or val)
+        if key == "database_list":
+            cols = ["seq", "name", "file"]
+            values = [[0, "main", self.catalog.warehouse or ""]]
+            for i, (alias, cat) in enumerate(sorted(self._attached.items()), start=2):
+                values.append([i, alias, cat.warehouse or ""])
+            return Rows(columns=cols, types=["integer", "text", "text"], values=values)
+        if key == "foreign_key_list":
+            return self._pragma_foreign_key_list(arg or val)
+        if key == "index_list":
+            return self._pragma_index_list(arg or val)
         return Rows()  # unknown pragmas: empty result, like SQLite
+
+    def _pragma_foreign_key_list(self, table: str | None) -> Rows:
+        cols = ["id", "seq", "table", "from", "to", "on_update", "on_delete", "match"]
+        types = ["integer", "integer", "text", "text", "text", "text", "text", "text"]
+        st = self.catalog.tables.get((table or "").lower())
+        values = []
+        if st is not None:
+            for i, fk in enumerate(st.tdef.foreign_keys):
+                # actions are NO ACTION: the engine enforces RESTRICT
+                # semantics only (reference surface has no cascades)
+                values.append(
+                    [i, 0, fk.ref_table, fk.column, fk.ref_column, "NO ACTION", "NO ACTION", "NONE"]
+                )
+        return Rows(columns=cols, types=types, values=values)
+
+    def _pragma_index_list(self, table: str | None) -> Rows:
+        """UNIQUE constraints surface as SQLite's implicit
+        sqlite_autoindex_* rows (user CREATE INDEX is a no-op here, as
+        documented — no rows for those)."""
+        cols = ["seq", "name", "unique", "origin", "partial"]
+        types = ["integer", "text", "integer", "text", "integer"]
+        t = (table or "").lower()
+        st = self.catalog.tables.get(t)
+        values = []
+        if st is not None:
+            tdef = st.tdef
+            n = 0
+            for uniq in tdef.unique:
+                if uniq == tdef.primary_key and tdef.rowid_column:
+                    continue  # INTEGER PRIMARY KEY IS the rowid: no index
+                n += 1
+                origin = "pk" if uniq == tdef.primary_key else "u"
+                values.append([n - 1, f"sqlite_autoindex_{t}_{n}", 1, origin, 0])
+        return Rows(columns=cols, types=types, values=values)
 
     def _pragma_table_info(self, table: str | None) -> Rows:
         cols = ["cid", "name", "type", "notnull", "dflt_value", "pk"]

@@ -232,3 +232,24 @@ def test_without_rowid_table(db):
     # PK still enforced
     r = db.execute_string_stmt("INSERT INTO worow VALUES ('x', 9)")
     assert "UNIQUE constraint failed" in r[0].error
+
+
+def test_metadata_pragmas(db):
+    """database_list / foreign_key_list / index_list mirror SQLite's
+    rows (incl. the INTEGER-PRIMARY-KEY-is-the-rowid no-index rule)."""
+    db.execute_string_stmt(
+        "CREATE TABLE mp (id INTEGER NOT NULL PRIMARY KEY, v INT NOT NULL UNIQUE, w TEXT, "
+        "FOREIGN KEY (v) REFERENCES q(id))"
+    )
+    assert db.query_string_stmt("PRAGMA database_list")[0].values == [[0, "main", ""]]
+    assert db.query_string_stmt("PRAGMA foreign_key_list(mp)")[0].values == [
+        [0, 0, "q", "v", "id", "NO ACTION", "NO ACTION", "NONE"]
+    ]
+    assert db.query_string_stmt("PRAGMA index_list(mp)")[0].values == [
+        [0, "sqlite_autoindex_mp_1", 1, "u", 0]
+    ]
+    # non-integer PK: the pk autoindex IS emitted (no rowid alias)
+    db.execute_string_stmt("CREATE TABLE mp2 (k TEXT NOT NULL PRIMARY KEY)")
+    assert db.query_string_stmt("PRAGMA index_list(mp2)")[0].values == [
+        [0, "sqlite_autoindex_mp2_1", 1, "pk", 0]
+    ]
