@@ -223,6 +223,11 @@ class TableDef:
     not_null: set = field(default_factory=set)
     unique: list[list[str]] = field(default_factory=list)
     foreign_keys: list[ForeignKey] = field(default_factory=list)
+    # CHECK constraints in declaration order, as (label, expr_sql):
+    # label is the constraint name when given, else the expression text
+    # verbatim — SQLite's error-message rule ("CHECK constraint failed:
+    # a > 0" vs "... failed: bpos", probed against sqlite3 3.x)
+    checks: list[tuple[str, str]] = field(default_factory=list)
     rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
     if_not_exists: bool = False
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
@@ -254,7 +259,44 @@ _CREATE_RE = re.compile(
     re.S | re.I,
 )
 
-_COL_CONSTRAINT_WORDS = ("NOT", "PRIMARY", "UNIQUE", "REFERENCES", "DEFAULT", "CHECK", "COLLATE", "AUTOINCREMENT")
+_COL_CONSTRAINT_WORDS = (
+    "NOT", "PRIMARY", "UNIQUE", "REFERENCES", "DEFAULT", "CHECK",
+    "COLLATE", "AUTOINCREMENT", "CONSTRAINT",
+)
+
+_CHECK_HEAD_RE = re.compile(
+    r"(?:CONSTRAINT\s+(\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+)?CHECK\s*\(", re.I
+)
+
+
+def extract_checks(text: str) -> list[tuple[str, str]]:
+    """All (label, expr) CHECK constraints in a CREATE TABLE item, in
+    declaration order, with balanced-paren expression extraction.
+    Label = constraint name when given, else the expression text."""
+    out: list[tuple[str, str]] = []
+    pos = 0
+    while True:
+        m = _CHECK_HEAD_RE.search(text, pos)
+        if not m:
+            return out
+        i, depth, in_str = m.end(), 1, None
+        n = len(text)
+        while i < n and depth:
+            ch = text[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+            i += 1
+        expr = text[m.end() : i - 1].strip()
+        name = m.group(1)
+        out.append((unquote_ident(name) if name else expr, expr))
+        pos = i
 
 _REF_RE = re.compile(r"REFERENCES\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((\s*[^)]+\s*)\))?", re.I)
 
@@ -294,7 +336,11 @@ def parse_create_table(sql: str) -> TableDef:
                 td.foreign_keys.append(ForeignKey(col, rt, rc))
             continue
         if up.startswith("CHECK") or up.startswith("CONSTRAINT"):
-            continue  # accepted, not enforced (matches SQLite leniency posture)
+            # table-level CHECK (possibly named) is enforced on write;
+            # other named table constraints (CONSTRAINT x UNIQUE/PK/FK)
+            # keep the pre-existing accept-and-skip posture
+            td.checks.extend(extract_checks(item))
+            continue
 
         # column definition: name [type tokens...] [constraints...]
         toks = item.split()
@@ -302,7 +348,9 @@ def parse_create_table(sql: str) -> TableDef:
         type_toks: list[str] = []
         i = 1
         while i < len(toks):
-            w = toks[i].upper().rstrip("(")
+            # split("(")[0] so an attached paren ("CHECK(a" from
+            # "CHECK(a > 0)") still terminates the type-token scan
+            w = toks[i].upper().split("(")[0]
             if w in _COL_CONSTRAINT_WORDS:
                 break
             type_toks.append(toks[i])
@@ -336,6 +384,7 @@ def parse_create_table(sql: str) -> TableDef:
         dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
         if dm:
             td.defaults[col] = dm.group(1)
+        td.checks.extend(extract_checks(item))
 
         td.declared_types[col] = decl
         fields.append(T.StructField(col, dtype, nullable=True))

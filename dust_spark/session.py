@@ -1103,6 +1103,18 @@ class DustSession:
             if new_rows.filter(F.col(c).isNull()).limit(1).count() > 0:
                 raise DustError(f"NOT NULL constraint failed: {tdef.name}.{c}")
 
+        # CHECK constraints (SQLite enforces these on every write; the
+        # reference inherits that via its pass-through, db/src/db.rs:176).
+        # SQLite rule: a row passes when the expression is TRUE or NULL —
+        # only FALSE/0 fails; error label = constraint name or expr text.
+        for label, expr in tdef.checks:
+            cond = dialect.rewrite_sqlite_fns(expr)
+            viol = new_rows.filter(
+                F.expr(f"NOT coalesce(try_cast(({cond}) AS BOOLEAN), true)")
+            )
+            if viol.limit(1).count() > 0:
+                raise DustError(f"CHECK constraint failed: {label}")
+
         for colset in tdef.unique:
             cand = new_rows.select(*colset).na.drop()
             label = ", ".join(f"{tdef.name}.{c}" for c in colset)

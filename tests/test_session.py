@@ -286,6 +286,63 @@ def test_not_null_constraint(db):
     assert ex(db, "INSERT INTO t(id) VALUES(1)") == '[{"error":"NOT NULL constraint failed: t.name"}]'
 
 
+def test_check_constraint(db):
+    """SQLite enforces CHECK on INSERT/UPDATE with the constraint name
+    (when given) or the expression text as the error label; NULL results
+    pass. Message format probed against in-process sqlite3 — see the
+    differential twin below. Reference reaches this via its pass-through
+    (db/src/db.rs:176)."""
+    ex(
+        db,
+        "CREATE TABLE t (a INT CHECK(a > 0), b INT, "
+        "CONSTRAINT bpos CHECK(b >= 0), CHECK(a < 100))",
+    )
+    assert ex(db, "INSERT INTO t VALUES (-1, 1)") == '[{"error":"CHECK constraint failed: a > 0"}]'
+    assert ex(db, "INSERT INTO t VALUES (1, -1)") == '[{"error":"CHECK constraint failed: bpos"}]'
+    assert ex(db, "INSERT INTO t VALUES (200, 1)") == '[{"error":"CHECK constraint failed: a < 100"}]'
+    # NULL check result passes (SQLite: only FALSE fails)
+    ex(db, "INSERT INTO t VALUES (NULL, NULL)")
+    ex(db, "INSERT INTO t VALUES (5, 5)")
+    assert ex(db, "UPDATE t SET a = -3") == '[{"error":"CHECK constraint failed: a > 0"}]'
+    # failed UPDATE left the table untouched
+    assert q(db, "SELECT count(*) AS n, sum(a) AS s FROM t") == (
+        '[{"columns":["n","s"],"types":["integer","integer"],"values":[[2,5]]}]'
+    )
+
+
+def test_check_constraint_sqlite_differential(db):
+    """Replay the same DDL/DML against in-process sqlite3 and assert the
+    engine's accept/reject decisions and error strings match row-for-row."""
+    import sqlite3
+
+    ddl = (
+        "CREATE TABLE t (a INT CHECK(a > 0), b TEXT, "
+        "CONSTRAINT blen CHECK(length(b) < 5))"
+    )
+    stmts = [
+        "INSERT INTO t VALUES (1, 'ab')",
+        "INSERT INTO t VALUES (0, 'ab')",
+        "INSERT INTO t VALUES (2, 'abcdef')",
+        "INSERT INTO t VALUES (NULL, NULL)",
+        "UPDATE t SET a = a - 1",
+        "UPDATE t SET b = 'toolong!'",
+    ]
+    ref = sqlite3.connect(":memory:")
+    ref.execute(ddl)
+    ex(db, ddl)
+    for sql in stmts:
+        try:
+            ref.execute(sql)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got = db.execute_string_stmt(sql)[0].error or None
+        assert got == ref_err, f"{sql}: engine={got!r} sqlite={ref_err!r}"
+    ref_rows = ref.execute("SELECT a, b FROM t ORDER BY a").fetchall()
+    eng = db.query_string_stmt("SELECT a, b FROM t ORDER BY a NULLS FIRST")[0]
+    assert [tuple(r) for r in eng.values] == ref_rows
+
+
 def test_drop_and_alter(db):
     ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
     assert ex(db, "ALTER TABLE t ADD COLUMN note TEXT") == "[{}]"
