@@ -560,11 +560,17 @@ class UpdateStmt:
     table: str
     sets: list[tuple[str, str]]  # (column, expression SQL)
     where: str | None
+    from_sql: str | None = None  # UPDATE ... FROM join source (SQLite >= 3.33)
+    with_sql: str | None = None  # leading WITH-CTE prefix (SQLite CTE-DML)
 
 
 def parse_update(sql: str) -> UpdateStmt:
-    if _WITH_HEAD_RE.match(sql):
-        raise ValueError("unsupported: WITH ... UPDATE")
+    with_sql = None
+    sp = split_with_prefix(sql)
+    if sp is not None:
+        with_sql, sql = sp[0].rstrip(), sp[1]
+    elif _WITH_HEAD_RE.match(sql):
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
     m = _UPDATE_HEAD_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -572,10 +578,14 @@ def parse_update(sql: str) -> UpdateStmt:
     # the WHERE boundary must ignore subquery WHEREs inside SET exprs
     wi = find_top_level_keyword(rest, "WHERE")
     sets_sql, where = (rest[:wi], rest[wi + 5 :].strip()) if wi >= 0 else (rest, "")
-    # UPDATE ... FROM (SQLite >= 3.33 join-update): fail loudly rather
-    # than absorbing the FROM clause into the last SET expression
-    if find_top_level_keyword(sets_sql, "FROM") >= 0:
-        raise ValueError("unsupported: UPDATE ... FROM (join update)")
+    # UPDATE ... FROM (SQLite >= 3.33 join-update, db/src/db.rs:176
+    # pass-through): the FROM clause is everything between SET list and
+    # WHERE; it joins against the target with last-match-wins
+    from_sql = None
+    fi = find_top_level_keyword(sets_sql, "FROM")
+    if fi >= 0:
+        from_sql = sets_sql[fi + 4 :].strip()
+        sets_sql = sets_sql[:fi]
     sets = []
     for part in split_top_level(sets_sql):
         eq = part.index("=")
@@ -584,6 +594,8 @@ def parse_update(sql: str) -> UpdateStmt:
         table=unquote_ident(m.group("name")).lower(),
         sets=sets,
         where=where or None,
+        from_sql=from_sql,
+        with_sql=with_sql,
     )
 
 
@@ -591,17 +603,23 @@ def parse_update(sql: str) -> UpdateStmt:
 class DeleteStmt:
     table: str
     where: str | None
+    with_sql: str | None = None
 
 
 def parse_delete(sql: str) -> DeleteStmt:
-    if _WITH_HEAD_RE.match(sql):
-        raise ValueError("unsupported: WITH ... DELETE")
+    with_sql = None
+    sp = split_with_prefix(sql)
+    if sp is not None:
+        with_sql, sql = sp[0].rstrip(), sp[1]
+    elif _WITH_HEAD_RE.match(sql):
+        raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
     m = _DELETE_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
     return DeleteStmt(
         table=unquote_ident(m.group("name")).lower(),
         where=(m.group("where") or "").strip().rstrip(";") or None,
+        with_sql=with_sql,
     )
 
 

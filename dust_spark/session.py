@@ -994,7 +994,13 @@ class DustSession:
         if unknown:
             raise DustError(f"no such column: {unknown[0]}")
 
+        if up.from_sql is not None:
+            return self._update_from(overlay, st, up, where, assigned)
+
         st.df.createOrReplaceTempView("__dust_stage")
+        # WITH-CTE DML: the CTE list prefixes the rewrite so SET/WHERE
+        # subqueries can reference it (SQLite CTE-DML semantics)
+        with_prefix = (up.with_sql + " ") if up.with_sql else ""
         projs = []
         for f in tdef.schema.fields:
             if f.name in assigned:
@@ -1007,7 +1013,7 @@ class DustSession:
         # alias the staged view as the target table so correlated
         # subqueries (SET v = (SELECT ... WHERE b.id = t.id)) resolve
         marked = self.spark.sql(
-            f"SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m "
+            f"{with_prefix}SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m "
             f"FROM __dust_stage AS `{up.table}`"
         )
         marked = marked.localCheckpoint(eager=True)
@@ -1024,6 +1030,86 @@ class DustSession:
         overlay.put(up.table, new_st)
         return self._ok(n)
 
+    def _update_from(
+        self,
+        overlay: Overlay,
+        st: TableState,
+        up: "dialect.UpdateStmt",
+        where: str,
+        assigned: dict[str, str],
+    ) -> Response:
+        """``UPDATE t SET ... FROM src WHERE ...`` (SQLite >= 3.33,
+        reached through the reference's pass-through db/src/db.rs:176).
+        Each target row takes the SET values from its LAST matching
+        source row in source scan order (probed against sqlite3: with
+        matches 100,200,300 the row ends at 300); rows_affected counts
+        distinct target rows with at least one match, value-change or
+        not. For a non-plain-table FROM (subquery/join) SQLite documents
+        the chosen row as unspecified — we use join-output order there."""
+        tdef = st.tdef
+        t = up.table
+        with_prefix = (up.with_sql + " ") if up.with_sql else ""
+        rid = st.df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+        rid.createOrReplaceTempView("__dust_upd_t")
+
+        from_clause = up.from_sql
+        pos_expr = "monotonically_increasing_id()"
+        m = re.match(
+            r'^\s*("[^"]+"|`[^`]+`|\[[^\]]+\]|\w+)\s*(?:AS\s+(\w+)|(\w+))?\s*;?\s*$',
+            up.from_sql,
+            re.I,
+        )
+        if m:
+            src_name = dialect.unquote_ident(m.group(1)).lower()
+            alias = m.group(2) or m.group(3) or src_name
+            src_st = self._route(overlay, src_name).get(src_name)
+            if src_st is not None:
+                src_st.df.withColumn(
+                    "__pos", F.monotonically_increasing_id()
+                ).localCheckpoint(eager=True).createOrReplaceTempView("__dust_upd_s")
+                from_clause = f"__dust_upd_s AS `{alias}`"
+                pos_expr = f"`{alias}`.__pos"
+
+        sels = ", ".join(f"({e}) AS `__v{i}`" for i, e in enumerate(assigned.values()))
+        matches = self.spark.sql(
+            f"{with_prefix}SELECT `{t}`.__rid AS __rid, {pos_expr} AS __pos, {sels} "
+            f"FROM __dust_upd_t AS `{t}`, {from_clause} WHERE ({where})"
+        )
+        w = Window.partitionBy("__rid").orderBy(F.col("__pos").desc())
+        winners = (
+            matches.withColumn("__rn", F.row_number().over(w))
+            .filter(F.col("__rn") == 1)
+            .drop("__rn", "__pos")
+            .withColumn("__hit", F.lit(1))
+        )
+        joined = rid.join(winners, "__rid", "left")
+        idx = {c: i for i, c in enumerate(assigned)}
+        cols = []
+        for f in tdef.schema.fields:
+            if f.name in assigned:
+                cols.append(
+                    F.when(
+                        F.col("__hit") == 1, F.col(f"__v{idx[f.name]}").cast(f.dataType)
+                    )
+                    .otherwise(F.col(f.name))
+                    .alias(f.name)
+                )
+            else:
+                cols.append(F.col(f.name))
+        marked = joined.select(*cols, F.coalesce(F.col("__hit"), F.lit(0)).alias("__m"))
+        marked = marked.localCheckpoint(eager=True)
+        n = marked.filter(F.col("__m") == 1).count()
+        new_df = marked.drop("__m")
+        if self._capture_returning:
+            self._returning_df = marked.filter(F.col("__m") == 1).drop("__m")
+            self._returning_table = t
+
+        self._check_constraints(overlay, tdef, new_df, None, full_table=True)
+        self._check_child_fks(overlay, t, new_df)
+        new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
+        overlay.put(t, new_st)
+        return self._ok(n)
+
     def _delete(self, overlay: Overlay, sql: str) -> Response:
         de = dialect.parse_delete(sql)
         overlay = self._route(overlay, de.table)
@@ -1031,8 +1117,9 @@ class DustSession:
         if st is None:
             raise DustError(f"no such table: {de.table}")
         st.df.createOrReplaceTempView("__dust_stage")
+        with_prefix = (de.with_sql + " ") if de.with_sql else ""
         if de.where is not None:
-            de = de.__class__(de.table, dialect.resolve_rowid(de.where, st.tdef))
+            de = de.__class__(de.table, dialect.resolve_rowid(de.where, st.tdef), de.with_sql)
         if de.where is None:
             n = st.df.count()
             if self._capture_returning:
@@ -1041,13 +1128,13 @@ class DustSession:
             new_df = self.spark.createDataFrame([], st.tdef.schema)
         else:
             new_df = self.spark.sql(
-                f"SELECT * FROM __dust_stage AS `{de.table}` "
+                f"{with_prefix}SELECT * FROM __dust_stage AS `{de.table}` "
                 f"WHERE NOT coalesce(({de.where}), false)"
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
             if self._capture_returning:
                 self._returning_df = self.spark.sql(
-                    f"SELECT * FROM __dust_stage AS `{de.table}` "
+                    f"{with_prefix}SELECT * FROM __dust_stage AS `{de.table}` "
                     f"WHERE coalesce(({de.where}), false)"
                 )
                 self._returning_table = de.table

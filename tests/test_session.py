@@ -343,6 +343,78 @@ def test_check_constraint_sqlite_differential(db):
     assert [tuple(r) for r in eng.values] == ref_rows
 
 
+def test_update_from(db):
+    """UPDATE ... FROM (SQLite >= 3.33 join-update, reached through the
+    reference pass-through db/src/db.rs:176). Multi-match targets take
+    the LAST matching source row in scan order; rows_affected counts
+    distinct matched targets. Expectations probed against sqlite3."""
+    ex(db, "CREATE TABLE t (id INT, v INT)")
+    ex(db, "INSERT INTO t VALUES (1,10),(2,20),(3,30)")
+    ex(db, "CREATE TABLE s (tid INT, x INT)")
+    ex(db, "INSERT INTO s VALUES (1,100),(1,200),(2,999),(1,300)")
+    assert ex(db, "UPDATE t SET v = s.x FROM s WHERE t.id = s.tid") == (
+        '[{"last_insert_id":4,"rows_affected":2}]'
+    )
+    assert q(db, "SELECT * FROM t ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,300],[2,999],[3,30]]}]'
+    )
+    # subquery FROM with alias; SET may mix source and target columns
+    ex(db, "UPDATE t SET v = m.mx + t.id FROM (SELECT tid, max(x) AS mx FROM s GROUP BY tid) AS m WHERE t.id = m.tid")
+    assert q(db, "SELECT * FROM t ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,301],[2,1001],[3,30]]}]'
+    )
+
+
+def test_with_cte_update_delete(db):
+    """WITH-CTE DML: the CTE list is in scope for UPDATE/DELETE
+    subqueries (legal SQLite; previously loudly rejected)."""
+    ex(db, "CREATE TABLE u (id INT, v INT)")
+    ex(db, "INSERT INTO u VALUES (1,1),(2,2),(3,3)")
+    assert ex(db, "WITH big AS (SELECT 2 AS i UNION ALL SELECT 3) UPDATE u SET v = v * 10 WHERE id IN (SELECT i FROM big)") == (
+        '[{"last_insert_id":3,"rows_affected":2}]'
+    )
+    assert q(db, "SELECT * FROM u ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,1],[2,20],[3,30]]}]'
+    )
+    assert ex(db, "WITH small AS (SELECT 1 AS i) DELETE FROM u WHERE id IN (SELECT i FROM small)") == (
+        '[{"last_insert_id":3,"rows_affected":1}]'
+    )
+    assert q(db, "SELECT * FROM u ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[2,20],[3,30]]}]'
+    )
+
+
+def test_update_from_sqlite_differential(db):
+    """Replay a join-update sequence against in-process sqlite3 and
+    assert results and changes() counts match statement-for-statement."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    setup = [
+        "CREATE TABLE t (id INT, v INT, w TEXT)",
+        "INSERT INTO t VALUES (1,10,'a'),(2,20,'b'),(3,30,'c'),(4,40,'d')",
+        "CREATE TABLE s (tid INT, x INT)",
+        "INSERT INTO s VALUES (1,100),(2,200),(2,250),(5,999)",
+    ]
+    stmts = [
+        "UPDATE t SET v = s.x FROM s WHERE t.id = s.tid",
+        "UPDATE t SET v = v + 1, w = w || '!' FROM s WHERE t.id = s.tid AND s.x > 150",
+        "UPDATE t SET v = q.mx FROM (SELECT tid, min(x) AS mx FROM s GROUP BY tid) q WHERE t.id = q.tid AND t.v > q.mx",
+        "WITH dead AS (SELECT 4 AS i) DELETE FROM t WHERE id IN (SELECT i FROM dead)",
+    ]
+    for sql in setup:
+        ref.execute(sql)
+        ex(db, sql)
+    for sql in stmts:
+        ref.execute(sql)
+        n_ref = ref.execute("SELECT changes()").fetchone()[0]
+        n_got = db.execute_string_stmt(sql)[0].rows_affected
+        assert n_got == n_ref, f"{sql}: engine changes={n_got} sqlite={n_ref}"
+        ref_rows = ref.execute("SELECT id, v, w FROM t ORDER BY id").fetchall()
+        eng = db.query_string_stmt("SELECT id, v, w FROM t ORDER BY id")[0]
+        assert [tuple(r) for r in eng.values] == ref_rows, sql
+
+
 def test_drop_and_alter(db):
     ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
     assert ex(db, "ALTER TABLE t ADD COLUMN note TEXT") == "[{}]"

@@ -202,7 +202,8 @@ def test_collate_nocase(db):
 def test_with_cte_dml(db):
     """SQLite CTEs on DML: WITH ... INSERT folds the CTEs into the
     source select (incl. RECURSIVE); WITH ... UPDATE/DELETE and
-    UPDATE ... FROM fail loudly instead of mis-parsing."""
+    UPDATE ... FROM are first-class (golden + sqlite3-differential
+    coverage in test_session.py)."""
     db.execute_string_stmt("CREATE TABLE wd (id INTEGER NOT NULL PRIMARY KEY, v INT)")
     db.execute_string_stmt("INSERT INTO wd(id, v) VALUES (1, 10)")
     r = db.execute_string_stmt(
@@ -216,12 +217,11 @@ def test_with_cte_dml(db):
     assert r[0].error == "" and r[0].rows_affected == 3
     out = db.query_string_stmt("SELECT id FROM wd ORDER BY id")
     assert [r0[0] for r0 in out[0].values] == [1, 2, 5, 6, 7]
-    assert "unsupported" in db.execute_string_stmt(
-        "WITH c AS (SELECT 1) UPDATE wd SET v = 1"
-    )[0].error
-    assert "unsupported" in db.execute_string_stmt(
-        "UPDATE wd SET v = 1 FROM wd w2 WHERE wd.id = w2.id"
-    )[0].error
+    r = db.execute_string_stmt("WITH c AS (SELECT 5 AS n) UPDATE wd SET v = 1 WHERE id IN (SELECT n FROM c)")
+    assert r[0].error == "" and r[0].rows_affected == 1
+    # self-join update through FROM with an alias
+    r = db.execute_string_stmt("UPDATE wd SET v = w2.id FROM wd w2 WHERE wd.id = w2.id")
+    assert r[0].error == "" and r[0].rows_affected == 5
 
 
 def test_without_rowid_table(db):
