@@ -79,6 +79,23 @@ _ROUND3_VERIFIED = (
     "b7a_union_all b7b_union_distinct b7c_intersect"
 ).split()
 
+# Hash-green in CORRECTNESS_r04 (44 names: the r4-new queries
+# c2f/c9e/c4k/c7b/c1d plus the window filler re-confirmed there):
+_ROUND4_VERIFIED = (
+    "c2f_simhash_portable c9e_pii_redact c4k_top_domains c7b_hypertable_rollup "
+    "c1d_span_dup_fraction b7d_except b8a_scalar_subquery b8b_in_subquery "
+    "b8c_derived_table b8d_cte b8f_recursive_cte b8e_correlated_scalar "
+    "b9a_string_funcs b9b_math_funcs b9c_date_extract b9d_date_trunc "
+    "b9e_case_coalesce b9g_json b11a_tumbling_window b11b_distinct_events "
+    "b11c_sliding_window b11d_session_window b11e_stream_stream_join "
+    "b13a_tpch_q3_shape b13b_tpch_q5_shape b13c_tpch_q10_shape b4i_percentile "
+    "b9h_array_funcs b9i_date_arith b9j_regexp_funcs c1a_exact_dedup_count "
+    "c1b_exact_dedup_keepers c2c_ngram_jaccard_pairs c3a_cosine_topk "
+    "c3b_dot_pairs c4a_text_stats c4b_token_count c4c_fingerprint c4d_lang_id "
+    "c4e_quality_scores c5a_media_stats c6a_asof_max_order "
+    "c6b_asof_latest_odate c7a_sessionize"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -94,20 +111,26 @@ def _prioritized():
 
     cat = all_queries()
     verified = (
-        set(_ROUND1_VERIFIED) | set(_ROUND2_VERIFIED) | set(_ROUND3_VERIFIED)
+        set(_ROUND1_VERIFIED)
+        | set(_ROUND2_VERIFIED)
+        | set(_ROUND3_VERIFIED)
+        | set(_ROUND4_VERIFIED)
     )
     rows_only = set(_ROWS_ONLY_DONE)
     # 1. never recorded by the driver at all (anything newly added)
     order = [n for n in cat if n not in verified and n not in rows_only]
     # 2. rows-only sketches (fresh rows-only rows each round)
     order += [n for n in _ROWS_ONLY_DONE if n in cat]
-    # 3. rotation filler, least-recently-confirmed first: the r1 names
-    #    NOT re-confirmed in r3, then the r2 pool, then the r3 pool
-    r3 = set(_ROUND3_VERIFIED)
-    order += [n for n in _ROUND1_VERIFIED if n in cat and n not in r3]
-    order += [n for n in _ROUND2_VERIFIED if n in cat and n not in r3]
-    order += [n for n in _ROUND3_VERIFIED if n in cat]
-    return {n: cat[n] for n in order}
+    # 3. rotation filler, least-recently-confirmed first: names whose
+    #    latest confirmation is r1/r2, then r3, then the r4 pool
+    r34 = set(_ROUND3_VERIFIED) | set(_ROUND4_VERIFIED)
+    order += [n for n in _ROUND1_VERIFIED if n in cat and n not in r34]
+    order += [n for n in _ROUND2_VERIFIED if n in cat and n not in r34]
+    order += [n for n in _ROUND3_VERIFIED if n in cat and n not in set(_ROUND4_VERIFIED)]
+    order += [n for n in _ROUND4_VERIFIED if n in cat]
+    seen = set()
+    uniq = [n for n in order if not (n in seen or seen.add(n))]
+    return {n: cat[n] for n in uniq}
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

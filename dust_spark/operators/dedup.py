@@ -23,7 +23,7 @@ from __future__ import annotations
 
 import numpy as np
 import pandas as pd
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from dust_spark.functions import (
@@ -255,6 +255,117 @@ def minhash_lsh_pairs(
     # Scope the signature cache to this call: materialize the (small)
     # verified-pair output, then release the signatures — long-lived
     # sessions running many dedups must not accumulate cache blocks.
+    verified = verified.persist()
+    verified.count()
+    sigs.unpersist()
+    return verified
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` on the portable polynomial hash family
+    (:data:`dust_spark.functions.PORTABLE_HASH_MOD`) instead of
+    xxhash64 — every stage replays bit-exactly in any SQL engine, so
+    this twin carries a hard DuckDB oracle where the xxhash64 pipeline
+    is rows-only by construction.
+
+    Seeded family via the affine-Horner identity: Horner's fold started
+    from seed ``i`` satisfies ``h_i(s) = (i·31^len(s) + h_0(s)) mod M``,
+    so per shingle we compute ``h0`` and ``p = 31^len mod M`` ONCE and
+    the k seeded hashes are one mul-add each — O(chars + k) per shingle,
+    not O(k·chars). Band keys are Horner folds of the signature slices
+    seeded by band index. Empty-shingle docs get the per-doc sentinel
+    ``M + id`` (> any real hash, unique per doc) so they never produce
+    candidate pairs — mirroring the xxhash64 pipeline's sentinel rule.
+
+    Shape identical to :func:`minhash_lsh_pairs`: narrow signatures
+    (h0/p materialized as attribute columns before any lambda references
+    them — the Catalyst re-eval trap), band-bucket equi-join with the
+    windowed ``max_bucket`` skew guard, exact-Jaccard verification with
+    shingle sets recomputed map-side. 100% Catalyst, no Python stage.
+    """
+    from dust_spark.functions import PORTABLE_HASH_MOD
+
+    M = F.lit(PORTABLE_HASH_MOD).cast("long")
+    rows = num_hashes // bands
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+    sh = base.select("id", word_shingles(F.col("__tok"), shingle_words).alias("shingles"))
+    hp = sh.select(
+        "id",
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * 31 + ch) % M,
+            ),
+        ).alias("__h0"),
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.sequence(F.lit(1), F.length(s)),
+                F.lit(1).cast("long"),
+                lambda acc, _: (acc * 31) % M,
+            ),
+        ).alias("__p"),
+    )
+    seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
+    sig = F.transform(
+        seq,
+        lambda i: F.array_min(
+            F.zip_with(F.col("__h0"), F.col("__p"), lambda h, p: (i * p + h) % M)
+        ),
+    )
+    sentinel = F.array_repeat(M + F.col("id").cast("long"), num_hashes)
+    sigs = hp.select(
+        "id", F.when(F.size("__h0") == 0, sentinel).otherwise(sig).alias("sig")
+    ).persist()
+
+    def band_key(b: int) -> Column:
+        acc: Column = F.lit(b + 1).cast("long")
+        for r in range(rows):
+            acc = (acc * 31 + F.element_at(F.col("sig"), b * rows + r + 1)) % M
+        return acc
+
+    from pyspark.sql import Window as W
+
+    bands_df = sigs.select(
+        "id", F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh")
+    )
+    bands_df = (
+        bands_df.withColumn("__bc", F.count("*").over(W.partitionBy("band", "bh")))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+    a, b = bands_df.alias("a"), bands_df.alias("b")
+    candidates = (
+        a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    shing = sh.select("id", "shingles")
+    sa = shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
+    sb = shing.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))
+    verified = (
+        candidates.join(sa, "id_a")
+        .join(sb, "id_b")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_a"), F.col("sh_b")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select("id_a", "id_b", "jaccard")
+    )
     verified = verified.persist()
     verified.count()
     sigs.unpersist()

@@ -195,6 +195,104 @@ def rp_lsh_topk(
     )
 
 
+#: modulus shared with dust_spark.functions.PORTABLE_HASH_MOD — planes
+#: derive from exact int64 arithmetic so any SQL engine regenerates them
+#: bit-for-bit (then one IEEE double divide, identical under RN rounding).
+_PORTABLE_MOD = 2_147_483_647
+_PORTABLE_MULT = 2_654_435_761  # Knuth multiplicative constant
+
+
+def portable_planes(dim: int, nbits: int) -> list[list[float]]:
+    """Deterministic pseudo-random hyperplanes for the portable ANN:
+    ``d[j][t] = ((j·dim + t + 1)·2654435761 mod M) / M − 0.5`` with
+    M = 2^31−1. Every step (int64 mul/mod, one double divide, one
+    subtract) is exact or correctly-rounded IEEE — DuckDB's
+    ``((x*2654435761) % 2147483647)::DOUBLE / 2147483647.0 - 0.5``
+    reproduces the values bit-for-bit, which is what buys the family a
+    hard driver oracle (np.random planes cannot be replayed in SQL)."""
+    return [
+        [
+            ((j * dim + t + 1) * _PORTABLE_MULT % _PORTABLE_MOD) / _PORTABLE_MOD - 0.5
+            for t in range(dim)
+        ]
+        for j in range(nbits)
+    ]
+
+
+def rp_lsh_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+) -> DataFrame:
+    """:func:`rp_lsh_topk` on deterministic portable hyperplanes with
+    hamming-1 multiprobe — the hard-oracled twin of the np.random LSH
+    (c3c): bucket assignment, probing, candidate join and cosine re-rank
+    all replay bit-exactly in DuckDB.
+
+    One table of ``nbits`` sign bits; each query probes its own bucket
+    plus the ``nbits`` hamming-1 neighbors (multiprobe LSH — the
+    standard trick to recover recall lost to a single table without
+    duplicating the corpus index). Candidates come from an equi-join on
+    the 8-byte bucket key (query side broadcast); vectors never enter
+    the probe shuffle. Pure Catalyst: the plane literals constant-fold,
+    so at this bit count the plan stays small (the np.random variant
+    keeps the Arrow GEMM path for big plane counts).
+    """
+    from pyspark.sql import Window as W
+
+    planes = portable_planes(dim, nbits)
+
+    def bucket_col(v):
+        word = F.lit(0).cast("long")
+        for j in range(nbits):
+            plane = F.array(*[F.lit(x) for x in planes[j]])
+            dot = vec_dot(v, plane)
+            word = word.bitwiseOR(
+                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return word
+
+    cb = corpus.select(F.col(id_col).alias("nid"), bucket_col(F.col(vec_col)).alias("bucket"))
+    qb = queries.select(F.col(id_col).alias("qid"), bucket_col(F.col(vec_col)).alias("qbucket"))
+    probes = qb.select(
+        "qid",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                    for j in range(nbits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cb, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
+    return (
+        cand.join(F.broadcast(q), "qid")
+        .join(c, "nid")
+        .withColumn("__cos", cosine(F.col("qv"), F.col("nv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "nid", F.round("__cos", 4).alias("cos"))
+        .orderBy("qid", "nid")
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

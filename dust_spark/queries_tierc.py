@@ -224,6 +224,102 @@ def ann_lsh_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.rp_lsh_topk(emb.filter(F.col("vec_id") <= 20), emb, k=5, bits_per_table=6)
 
 
+# Portable-plane LSH ANN: the deterministic hyperplanes (int64 mul/mod →
+# one IEEE divide) regenerate bit-for-bit in DuckDB, and c3b established
+# that both engines fold the double dot products identically — so bucket
+# bits, multiprobe, candidate join and cosine re-rank all replay.
+_PORTABLE_ANN_CTES = """
+WITH planes AS (
+  SELECT j, list_transform(range(0, 64), t ->
+    (((j*64 + t + 1) * 2654435761) % 2147483647)::DOUBLE / 2147483647.0 - 0.5) AS d
+  FROM (SELECT unnest(range(0, 8)) AS j)
+), vb AS (
+  SELECT e.vec_id,
+         SUM(CASE WHEN list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), p.d),
+                      x -> x[1] * x[2])) >= 0
+                  THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id
+), probes AS (
+  SELECT vec_id AS qid,
+         unnest(list_prepend(bucket,
+           list_transform(range(0, 8), j -> xor(bucket, 1::BIGINT << j)))) AS bucket
+  FROM vb WHERE vec_id <= 5
+), cand AS (
+  SELECT DISTINCT p.qid, d.vec_id AS nid
+  FROM probes p JOIN vb d ON d.bucket = p.bucket
+  WHERE d.vec_id <> p.qid
+), scored AS (
+  SELECT c.qid, c.nid,
+    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) AS c
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ne ON ne.vec_id = c.nid
+), ranked AS (
+  SELECT qid, nid, c, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn
+  FROM scored
+)
+"""
+
+_PORTABLE_ANN_ORACLE = (
+    _PORTABLE_ANN_CTES
+    + "SELECT qid, nid, ROUND(c, 4) + 0.0 AS cos FROM ranked WHERE rn <= 10 ORDER BY qid, nid"
+)
+
+
+@register("c3f_ann_portable", oracle=_PORTABLE_ANN_ORACLE, tags=("tierc", "similarity"))
+def ann_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hamming-1 multiprobe LSH ANN on deterministic portable planes —
+    the hard-oracled twin of c3c (whose np.random planes cannot be
+    regenerated in SQL)."""
+    emb = _emb(spark, sf_dir)
+    return ops.rp_lsh_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10).select(
+        "qid", "nid", (F.col("cos") + F.lit(0.0)).alias("cos")
+    )
+
+
+_ANN_RECALL_ORACLE = (
+    _PORTABLE_ANN_CTES
+    + """, exactp AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS c
+  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+  WHERE a.vec_id <= 5
+), exactr AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY c DESC, nid) AS rn FROM exactp
+), ann AS (SELECT qid, nid FROM ranked WHERE rn <= 10),
+ex AS (SELECT qid, nid FROM exactr WHERE rn <= 10)
+SELECT e.qid, ROUND(count(a.nid) / 10.0, 4) AS recall
+FROM ex e LEFT JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+GROUP BY e.qid ORDER BY e.qid"""
+)
+
+
+@register("c3g_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("tierc", "similarity"))
+def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the portable ANN against the exact top-10 — a hard
+    CORRECTNESS signal for the ANN family (VERDICT r4 item 3): both
+    engines re-derive the ANN result AND the exact baseline, so the
+    per-query recall scalar hash-compares exactly."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") <= 5)
+    ann = ops.rp_lsh_topk_portable(q, emb, k=10).select("qid", "nid")
+    exact = ops.cosine_topk(q, emb, k=10).select("qid", "nid")
+    matched = exact.join(ann, ["qid", "nid"], "left_semi").groupBy("qid").agg(
+        F.count("*").alias("__m")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(matched, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("__m"), F.lit(0)) / F.lit(10.0), 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C4 — text analysis
 # ---------------------------------------------------------------------------
@@ -974,6 +1070,77 @@ def simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     hard-oracled twin of c2b (whose xxhash64 base is rows-only): DuckDB
     replays token hashing and the per-bit majority vote bit-exactly."""
     return ops.simhash_table_portable(_docs(spark, sf_dir)).orderBy("id")
+
+
+# Full MinHash+LSH pipeline on the portable hash family: DuckDB replays
+# shingling, the affine-Horner seeded hashes (h_i = (i*31^len + h0) mod
+# M), the 64-component signature minima, the 16 Horner band keys, the
+# band-bucket candidate join AND the exact-Jaccard verification — so the
+# c2a-style band-pair construction gets a hard hash row (c2a itself stays
+# rows-only: xxhash64 isn't expressible outside the JVM).
+_PORTABLE_MINHASH_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS shingles
+  FROM tok
+), hp AS (
+  SELECT doc_id,
+    list_transform(shingles, s ->
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT)),
+        (a, c) -> (a*31 + c) % 2147483647)) AS h0,
+    list_transform(shingles, s ->
+      list_reduce(list_prepend(1::BIGINT,
+        list_transform(range(1, length(s)+1), i -> 0::BIGINT)),
+        (a, c) -> (a*31) % 2147483647)) AS p
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN len(h0) = 0
+         THEN list_transform(range(0, 64), i -> 2147483647::BIGINT + doc_id)
+         ELSE list_transform(range(0, 64), i ->
+                list_min(list_transform(range(1, len(h0)+1),
+                  j -> (i*p[j] + h0[j]) % 2147483647)))
+    END AS sig
+  FROM hp
+), bk AS (
+  SELECT doc_id, b AS band,
+    list_reduce(list_prepend((b+1)::BIGINT,
+      list_transform(range(1, 5), r -> sig[b*4 + r])),
+      (a, v) -> (a*31 + v) % 2147483647) AS bh
+  FROM sig, (SELECT unnest(range(0, 16)) AS b)
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
+), ver AS (
+  SELECT id_a, id_b,
+    ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+          (len(sa.shingles) + len(sb.shingles)
+           - len(list_intersect(sa.shingles, sb.shingles))), 4) AS jaccard
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_a
+  JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2 ORDER BY id_a, id_b
+"""
+
+
+@register("c2g_minhash_portable_pairs", oracle=_PORTABLE_MINHASH_ORACLE, tags=("tierc", "dedup"))
+def minhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash+LSH near-dup pairs on the portable hash family — the
+    hard-oracled twin of c2a/c2e: the whole pipeline (seeded signature,
+    band keys, candidate join, exact-Jaccard verify) replays bit-exactly
+    in DuckDB. Reference behavior parity: near-dup pair surface of
+    hqt/dust's dedup tooling (SURVEY.md §2 Tier C)."""
+    return ops.minhash_lsh_pairs_portable(_docs(spark, sf_dir)).orderBy("id_a", "id_b")
 
 
 # Deterministic PII injection shared by both engines: the synthetic

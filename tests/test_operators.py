@@ -118,6 +118,21 @@ def test_minhash_estimate_verify_bounds(spark, corpus):
             assert abs(je - exact_j[p]) <= 0.25, f"{p}: est {je} vs exact {exact_j[p]}"
 
 
+def test_minhash_portable_recall_and_precision(spark, corpus):
+    """The portable-hash MinHash twin (c2g) must behave like the
+    xxhash64 pipeline: exact-verified precision, near-1 recall at
+    j>=0.5 with 16 bands x 4 rows."""
+    truth = _exact_jaccard_pairs(spark, corpus, 0.5)
+    assert truth
+    got = {
+        (r.id_a, r.id_b)
+        for r in ops.minhash_lsh_pairs_portable(corpus, threshold=0.5).collect()
+    }
+    assert got <= truth
+    recall = len(got & truth) / len(truth)
+    assert recall >= 0.9, f"recall {recall}: {truth - got}"
+
+
 def test_minhash_dedup_drops_losers(spark, corpus):
     pairs = ops.minhash_lsh_pairs(corpus, threshold=0.5).collect()
     losers = {r.id_b for r in pairs}
@@ -196,6 +211,31 @@ def test_rp_lsh_ann_recall(spark):
     ta = {(r.qid, r.nid) for r in approx.collect()}
     recall = len(te & ta) / len(te)
     assert recall >= 0.8, f"ANN recall {recall}"
+
+
+def test_rp_lsh_portable_ann_recall(spark):
+    """The portable-plane multiprobe twin (c3f) must reach the same
+    recall bar as the np.random LSH on the clustered fixture."""
+    import math
+
+    rows = []
+    for c in range(5):
+        base = [math.cos(c * 1.3 + d * 0.31) for d in range(16)]
+        for j in range(20):
+            rows.append(
+                Row(
+                    vec_id=c * 20 + j,
+                    embedding=[b + 0.05 * math.sin(j * 0.9 + d) for d, b in enumerate(base)],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    queries = df.filter(F.col("vec_id") % 20 == 0)
+    exact = ops.cosine_topk(queries, df, k=5)
+    approx = ops.rp_lsh_topk_portable(queries, df, k=5, dim=16, nbits=6)
+    te = {(r.qid, r.nid) for r in exact.collect()}
+    ta = {(r.qid, r.nid) for r in approx.collect()}
+    recall = len(te & ta) / len(te)
+    assert recall >= 0.8, f"portable ANN recall {recall}"
 
 
 def test_embedding_near_dup_finds_planted_pair(spark):
