@@ -166,9 +166,17 @@ class Catalog:
                 st.df.createOrReplaceTempView(self.view_name(name))
         if self.warehouse:
             self._save_manifest()
-        # re-resolve dependent views against the new table versions
+        # re-resolve dependent views against the new table versions. A
+        # view whose base table was dropped/renamed goes DANGLING rather
+        # than failing the commit (SQLite keeps the view defined and
+        # errors only when it is queried): drop the stale temp view so a
+        # later SELECT surfaces a missing-relation error instead of
+        # silently reading the pre-rename snapshot.
         for vname, vsql in self.views.items():
-            self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
+            try:
+                self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
+            except Exception:
+                self.spark.catalog.dropTempView(vname)
 
 
 class Overlay:

@@ -87,6 +87,8 @@ def statement_kind(sql: str) -> str:
             return "CREATE_INDEX"
         if rest.startswith("VIEW") or rest.startswith("TEMP VIEW") or rest.startswith("TEMPORARY VIEW"):
             return "CREATE_VIEW"
+        if rest.startswith("TRIGGER") or rest.startswith("TEMP TRIGGER") or rest.startswith("TEMPORARY TRIGGER"):
+            return "CREATE_TRIGGER"
         return "CREATE_TABLE"
     return kind
 
@@ -228,6 +230,9 @@ class TableDef:
     # verbatim — SQLite's error-message rule ("CHECK constraint failed:
     # a > 0" vs "... failed: bpos", probed against sqlite3 3.x)
     checks: list[tuple[str, str]] = field(default_factory=list)
+    # original CREATE TABLE text for the sqlite_master 'sql' column;
+    # None after column-level ALTERs (the text is then synthesized)
+    source_sql: str | None = None
     rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
     if_not_exists: bool = False
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
@@ -302,6 +307,7 @@ _REF_RE = re.compile(r"REFERENCES\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((\s*[^)]+\s*
 
 
 def parse_create_table(sql: str) -> TableDef:
+    source_sql = sql.strip().rstrip(";")
     # WITHOUT ROWID tables store by PK directly in SQLite; here every
     # table is PK-organized anyway — accept the clause, and suppress
     # the rowid alias (such tables have none in SQLite either)
@@ -314,7 +320,12 @@ def parse_create_table(sql: str) -> TableDef:
     name = unquote_ident(m.group("name")).lower()
     body = m.group("body")
     fields: list[T.StructField] = []
-    td = TableDef(name=name, schema=T.StructType([]), if_not_exists=bool(m.group("ine")))
+    td = TableDef(
+        name=name,
+        schema=T.StructType([]),
+        if_not_exists=bool(m.group("ine")),
+        source_sql=source_sql,
+    )
 
     for item in split_top_level(body):
         up = item.upper()
@@ -458,11 +469,6 @@ _DROP_RE = re.compile(
     re.S | re.I,
 )
 
-_ALTER_ADD_RE = re.compile(
-    r"^\s*ALTER\s+TABLE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+ADD\s+(?:COLUMN\s+)?(?P<def>.*)$",
-    re.S | re.I,
-)
-
 _PRAGMA_RE = re.compile(
     r"^\s*PRAGMA\s+(?P<key>\w+)\s*"
     r"(?:=\s*(?P<val>\w+)|\(\s*(?P<arg>[^)]*?)\s*\))?\s*;?\s*$",
@@ -510,7 +516,20 @@ def parse_insert(sql: str) -> InsertStmt:
         src = stmt.source_sql.lstrip()
         if not src.upper().startswith(("SELECT", "WITH")):
             raise ValueError("unsupported: WITH ... INSERT ... VALUES")
-        stmt.source_sql = f"{ctes} {src}"
+        if src.upper().startswith("WITH"):
+            # the INSERT body carries its own CTE list (legal SQLite:
+            # WITH a AS (...) INSERT INTO t WITH b AS (...) SELECT ...) —
+            # merge the two lists into one WITH; a naive prefix would
+            # produce "WITH a AS (...) WITH b AS (...)" which Spark
+            # rejects at parse. RECURSIVE survives if either list had it.
+            inner = _WITH_HEAD_RE.match(src)
+            inner_rec = "RECURSIVE" in src[: inner.end()].upper()
+            outer_rec = "RECURSIVE" in _WITH_HEAD_RE.match(ctes).group(0).upper()
+            head = "WITH RECURSIVE " if (inner_rec or outer_rec) else "WITH "
+            outer_list = _WITH_HEAD_RE.sub("", ctes, count=1).rstrip()
+            stmt.source_sql = f"{head}{outer_list}, {src[inner.end():].lstrip()}"
+        else:
+            stmt.source_sql = f"{ctes} {src}"
     return stmt
 
 
@@ -527,17 +546,20 @@ def _parse_insert_body(sql: str) -> InsertStmt:
         if oc.group("nothing"):
             on_conflict = ("nothing", target)
         else:
-            # SQLite allows a conditional `DO UPDATE SET ... WHERE pred`;
-            # our set-based merge doesn't implement it — fail loudly
-            # instead of silently absorbing the WHERE text into the last
-            # SET expression (which would misparse or mis-update)
-            if find_top_level_keyword(oc.group("sets"), "WHERE") >= 0:
-                raise ValueError("unsupported: ON CONFLICT ... DO UPDATE SET ... WHERE")
+            # conditional upsert `DO UPDATE SET ... WHERE pred`: the
+            # predicate sees the conflicting target row (+ excluded.*)
+            # and gates whether that row is updated at all
+            sets_text = oc.group("sets")
+            oc_where = None
+            wi = find_top_level_keyword(sets_text, "WHERE")
+            if wi >= 0:
+                oc_where = sets_text[wi + 5 :].strip()
+                sets_text = sets_text[:wi]
             sets = []
-            for part in split_top_level(oc.group("sets")):
+            for part in split_top_level(sets_text):
                 eq = part.index("=")
                 sets.append((unquote_ident(part[:eq]).lower(), part[eq + 1 :].strip()))
-            on_conflict = ("update", target, sets)
+            on_conflict = ("update", target, sets, oc_where)
         sql = sql[: oc.start()]
     m = _INSERT_RE.match(sql)
     if not m:
@@ -630,14 +652,69 @@ def parse_drop(sql: str) -> tuple[str, bool]:
     return unquote_ident(m.group("name")).lower(), bool(m.group("ie"))
 
 
-def parse_alter_add(sql: str) -> tuple[str, str, T.DataType]:
-    m = _ALTER_ADD_RE.match(sql)
+def synth_create_sql(td: TableDef) -> str:
+    """Canonical CREATE TABLE text from a TableDef — the sqlite_master
+    'sql' column for tables whose original text is gone (CTAS) or stale
+    (column-level ALTERs; SQLite rewrites the stored text there, we
+    regenerate a canonical equivalent instead)."""
+    parts = []
+    single_uniques = [u[0] for u in td.unique if len(u) == 1 and u != td.primary_key]
+    for f in td.schema.fields:
+        d = td.declared_types.get(f.name, "")
+        p = f.name + (f" {d}" if d else "")
+        if td.primary_key == [f.name]:
+            p += " PRIMARY KEY"
+        if f.name in td.not_null:
+            p += " NOT NULL"
+        if f.name in single_uniques:
+            p += " UNIQUE"
+        if f.name in td.defaults:
+            p += f" DEFAULT {td.defaults[f.name]}"
+        parts.append(p)
+    if len(td.primary_key) > 1:
+        parts.append(f"PRIMARY KEY ({', '.join(td.primary_key)})")
+    for u in td.unique:
+        if len(u) > 1 and u != td.primary_key:
+            parts.append(f"UNIQUE ({', '.join(u)})")
+    for fk in td.foreign_keys:
+        parts.append(f"FOREIGN KEY ({fk.column}) REFERENCES {fk.ref_table}({fk.ref_column})")
+    for lbl, expr in td.checks:
+        prefix = f"CONSTRAINT {lbl} " if lbl != expr else ""
+        parts.append(f"{prefix}CHECK({expr})")
+    return f"CREATE TABLE {td.name} ({', '.join(parts)})"
+
+
+_ALTER_RE = re.compile(
+    r"^\s*ALTER\s+TABLE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+(?P<rest>.*?)\s*;?\s*$",
+    re.S | re.I,
+)
+_IDENT = r"(\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)"
+
+
+def parse_alter(sql: str) -> tuple:
+    """Full SQLite ALTER TABLE surface (sqlite lang_altertable):
+    ('add', table, col, dtype) / ('rename_table', table, new) /
+    ('rename_column', table, old, new) / ('drop_column', table, col)."""
+    m = _ALTER_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
-    toks = m.group("def").split()
-    col = unquote_ident(toks[0]).lower()
-    decl = " ".join(toks[1:])
-    return unquote_ident(m.group("name")).lower(), col, affinity_type(decl)
+    name = unquote_ident(m.group("name")).lower()
+    rest = m.group("rest").strip()
+    ru = rest.upper()
+    if ru.startswith("ADD"):
+        d = re.sub(r"^ADD\s+(?:COLUMN\s+)?", "", rest, flags=re.I)
+        toks = d.split()
+        return ("add", name, unquote_ident(toks[0]).lower(), affinity_type(" ".join(toks[1:])))
+    mm = re.match(r"RENAME\s+TO\s+" + _IDENT + r"$", rest, re.I)
+    if mm:
+        return ("rename_table", name, unquote_ident(mm.group(1)).lower())
+    mm = re.match(r"RENAME\s+(?:COLUMN\s+)?" + _IDENT + r"\s+TO\s+" + _IDENT + r"$", rest, re.I)
+    if mm:
+        return ("rename_column", name, unquote_ident(mm.group(1)).lower(), unquote_ident(mm.group(2)).lower())
+    mm = re.match(r"DROP\s+(?:COLUMN\s+)?" + _IDENT + r"$", rest, re.I)
+    if mm:
+        return ("drop_column", name, unquote_ident(mm.group(1)).lower())
+    raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
 
 
 _ATTACH_RE = re.compile(
@@ -723,9 +800,15 @@ SQLITE_FN_DDL = (
     "fmt,'%Y','yyyy'),'%m','MM'),'%d','dd'),'%f','ss.SSS'),'%H','HH'),'%M','mm'),'%S','ss'),"
     "'%j','DDD'))",
     # SQLite randomblob(n): n pseudo-random bytes (flagged by the
-    # determinism guard on the journaled write path, like random())
+    # determinism guard on the journaled write path, like random()).
+    # One independent md5 block per 16-byte chunk — a single repeated
+    # block would tile (16 bytes of entropy, visibly periodic) — and
+    # n < 1 clamps to a 1-byte blob like SQLite.
     "CREATE OR REPLACE TEMPORARY FUNCTION randomblob(n INT) RETURNS BINARY "
-    "RETURN unhex(substr(repeat(md5(CAST(rand() AS STRING)), CAST(n/16 AS INT) + 1), 1, 2*n))",
+    "RETURN unhex(substr(aggregate(sequence(1, CAST(greatest(n, 1)/16 AS INT) + 1), "
+    "CAST('' AS STRING), "
+    "(acc, i) -> concat(acc, md5(concat(CAST(rand() AS STRING), CAST(i AS STRING))))), "
+    "1, 2*greatest(n, 1)))",
     # json1 extension surface over Spark's VARIANT type: json() canonical
     # minification, json_valid(), json_type() (invalid input → NULL where
     # SQLite raises — documented). json_extract is a rename to

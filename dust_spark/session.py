@@ -39,6 +39,7 @@ from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from dust_spark import dialect
 from dust_spark.catalog import Catalog, Overlay, TableState
@@ -375,6 +376,18 @@ class DustSession:
             reason = dialect.nondeterministic_reason(sql)
             if reason:
                 raise DustError(reason)
+        # legal SQLite surface the engine deliberately excludes — reject
+        # loudly instead of letting the statements fall through generic
+        # paths with misleading errors (exclusion documented in
+        # COVERAGE.md; reachable via the reference pass-through
+        # db/src/db.rs:176 but unused by any reference test or tool)
+        if kind == "CREATE_TRIGGER":
+            raise DustError("unsupported statement: CREATE TRIGGER (triggers are not supported)")
+        if kind in ("SAVEPOINT", "RELEASE"):
+            raise DustError(
+                f"unsupported statement: {kind} (savepoints are not supported; "
+                "use transactions)"
+            )
         try:
             if kind == "CREATE_TABLE":
                 return self._create_table(overlay, sql)
@@ -468,18 +481,130 @@ class DustSession:
         return self._ok()
 
     def _alter_table(self, overlay: Overlay, sql: str) -> Response:
-        name, col, dtype = dialect.parse_alter_add(sql)
+        """SQLite's full ALTER TABLE family (lang_altertable): ADD
+        COLUMN, RENAME TO (child FK references follow the rename, like
+        SQLite's schema rewrite), RENAME [COLUMN] (constraint metadata
+        and FK references follow), DROP COLUMN (PRIMARY KEY / UNIQUE
+        columns refuse with SQLite's error strings; checks referencing
+        the column go with it, as for column-level CHECKs)."""
+        import copy
+
+        parsed = dialect.parse_alter(sql)
+        kind, name = parsed[0], parsed[1]
         overlay = self._route(overlay, name)
         st = overlay.get(name)
         if st is None:
             raise DustError(f"no such table: {name}")
-        if col in [f.name for f in st.tdef.schema.fields]:
-            raise DustError(f"duplicate column name: {col}")
-        import copy
-
         tdef = copy.deepcopy(st.tdef)
-        tdef.schema = tdef.schema.add(col, dtype, True)
-        new_df = st.df.withColumn(col, F.lit(None).cast(dtype))
+        fields = [f.name for f in tdef.schema.fields]
+
+        if kind == "add":
+            _, _, col, dtype = parsed
+            if col in fields:
+                raise DustError(f"duplicate column name: {col}")
+            tdef.schema = tdef.schema.add(col, dtype, True)
+            tdef.source_sql = None  # sqlite_master sql re-synthesizes
+            new_df = st.df.withColumn(col, F.lit(None).cast(dtype))
+
+        elif kind == "rename_table":
+            new = parsed[2]
+            if overlay.exists(new):  # incl. new == name, like SQLite
+                raise DustError(
+                    f"there is already another table or index with this name: {new}"
+                )
+            tdef.name = new
+            if tdef.source_sql:
+                # SQLite's schema rewrite: the stored sql gets the new
+                # (quoted) table name
+                tdef.source_sql = re.sub(
+                    r"(CREATE\s+(?:TEMP(?:ORARY)?\s+)?TABLE\s+(?:IF\s+NOT\s+EXISTS\s+)?)"
+                    r"(\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)",
+                    lambda m: m.group(1) + f'"{new}"',
+                    tdef.source_sql,
+                    count=1,
+                    flags=re.I,
+                )
+            new_st = overlay.catalog.materialize(new, TableState(tdef, st.df, st.high_water, st.version + 1))
+            overlay.put(new, new_st)
+            if new != name:
+                overlay.drop(name)
+            # SQLite rewrites referencing FK clauses in other tables
+            for other in list(overlay.catalog.tables):
+                ost = overlay.get(other)
+                if ost is None or other == new:
+                    continue
+                if any(fk.ref_table == name for fk in ost.tdef.foreign_keys):
+                    otd = copy.deepcopy(ost.tdef)
+                    for fk in otd.foreign_keys:
+                        if fk.ref_table == name:
+                            fk.ref_table = new
+                    overlay.put(other, overlay.catalog.materialize(
+                        other, TableState(otd, ost.df, ost.high_water, ost.version + 1)
+                    ))
+            return self._ok()
+
+        elif kind == "rename_column":
+            _, _, old, new = parsed
+            if old not in fields:
+                raise DustError(f'no such column: "{old}"')
+            if new in fields:
+                raise DustError(f"duplicate column name: {new}")
+            word = re.compile(rf"\b{re.escape(old)}\b", re.I)
+            tdef.schema = T.StructType(
+                [
+                    T.StructField(new if f.name == old else f.name, f.dataType, f.nullable)
+                    for f in tdef.schema.fields
+                ]
+            )
+            ren = lambda c: new if c == old else c  # noqa: E731
+            tdef.declared_types = {ren(c): d for c, d in tdef.declared_types.items()}
+            tdef.primary_key = [ren(c) for c in tdef.primary_key]
+            tdef.not_null = {ren(c) for c in tdef.not_null}
+            tdef.unique = [[ren(c) for c in cs] for cs in tdef.unique]
+            tdef.defaults = {ren(c): v for c, v in tdef.defaults.items()}
+            if tdef.rowid_column == old:
+                tdef.rowid_column = new
+            for fk in tdef.foreign_keys:
+                fk.column = ren(fk.column)
+            # constraint expressions follow the rename (SQLite's schema
+            # rewrite); word-boundary substitution over the expr text
+            tdef.checks = [
+                (word.sub(new, lbl) if lbl == expr else lbl, word.sub(new, expr))
+                for lbl, expr in tdef.checks
+            ]
+            tdef.source_sql = None
+            for other in list(overlay.catalog.tables):
+                ost = overlay.get(other)
+                if ost is None or other == name:
+                    continue
+                if any(fk.ref_table == name and fk.ref_column == old for fk in ost.tdef.foreign_keys):
+                    otd = copy.deepcopy(ost.tdef)
+                    for fk in otd.foreign_keys:
+                        if fk.ref_table == name and fk.ref_column == old:
+                            fk.ref_column = new
+                    overlay.put(other, overlay.catalog.materialize(
+                        other, TableState(otd, ost.df, ost.high_water, ost.version + 1)
+                    ))
+            new_df = st.df.withColumnRenamed(old, new)
+
+        else:  # drop_column
+            col = parsed[2]
+            if col not in fields:
+                raise DustError(f'no such column: "{col}"')
+            if col in tdef.primary_key:
+                raise DustError(f'cannot drop PRIMARY KEY column: "{col}"')
+            if any(col in cs for cs in tdef.unique):
+                raise DustError(f'cannot drop UNIQUE column: "{col}"')
+            word = re.compile(rf"\b{re.escape(col)}\b", re.I)
+            tdef.schema = T.StructType([f for f in tdef.schema.fields if f.name != col])
+            tdef.declared_types.pop(col, None)
+            tdef.not_null.discard(col)
+            tdef.defaults.pop(col, None)
+            tdef.foreign_keys = [fk for fk in tdef.foreign_keys if fk.column != col]
+            tdef.checks = [(lbl, expr) for lbl, expr in tdef.checks if not word.search(expr)]
+            tdef.source_sql = None
+            new_df = st.df.drop(col)
+
         new_st = overlay.catalog.materialize(name, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(name, new_st)
         return self._ok()
@@ -834,6 +959,16 @@ class DustSession:
             unknown = [c for c in sets if c not in schema_cols]
             if unknown:
                 raise DustError(f"no such column: {unknown[0]}")
+            # DO UPDATE ... WHERE pred: the predicate gates each
+            # conflicting row's update (probed against sqlite3: WHERE
+            # false → row untouched AND changes() not incremented;
+            # excluded.* and bare/table-qualified target columns legal)
+            oc_where = ins.on_conflict[3] if len(ins.on_conflict) > 3 else None
+            upd_cond = "__exc_m = 1"
+            if oc_where:
+                w_e = re.sub(r"\bexcluded\.", "__exc_", oc_where, flags=re.I)
+                w_e = re.sub(rf"\b{re.escape(ins.table)}\.", "", w_e, flags=re.I)
+                upd_cond = f"__exc_m = 1 AND coalesce(({w_e}), false)"
             # SQLite processes the batch row-by-row: the FIRST row of an
             # in-batch conflict group inserts (or updates the existing
             # row); every later row fires DO UPDATE SET again. Folded
@@ -873,7 +1008,7 @@ class DustSession:
                     if f.name in sets:
                         e = re.sub(r"\bexcluded\.", "__exc_", sets[f.name], flags=re.I)
                         projs.append(
-                            f"CAST(CASE WHEN __exc_m = 1 THEN ({e}) ELSE `{f.name}` END "
+                            f"CAST(CASE WHEN {upd_cond} THEN ({e}) ELSE `{f.name}` END "
                             f"AS {f.dataType.simpleString()}) AS `{f.name}`"
                         )
                     else:
@@ -890,9 +1025,11 @@ class DustSession:
                 eq = existing[c] == exc[f"__exc_{c}"]
                 cond = eq if cond is None else (cond & eq)
             joined = existing.join(exc, cond, "left")
-            marked = joined.selectExpr(*_set_projs(["__exc_m"])).localCheckpoint(eager=True)
-            n_updated = marked.filter(F.col("__exc_m") == 1).count()
-            updated = marked.drop("__exc_m")
+            marked = joined.selectExpr(
+                *_set_projs([f"CASE WHEN {upd_cond} THEN 1 ELSE 0 END AS __upd"])
+            ).localCheckpoint(eager=True)
+            n_updated = marked.filter(F.col("__upd") == 1).count()
+            updated = marked.drop("__upd")
 
             # fresh keys: insert the FIRST batch row, then fold the later
             # rows' DO UPDATE (excluded = last row) onto it when the
@@ -913,7 +1050,7 @@ class DustSession:
         n_fresh = fresh.count()
         if self._capture_returning:
             upd_rows = (
-                marked.filter(F.col("__exc_m") == 1).drop("__exc_m")
+                marked.filter(F.col("__upd") == 1).drop("__upd")
                 if kind == "update"
                 else self.spark.createDataFrame([], tdef.schema)
             )
@@ -1238,13 +1375,15 @@ class DustSession:
         sql = dialect.rewrite_sqlite_fns(sql)
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         # last_insert_rowid() is connection state in SQLite — inline the
-        # session's current value as a literal
-        sql = re.sub(
-            r"\blast_insert_rowid\s*\(\s*\)",
-            str(int(self._last_insert_id)),
-            sql,
-            flags=re.I,
+        # session's current value as a literal (string-literal aware,
+        # like every other rewrite layer: 'last_insert_rowid()' inside a
+        # quoted string must not be mangled)
+        _lir = re.compile(r"\blast_insert_rowid\s*\(\s*\)", re.I)
+        sql = dialect._map_outside_strings(
+            sql, lambda seg: _lir.sub(str(int(self._last_insert_id)), seg)
         )
+        if re.search(r"\bsqlite_(master|schema)\b", sql, re.I):
+            self._register_sqlite_master()
         if dialect.has_rowid_token(sql):
             # bare rowid resolves against the single referenced rowid
             # table (SQLite alias semantics); ambiguous multi-table SQL
@@ -1264,6 +1403,49 @@ class DustSession:
             return self.spark.sql(sql)
         except Exception as e:
             raise DustError(_clean_error(e)) from e
+
+    def _register_sqlite_master(self) -> None:
+        """Materialize the sqlite_master / sqlite_schema catalog table
+        (SQLite lang: type,name,tbl_name,rootpage,sql). Rows mirror
+        SQLite's layout probed against sqlite3: tables in creation
+        order with sequential rootpages from 2, each followed by its
+        sqlite_autoindex_* rows (UNIQUE/PK constraints, skipping the
+        INTEGER-PRIMARY-KEY rowid alias — same rule as PRAGMA
+        index_list; user CREATE INDEX is accepted-and-ignored engine-
+        wide, so no rows here either); views carry rootpage 0 and their
+        CREATE text. The 'sql' column is the original CREATE TABLE text,
+        re-synthesized canonically after column-level ALTERs."""
+        rows = []
+        page = 2
+        for name, st in self.catalog.tables.items():
+            if st is None:
+                continue
+            tdef = st.tdef
+            rows.append(
+                ("table", name, name, page, tdef.source_sql or dialect.synth_create_sql(tdef))
+            )
+            page += 1
+            n = 0
+            for uniq in tdef.unique:
+                if uniq == tdef.primary_key and tdef.rowid_column:
+                    continue
+                n += 1
+                rows.append(("index", f"sqlite_autoindex_{name}_{n}", name, page, None))
+                page += 1
+        for vname, sel in self.catalog.views.items():
+            rows.append(("view", vname, vname, 0, f"CREATE VIEW {vname} AS {sel}"))
+        schema = T.StructType(
+            [
+                T.StructField("type", T.StringType()),
+                T.StructField("name", T.StringType()),
+                T.StructField("tbl_name", T.StringType()),
+                T.StructField("rootpage", T.LongType()),
+                T.StructField("sql", T.StringType()),
+            ]
+        )
+        df = self.spark.createDataFrame(rows, schema)
+        df.createOrReplaceTempView("sqlite_master")
+        df.createOrReplaceTempView("sqlite_schema")
 
     def _sqlite_column_names(self, sql: str, df: DataFrame) -> DataFrame | None:
         """Best-effort SQLite output-column naming: unaliased expressions

@@ -429,6 +429,40 @@ def test_drop_and_alter(db):
         db.query_string_stmt("SELECT * FROM t")
 
 
+def test_alter_rename_and_drop_column(db):
+    """Full SQLite ALTER TABLE family; error strings and the
+    FK-reference rewrite probed against in-process sqlite3."""
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, a INT UNIQUE, b INT, d INT CHECK(d > 0), e INT)")
+    ex(db, "INSERT INTO t(a,b,d,e) VALUES (1,2,3,4)")
+    assert ex(db, "ALTER TABLE t DROP COLUMN id") == '[{"error":"cannot drop PRIMARY KEY column: \\"id\\""}]'
+    assert ex(db, "ALTER TABLE t DROP COLUMN a") == '[{"error":"cannot drop UNIQUE column: \\"a\\""}]'
+    assert ex(db, "ALTER TABLE t DROP COLUMN nope") == '[{"error":"no such column: \\"nope\\""}]'
+    ex(db, "ALTER TABLE t DROP COLUMN d")
+    ex(db, "ALTER TABLE t RENAME COLUMN b TO bb")
+    assert ex(db, "ALTER TABLE t RENAME COLUMN zz TO yy") == '[{"error":"no such column: \\"zz\\""}]'
+    assert q(db, "SELECT id, a, bb, e FROM t") == (
+        '[{"columns":["id","a","bb","e"],"types":["integer","integer","integer","integer"],"values":[[1,1,2,4]]}]'
+    )
+    # constraints survive the renames/drops
+    assert "UNIQUE constraint failed" in ex(db, "INSERT INTO t(a,bb) VALUES (1, 9)")
+    ex(db, "ALTER TABLE t RENAME TO t2")
+    assert ex(db, "ALTER TABLE t2 RENAME TO t2") == (
+        '[{"error":"there is already another table or index with this name: t2"}]'
+    )
+    with pytest.raises(DustError, match="no such table"):
+        db.query_string_stmt("SELECT * FROM t")
+    # child FK references follow the rename (SQLite schema rewrite)
+    ex(db, "CREATE TABLE child (x INT REFERENCES t2(id))")
+    db.enable_fk_constraints(True)
+    ex(db, "ALTER TABLE t2 RENAME TO t3")
+    assert ex(db, "INSERT INTO child VALUES (99)") == '[{"error":"FOREIGN KEY constraint failed"}]'
+    assert ex(db, "INSERT INTO child VALUES (1)") == '[{"last_insert_id":1,"rows_affected":1}]'
+    # renamed-column CHECK expression follows a rename
+    ex(db, "CREATE TABLE ck (v INT CHECK(v > 0))")
+    ex(db, "ALTER TABLE ck RENAME COLUMN v TO w")
+    assert ex(db, "INSERT INTO ck VALUES (-1)") == '[{"error":"CHECK constraint failed: w > 0"}]'
+
+
 def test_create_view(db):
     ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)")
     ex(db, "INSERT INTO t(v) VALUES(5)")
@@ -1091,16 +1125,33 @@ def test_upsert_in_batch_fresh_key_first_insert_then_update(db):
     )
 
 
-def test_upsert_do_update_where_rejected(db):
-    """SQLite's conditional `DO UPDATE SET ... WHERE pred` is not
-    implemented — it must surface as a clear per-statement error, not be
-    silently absorbed into the last SET expression."""
+def test_upsert_do_update_where(db):
+    """SQLite's conditional `DO UPDATE SET ... WHERE pred`: the
+    predicate gates each conflicting row — WHERE false leaves the row
+    untouched and does not count toward rows_affected (probed against
+    in-process sqlite3: changes() stays 0)."""
     ex(db, "CREATE TABLE uw (id INTEGER NOT NULL PRIMARY KEY, v INT)")
-    out = ex(db, "INSERT INTO uw(id, v) VALUES(1, 1) "
-                 "ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE uw.v < excluded.v")
-    assert "unsupported: ON CONFLICT" in out
-    # a WHERE inside a string literal in the SET expr is NOT a clause
-    ex(db, "INSERT INTO uw(id, v) VALUES(1, 1)")
+    ex(db, "INSERT INTO uw(id, v) VALUES(1, 10), (2, 20)")
+    # target row v=10 < 15 → update fires
+    assert ex(db, "INSERT INTO uw(id, v) VALUES(1, 99) "
+                  "ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE v < 15") == (
+        '[{"last_insert_id":2,"rows_affected":1}]'
+    )
+    # target row v=20 → predicate false → untouched, changes 0
+    # (zero rows_affected is omitted from the wire JSON, as elsewhere)
+    assert ex(db, "INSERT INTO uw(id, v) VALUES(2, 99) "
+                  "ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE v < 15") == (
+        '[{"last_insert_id":2}]'
+    )
+    assert q(db, "SELECT * FROM uw ORDER BY id") == (
+        '[{"columns":["id","v"],"types":["integer","integer"],"values":[[1,99],[2,20]]}]'
+    )
+    # predicate mixing excluded.* and table-qualified target columns
+    ex(db, "INSERT INTO uw(id, v) VALUES(1, 5) "
+           "ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE excluded.v < uw.v")
+    assert q(db, "SELECT v FROM uw WHERE id = 1") == (
+        '[{"columns":["v"],"types":["integer"],"values":[[5]]}]'
+    )
     ex(db, "CREATE TABLE uw2 (id INTEGER NOT NULL PRIMARY KEY, t TEXT)")
     ex(db, "INSERT INTO uw2(id, t) VALUES(1, 'a'), (1, 'WHERE x') "
            "ON CONFLICT(id) DO UPDATE SET t = excluded.t")

@@ -224,6 +224,60 @@ def test_with_cte_dml(db):
     assert r[0].error == "" and r[0].rows_affected == 5
 
 
+def test_randomblob_entropy_and_clamp(db):
+    """randomblob(n): n independent pseudo-random bytes — a blob longer
+    than one md5 block must not tile the same 16 bytes; n < 1 clamps to
+    a 1-byte blob like SQLite (ADVICE r4)."""
+    out = db.query_string_stmt(
+        "SELECT length(randomblob(40)) AS l40, length(randomblob(0)) AS l0, "
+        "length(randomblob(-5)) AS ln, hex(randomblob(32)) AS h"
+    )[0]
+    l40, l0, ln, h = out.values[0]
+    assert (l40, l0, ln) == (40, 1, 1)
+    assert h[:32] != h[32:64], "randomblob tiles the same 16-byte block"
+
+
+def test_last_insert_rowid_in_string_literal(db):
+    """The last_insert_rowid() inline must be string-literal aware: an
+    occurrence inside a quoted string is data, not connection state."""
+    db.execute_string_stmt("CREATE TABLE lir (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    db.execute_string_stmt("INSERT INTO lir(v) VALUES (1)")
+    out = db.query_string_stmt(
+        "SELECT 'last_insert_rowid()' AS s, last_insert_rowid() AS r"
+    )[0]
+    assert out.values == [["last_insert_rowid()", 1]]
+
+
+def test_nested_with_insert(db):
+    """WITH a AS (...) INSERT INTO t WITH b AS (...) SELECT — legal
+    SQLite; the two CTE lists merge into one WITH (a naive prefix
+    would emit 'WITH ... WITH ...' and fail at Spark parse)."""
+    db.execute_string_stmt("CREATE TABLE nw (v INT)")
+    r = db.execute_string_stmt(
+        "WITH a AS (SELECT 3 AS v) INSERT INTO nw "
+        "WITH b AS (SELECT 4 AS v) SELECT v FROM a UNION ALL SELECT v FROM b"
+    )
+    assert r[0].error == "" and r[0].rows_affected == 2
+    assert db.query_string_stmt("SELECT v FROM nw ORDER BY v")[0].values == [[3], [4]]
+
+
+def test_triggers_savepoints_rejected_loudly(db):
+    """Triggers and savepoints are legal SQLite reachable through the
+    reference pass-through but deliberately excluded (COVERAGE.md);
+    they must fail with a clear unsupported message, not fall through
+    generic paths with a misleading parse error (VERDICT r4 item 5)."""
+    db.execute_string_stmt("CREATE TABLE tr (id INTEGER NOT NULL PRIMARY KEY, v INT)")
+    r = db.execute_string_stmt(
+        "CREATE TRIGGER t1 AFTER INSERT ON tr BEGIN UPDATE tr SET v = 1; END"
+    )
+    assert "unsupported statement: CREATE TRIGGER" in r[0].error
+    assert "unsupported statement: SAVEPOINT" in db.execute_string_stmt("SAVEPOINT sp1")[0].error
+    assert "unsupported statement: RELEASE" in db.execute_string_stmt("RELEASE sp1")[0].error
+    # the table is untouched and usable afterwards
+    db.execute_string_stmt("INSERT INTO tr(v) VALUES (7)")
+    assert db.query_string_stmt("SELECT v FROM tr")[0].values == [[7]]
+
+
 def test_without_rowid_table(db):
     db.execute_string_stmt("CREATE TABLE worow (k TEXT NOT NULL PRIMARY KEY, v INT) WITHOUT ROWID")
     db.execute_string_stmt("INSERT INTO worow VALUES ('x', 1), ('y', 2)")
@@ -232,6 +286,39 @@ def test_without_rowid_table(db):
     # PK still enforced
     r = db.execute_string_stmt("INSERT INTO worow VALUES ('x', 9)")
     assert "UNIQUE constraint failed" in r[0].error
+
+
+def test_sqlite_master(db):
+    """sqlite_master / sqlite_schema mirror SQLite's catalog rows
+    (differential vs in-process sqlite3 on the same DDL; user CREATE
+    INDEX rows excluded — indexes are accepted-and-ignored engine-wide,
+    consistent with PRAGMA index_list)."""
+    import sqlite3
+
+    ddl = [
+        "CREATE TABLE t1 (id INTEGER NOT NULL PRIMARY KEY, v INT UNIQUE)",
+        "CREATE TABLE t2 (a TEXT NOT NULL, b INT, UNIQUE(a, b))",
+        "CREATE VIEW v1 AS SELECT id FROM t1",
+    ]
+    ref = sqlite3.connect(":memory:")
+    for s in ddl:
+        ref.execute(s)
+        db.execute_string_stmt(s)
+    want = ref.execute("SELECT * FROM sqlite_master").fetchall()
+    got = db.query_string_stmt("SELECT * FROM sqlite_master")[0]
+    assert got.columns == ["type", "name", "tbl_name", "rootpage", "sql"]
+    assert [tuple(r) for r in got.values] == want
+    # sqlite_schema alias + filtered introspection queries
+    assert db.query_string_stmt(
+        "SELECT name FROM sqlite_schema WHERE type = 'table' ORDER BY name"
+    )[0].values == [["t1"], ["t2"]]
+    # RENAME rewrites the stored sql with the quoted new name (SQLite)
+    db.execute_string_stmt("ALTER TABLE t1 RENAME TO t9")
+    ref.execute("ALTER TABLE t1 RENAME TO t9")
+    want_sql = ref.execute("SELECT sql FROM sqlite_master WHERE name='t9'").fetchone()[0]
+    assert db.query_string_stmt(
+        "SELECT sql FROM sqlite_master WHERE name = 't9'"
+    )[0].values == [[want_sql]]
 
 
 def test_metadata_pragmas(db):

@@ -16,7 +16,14 @@ literal '^' outside a character class; floor/ceil of INTEGER inputs
 (SQLite's own ln-ratio artifact 2.999…96 vs our exact 3.0);
 json_extract composed INTO other
 json builders re-serializes scalars as text (get_json_object is
-string-typed where SQLite's json_extract returns dynamic values).
+string-typed where SQLite's json_extract returns dynamic values);
+LIKE case folding — SQLite LIKE is case-insensitive for ASCII only,
+while the blanket LIKE→ILIKE rewrite applies full Unicode folding, so
+non-ASCII operands ('Ä' LIKE 'ä': SQLite 0, engine 1) diverge (the
+property generator below excludes non-ASCII LIKE operands for this
+reason); SELECT rowid projections return a result column named after
+the INTEGER PRIMARY KEY column (values correct, wire column name
+diverges from SQLite's 'rowid').
 """
 
 from __future__ import annotations

@@ -14,7 +14,9 @@ An operator with the right 100 TB shape should scale ~linearly in rows
 here (constant overheads shrink, never grow). Output: one JSON line per
 (operator, scale) plus a summary table for SCALE.md.
 
-Usage: python tools/scale_smoke.py [--scales 1,4,16]
+Usage: python tools/scale_smoke.py [--scales=1,4,16] [--ops=a,b,...]
+       (--ops filters to a subset — used for the 256x near-linear-grower
+       follow-up, where only decontaminate/span_dup_fraction matter)
 """
 
 from __future__ import annotations
@@ -29,6 +31,17 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 ALPHA = "abcdefghijklmnopqrstuvwxyz"
 
 
+# multipliers coprime to 26 — the affine ciphers x -> a*x + b mod 26
+# give 12*26 = 312 DISTINCT alphabet permutations, so the no-shared-
+# shingles guarantee holds through 312 replicas. (The original plain
+# rotation repeated every 26 replicas: beyond that, same-rotation
+# replicas were exact text duplicates, which manufactured skewed
+# gram-hash keys — 64x was measurably PATHOLOGICAL (consistently slower
+# than 256x!) because the medium-skew partitions sat under AQE's
+# skew-split threshold and ran as serial stragglers.)
+_COPRIME = [1, 3, 5, 7, 9, 11, 15, 17, 19, 21, 23, 25]
+
+
 def scaled_docs(spark, sf_dir: str, k: int):
     from pyspark.sql import functions as F
 
@@ -38,7 +51,8 @@ def scaled_docs(spark, sf_dir: str, k: int):
     n = base.count()
     reps = []
     for r in range(k):
-        rot = ALPHA[r % 26 :] + ALPHA[: r % 26]
+        a, b = _COPRIME[(r // 26) % 12], r % 26
+        rot = "".join(ALPHA[(a * x + b) % 26] for x in range(26))
         reps.append(
             base.select(
                 (F.col("doc_id") + F.lit(r * n)).alias("doc_id"),
@@ -53,9 +67,12 @@ def scaled_docs(spark, sf_dir: str, k: int):
 
 def main() -> None:
     scales = [1, 4, 16]
+    only_ops: list[str] | None = None
     for a in sys.argv[1:]:
         if a.startswith("--scales"):
             scales = [int(x) for x in a.split("=", 1)[1].split(",")]
+        if a.startswith("--ops"):
+            only_ops = a.split("=", 1)[1].split(",")
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
 
@@ -104,6 +121,8 @@ def main() -> None:
             ("span_dup_fraction", lambda: ops.span_dup_fraction(docs)),
             ("token_count_agg", lambda: ops.token_count(docs).agg(F.sum("n_tokens"))),
         ]:
+            if only_ops is not None and name not in only_ops:
+                continue
             results.setdefault(name, {})[k] = run(name, fn)
         docs.unpersist()
 
