@@ -482,8 +482,15 @@ class InsertStmt:
     columns: list[str] | None
     source_sql: str  # "VALUES ..." or "SELECT ..." / "WITH ..."
     or_replace: bool = False  # REPLACE INTO / INSERT OR REPLACE
+    # INSERT OR IGNORE: silently skip rows violating ANY constraint
+    # (NOT NULL, CHECK, FK, uniqueness — broader than DO NOTHING, which
+    # covers uniqueness only; probed against sqlite3). OR ABORT/FAIL are
+    # the default set-based behavior; OR ROLLBACK's whole-tx rollback is
+    # the engine's atomic-batch contract already.
+    or_ignore: bool = False
     # SQLite upsert clause: None | ("nothing", target_cols | None)
     #                            | ("update", target_cols | None, sets)
+    #                            | ("update", target, sets, where | None)
     on_conflict: tuple | None = None
 
 
@@ -573,6 +580,7 @@ def _parse_insert_body(sql: str) -> InsertStmt:
         columns=cols,
         source_sql=m.group("rest").strip().rstrip(";"),
         or_replace=head.lstrip().startswith("REPLACE") or "OR REPLACE" in head,
+        or_ignore=bool(re.search(r"\bOR\s+IGNORE\b", head)),
         on_conflict=on_conflict,
     )
 

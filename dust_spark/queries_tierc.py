@@ -267,7 +267,7 @@ _PORTABLE_ANN_ORACLE = (
 )
 
 
-@register("c3f_ann_portable", oracle=_PORTABLE_ANN_ORACLE, tags=("tierc", "similarity"))
+@register("c3f_ann_portable", oracle=_PORTABLE_ANN_ORACLE, tags=("tierc", "similarity", "jit"))
 def ann_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-1 multiprobe LSH ANN on deterministic portable planes —
     the hard-oracled twin of c3c (whose np.random planes cannot be
@@ -295,7 +295,7 @@ GROUP BY e.qid ORDER BY e.qid"""
 )
 
 
-@register("c3g_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("tierc", "similarity"))
+@register("c3g_ann_recall", oracle=_ANN_RECALL_ORACLE, tags=("tierc", "similarity", "jit"))
 def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Recall@10 of the portable ANN against the exact top-10 — a hard
     CORRECTNESS signal for the ANN family (VERDICT r4 item 3): both
@@ -1133,7 +1133,7 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2 ORDER BY id_a, id_b
 """
 
 
-@register("c2g_minhash_portable_pairs", oracle=_PORTABLE_MINHASH_ORACLE, tags=("tierc", "dedup"))
+@register("c2g_minhash_portable_pairs", oracle=_PORTABLE_MINHASH_ORACLE, tags=("tierc", "dedup", "jit"))
 def minhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on the portable hash family — the
     hard-oracled twin of c2a/c2e: the whole pipeline (seeded signature,

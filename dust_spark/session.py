@@ -811,13 +811,60 @@ class DustSession:
                 c = F.expr(tdef.defaults[f.name]).cast(f.dataType)
             else:
                 c = F.lit(None).cast(f.dataType)
-            if f.name == tdef.rowid_column and not values_src:
+            projected.append(c.alias(f.name))
+        new_rows = src.select(*projected, F.col("__rn"))
+
+        if ins.or_ignore:
+            # OR IGNORE silently drops rows violating NOT NULL, CHECK
+            # or uniqueness BEFORE the auto-rowid assignment below, so
+            # skipped rows don't burn ids — matching SQLite's id
+            # sequence (sqlite3-probed). FK violations still ERROR:
+            # SQLite's conflict algorithms do not apply to FOREIGN KEY
+            # constraints.
+            for c_ in sorted(tdef.not_null):
+                if c_ != tdef.rowid_column:  # auto-assigned below
+                    new_rows = new_rows.filter(F.col(c_).isNotNull())
+            for _lbl, expr in tdef.checks:
+                cond = dialect.rewrite_sqlite_fns(expr)
+                new_rows = new_rows.filter(
+                    F.expr(f"coalesce(try_cast(({cond}) AS BOOLEAN), true)")
+                )
+            if ins.on_conflict is None:
+                # non-rowid uniqueness: first batch row wins, rows
+                # clashing with existing data drop (NULL keys exempt —
+                # they never conflict, and null join keys never match)
+                for colset in tdef.unique:
+                    if colset == [tdef.rowid_column]:
+                        continue
+                    nt = None
+                    for c_ in colset:
+                        cnd = F.col(c_).isNull()
+                        nt = cnd if nt is None else (nt | cnd)
+                    w_ig = Window.partitionBy(*colset).orderBy("__rn")
+                    new_rows = (
+                        new_rows.withColumn(
+                            "__rk",
+                            F.when(nt, F.lit(1)).otherwise(F.row_number().over(w_ig)),
+                        )
+                        .filter(F.col("__rk") == 1)
+                        .drop("__rk")
+                        .join(
+                            st.df.select(*colset).na.drop().distinct(),
+                            list(colset),
+                            "left_anti",
+                        )
+                    )
+
+        if tdef.rowid_column is not None:
+            f = next(fl for fl in tdef.schema.fields if fl.name == tdef.rowid_column)
+            c = F.col(tdef.rowid_column)
+            if not values_src:
                 # bulk INSERT...SELECT keeps the parallel partition-
                 # offset assignment (a sequential scan would serialize
                 # billions of rows through one task); explicit/auto
                 # mixing there takes the monotone approximation
                 c = F.coalesce(c, F.lit(st.high_water) + F.col("__rn"))
-            elif f.name == tdef.rowid_column:
+            else:
                 # SQLite auto-rowid is SEQUENTIAL: each NULL id takes
                 # (max rowid seen so far, incl. larger EXPLICIT ids
                 # earlier in this batch) + 1. Closed form over the batch
@@ -835,9 +882,21 @@ class DustSession:
                 auto_id = a_run + F.greatest(
                     F.lit(st.high_water).cast("long"), F.coalesce(e_base, F.lit(st.high_water).cast("long"))
                 )
-                c = F.coalesce(c, auto_id.cast(f.dataType))
-            projected.append(c.alias(f.name))
-        new_rows = src.select(*projected, F.col("__rn"))
+                c = F.coalesce(c, auto_id)
+            new_rows = new_rows.withColumn(tdef.rowid_column, c.cast(f.dataType))
+            if ins.or_ignore and ins.on_conflict is None:
+                # explicit-rowid conflicts drop under OR IGNORE (auto
+                # ids can never conflict; conflicting explicit ids are
+                # <= high_water so dropping them cannot shift later auto
+                # assignments — SQLite id-sequence parity holds)
+                rc = tdef.rowid_column
+                w_ig = Window.partitionBy(rc).orderBy("__rn")
+                new_rows = (
+                    new_rows.withColumn("__rk", F.row_number().over(w_ig))
+                    .filter(F.col("__rk") == 1)
+                    .drop("__rk")
+                    .join(st.df.select(rc).distinct(), [rc], "left_anti")
+                )
 
         existing = st.df
         if ins.or_replace:

@@ -1125,6 +1125,55 @@ def test_upsert_in_batch_fresh_key_first_insert_then_update(db):
     )
 
 
+def test_insert_or_ignore_sqlite_differential(db):
+    """INSERT OR IGNORE silently drops rows violating NOT NULL, CHECK
+    or uniqueness (broader than DO NOTHING, which is uniqueness-only);
+    FK violations still error (SQLite's conflict algorithms do not
+    apply to FOREIGN KEY constraints) and skipped rows must not burn
+    auto-rowids. Statement-for-statement replay vs in-process sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("PRAGMA foreign_keys = ON")
+    db.enable_fk_constraints(True)
+    setup = [
+        "CREATE TABLE p (id INTEGER NOT NULL PRIMARY KEY)",
+        "INSERT INTO p VALUES (1), (2)",
+        "CREATE TABLE u (id INTEGER NOT NULL PRIMARY KEY, a INT NOT NULL CHECK(a > 0), "
+        "b INT UNIQUE, fk INT REFERENCES p(id))",
+    ]
+    stmts = [
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (NULL, 1, 1)",   # NOT NULL
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (-1, 2, 1)",     # CHECK
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (5, 3, 9)",      # dangling FK: ERRORS
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (6, 4, 2)",      # clean -> id 1
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (7, 4, NULL)",   # UNIQUE b
+        "INSERT OR IGNORE INTO u(a, b, fk) VALUES (8, 5, NULL), (9, 5, 1), (10, NULL, 2)",
+        "INSERT OR IGNORE INTO u(id, a) VALUES (1, 11)",           # dup PK
+    ]
+    import sqlite3 as _s3
+
+    for sql in setup:
+        ref.execute(sql)
+        ex(db, sql)
+    for sql in stmts:
+        try:
+            ref.execute(sql)
+            ref_err = None
+            n_ref = ref.execute("SELECT changes()").fetchone()[0]
+        except _s3.Error as e:
+            ref_err, n_ref = str(e), None
+        r = db.execute_string_stmt(sql)[0]
+        if ref_err is not None:
+            assert r.error == ref_err, f"{sql}: engine={r.error!r} sqlite={ref_err!r}"
+        else:
+            assert r.error == "", f"{sql}: {r.error}"
+            assert r.rows_affected == n_ref, f"{sql}: {r.rows_affected} != {n_ref}"
+        ref_rows = ref.execute("SELECT id, a, b, fk FROM u ORDER BY id").fetchall()
+        eng = db.query_string_stmt("SELECT id, a, b, fk FROM u ORDER BY id")[0]
+        assert [tuple(x) for x in eng.values] == ref_rows, sql
+
+
 def test_upsert_do_update_where(db):
     """SQLite's conditional `DO UPDATE SET ... WHERE pred`: the
     predicate gates each conflicting row — WHERE false leaves the row
