@@ -701,7 +701,7 @@ _IDENT = r"(\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)"
 
 def parse_alter(sql: str) -> tuple:
     """Full SQLite ALTER TABLE surface (sqlite lang_altertable):
-    ('add', table, col, dtype) / ('rename_table', table, new) /
+    ('add', table, one-column TableDef) / ('rename_table', table, new) /
     ('rename_column', table, old, new) / ('drop_column', table, col)."""
     m = _ALTER_RE.match(sql)
     if not m:
@@ -711,8 +711,10 @@ def parse_alter(sql: str) -> tuple:
     ru = rest.upper()
     if ru.startswith("ADD"):
         d = re.sub(r"^ADD\s+(?:COLUMN\s+)?", "", rest, flags=re.I)
-        toks = d.split()
-        return ("add", name, unquote_ident(toks[0]).lower(), affinity_type(" ".join(toks[1:])))
+        # run the full column-def grammar (type affinity, NOT NULL,
+        # DEFAULT, CHECK, UNIQUE/PK for rejection, REFERENCES) through
+        # the CREATE TABLE parser on a one-column synthetic table
+        return ("add", name, parse_create_table(f"CREATE TABLE __alter__ ({d})"))
     mm = re.match(r"RENAME\s+TO\s+" + _IDENT + r"$", rest, re.I)
     if mm:
         return ("rename_table", name, unquote_ident(mm.group(1)).lower())
@@ -965,6 +967,7 @@ _ARG_FN_RE = re.compile(
     r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
+    r"|json_group_array|json_group_object"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -978,7 +981,8 @@ _JV = "substr(to_json(array({a})), 2, length(to_json(array({a}))) - 2)"
 #: JSON subtype: it embeds as raw JSON text, never re-quoted
 _JSON_SUBTYPE_RE = re.compile(
     r"^\s*(json|json_array|json_object|json_quote|json_set|json_insert"
-    r"|json_replace|json_remove|json_patch)\s*\(",
+    r"|json_replace|json_remove|json_patch"
+    r"|json_group_array|json_group_object)\s*\(",
     re.I,
 )
 
@@ -1146,6 +1150,21 @@ def _rewrite_one_call(
             f"concat('[', {_JV.format(a=a)}, ',null]')" for a in args[1:]
         )
         return f"__json_mutate({args[0]}, 'remove', concat('[', concat_ws(',', {pairs}), ']'))"
+    if n == "json_group_array" and len(args) == 1:
+        # aggregate twin of json_array: per-row _jval serialization
+        # (NULL rows serialize to the string 'null' via the to_json
+        # trick, so collect_list never drops them), assembled in group
+        # scan order; zero rows → '[]' like SQLite
+        raws = raw_args or args
+        return (
+            f"concat('[', concat_ws(',', collect_list({_jval(args[0], raws[0])})), ']')"
+        )
+    if n == "json_group_object" and len(args) == 2:
+        raws = raw_args or args
+        return (
+            f"concat('{{', concat_ws(',', collect_list(concat({_JV.format(a=args[0])}, ':', "
+            f"{_jval(args[1], raws[1])}))), '}}')"
+        )
     if n == "json_array":
         if not args:
             return "'[]'"

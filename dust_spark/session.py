@@ -499,12 +499,36 @@ class DustSession:
         fields = [f.name for f in tdef.schema.fields]
 
         if kind == "add":
-            _, _, col, dtype = parsed
+            sub = parsed[2]  # one-column TableDef from the ADD def
+            f_new = sub.schema.fields[0]
+            col = f_new.name
             if col in fields:
                 raise DustError(f"duplicate column name: {col}")
-            tdef.schema = tdef.schema.add(col, dtype, True)
+            # SQLite's ADD COLUMN restrictions (probed): no PK/UNIQUE,
+            # NOT NULL requires a non-NULL default; existing rows take
+            # the default value
+            if sub.primary_key:
+                raise DustError("Cannot add a PRIMARY KEY column")
+            if any(u != sub.primary_key for u in sub.unique):
+                raise DustError("Cannot add a UNIQUE column")
+            default_sql = sub.defaults.get(col)
+            if col in sub.not_null and (default_sql is None or default_sql.upper() == "NULL"):
+                raise DustError("Cannot add a NOT NULL column with default value NULL")
+            tdef.schema = tdef.schema.add(col, f_new.dataType, True)
+            tdef.declared_types[col] = sub.declared_types.get(col, "")
+            if col in sub.not_null:
+                tdef.not_null.add(col)
+            if default_sql is not None:
+                tdef.defaults[col] = default_sql
+            tdef.checks.extend(sub.checks)
+            tdef.foreign_keys.extend(sub.foreign_keys)
             tdef.source_sql = None  # sqlite_master sql re-synthesizes
-            new_df = st.df.withColumn(col, F.lit(None).cast(dtype))
+            fill = (
+                F.expr(dialect.rewrite_sqlite_fns(default_sql))
+                if default_sql is not None
+                else F.lit(None)
+            )
+            new_df = st.df.withColumn(col, fill.cast(f_new.dataType))
 
         elif kind == "rename_table":
             new = parsed[2]

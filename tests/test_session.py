@@ -429,6 +429,35 @@ def test_drop_and_alter(db):
         db.query_string_stmt("SELECT * FROM t")
 
 
+def test_alter_add_column_constraints(db):
+    """ADD COLUMN carries its full column grammar: DEFAULT backfills
+    existing rows, NOT NULL requires a non-NULL default, PK/UNIQUE are
+    rejected, CHECK enforces on later writes (all sqlite3-probed)."""
+    ex(db, "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY)")
+    ex(db, "INSERT INTO t VALUES (1)")
+    ex(db, "ALTER TABLE t ADD COLUMN a INT DEFAULT 7")
+    assert ex(db, "ALTER TABLE t ADD COLUMN b TEXT NOT NULL") == (
+        '[{"error":"Cannot add a NOT NULL column with default value NULL"}]'
+    )
+    ex(db, "ALTER TABLE t ADD COLUMN b TEXT NOT NULL DEFAULT 'x'")
+    assert ex(db, "ALTER TABLE t ADD COLUMN c INT UNIQUE") == '[{"error":"Cannot add a UNIQUE column"}]'
+    assert ex(db, "ALTER TABLE t ADD COLUMN d INT PRIMARY KEY") == '[{"error":"Cannot add a PRIMARY KEY column"}]'
+    ex(db, "ALTER TABLE t ADD COLUMN e INT CHECK(e IS NULL OR e > 0)")
+    assert q(db, "SELECT * FROM t") == (
+        '[{"columns":["id","a","b","e"],"types":["integer","integer","text","integer"],'
+        '"values":[[1,7,"x",null]]}]'
+    )
+    # the added column's constraints bind: NOT NULL default on insert,
+    # CHECK fires, DEFAULT applies
+    assert ex(db, "INSERT INTO t(id, e) VALUES (2, -1)") == (
+        '[{"error":"CHECK constraint failed: e IS NULL OR e > 0"}]'
+    )
+    ex(db, "INSERT INTO t(id, e) VALUES (2, 5)")
+    assert q(db, "SELECT a, b, e FROM t WHERE id = 2") == (
+        '[{"columns":["a","b","e"],"types":["integer","text","integer"],"values":[[7,"x",5]]}]'
+    )
+
+
 def test_alter_rename_and_drop_column(db):
     """Full SQLite ALTER TABLE family; error strings and the
     FK-reference rewrite probed against in-process sqlite3."""

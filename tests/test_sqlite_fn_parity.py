@@ -152,6 +152,14 @@ AGG_CASES = [
     "SELECT group_concat(s) FROM t",
     "SELECT group_concat(s, '|') FROM t",
     "SELECT count(*) - count(v) FROM t",
+    # json1 aggregates: typed element serialization, NULL kept as JSON
+    # null, empty group -> '[]' / '{}', subtype composition embeds raw
+    "SELECT json_group_array(v) FROM t",
+    "SELECT json_group_array(s) FROM t",
+    "SELECT json_group_array(v) FROM t WHERE v > 99",
+    "SELECT json_group_object(s, v) FROM t",
+    "SELECT json_group_object(s, v) FROM t WHERE v > 99",
+    "SELECT json_group_array(json_object('k', v)) FROM t",
 ]
 
 
