@@ -803,6 +803,11 @@ SQLITE_FN_DDL = (
     # zeroblob(n) → n zero bytes
     "CREATE OR REPLACE TEMPORARY FUNCTION zeroblob(n INT) RETURNS BINARY "
     "RETURN unhex(repeat('00', n))",
+    # sqlite_version() reports the stdlib sqlite3 library version — the
+    # concrete dialect level this emulation targets (and what the
+    # differential battery compares against)
+    "CREATE OR REPLACE TEMPORARY FUNCTION sqlite_version() RETURNS STRING "
+    "RETURN '" + __import__("sqlite3").sqlite_version + "'",
     # strftime with the common SQLite format specifiers mapped to
     # java.time patterns
     "CREATE OR REPLACE TEMPORARY FUNCTION strftime(fmt STRING, t TIMESTAMP) RETURNS STRING "
@@ -856,6 +861,7 @@ _FN_RENAMES = {
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
     "json_extract": "get_json_object",  # same $.path syntax; scalars as text
+    "json_patch": "__json_patch",       # RFC-7386 merge patch (json1.py)
 }
 
 _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)

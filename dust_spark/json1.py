@@ -157,10 +157,36 @@ def each_rows(j: str):
         yield (None, render(doc), _json_type(doc), "$", "$")
 
 
+def merge_patch(a: str | None, b: str | None) -> str | None:
+    """RFC-7386 JSON merge patch — SQLite's json_patch(T, P): a
+    non-object P replaces T entirely; object keys with null values
+    delete, nested objects recurse. Output minified like SQLite
+    (sqlite3-probed: json_patch('{"a":1,"b":2}','{"b":null,"c":3}')
+    = '{"a":1,"c":3}')."""
+    if a is None or b is None:
+        return None
+    try:
+        t, p = json.loads(a), json.loads(b)
+    except (ValueError, TypeError):
+        return None  # malformed JSON raises in SQLite; NULL is the lenient map
+    def merge(t, p):
+        if not isinstance(p, dict):
+            return p
+        out = dict(t) if isinstance(t, dict) else {}
+        for k, v in p.items():
+            if v is None:
+                out.pop(k, None)
+            else:
+                out[k] = merge(out.get(k), v)
+        return out
+    return json.dumps(merge(t, p), separators=(",", ":"))
+
+
 def register(spark) -> None:
-    """Register __json_mutate (scalar) and json_each (UDTF) on a
-    SparkSession — called from DustSession init."""
+    """Register __json_mutate / __json_patch (scalars) and json_each
+    (UDTF) on a SparkSession — called from DustSession init."""
     spark.udf.register("__json_mutate", mutate, "string")
+    spark.udf.register("__json_patch", merge_patch, "string")
 
     from pyspark.sql.functions import udtf
 

@@ -135,6 +135,8 @@ class DustSession:
         self.catalog = Catalog(self.spark, warehouse)
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False
+        self._user_version = 0
+        self._schema_version = 0
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
         # RETURNING support: query() arms capture before applying DML,
@@ -389,16 +391,21 @@ class DustSession:
                 "use transactions)"
             )
         try:
-            if kind == "CREATE_TABLE":
-                return self._create_table(overlay, sql)
-            if kind == "CREATE_INDEX":
-                return self._ok()  # accepted & ignored (SURVEY §2 B10)
-            if kind == "CREATE_VIEW":
-                return self._create_view(sql)
-            if kind == "DROP":
-                return self._drop_table(overlay, sql)
-            if kind == "ALTER":
-                return self._alter_table(overlay, sql)
+            if kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW", "DROP", "ALTER"):
+                # schema cookie bumps on every DDL statement (SQLite's
+                # schema_version behavior; bump only on success)
+                if kind == "CREATE_TABLE":
+                    r = self._create_table(overlay, sql)
+                elif kind == "CREATE_INDEX":
+                    r = self._ok()  # accepted & ignored (SURVEY §2 B10)
+                elif kind == "CREATE_VIEW":
+                    r = self._create_view(sql)
+                elif kind == "DROP":
+                    r = self._drop_table(overlay, sql)
+                else:
+                    r = self._alter_table(overlay, sql)
+                self._schema_version += 1
+                return r
             if kind == "PRAGMA":
                 return self._pragma_exec(sql)
             if kind in ("VACUUM", "ANALYZE", "REINDEX"):
@@ -689,6 +696,8 @@ class DustSession:
             raise DustError(str(e)) from e
         if key == "foreign_keys" and val is not None:
             self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
+        if key == "user_version" and val is not None:
+            self._user_version = int(val)
         return self._ok()
 
     def _pragma_query(self, sql: str) -> Rows:
@@ -701,6 +710,17 @@ class DustSession:
                 self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
                 return Rows()
             return Rows(columns=["foreign_keys"], types=["integer"], values=[[1 if self._fk_enabled else 0]])
+        if key == "user_version":
+            # settable per-connection schema cookie (PRAGMA user_version
+            # = N); reads return the stored int, 0 initially like SQLite
+            if val is not None:
+                self._user_version = int(val)
+                return Rows()
+            return Rows(columns=["user_version"], types=["integer"], values=[[self._user_version]])
+        if key == "schema_version":
+            # bumped on every DDL change (SQLite increments its schema
+            # cookie the same way; absolute values are not contractual)
+            return Rows(columns=["schema_version"], types=["integer"], values=[[self._schema_version]])
         if key == "table_info":
             # call-form pragma (SQLite PRAGMA table_info(t), implied
             # surface of the reference's SQLite pass-through)

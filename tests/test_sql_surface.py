@@ -329,6 +329,14 @@ def test_metadata_pragmas(db):
         "FOREIGN KEY (v) REFERENCES q(id))"
     )
     assert db.query_string_stmt("PRAGMA database_list")[0].values == [[0, "main", ""]]
+    # schema cookies: user_version settable, schema_version bumped by DDL
+    assert db.query_string_stmt("PRAGMA user_version")[0].values == [[0]]
+    db.execute_string_stmt("PRAGMA user_version = 7")
+    assert db.query_string_stmt("PRAGMA user_version")[0].values == [[7]]
+    sv0 = db.query_string_stmt("PRAGMA schema_version")[0].values[0][0]
+    db.execute_string_stmt("CREATE TABLE svbump (x INT)")
+    sv1 = db.query_string_stmt("PRAGMA schema_version")[0].values[0][0]
+    assert sv1 == sv0 + 1
     assert db.query_string_stmt("PRAGMA foreign_key_list(mp)")[0].values == [
         [0, 0, "q", "v", "id", "NO ACTION", "NO ACTION", "NONE"]
     ]

@@ -257,6 +257,13 @@ JSON_MUTATE_CASES = [
     "SELECT json_array(json_quote('x'))",
     "SELECT json_array(1, 'plain')",
     "SELECT json_insert('[1,2]', '$[2]', json_object('k', 'v'))",
+    # RFC-7386 merge patch: null deletes, nested objects recurse,
+    # non-object patch replaces wholesale
+    'SELECT json_patch(\'{"a":1,"b":2}\', \'{"b":null,"c":3}\')',
+    'SELECT json_patch(\'{"a":{"x":1,"y":2}}\', \'{"a":{"y":null,"z":9}}\')',
+    'SELECT json_patch(\'{"a":1}\', \'[5]\')',
+    "SELECT json_patch('{\"a\":1}', json_object('b', 2))",
+    "SELECT sqlite_version()",
 ]
 
 
