@@ -892,7 +892,99 @@ def rewrite_sqlite_fns(sql: str) -> str:
             else:
                 out.append(ch)
                 i += 1
-    return _rewrite_operators(_rewrite_arg_fns("".join(out)))
+    return _rewrite_operators(_rewrite_arg_fns(_rewrite_json_arrows("".join(out))))
+
+
+def _scan_back_primary(s: str, i: int) -> int:
+    """Start index of the primary expression ending at ``i`` (exclusive):
+    a balanced-paren group with optional function-name head, a string
+    literal, or an identifier/number chain (incl. dotted and quoted
+    identifiers). Used to capture the LHS of a JSON arrow operator."""
+    j = i
+    while j > 0 and s[j - 1].isspace():
+        j -= 1
+    if j == 0:
+        return j
+    if s[j - 1] == ")":
+        depth = 0
+        while j > 0:
+            j -= 1
+            if s[j] == ")":
+                depth += 1
+            elif s[j] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        # function-call head (identifier immediately before the parens)
+        k = j
+        while k > 0 and (s[k - 1].isalnum() or s[k - 1] in "_$"):
+            k -= 1
+        return k
+    if s[j - 1] == "'":
+        j -= 1
+        while j > 0:
+            j -= 1
+            if s[j] == "'":
+                if j > 0 and s[j - 1] == "'":
+                    j -= 1  # escaped '' inside the literal
+                    continue
+                break
+        return j
+    k = j
+    while k > 0 and (s[k - 1].isalnum() or s[k - 1] in '_$."`[]'):
+        k -= 1
+    return k
+
+
+_ARROW_RHS_RE = re.compile(r"\s*('(?:[^']|'')*'|\d+)")
+
+
+def _rewrite_json_arrows(sql: str) -> str:
+    """SQLite's ``->`` / ``->>`` JSON operators (json1, 3.38+):
+    ``j -> p`` extracts as JSON text (strings stay quoted — Spark's
+    variant path renders this exactly), ``j ->> p`` extracts as SQL
+    text. RHS 'a' means $.a, a bare integer N means $[N], '$.x' paths
+    pass through. Only literal RHS forms rewrite (SQLite requires TEXT
+    or INTEGER there), which also keeps Spark lambda arrows
+    (``x -> x + 1``) untouched. The ->> dynamic result type (SQLite
+    returns INTEGER for json ints) flattens to TEXT — the documented
+    dynamic-typing divergence family."""
+    while True:
+        # scan outside string literals for the leftmost arrow
+        i, in_str, found = 0, None, -1
+        while i < len(sql) - 1:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == "-" and sql[i + 1] == ">":
+                found = i
+                break
+            i += 1
+        if found < 0:
+            return sql
+        deep = sql[found : found + 3] == "->>"
+        op_end = found + (3 if deep else 2)
+        m = _ARROW_RHS_RE.match(sql, op_end)
+        if not m:
+            return sql  # not a JSON arrow (e.g. lambda) — leave whole text
+        rhs = m.group(1)
+        lhs_start = _scan_back_primary(sql, found)
+        lhs = sql[lhs_start:found].strip()
+        if not lhs:
+            return sql
+        if rhs.isdigit():
+            path = f"'$[{rhs}]'"
+        else:
+            inner = rhs[1:-1]
+            path = rhs if inner.startswith("$") else f"'$.{inner}'"
+        if deep:
+            repl = f"get_json_object({lhs}, {path})"
+        else:
+            repl = f"to_json(try_variant_get(try_parse_json({lhs}), {path}))"
+        sql = sql[:lhs_start] + repl + sql[m.end():]
 
 
 # -- operator-level SQLite semantics ---------------------------------------

@@ -23,7 +23,8 @@ non-ASCII operands ('Ä' LIKE 'ä': SQLite 0, engine 1) diverge (the
 property generator below excludes non-ASCII LIKE operands for this
 reason); SELECT rowid projections return a result column named after
 the INTEGER PRIMARY KEY column (values correct, wire column name
-diverges from SQLite's 'rowid').
+diverges from SQLite's 'rowid'); ``->>`` of a json NUMBER returns TEXT
+('1') where SQLite returns INTEGER/REAL (dynamic result typing).
 """
 
 from __future__ import annotations
@@ -259,6 +260,17 @@ JSON_MUTATE_CASES = [
     "SELECT json_insert('[1,2]', '$[2]', json_object('k', 'v'))",
     # RFC-7386 merge patch: null deletes, nested objects recurse,
     # non-object patch replaces wholesale
+    # -> / ->> JSON operators (json1, SQLite 3.38+); ->> of a json
+    # NUMBER flattens to TEXT here where SQLite returns INTEGER/REAL —
+    # the documented dynamic-typing divergence (module docstring)
+    "SELECT '{\"a\":{\"b\":2}}' -> 'a'",
+    "SELECT '{\"a\":\"txt\"}' -> 'a'",
+    "SELECT '{\"a\":\"txt\"}' ->> 'a'",
+    "SELECT '[1,2,3]' -> 1",
+    "SELECT '{\"a\":{\"b\":2}}' -> '$.a.b'",
+    "SELECT '{\"a\":1}' -> 'zz'",
+    "SELECT '{\"a\":null}' -> 'a'",
+    "SELECT '{\"a\":1}' -> 'a'",
     'SELECT json_patch(\'{"a":1,"b":2}\', \'{"b":null,"c":3}\')',
     'SELECT json_patch(\'{"a":{"x":1,"y":2}}\', \'{"a":{"y":null,"z":9}}\')',
     'SELECT json_patch(\'{"a":1}\', \'[5]\')',
