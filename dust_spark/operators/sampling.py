@@ -77,14 +77,45 @@ def stratified_hash_sample(
     key: str = "doc_id",
     seed: int = 42,
     default_fraction: float = 0.0,
+    hash_fn: str = "xxhash64",
 ) -> DataFrame:
     """Per-stratum deterministic sampling (e.g. language-balanced
     downsampling: {'en': 0.1, 'de': 1.0, ...})."""
-    b = _bucket(F.col(key), seed)
+    b = _bucket(F.col(key), seed, hash_fn)
     thresh = F.lit(int(default_fraction * _BUCKETS))
     for value, frac in fractions.items():
         thresh = F.when(F.col(stratum_col) == value, F.lit(int(frac * _BUCKETS))).otherwise(thresh)
     return df.filter(b < thresh)
+
+
+def shard_assign(
+    df: DataFrame,
+    num_shards: int = 1024,
+    key: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    out_col: str = "shard",
+    pos_col: str = "shard_pos",
+) -> DataFrame:
+    """Deterministic global training-order shuffle, sharded: every row
+    gets a shard id (hash-bucket mod ``num_shards``) and its position
+    within the shard (rank of (bucket, key) — the hash randomizes order,
+    the key breaks ties). Reading shards round-robin reproduces one
+    fixed corpus-wide shuffle without any global sort.
+
+    100 TB posture: the ONLY shuffle is the window's hash partition on
+    the shard id — num_shards-way, each shard sorts independently. A
+    single global row_number would funnel the corpus through one task;
+    this is the standard shard-then-rank layout for training-data
+    shuffles. With ``hash_fn='portable'`` the whole assignment replays
+    in any SQL engine (hard DuckDB oracle)."""
+    from pyspark.sql import Window as W
+
+    df2 = df.withColumn("__b", _bucket(F.col(key), seed, hash_fn)).withColumn(
+        out_col, F.pmod(F.col("__b"), F.lit(num_shards))
+    )
+    w = W.partitionBy(out_col).orderBy("__b", key)
+    return df2.withColumn(pos_col, F.row_number().over(w)).drop("__b")
 
 
 def weighted_interleave(

@@ -736,6 +736,68 @@ def split_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+#: the portable split bucket (char-Horner of the id text, seed 42,
+#: Knuth multiplicative scramble, mod 1e6) — shared by c9c/c9f/c9g
+_PORTABLE_BUCKET_CTE = """
+WITH b AS (
+  SELECT doc_id, lang,
+         (list_reduce(list_prepend(42::BIGINT,
+           list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+             i -> ascii(CAST(doc_id AS VARCHAR)[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) * 2654435761) % 2147483647 % 1000000 AS bk
+  FROM documents
+)
+"""
+
+_SHARD_ORACLE = (
+    _PORTABLE_BUCKET_CTE
+    + """SELECT doc_id, bk % 16 AS shard,
+       row_number() OVER (PARTITION BY bk % 16 ORDER BY bk, doc_id) AS shard_pos
+FROM b ORDER BY doc_id"""
+)
+
+
+@register("c9f_shard_assign", oracle=_SHARD_ORACLE, tags=("tierc", "sampling"))
+def shard_assign_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic training-order shuffle, sharded: hash-bucket mod 16
+    picks the shard, within-shard rank gives the read order — the only
+    shuffle is the 16-way window partition (no global sort). Portable
+    bucket → the whole assignment replays in DuckDB."""
+    return (
+        ops.shard_assign(_docs(spark, sf_dir), num_shards=16, hash_fn="portable")
+        .select("doc_id", "shard", "shard_pos")
+        .orderBy("doc_id")
+    )
+
+
+_STRAT_ORACLE = (
+    _PORTABLE_BUCKET_CTE
+    + """SELECT doc_id, lang FROM b
+WHERE bk < CASE lang WHEN 'en' THEN 250000 WHEN 'zh' THEN 1000000
+                     WHEN 'de' THEN 500000 ELSE 100000 END
+ORDER BY doc_id"""
+)
+
+
+@register("c9g_stratified_sample", oracle=_STRAT_ORACLE, tags=("tierc", "sampling"))
+def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Language-balanced mixture sampling (dataset-mixing weights as
+    per-stratum keep fractions: en 25%, zh 100%, de 50%, others 10%) on
+    the deterministic portable bucket — stable under reprocessing, and
+    hash-green against the DuckDB replay. Narrow filter, zero shuffle."""
+    return (
+        ops.stratified_hash_sample(
+            _docs(spark, sf_dir),
+            {"en": 0.25, "zh": 1.0, "de": 0.5},
+            "lang",
+            default_fraction=0.1,
+            hash_fn="portable",
+        )
+        .select("doc_id", "lang")
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C10 — benchmark decontamination + transitive-closure cluster dedup
 # ---------------------------------------------------------------------------

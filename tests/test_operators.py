@@ -468,6 +468,25 @@ def test_stratified_and_interleave(spark):
     assert by_src[0] == 100 and 20 <= by_src[1] <= 80
 
 
+def test_shard_assign_invariants(spark, corpus):
+    """Shard-assignment: every row lands in [0, n_shards), positions
+    are contiguous 1..k per shard, assignment is deterministic, and
+    shard sizes are roughly balanced (hash-bucket distribution)."""
+    out = ops.shard_assign(corpus, num_shards=8).collect()
+    out2 = ops.shard_assign(corpus, num_shards=8).collect()
+    assert {(r.doc_id, r.shard, r.shard_pos) for r in out} == {
+        (r.doc_id, r.shard, r.shard_pos) for r in out2
+    }
+    by_shard: dict[int, list[int]] = {}
+    for r in out:
+        assert 0 <= r.shard < 8
+        by_shard.setdefault(r.shard, []).append(r.shard_pos)
+    for shard, poss in by_shard.items():
+        assert sorted(poss) == list(range(1, len(poss) + 1)), f"shard {shard} gaps"
+    n = len(out)
+    assert max(len(p) for p in by_shard.values()) < 0.5 * n  # no mega-shard
+
+
 def test_chunk_documents_reassembles(spark):
     docs = spark.createDataFrame(
         [
