@@ -454,7 +454,8 @@ _INSERT_RE = re.compile(
 )
 
 _UPDATE_HEAD_RE = re.compile(
-    r"^\s*UPDATE\s+(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+SET\s+",
+    r"^\s*UPDATE\s+(?:OR\s+(?P<orconf>IGNORE|REPLACE|ABORT|FAIL|ROLLBACK)\s+)?"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+SET\s+",
     re.S | re.I,
 )
 
@@ -592,6 +593,10 @@ class UpdateStmt:
     where: str | None
     from_sql: str | None = None  # UPDATE ... FROM join source (SQLite >= 3.33)
     with_sql: str | None = None  # leading WITH-CTE prefix (SQLite CTE-DML)
+    # UPDATE OR IGNORE (skip violating row-updates) / OR REPLACE (delete
+    # conflicting rows); ABORT/FAIL/ROLLBACK are the default batch
+    # semantics and parse to None
+    or_action: str | None = None
 
 
 def parse_update(sql: str) -> UpdateStmt:
@@ -620,12 +625,14 @@ def parse_update(sql: str) -> UpdateStmt:
     for part in split_top_level(sets_sql):
         eq = part.index("=")
         sets.append((unquote_ident(part[:eq]).lower(), part[eq + 1 :].strip()))
+    orconf = (m.group("orconf") or "").lower()
     return UpdateStmt(
         table=unquote_ident(m.group("name")).lower(),
         sets=sets,
         where=where or None,
         from_sql=from_sql,
         with_sql=with_sql,
+        or_action=orconf if orconf in ("ignore", "replace") else None,
     )
 
 

@@ -1250,12 +1250,21 @@ class DustSession:
                 )
             else:
                 projs.append(f"`{f.name}`")
+        extra = ""
+        if up.or_action:
+            # conflict-resolution needs pre-update values (revert) and a
+            # scan-order row id (first/last-wins within a key group)
+            extra = ", " + ", ".join(
+                f"`{c}` AS `__old_{c}`" for c in assigned
+            ) + ", monotonically_increasing_id() AS __scan"
         # alias the staged view as the target table so correlated
         # subqueries (SET v = (SELECT ... WHERE b.id = t.id)) resolve
         marked = self.spark.sql(
-            f"{with_prefix}SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m "
-            f"FROM __dust_stage AS `{up.table}`"
+            f"{with_prefix}SELECT {', '.join(projs)}, CASE WHEN ({where}) THEN 1 ELSE 0 END AS __m"
+            f"{extra} FROM __dust_stage AS `{up.table}`"
         )
+        if up.or_action:
+            marked = self._update_resolve_conflicts(tdef, assigned, marked, up.or_action)
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")
@@ -1269,6 +1278,89 @@ class DustSession:
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(up.table, new_st)
         return self._ok(n)
+
+    def _update_resolve_conflicts(
+        self, tdef: TableDef, assigned: dict[str, str], marked: DataFrame, action: str
+    ) -> DataFrame:
+        """UPDATE OR IGNORE / OR REPLACE conflict resolution over the
+        set-based post-image (sqlite3-probed):
+
+        - ``ignore``: a row whose UPDATE would violate NOT NULL, CHECK
+          or a UNIQUE constraint reverts to its old values and does not
+          count toward changes(); within an in-batch colliding group the
+          first row in scan order keeps its update (SQLite's row-by-row
+          scan), unless a non-updated row already holds the key.
+        - ``replace``: rows conflicting with an updated row's new key
+          are DELETED (the last updated row in scan order wins the key);
+          changes() counts only the updates, like SQLite.
+
+        Residual divergence (documented): second-order effects of a
+        revert (a reverted row's OLD key re-colliding with another
+        row's NEW key) resolve set-based here where SQLite's sequential
+        scan may interleave differently — multi-row key-swap batches.
+        FK violations still error: conflict algorithms don't apply to
+        foreign keys."""
+        W = Window
+        upd = F.col("__m") == 1
+        if action == "ignore":
+            viol = F.lit(False)
+            for c in sorted(tdef.not_null):
+                if c in assigned:
+                    viol = viol | (upd & F.col(c).isNull())
+            for _lbl, expr in tdef.checks:
+                cond = dialect.rewrite_sqlite_fns(expr)
+                viol = viol | (
+                    upd & ~F.expr(f"coalesce(try_cast(({cond}) AS BOOLEAN), true)")
+                )
+            for colset in tdef.unique:
+                nullk = None
+                for c in colset:
+                    cnd = F.col(c).isNull()
+                    nullk = cnd if nullk is None else (nullk | cnd)
+                w = W.partitionBy(*colset)
+                grp_cnt = F.count("*").over(w)
+                has_nonupd = F.max(F.when(~upd, 1).otherwise(0)).over(w)
+                first_upd = F.min(F.when(upd, F.col("__scan"))).over(w)
+                viol = viol | (
+                    upd
+                    & ~nullk
+                    & (grp_cnt > 1)
+                    & ((has_nonupd == 1) | (F.col("__scan") != first_upd))
+                )
+            marked = marked.withColumn("__viol", viol)
+            cols = []
+            for f in tdef.schema.fields:
+                if f.name in assigned:
+                    cols.append(
+                        F.when(F.col("__viol"), F.col(f"__old_{f.name}"))
+                        .otherwise(F.col(f.name))
+                        .alias(f.name)
+                    )
+                else:
+                    cols.append(F.col(f.name))
+            return marked.select(
+                *cols,
+                F.when(F.col("__viol"), F.lit(0)).otherwise(F.col("__m")).alias("__m"),
+            )
+        # action == "replace": drop rows losing their key to an update
+        drop = F.lit(False)
+        for colset in tdef.unique:
+            nullk = None
+            for c in colset:
+                cnd = F.col(c).isNull()
+                nullk = cnd if nullk is None else (nullk | cnd)
+            w = W.partitionBy(*colset)
+            grp_cnt = F.count("*").over(w)
+            has_upd = F.max(F.when(upd, 1).otherwise(0)).over(w)
+            last_upd = F.max(F.when(upd, F.col("__scan"))).over(w)
+            drop = drop | (
+                ~nullk & (grp_cnt > 1) & (has_upd == 1) & (F.col("__scan") != last_upd)
+            )
+        # windows can't sit in a WHERE — materialize the flag first
+        keep = marked.withColumn("__drop", drop).filter(~F.col("__drop"))
+        return keep.select(
+            *[F.col(f.name) for f in tdef.schema.fields], F.col("__m")
+        )
 
     def _update_from(
         self,

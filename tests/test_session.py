@@ -1203,6 +1203,37 @@ def test_insert_or_ignore_sqlite_differential(db):
         assert [tuple(x) for x in eng.values] == ref_rows, sql
 
 
+def test_update_or_ignore_replace_sqlite_differential(db):
+    """UPDATE OR IGNORE (violating row-updates revert, don't count) and
+    UPDATE OR REPLACE (conflicting rows deleted; only updates counted) —
+    statement-for-statement replay vs in-process sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    setup = [
+        "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT UNIQUE, w INT CHECK(w < 100))",
+        "INSERT INTO t VALUES (1,10,1),(2,20,2),(3,30,3)",
+    ]
+    stmts = [
+        "UPDATE OR IGNORE t SET v = 20 WHERE id = 1",  # UNIQUE clash -> revert
+        "UPDATE OR IGNORE t SET w = w + 98",           # CHECK: only id=1 passes
+        "UPDATE OR IGNORE t SET v = NULL WHERE id = 2",  # NULL never conflicts
+        "UPDATE OR REPLACE t SET v = 30 WHERE id = 1",   # deletes id=3
+    ]
+    for sql in setup:
+        ref.execute(sql)
+        ex(db, sql)
+    for sql in stmts:
+        ref.execute(sql)
+        n_ref = ref.execute("SELECT changes()").fetchone()[0]
+        r = db.execute_string_stmt(sql)[0]
+        assert r.error == "", f"{sql}: {r.error}"
+        assert r.rows_affected == n_ref, f"{sql}: {r.rows_affected} != {n_ref}"
+        ref_rows = ref.execute("SELECT * FROM t ORDER BY id").fetchall()
+        eng = db.query_string_stmt("SELECT * FROM t ORDER BY id")[0]
+        assert [tuple(x) for x in eng.values] == ref_rows, sql
+
+
 def test_upsert_do_update_where(db):
     """SQLite's conditional `DO UPDATE SET ... WHERE pred`: the
     predicate gates each conflicting row — WHERE false leaves the row
