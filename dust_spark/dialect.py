@@ -465,6 +465,22 @@ _DELETE_RE = re.compile(
     re.S | re.I,
 )
 
+
+def split_dml_tail(text: str) -> tuple[str, str | None]:
+    """Split a trailing top-level ``ORDER BY ... / LIMIT ... [OFFSET]``
+    clause off a DML statement remainder (SQLite's
+    SQLITE_ENABLE_UPDATE_DELETE_LIMIT surface, enabled in the stdlib
+    build). Returns (core, tail-or-None); the tail text passes through
+    to Spark verbatim (ORDER BY / LIMIT / OFFSET all native)."""
+    cut = len(text)
+    for kw in ("ORDER BY", "LIMIT"):
+        i = find_top_level_keyword(text, kw)
+        if 0 <= i < cut:
+            cut = i
+    if cut == len(text):
+        return text, None
+    return text[:cut].rstrip(), text[cut:].strip().rstrip(";") or None
+
 _DROP_RE = re.compile(
     r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
     re.S | re.I,
@@ -597,6 +613,8 @@ class UpdateStmt:
     # conflicting rows); ABORT/FAIL/ROLLBACK are the default batch
     # semantics and parse to None
     or_action: str | None = None
+    # trailing ORDER BY/LIMIT/OFFSET (SQLITE_ENABLE_UPDATE_DELETE_LIMIT)
+    tail: str | None = None
 
 
 def parse_update(sql: str) -> UpdateStmt:
@@ -610,6 +628,7 @@ def parse_update(sql: str) -> UpdateStmt:
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
     rest = sql[m.end():].rstrip().rstrip(";")
+    rest, tail = split_dml_tail(rest)
     # the WHERE boundary must ignore subquery WHEREs inside SET exprs
     wi = find_top_level_keyword(rest, "WHERE")
     sets_sql, where = (rest[:wi], rest[wi + 5 :].strip()) if wi >= 0 else (rest, "")
@@ -633,6 +652,7 @@ def parse_update(sql: str) -> UpdateStmt:
         from_sql=from_sql,
         with_sql=with_sql,
         or_action=orconf if orconf in ("ignore", "replace") else None,
+        tail=tail,
     )
 
 
@@ -641,6 +661,7 @@ class DeleteStmt:
     table: str
     where: str | None
     with_sql: str | None = None
+    tail: str | None = None  # ORDER BY/LIMIT/OFFSET
 
 
 def parse_delete(sql: str) -> DeleteStmt:
@@ -650,6 +671,7 @@ def parse_delete(sql: str) -> DeleteStmt:
         with_sql, sql = sp[0].rstrip(), sp[1]
     elif _WITH_HEAD_RE.match(sql):
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
+    sql, tail = split_dml_tail(sql)
     m = _DELETE_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -657,6 +679,7 @@ def parse_delete(sql: str) -> DeleteStmt:
         table=unquote_ident(m.group("name")).lower(),
         where=(m.group("where") or "").strip().rstrip(";") or None,
         with_sql=with_sql,
+        tail=tail,
     )
 
 
@@ -1073,6 +1096,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
+    r"|likely|unlikely|likelihood"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1255,6 +1279,11 @@ def _rewrite_one_call(
             f"concat('[', {_JV.format(a=a)}, ',null]')" for a in args[1:]
         )
         return f"__json_mutate({args[0]}, 'remove', concat('[', concat_ws(',', {pairs}), ']'))"
+    if n in ("likely", "unlikely") and len(args) == 1:
+        # planner-hint no-ops: pass the value through (SQLite core)
+        return f"({args[0]})"
+    if n == "likelihood" and len(args) == 2:
+        return f"({args[0]})"
     if n == "json_group_array" and len(args) == 1:
         # aggregate twin of json_array: per-row _jval serialization
         # (NULL rows serialize to the string 'null' via the to_json

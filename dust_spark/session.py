@@ -1235,12 +1235,29 @@ class DustSession:
             raise DustError(f"no such column: {unknown[0]}")
 
         if up.from_sql is not None:
+            if up.tail is not None:
+                raise DustError("unsupported: UPDATE ... FROM with ORDER BY/LIMIT")
             return self._update_from(overlay, st, up, where, assigned)
 
-        st.df.createOrReplaceTempView("__dust_stage")
         # WITH-CTE DML: the CTE list prefixes the rewrite so SET/WHERE
         # subqueries can reference it (SQLite CTE-DML semantics)
         with_prefix = (up.with_sql + " ") if up.with_sql else ""
+        if up.tail is not None:
+            # SQLITE_ENABLE_UPDATE_DELETE_LIMIT: rank the WHERE matches
+            # by the ORDER BY, keep LIMIT/OFFSET of them, update only
+            # those — implemented by restricting WHERE to the victim
+            # row ids (scan order = monotonic id, like SQLite's rowid
+            # scan when no ORDER BY is given)
+            rid_df = st.df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+            rid_df.createOrReplaceTempView("__dust_stage")
+            tail = dialect.resolve_rowid(up.tail, tdef)
+            self.spark.sql(
+                f"{with_prefix}SELECT __rid AS __vrid FROM __dust_stage AS `{up.table}` "
+                f"WHERE coalesce(({where}), false) {tail}"
+            ).localCheckpoint(eager=True).createOrReplaceTempView("__dust_victims")
+            where = "`__rid` IN (SELECT __vrid FROM __dust_victims)"
+        else:
+            st.df.createOrReplaceTempView("__dust_stage")
         projs = []
         for f in tdef.schema.fields:
             if f.name in assigned:
@@ -1451,7 +1468,30 @@ class DustSession:
         st.df.createOrReplaceTempView("__dust_stage")
         with_prefix = (de.with_sql + " ") if de.with_sql else ""
         if de.where is not None:
-            de = de.__class__(de.table, dialect.resolve_rowid(de.where, st.tdef), de.with_sql)
+            de = de.__class__(
+                de.table, dialect.resolve_rowid(de.where, st.tdef), de.with_sql, de.tail
+            )
+        if de.tail is not None:
+            # SQLITE_ENABLE_UPDATE_DELETE_LIMIT: delete only the ORDER
+            # BY/LIMIT-selected victims (see the UPDATE twin above)
+            rid_df = st.df.withColumn("__rid", F.monotonically_increasing_id()).localCheckpoint(eager=True)
+            rid_df.createOrReplaceTempView("__dust_stage_rid")
+            tail = dialect.resolve_rowid(de.tail, st.tdef)
+            victims = self.spark.sql(
+                f"{with_prefix}SELECT __rid FROM __dust_stage_rid AS `{de.table}` "
+                f"WHERE coalesce(({de.where or 'TRUE'}), false) {tail}"
+            ).localCheckpoint(eager=True)
+            n = victims.count()
+            if self._capture_returning:
+                self._returning_df = rid_df.join(victims, "__rid", "left_semi").drop("__rid")
+                self._returning_table = de.table
+            new_df = rid_df.join(victims, "__rid", "left_anti").drop("__rid").localCheckpoint(eager=True)
+            self._check_child_fks(overlay, de.table, new_df)
+            new_st = overlay.catalog.materialize(
+                de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1)
+            )
+            overlay.put(de.table, new_st)
+            return self._ok(n)
         if de.where is None:
             n = st.df.count()
             if self._capture_returning:

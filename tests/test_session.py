@@ -1203,6 +1203,40 @@ def test_insert_or_ignore_sqlite_differential(db):
         assert [tuple(x) for x in eng.values] == ref_rows, sql
 
 
+def test_dml_order_by_limit_sqlite_differential(db):
+    """DELETE/UPDATE ... ORDER BY ... LIMIT [OFFSET] (the
+    SQLITE_ENABLE_UPDATE_DELETE_LIMIT surface, enabled in the stdlib
+    build) plus the likely/unlikely/likelihood hint no-ops — replayed
+    statement-for-statement against in-process sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    setup = [
+        "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)",
+        "INSERT INTO t VALUES (1,10),(2,20),(3,30),(4,40),(5,50),(6,60)",
+    ]
+    stmts = [
+        "DELETE FROM t ORDER BY id DESC LIMIT 2",
+        "UPDATE t SET v = v + 1 ORDER BY id LIMIT 1",
+        "UPDATE t SET v = 0 WHERE id > 1 ORDER BY id DESC LIMIT 1 OFFSET 1",
+        "DELETE FROM t WHERE likely(v >= 0) ORDER BY v LIMIT 1",
+    ]
+    for sql in setup:
+        ref.execute(sql)
+        ex(db, sql)
+    for sql in stmts:
+        ref.execute(sql)
+        n_ref = ref.execute("SELECT changes()").fetchone()[0]
+        r = db.execute_string_stmt(sql)[0]
+        assert r.error == "", f"{sql}: {r.error}"
+        assert r.rows_affected == n_ref, f"{sql}: {r.rows_affected} != {n_ref}"
+        ref_rows = ref.execute("SELECT * FROM t ORDER BY id").fetchall()
+        eng = db.query_string_stmt("SELECT * FROM t ORDER BY id")[0]
+        assert [tuple(x) for x in eng.values] == ref_rows, sql
+    out = db.query_string_stmt("SELECT likely(1) AS a, unlikely(0) AS b, likelihood(5, 0.5) AS c")
+    assert out[0].values == [[1, 0, 5]]
+
+
 def test_update_or_ignore_replace_sqlite_differential(db):
     """UPDATE OR IGNORE (violating row-updates revert, don't count) and
     UPDATE OR REPLACE (conflicting rows deleted; only updates counted) —
