@@ -233,6 +233,10 @@ class TableDef:
     # original CREATE TABLE text for the sqlite_master 'sql' column;
     # None after column-level ALTERs (the text is then synthesized)
     source_sql: str | None = None
+    # GENERATED ALWAYS AS columns: col -> expression SQL (computed on
+    # every write; VIRTUAL vs STORED is observationally identical in a
+    # copy-on-write engine, both store the computed value)
+    generated: dict[str, str] = field(default_factory=dict)
     rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
     if_not_exists: bool = False
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
@@ -266,8 +270,32 @@ _CREATE_RE = re.compile(
 
 _COL_CONSTRAINT_WORDS = (
     "NOT", "PRIMARY", "UNIQUE", "REFERENCES", "DEFAULT", "CHECK",
-    "COLLATE", "AUTOINCREMENT", "CONSTRAINT",
+    "COLLATE", "AUTOINCREMENT", "CONSTRAINT", "GENERATED", "AS",
 )
+
+_GENERATED_RE = re.compile(r"(?:GENERATED\s+ALWAYS\s+)?AS\s*\(", re.I)
+
+
+def _extract_generated(text: str) -> str | None:
+    """The GENERATED ALWAYS AS (expr) / AS (expr) expression of a column
+    def, balanced-paren extracted, or None."""
+    m = _GENERATED_RE.search(text)
+    if not m:
+        return None
+    i, depth, in_str = m.end(), 1, None
+    while i < len(text) and depth:
+        ch = text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        i += 1
+    return text[m.end() : i - 1].strip()
 
 _CHECK_HEAD_RE = re.compile(
     r"(?:CONSTRAINT\s+(\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s+)?CHECK\s*\(", re.I
@@ -392,9 +420,13 @@ def parse_create_table(sql: str) -> TableDef:
             rt = unquote_ident(ref.group(1)).lower()
             rc = unquote_ident(ref.group(2) or col).lower()
             td.foreign_keys.append(ForeignKey(col, rt, rc))
-        dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
-        if dm:
-            td.defaults[col] = dm.group(1)
+        gen = _extract_generated(rest_raw)
+        if gen is not None:
+            td.generated[col] = gen
+        else:
+            dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
+            if dm:
+                td.defaults[col] = dm.group(1)
         td.checks.extend(extract_checks(item))
 
         td.declared_types[col] = decl
@@ -700,6 +732,9 @@ def synth_create_sql(td: TableDef) -> str:
     for f in td.schema.fields:
         d = td.declared_types.get(f.name, "")
         p = f.name + (f" {d}" if d else "")
+        if f.name in td.generated:
+            parts.append(f"{p} GENERATED ALWAYS AS ({td.generated[f.name]})")
+            continue
         if td.primary_key == [f.name]:
             p += " PRIMARY KEY"
         if f.name in td.not_null:
@@ -1096,7 +1131,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
-    r"|likely|unlikely|likelihood"
+    r"|likely|unlikely|likelihood|hex"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1279,6 +1314,15 @@ def _rewrite_one_call(
             f"concat('[', {_JV.format(a=a)}, ',null]')" for a in args[1:]
         )
         return f"__json_mutate({args[0]}, 'remove', concat('[', concat_ws(',', {pairs}), ']'))"
+    if n == "hex" and len(args) == 1:
+        # SQLite hex(X) hexes the BYTES of X's text form (hex(3)='33');
+        # Spark hexes numbers numerically. Blobs hex their raw bytes on
+        # both sides; typeof() is static → the CASE constant-folds.
+        a = args[0]
+        return (
+            f"(CASE WHEN typeof({a}) = 'binary' THEN upper(hex({a})) "
+            f"ELSE upper(hex(CAST({a} AS STRING))) END)"
+        )
     if n in ("likely", "unlikely") and len(args) == 1:
         # planner-hint no-ops: pass the value through (SQLite core)
         return f"({args[0]})"

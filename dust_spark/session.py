@@ -530,11 +530,17 @@ class DustSession:
             tdef.checks.extend(sub.checks)
             tdef.foreign_keys.extend(sub.foreign_keys)
             tdef.source_sql = None  # sqlite_master sql re-synthesizes
-            fill = (
-                F.expr(dialect.rewrite_sqlite_fns(default_sql))
-                if default_sql is not None
-                else F.lit(None)
-            )
+            if col in sub.generated:
+                # ADD COLUMN ... GENERATED ALWAYS AS: compute for
+                # existing rows (SQLite allows VIRTUAL adds)
+                tdef.generated[col] = sub.generated[col]
+                fill = F.expr(dialect.rewrite_sqlite_fns(sub.generated[col]))
+            else:
+                fill = (
+                    F.expr(dialect.rewrite_sqlite_fns(default_sql))
+                    if default_sql is not None
+                    else F.lit(None)
+                )
             new_df = st.df.withColumn(col, fill.cast(f_new.dataType))
 
         elif kind == "rename_table":
@@ -793,13 +799,17 @@ class DustSession:
         tdef = st.tdef
         pk_cols = tdef.primary_key or ([tdef.rowid_column] if tdef.rowid_column else [])
         values = []
-        for i, f in enumerate(tdef.schema.fields):
+        i = 0
+        for f in tdef.schema.fields:
+            if f.name in tdef.generated:
+                continue  # SQLite hides generated columns (table_xinfo shows them)
             decl = tdef.declared_types.get(f.name, f.dataType.simpleString().upper())
             notnull = 1 if f.name in tdef.not_null else 0
             dflt = tdef.defaults.get(f.name)
             # SQLite: pk = 1-based position within the primary key, else 0
             pk = pk_cols.index(f.name) + 1 if f.name in pk_cols else 0
             values.append([i, f.name, decl, notnull, dflt, pk])
+            i += 1
         return Rows(columns=cols, types=types, values=values)
 
     # -- DML --------------------------------------------------------------
@@ -816,6 +826,9 @@ class DustSession:
         src_sql = ins.source_sql
         default_values = re.match(r"DEFAULT\s+VALUES\s*;?\s*$", src_sql, re.I | re.S) is not None
         values_src = default_values or src_sql.upper().startswith("VALUES")
+        # positional inserts bind to the NON-generated columns only
+        # (SQLite: generated columns are never insert targets)
+        insertable = [c for c in schema_cols if c not in tdef.generated]
         if default_values:
             # INSERT INTO t DEFAULT VALUES: one row, every column takes
             # its default (or NULL / the next rowid)
@@ -823,10 +836,13 @@ class DustSession:
             cols = []
         elif src_sql.upper().startswith("VALUES"):
             src = self.spark.sql(f"SELECT * FROM {src_sql}")
-            cols = ins.columns or schema_cols
+            cols = ins.columns or insertable
         else:
             src = self.spark.sql(src_sql)
-            cols = ins.columns or schema_cols
+            cols = ins.columns or insertable
+        for g in tdef.generated:
+            if g in cols:
+                raise DustError(f'cannot INSERT into generated column "{g}"')
         if len(src.columns) != len(cols):
             raise DustError(f"{len(src.columns)} values for {len(cols)} columns")
         unknown = [c for c in cols if c not in schema_cols]
@@ -857,6 +873,7 @@ class DustSession:
                 c = F.lit(None).cast(f.dataType)
             projected.append(c.alias(f.name))
         new_rows = src.select(*projected, F.col("__rn"))
+        new_rows = self._apply_generated(tdef, new_rows)
 
         if ins.or_ignore:
             # OR IGNORE silently drops rows violating NOT NULL, CHECK
@@ -1062,6 +1079,9 @@ class DustSession:
             unknown = [c for c in sets if c not in schema_cols]
             if unknown:
                 raise DustError(f"no such column: {unknown[0]}")
+            for g in tdef.generated:
+                if g in sets:
+                    raise DustError(f'cannot UPDATE generated column "{g}"')
             # DO UPDATE ... WHERE pred: the predicate gates each
             # conflicting row's update (probed against sqlite3: WHERE
             # false → row untouched AND changes() not incremented;
@@ -1128,8 +1148,11 @@ class DustSession:
                 eq = existing[c] == exc[f"__exc_{c}"]
                 cond = eq if cond is None else (cond & eq)
             joined = existing.join(exc, cond, "left")
-            marked = joined.selectExpr(
-                *_set_projs([f"CASE WHEN {upd_cond} THEN 1 ELSE 0 END AS __upd"])
+            marked = self._apply_generated(
+                tdef,
+                joined.selectExpr(
+                    *_set_projs([f"CASE WHEN {upd_cond} THEN 1 ELSE 0 END AS __upd"])
+                ),
             ).localCheckpoint(eager=True)
             n_updated = marked.filter(F.col("__upd") == 1).count()
             updated = marked.drop("__upd")
@@ -1146,7 +1169,9 @@ class DustSession:
             for c in target:
                 eq = fresh_base[c] == exc_new[f"__exc_{c}"]
                 condf = eq if condf is None else (condf & eq)
-            fresh = fresh_base.join(exc_new, condf, "left").selectExpr(*_set_projs(["__rn"]))
+            fresh = self._apply_generated(
+                tdef, fresh_base.join(exc_new, condf, "left").selectExpr(*_set_projs(["__rn"]))
+            )
 
         if self._capture_returning:
             fresh = fresh.localCheckpoint(eager=True)  # reused below
@@ -1233,6 +1258,9 @@ class DustSession:
         unknown = [c for c in assigned if c not in [f.name for f in tdef.schema.fields]]
         if unknown:
             raise DustError(f"no such column: {unknown[0]}")
+        for g in tdef.generated:
+            if g in assigned:
+                raise DustError(f'cannot UPDATE generated column "{g}"')
 
         if up.from_sql is not None:
             if up.tail is not None:
@@ -1282,6 +1310,7 @@ class DustSession:
         )
         if up.or_action:
             marked = self._update_resolve_conflicts(tdef, assigned, marked, up.or_action)
+        marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")
@@ -1295,6 +1324,16 @@ class DustSession:
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(up.table, new_st)
         return self._ok(n)
+
+    def _apply_generated(self, tdef: TableDef, df: DataFrame) -> DataFrame:
+        """(Re)compute GENERATED ALWAYS AS columns from the current row
+        values — applied after every insert projection and update
+        post-image (sequential, so a generated column may reference an
+        earlier one, like SQLite)."""
+        for g, expr in tdef.generated.items():
+            dtype = next(f.dataType for f in tdef.schema.fields if f.name == g)
+            df = df.withColumn(g, F.expr(dialect.rewrite_sqlite_fns(expr)).cast(dtype))
+        return df
 
     def _update_resolve_conflicts(
         self, tdef: TableDef, assigned: dict[str, str], marked: DataFrame, action: str
@@ -1446,6 +1485,7 @@ class DustSession:
             else:
                 cols.append(F.col(f.name))
         marked = joined.select(*cols, F.coalesce(F.col("__hit"), F.lit(0)).alias("__m"))
+        marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")

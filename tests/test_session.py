@@ -1203,6 +1203,45 @@ def test_insert_or_ignore_sqlite_differential(db):
         assert [tuple(x) for x in eng.values] == ref_rows, sql
 
 
+def test_generated_columns_sqlite_differential(db):
+    """GENERATED ALWAYS AS columns (SQLite 3.31+): computed on every
+    write (VIRTUAL ≡ STORED observationally in a copy-on-write engine),
+    never insert/update targets, positional inserts bind to the
+    non-generated columns, table_info hides them. Replayed vs sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ddl = (
+        "CREATE TABLE g (a INT, b INT GENERATED ALWAYS AS (a*2) VIRTUAL, "
+        "c TEXT AS (upper(hex(a))) STORED, d INT)"
+    )
+    ref.execute(ddl)
+    ex(db, ddl)
+    stmts = [
+        "INSERT INTO g(a, d) VALUES (3, 1)",
+        "INSERT INTO g VALUES (4, 2)",       # positional: non-generated only
+        "UPDATE g SET a = 5 WHERE d = 1",    # generated recompute
+        "DELETE FROM g WHERE d = 2",
+    ]
+    for sql in stmts:
+        ref.execute(sql)
+        db.execute_string_stmt(sql)
+        ref_rows = ref.execute("SELECT * FROM g ORDER BY d").fetchall()
+        eng = db.query_string_stmt("SELECT * FROM g ORDER BY d")[0]
+        assert [tuple(x) for x in eng.values] == ref_rows, sql
+    for sql in ["INSERT INTO g(a, b) VALUES (1, 9)", "UPDATE g SET b = 1"]:
+        try:
+            ref.execute(sql)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got = db.execute_string_stmt(sql)[0].error or None
+        assert got == ref_err, f"{sql}: engine={got!r} sqlite={ref_err!r}"
+    assert db.query_string_stmt("PRAGMA table_info(g)")[0].values == [
+        list(r) for r in ref.execute("PRAGMA table_info(g)").fetchall()
+    ]
+
+
 def test_dml_order_by_limit_sqlite_differential(db):
     """DELETE/UPDATE ... ORDER BY ... LIMIT [OFFSET] (the
     SQLITE_ENABLE_UPDATE_DELETE_LIMIT surface, enabled in the stdlib

@@ -276,6 +276,13 @@ JSON_MUTATE_CASES = [
     'SELECT json_patch(\'{"a":1}\', \'[5]\')',
     "SELECT json_patch('{\"a\":1}', json_object('b', 2))",
     "SELECT sqlite_version()",
+    # hex() hexes the TEXT bytes (numbers convert to text first; blobs
+    # hex raw bytes; letters uppercase)
+    "SELECT hex(3)",
+    "SELECT hex('z')",
+    "SELECT hex('ab')",
+    "SELECT hex(-12)",
+    "SELECT hex(zeroblob(2))",
 ]
 
 
