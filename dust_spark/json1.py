@@ -128,13 +128,31 @@ def _json_type(v) -> str:
     return "object" if isinstance(v, dict) else "array"
 
 
-def each_rows(j: str):
+def each_rows(j: str, path: str | None = None):
     """json_each rows: (key, value, type, fullkey, path). Scalars render
     their text form, containers their minified JSON (SQLite returns
-    dynamic values; the wire here is string-typed — documented)."""
+    dynamic values; the wire here is string-typed — documented). The
+    optional 2nd argument roots iteration at a path ('$.a.b' — missing
+    paths yield no rows, sqlite3-probed); fullkey/path prefix with it."""
     if j is None:
         return
     doc = json.loads(j)
+    root = "$"
+    if path is not None:
+        root = path
+        try:
+            steps = parse_path(path)
+        except Exception:
+            return
+        for kind, v in steps:
+            if kind == "key" and isinstance(doc, dict) and v in doc:
+                doc = doc[v]
+            elif kind == "idx" and isinstance(doc, list) and 0 <= v < len(doc):
+                doc = doc[v]
+            elif kind == "end" and isinstance(doc, list) and 0 <= len(doc) - v < len(doc):
+                doc = doc[len(doc) - v]  # '$[#-n]' (same rule as _navigate)
+            else:
+                return
 
     def render(v):
         if v is None:
@@ -149,12 +167,12 @@ def each_rows(j: str):
 
     if isinstance(doc, dict):
         for k, v in doc.items():
-            yield (str(k), render(v), _json_type(v), f"$.{k}", "$")
+            yield (str(k), render(v), _json_type(v), f"{root}.{k}", root)
     elif isinstance(doc, list):
         for i, v in enumerate(doc):
-            yield (str(i), render(v), _json_type(v), f"$[{i}]", "$")
+            yield (str(i), render(v), _json_type(v), f"{root}[{i}]", root)
     else:
-        yield (None, render(doc), _json_type(doc), "$", "$")
+        yield (None, render(doc), _json_type(doc), root, root)
 
 
 def merge_patch(a: str | None, b: str | None) -> str | None:
@@ -192,7 +210,7 @@ def register(spark) -> None:
 
     @udtf(returnType="key string, value string, type string, fullkey string, path string")
     class JsonEach:
-        def eval(self, j: str):
-            yield from each_rows(j)
+        def eval(self, j: str, path: str = None):
+            yield from each_rows(j, path)
 
     spark.udtf.register("json_each", JsonEach)

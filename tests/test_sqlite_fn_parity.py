@@ -307,6 +307,14 @@ def test_json_each_table_function(db, ref):
     got2 = db.query_string_stmt(q2)[0].values
     want2 = [[str(k), None if v is None else str(v), t] for k, v, t in ref.execute(q2).fetchall()]
     assert got2 == want2
+    # 2-arg form roots iteration at a path; fullkey/path prefix with it
+    q3 = "SELECT key, value, fullkey, path FROM json_each('{\"a\":{\"b\":[1,2]}}', '$.a.b')"
+    got3 = db.query_string_stmt(q3)[0].values
+    want3 = [[str(k), str(v), fk, p] for k, v, fk, p in ref.execute(q3).fetchall()]
+    assert got3 == want3
+    # missing path -> zero rows (both engines)
+    q4 = "SELECT count(*) AS n FROM json_each('{\"a\":1}', '$.zz')"
+    assert db.query_string_stmt(q4)[0].values == [[r for r in ref.execute(q4).fetchone()]]
 
 
 WINDOW_CASES = [
