@@ -34,7 +34,7 @@ from dataclasses import dataclass, replace
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
-from dust_spark.dialect import TableDef
+from dust_spark.dialect import HIDDEN_ROWID, TableDef
 
 
 @dataclass
@@ -46,6 +46,14 @@ class TableState:
 
     def with_df(self, df: DataFrame, bump: bool = True) -> "TableState":
         return replace(self, df=df, version=self.version + (1 if bump else 0))
+
+    def visible_df(self) -> DataFrame:
+        """The queryable projection: implicit-rowid tables store their
+        hidden rowid column in ``df`` but never expose it through the
+        registered view (SQLite's ``SELECT *`` excludes rowid)."""
+        if self.tdef.implicit_rowid and HIDDEN_ROWID in self.df.columns:
+            return self.df.drop(HIDDEN_ROWID)
+        return self.df
 
 
 class Catalog:
@@ -103,7 +111,7 @@ class Catalog:
             self.tables[key] = TableState(
                 tdef=tdef, df=df, high_water=meta["high_water"], version=meta["version"]
             )
-            df.createOrReplaceTempView(key)
+            self.tables[key].visible_df().createOrReplaceTempView(key)
         self.views = man.get("views", {})
         self.journal_seq = man.get("journal_seq", 0)
         for vname, vsql in self.views.items():
@@ -163,7 +171,7 @@ class Catalog:
                 self.spark.catalog.dropTempView(self.view_name(name))
             else:
                 self.tables[name] = st
-                st.df.createOrReplaceTempView(self.view_name(name))
+                st.visible_df().createOrReplaceTempView(self.view_name(name))
         if self.warehouse:
             self._save_manifest()
         # re-resolve dependent views against the new table versions. A
@@ -216,7 +224,7 @@ class Overlay:
     def put(self, name: str, st: TableState) -> None:
         self.staged[name] = st
         # staged state must be visible to later statements in the batch
-        st.df.createOrReplaceTempView(self.catalog.view_name(name))
+        st.visible_df().createOrReplaceTempView(self.catalog.view_name(name))
 
     def drop(self, name: str) -> None:
         self.staged[name] = None
@@ -235,7 +243,7 @@ class Overlay:
             for name in ov.staged:
                 cur = ov.catalog.tables.get(name)
                 if cur is not None:
-                    cur.df.createOrReplaceTempView(ov.catalog.view_name(name))
+                    cur.visible_df().createOrReplaceTempView(ov.catalog.view_name(name))
                 else:
                     ov.catalog.spark.catalog.dropTempView(ov.catalog.view_name(name))
             ov.staged = {}
@@ -254,6 +262,7 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         "unique": tdef.unique,
         "foreign_keys": [[fk.column, fk.ref_table, fk.ref_column] for fk in tdef.foreign_keys],
         "rowid_column": tdef.rowid_column,
+        "autoincrement": tdef.autoincrement,
     }
 
 
@@ -269,4 +278,5 @@ def _tdef_from_json(d: dict) -> TableDef:
         unique=d.get("unique", []),
         foreign_keys=[ForeignKey(*fk) for fk in d.get("foreign_keys", [])],
         rowid_column=d.get("rowid_column"),
+        autoincrement=d.get("autoincrement", False),
     )

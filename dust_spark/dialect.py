@@ -209,6 +209,16 @@ def affinity_type(decl: str) -> T.DataType:
 # --------------------------------------------------------------------------
 
 
+# Hidden storage column carrying the rowid of an implicit-rowid table
+# (a rowid table with no INTEGER PRIMARY KEY alias — SQLite's default
+# table form, lang_createtable.html#rowid). The column lives in the
+# stored DataFrame but is dropped from the registered view, hidden from
+# PRAGMA table_info and excluded from positional INSERT binding.
+HIDDEN_ROWID = "__dust_rowid__"
+
+_ROWID_NAMES = ("rowid", "_rowid_", "oid")
+
+
 @dataclass
 class ForeignKey:
     column: str
@@ -237,9 +247,22 @@ class TableDef:
     # every write; VIRTUAL vs STORED is observationally identical in a
     # copy-on-write engine, both store the computed value)
     generated: dict[str, str] = field(default_factory=dict)
-    rowid_column: str | None = None  # INTEGER PRIMARY KEY ⇒ rowid alias
+    # INTEGER PRIMARY KEY column (rowid alias), or HIDDEN_ROWID for an
+    # implicit-rowid table, or None for WITHOUT ROWID
+    rowid_column: str | None = None
+    # INTEGER PRIMARY KEY AUTOINCREMENT: ids stay strictly monotone;
+    # plain rowid tables follow SQLite's max(rowid)+1 rule, which can
+    # reuse ids after the max row is deleted (sqlite3-probed)
+    autoincrement: bool = False
     if_not_exists: bool = False
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
+
+    @property
+    def implicit_rowid(self) -> bool:
+        return self.rowid_column == HIDDEN_ROWID
+
+    def visible_fields(self) -> list:
+        return [f for f in self.schema.fields if f.name != HIDDEN_ROWID]
 
 
 _CTAS_RE = re.compile(
@@ -413,6 +436,8 @@ def parse_create_table(sql: str) -> TableDef:
             td.primary_key = [col]
             if isinstance(dtype, T.LongType):
                 td.rowid_column = col  # SQLite: INTEGER PRIMARY KEY = rowid alias
+                if "AUTOINCREMENT" in rest:
+                    td.autoincrement = True
         if re.search(r"\bUNIQUE\b", rest):
             td.unique.append([col])
         ref = _REF_RE.search(rest_raw)
@@ -432,11 +457,28 @@ def parse_create_table(sql: str) -> TableDef:
         td.declared_types[col] = decl
         fields.append(T.StructField(col, dtype, nullable=True))
 
+    # table-level PRIMARY KEY(a) on a single INTEGER column is a rowid
+    # alias too (lang_createtable.html#rowid — same rule as the
+    # column-level form; the engine's existing INT≈INTEGER affinity
+    # approximation applies to both)
+    if (
+        td.rowid_column is None
+        and len(td.primary_key) == 1
+        and any(
+            f.name == td.primary_key[0] and isinstance(f.dataType, T.LongType)
+            for f in fields
+        )
+    ):
+        td.rowid_column = td.primary_key[0]
     td.schema = T.StructType(fields)
     if td.primary_key and td.primary_key not in td.unique:
         td.unique.insert(0, td.primary_key)
     if without_rowid:
         td.rowid_column = None
+    elif td.rowid_column is None:
+        # implicit-rowid table (SQLite's default): hidden storage column
+        td.rowid_column = HIDDEN_ROWID
+        td.schema = T.StructType(fields + [T.StructField(HIDDEN_ROWID, T.LongType())])
     return td
 
 
@@ -729,7 +771,7 @@ def synth_create_sql(td: TableDef) -> str:
     regenerate a canonical equivalent instead)."""
     parts = []
     single_uniques = [u[0] for u in td.unique if len(u) == 1 and u != td.primary_key]
-    for f in td.schema.fields:
+    for f in td.visible_fields():
         d = td.declared_types.get(f.name, "")
         p = f.name + (f" {d}" if d else "")
         if f.name in td.generated:
@@ -891,20 +933,32 @@ SQLITE_FN_DDL = (
     "1, 2*greatest(n, 1)))",
     # json1 extension surface over Spark's VARIANT type: json() canonical
     # minification, json_valid(), json_type() (invalid input → NULL where
-    # SQLite raises — documented). json_extract is a rename to
-    # get_json_object; json_array/json_object/json_quote are
+    # SQLite raises — documented). VARIANT rejects duplicate object keys
+    # which SQLite accepts (json_valid('{"a":0,"a":0}') = 1, json_type =
+    # 'object', json() keeps both pairs) — fall back to Jackson via
+    # get_json_object(j, '$'), which tolerates duplicates and minifies
+    # exactly like SQLite; the fallback only ever fires on container
+    # docs (scalars can't fail the VARIANT parse), so Jackson's
+    # quote-stripping of top-level strings never bites. json_extract is
+    # a rename to get_json_object; json_array/json_object/json_quote are
     # per-argument inline rewrites (_rewrite_one_call) because their
     # serialization must see the original argument TYPES.
+    "CREATE OR REPLACE TEMPORARY FUNCTION __json_canon(j STRING) RETURNS STRING "
+    "RETURN CASE WHEN try_parse_json(j) IS NOT NULL THEN to_json(parse_json(j)) "
+    "ELSE get_json_object(j, '$') END",
     "CREATE OR REPLACE TEMPORARY FUNCTION json(j STRING) RETURNS STRING "
-    "RETURN to_json(parse_json(j))",
+    "RETURN CASE WHEN try_parse_json(j) IS NOT NULL THEN to_json(parse_json(j)) "
+    "WHEN get_json_object(j, '$') IS NOT NULL THEN get_json_object(j, '$') "
+    "ELSE to_json(parse_json(j)) END",  # last arm raises like SQLite json() on junk
     "CREATE OR REPLACE TEMPORARY FUNCTION json_valid(j STRING) RETURNS INT "
-    "RETURN CASE WHEN try_parse_json(j) IS NULL THEN 0 ELSE 1 END",  # NULL → 0, like SQLite
+    "RETURN CASE WHEN try_parse_json(j) IS NOT NULL "
+    "OR get_json_object(j, '$') IS NOT NULL THEN 1 ELSE 0 END",  # NULL → 0, like SQLite
     "CREATE OR REPLACE TEMPORARY FUNCTION json_type(j STRING) RETURNS STRING "
-    "RETURN CASE WHEN j IS NULL OR try_parse_json(j) IS NULL THEN NULL ELSE "
-    "CASE substr(to_json(parse_json(j)), 1, 1) "
+    "RETURN CASE WHEN j IS NULL OR __json_canon(j) IS NULL THEN NULL ELSE "
+    "CASE substr(__json_canon(j), 1, 1) "
     "WHEN '{' THEN 'object' WHEN '[' THEN 'array' WHEN '\"' THEN 'text' "
     "WHEN 't' THEN 'true' WHEN 'f' THEN 'false' WHEN 'n' THEN 'null' "
-    "ELSE CASE WHEN to_json(parse_json(j)) RLIKE '^-?[0-9]+$' THEN 'integer' "
+    "ELSE CASE WHEN __json_canon(j) RLIKE '^-?[0-9]+$' THEN 'integer' "
     "ELSE 'real' END END END",
     # SQLite glob(PATTERN, VALUE): translate glob syntax to an anchored
     # regex (escape regex metachars; * -> .*, ? -> .; [..]/[^..] char
@@ -1108,16 +1162,134 @@ def _rewrite_operators(sql: str) -> str:
 # with one of these names shadows the alias, exactly like SQLite.
 _ROWID_RE = re.compile(r"\b(rowid|_rowid_|oid)\b", re.I)
 
+_WORD_RE = re.compile(r"[A-Za-z_]\w*")
+_ROWID_ITEM_TAIL_RE = re.compile(r"\s*(,|\bFROM\b)", re.I)
+
 
 def resolve_rowid(sql: str, tdef) -> str:
-    if not tdef or not tdef.rowid_column or not _ROWID_RE.search(sql):
+    """Substitute the table's rowid column for bare rowid tokens.
+
+    INTEGER-PRIMARY-KEY alias tables: plain substitution — SQLite names
+    a bare rowid select item after the PK column itself (probed:
+    cur.description for ``SELECT rowid FROM t`` is ``id``), so no
+    aliasing is needed anywhere.
+
+    Implicit-rowid tables (hidden HIDDEN_ROWID storage column): SQLite
+    names a bare rowid/_rowid_/oid select item literally ``rowid``
+    (probed: ``SELECT oid, _rowid_`` → ['rowid', 'rowid']), so a token
+    standing alone in a select list — preceded by SELECT/',' (modulo a
+    table qualifier), followed by ',' or FROM at the same paren depth —
+    becomes ``HIDDEN AS rowid``. Bare ``*`` / ``x.*`` select items are
+    expanded to the visible column list because the query runs against
+    a temporary view that exposes the hidden column (SQLite's ``*``
+    never includes rowid). Single linear scan tracking string literals,
+    backticks, paren depth and open SELECT lists so commas inside
+    function calls or IN-lists can't fake a select-item position."""
+    if not tdef or not tdef.rowid_column:
+        return sql
+    has_token = bool(_ROWID_RE.search(sql))
+    # implicit tables also need bare-* expansion when the SQL runs
+    # against a view exposing the hidden column (RETURNING *)
+    if not has_token and not (tdef.implicit_rowid and "*" in sql):
         return sql
     cols = {f.name.lower() for f in tdef.schema.fields}
+    rc = tdef.rowid_column
 
-    def sub(m):
-        return m.group(1) if m.group(1).lower() in cols else tdef.rowid_column
+    if not tdef.implicit_rowid:
 
-    return _map_outside_strings(sql, lambda seg: _ROWID_RE.sub(sub, seg))
+        def sub(m):
+            return m.group(1) if m.group(1).lower() in cols else rc
+
+        return _map_outside_strings(sql, lambda seg: _ROWID_RE.sub(sub, seg))
+
+    visible = [f.name for f in tdef.visible_fields()]
+    out: list[str] = []
+    i, n = 0, len(sql)
+    depth = 0
+    sel_depths: list[int] = []  # paren depths with an open SELECT list
+
+    def at_item_head() -> bool:
+        prev = "".join(out).rstrip()
+        if prev.endswith("."):  # table-qualified: look before it
+            prev = prev[:-1].rstrip()
+            mq = re.search(r"[\w`]+$", prev)
+            if mq:
+                prev = prev[: mq.start()].rstrip()
+        return prev.endswith(",") or bool(
+            re.search(r"\b(select|distinct|all)$", prev, re.I)
+        )
+
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            out.append(ch)
+            i += 1
+            continue
+        if ch == ")":
+            depth = max(0, depth - 1)
+            while sel_depths and sel_depths[-1] > depth:
+                sel_depths.pop()
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "*":
+            is_item = (
+                bool(sel_depths)
+                and sel_depths[-1] == depth
+                and _ROWID_ITEM_TAIL_RE.match(sql, i + 1) is not None
+                and at_item_head()
+            )
+            if is_item:
+                prev = "".join(out).rstrip()
+                qual = ""
+                if prev.endswith("."):
+                    mq = re.search(r"[\w`]+\.\s*$", prev)
+                    qual = mq.group(0).rstrip() if mq else ""
+                # the qualifier (if any) is already emitted — drop it
+                # from the first expanded column only
+                expanded = ", ".join(f"{qual}{c}" for c in visible)
+                out.append(expanded[len(qual) :])
+            else:
+                out.append(ch)
+            i += 1
+            continue
+        m = _WORD_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        word = m.group(0)
+        wl = word.lower()
+        if wl == "select":
+            sel_depths.append(depth)
+        elif wl == "from" and sel_depths and sel_depths[-1] == depth:
+            sel_depths.pop()
+        if wl in _ROWID_NAMES and wl not in cols:
+            is_item = (
+                bool(sel_depths)
+                and sel_depths[-1] == depth
+                and _ROWID_ITEM_TAIL_RE.match(sql, m.end()) is not None
+                and at_item_head()
+            )
+            out.append(f"{rc} AS rowid" if is_item else rc)
+        else:
+            out.append(word)
+        i = m.end()
+    return "".join(out)
 
 
 def has_rowid_token(sql: str) -> bool:

@@ -143,6 +143,7 @@ class DustSession:
         # handlers leave the affected-row DataFrame here
         self._capture_returning = False
         self._returning_df: DataFrame | None = None
+        self._rowid_tdef: TableDef | None = None  # set by _sql per query
         self._returning_table: str | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
@@ -282,9 +283,16 @@ class DustSession:
                     # alias as the target table so qualified refs
                     # (RETURNING t.col) resolve like SQLite's
                     alias = f" AS `{self._returning_table}`" if self._returning_table else ""
-                    out = self.spark.sql(
-                        dialect.rewrite_sqlite_fns(f"SELECT {returning} FROM __dust_ret{alias}")
+                    sel = dialect.rewrite_sqlite_fns(
+                        f"SELECT {returning} FROM __dust_ret{alias}"
                     )
+                    # RETURNING rowid is legal SQLite; __dust_ret carries
+                    # the hidden rowid column for implicit tables, and
+                    # resolve_rowid expands a bare * so it never leaks
+                    rst = self.catalog.tables.get(self._returning_table or "")
+                    if rst is not None:
+                        sel = dialect.resolve_rowid(sel, rst.tdef)
+                    out = self.spark.sql(sel)
                     results.append(rows_from_dataframe(out))
                     self._returning_df = None
                 else:
@@ -454,10 +462,20 @@ class DustSession:
                 return self._ok()
             raise DustError(f"table {name} already exists")
         df = self.spark.sql(dialect.rewrite_sqlite_fns(sel))
+        declared = {f.name: f.dataType.simpleString().upper() for f in df.schema.fields}
+        # CTAS results are rowid tables in SQLite: assign a hidden
+        # sequential rowid (select order, partition-offset indexed — no
+        # single-task funnel for large results)
+        df = (
+            self._with_insertion_index(df)
+            .withColumn(dialect.HIDDEN_ROWID, F.col("__rn").cast("long"))
+            .drop("__rn")
+        )
         tdef = TableDef(
             name=name,
             schema=df.schema,
-            declared_types={f.name: f.dataType.simpleString().upper() for f in df.schema.fields},
+            declared_types=declared,
+            rowid_column=dialect.HIDDEN_ROWID,
         )
         st = overlay.catalog.materialize(
             name, TableState(tdef=tdef, df=df, high_water=df.count(), version=0)
@@ -770,7 +788,7 @@ class DustSession:
             tdef = st.tdef
             n = 0
             for uniq in tdef.unique:
-                if uniq == tdef.primary_key and tdef.rowid_column:
+                if uniq == tdef.primary_key and tdef.rowid_column and not tdef.implicit_rowid:
                     continue  # INTEGER PRIMARY KEY IS the rowid: no index
                 n += 1
                 origin = "pk" if uniq == tdef.primary_key else "u"
@@ -801,7 +819,7 @@ class DustSession:
         values = []
         i = 0
         for f in tdef.schema.fields:
-            if f.name in tdef.generated:
+            if f.name in tdef.generated or f.name == dialect.HIDDEN_ROWID:
                 continue  # SQLite hides generated columns (table_xinfo shows them)
             decl = tdef.declared_types.get(f.name, f.dataType.simpleString().upper())
             notnull = 1 if f.name in tdef.not_null else 0
@@ -827,8 +845,23 @@ class DustSession:
         default_values = re.match(r"DEFAULT\s+VALUES\s*;?\s*$", src_sql, re.I | re.S) is not None
         values_src = default_values or src_sql.upper().startswith("VALUES")
         # positional inserts bind to the NON-generated columns only
-        # (SQLite: generated columns are never insert targets)
-        insertable = [c for c in schema_cols if c not in tdef.generated]
+        # (SQLite: generated columns are never insert targets); the
+        # hidden rowid of an implicit table is auto-assigned, never
+        # positionally bound
+        insertable = [
+            c for c in schema_cols if c not in tdef.generated and c != dialect.HIDDEN_ROWID
+        ]
+        if ins.columns and tdef.rowid_column:
+            # INSERT INTO t(rowid, ...): a rowid name in the column list
+            # binds the rowid column itself (alias or hidden), unless a
+            # real column shadows it
+            real = {c.lower() for c in schema_cols if c != dialect.HIDDEN_ROWID}
+            ins.columns = [
+                tdef.rowid_column
+                if (c.lower() in ("rowid", "_rowid_", "oid") and c.lower() not in real)
+                else c
+                for c in ins.columns
+            ]
         if default_values:
             # INSERT INTO t DEFAULT VALUES: one row, every column takes
             # its default (or NULL / the next rowid)
@@ -963,7 +996,11 @@ class DustSession:
         if ins.or_replace:
             # SQLite REPLACE semantics: conflicting existing rows are
             # deleted; within the batch the LAST conflicting row wins
-            for colset in tdef.unique:
+            replace_sets = [list(u) for u in tdef.unique]
+            if tdef.implicit_rowid and tdef.rowid_column in cols:
+                # explicit rowid on an implicit table conflicts by rowid
+                replace_sets.insert(0, [tdef.rowid_column])
+            for colset in replace_sets:
                 w2 = Window.partitionBy(*colset).orderBy(F.col("__rn").desc())
                 new_rows = (
                     new_rows.withColumn("__rk", F.row_number().over(w2))
@@ -976,6 +1013,18 @@ class DustSession:
 
         if ins.on_conflict is not None:
             return self._upsert(overlay, st, tdef, ins, new_rows)
+
+        if tdef.implicit_rowid and tdef.rowid_column in cols and not ins.or_ignore and not ins.or_replace:
+            # explicit rowid values on an implicit table: enforce rowid
+            # uniqueness (auto ids can never conflict, so only explicit
+            # batches pay this check)
+            rc_ = tdef.rowid_column
+            cand = new_rows.select(rc_).na.drop()
+            if (
+                cand.groupBy(rc_).count().filter(F.col("count") > 1).limit(1).count() > 0
+                or cand.join(existing.select(rc_), [rc_], "left_semi").limit(1).count() > 0
+            ):
+                raise DustError(f"UNIQUE constraint failed: {tdef.name}.rowid")
 
         self._check_constraints(
             overlay, tdef, new_rows.drop("__rn"), None if ins.or_replace else existing
@@ -1026,7 +1075,14 @@ class DustSession:
         conflicting with existing data) match exactly."""
         kind, target = ins.on_conflict[0], ins.on_conflict[1]
         all_constraints = [list(u) for u in tdef.unique]
-        if tdef.rowid_column and [tdef.rowid_column] not in all_constraints:
+        # the hidden rowid of an implicit table is excluded: auto ids
+        # never conflict, and including it would make every 1-unique
+        # implicit table look multi-constraint to targetless DO UPDATE
+        if (
+            tdef.rowid_column
+            and not tdef.implicit_rowid
+            and [tdef.rowid_column] not in all_constraints
+        ):
             all_constraints.insert(0, [tdef.rowid_column])
         if not target:
             if kind == "update" and len(all_constraints) > 1:
@@ -1254,7 +1310,14 @@ class DustSession:
             raise DustError(f"no such table: {up.table}")
         tdef = st.tdef
         where = dialect.resolve_rowid(up.where or "TRUE", tdef)
-        assigned = {c: dialect.resolve_rowid(e, tdef) for c, e in dict(up.sets).items()}
+        real = {f.name for f in tdef.schema.fields if f.name != dialect.HIDDEN_ROWID}
+        assigned = {}
+        for c, e in dict(up.sets).items():
+            # UPDATE t SET rowid = ... binds the rowid column (alias or
+            # hidden) unless a real column shadows the name
+            if c.lower() in ("rowid", "_rowid_", "oid") and c.lower() not in real and tdef.rowid_column:
+                c = tdef.rowid_column
+            assigned[c] = dialect.resolve_rowid(e, tdef)
         unknown = [c for c in assigned if c not in [f.name for f in tdef.schema.fields]]
         if unknown:
             raise DustError(f"no such column: {unknown[0]}")
@@ -1321,7 +1384,14 @@ class DustSession:
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
         self._check_child_fks(overlay, up.table, new_df)
 
-        new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, st.high_water, st.version + 1))
+        hw = st.high_water
+        if tdef.rowid_column in assigned:
+            # SQLite's next auto rowid is max(rowid)+1, so an UPDATE
+            # that moves the max moves the sequence either way
+            # (sqlite3-probed; AUTOINCREMENT stays monotone)
+            mx = new_df.agg(F.max(tdef.rowid_column)).collect()[0][0]
+            hw = max(hw, int(mx or 0)) if tdef.autoincrement else int(mx or 0)
+        new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, hw, st.version + 1))
         overlay.put(up.table, new_st)
         return self._ok(n)
 
@@ -1528,7 +1598,10 @@ class DustSession:
             new_df = rid_df.join(victims, "__rid", "left_anti").drop("__rid").localCheckpoint(eager=True)
             self._check_child_fks(overlay, de.table, new_df)
             new_st = overlay.catalog.materialize(
-                de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1)
+                de.table,
+                TableState(
+                    st.tdef, new_df, self._post_delete_high_water(st, new_df), st.version + 1
+                ),
             )
             overlay.put(de.table, new_st)
             return self._ok(n)
@@ -1551,9 +1624,22 @@ class DustSession:
                 )
                 self._returning_table = de.table
         self._check_child_fks(overlay, de.table, new_df)
-        new_st = overlay.catalog.materialize(de.table, TableState(st.tdef, new_df, st.high_water, st.version + 1))
+        new_st = overlay.catalog.materialize(
+            de.table,
+            TableState(st.tdef, new_df, self._post_delete_high_water(st, new_df), st.version + 1),
+        )
         overlay.put(de.table, new_st)
         return self._ok(n)
+
+    def _post_delete_high_water(self, st: TableState, new_df: DataFrame) -> int:
+        """SQLite's auto-rowid base is max(rowid) over the CURRENT rows
+        (ids free up when the max row is deleted, sqlite3-probed);
+        AUTOINCREMENT tables keep the monotone high-water instead."""
+        tdef = st.tdef
+        if not tdef.rowid_column or tdef.autoincrement:
+            return st.high_water
+        mx = new_df.agg(F.max(tdef.rowid_column)).collect()[0][0]
+        return int(mx or 0)
 
     # -- constraints (SURVEY §4.2 custom: Spark doesn't enforce) ----------
 
@@ -1659,25 +1745,40 @@ class DustSession:
         )
         if re.search(r"\bsqlite_(master|schema)\b", sql, re.I):
             self._register_sqlite_master()
+        restore = None
+        self._rowid_tdef = None
         if dialect.has_rowid_token(sql):
             # bare rowid resolves against the single referenced rowid
             # table (SQLite alias semantics); ambiguous multi-table SQL
             # is left alone and surfaces SQLite's own "no such column"
             named = [
-                st.tdef
+                (name, st)
                 for name, st in self.catalog.tables.items()
                 if st is not None
                 and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
                 and st.tdef.rowid_column
             ]
             if len(named) == 1:
-                sql = dialect.resolve_rowid(sql, named[0])
+                name, st = named[0]
+                sql = dialect.resolve_rowid(sql, st.tdef)
+                self._rowid_tdef = st.tdef
+                if st.tdef.implicit_rowid:
+                    # expose the hidden rowid column for this query only
+                    # (resolve_rowid expanded any bare * so it can't
+                    # leak); spark.sql analyzes eagerly, so restoring
+                    # the visible view afterwards is safe
+                    view = self.catalog.view_name(name)
+                    st.df.createOrReplaceTempView(view)
+                    restore = (view, st.visible_df())
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))
             return self.spark.sql(sql)
         except Exception as e:
             raise DustError(_clean_error(e)) from e
+        finally:
+            if restore is not None:
+                restore[1].createOrReplaceTempView(restore[0])
 
     def _register_sqlite_master(self) -> None:
         """Materialize the sqlite_master / sqlite_schema catalog table
@@ -1702,7 +1803,7 @@ class DustSession:
             page += 1
             n = 0
             for uniq in tdef.unique:
-                if uniq == tdef.primary_key and tdef.rowid_column:
+                if uniq == tdef.primary_key and tdef.rowid_column and not tdef.implicit_rowid:
                     continue
                 n += 1
                 rows.append(("index", f"sqlite_autoindex_{name}_{n}", name, page, None))
@@ -1726,7 +1827,11 @@ class DustSession:
         """Best-effort SQLite output-column naming: unaliased expressions
         are named by their source text, bare (possibly qualified) column
         refs by the column name (reference golden at db/src/db.rs:497-504
-        expects ``id || "_bar"``). Returns None when the select list
+        expects ``id || "_bar"``). A bare rowid/_rowid_/oid item follows
+        SQLite's probed naming: the PK name on an INTEGER-PRIMARY-KEY
+        alias table, literally ``rowid`` on an implicit-rowid table
+        (``self._rowid_tdef`` is stashed by ``_sql`` when it resolved
+        rowid against a single table). Returns None when the select list
         can't be confidently mapped (names then stay Spark-derived)."""
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.S | re.I)
         if not m:
@@ -1760,7 +1865,17 @@ class DustSession:
             elif item == "*" or item.endswith(".*"):
                 names.append("*")
             elif re.fullmatch(r"[A-Za-z_][\w]*(\.[A-Za-z_][\w]*)*", item):
-                names.append(item.split(".")[-1])
+                last = item.split(".")[-1]
+                rtd = self._rowid_tdef
+                if (
+                    rtd is not None
+                    and last.lower() in ("rowid", "_rowid_", "oid")
+                    and last.lower()
+                    not in {f.name.lower() for f in rtd.visible_fields()}
+                ):
+                    names.append("rowid" if rtd.implicit_rowid else rtd.rowid_column)
+                else:
+                    names.append(last)
             else:
                 names.append(item)
         n_stars = names.count("*")

@@ -180,6 +180,97 @@ def test_rowid_alias(db):
     assert db.query_string_stmt("SELECT rowid FROM rs")[0].values == [[99]]
 
 
+def test_rowid_result_column_names(db):
+    """SQLite's probed wire naming for bare rowid select items: the PK
+    column name on an INTEGER-PRIMARY-KEY alias table (cur.description
+    for 'SELECT rowid FROM rn' is ['id']), literally 'rowid' on an
+    implicit-rowid table (even for oid/_rowid_). Differential against
+    in-process sqlite3 on both table forms."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE rn (id INTEGER NOT NULL PRIMARY KEY, v INT)",
+        "INSERT INTO rn(v) VALUES (7), (8)",
+        "CREATE TABLE ri (v INT)",
+        "INSERT INTO ri(v) VALUES (7), (8)",
+    ):
+        ref.execute(s)
+        db.execute_string_stmt(s)
+    for q in (
+        "SELECT rowid, v FROM rn ORDER BY rowid",
+        "SELECT oid, _rowid_ FROM rn",
+        "SELECT DISTINCT rowid FROM rn",
+        "SELECT rn.rowid FROM rn",
+        "SELECT rowid AS r FROM rn",
+        "SELECT coalesce(v, rowid, 0) AS c FROM rn ORDER BY c",
+        "SELECT rowid, v FROM ri ORDER BY rowid",
+        "SELECT oid, _rowid_ FROM ri",
+        "SELECT ri.rowid FROM ri ORDER BY 1",
+        "SELECT *, rowid FROM ri ORDER BY rowid",
+        "SELECT rowid AS r FROM ri ORDER BY r",
+        "SELECT count(*) AS n FROM ri WHERE rowid > 1",
+    ):
+        cur = ref.execute(q)
+        want_cols = [d[0] for d in cur.description]
+        want_vals = [list(r) for r in cur.fetchall()]
+        got = db.query_string_stmt(q)[0]
+        assert got.columns == want_cols, (q, got.columns, want_cols)
+        assert sorted(map(tuple, got.values)) == sorted(map(tuple, want_vals)), q
+
+
+def test_implicit_rowid_dml_sqlite_differential(db):
+    """Implicit-rowid tables (no INTEGER PRIMARY KEY — SQLite's default
+    table form): hidden rowid assignment, max(rowid)+1 reuse after
+    deleting the max row (AUTOINCREMENT stays monotone), rowid UPDATE
+    moving the sequence both directions, explicit-rowid INSERT with
+    UNIQUE enforcement, last_insert_rowid, and table_info hiding —
+    statement-by-statement differential against in-process sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE imp (v TEXT)",
+        "INSERT INTO imp VALUES ('a')",
+        "INSERT INTO imp VALUES ('b'), ('c')",
+        "DELETE FROM imp WHERE rowid = 3",
+        "INSERT INTO imp VALUES ('d')",  # reuses rowid 3
+        "UPDATE imp SET rowid = 1000 WHERE rowid = 3",
+        "UPDATE imp SET rowid = 5 WHERE rowid = 1000",  # lowers the max
+        "INSERT INTO imp VALUES ('e')",  # takes 6, not 1001
+        "INSERT INTO imp(rowid, v) VALUES (50, 'f')",
+        "INSERT INTO imp VALUES ('g')",  # 51
+        "UPDATE imp SET v = v || rowid WHERE rowid <= 2",
+        "INSERT INTO imp(rowid, v) VALUES (50, 'dup')",  # UNIQUE error
+        "DELETE FROM imp",  # empty -> sequence restarts at 1
+        "INSERT INTO imp VALUES ('h')",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got = db.execute_string_stmt(s)[0]
+        got_err = got.error or None
+        assert (ref_err is None) == (got_err is None), (s, ref_err, got_err)
+        if ref_err is not None:
+            assert got_err == ref_err, (s, ref_err, got_err)
+    q = "SELECT rowid, v FROM imp ORDER BY rowid"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+    assert db.query_string_stmt("SELECT last_insert_rowid() AS r")[0].values == [
+        [ref.execute("SELECT last_insert_rowid()").fetchone()[0]]
+    ]
+    # PRAGMA table_info never shows the hidden rowid
+    assert [r[1] for r in db.query_string_stmt("PRAGMA table_info(imp)")[0].values] == ["v"]
+    # CTAS results are rowid tables too (row order of the unordered
+    # source SELECT is engine-specific, so order the source)
+    db.execute_string_stmt("CREATE TABLE imp2 AS SELECT v FROM imp ORDER BY v")
+    assert db.query_string_stmt("SELECT rowid, v FROM imp2")[0].values == [[1, "h"]]
+
+
 def test_collate_nocase(db):
     """SQLite NOCASE collation: expression-level (COLLATE NOCASE →
     Spark UTF8_LCASE) and column-level (collated string type — equality,

@@ -229,6 +229,14 @@ JSON_CASES = [
     "SELECT json('{\"a\":  1}')",
     "SELECT json_quote('hi')",
     "SELECT json_quote(7)",
+    # duplicate object keys: legal in SQLite (json_valid=1, kept by
+    # json() minification) but rejected by Spark's VARIANT parser —
+    # covered by the Jackson get_json_object fallback in the dialect
+    "SELECT json_valid('{\"a\":0,\"a\":0}')",
+    "SELECT json_type('{\"a\":0,\"a\":0}')",
+    "SELECT json('{\"a\":0, \"a\":1}')",
+    "SELECT json('[1, {\"a\":0,\"a\":1}]')",
+    "SELECT json_type(json_object('a', 0, 'a', 0))",
 ]
 
 
