@@ -1075,12 +1075,15 @@ class DustSession:
         conflicting with existing data) match exactly."""
         kind, target = ins.on_conflict[0], ins.on_conflict[1]
         all_constraints = [list(u) for u in tdef.unique]
-        # the hidden rowid of an implicit table is excluded: auto ids
-        # never conflict, and including it would make every 1-unique
-        # implicit table look multi-constraint to targetless DO UPDATE
+        # the hidden rowid of an implicit table only counts as a
+        # conflictable constraint when the batch supplies explicit
+        # rowids: auto ids never conflict, and unconditional inclusion
+        # would make every 1-unique implicit table look
+        # multi-constraint to targetless DO UPDATE
+        explicit_rowid = bool(ins.columns and tdef.rowid_column in ins.columns)
         if (
             tdef.rowid_column
-            and not tdef.implicit_rowid
+            and (not tdef.implicit_rowid or explicit_rowid)
             and [tdef.rowid_column] not in all_constraints
         ):
             all_constraints.insert(0, [tdef.rowid_column])
@@ -1099,6 +1102,18 @@ class DustSession:
             targets = all_constraints
         else:
             targets = [[c.lower() for c in target]]
+            # ON CONFLICT(rowid): legal SQLite — resolves to the rowid
+            # column (alias or hidden) unless a real column shadows it
+            real = {f.name for f in tdef.schema.fields if f.name != dialect.HIDDEN_ROWID}
+            targets = [
+                [
+                    tdef.rowid_column
+                    if (c in ("rowid", "_rowid_", "oid") and c not in real and tdef.rowid_column)
+                    else c
+                    for c in tgt
+                ]
+                for tgt in targets
+            ]
         target = targets[0]
         existing = st.df
         schema_cols = [f.name for f in tdef.schema.fields]

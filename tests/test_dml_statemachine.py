@@ -9,9 +9,9 @@ found bugs.
 Model semantics (the engine's documented contract):
 - rowid: NULL/omitted id takes (max rowid seen so far, including larger
   explicit ids earlier in the same batch) + 1 — SQLite's sequential
-  assignment; high_water is monotone (never reused after DELETE of the
-  max — diverges from bare SQLite rowid reuse, matches
-  TableState.high_water).
+  assignment. The base is max(rowid) over CURRENT rows (SQLite's
+  probed max-rule: deleting the max row frees its id for reuse;
+  AUTOINCREMENT, not used here, would stay monotone).
 - REPLACE: conflicting existing rows deleted; last in-batch dup wins.
 - ON CONFLICT(id) DO NOTHING: first in-batch wins, existing wins over
   incoming. DO UPDATE: last in-batch wins, excluded.* = incoming row.
@@ -32,7 +32,8 @@ IDS = st.integers(1, 8)
 
 
 class DmlModel:
-    """id -> v, plus the engine's monotone high-water mark."""
+    """id -> v, plus the engine's high-water mark (= current max id
+    after every statement — SQLite's max-rule)."""
 
     def __init__(self):
         self.rows: dict[int, int | None] = {}
@@ -103,17 +104,20 @@ class DmlModel:
 
     def delete_where(self, threshold):
         self.rows = {i: v for i, v in self.rows.items() if not (v is not None and v < threshold)}
+        # max-rule: deleting the max row frees its id (sqlite3-probed)
+        self.high_water = max(self.rows, default=0)
 
 
 class DmlMachine(RuleBasedStateMachine):
     spark = None  # injected by the test wrapper
 
+    CREATE = "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)"
+    IDC = "id"  # the rowid-valued column as spelled in SQL
+
     @initialize()
     def setup(self):
         self.db = DustSession(DmlMachine.spark)
-        self.db.execute_string_stmt(
-            "CREATE TABLE t (id INTEGER NOT NULL PRIMARY KEY, v INT)"
-        )
+        self.db.execute_string_stmt(self.CREATE)
         self.model = DmlModel()
 
     def teardown(self):
@@ -126,20 +130,20 @@ class DmlMachine(RuleBasedStateMachine):
 
     @rule(batch=st.lists(st.tuples(st.one_of(st.none(), IDS), st.one_of(st.none(), VALS)), min_size=1, max_size=3))
     def insert(self, batch):
-        r = self.db.execute_string_stmt(f"INSERT INTO t(id, v) VALUES {self._values(batch)}")
+        r = self.db.execute_string_stmt(f"INSERT INTO t({self.IDC}, v) VALUES {self._values(batch)}")
         ok = self.model.insert(batch)
         assert bool(not r[0].error) == ok, (r[0].error, ok, batch)
 
     @rule(batch=st.lists(st.tuples(IDS, st.one_of(st.none(), VALS)), min_size=1, max_size=3))
     def replace(self, batch):
-        r = self.db.execute_string_stmt(f"REPLACE INTO t(id, v) VALUES {self._values(batch)}")
+        r = self.db.execute_string_stmt(f"REPLACE INTO t({self.IDC}, v) VALUES {self._values(batch)}")
         assert not r[0].error, r[0].error
         self.model.replace(batch)
 
     @rule(batch=st.lists(st.tuples(IDS, VALS), min_size=1, max_size=3))
     def upsert_nothing(self, batch):
         r = self.db.execute_string_stmt(
-            f"INSERT INTO t(id, v) VALUES {self._values(batch)} ON CONFLICT(id) DO NOTHING"
+            f"INSERT INTO t({self.IDC}, v) VALUES {self._values(batch)} ON CONFLICT({self.IDC}) DO NOTHING"
         )
         assert not r[0].error, r[0].error
         self.model.upsert_nothing(batch)
@@ -147,8 +151,8 @@ class DmlMachine(RuleBasedStateMachine):
     @rule(batch=st.lists(st.tuples(IDS, VALS), min_size=1, max_size=3))
     def upsert_update(self, batch):
         r = self.db.execute_string_stmt(
-            f"INSERT INTO t(id, v) VALUES {self._values(batch)} "
-            "ON CONFLICT(id) DO UPDATE SET v = excluded.v"
+            f"INSERT INTO t({self.IDC}, v) VALUES {self._values(batch)} "
+            f"ON CONFLICT({self.IDC}) DO UPDATE SET v = excluded.v"
         )
         assert not r[0].error, r[0].error
         self.model.upsert_update(batch)
@@ -157,8 +161,8 @@ class DmlMachine(RuleBasedStateMachine):
     def upsert_update_returning(self, batch):
         """RETURNING must project exactly the inserted+updated rows."""
         rows = self.db.query_string_stmt(
-            f"INSERT INTO t(id, v) VALUES {self._values(batch)} "
-            "ON CONFLICT(id) DO UPDATE SET v = excluded.v RETURNING id, v"
+            f"INSERT INTO t({self.IDC}, v) VALUES {self._values(batch)} "
+            f"ON CONFLICT({self.IDC}) DO UPDATE SET v = excluded.v RETURNING {self.IDC}, v"
         )[0]
         self.model.upsert_update(batch)
         got = sorted(map(tuple, rows.values))
@@ -169,7 +173,7 @@ class DmlMachine(RuleBasedStateMachine):
     def delete_where_returning(self, threshold):
         """DELETE RETURNING projects the pre-image of removed rows."""
         rows = self.db.query_string_stmt(
-            f"DELETE FROM t WHERE v < {threshold} RETURNING id, v"
+            f"DELETE FROM t WHERE v < {threshold} RETURNING {self.IDC}, v"
         )[0]
         want = sorted(
             (i, v) for i, v in self.model.rows.items() if v is not None and v < threshold
@@ -202,7 +206,7 @@ class DmlMachine(RuleBasedStateMachine):
         """A transaction (INSERT batch + DELETE) applies all-or-nothing:
         on any statement error the model keeps its pre-state."""
         stmts = [
-            Statement(f"INSERT INTO t(id, v) VALUES {self._values(batches)}"),
+            Statement(f"INSERT INTO t({self.IDC}, v) VALUES {self._values(batches)}"),
             Statement(f"DELETE FROM t WHERE v < {threshold}"),
         ]
         responses = self.db.execute(Request(transaction=True, statements=stmts))
@@ -219,7 +223,7 @@ class DmlMachine(RuleBasedStateMachine):
     @precondition(lambda self: True)
     @invariant()
     def table_matches_model(self):
-        rows = self.db.query_string_stmt("SELECT id, v FROM t ORDER BY id")[0]
+        rows = self.db.query_string_stmt(f"SELECT {self.IDC}, v FROM t ORDER BY {self.IDC}")[0]
         got = {r[0]: r[1] for r in rows.values}
         assert got == self.model.rows, f"engine {got} != model {self.model.rows}"
 
@@ -238,4 +242,34 @@ def test_dml_state_machine(spark):
 
     runner = unittest.TextTestRunner(verbosity=0)
     result = runner.run(unittest.TestLoader().loadTestsFromTestCase(DmlMachine.TestCase))
+    assert result.wasSuccessful(), result.failures or result.errors
+
+
+class DmlMachineImplicit(DmlMachine):
+    """The same model and rules driven through an IMPLICIT-rowid table
+    (no INTEGER PRIMARY KEY): ids are the hidden rowid, spelled
+    ``rowid`` in every statement. Exercises explicit-rowid INSERT with
+    UNIQUE enforcement, REPLACE-by-rowid, ON CONFLICT(rowid) upserts,
+    rowid RETURNING, the max-rule id reuse after DELETE, and the
+    hidden-column view plumbing — none of which the alias-table machine
+    touches."""
+
+    CREATE = "CREATE TABLE t (v INT)"
+    IDC = "rowid"
+
+
+@pytest.mark.usefixtures("spark")
+def test_dml_state_machine_implicit_rowid(spark):
+    DmlMachine.spark = spark
+    DmlMachineImplicit.TestCase.settings = settings(
+        max_examples=4,
+        stateful_step_count=8,
+        deadline=None,
+        suppress_health_check=list(HealthCheck),
+        derandomize=True,
+    )
+    import unittest
+
+    runner = unittest.TextTestRunner(verbosity=0)
+    result = runner.run(unittest.TestLoader().loadTestsFromTestCase(DmlMachineImplicit.TestCase))
     assert result.wasSuccessful(), result.failures or result.errors

@@ -242,6 +242,11 @@ def test_implicit_rowid_dml_sqlite_differential(db):
         "INSERT INTO imp VALUES ('g')",  # 51
         "UPDATE imp SET v = v || rowid WHERE rowid <= 2",
         "INSERT INTO imp(rowid, v) VALUES (50, 'dup')",  # UNIQUE error
+        # ON CONFLICT(rowid) is legal SQLite on implicit tables
+        "INSERT INTO imp(rowid, v) VALUES (50, 'up') "
+        "ON CONFLICT(rowid) DO UPDATE SET v = excluded.v",
+        "INSERT INTO imp(rowid, v) VALUES (50, 'no') ON CONFLICT DO NOTHING",
+        "REPLACE INTO imp(rowid, v) VALUES (50, 'rep')",
         "DELETE FROM imp",  # empty -> sequence restarts at 1
         "INSERT INTO imp VALUES ('h')",
     ]
