@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+from contextlib import contextmanager
 from typing import Any
 
 from pyspark.sql import DataFrame, SparkSession, Window
@@ -461,7 +462,12 @@ class DustSession:
             if if_not_exists:
                 return self._ok()
             raise DustError(f"table {name} already exists")
-        df = self.spark.sql(dialect.rewrite_sqlite_fns(sel))
+        sel2, restore = self._resolve_read_rowid(dialect.rewrite_sqlite_fns(sel))
+        try:
+            df = self.spark.sql(sel2)
+        finally:
+            if restore is not None:
+                restore()
         declared = {f.name: f.dataType.simpleString().upper() for f in df.schema.fields}
         # CTAS results are rowid tables in SQLite: assign a hidden
         # sequential rowid (select order, partition-offset indexed — no
@@ -871,7 +877,15 @@ class DustSession:
             src = self.spark.sql(f"SELECT * FROM {src_sql}")
             cols = ins.columns or insertable
         else:
-            src = self.spark.sql(src_sql)
+            # INSERT ... SELECT may reference rowid (e.g. copying ids
+            # out of an implicit table) — same single-table resolution
+            # + hidden-view exposure as the read path
+            src_sql2, restore = self._resolve_read_rowid(src_sql)
+            try:
+                src = self.spark.sql(src_sql2)
+            finally:
+                if restore is not None:
+                    restore()
             cols = ins.columns or insertable
         for g in tdef.generated:
             if g in cols:
@@ -1317,12 +1331,37 @@ class DustSession:
             .drop("__mid", "__pid", "__off", "__pos")
         )
 
+    @contextmanager
+    def _exposed_rowid_view(self, overlay: Overlay, name: str, st: TableState, sql: str):
+        """Expose the hidden rowid of an implicit table through its
+        registered view for the duration of a DML statement, so
+        subqueries referencing the table (the classic ``DELETE ...
+        WHERE rowid NOT IN (SELECT MIN(rowid) ... GROUP BY ...)`` dedup
+        idiom) can resolve rowid. The visible projection of the CURRENT
+        state (staged if the DML published, else the original) is
+        restored on exit, error or not."""
+        tdef = st.tdef
+        if not (tdef.implicit_rowid and dialect.has_rowid_token(sql)):
+            yield
+            return
+        view = self.catalog.view_name(name)
+        st.df.createOrReplaceTempView(view)
+        try:
+            yield
+        finally:
+            cur = overlay.get(name) or st
+            cur.visible_df().createOrReplaceTempView(view)
+
     def _update(self, overlay: Overlay, sql: str) -> Response:
         up = dialect.parse_update(sql)
         overlay = self._route(overlay, up.table)
         st = overlay.get(up.table)
         if st is None:
             raise DustError(f"no such table: {up.table}")
+        with self._exposed_rowid_view(overlay, up.table, st, sql):
+            return self._update_impl(overlay, st, up)
+
+    def _update_impl(self, overlay: Overlay, st: TableState, up) -> Response:
         tdef = st.tdef
         where = dialect.resolve_rowid(up.where or "TRUE", tdef)
         real = {f.name for f in tdef.schema.fields if f.name != dialect.HIDDEN_ROWID}
@@ -1590,6 +1629,10 @@ class DustSession:
         st = overlay.get(de.table)
         if st is None:
             raise DustError(f"no such table: {de.table}")
+        with self._exposed_rowid_view(overlay, de.table, st, sql):
+            return self._delete_impl(overlay, st, de)
+
+    def _delete_impl(self, overlay: Overlay, st: TableState, de) -> Response:
         st.df.createOrReplaceTempView("__dust_stage")
         with_prefix = (de.with_sql + " ") if de.with_sql else ""
         if de.where is not None:
@@ -1760,31 +1803,7 @@ class DustSession:
         )
         if re.search(r"\bsqlite_(master|schema)\b", sql, re.I):
             self._register_sqlite_master()
-        restore = None
-        self._rowid_tdef = None
-        if dialect.has_rowid_token(sql):
-            # bare rowid resolves against the single referenced rowid
-            # table (SQLite alias semantics); ambiguous multi-table SQL
-            # is left alone and surfaces SQLite's own "no such column"
-            named = [
-                (name, st)
-                for name, st in self.catalog.tables.items()
-                if st is not None
-                and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
-                and st.tdef.rowid_column
-            ]
-            if len(named) == 1:
-                name, st = named[0]
-                sql = dialect.resolve_rowid(sql, st.tdef)
-                self._rowid_tdef = st.tdef
-                if st.tdef.implicit_rowid:
-                    # expose the hidden rowid column for this query only
-                    # (resolve_rowid expanded any bare * so it can't
-                    # leak); spark.sql analyzes eagerly, so restoring
-                    # the visible view afterwards is safe
-                    view = self.catalog.view_name(name)
-                    st.df.createOrReplaceTempView(view)
-                    restore = (view, st.visible_df())
+        sql, restore = self._resolve_read_rowid(sql)
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))
@@ -1793,7 +1812,43 @@ class DustSession:
             raise DustError(_clean_error(e)) from e
         finally:
             if restore is not None:
-                restore[1].createOrReplaceTempView(restore[0])
+                restore()
+
+    def _resolve_read_rowid(self, sql: str):
+        """Resolve bare rowid tokens against the single referenced rowid
+        table (SQLite alias semantics); ambiguous multi-table SQL is
+        left alone and surfaces SQLite's own "no such column". For an
+        implicit-rowid table the hidden column is exposed through the
+        table's view for this one statement — returns (sql, restore_cb)
+        where restore_cb (or None) re-registers the visible projection;
+        spark.sql analyzes eagerly, so restoring afterwards is safe.
+        resolve_rowid expands any bare * so the hidden column can't
+        leak through the exposure."""
+        self._rowid_tdef = None
+        if not dialect.has_rowid_token(sql):
+            return sql, None
+        named = [
+            (name, st)
+            for name, st in self.catalog.tables.items()
+            if st is not None
+            and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
+            and st.tdef.rowid_column
+        ]
+        if len(named) != 1:
+            return sql, None
+        name, st = named[0]
+        sql = dialect.resolve_rowid(sql, st.tdef)
+        self._rowid_tdef = st.tdef
+        if not st.tdef.implicit_rowid:
+            return sql, None
+        view = self.catalog.view_name(name)
+        st.df.createOrReplaceTempView(view)
+
+        def restore(name=name, view=view, st=st):
+            cur = self.catalog.tables.get(name) or st
+            cur.visible_df().createOrReplaceTempView(view)
+
+        return sql, restore
 
     def _register_sqlite_master(self) -> None:
         """Materialize the sqlite_master / sqlite_schema catalog table

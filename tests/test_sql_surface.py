@@ -276,6 +276,44 @@ def test_implicit_rowid_dml_sqlite_differential(db):
     assert db.query_string_stmt("SELECT rowid, v FROM imp2")[0].values == [[1, "h"]]
 
 
+def test_implicit_rowid_subqueries_sqlite_differential(db):
+    """rowid inside DML subqueries and INSERT/CTAS sources on implicit
+    tables: the classic keep-first dedup idiom (DELETE ... WHERE rowid
+    NOT IN (SELECT MIN(rowid) ... GROUP BY ...)), a correlated rowid
+    rank in UPDATE, and copying rowids out via INSERT ... SELECT — all
+    need the hidden column exposed through the table view for the one
+    statement (sqlite3 differential)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE sq (v TEXT)",
+        "INSERT INTO sq VALUES ('a'),('b'),('a'),('c'),('b'),('a')",
+        "DELETE FROM sq WHERE rowid NOT IN (SELECT MIN(rowid) FROM sq GROUP BY v)",
+        "UPDATE sq SET v = v || (SELECT COUNT(*) FROM sq s2 WHERE s2.rowid <= sq.rowid)",
+        "CREATE TABLE sqc (id INT, v TEXT)",
+        "INSERT INTO sqc SELECT rowid, v FROM sq",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    for q in (
+        "SELECT rowid, v FROM sq ORDER BY rowid",
+        "SELECT id, v FROM sqc ORDER BY id",
+    ):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+    # CTAS keeps a rowid-derived real column; its own fresh rowid starts at 1
+    db.execute_string_stmt(
+        "CREATE TABLE sq2 AS SELECT rowid AS rid, v FROM sq ORDER BY rowid"
+    )
+    assert db.query_string_stmt("SELECT rowid, rid FROM sq2 ORDER BY rowid")[0].values == [
+        [1, 1], [2, 2], [3, 4]
+    ]
+
+
 def test_collate_nocase(db):
     """SQLite NOCASE collation: expression-level (COLLATE NOCASE →
     Spark UTF8_LCASE) and column-level (collated string type — equality,
