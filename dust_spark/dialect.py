@@ -1138,6 +1138,14 @@ def _map_outside_strings(sql: str, fn) -> str:
 
 
 _NEG_LIMIT_RE = re.compile(r"\bLIMIT\s+-\d+\b", re.I)
+# SQLite window frames: EXCLUDE NO OTHERS is the default (a no-op) —
+# strip it; real GROUPS/EXCLUDE frames have no Spark equivalent and are
+# rejected loudly in the session read path
+_EXCLUDE_NOOP_RE = re.compile(r"\bEXCLUDE\s+NO\s+OTHERS\b", re.I)
+UNSUPPORTED_FRAME_RE = re.compile(
+    r"\bGROUPS\s+(?:BETWEEN\b|UNBOUNDED\b|CURRENT\b|\d)|\bEXCLUDE\s+(?:CURRENT\s+ROW|GROUP|TIES)\b",
+    re.I,
+)
 # SQLite collation names → Spark 4 collations (same postfix COLLATE
 # syntax); RTRIM (trailing-space-insensitive) has no Spark equivalent
 # and surfaces Spark's own unknown-collation error
@@ -1150,6 +1158,7 @@ def _rewrite_operators(sql: str) -> str:
         seg = _IS_NOT_RE.sub("IS DISTINCT FROM", seg)
         seg = _IS_RE.sub("IS NOT DISTINCT FROM", seg)
         seg = _NEG_LIMIT_RE.sub("", seg)  # SQLite: negative LIMIT = unlimited
+        seg = _EXCLUDE_NOOP_RE.sub("", seg)  # default frame exclusion = no-op
         seg = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", seg)
         seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)
         return _LIKE_RE.sub("ILIKE", seg)

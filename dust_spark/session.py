@@ -1803,6 +1803,22 @@ class DustSession:
         )
         if re.search(r"\bsqlite_(master|schema)\b", sql, re.I):
             self._register_sqlite_master()
+        if re.search(r"\bsqlite_sequence\b", sql, re.I):
+            self._register_sqlite_sequence()
+        fm = (
+            dialect.UNSUPPORTED_FRAME_RE.search(sql)
+            if re.search(r"\bOVER\s*\(", sql, re.I)  # frame clauses live in OVER()
+            else None
+        )
+        if fm:
+            # SQLite >= 3.28 GROUPS frames / EXCLUDE clauses have no
+            # Spark window equivalent — reject with a clear message
+            # instead of surfacing a Spark parse error (EXCLUDE NO
+            # OTHERS, the no-op default, was already stripped)
+            raise DustError(
+                f"unsupported: window frame clause {fm.group(0).upper()} "
+                "(SQLite GROUPS/EXCLUDE frames)"
+            )
         sql, restore = self._resolve_read_rowid(sql)
         try:
             if params:
@@ -1863,6 +1879,7 @@ class DustSession:
         re-synthesized canonically after column-level ALTERs."""
         rows = []
         page = 2
+        seq_emitted = False
         for name, st in self.catalog.tables.items():
             if st is None:
                 continue
@@ -1871,6 +1888,20 @@ class DustSession:
                 ("table", name, name, page, tdef.source_sql or dialect.synth_create_sql(tdef))
             )
             page += 1
+            if tdef.autoincrement and not seq_emitted:
+                # SQLite materializes sqlite_sequence right after the
+                # first AUTOINCREMENT table (sqlite3-probed layout)
+                rows.append(
+                    (
+                        "table",
+                        "sqlite_sequence",
+                        "sqlite_sequence",
+                        page,
+                        "CREATE TABLE sqlite_sequence(name,seq)",
+                    )
+                )
+                page += 1
+                seq_emitted = True
             n = 0
             for uniq in tdef.unique:
                 if uniq == tdef.primary_key and tdef.rowid_column and not tdef.implicit_rowid:
@@ -1892,6 +1923,21 @@ class DustSession:
         df = self.spark.createDataFrame(rows, schema)
         df.createOrReplaceTempView("sqlite_master")
         df.createOrReplaceTempView("sqlite_schema")
+
+    def _register_sqlite_sequence(self) -> None:
+        """The AUTOINCREMENT bookkeeping table (sqlite3-probed: columns
+        name/seq; one row per AUTOINCREMENT table once it has received
+        an insert; seq survives DELETE — exactly the engine's monotone
+        high-water for autoincrement tables)."""
+        rows = [
+            (name, st.high_water)
+            for name, st in self.catalog.tables.items()
+            if st is not None and st.tdef.autoincrement and st.high_water > 0
+        ]
+        schema = T.StructType(
+            [T.StructField("name", T.StringType()), T.StructField("seq", T.LongType())]
+        )
+        self.spark.createDataFrame(rows, schema).createOrReplaceTempView("sqlite_sequence")
 
     def _sqlite_column_names(self, sql: str, df: DataFrame) -> DataFrame | None:
         """Best-effort SQLite output-column naming: unaliased expressions

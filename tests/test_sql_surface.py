@@ -276,6 +276,42 @@ def test_implicit_rowid_dml_sqlite_differential(db):
     assert db.query_string_stmt("SELECT rowid, v FROM imp2")[0].values == [[1, "h"]]
 
 
+def test_sqlite_sequence_and_window_frames(db):
+    """sqlite_sequence mirrors sqlite3: one (name, seq) row per
+    AUTOINCREMENT table once inserted, seq survives DELETE, and the
+    table appears in sqlite_master after the first AUTOINCREMENT
+    table. EXCLUDE NO OTHERS (the no-op default) is stripped; real
+    GROUPS/EXCLUDE frames reject loudly instead of surfacing a Spark
+    parse error."""
+    db.execute_string_stmt("CREATE TABLE sqa (id INTEGER PRIMARY KEY AUTOINCREMENT, v INT)")
+    assert db.query_string_stmt("SELECT * FROM sqlite_sequence")[0].values == []
+    db.execute_string_stmt("INSERT INTO sqa(v) VALUES (1), (2)")
+    assert db.query_string_stmt("SELECT name, seq FROM sqlite_sequence")[0].values == [
+        ["sqa", 2]
+    ]
+    db.execute_string_stmt("DELETE FROM sqa")
+    assert db.query_string_stmt("SELECT seq FROM sqlite_sequence WHERE name='sqa'")[0].values == [[2]]
+    assert db.query_string_stmt(
+        "SELECT count(*) AS n FROM sqlite_master WHERE name='sqlite_sequence'"
+    )[0].values == [[1]]
+    # EXCLUDE NO OTHERS is a no-op (sqlite3-verified equal output)
+    db.execute_string_stmt("INSERT INTO sqa(v) VALUES (10), (20), (30)")
+    out = db.query_string_stmt(
+        "SELECT SUM(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW "
+        "EXCLUDE NO OTHERS) AS s FROM sqa ORDER BY id"
+    )[0]
+    assert [r[0] for r in out.values] == [10, 30, 50]
+    # real GROUPS / EXCLUDE frames reject with a clear message
+    from dust_spark.session import DustError
+
+    for frag in (
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",
+        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW",
+    ):
+        with pytest.raises(DustError, match="unsupported: window frame"):
+            db.query_string_stmt(f"SELECT SUM(v) OVER (ORDER BY id {frag}) FROM sqa")
+
+
 def test_implicit_rowid_subqueries_sqlite_differential(db):
     """rowid inside DML subqueries and INSERT/CTAS sources on implicit
     tables: the classic keep-first dedup idiom (DELETE ... WHERE rowid
