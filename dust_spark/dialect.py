@@ -245,8 +245,10 @@ class TableDef:
     source_sql: str | None = None
     # GENERATED ALWAYS AS columns: col -> expression SQL (computed on
     # every write; VIRTUAL vs STORED is observationally identical in a
-    # copy-on-write engine, both store the computed value)
+    # copy-on-write engine, both store the computed value). The declared
+    # keyword is kept only for PRAGMA table_xinfo's hidden flag (2 vs 3)
     generated: dict[str, str] = field(default_factory=dict)
+    generated_stored: set = field(default_factory=set)
     # INTEGER PRIMARY KEY column (rowid alias), or HIDDEN_ROWID for an
     # implicit-rowid table, or None for WITHOUT ROWID
     rowid_column: str | None = None
@@ -448,6 +450,11 @@ def parse_create_table(sql: str) -> TableDef:
         gen = _extract_generated(rest_raw)
         if gen is not None:
             td.generated[col] = gen
+            # the keyword follows the (expr) — search past it so an
+            # identifier named "stored" inside the expression can't match
+            tail = rest_raw[rest_raw.find(gen) + len(gen):]
+            if re.search(r"\bSTORED\b", tail, re.I):
+                td.generated_stored.add(col)
         else:
             dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
             if dm:

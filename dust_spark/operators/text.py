@@ -9,6 +9,7 @@ survives a 100 TB corpus.
 
 from __future__ import annotations
 
+import pandas as pd  # module-level: pandas_udf signatures must resolve
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -281,6 +282,36 @@ def top_domains(
         .orderBy(F.col("n_refs").desc(), "domain")
         .limit(k)
     )
+
+
+def normalize_unicode(
+    df: DataFrame,
+    text_col: str = "text",
+    out_col: str = "norm_text",
+    form: str = "NFC",
+) -> DataFrame:
+    """Unicode normalization (NFC/NFD/NFKC/NFKD) — the canonicalization
+    pass a dedup/fingerprint pipeline needs before hashing: 'é' as one
+    codepoint and 'e' + U+0301 must hash identically, so normalization
+    must run before ``exact_dedup``/``minhash``/``simhash`` see the
+    bytes.
+
+    Shape: one Arrow-batched pandas UDF (CPython's unicodedata is a C
+    quick-check that short-circuits on already-normalized text — the
+    common case for clean corpora), fully NARROW — no shuffle, linear
+    in bytes, safe at any scale."""
+    from pyspark.sql.functions import pandas_udf
+
+    if form not in ("NFC", "NFD", "NFKC", "NFKD"):
+        raise ValueError(f"unknown normalization form: {form}")
+
+    @pandas_udf("string")
+    def _norm(s: pd.Series) -> pd.Series:
+        import unicodedata
+
+        return s.map(lambda t: None if t is None else unicodedata.normalize(form, t))
+
+    return df.withColumn(out_col, _norm(F.col(text_col)))
 
 
 def clean_text(df: DataFrame, text_col: str = "text", out_col: str = "clean") -> DataFrame:

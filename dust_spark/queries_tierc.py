@@ -1302,6 +1302,53 @@ def top_domains_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.top_domains(seeded, text_col="t", id_col="doc_id", k=20)
 
 
+_NFC_ORACLE = """
+WITH seeded AS (
+  SELECT doc_id,
+         CASE WHEN doc_id % 2 = 0
+              THEN substr(text, 1, 40) || 'e' || chr(769) || ' A' || chr(776) || 'o' || chr(768)
+              ELSE substr(text, 1, 40) END AS raw
+  FROM documents
+)
+SELECT doc_id,
+       nfc_normalize(raw) AS norm_text,
+       CAST(raw <> nfc_normalize(raw) AS INT) AS changed
+FROM seeded
+ORDER BY doc_id
+"""
+
+# decomposed combining sequences appended to even doc_ids: e+U+0301,
+# A+U+0308, o+U+0300 — NFC composes all three (stable across Unicode
+# versions, so CPython's unicodedata and DuckDB's nfc_normalize agree
+# byte-for-byte; the fixture text itself is ASCII and passes through)
+_NFC_SUFFIX = "e\u0301 A\u0308o\u0300"  # decomposed, via escapes on purpose
+
+
+@register("c4l_nfc_normalize", oracle=_NFC_ORACLE, tags=("tierc", "text"))
+def nfc_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Unicode NFC normalization over the corpus, with deterministic
+    decomposed sequences injected on even doc_ids (the fixtures are
+    pure ASCII — without seeding, normalization would be untested
+    identity). Hard oracle: DuckDB nfc_normalize replays the exact
+    output strings."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "doc_id",
+        F.when(
+            F.col("doc_id") % 2 == 0,
+            F.concat(F.substring("text", 1, 40), F.lit(_NFC_SUFFIX)),
+        )
+        .otherwise(F.substring("text", 1, 40))
+        .alias("raw"),
+    )
+    out = ops.normalize_unicode(seeded, text_col="raw", out_col="norm_text", form="NFC")
+    return out.select(
+        "doc_id",
+        "norm_text",
+        (F.col("raw") != F.col("norm_text")).cast("int").alias("changed"),
+    )
+
+
 _ROLLUP_ORACLE = """
 WITH x AS (
   SELECT CAST(res AS BIGINT) AS res_s,

@@ -755,6 +755,10 @@ class DustSession:
             # call-form pragma (SQLite PRAGMA table_info(t), implied
             # surface of the reference's SQLite pass-through)
             return self._pragma_table_info(arg or val)
+        if key == "table_xinfo":
+            return self._pragma_table_info(arg or val, xinfo=True)
+        if key == "index_info":
+            return self._pragma_index_info(arg or val)
         if key == "database_list":
             cols = ["seq", "name", "file"]
             values = [[0, "main", self.catalog.warehouse or ""]]
@@ -801,9 +805,15 @@ class DustSession:
                 values.append([n - 1, f"sqlite_autoindex_{t}_{n}", 1, origin, 0])
         return Rows(columns=cols, types=types, values=values)
 
-    def _pragma_table_info(self, table: str | None) -> Rows:
+    def _pragma_table_info(self, table: str | None, xinfo: bool = False) -> Rows:
         cols = ["cid", "name", "type", "notnull", "dflt_value", "pk"]
         types = ["integer", "text", "text", "integer", "text", "integer"]
+        if xinfo:
+            # PRAGMA table_xinfo adds a hidden flag and shows generated
+            # columns: 2 = VIRTUAL, 3 = STORED (sqlite3-probed); the
+            # implicit hidden rowid is not a column and never appears
+            cols = cols + ["hidden"]
+            types = types + ["integer"]
         st = None
         if table:
             t = table.lower()
@@ -825,15 +835,46 @@ class DustSession:
         values = []
         i = 0
         for f in tdef.schema.fields:
-            if f.name in tdef.generated or f.name == dialect.HIDDEN_ROWID:
+            if f.name == dialect.HIDDEN_ROWID:
+                continue
+            if f.name in tdef.generated and not xinfo:
                 continue  # SQLite hides generated columns (table_xinfo shows them)
             decl = tdef.declared_types.get(f.name, f.dataType.simpleString().upper())
             notnull = 1 if f.name in tdef.not_null else 0
             dflt = tdef.defaults.get(f.name)
             # SQLite: pk = 1-based position within the primary key, else 0
             pk = pk_cols.index(f.name) + 1 if f.name in pk_cols else 0
-            values.append([i, f.name, decl, notnull, dflt, pk])
+            row = [i, f.name, decl, notnull, dflt, pk]
+            if xinfo:
+                hidden = 0
+                if f.name in tdef.generated:
+                    hidden = 3 if f.name in tdef.generated_stored else 2
+                row.append(hidden)
+            values.append(row)
             i += 1
+        return Rows(columns=cols, types=types, values=values)
+
+    def _pragma_index_info(self, index: str | None) -> Rows:
+        """(seqno, cid, name) per indexed column, sqlite3-probed; the
+        sqlite_autoindex_{t}_{n} name maps back to the table's nth
+        surfaced UNIQUE constraint (same skip rule as index_list)."""
+        cols = ["seqno", "cid", "name"]
+        types = ["integer", "integer", "text"]
+        m = re.match(r"sqlite_autoindex_(.+)_(\d+)$", (index or "").lower())
+        st = self.catalog.tables.get(m.group(1)) if m else None
+        values = []
+        if st is not None:
+            tdef = st.tdef
+            surfaced = [
+                u
+                for u in tdef.unique
+                if not (u == tdef.primary_key and tdef.rowid_column and not tdef.implicit_rowid)
+            ]
+            idx = int(m.group(2)) - 1
+            if 0 <= idx < len(surfaced):
+                visible = [f.name for f in tdef.visible_fields()]
+                for seqno, c in enumerate(surfaced[idx]):
+                    values.append([seqno, visible.index(c) if c in visible else -1, c])
         return Rows(columns=cols, types=types, values=values)
 
     # -- DML --------------------------------------------------------------

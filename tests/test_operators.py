@@ -519,6 +519,35 @@ def test_clean_text(spark):
     assert out == "see <URL> mail <EMAIL> now ok"
 
 
+def test_normalize_unicode(spark):
+    """NFC composes decomposed sequences (checked against CPython's
+    unicodedata ground truth); NFKC folds compatibility forms; NULLs
+    pass through; already-normalized ASCII is identity."""
+    import unicodedata
+
+    decomposed = "Cafe\u0301 A\u0308o\u0300"  # decomposed via escapes
+    compat = "ﬁle ①"  # fi-ligature, circled one
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text=decomposed),
+            Row(doc_id=2, text="plain ascii"),
+            Row(doc_id=3, text=None),
+            Row(doc_id=4, text=compat),
+        ]
+    )
+    nfc = {r.doc_id: r.norm_text for r in ops.normalize_unicode(docs).collect()}
+    assert nfc[1] == unicodedata.normalize("NFC", decomposed) and len(nfc[1]) < len(decomposed)
+    assert nfc[2] == "plain ascii"
+    assert nfc[3] is None
+    nfkc = {
+        r.doc_id: r.norm_text
+        for r in ops.normalize_unicode(docs, form="NFKC").collect()
+    }
+    assert nfkc[4] == "file 1"
+    with pytest.raises(ValueError):
+        ops.normalize_unicode(docs, form="NFX")
+
+
 def test_connected_components_and_cluster_dedup(spark):
     # chain a-b-c plus isolated pair d-e: cluster {1,2,3} and {7,8}
     pairs = spark.createDataFrame(

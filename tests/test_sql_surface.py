@@ -518,3 +518,31 @@ def test_metadata_pragmas(db):
     assert db.query_string_stmt("PRAGMA index_list(mp2)")[0].values == [
         [0, "sqlite_autoindex_mp2_1", 1, "pk", 0]
     ]
+
+
+def test_table_xinfo_index_info_sqlite_differential(db):
+    """PRAGMA table_xinfo (generated columns with hidden flag 2=VIRTUAL
+    / 3=STORED; the implicit hidden rowid is not a column) and PRAGMA
+    index_info (seqno/cid/name per indexed column) — row-exact against
+    in-process sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for ddl in (
+        "CREATE TABLE xt (id INTEGER PRIMARY KEY, v TEXT NOT NULL DEFAULT 'x', "
+        "g INT GENERATED ALWAYS AS (id*2) VIRTUAL, "
+        "s INT GENERATED ALWAYS AS (id+1) STORED, UNIQUE(v))",
+        "CREATE TABLE ximp (a TEXT, b INT, UNIQUE(b, a))",
+    ):
+        ref.execute(ddl)
+        db.execute_string_stmt(ddl)
+    for q in (
+        "PRAGMA table_xinfo(xt)",
+        "PRAGMA table_xinfo(ximp)",
+        "PRAGMA index_info(sqlite_autoindex_xt_1)",
+        "PRAGMA index_info(sqlite_autoindex_ximp_1)",
+        "PRAGMA index_info(no_such_index)",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
