@@ -253,6 +253,11 @@ class Overlay:
 
 
 def _tdef_to_json(tdef: TableDef) -> dict:
+    # EVERY constraint-bearing field must round-trip: a reopened
+    # warehouse that silently dropped checks/generated/defaults would
+    # stop enforcing CHECK and stop computing generated columns on the
+    # write path — a correctness divergence a user only hits after a
+    # restart
     return {
         "name": tdef.name,
         "schema": tdef.schema.json(),
@@ -263,6 +268,11 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         "foreign_keys": [[fk.column, fk.ref_table, fk.ref_column] for fk in tdef.foreign_keys],
         "rowid_column": tdef.rowid_column,
         "autoincrement": tdef.autoincrement,
+        "checks": [list(c) for c in tdef.checks],
+        "generated": tdef.generated,
+        "generated_stored": sorted(tdef.generated_stored),
+        "defaults": tdef.defaults,
+        "source_sql": tdef.source_sql,
     }
 
 
@@ -279,4 +289,9 @@ def _tdef_from_json(d: dict) -> TableDef:
         foreign_keys=[ForeignKey(*fk) for fk in d.get("foreign_keys", [])],
         rowid_column=d.get("rowid_column"),
         autoincrement=d.get("autoincrement", False),
+        checks=[tuple(c) for c in d.get("checks", [])],
+        generated=d.get("generated", {}),
+        generated_stored=set(d.get("generated_stored", [])),
+        defaults=d.get("defaults", {}),
+        source_sql=d.get("source_sql"),
     )

@@ -1990,6 +1990,12 @@ class DustSession:
         (``self._rowid_tdef`` is stashed by ``_sql`` when it resolved
         rowid against a single table). Returns None when the select list
         can't be confidently mapped (names then stay Spark-derived)."""
+        if re.match(r"^\s*VALUES\s*\(", sql, re.I):
+            # standalone VALUES row constructor: SQLite names the
+            # columns column1..columnN (Spark: col1..colN)
+            return df.toDF(
+                *[f"column{c[3:]}" if re.fullmatch(r"col\d+", c) else c for c in df.columns]
+            )
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.S | re.I)
         if not m:
             return None

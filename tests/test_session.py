@@ -549,6 +549,50 @@ def test_disk_mode_persistence(spark, tmp_path):
     db2.close()
 
 
+def test_disk_mode_constraint_roundtrip(spark, tmp_path):
+    """The manifest must round-trip EVERY constraint-bearing TableDef
+    field: after reopen, CHECK still enforces, DEFAULT still fills,
+    GENERATED still computes, AUTOINCREMENT stays monotone, and the
+    implicit rowid (hidden column) keeps its sequence and stays out of
+    SELECT * — each a silent write-path divergence if dropped."""
+    wh = str(tmp_path / "whc")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt(
+        "CREATE TABLE rt (id INTEGER PRIMARY KEY AUTOINCREMENT, "
+        "v INT NOT NULL DEFAULT 7 CHECK (v > 0), "
+        "g INT GENERATED ALWAYS AS (v * 2) STORED)"
+    )
+    db.execute_string_stmt("INSERT INTO rt(v) VALUES (3)")
+    db.execute_string_stmt("CREATE TABLE imp (w TEXT)")
+    db.execute_string_stmt("INSERT INTO imp VALUES ('a'), ('b')")
+    db.execute_string_stmt("DELETE FROM imp WHERE rowid = 2")
+    db.close()
+
+    db2 = DustSession(spark, warehouse=wh)
+    # CHECK enforced after reopen
+    r = db2.execute_string_stmt("INSERT INTO rt(v) VALUES (-1)")[0]
+    assert r.error == "CHECK constraint failed: v > 0", r.error
+    # DEFAULT + GENERATED still applied
+    db2.execute_string_stmt("INSERT INTO rt DEFAULT VALUES")
+    out = db2.query_string_stmt("SELECT id, v, g FROM rt ORDER BY id")[0]
+    # AUTOINCREMENT: the failed insert burns no id in our engine; the
+    # contract here is monotone continuation from the stored high-water
+    assert out.values == [[1, 3, 6], [2, 7, 14]]
+    # generated columns still hidden from table_info, shown by xinfo
+    assert [row[1] for row in db2.query_string_stmt("PRAGMA table_info(rt)")[0].values] == ["id", "v"]
+    assert db2.query_string_stmt("PRAGMA table_xinfo(rt)")[0].values[-1][6] == 3
+    # implicit rowid: hidden column survives, sequence follows max-rule
+    assert db2.query_string_stmt("SELECT * FROM imp")[0].columns == ["w"]
+    db2.execute_string_stmt("INSERT INTO imp VALUES ('c')")
+    assert db2.query_string_stmt("SELECT rowid, w FROM imp ORDER BY rowid")[0].values == [
+        [1, "a"], [2, "c"]
+    ]
+    # sqlite_master keeps the original CREATE text
+    sql = db2.query_string_stmt("SELECT sql FROM sqlite_master WHERE name='rt'")[0].values[0][0]
+    assert "CHECK (v > 0)" in sql and "AUTOINCREMENT" in sql
+    db2.close()
+
+
 def test_journal_replay(spark, tmp_path):
     import os
 

@@ -520,6 +520,14 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_standalone_values_statement(db):
+    """SQLite accepts a bare VALUES row constructor as a query and
+    names the result columns column1..columnN (sqlite3-probed)."""
+    out = db.query_string_stmt("VALUES (1, 'a'), (2, 'b')")[0]
+    assert out.columns == ["column1", "column2"]
+    assert out.values == [[1, "a"], [2, "b"]]
+
+
 def test_table_xinfo_index_info_sqlite_differential(db):
     """PRAGMA table_xinfo (generated columns with hidden flag 2=VIRTUAL
     / 3=STORED; the implicit hidden rowid is not a column) and PRAGMA
