@@ -1181,6 +1181,227 @@ _ROWID_RE = re.compile(r"\b(rowid|_rowid_|oid)\b", re.I)
 _WORD_RE = re.compile(r"[A-Za-z_]\w*")
 _ROWID_ITEM_TAIL_RE = re.compile(r"\s*(,|\bFROM\b)", re.I)
 
+_FROM_STOP_WORDS = {
+    "where", "group", "order", "limit", "having", "window", "union",
+    "intersect", "except", "on", "using", "join", "left", "right",
+    "full", "inner", "cross", "natural", "outer",
+}
+
+
+def parse_from_aliases(sql: str) -> dict[str, str]:
+    """alias (or bare table name) -> table name, lowercased, for every
+    plain table reference in any FROM/JOIN clause (comma lists
+    included). Subqueries and function tables are skipped — their
+    aliases simply don't land in the map. Best-effort textual parse for
+    rowid resolution only: an unmapped alias just means that alias's
+    rowid token stays unresolved, matching SQLite's 'no such column'
+    posture."""
+    out: dict[str, str] = {}
+    i, n = 0, len(sql)
+    in_from = False  # inside a FROM clause (until a clause ender)
+    expect = False  # the next reference is a FROM-list entry
+    _enders = {
+        "where", "group", "order", "limit", "having", "window",
+        "union", "intersect", "except",
+    }
+    _alias_re = re.compile(r"\s*(?:AS\s+([A-Za-z_]\w*)|([A-Za-z_]\w*))", re.I)
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            # skip subquery/function bodies wholesale
+            depth = 1
+            i += 1
+            while i < n and depth:
+                c2 = sql[i]
+                if c2 in ("'", '"'):
+                    j = i + 1
+                    while j < n and sql[j] != c2:
+                        j += 1
+                    i = j
+                elif c2 == "(":
+                    depth += 1
+                elif c2 == ")":
+                    depth -= 1
+                i += 1
+            if expect:
+                # (subquery) [AS] alias — consume the alias WITHOUT
+                # recording it: it must not shadow-resolve to a real
+                # table of the same name
+                ma = _alias_re.match(sql, i)
+                if ma:
+                    cand = ma.group(1) or ma.group(2)
+                    if cand and cand.lower() not in _FROM_STOP_WORDS:
+                        i = ma.end()
+                expect = False
+            continue
+        if ch == ",":
+            if in_from:
+                expect = True
+            i += 1
+            continue
+        m = _WORD_RE.match(sql, i)
+        if not m:
+            i += 1
+            continue
+        wl = m.group(0).lower()
+        i = m.end()
+        if wl in ("from", "join"):
+            in_from = True
+            expect = True
+            continue
+        if wl in _enders:
+            in_from = False
+            expect = False
+            continue
+        if wl in _FROM_STOP_WORDS:
+            continue  # on/using/join-modifiers: stay in the FROM clause
+        if expect:
+            tname = wl
+            alias = tname
+            ma = _alias_re.match(sql, i)
+            if ma:
+                cand = ma.group(1) or ma.group(2)
+                if cand and cand.lower() not in _FROM_STOP_WORDS and cand.upper() != "AS":
+                    alias = cand.lower()
+                    i = ma.end()
+            out[alias] = tname
+            out.setdefault(tname, tname)
+            expect = False
+    return out
+
+
+def resolve_rowid_multi(sql: str, alias_tdefs: dict):
+    """Qualified rowid resolution for multi-table SQL: ``a.rowid``
+    resolves through ``alias_tdefs`` (lower alias/table name →
+    TableDef); bare rowid tokens are LEFT ALONE — with more than one
+    rowid table in scope SQLite raises 'no such column: rowid'
+    (sqlite3-probed), and the unresolved token surfaces the analogous
+    engine error. Qualified select items follow SQLite's probed wire
+    naming (``x.rowid`` → the PK name on an alias table via plain
+    substitution, literal ``rowid`` on an implicit table via an AS
+    alias). ``x.*`` items expand to the visible columns of exposed
+    implicit tables. Returns (sql, used_implicit_tdefs) — the caller
+    exposes those tables' hidden columns for the statement. Bare ``*``
+    select items with an implicit table in scope abort resolution
+    (returns the original sql and []) rather than leak hidden columns.
+    """
+    out: list[str] = []
+    i, n = 0, len(sql)
+    depth = 0
+    sel_depths: list[int] = []
+    used: dict[int, object] = {}
+    any_implicit = any(td.implicit_rowid for td in alias_tdefs.values())
+
+    def qualifier():
+        prev = "".join(out).rstrip()
+        if not prev.endswith("."):
+            return None
+        mq = re.search(r"([A-Za-z_]\w*)\s*\.\s*$", prev)
+        return mq.group(1).lower() if mq else None
+
+    def at_item_head(skip_qual: bool) -> bool:
+        prev = "".join(out).rstrip()
+        if skip_qual and prev.endswith("."):
+            prev = prev[:-1].rstrip()
+            mq = re.search(r"[\w`]+$", prev)
+            if mq:
+                prev = prev[: mq.start()].rstrip()
+        return prev.endswith(",") or bool(
+            re.search(r"\b(select|distinct|all)$", prev, re.I)
+        )
+
+    while i < n:
+        ch = sql[i]
+        if ch in ("'", '"'):
+            j = i + 1
+            while j < n and sql[j] != ch:
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "`":
+            j = sql.find("`", i + 1)
+            j = n - 1 if j < 0 else j
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            out.append(ch)
+            i += 1
+            continue
+        if ch == ")":
+            depth = max(0, depth - 1)
+            while sel_depths and sel_depths[-1] > depth:
+                sel_depths.pop()
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "*":
+            is_item = (
+                bool(sel_depths)
+                and sel_depths[-1] == depth
+                and _ROWID_ITEM_TAIL_RE.match(sql, i + 1) is not None
+                and at_item_head(skip_qual=True)
+            )
+            qual = qualifier()
+            td = alias_tdefs.get(qual) if qual else None
+            if is_item and qual is None and any_implicit:
+                return sql, []  # bare * can't be safely expanded here
+            if is_item and td is not None and td.implicit_rowid:
+                used[id(td)] = td
+                visible = [f.name for f in td.visible_fields()]
+                expanded = ", ".join(f"{qual}.{c}" for c in visible)
+                # the qualifier + dot are already emitted — strip them
+                # from the first expanded column
+                out.append(expanded[len(qual) + 1 :])
+            else:
+                out.append(ch)
+            i += 1
+            continue
+        m = _WORD_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        word = m.group(0)
+        wl = word.lower()
+        if wl == "select":
+            sel_depths.append(depth)
+        elif wl == "from" and sel_depths and sel_depths[-1] == depth:
+            sel_depths.pop()
+        if wl in _ROWID_NAMES:
+            qual = qualifier()
+            td = alias_tdefs.get(qual) if qual else None
+            cols = (
+                {f.name.lower() for f in td.schema.fields} if td is not None else set()
+            )
+            if td is not None and td.rowid_column and wl not in cols:
+                if td.implicit_rowid:
+                    used[id(td)] = td
+                is_item = (
+                    bool(sel_depths)
+                    and sel_depths[-1] == depth
+                    and _ROWID_ITEM_TAIL_RE.match(sql, m.end()) is not None
+                    and at_item_head(skip_qual=True)
+                )
+                if is_item and td.implicit_rowid:
+                    out.append(f"{td.rowid_column} AS rowid")
+                else:
+                    out.append(td.rowid_column)
+            else:
+                out.append(word)
+        else:
+            out.append(word)
+        i = m.end()
+    return "".join(out), list(used.values())
+
 
 def resolve_rowid(sql: str, tdef) -> str:
     """Substitute the table's rowid column for bare rowid tokens.

@@ -145,6 +145,7 @@ class DustSession:
         self._capture_returning = False
         self._returning_df: DataFrame | None = None
         self._rowid_tdef: TableDef | None = None  # set by _sql per query
+        self._rowid_multi = False  # multi-table rowid resolution ran
         self._returning_table: str | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
@@ -1882,6 +1883,7 @@ class DustSession:
         resolve_rowid expands any bare * so the hidden column can't
         leak through the exposure."""
         self._rowid_tdef = None
+        self._rowid_multi = False
         if not dialect.has_rowid_token(sql):
             return sql, None
         named = [
@@ -1891,6 +1893,8 @@ class DustSession:
             and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
             and st.tdef.rowid_column
         ]
+        if len(named) > 1:
+            return self._resolve_read_rowid_multi(sql)
         if len(named) != 1:
             return sql, None
         name, st = named[0]
@@ -1906,6 +1910,41 @@ class DustSession:
             cur.visible_df().createOrReplaceTempView(view)
 
         return sql, restore
+
+    def _resolve_read_rowid_multi(self, sql: str):
+        """More than one rowid table referenced: alias-aware QUALIFIED
+        resolution only (``a.rowid`` per FROM alias; a bare rowid token
+        stays unresolved — SQLite raises 'no such column: rowid' there,
+        sqlite3-probed). Exposes every implicit table an actually-used
+        qualifier points at; Spark-derived output names are kept (the
+        plain PK substitution and the AS-rowid item alias already
+        produce SQLite's probed wire names)."""
+        amap = {}
+        for alias, tname in dialect.parse_from_aliases(sql).items():
+            st = self.catalog.tables.get(tname)
+            if st is not None and st.tdef.rowid_column:
+                amap[alias] = st.tdef
+        if not amap:
+            return sql, None
+        new_sql, used = dialect.resolve_rowid_multi(sql, amap)
+        if new_sql == sql and not used:
+            return sql, None
+        self._rowid_multi = True
+        restores = []
+        for td in used:
+            st = self.catalog.tables.get(td.name)
+            if st is None:
+                continue
+            view = self.catalog.view_name(td.name)
+            st.df.createOrReplaceTempView(view)
+            restores.append((td.name, view, st))
+
+        def restore():
+            for name, view, st in restores:
+                cur = self.catalog.tables.get(name) or st
+                cur.visible_df().createOrReplaceTempView(view)
+
+        return new_sql, (restore if restores else None)
 
     def _register_sqlite_master(self) -> None:
         """Materialize the sqlite_master / sqlite_schema catalog table
@@ -1990,6 +2029,11 @@ class DustSession:
         (``self._rowid_tdef`` is stashed by ``_sql`` when it resolved
         rowid against a single table). Returns None when the select list
         can't be confidently mapped (names then stay Spark-derived)."""
+        if self._rowid_multi:
+            # multi-table rowid resolution already shaped SQLite-correct
+            # output names; the textual renamer would misname qualified
+            # rowid items on alias tables
+            return None
         if re.match(r"^\s*VALUES\s*\(", sql, re.I):
             # standalone VALUES row constructor: SQLite names the
             # columns column1..columnN (Spark: col1..colN)

@@ -520,6 +520,44 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_multi_table_rowid_sqlite_differential(db):
+    """Joins over more than one rowid table: qualified rowid resolves
+    per FROM alias (wire naming sqlite3-probed: 'rowid' on implicit
+    tables, the PK name on alias tables), x.* stays hidden-free, and a
+    BARE rowid token errors with SQLite's exact 'no such column: rowid'
+    (two rowid tables in scope make it unresolvable)."""
+    import sqlite3
+
+    from dust_spark.session import DustError
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE ja (v TEXT)",
+        "CREATE TABLE jb (w TEXT)",
+        "INSERT INTO ja VALUES ('x'),('y')",
+        "INSERT INTO jb VALUES ('p'),('q')",
+        "CREATE TABLE jp (id INTEGER PRIMARY KEY, z TEXT)",
+        "INSERT INTO jp(z) VALUES ('m'),('n')",
+    ):
+        ref.execute(s)
+        db.execute_string_stmt(s)
+    for q in (
+        "SELECT ja.rowid, jb.rowid FROM ja, jb",
+        "SELECT ja.rowid AS ra, jb.w FROM ja JOIN jb ON ja.rowid = jb.rowid",
+        "SELECT ja.*, jb.rowid FROM ja, jb",
+        "SELECT x.rowid, jp.id FROM ja AS x JOIN jp ON x.rowid = jp.rowid",
+        "SELECT ja.rowid FROM ja, jb WHERE ja.rowid > jb.rowid",
+    ):
+        cur = ref.execute(q)
+        want_cols = [d[0] for d in cur.description]
+        want = sorted(map(tuple, cur.fetchall()))
+        got = db.query_string_stmt(q)[0]
+        assert got.columns == want_cols, (q, got.columns, want_cols)
+        assert sorted(map(tuple, got.values)) == want, q
+    with pytest.raises(DustError, match="no such column: rowid"):
+        db.query_string_stmt("SELECT rowid FROM ja, jb")
+
+
 def test_standalone_values_statement(db):
     """SQLite accepts a bare VALUES row constructor as a query and
     names the result columns column1..columnN (sqlite3-probed)."""
