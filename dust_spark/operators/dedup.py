@@ -261,42 +261,20 @@ def minhash_lsh_pairs(
     return verified
 
 
-def minhash_lsh_pairs_portable(
+def _portable_shingle_sigs(
     df: DataFrame,
-    text_col: str = "text",
-    id_col: str = "doc_id",
-    num_hashes: int = 64,
-    bands: int = 16,
-    shingle_words: int = 3,
-    threshold: float = 0.2,
-    max_bucket: int = 10_000,
-) -> DataFrame:
-    """:func:`minhash_lsh_pairs` on the portable polynomial hash family
-    (:data:`dust_spark.functions.PORTABLE_HASH_MOD`) instead of
-    xxhash64 — every stage replays bit-exactly in any SQL engine, so
-    this twin carries a hard DuckDB oracle where the xxhash64 pipeline
-    is rows-only by construction.
-
-    Seeded family via the affine-Horner identity: Horner's fold started
-    from seed ``i`` satisfies ``h_i(s) = (i·31^len(s) + h_0(s)) mod M``,
-    so per shingle we compute ``h0`` and ``p = 31^len mod M`` ONCE and
-    the k seeded hashes are one mul-add each — O(chars + k) per shingle,
-    not O(k·chars). Band keys are Horner folds of the signature slices
-    seeded by band index. Empty-shingle docs get the per-doc sentinel
-    ``M + id`` (> any real hash, unique per doc) so they never produce
-    candidate pairs — mirroring the xxhash64 pipeline's sentinel rule.
-
-    Shape identical to :func:`minhash_lsh_pairs`: narrow signatures
-    (h0/p materialized as attribute columns before any lambda references
-    them — the Catalyst re-eval trap), band-bucket equi-join with the
-    windowed ``max_bucket`` skew guard, exact-Jaccard verification with
-    shingle sets recomputed map-side. 100% Catalyst, no Python stage.
-    """
+    text_col: str,
+    id_col: str,
+    num_hashes: int,
+    shingle_words: int,
+) -> tuple[DataFrame, DataFrame]:
+    """(shingle sets, MinHash signatures) on the portable polynomial
+    hash family — the shared front half of the portable MinHash
+    pipeline (see :func:`minhash_lsh_pairs_portable` for the affine-
+    Horner seeding and the empty-doc sentinel rule). Fully narrow."""
     from dust_spark.functions import PORTABLE_HASH_MOD
 
     M = F.lit(PORTABLE_HASH_MOD).cast("long")
-    rows = num_hashes // bands
-
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
     sh = base.select("id", word_shingles(F.col("__tok"), shingle_words).alias("shingles"))
     hp = sh.select(
@@ -331,7 +309,19 @@ def minhash_lsh_pairs_portable(
     sentinel = F.array_repeat(M + F.col("id").cast("long"), num_hashes)
     sigs = hp.select(
         "id", F.when(F.size("__h0") == 0, sentinel).otherwise(sig).alias("sig")
-    ).persist()
+    )
+    return sh, sigs
+
+
+def _portable_band_keys(
+    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+) -> DataFrame:
+    """Horner band keys over signature slices + the windowed skew guard
+    — the shared back half of the portable MinHash pipeline."""
+    from dust_spark.functions import PORTABLE_HASH_MOD
+
+    M = F.lit(PORTABLE_HASH_MOD).cast("long")
+    rows = num_hashes // bands
 
     def band_key(b: int) -> Column:
         acc: Column = F.lit(b + 1).cast("long")
@@ -344,11 +334,134 @@ def minhash_lsh_pairs_portable(
     bands_df = sigs.select(
         "id", F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh")
     )
-    bands_df = (
+    return (
         bands_df.withColumn("__bc", F.count("*").over(W.partitionBy("band", "bh")))
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
     )
+
+
+def dedup_against_corpus(
+    new_df: DataFrame,
+    corpus_df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int = 10_000,
+    mode: str = "clean",
+) -> DataFrame:
+    """Incremental dedup: flag (or drop) NEW documents that duplicate an
+    EXISTING corpus — the standard ingest gate when a fresh crawl lands
+    next to an already-deduplicated dataset. Reference behavior parity:
+    the batch-vs-corpus form of hqt/dust's near-dup surface (SURVEY.md
+    §2 Tier C).
+
+    Exact duplicates via sha2-256 equi-join (never raw text on the
+    wire); near-duplicates via the portable MinHash family
+    (:func:`minhash_lsh_pairs_portable`): band keys computed for BOTH
+    sides, candidates = equi-join of new bands against corpus bands
+    ONLY — never corpus x corpus or new x new, so incremental cost is
+    O(new·bands + matched buckets), not a full-corpus pair join —
+    then exact-Jaccard verification on the candidate ids.
+
+    ``mode="flags"`` returns every new doc as (id, exact_dup, near_dup);
+    ``mode="clean"`` returns the surviving new rows (original columns).
+
+    100 TB posture: the corpus band table shuffles on (band, bh) only
+    (ids, no strings); shingle sets are re-joined by id just for the
+    candidate verification; the ``max_bucket`` window guards stop-key
+    skew on both sides.
+    """
+    if mode not in ("clean", "flags"):
+        raise ValueError(f"unknown mode: {mode}")
+    exact = (
+        new_df.select(F.col(id_col).alias("id"), F.sha2(F.col(text_col), 256).alias("__h"))
+        .join(
+            corpus_df.select(F.sha2(F.col(text_col), 256).alias("__h")).distinct(),
+            "__h",
+            "left_semi",
+        )
+        .select("id")
+        .distinct()
+    )
+    sh_n, sigs_n = _portable_shingle_sigs(new_df, text_col, id_col, num_hashes, shingle_words)
+    sh_c, sigs_c = _portable_shingle_sigs(
+        corpus_df, text_col, id_col, num_hashes, shingle_words
+    )
+    bands_n = _portable_band_keys(sigs_n, num_hashes, bands, max_bucket)
+    bands_c = _portable_band_keys(sigs_c, num_hashes, bands, max_bucket)
+    candidates = (
+        bands_n.alias("n")
+        .join(
+            bands_c.alias("c"),
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.bh") == F.col("c.bh")),
+        )
+        .select(F.col("n.id").alias("id_n"), F.col("c.id").alias("id_c"))
+        .distinct()
+    )
+    near = (
+        candidates.join(sh_n.select(F.col("id").alias("id_n"), F.col("shingles").alias("sh_n")), "id_n")
+        .join(sh_c.select(F.col("id").alias("id_c"), F.col("shingles").alias("sh_c")), "id_c")
+        .withColumn("jaccard", F.round(jaccard(F.col("sh_n"), F.col("sh_c")), 4))
+        .filter(F.col("jaccard") >= threshold)
+        .select(F.col("id_n").alias("id"))
+        .distinct()
+    )
+    if mode == "clean":
+        dup_ids = exact.unionByName(near).distinct()
+        return new_df.join(
+            dup_ids.select(F.col("id").alias(id_col)), id_col, "left_anti"
+        )
+    flags = (
+        new_df.select(F.col(id_col).alias("id"))
+        .join(exact.withColumn("__e", F.lit(1)), "id", "left")
+        .join(near.withColumn("__n", F.lit(1)), "id", "left")
+        .select(
+            F.col("id").alias(id_col),
+            F.coalesce(F.col("__e"), F.lit(0)).alias("exact_dup"),
+            F.coalesce(F.col("__n"), F.lit(0)).alias("near_dup"),
+        )
+    )
+    return flags
+
+
+def minhash_lsh_pairs_portable(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    num_hashes: int = 64,
+    bands: int = 16,
+    shingle_words: int = 3,
+    threshold: float = 0.2,
+    max_bucket: int = 10_000,
+) -> DataFrame:
+    """:func:`minhash_lsh_pairs` on the portable polynomial hash family
+    (:data:`dust_spark.functions.PORTABLE_HASH_MOD`) instead of
+    xxhash64 — every stage replays bit-exactly in any SQL engine, so
+    this twin carries a hard DuckDB oracle where the xxhash64 pipeline
+    is rows-only by construction.
+
+    Seeded family via the affine-Horner identity: Horner's fold started
+    from seed ``i`` satisfies ``h_i(s) = (i·31^len(s) + h_0(s)) mod M``,
+    so per shingle we compute ``h0`` and ``p = 31^len mod M`` ONCE and
+    the k seeded hashes are one mul-add each — O(chars + k) per shingle,
+    not O(k·chars). Band keys are Horner folds of the signature slices
+    seeded by band index. Empty-shingle docs get the per-doc sentinel
+    ``M + id`` (> any real hash, unique per doc) so they never produce
+    candidate pairs — mirroring the xxhash64 pipeline's sentinel rule.
+
+    Shape identical to :func:`minhash_lsh_pairs`: narrow signatures
+    (h0/p materialized as attribute columns before any lambda references
+    them — the Catalyst re-eval trap), band-bucket equi-join with the
+    windowed ``max_bucket`` skew guard, exact-Jaccard verification with
+    shingle sets recomputed map-side. 100% Catalyst, no Python stage.
+    """
+    sh, sigs = _portable_shingle_sigs(df, text_col, id_col, num_hashes, shingle_words)
+    sigs = sigs.persist()
+    bands_df = _portable_band_keys(sigs, num_hashes, bands, max_bucket)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
         a.join(b, (F.col("a.band") == F.col("b.band")) & (F.col("a.bh") == F.col("b.bh")))

@@ -1195,6 +1195,88 @@ SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2 ORDER BY id_a, id_b
 """
 
 
+# Incremental dedup against an existing corpus (even doc_ids = corpus,
+# odd = incoming batch): exact sha-match plus the SAME portable MinHash
+# band pipeline, but candidates are new x corpus ONLY. DuckDB replays
+# every stage, so the batch-vs-corpus form gets its own hard oracle.
+_DEDUP_AGAINST_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), sh AS (
+  SELECT doc_id,
+         CASE WHEN len(w) >= 3
+              THEN list_distinct(list_transform(range(1, len(w) - 1),
+                     i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2]))
+              ELSE [] END AS shingles
+  FROM tok
+), hp AS (
+  SELECT doc_id,
+    list_transform(shingles, s ->
+      list_reduce(list_prepend(0::BIGINT,
+        list_transform(range(1, length(s)+1), i -> ascii(s[i])::BIGINT)),
+        (a, c) -> (a*31 + c) % 2147483647)) AS h0,
+    list_transform(shingles, s ->
+      list_reduce(list_prepend(1::BIGINT,
+        list_transform(range(1, length(s)+1), i -> 0::BIGINT)),
+        (a, c) -> (a*31) % 2147483647)) AS p
+  FROM sh
+), sig AS (
+  SELECT doc_id,
+    CASE WHEN len(h0) = 0
+         THEN list_transform(range(0, 64), i -> 2147483647::BIGINT + doc_id)
+         ELSE list_transform(range(0, 64), i ->
+                list_min(list_transform(range(1, len(h0)+1),
+                  j -> (i*p[j] + h0[j]) % 2147483647)))
+    END AS sig
+  FROM hp
+), bk AS (
+  SELECT doc_id, b AS band,
+    list_reduce(list_prepend((b+1)::BIGINT,
+      list_transform(range(1, 5), r -> sig[b*4 + r])),
+      (a, v) -> (a*31 + v) % 2147483647) AS bh
+  FROM sig, (SELECT unnest(range(0, 16)) AS b)
+), exact AS (
+  SELECT DISTINCT n.doc_id
+  FROM documents n JOIN documents c ON n.text = c.text
+  WHERE n.doc_id % 2 = 1 AND c.doc_id % 2 = 0
+), cand AS (
+  SELECT DISTINCT x.doc_id AS id_n, y.doc_id AS id_c
+  FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh
+  WHERE x.doc_id % 2 = 1 AND y.doc_id % 2 = 0
+), near AS (
+  SELECT DISTINCT id_n AS doc_id
+  FROM cand
+  JOIN sh sa ON sa.doc_id = id_n
+  JOIN sh sb ON sb.doc_id = id_c
+  WHERE ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
+              (len(sa.shingles) + len(sb.shingles)
+               - len(list_intersect(sa.shingles, sb.shingles))), 4) >= 0.2
+)
+SELECT d.doc_id,
+       CAST(d.doc_id IN (SELECT doc_id FROM exact) AS INT) AS exact_dup,
+       CAST(d.doc_id IN (SELECT doc_id FROM near) AS INT) AS near_dup
+FROM documents d WHERE d.doc_id % 2 = 1 ORDER BY d.doc_id
+"""
+
+
+@register("c2h_dedup_against_corpus", oracle=_DEDUP_AGAINST_ORACLE, tags=("tierc", "dedup", "jit"))
+def dedup_against_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental ingest gate: flag odd-doc_id documents (the incoming
+    batch) that exactly or nearly duplicate the even-doc_id corpus —
+    candidates are new x corpus band matches only. Hard oracle: DuckDB
+    replays sha-exact matching and the full portable MinHash band
+    pipeline."""
+    docs = _docs(spark, sf_dir)
+    new = docs.filter(F.col("doc_id") % 2 == 1)
+    corpus = docs.filter(F.col("doc_id") % 2 == 0)
+    return ops.dedup_against_corpus(new, corpus, threshold=0.2, mode="flags").orderBy(
+        "doc_id"
+    )
+
+
 @register("c2g_minhash_portable_pairs", oracle=_PORTABLE_MINHASH_ORACLE, tags=("tierc", "dedup", "jit"))
 def minhash_portable_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash+LSH near-dup pairs on the portable hash family — the

@@ -133,6 +133,39 @@ def test_minhash_portable_recall_and_precision(spark, corpus):
     assert recall >= 0.9, f"recall {recall}: {truth - got}"
 
 
+def test_dedup_against_corpus(spark, corpus):
+    """Incremental ingest gate on the constructed corpus: base docs
+    (id<100) are the existing corpus; the 100+ mutations and 200+ exact
+    copies arrive as the new batch. Exact copies must flag exact_dup,
+    mutations must flag near_dup at j>=0.5, and mode='clean' must drop
+    exactly the flagged ids."""
+    existing = corpus.filter(F.col("doc_id") < 100)
+    new = corpus.filter(F.col("doc_id") >= 100)
+    flags = {
+        r.doc_id: (r.exact_dup, r.near_dup)
+        for r in ops.dedup_against_corpus(new, existing, threshold=0.5, mode="flags").collect()
+    }
+    assert set(flags) == {r.doc_id for r in new.collect()}
+    for i in range(0, 60, 15):
+        assert flags[200 + i][0] == 1, f"exact copy {200+i} not flagged"
+    # near flags: verification makes precision exact; LSH recall at
+    # j>=0.5 is probabilistic (like the pair tests) — compare against
+    # cross-side brute-force truth with the sibling tests' bound
+    truth_pairs = _exact_jaccard_pairs(spark, corpus, 0.5)
+    truth_near = {
+        b for a, b in truth_pairs if a < 100 <= b
+    } | {a for a, b in truth_pairs if b < 100 <= a}
+    got_near = {d for d, (_, nn) in flags.items() if nn}
+    assert got_near <= truth_near, f"false near flags: {got_near - truth_near}"
+    recall = len(got_near & truth_near) / len(truth_near)
+    assert recall >= 0.8, f"recall {recall}: {truth_near - got_near}"
+    clean = {r.doc_id for r in ops.dedup_against_corpus(new, existing, threshold=0.5).collect()}
+    dropped = {d for d, (e, nn) in flags.items() if e or nn}
+    assert clean == set(flags) - dropped
+    with pytest.raises(ValueError):
+        ops.dedup_against_corpus(new, existing, mode="bogus")
+
+
 def test_minhash_dedup_drops_losers(spark, corpus):
     pairs = ops.minhash_lsh_pairs(corpus, threshold=0.5).collect()
     losers = {r.id_b for r in pairs}
