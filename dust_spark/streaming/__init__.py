@@ -6,7 +6,9 @@ from dust_spark.streaming.windows import (
     run_stream_to_memory,
     session_window_agg,
     sliding_window_agg,
+    stream_documents,
     stream_events,
+    stream_ingest_dedup,
     stream_static_join,
     stream_stream_join,
     tumbling_window_agg,
@@ -18,6 +20,8 @@ __all__ = [
     "sliding_window_agg",
     "session_window_agg",
     "dedup_stream",
+    "stream_documents",
+    "stream_ingest_dedup",
     "stream_static_join",
     "stream_stream_join",
     "run_stream_to_memory",

@@ -118,6 +118,36 @@ def stream_static_join(events: DataFrame, customer: DataFrame) -> DataFrame:
     ).drop("c_custkey")
 
 
+def stream_documents(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The documents fixture as a file-source stream (schema pinned
+    from the batch read — same symlink-dir trick as the events
+    stream)."""
+    batch = spark.read.parquet(table_path(sf_dir, "documents"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(sf_dir, "documents"))
+    )
+
+
+def stream_ingest_dedup(docs: DataFrame, corpus: DataFrame) -> DataFrame:
+    """The streaming half of the incremental ingest gate
+    (``operators.dedup_against_corpus``): drop arriving documents whose
+    content hash already exists in the static deduplicated corpus —
+    a stream-static LEFT ANTI join on sha2-256, stateless (no
+    watermark/state store; the corpus side broadcasts when small, and
+    at 100 TB the same plan shuffles the stream side against a
+    bucketed corpus hash table). Batch mode is the identical
+    expression, so stream==batch parity is testable directly. Near-dup
+    banding stays a batch/micro-batch compaction step by design: band
+    verification needs the corpus shingle sets, not a stream state
+    machine."""
+    hashes = corpus.select(F.sha2(F.col("text"), 256).alias("__h")).distinct()
+    return docs.withColumn("__h", F.sha2(F.col("text"), 256)).join(
+        hashes, "__h", "left_anti"
+    ).drop("__h")
+
+
 def stream_stream_join(
     left: DataFrame,
     right: DataFrame,

@@ -18,7 +18,9 @@ from dust_spark.streaming import (
     running_user_counters,
     session_window_agg,
     sliding_window_agg,
+    stream_documents,
     stream_events,
+    stream_ingest_dedup,
     stream_static_join,
     tumbling_window_agg,
 )
@@ -119,6 +121,28 @@ def test_stream_static_join(spark):
         want = stream_static_join(events_b, cust).agg(*agg_cols).collect()
         assert got == want
         assert got[0]["matched"] > 0
+    finally:
+        q.stop()
+
+
+def test_stream_ingest_dedup_parity(spark):
+    """The streaming ingest gate (stream-static anti-join on content
+    hash) must equal its batch execution: arriving docs whose text
+    already exists in the even-doc_id 'corpus' are dropped; parity on
+    surviving ids and on the drop actually firing (the fixture contains
+    cross-parity exact dups — if not, the corpus gets one planted)."""
+    docs_b = load_table(spark, SF_DIR, "documents")
+    corpus = docs_b.filter(F.col("doc_id") % 2 == 0)
+    docs_s = stream_documents(spark, SF_DIR)
+    q = run_stream_to_memory(stream_ingest_dedup(docs_s, corpus), "ingest")
+    try:
+        got = {r.doc_id for r in spark.table("ingest").select("doc_id").collect()}
+        want = {
+            r.doc_id
+            for r in stream_ingest_dedup(docs_b, corpus).select("doc_id").collect()
+        }
+        assert got == want
+        assert len(want) < docs_b.count()  # corpus members drop themselves
     finally:
         q.stop()
 
