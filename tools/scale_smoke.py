@@ -120,6 +120,15 @@ def main() -> None:
             ("decontaminate", lambda: ops.decontaminate(docs, bench, ngram_words=8)),
             ("span_dup_fraction", lambda: ops.span_dup_fraction(docs)),
             ("token_count_agg", lambda: ops.token_count(docs).agg(F.sum("n_tokens"))),
+            # ingest gate: CORPUS grows with k, the incoming batch stays
+            # fixed-size — the cost should grow with the corpus band
+            # table build (one pass) and stay far below pairwise work
+            (
+                "dedup_against_corpus",
+                lambda: ops.dedup_against_corpus(
+                    docs.filter(F.col("doc_id") % 97 == 0), docs, mode="flags"
+                ),
+            ),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
