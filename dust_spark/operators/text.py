@@ -284,6 +284,65 @@ def top_domains(
     )
 
 
+def quality_filter(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    min_words: int = 30,
+    max_words: int = 80,
+    min_mean_wlen: float = 3.5,
+    max_mean_wlen: float = 5.5,
+    min_distinct_ratio: float = 0.5,
+    min_stopwords: int = 2,
+    stopwords: tuple = ("a", "the", "and", "of", "to"),
+) -> DataFrame:
+    """Gopher/FineWeb-style heuristic quality rules as a single narrow
+    pass: word-count bounds, mean word length bounds, lexical diversity
+    (distinct-token ratio — the cheap stand-in for Gopher's repetition
+    rules), and stopword presence. Output: per-doc metrics, a ``keep``
+    flag and the ordered ``fail_reasons`` list, so the filter doubles
+    as a corpus-quality audit.
+
+    Shape: pure Catalyst, fully NARROW — no shuffle, no Python. Token
+    and length arrays materialize as attribute columns before any
+    lambda touches them (the Catalyst per-element re-evaluation trap).
+    """
+    toks = df.select(
+        F.col(id_col), F.col(text_col), tokens(text_col).alias("__tok")
+    ).withColumn("__lens", F.transform("__tok", lambda t: F.length(t)))
+    stop_arr = F.array(*[F.lit(s) for s in stopwords])
+    m = toks.select(
+        F.col(id_col),
+        F.size("__tok").alias("n_words"),
+        F.round(
+            F.aggregate("__lens", F.lit(0).cast("long"), lambda a, x: a + x)
+            / F.greatest(F.size("__tok"), F.lit(1)),
+            4,
+        ).alias("mean_wlen"),
+        F.round(
+            F.size(F.array_distinct("__tok")) / F.greatest(F.size("__tok"), F.lit(1)), 4
+        ).alias("distinct_ratio"),
+        F.size(F.filter("__tok", lambda t: F.array_contains(stop_arr, t))).alias(
+            "n_stop"
+        ),
+    )
+    reasons = F.array_compact(
+        F.array(
+            F.when(F.col("n_words") < min_words, F.lit("too_short")),
+            F.when(F.col("n_words") > max_words, F.lit("too_long")),
+            F.when(F.col("mean_wlen") < min_mean_wlen, F.lit("short_words")),
+            F.when(F.col("mean_wlen") > max_mean_wlen, F.lit("long_words")),
+            F.when(
+                F.col("distinct_ratio") < min_distinct_ratio, F.lit("low_diversity")
+            ),
+            F.when(F.col("n_stop") < min_stopwords, F.lit("few_stopwords")),
+        )
+    )
+    return m.withColumn("fail_reasons", F.concat_ws(",", reasons)).withColumn(
+        "keep", (F.col("fail_reasons") == "").cast("long")
+    )
+
+
 def normalize_unicode(
     df: DataFrame,
     text_col: str = "text",

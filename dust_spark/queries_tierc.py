@@ -1431,6 +1431,48 @@ def nfc_normalize_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_QUALITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w
+  FROM documents
+), m AS (
+  SELECT doc_id,
+         len(w) AS n_words,
+         ROUND(list_sum(list_transform(w, t -> length(t)))::DOUBLE
+               / greatest(len(w), 1), 4) AS mean_wlen,
+         ROUND(len(list_distinct(w))::DOUBLE / greatest(len(w), 1), 4)
+           AS distinct_ratio,
+         len(list_filter(w, t -> t IN ('a','the','and','of','to'))) AS n_stop
+  FROM tok
+), r AS (
+  SELECT *,
+    COALESCE(array_to_string(list_filter([
+      CASE WHEN n_words < 30 THEN 'too_short' END,
+      CASE WHEN n_words > 80 THEN 'too_long' END,
+      CASE WHEN mean_wlen < 3.5 THEN 'short_words' END,
+      CASE WHEN mean_wlen > 5.5 THEN 'long_words' END,
+      CASE WHEN distinct_ratio < 0.5 THEN 'low_diversity' END,
+      CASE WHEN n_stop < 2 THEN 'few_stopwords' END
+    ], x -> x IS NOT NULL), ','), '') AS fail_reasons
+  FROM m
+)
+SELECT doc_id, n_words, mean_wlen, distinct_ratio, n_stop, fail_reasons,
+       CAST(fail_reasons = '' AS BIGINT) AS keep
+FROM r ORDER BY doc_id
+"""
+
+
+@register("c4m_quality_filter", oracle=_QUALITY_ORACLE, tags=("tierc", "text"))
+def quality_filter_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher/FineWeb-style quality rules over the corpus: word-count
+    and mean-word-length bounds, lexical diversity, stopword presence —
+    per-doc metrics + keep flag + ordered fail reasons, all replayed
+    exactly by the DuckDB oracle."""
+    return ops.quality_filter(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 _ROLLUP_ORACLE = """
 WITH x AS (
   SELECT CAST(res AS BIGINT) AS res_s,

@@ -552,6 +552,32 @@ def test_clean_text(spark):
     assert out == "see <URL> mail <EMAIL> now ok"
 
 
+def test_quality_filter(spark):
+    """Each rule fires on a constructed doc that violates exactly it;
+    a compliant doc passes with empty reasons."""
+    good = (
+        "the quick brown vixen jumps over a lazy dog while the calm river "
+        "flows past green hills and old stone bridges under a bright sky "
+        "as birds sing soft tunes to the warm wind today"
+    )  # 35 words, varied vocabulary, stopwords present, mean length in range
+    rows = [
+        Row(doc_id=1, text=good),
+        Row(doc_id=2, text="a b c"),  # too_short (+ short_words)
+        Row(doc_id=3, text="the word " * 50),  # too_long + low_diversity
+        Row(doc_id=4, text="zz " * 40),  # short_words, low_diversity, few_stopwords
+        Row(doc_id=5, text="extraordinarily magnanimous " + "the a salutations felicitations " * 10),
+    ]
+    out = {r.doc_id: r for r in ops.quality_filter(spark.createDataFrame(rows)).collect()}
+    assert out[1].keep == 1 and out[1].fail_reasons == ""
+    assert "too_short" in out[2].fail_reasons and out[2].keep == 0
+    assert "too_long" in out[3].fail_reasons and "low_diversity" in out[3].fail_reasons
+    assert "few_stopwords" in out[4].fail_reasons and "short_words" in out[4].fail_reasons
+    assert "long_words" in out[5].fail_reasons
+    # metrics are exact
+    assert out[2].n_words == 3 and out[2].n_stop == 1
+    assert out[1].n_words == 35
+
+
 def test_normalize_unicode(spark):
     """NFC composes decomposed sequences (checked against CPython's
     unicodedata ground truth); NFKC folds compatibility forms; NULLs
