@@ -1833,6 +1833,9 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
+        # SQLite's EXPLAIN QUERY PLAN prefix maps to plain EXPLAIN (the
+        # plan text is engine-specific by nature in both systems)
+        sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN", sql, flags=re.I)
         sql = dialect.rewrite_sqlite_fns(sql)
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         # last_insert_rowid() is connection state in SQLite — inline the

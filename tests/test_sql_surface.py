@@ -142,6 +142,10 @@ def test_explain_through_engine(db):
     out = db.query_string_stmt("EXPLAIN SELECT v FROM e WHERE id = 1")
     assert out[0].columns == ["plan"]
     assert "Scan" in out[0].values[0][0] or "Physical" in out[0].values[0][0]
+    # SQLite's EXPLAIN QUERY PLAN prefix is accepted too (plan text is
+    # engine-specific by nature in both systems)
+    out = db.query_string_stmt("EXPLAIN QUERY PLAN SELECT v FROM e WHERE id = 1")
+    assert out[0].columns == ["plan"] and out[0].values
 
 
 def test_maintenance_statements_are_noops(db):
