@@ -21,10 +21,17 @@ LIKE case folding — SQLite LIKE is case-insensitive for ASCII only,
 while the blanket LIKE→ILIKE rewrite applies full Unicode folding, so
 non-ASCII operands ('Ä' LIKE 'ä': SQLite 0, engine 1) diverge (the
 property generator below excludes non-ASCII LIKE operands for this
-reason); SELECT rowid projections return a result column named after
-the INTEGER PRIMARY KEY column (values correct, wire column name
-diverges from SQLite's 'rowid'); ``->>`` of a json NUMBER returns TEXT
-('1') where SQLite returns INTEGER/REAL (dynamic result typing).
+reason); ``->>`` of a json NUMBER returns TEXT
+('1') where SQLite returns INTEGER/REAL (dynamic result typing);
+a few transcendentals differ in the LAST ULP between the JVM's
+StrictMath and C libm (probed: exp(1), cosh(1)) — the battery carries
+the bit-exact majority and skips those two inputs.
+
+(Historical note: an earlier revision listed "SELECT rowid wire-names
+the PK column" as a divergence — probing cur.description showed SQLite
+itself names bare-rowid items after the PK on alias tables, so the
+engine's behavior was already correct and is now asserted in
+test_rowid_result_column_names.)
 """
 
 from __future__ import annotations
@@ -143,6 +150,27 @@ CASES = [
     "SELECT exp(0)",
     "SELECT atan2(0, 1)",
     "SELECT degrees(0)",
+    # full trig/hyperbolic sweep — bit-exact between JVM and C libm on
+    # these inputs. exp(1)/cosh(1) are deliberately ABSENT: they differ
+    # in the last ULP (JVM StrictMath vs libm), the documented
+    # floating-point divergence class (module docstring).
+    "SELECT sqrt(2)",
+    "SELECT power(2, 0.5)",
+    "SELECT pi()",
+    "SELECT sin(0.5)",
+    "SELECT cos(0.5)",
+    "SELECT tan(0.5)",
+    "SELECT asin(0.5)",
+    "SELECT acos(0.5)",
+    "SELECT atan(1)",
+    "SELECT atan2(1, 1)",
+    "SELECT mod(7.5, 2)",
+    "SELECT degrees(pi())",
+    "SELECT radians(180)",
+    "SELECT sinh(1)",
+    "SELECT tanh(1)",
+    "SELECT log2(8)",
+    "SELECT ln(10)",
 ]
 
 
