@@ -610,6 +610,30 @@ def test_journal_replay(spark, tmp_path):
     replayed.close()
 
 
+def test_journal_replay_implicit_rowid(spark, tmp_path):
+    """Deterministic replay must reproduce hidden rowids exactly: the
+    max(rowid)+1 reuse rule and rowid-predicated DML mean a replayed
+    statement stream lands every row on the same hidden id, or later
+    journaled statements (DELETE WHERE rowid=...) hit different rows."""
+    import os
+
+    wh = str(tmp_path / "wh_imp")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (v TEXT)")
+    db.execute_string_stmt("INSERT INTO t VALUES ('a'), ('b'), ('c')")
+    db.execute_string_stmt("DELETE FROM t WHERE rowid = 3")
+    db.execute_string_stmt("INSERT INTO t VALUES ('d')")  # reuses 3
+    db.execute_string_stmt("UPDATE t SET v = v || rowid WHERE rowid <= 2")
+    db.execute_string_stmt("INSERT INTO t(rowid, v) VALUES (50, 'e')")
+    want = rows_to_json(db.query_string_stmt("SELECT rowid, v FROM t ORDER BY rowid"))
+    db.close()
+
+    replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
+    got = rows_to_json(replayed.query_string_stmt("SELECT rowid, v FROM t ORDER BY rowid"))
+    assert got == want
+    replayed.close()
+
+
 def test_default_values(db):
     ex(db, "CREATE TABLE d (id INTEGER NOT NULL PRIMARY KEY, status TEXT DEFAULT 'open', n INT DEFAULT 7)")
     ex(db, "INSERT INTO d(id) VALUES(1)")
