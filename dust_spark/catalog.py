@@ -265,7 +265,10 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         "primary_key": tdef.primary_key,
         "not_null": sorted(tdef.not_null),
         "unique": tdef.unique,
-        "foreign_keys": [[fk.column, fk.ref_table, fk.ref_column] for fk in tdef.foreign_keys],
+        "foreign_keys": [
+            [list(fk.columns), fk.ref_table, list(fk.ref_columns)]
+            for fk in tdef.foreign_keys
+        ],
         "rowid_column": tdef.rowid_column,
         "autoincrement": tdef.autoincrement,
         "checks": [list(c) for c in tdef.checks],

@@ -221,9 +221,22 @@ _ROWID_NAMES = ("rowid", "_rowid_", "oid")
 
 @dataclass
 class ForeignKey:
-    column: str
+    """FOREIGN KEY (cols...) REFERENCES t(ref_cols...) — composite keys
+    carry parallel column tuples (SQLite lang_foreignkeys; match NONE
+    semantics: a child row with ANY NULL key column is exempt)."""
+
+    columns: tuple
     ref_table: str
-    ref_column: str
+    ref_columns: tuple
+
+    def __post_init__(self):
+        # tolerate single-string construction (legacy manifest rows)
+        if isinstance(self.columns, str):
+            self.columns = (self.columns,)
+        if isinstance(self.ref_columns, str):
+            self.ref_columns = (self.ref_columns,)
+        self.columns = tuple(self.columns)
+        self.ref_columns = tuple(self.ref_columns)
 
 
 @dataclass
@@ -392,12 +405,22 @@ def parse_create_table(sql: str) -> TableDef:
             continue
         if up.startswith("FOREIGN KEY"):
             inner = item[item.index("(") + 1 :]
-            col = unquote_ident(inner[: inner.index(")")]).lower()
+            cols = tuple(
+                unquote_ident(c).lower()
+                for c in split_top_level(inner[: inner.index(")")])
+            )
             ref = _REF_RE.search(item)
             if ref:
                 rt = unquote_ident(ref.group(1)).lower()
-                rc = unquote_ident(ref.group(2) or col).lower()
-                td.foreign_keys.append(ForeignKey(col, rt, rc))
+                rcs = (
+                    tuple(
+                        unquote_ident(c).lower()
+                        for c in split_top_level(ref.group(2))
+                    )
+                    if ref.group(2)
+                    else cols
+                )
+                td.foreign_keys.append(ForeignKey(cols, rt, rcs))
             continue
         if up.startswith("CHECK") or up.startswith("CONSTRAINT"):
             # table-level CHECK (possibly named) is enforced on write;
@@ -446,7 +469,7 @@ def parse_create_table(sql: str) -> TableDef:
         if ref:
             rt = unquote_ident(ref.group(1)).lower()
             rc = unquote_ident(ref.group(2) or col).lower()
-            td.foreign_keys.append(ForeignKey(col, rt, rc))
+            td.foreign_keys.append(ForeignKey((col,), rt, (rc,)))
         gen = _extract_generated(rest_raw)
         if gen is not None:
             td.generated[col] = gen
@@ -799,7 +822,10 @@ def synth_create_sql(td: TableDef) -> str:
         if len(u) > 1 and u != td.primary_key:
             parts.append(f"UNIQUE ({', '.join(u)})")
     for fk in td.foreign_keys:
-        parts.append(f"FOREIGN KEY ({fk.column}) REFERENCES {fk.ref_table}({fk.ref_column})")
+        parts.append(
+            f"FOREIGN KEY ({', '.join(fk.columns)}) "
+            f"REFERENCES {fk.ref_table}({', '.join(fk.ref_columns)})"
+        )
     for lbl, expr in td.checks:
         prefix = f"CONSTRAINT {lbl} " if lbl != expr else ""
         parts.append(f"{prefix}CHECK({expr})")

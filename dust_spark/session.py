@@ -627,7 +627,7 @@ class DustSession:
             if tdef.rowid_column == old:
                 tdef.rowid_column = new
             for fk in tdef.foreign_keys:
-                fk.column = ren(fk.column)
+                fk.columns = tuple(ren(c) for c in fk.columns)
             # constraint expressions follow the rename (SQLite's schema
             # rewrite); word-boundary substitution over the expr text
             tdef.checks = [
@@ -639,11 +639,11 @@ class DustSession:
                 ost = overlay.get(other)
                 if ost is None or other == name:
                     continue
-                if any(fk.ref_table == name and fk.ref_column == old for fk in ost.tdef.foreign_keys):
+                if any(fk.ref_table == name and old in fk.ref_columns for fk in ost.tdef.foreign_keys):
                     otd = copy.deepcopy(ost.tdef)
                     for fk in otd.foreign_keys:
-                        if fk.ref_table == name and fk.ref_column == old:
-                            fk.ref_column = new
+                        if fk.ref_table == name and old in fk.ref_columns:
+                            fk.ref_columns = tuple(new if c == old else c for c in fk.ref_columns)
                     overlay.put(other, overlay.catalog.materialize(
                         other, TableState(otd, ost.df, ost.high_water, ost.version + 1)
                     ))
@@ -662,7 +662,7 @@ class DustSession:
             tdef.declared_types.pop(col, None)
             tdef.not_null.discard(col)
             tdef.defaults.pop(col, None)
-            tdef.foreign_keys = [fk for fk in tdef.foreign_keys if fk.column != col]
+            tdef.foreign_keys = [fk for fk in tdef.foreign_keys if col not in fk.columns]
             tdef.checks = [(lbl, expr) for lbl, expr in tdef.checks if not word.search(expr)]
             tdef.source_sql = None
             new_df = st.df.drop(col)
@@ -780,10 +780,13 @@ class DustSession:
         if st is not None:
             for i, fk in enumerate(st.tdef.foreign_keys):
                 # actions are NO ACTION: the engine enforces RESTRICT
-                # semantics only (reference surface has no cascades)
-                values.append(
-                    [i, 0, fk.ref_table, fk.column, fk.ref_column, "NO ACTION", "NO ACTION", "NONE"]
-                )
+                # semantics only (reference surface has no cascades).
+                # Composite keys emit one row per column with a shared
+                # id and a per-column seq (sqlite3-probed layout)
+                for seq, (c, rc) in enumerate(zip(fk.columns, fk.ref_columns)):
+                    values.append(
+                        [i, seq, fk.ref_table, c, rc, "NO ACTION", "NO ACTION", "NONE"]
+                    )
         return Rows(columns=cols, types=types, values=values)
 
     def _pragma_index_list(self, table: str | None) -> Rows:
@@ -1765,10 +1768,18 @@ class DustSession:
                     continue
                 # self-referencing tables check against their post-image
                 child_df = parent_new_df if child == parent else cst.df
-                ref = parent_new_df.select(F.col(fk.ref_column).alias("__ref")).distinct()
-                dangling = child_df.filter(F.col(fk.column).isNotNull()).join(
-                    ref, F.col(fk.column) == F.col("__ref"), "left_anti"
-                )
+                ref = parent_new_df.select(
+                    *[F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(fk.ref_columns)]
+                ).distinct()
+                nn = None  # match NONE: ANY NULL child key column exempts the row
+                for c in fk.columns:
+                    cond = F.col(c).isNotNull()
+                    nn = cond if nn is None else (nn & cond)
+                on = None
+                for j, c in enumerate(fk.columns):
+                    cond = F.col(c) == F.col(f"__ref{j}")
+                    on = cond if on is None else (on & cond)
+                dangling = child_df.filter(nn).join(ref, on, "left_anti")
                 if dangling.limit(1).count() > 0:
                     raise DustError("FOREIGN KEY constraint failed")
 
@@ -1812,19 +1823,27 @@ class DustSession:
 
         if self._fk_enabled:
             for fk in tdef.foreign_keys:
+                refsel = [
+                    F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(fk.ref_columns)
+                ]
                 if fk.ref_table == tdef.name:
-                    ref = new_rows.select(F.col(fk.ref_column).alias("__ref"))
+                    ref = new_rows.select(*refsel)
                     if not full_table and existing is not None:
-                        ref = ref.unionByName(existing.select(F.col(fk.ref_column).alias("__ref")))
+                        ref = ref.unionByName(existing.select(*refsel))
                 else:
                     ref_st = overlay.get(fk.ref_table)
                     if ref_st is None:
                         raise DustError(f"no such table: {fk.ref_table}")
-                    ref = ref_st.df.select(F.col(fk.ref_column).alias("__ref"))
-                dangling = (
-                    new_rows.filter(F.col(fk.column).isNotNull())
-                    .join(ref.distinct(), F.col(fk.column) == F.col("__ref"), "left_anti")
-                )
+                    ref = ref_st.df.select(*refsel)
+                nn = None  # match NONE: ANY NULL child key column exempts the row
+                for c in fk.columns:
+                    cond = F.col(c).isNotNull()
+                    nn = cond if nn is None else (nn & cond)
+                on = None
+                for j, c in enumerate(fk.columns):
+                    cond = F.col(c) == F.col(f"__ref{j}")
+                    on = cond if on is None else (on & cond)
+                dangling = new_rows.filter(nn).join(ref.distinct(), on, "left_anti")
                 if dangling.limit(1).count() > 0:
                     raise DustError("FOREIGN KEY constraint failed")
 

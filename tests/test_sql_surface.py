@@ -524,6 +524,45 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_composite_foreign_key_sqlite_differential(db):
+    """Composite FOREIGN KEY (x, y) REFERENCES p(a, b): insert-side and
+    parent-delete enforcement over the full key, the match-NONE
+    any-NULL exemption, and foreign_key_list's per-column rows with a
+    shared id — statement-by-statement vs in-process sqlite3 (the old
+    parser silently mangled the column list into one name, breaking
+    every insert)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("PRAGMA foreign_keys = ON")
+    db.execute_string_stmt("PRAGMA foreign_keys = ON")
+    stmts = [
+        "CREATE TABLE cfp (a INT, b INT, PRIMARY KEY (a, b))",
+        "CREATE TABLE cfc (x INT, y INT, z TEXT, FOREIGN KEY (x, y) REFERENCES cfp(a, b))",
+        "INSERT INTO cfp VALUES (1, 2), (3, 4)",
+        "INSERT INTO cfc VALUES (1, 2, 'ok')",
+        "INSERT INTO cfc VALUES (9, 9, 'dangling')",  # error both
+        "INSERT INTO cfc VALUES (NULL, 5, 'nullkey')",  # match NONE: ok
+        "INSERT INTO cfc VALUES (1, 4, 'crossed')",  # (1,4) not a parent key
+        "DELETE FROM cfp WHERE a = 1",  # child (1,2) exists -> error
+        "DELETE FROM cfp WHERE a = 3",  # no child -> ok
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert (ref_err is None) == (got_err is None), (s, ref_err, got_err)
+        if ref_err is not None:
+            assert got_err == ref_err, (s, ref_err, got_err)
+    assert [list(r) for r in db.query_string_stmt("PRAGMA foreign_key_list(cfc)")[0].values] == [
+        list(r) for r in ref.execute("PRAGMA foreign_key_list(cfc)").fetchall()
+    ]
+    db.execute_string_stmt("PRAGMA foreign_keys = OFF")
+
+
 def test_multi_table_rowid_sqlite_differential(db):
     """Joins over more than one rowid table: qualified rowid resolves
     per FROM alias (wire naming sqlite3-probed: 'rowid' on implicit
