@@ -123,7 +123,8 @@ class Catalog:
             if self.view_prefix:
                 doc["name"] = self.storage_name(doc["name"])
                 doc["foreign_keys"] = [
-                    [c, self.storage_name(rt), rc] for c, rt, rc in doc.get("foreign_keys", [])
+                    [row[0], self.storage_name(row[1]), *row[2:]]
+                    for row in doc.get("foreign_keys", [])
                 ]
             return doc
 
@@ -266,7 +267,7 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         "not_null": sorted(tdef.not_null),
         "unique": tdef.unique,
         "foreign_keys": [
-            [list(fk.columns), fk.ref_table, list(fk.ref_columns)]
+            [list(fk.columns), fk.ref_table, list(fk.ref_columns), fk.on_update, fk.on_delete]
             for fk in tdef.foreign_keys
         ],
         "rowid_column": tdef.rowid_column,

@@ -223,11 +223,19 @@ _ROWID_NAMES = ("rowid", "_rowid_", "oid")
 class ForeignKey:
     """FOREIGN KEY (cols...) REFERENCES t(ref_cols...) — composite keys
     carry parallel column tuples (SQLite lang_foreignkeys; match NONE
-    semantics: a child row with ANY NULL key column is exempt)."""
+    semantics: a child row with ANY NULL key column is exempt). An
+    EMPTY ref_columns means ``REFERENCES t`` with no column list: the
+    target is the parent's PRIMARY KEY, resolved at enforcement time
+    (and reported as NULL by PRAGMA foreign_key_list, sqlite3-probed).
+    Actions: ON DELETE NO ACTION/RESTRICT/CASCADE/SET NULL are
+    enforced; ON UPDATE non-defaults and SET DEFAULT are rejected
+    loudly at CREATE (session layer)."""
 
     columns: tuple
     ref_table: str
     ref_columns: tuple
+    on_update: str = "NO ACTION"
+    on_delete: str = "NO ACTION"
 
     def __post_init__(self):
         # tolerate single-string construction (legacy manifest rows)
@@ -237,6 +245,24 @@ class ForeignKey:
             self.ref_columns = (self.ref_columns,)
         self.columns = tuple(self.columns)
         self.ref_columns = tuple(self.ref_columns)
+
+
+_FK_ACTION_RE = re.compile(
+    r"ON\s+(DELETE|UPDATE)\s+(SET\s+NULL|SET\s+DEFAULT|CASCADE|RESTRICT|NO\s+ACTION)",
+    re.I,
+)
+
+
+def _fk_actions(text: str) -> tuple[str, str]:
+    """(on_update, on_delete) from an FK clause's trailing action list."""
+    ou = od = "NO ACTION"
+    for m in _FK_ACTION_RE.finditer(text):
+        act = re.sub(r"\s+", " ", m.group(2).upper())
+        if m.group(1).upper() == "DELETE":
+            od = act
+        else:
+            ou = act
+    return ou, od
 
 
 @dataclass
@@ -412,15 +438,18 @@ def parse_create_table(sql: str) -> TableDef:
             ref = _REF_RE.search(item)
             if ref:
                 rt = unquote_ident(ref.group(1)).lower()
+                # no column list = the parent's PRIMARY KEY, resolved at
+                # enforcement (SQLite lang_foreignkeys)
                 rcs = (
                     tuple(
                         unquote_ident(c).lower()
                         for c in split_top_level(ref.group(2))
                     )
                     if ref.group(2)
-                    else cols
+                    else ()
                 )
-                td.foreign_keys.append(ForeignKey(cols, rt, rcs))
+                ou, od = _fk_actions(item)
+                td.foreign_keys.append(ForeignKey(cols, rt, rcs, ou, od))
             continue
         if up.startswith("CHECK") or up.startswith("CONSTRAINT"):
             # table-level CHECK (possibly named) is enforced on write;
@@ -468,8 +497,9 @@ def parse_create_table(sql: str) -> TableDef:
         ref = _REF_RE.search(rest_raw)
         if ref:
             rt = unquote_ident(ref.group(1)).lower()
-            rc = unquote_ident(ref.group(2) or col).lower()
-            td.foreign_keys.append(ForeignKey((col,), rt, (rc,)))
+            rcs = (unquote_ident(ref.group(2)).lower(),) if ref.group(2) else ()
+            ou, od = _fk_actions(rest_raw)
+            td.foreign_keys.append(ForeignKey((col,), rt, rcs, ou, od))
         gen = _extract_generated(rest_raw)
         if gen is not None:
             td.generated[col] = gen
@@ -822,9 +852,15 @@ def synth_create_sql(td: TableDef) -> str:
         if len(u) > 1 and u != td.primary_key:
             parts.append(f"UNIQUE ({', '.join(u)})")
     for fk in td.foreign_keys:
+        tgt = f"({', '.join(fk.ref_columns)})" if fk.ref_columns else ""
+        acts = ""
+        if fk.on_delete != "NO ACTION":
+            acts += f" ON DELETE {fk.on_delete}"
+        if fk.on_update != "NO ACTION":
+            acts += f" ON UPDATE {fk.on_update}"
         parts.append(
             f"FOREIGN KEY ({', '.join(fk.columns)}) "
-            f"REFERENCES {fk.ref_table}({', '.join(fk.ref_columns)})"
+            f"REFERENCES {fk.ref_table}{tgt}{acts}"
         )
     for lbl, expr in td.checks:
         prefix = f"CONSTRAINT {lbl} " if lbl != expr else ""

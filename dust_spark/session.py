@@ -444,6 +444,16 @@ class DustSession:
         if ctas is not None:
             return self._create_table_as(overlay, *ctas)
         tdef = dialect.parse_create_table(sql)
+        for fk in tdef.foreign_keys:
+            # ON UPDATE non-defaults and SET DEFAULT are excluded loudly
+            # (COVERAGE.md) — silent restrict-instead-of-action would be
+            # a wrong answer relative to the pass-through contract
+            if fk.on_update not in ("NO ACTION", "RESTRICT"):
+                raise DustError(
+                    f"unsupported: ON UPDATE {fk.on_update} (only NO ACTION/RESTRICT)"
+                )
+            if fk.on_delete == "SET DEFAULT":
+                raise DustError("unsupported: ON DELETE SET DEFAULT")
         overlay = self._route(overlay, tdef.name)
         if overlay.exists(tdef.name):
             if tdef.if_not_exists:
@@ -783,9 +793,10 @@ class DustSession:
                 # semantics only (reference surface has no cascades).
                 # Composite keys emit one row per column with a shared
                 # id and a per-column seq (sqlite3-probed layout)
-                for seq, (c, rc) in enumerate(zip(fk.columns, fk.ref_columns)):
+                rcs = fk.ref_columns or (None,) * len(fk.columns)
+                for seq, (c, rc) in enumerate(zip(fk.columns, rcs)):
                     values.append(
-                        [i, seq, fk.ref_table, c, rc, "NO ACTION", "NO ACTION", "NONE"]
+                        [i, seq, fk.ref_table, c, rc, fk.on_update, fk.on_delete, "NONE"]
                     )
         return Rows(columns=cols, types=types, values=values)
 
@@ -1316,7 +1327,8 @@ class DustSession:
             self._returning_table = ins.table
         out_df = updated.unionByName(fresh.drop("__rn"))
         self._check_constraints(overlay, tdef, out_df, None, full_table=True)
-        self._check_child_fks(overlay, ins.table, out_df)
+        # REPLACE removes conflicting parent rows: ON DELETE actions run
+        out_df = self._check_child_fks(overlay, ins.table, out_df, dml="delete")
 
         if n_fresh and tdef.rowid_column:
             stats = fresh.agg(
@@ -1481,7 +1493,7 @@ class DustSession:
             self._returning_table = up.table
 
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
-        self._check_child_fks(overlay, up.table, new_df)
+        new_df = self._check_child_fks(overlay, up.table, new_df, dml="update")
 
         hw = st.high_water
         if tdef.rowid_column in assigned:
@@ -1663,7 +1675,7 @@ class DustSession:
             self._returning_table = t
 
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
-        self._check_child_fks(overlay, t, new_df)
+        new_df = self._check_child_fks(overlay, t, new_df, dml="update")
         new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(t, new_st)
         return self._ok(n)
@@ -1699,7 +1711,7 @@ class DustSession:
                 self._returning_df = rid_df.join(victims, "__rid", "left_semi").drop("__rid")
                 self._returning_table = de.table
             new_df = rid_df.join(victims, "__rid", "left_anti").drop("__rid").localCheckpoint(eager=True)
-            self._check_child_fks(overlay, de.table, new_df)
+            new_df = self._check_child_fks(overlay, de.table, new_df, dml="delete")
             new_st = overlay.catalog.materialize(
                 de.table,
                 TableState(
@@ -1726,7 +1738,7 @@ class DustSession:
                     f"WHERE coalesce(({de.where}), false)"
                 )
                 self._returning_table = de.table
-        self._check_child_fks(overlay, de.table, new_df)
+        new_df = self._check_child_fks(overlay, de.table, new_df, dml="delete")
         new_st = overlay.catalog.materialize(
             de.table,
             TableState(st.tdef, new_df, self._post_delete_high_water(st, new_df), st.version + 1),
@@ -1746,14 +1758,43 @@ class DustSession:
 
     # -- constraints (SURVEY §4.2 custom: Spark doesn't enforce) ----------
 
-    def _check_child_fks(self, overlay: Overlay, parent: str, parent_new_df: DataFrame) -> None:
-        """Reverse FK enforcement: DELETE/UPDATE of a referenced parent
-        row must fail while child rows still point at it (real SQLite
-        with PRAGMA foreign_keys=ON raises 'FOREIGN KEY constraint
-        failed'; the reference inherits that via its pass-through,
-        db/src/db.rs:350-376)."""
+    def _fk_ref_columns(self, overlay: Overlay, child_tdef: TableDef, fk) -> tuple:
+        """Resolve ``REFERENCES t`` with no column list to the parent's
+        PRIMARY KEY (SQLite lang_foreignkeys); arity mismatch or a
+        PK-less parent raises SQLite's 'foreign key mismatch'."""
+        if fk.ref_columns:
+            return fk.ref_columns
+        if fk.ref_table == child_tdef.name:
+            ptd = child_tdef
+        else:
+            pst = self._route(overlay, fk.ref_table).get(fk.ref_table)
+            if pst is None:
+                raise DustError(f"no such table: {fk.ref_table}")
+            ptd = pst.tdef
+        pk = tuple(ptd.primary_key)
+        if not pk or len(pk) != len(fk.columns):
+            raise DustError(
+                f'foreign key mismatch - "{child_tdef.name}" referencing "{fk.ref_table}"'
+            )
+        return pk
+
+    def _check_child_fks(
+        self, overlay: Overlay, parent: str, parent_new_df: DataFrame, dml: str = "update"
+    ) -> DataFrame:
+        """Reverse FK enforcement with ON DELETE actions: a parent
+        DELETE applies each child FK's declared action — NO ACTION /
+        RESTRICT raise 'FOREIGN KEY constraint failed' (the long-
+        standing behavior), CASCADE deletes the orphaned child rows
+        (recursively, through grandchildren and self-reference chains),
+        SET NULL nulls the child key columns. Parent UPDATEs always
+        restrict (non-default ON UPDATE actions are rejected at CREATE).
+        Returns the possibly-reduced parent post-image — self-
+        referencing CASCADE shrinks it, and the caller materializes the
+        returned frame. Real SQLite semantics via PRAGMA foreign_keys=ON
+        (reference pass-through db/src/db.rs:350-376; actions probed
+        against sqlite3)."""
         if not self._fk_enabled:
-            return
+            return parent_new_df
         cats = [self.catalog, *self._attached.values()]
         names: set[str] = set()
         for cat in cats:
@@ -1766,11 +1807,14 @@ class DustSession:
             for fk in cst.tdef.foreign_keys:
                 if fk.ref_table != parent:
                     continue
-                # self-referencing tables check against their post-image
-                child_df = parent_new_df if child == parent else cst.df
-                ref = parent_new_df.select(
-                    *[F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(fk.ref_columns)]
-                ).distinct()
+                rcs = self._fk_ref_columns(overlay, cst.tdef, fk)
+                action = fk.on_delete if dml == "delete" else "NO ACTION"
+
+                def refsel(pdf):
+                    return pdf.select(
+                        *[F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(rcs)]
+                    ).distinct()
+
                 nn = None  # match NONE: ANY NULL child key column exempts the row
                 for c in fk.columns:
                     cond = F.col(c).isNotNull()
@@ -1779,9 +1823,76 @@ class DustSession:
                 for j, c in enumerate(fk.columns):
                     cond = F.col(c) == F.col(f"__ref{j}")
                     on = cond if on is None else (on & cond)
-                dangling = child_df.filter(nn).join(ref, on, "left_anti")
+
+                # self-referencing tables check against their post-image
+                child_df = parent_new_df if child == parent else cst.df
+
+                if action == "CASCADE":
+                    if child == parent:
+                        # self-reference chains: removing a row can
+                        # orphan the next — iterate to a fixpoint on the
+                        # post-image (caller materializes the result)
+                        for _ in range(64):
+                            keep = parent_new_df.filter(~nn).unionByName(
+                                parent_new_df.filter(nn).join(
+                                    refsel(parent_new_df), on, "left_semi"
+                                )
+                            ).localCheckpoint(eager=True)
+                            if keep.count() == parent_new_df.count():
+                                break
+                            parent_new_df = keep
+                        else:
+                            raise DustError("foreign key cascade depth exceeded")
+                        continue
+                    keep = child_df.filter(~nn).unionByName(
+                        child_df.filter(nn).join(refsel(parent_new_df), on, "left_semi")
+                    ).localCheckpoint(eager=True)
+                    if keep.count() == child_df.count():
+                        continue  # no orphans — leave the child untouched
+                    # cascade ripples to the child's own children
+                    keep = self._check_child_fks(overlay, child, keep, dml="delete")
+                    new_cst = overlay.catalog.materialize(
+                        child, TableState(cst.tdef, keep, cst.high_water, cst.version + 1)
+                    )
+                    self._route(overlay, child).put(child, new_cst)
+                    continue
+
+                if action == "SET NULL":
+                    hit = refsel(parent_new_df).withColumn("__hit", F.lit(1))
+                    marked = child_df.join(hit, on, "left")
+                    orphan = nn & F.col("__hit").isNull()
+                    if marked.filter(orphan).limit(1).count() == 0:
+                        continue
+                    for c in fk.columns:
+                        if c in cst.tdef.not_null:
+                            raise DustError(
+                                f"NOT NULL constraint failed: {cst.tdef.name}.{c}"
+                            )
+                    cols = []
+                    for f_ in cst.tdef.schema.fields:
+                        if f_.name in fk.columns:
+                            cols.append(
+                                F.when(orphan, F.lit(None).cast(f_.dataType))
+                                .otherwise(F.col(f_.name))
+                                .alias(f_.name)
+                            )
+                        else:
+                            cols.append(F.col(f_.name))
+                    nulled = marked.select(*cols).localCheckpoint(eager=True)
+                    if child == parent:
+                        parent_new_df = nulled
+                        continue
+                    new_cst = overlay.catalog.materialize(
+                        child, TableState(cst.tdef, nulled, cst.high_water, cst.version + 1)
+                    )
+                    self._route(overlay, child).put(child, new_cst)
+                    continue
+
+                # NO ACTION / RESTRICT: refuse while children point here
+                dangling = child_df.filter(nn).join(refsel(parent_new_df), on, "left_anti")
                 if dangling.limit(1).count() > 0:
                     raise DustError("FOREIGN KEY constraint failed")
+        return parent_new_df
 
     def _check_constraints(
         self,
@@ -1823,8 +1934,9 @@ class DustSession:
 
         if self._fk_enabled:
             for fk in tdef.foreign_keys:
+                rcs_i = self._fk_ref_columns(overlay, tdef, fk)
                 refsel = [
-                    F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(fk.ref_columns)
+                    F.col(rc).alias(f"__ref{j}") for j, rc in enumerate(rcs_i)
                 ]
                 if fk.ref_table == tdef.name:
                     ref = new_rows.select(*refsel)

@@ -524,6 +524,59 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_fk_on_delete_actions_sqlite_differential(db):
+    """ON DELETE CASCADE (recursive through grandchildren and
+    self-reference chains) and ON DELETE SET NULL, plus REFERENCES with
+    no column list resolving to the parent PK (foreign_key_list reports
+    to=NULL) — statement-by-statement vs sqlite3. Non-default ON UPDATE
+    and SET DEFAULT reject loudly at CREATE (documented exclusion)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("PRAGMA foreign_keys = ON")
+    db.execute_string_stmt("PRAGMA foreign_keys = ON")
+    stmts = [
+        "CREATE TABLE ap (pk INTEGER PRIMARY KEY, v TEXT)",
+        "CREATE TABLE ach (id INTEGER PRIMARY KEY, fk INT REFERENCES ap ON DELETE CASCADE)",
+        "CREATE TABLE agr (id INTEGER PRIMARY KEY, cfk INT REFERENCES ach(id) ON DELETE CASCADE)",
+        "CREATE TABLE asn (id INTEGER PRIMARY KEY, fk INT REFERENCES ap ON DELETE SET NULL)",
+        "INSERT INTO ap VALUES (1,'v1'), (2,'v2')",
+        "INSERT INTO ach VALUES (10, 1), (11, 2)",
+        "INSERT INTO agr VALUES (100, 10)",
+        "INSERT INTO asn VALUES (20, 1)",
+        "DELETE FROM ap WHERE pk = 1",  # cascades ach(10) -> agr(100); asn nulls
+        "INSERT INTO ach VALUES (12, 99)",  # dangling via implicit-PK target
+        "CREATE TABLE atree (id INTEGER PRIMARY KEY, parent INT REFERENCES atree ON DELETE CASCADE)",
+        "INSERT INTO atree VALUES (1, NULL), (2, 1), (3, 2), (4, 3), (5, NULL)",
+        "DELETE FROM atree WHERE id = 1",  # chain 2,3,4 cascades away
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert (ref_err is None) == (got_err is None), (s, ref_err, got_err)
+    for q in (
+        "SELECT * FROM ap ORDER BY pk",
+        "SELECT * FROM ach ORDER BY id",
+        "SELECT * FROM agr ORDER BY id",
+        "SELECT * FROM asn ORDER BY id",
+        "SELECT * FROM atree ORDER BY id",
+        "PRAGMA foreign_key_list(ach)",
+    ):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+    for bad in (
+        "CREATE TABLE bad (x INT REFERENCES ap ON UPDATE CASCADE)",
+        "CREATE TABLE bad2 (x INT REFERENCES ap ON DELETE SET DEFAULT)",
+    ):
+        assert "unsupported" in db.execute_string_stmt(bad)[0].error
+    db.execute_string_stmt("PRAGMA foreign_keys = OFF")
+
+
 def test_composite_foreign_key_sqlite_differential(db):
     """Composite FOREIGN KEY (x, y) REFERENCES p(a, b): insert-side and
     parent-delete enforcement over the full key, the match-NONE
