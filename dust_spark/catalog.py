@@ -272,6 +272,7 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         ],
         "rowid_column": tdef.rowid_column,
         "autoincrement": tdef.autoincrement,
+        "strict": tdef.strict,
         "checks": [list(c) for c in tdef.checks],
         "generated": tdef.generated,
         "generated_stored": sorted(tdef.generated_stored),
@@ -293,6 +294,7 @@ def _tdef_from_json(d: dict) -> TableDef:
         foreign_keys=[ForeignKey(*fk) for fk in d.get("foreign_keys", [])],
         rowid_column=d.get("rowid_column"),
         autoincrement=d.get("autoincrement", False),
+        strict=d.get("strict", False),
         checks=[tuple(c) for c in d.get("checks", [])],
         generated=d.get("generated", {}),
         generated_stored=set(d.get("generated_stored", [])),

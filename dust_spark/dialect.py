@@ -295,6 +295,9 @@ class TableDef:
     # plain rowid tables follow SQLite's max(rowid)+1 rule, which can
     # reuse ids after the max row is deleted (sqlite3-probed)
     autoincrement: bool = False
+    # CREATE TABLE ... STRICT (SQLite >= 3.37): rigid per-column typing
+    # enforced on every write (lang_createtable.html#strict)
+    strict: bool = False
     if_not_exists: bool = False
     defaults: dict[str, str] = field(default_factory=dict)  # column -> literal SQL
 
@@ -398,14 +401,30 @@ def extract_checks(text: str) -> list[tuple[str, str]]:
 _REF_RE = re.compile(r"REFERENCES\s+(\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((\s*[^)]+\s*)\))?", re.I)
 
 
+_TABLE_OPTS_RE = re.compile(
+    r"\)\s*(?P<opts>(?:WITHOUT\s+ROWID|STRICT)(?:\s*,\s*(?:WITHOUT\s+ROWID|STRICT))*)\s*;?\s*$",
+    re.I,
+)
+
+#: the ONLY datatypes a STRICT table accepts (lang_createtable.html#strict)
+STRICT_TYPES = {"INT", "INTEGER", "REAL", "TEXT", "BLOB", "ANY"}
+
+
 def parse_create_table(sql: str) -> TableDef:
     source_sql = sql.strip().rstrip(";")
-    # WITHOUT ROWID tables store by PK directly in SQLite; here every
-    # table is PK-organized anyway — accept the clause, and suppress
-    # the rowid alias (such tables have none in SQLite either)
-    without_rowid = bool(re.search(r"\)\s*WITHOUT\s+ROWID\s*;?\s*$", sql, re.I))
-    if without_rowid:
-        sql = re.sub(r"WITHOUT\s+ROWID\s*;?\s*$", "", sql, flags=re.I)
+    # table options after the column list, comma-separable in any order
+    # like SQLite: WITHOUT ROWID (tables store by PK directly in SQLite;
+    # here every table is PK-organized anyway — accept the clause and
+    # suppress the rowid alias) and STRICT (rigid typing, enforced on
+    # the write path)
+    without_rowid = strict = False
+    m_opts = _TABLE_OPTS_RE.search(sql)
+    if m_opts:
+        for tok in re.split(r"\s*,\s*", m_opts.group("opts")):
+            t = re.sub(r"\s+", " ", tok.strip().upper())
+            without_rowid |= t == "WITHOUT ROWID"
+            strict |= t == "STRICT"
+        sql = sql[: m_opts.start() + 1]
     m = _CREATE_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
@@ -530,6 +549,16 @@ def parse_create_table(sql: str) -> TableDef:
         )
     ):
         td.rowid_column = td.primary_key[0]
+    if strict:
+        # SQLite validates STRICT datatypes at CREATE (probed error
+        # strings); the session layer converts ValueError → DustError
+        td.strict = True
+        for f in fields:
+            decl = td.declared_types.get(f.name, "").strip()
+            if not decl:
+                raise ValueError(f"missing datatype for {name}.{f.name}")
+            if decl.upper() not in STRICT_TYPES:
+                raise ValueError(f'unknown datatype for {name}.{f.name}: "{decl}"')
     td.schema = T.StructType(fields)
     if td.primary_key and td.primary_key not in td.unique:
         td.unique.insert(0, td.primary_key)

@@ -443,7 +443,10 @@ class DustSession:
         ctas = dialect.parse_ctas(sql)
         if ctas is not None:
             return self._create_table_as(overlay, *ctas)
-        tdef = dialect.parse_create_table(sql)
+        try:
+            tdef = dialect.parse_create_table(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
         for fk in tdef.foreign_keys:
             # ON UPDATE non-defaults and SET DEFAULT are excluded loudly
             # (COVERAGE.md) — silent restrict-instead-of-action would be
@@ -952,6 +955,7 @@ class DustSession:
         if unknown:
             raise DustError(f"table {ins.table} has no column named {unknown[0]}")
         src = src.toDF(*cols)
+        self._check_strict_types(tdef, src, [(c, c) for c in cols])
 
         # insertion-order row number (auto-id + last_insert_id semantics)
         if src_sql.upper().startswith("VALUES"):
@@ -1460,6 +1464,19 @@ class DustSession:
             where = "`__rid` IN (SELECT __vrid FROM __dust_victims)"
         else:
             st.df.createOrReplaceTempView("__dust_stage")
+        if tdef.strict and assigned:
+            # STRICT: evaluate each SET expression uncast over the
+            # matched rows and run the storage-class matrix on it
+            sels = ", ".join(
+                f"({e}) AS `__sv{i}`" for i, e in enumerate(assigned.values())
+            )
+            vdf = self.spark.sql(
+                f"{with_prefix}SELECT {sels} FROM __dust_stage AS `{up.table}` "
+                f"WHERE coalesce(({where}), false)"
+            )
+            self._check_strict_types(
+                tdef, vdf, [(f"__sv{i}", c) for i, c in enumerate(assigned)]
+            )
         projs = []
         for f in tdef.schema.fields:
             if f.name in assigned:
@@ -1757,6 +1774,76 @@ class DustSession:
         return int(mx or 0)
 
     # -- constraints (SURVEY §4.2 custom: Spark doesn't enforce) ----------
+
+    def _check_strict_types(self, tdef: TableDef, df: DataFrame, pairs) -> None:
+        """STRICT table type enforcement (sqlite3-probed matrix,
+        lang_createtable.html#strict): BLOB columns take only blobs;
+        TEXT takes anything except blobs (numbers stringify); REAL
+        takes numbers and numeric text; INT/INTEGER additionally
+        requires an integral value (2.0 and '3' pass, 1.5 and '3.7'
+        raise as REAL, 'abc' raises as TEXT). ANY columns skip (stored
+        through the TEXT affinity — typeof divergence documented in
+        COVERAGE.md). pairs = [(df column, declared target column)]."""
+        if not tdef.strict:
+            return
+        dtypes = {f.name: f.dataType for f in df.schema.fields}
+
+        def storage_class(dt) -> str:
+            if isinstance(dt, T.StringType):
+                return "TEXT"
+            if isinstance(dt, T.BinaryType):
+                return "BLOB"
+            if isinstance(dt, (T.DoubleType, T.FloatType, T.DecimalType)):
+                return "REAL"
+            if isinstance(dt, T.NullType):
+                return "NULL"
+            return "INTEGER"
+
+        for src, tgt in pairs:
+            decl = (tdef.declared_types.get(tgt) or "").strip()
+            fam = decl.upper()
+            if fam not in ("INT", "INTEGER", "REAL", "TEXT", "BLOB"):
+                continue  # ANY / non-strict metadata columns
+            scls = storage_class(dtypes[src])
+            if scls == "NULL":
+                continue
+            c = F.col(src)
+
+            def fail(vcls):
+                raise DustError(
+                    f"cannot store {vcls} value in {decl} column {tdef.name}.{tgt}"
+                )
+
+            if fam == "BLOB":
+                if scls != "BLOB" and df.filter(c.isNotNull()).limit(1).count() > 0:
+                    fail(scls)
+            elif fam == "TEXT":
+                if scls == "BLOB" and df.filter(c.isNotNull()).limit(1).count() > 0:
+                    fail("BLOB")
+            elif fam == "REAL":
+                if scls == "BLOB":
+                    if df.filter(c.isNotNull()).limit(1).count() > 0:
+                        fail("BLOB")
+                elif scls == "TEXT":
+                    bad = c.isNotNull() & F.expr(f"try_cast(`{src}` AS DOUBLE)").isNull()
+                    if df.filter(bad).limit(1).count() > 0:
+                        fail("TEXT")
+            else:  # INT / INTEGER
+                if scls == "BLOB":
+                    if df.filter(c.isNotNull()).limit(1).count() > 0:
+                        fail("BLOB")
+                elif scls == "TEXT":
+                    d = F.expr(f"try_cast(`{src}` AS DOUBLE)")
+                    if df.filter(c.isNotNull() & d.isNull()).limit(1).count() > 0:
+                        fail("TEXT")
+                    if df.filter(d.isNotNull() & (d != F.floor(d))).limit(1).count() > 0:
+                        fail("REAL")
+                elif scls == "REAL":
+                    d = c.cast("double")
+                    if df.filter(
+                        c.isNotNull() & ((d != F.floor(d)) | F.isnan(d))
+                    ).limit(1).count() > 0:
+                        fail("REAL")
 
     def _fk_ref_columns(self, overlay: Overlay, child_tdef: TableDef, fk) -> tuple:
         """Resolve ``REFERENCES t`` with no column list to the parent's

@@ -524,6 +524,48 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_strict_tables_sqlite_differential(db):
+    """CREATE TABLE ... STRICT (SQLite >= 3.37): datatype whitelist at
+    CREATE (exact 'unknown datatype' / 'missing datatype' strings),
+    the probed write-path storage-class matrix (INTEGER takes integral
+    REAL/TEXT values only, REAL takes numeric text, TEXT takes
+    everything but blobs, BLOB only blobs) on INSERT and UPDATE, and
+    comma-separated table options in either order."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE sst (i INTEGER, r REAL, t TEXT, b BLOB) STRICT",
+        "INSERT INTO sst(i) VALUES (1.5)",  # REAL err
+        "INSERT INTO sst(i) VALUES (2.0)",  # integral ok
+        "INSERT INTO sst(i) VALUES ('3')",
+        "INSERT INTO sst(i) VALUES ('3.7')",  # REAL err
+        "INSERT INTO sst(i) VALUES ('abc')",  # TEXT err
+        "INSERT INTO sst(r) VALUES (5)",
+        "INSERT INTO sst(r) VALUES ('nope')",  # TEXT err
+        "INSERT INTO sst(t) VALUES (5)",  # numbers stringify
+        "INSERT INTO sst(b) VALUES ('text')",  # BLOB err
+        "UPDATE sst SET i = 'bad' WHERE i IS NOT NULL",  # TEXT err
+        "UPDATE sst SET i = i + 1 WHERE i IS NOT NULL",
+        'CREATE TABLE sst2 (x FLOAT) STRICT',  # unknown datatype
+        "CREATE TABLE snt (x) STRICT",  # missing datatype
+        "CREATE TABLE sco (k TEXT NOT NULL PRIMARY KEY) WITHOUT ROWID, STRICT",
+        "CREATE TABLE sco2 (k TEXT NOT NULL PRIMARY KEY) STRICT, WITHOUT ROWID",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert got_err == ref_err, (s, ref_err, got_err)
+    q = "SELECT i FROM sst WHERE i IS NOT NULL ORDER BY i"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
 def test_fk_on_delete_actions_sqlite_differential(db):
     """ON DELETE CASCADE (recursive through grandchildren and
     self-reference chains) and ON DELETE SET NULL, plus REFERENCES with
