@@ -645,7 +645,7 @@ def split_dml_tail(text: str) -> tuple[str, str | None]:
     return text[:cut].rstrip(), text[cut:].strip().rstrip(";") or None
 
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+TABLE\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW|INDEX)\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
     re.S | re.I,
 )
 
@@ -846,11 +846,16 @@ def parse_delete(sql: str) -> DeleteStmt:
     )
 
 
-def parse_drop(sql: str) -> tuple[str, bool]:
+def parse_drop(sql: str) -> tuple[str, str, bool]:
+    """(kind, name, if_exists) for DROP TABLE / VIEW / INDEX."""
     m = _DROP_RE.match(sql)
     if not m:
         raise ValueError(f'near "{sql.strip()[:40]}": syntax error')
-    return unquote_ident(m.group("name")).lower(), bool(m.group("ie"))
+    return (
+        m.group("kind").upper(),
+        unquote_ident(m.group("name")).lower(),
+        bool(m.group("ie")),
+    )
 
 
 def synth_create_sql(td: TableDef) -> str:

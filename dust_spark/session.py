@@ -447,16 +447,7 @@ class DustSession:
             tdef = dialect.parse_create_table(sql)
         except ValueError as e:
             raise DustError(str(e)) from e
-        for fk in tdef.foreign_keys:
-            # ON UPDATE non-defaults and SET DEFAULT are excluded loudly
-            # (COVERAGE.md) — silent restrict-instead-of-action would be
-            # a wrong answer relative to the pass-through contract
-            if fk.on_update not in ("NO ACTION", "RESTRICT"):
-                raise DustError(
-                    f"unsupported: ON UPDATE {fk.on_update} (only NO ACTION/RESTRICT)"
-                )
-            if fk.on_delete == "SET DEFAULT":
-                raise DustError("unsupported: ON DELETE SET DEFAULT")
+        self._validate_fk_actions(tdef.foreign_keys)
         overlay = self._route(overlay, tdef.name)
         if overlay.exists(tdef.name):
             if tdef.if_not_exists:
@@ -515,8 +506,46 @@ class DustSession:
             self.catalog._save_manifest()
         return self._ok()
 
+    def _validate_fk_actions(self, fks) -> None:
+        # ON UPDATE non-defaults and SET DEFAULT are excluded loudly
+        # (COVERAGE.md) — silent restrict-instead-of-action would be a
+        # wrong answer relative to the pass-through contract
+        for fk in fks:
+            if fk.on_update not in ("NO ACTION", "RESTRICT"):
+                raise DustError(
+                    f"unsupported: ON UPDATE {fk.on_update} (only NO ACTION/RESTRICT)"
+                )
+            if fk.on_delete == "SET DEFAULT":
+                raise DustError("unsupported: ON DELETE SET DEFAULT")
+
     def _drop_table(self, overlay: Overlay, sql: str) -> Response:
-        name, if_exists = dialect.parse_drop(sql)
+        """DROP TABLE / VIEW / INDEX with SQLite's probed error strings
+        (incl. the kind cross-checks: 'use DROP VIEW to delete view v'
+        and vice versa). Indexes are accepted-and-ignored engine-wide,
+        so DROP INDEX succeeds for any name ('no such index' only with
+        no IF EXISTS and a name never created is indistinguishable here
+        — accepted, matching the CREATE INDEX no-op posture)."""
+        try:
+            kind, name, if_exists = dialect.parse_drop(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
+        if kind == "INDEX":
+            return self._ok()
+        is_view = name in self.catalog.views
+        if kind == "VIEW":
+            if not is_view:
+                if overlay.exists(name):
+                    raise DustError(f"use DROP TABLE to delete table {name}")
+                if if_exists:
+                    return self._ok()
+                raise DustError(f"no such view: {name}")
+            self.catalog.views.pop(name, None)
+            self.spark.catalog.dropTempView(name)
+            if self.catalog.warehouse:
+                self.catalog._save_manifest()
+            return self._ok()
+        if is_view:
+            raise DustError(f"use DROP VIEW to delete view {name}")
         overlay = self._route(overlay, name)
         if not overlay.exists(name):
             if if_exists:
@@ -545,6 +574,7 @@ class DustSession:
 
         if kind == "add":
             sub = parsed[2]  # one-column TableDef from the ADD def
+            self._validate_fk_actions(sub.foreign_keys)
             f_new = sub.schema.fields[0]
             col = f_new.name
             if col in fields:

@@ -524,6 +524,43 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_drop_view_index_sqlite_differential(db):
+    """DROP VIEW / DROP INDEX and the kind cross-checks ('use DROP
+    VIEW to delete view v' and vice versa) — error strings vs sqlite3.
+    Indexes are accepted-and-ignored engine-wide, so DROP INDEX
+    succeeds (documented no-op posture). ALTER ADD COLUMN with a
+    non-default ON UPDATE action rejects like CREATE."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE dvt (v INT)",
+        "CREATE VIEW dvv AS SELECT * FROM dvt",
+        "CREATE INDEX dvi ON dvt(v)",
+        "DROP VIEW nope",
+        "DROP TABLE dvv",
+        "DROP VIEW dvt",
+        "DROP INDEX dvi",
+        "DROP VIEW IF EXISTS nope",
+        "DROP VIEW dvv",
+        "DROP TABLE IF EXISTS ghost",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert got_err == ref_err, (s, ref_err, got_err)
+    assert (
+        "unsupported: ON UPDATE CASCADE"
+        in db.execute_string_stmt(
+            "ALTER TABLE dvt ADD COLUMN fk INT REFERENCES dvt ON UPDATE CASCADE"
+        )[0].error
+    )
+
+
 def test_strict_tables_sqlite_differential(db):
     """CREATE TABLE ... STRICT (SQLite >= 3.37): datatype whitelist at
     CREATE (exact 'unknown datatype' / 'missing datatype' strings),
