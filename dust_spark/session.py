@@ -54,8 +54,9 @@ class DustError(Exception):
 
 
 _CREATE_VIEW_RE = re.compile(
-    r"^\s*CREATE\s+(?:OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
-    r"(?P<name>\"[^\"]+\"|`[^`]+`|\w+)\s+AS\s+(?P<sel>.*)$",
+    r"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
+    r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
+    r"(?P<name>\"[^\"]+\"|`[^`]+`|\w+)\s*(?:\((?P<cols>[^)]*)\))?\s+AS\s+(?P<sel>.*)$",
     re.S | re.I,
 )
 
@@ -449,6 +450,10 @@ class DustSession:
             raise DustError(str(e)) from e
         self._validate_fk_actions(tdef.foreign_keys)
         overlay = self._route(overlay, tdef.name)
+        if tdef.name in self.catalog.views:
+            if tdef.if_not_exists:
+                return self._ok()
+            raise DustError(f"view {tdef.name} already exists")
         if overlay.exists(tdef.name):
             if tdef.if_not_exists:
                 return self._ok()
@@ -495,11 +500,34 @@ class DustSession:
         return self._ok()
 
     def _create_view(self, sql: str) -> Response:
+        """CREATE [TEMP] VIEW [IF NOT EXISTS] name [(cols)] AS select —
+        duplicate names error like SQLite ('view v already exists' /
+        'table t already exists'); an explicit column list renames the
+        select's output positionally."""
         m = _CREATE_VIEW_RE.match(sql)
         if not m:
             raise DustError(f'near "{sql.strip()[:40]}": syntax error')
         name = dialect.unquote_ident(m.group("name")).lower()
+        if name in self.catalog.views and not m.group("rep"):
+            if m.group("ine"):
+                return self._ok()
+            raise DustError(f"view {name} already exists")
+        if name in self.catalog.tables:
+            raise DustError(f"table {name} already exists")
         sel = m.group("sel").strip().rstrip(";")
+        if m.group("cols"):
+            # positional rename: wrap with an aliasing projection
+            inner = sel
+            names = [dialect.unquote_ident(c.strip()) for c in m.group("cols").split(",")]
+            probe = self.spark.sql(inner)
+            if len(probe.columns) != len(names):
+                raise DustError(
+                    f"expected {len(probe.columns)} columns for {name} but got {len(names)}"
+                )
+            alias_list = ", ".join(
+                f"`{src}` AS `{dst}`" for src, dst in zip(probe.columns, names)
+            )
+            sel = f"SELECT {alias_list} FROM ({inner})"
         self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {name} AS {sel}")
         self.catalog.views[name] = sel
         if self.catalog.warehouse:
@@ -932,6 +960,8 @@ class DustSession:
         overlay = self._route(overlay, ins.table)
         st = overlay.get(ins.table)
         if st is None:
+            if ins.table in self.catalog.views:
+                raise DustError(f"cannot modify {ins.table} because it is a view")
             raise DustError(f"no such table: {ins.table}")
         tdef = st.tdef
         schema_cols = [f.name for f in tdef.schema.fields]
@@ -1448,6 +1478,8 @@ class DustSession:
         overlay = self._route(overlay, up.table)
         st = overlay.get(up.table)
         if st is None:
+            if up.table in self.catalog.views:
+                raise DustError(f"cannot modify {up.table} because it is a view")
             raise DustError(f"no such table: {up.table}")
         with self._exposed_rowid_view(overlay, up.table, st, sql):
             return self._update_impl(overlay, st, up)
@@ -1732,6 +1764,8 @@ class DustSession:
         overlay = self._route(overlay, de.table)
         st = overlay.get(de.table)
         if st is None:
+            if de.table in self.catalog.views:
+                raise DustError(f"cannot modify {de.table} because it is a view")
             raise DustError(f"no such table: {de.table}")
         with self._exposed_rowid_view(overlay, de.table, st, sql):
             return self._delete_impl(overlay, st, de)

@@ -524,6 +524,41 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_view_ddl_sqlite_differential(db):
+    """View DDL parity: IF NOT EXISTS, duplicate-name errors (both
+    directions, table vs view), explicit view column lists renaming the
+    select positionally, and DML on a view erroring with SQLite's
+    'cannot modify v because it is a view'."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE vt (a INT, b INT)",
+        "INSERT INTO vt VALUES (1, 2)",
+        "CREATE VIEW vw1 AS SELECT a FROM vt",
+        "CREATE VIEW IF NOT EXISTS vw1 AS SELECT b FROM vt",
+        "CREATE VIEW vw1 AS SELECT b FROM vt",  # view vw1 already exists
+        "CREATE VIEW vt AS SELECT 1",  # table vt already exists
+        "CREATE TABLE vw1 (x INT)",  # view vw1 already exists
+        "CREATE VIEW vw2(x, y) AS SELECT a, b FROM vt",
+        "INSERT INTO vw1 VALUES (9)",
+        "UPDATE vw1 SET a = 1",
+        "DELETE FROM vw1",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert got_err == ref_err, (s, ref_err, got_err)
+    q = "SELECT x, y FROM vw2"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
 def test_drop_view_index_sqlite_differential(db):
     """DROP VIEW / DROP INDEX and the kind cross-checks ('use DROP
     VIEW to delete view v' and vice versa) — error strings vs sqlite3.
