@@ -147,6 +147,10 @@ class DustSession:
         self._returning_df: DataFrame | None = None
         self._rowid_tdef: TableDef | None = None  # set by _sql per query
         self._rowid_multi = False  # multi-table rowid resolution ran
+        # explicit BEGIN/COMMIT transaction: the open overlay + the
+        # statements to journal at COMMIT (connection state)
+        self._explicit_tx: Overlay | None = None
+        self._tx_pending: list[Statement] = []
         self._returning_table: str | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
@@ -212,16 +216,37 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def execute(self, req: Request) -> list[Response]:
-        """Write batch (reference db/src/db.rs:154-209)."""
-        overlay = Overlay(self.catalog)
+        """Write batch (reference db/src/db.rs:154-209). Explicit
+        BEGIN/COMMIT(END)/ROLLBACK statements open a CONNECTION-level
+        transaction spanning statements and requests (legal SQLite via
+        the reference pass-through): writes stage in one overlay and
+        journal only at COMMIT, so an abandoned transaction replays as
+        nothing. SQLite's probed error strings for misuse; explicit tx
+        statements inside a request-level transaction are rejected
+        loudly (the request wrapper IS a transaction)."""
+        overlay = self._explicit_tx or Overlay(self.catalog)
         responses: list[Response] = []
         rollback = False
         for stmt in req.statements:
             if stmt.sql == "":  # skipped, no Response (db/src/db.rs:170-172)
                 continue
+            kind = statement_kind(stmt.sql)
+            if kind in ("BEGIN", "COMMIT", "END", "ROLLBACK"):
+                try:
+                    responses.append(self._explicit_tx_stmt(kind, req, overlay))
+                    if self._explicit_tx is None and kind == "BEGIN":
+                        self._explicit_tx = overlay
+                except DustError as e:
+                    responses.append(Response(error=str(e)))
+                    if req.transaction:
+                        rollback = True
+                        break
+                continue
             try:
                 responses.append(self._apply(overlay, stmt))
-                if not req.transaction:
+                if self._explicit_tx is not None:
+                    self._tx_pending.append(stmt)  # journal at COMMIT
+                elif not req.transaction:
                     # write-ahead: journal first, then publish — a crash
                     # in between replays the statement onto the manifest
                     self._log_journal(stmt, False)
@@ -231,8 +256,12 @@ class DustSession:
                 if req.transaction:
                     rollback = True
                     break  # tx: no further statements (db/src/db.rs:184-188)
-                overlay.rollback()
-        if req.transaction:
+                if self._explicit_tx is None:
+                    overlay.rollback()
+                # inside an explicit tx a failed statement leaves prior
+                # staged work intact (SQLite: the statement aborts, the
+                # transaction stays open)
+        if req.transaction and self._explicit_tx is None:
             if rollback:
                 overlay.rollback()
             else:
@@ -241,6 +270,34 @@ class DustSession:
                         self._log_journal(stmt, True)
                 overlay.commit()
         return responses
+
+    def _explicit_tx_stmt(self, kind: str, req: Request, overlay: Overlay) -> Response:
+        if req.transaction:
+            if kind == "BEGIN":
+                raise DustError("cannot start a transaction within a transaction")
+            raise DustError(
+                f"cannot {'commit' if kind in ('COMMIT', 'END') else 'rollback'} - "
+                "no transaction is active"
+            )
+        if kind == "BEGIN":
+            if self._explicit_tx is not None:
+                raise DustError("cannot start a transaction within a transaction")
+            self._tx_pending = []
+            return self._ok()  # caller records the overlay as the open tx
+        if self._explicit_tx is None:
+            raise DustError(
+                f"cannot {'commit' if kind in ('COMMIT', 'END') else 'rollback'} - "
+                "no transaction is active"
+            )
+        if kind in ("COMMIT", "END"):
+            for p in self._tx_pending:
+                self._log_journal(p, True)
+            overlay.commit()
+        else:
+            overlay.rollback()
+        self._explicit_tx = None
+        self._tx_pending = []
+        return self._ok()
 
     def query(self, req: Request) -> list[Rows]:
         """Read batch (reference db/src/db.rs:223-290)."""

@@ -524,6 +524,69 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_explicit_transactions_sqlite_differential(db):
+    """Explicit BEGIN/COMMIT(END)/ROLLBACK as statements: connection-
+    level transactions spanning requests, staged rows visible inside
+    the open tx, SQLite's exact misuse error strings."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.isolation_level = None
+    stmts = [
+        "CREATE TABLE xt (a INT)",
+        "BEGIN",
+        "INSERT INTO xt VALUES (1)",
+        "INSERT INTO xt VALUES (2)",
+        "COMMIT",
+        "COMMIT",  # no tx active
+        "BEGIN TRANSACTION",
+        "BEGIN",  # nested
+        "INSERT INTO xt VALUES (3)",
+        "ROLLBACK",
+        "ROLLBACK",  # no tx active
+        "BEGIN",
+        "INSERT INTO xt VALUES (4)",
+        "END",  # COMMIT alias
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert got_err == ref_err, (s, ref_err, got_err)
+    q = "SELECT a FROM xt ORDER BY a"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
+def test_explicit_tx_journal_replay(spark, tmp_path):
+    """COMMIT journals the transaction's statements atomically; an
+    ABANDONED open transaction journals nothing — replay reproduces
+    exactly the committed state."""
+    import os
+
+    from dust_spark import DustSession
+    from dust_spark.model import rows_to_json
+
+    wh = str(tmp_path / "wh_tx")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (a INT)")
+    db.execute_string_stmt("BEGIN")
+    db.execute_string_stmt("INSERT INTO t VALUES (1)")
+    db.execute_string_stmt("COMMIT")
+    db.execute_string_stmt("BEGIN")
+    db.execute_string_stmt("INSERT INTO t VALUES (99)")  # never committed
+    want = '[{"columns":["a"],"types":["integer"],"values":[[1]]}]'
+    db.close()
+
+    replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
+    assert rows_to_json(replayed.query_string_stmt("SELECT a FROM t ORDER BY a")) == want
+    replayed.close()
+
+
 def test_view_ddl_sqlite_differential(db):
     """View DDL parity: IF NOT EXISTS, duplicate-name errors (both
     directions, table vs view), explicit view column lists renaming the
