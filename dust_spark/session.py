@@ -477,6 +477,8 @@ class DustSession:
             if kind == "PRAGMA":
                 return self._pragma_exec(sql)
             if kind in ("VACUUM", "ANALYZE", "REINDEX"):
+                if kind == "VACUUM" and self._explicit_tx is not None:
+                    raise DustError("cannot VACUUM from within a transaction")
                 return self._ok()  # maintenance statements: accepted no-ops
             if kind in ("INSERT", "REPLACE"):
                 return self._insert(overlay, sql)

@@ -546,7 +546,9 @@ def test_explicit_transactions_sqlite_differential(db):
         "ROLLBACK",  # no tx active
         "BEGIN",
         "INSERT INTO xt VALUES (4)",
+        "VACUUM",  # cannot VACUUM from within a transaction
         "END",  # COMMIT alias
+        "VACUUM",  # fine outside
     ]
     for s in stmts:
         try:
