@@ -141,6 +141,10 @@ class DustSession:
         self._schema_version = 0
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
+        # changes()/total_changes() connection state (most recent DML /
+        # cumulative since open, like SQLite's C-level counters)
+        self._changes = 0
+        self._total_changes = 0
         # RETURNING support: query() arms capture before applying DML,
         # handlers leave the affected-row DataFrame here
         self._capture_returning = False
@@ -243,7 +247,11 @@ class DustSession:
                         break
                 continue
             try:
-                responses.append(self._apply(overlay, stmt))
+                r = self._apply(overlay, stmt)
+                if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
+                    self._changes = r.rows_affected
+                    self._total_changes += r.rows_affected
+                responses.append(r)
                 if self._explicit_tx is not None:
                     self._tx_pending.append(stmt)  # journal at COMMIT
                 elif not req.transaction:
@@ -2184,9 +2192,15 @@ class DustSession:
         # like every other rewrite layer: 'last_insert_rowid()' inside a
         # quoted string must not be mangled)
         _lir = re.compile(r"\blast_insert_rowid\s*\(\s*\)", re.I)
-        sql = dialect._map_outside_strings(
-            sql, lambda seg: _lir.sub(str(int(self._last_insert_id)), seg)
-        )
+        _chg = re.compile(r"\btotal_changes\s*\(\s*\)", re.I)
+        _chg1 = re.compile(r"\bchanges\s*\(\s*\)", re.I)
+
+        def _conn_state(seg: str) -> str:
+            seg = _lir.sub(str(int(self._last_insert_id)), seg)
+            seg = _chg.sub(str(int(self._total_changes)), seg)
+            return _chg1.sub(str(int(self._changes)), seg)
+
+        sql = dialect._map_outside_strings(sql, _conn_state)
         if re.search(r"\bsqlite_(master|schema)\b", sql, re.I):
             self._register_sqlite_master()
         if re.search(r"\bsqlite_sequence\b", sql, re.I):

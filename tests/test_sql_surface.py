@@ -524,6 +524,30 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_changes_total_changes(db):
+    """changes()/total_changes() connection state mirrors sqlite3: the
+    most recent DML's row count vs the cumulative count; DDL leaves
+    both untouched."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE cht (a INT)",
+        "INSERT INTO cht VALUES (1),(2),(3)",
+        "DELETE FROM cht WHERE a < 3",
+        "UPDATE cht SET a = 9",
+        "CREATE TABLE chu (b INT)",
+    ):
+        ref.execute(s)
+        db.execute_string_stmt(s)
+        q = "SELECT changes() AS c, total_changes() AS t"
+        assert list(db.query_string_stmt(q)[0].values[0]) == list(
+            ref.execute(q).fetchone()
+        ), s
+    # inside a string literal the tokens are data, not connection state
+    assert db.query_string_stmt("SELECT 'changes()' AS s")[0].values == [["changes()"]]
+
+
 def test_explicit_transactions_sqlite_differential(db):
     """Explicit BEGIN/COMMIT(END)/ROLLBACK as statements: connection-
     level transactions spanning requests, staged rows visible inside
