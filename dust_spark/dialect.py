@@ -1219,6 +1219,33 @@ _IS_RE = re.compile(r"\bIS\b(?!\s+(?:NOT|NULL|DISTINCT)\b)", re.I)
 _LIKE_RE = re.compile(r"\bLIKE\b", re.I)
 
 
+_QPARAM_RE = re.compile(r"\?(\d+)?")
+
+
+def normalize_numbered_params(sql: str, params) -> tuple[str, list]:
+    """SQLite numbered placeholders: ``?NNN`` binds the NNNth parameter
+    and sets the running index, a bare ``?`` takes the next index
+    (lang_expr.html#varparam). Rewrites every placeholder to a plain
+    positional ``?`` with a reordered parameter list — a no-op for
+    pure-? SQL. String-literal aware."""
+    params = list(params or [])
+    if not params or "?" not in sql:
+        return sql, params
+    new_params: list = []
+    state = {"cur": 0}
+
+    def fix(seg: str) -> str:
+        def sub(m):
+            idx = int(m.group(1)) if m.group(1) else state["cur"] + 1
+            state["cur"] = idx
+            new_params.append(params[idx - 1] if 1 <= idx <= len(params) else None)
+            return "?"
+
+        return _QPARAM_RE.sub(sub, seg)
+
+    return _map_outside_strings(sql, fix), new_params
+
+
 def _map_outside_strings(sql: str, fn) -> str:
     """Apply ``fn`` to the segments of ``sql`` outside string literals."""
     out, seg, i, in_str = [], [], 0, None

@@ -70,6 +70,7 @@ def bind_params(sql: str, params: list[Any]) -> str:
     """
     if not params:
         return sql
+    sql, params = dialect.normalize_numbered_params(sql, params)
     out: list[str] = []
     it = iter(params)
     in_str: str | None = None
@@ -2220,6 +2221,8 @@ class DustSession:
                 "(SQLite GROUPS/EXCLUDE frames)"
             )
         sql, restore = self._resolve_read_rowid(sql)
+        if params:
+            sql, params = dialect.normalize_numbered_params(sql, params)
         try:
             if params:
                 return self.spark.sql(sql, args=list(params))

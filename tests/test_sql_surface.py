@@ -524,6 +524,29 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_numbered_parameters_sqlite_differential(db):
+    """?NNN numbered placeholders (bind the NNNth parameter, set the
+    running index; bare ? takes the next index) on both the write and
+    read paths — value parity with sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE np (a INT, b TEXT)")
+    db.execute_string_stmt("CREATE TABLE np (a INT, b TEXT)")
+    for q, p in (
+        ("INSERT INTO np VALUES (?1, ?2)", (5, "x")),
+        ("INSERT INTO np VALUES (?2, ?1)", ("y", 7)),  # swapped refs
+        ("INSERT INTO np VALUES (?1, ?)", (9, "z")),  # bare ? follows ?1
+    ):
+        ref.execute(q, p)
+        r = db.execute_string_stmt(q, list(p))[0]
+        assert r.error == "", (q, r.error)
+    q = "SELECT a, b FROM np WHERE a = ?1 OR b = ?2 ORDER BY a"
+    assert [list(r) for r in db.query_string_stmt(q, [5, "y"])[0].values] == [
+        list(r) for r in ref.execute(q, (5, "y")).fetchall()
+    ]
+
+
 def test_changes_total_changes(db):
     """changes()/total_changes() connection state mirrors sqlite3: the
     most recent DML's row count vs the cumulative count; DDL leaves
