@@ -899,6 +899,8 @@ class DustSession:
             return self._pragma_table_info(arg or val, xinfo=True)
         if key == "index_info":
             return self._pragma_index_info(arg or val)
+        if key == "index_xinfo":
+            return self._pragma_index_info(arg or val, xinfo=True)
         if key == "database_list":
             cols = ["seq", "name", "file"]
             values = [[0, "main", self.catalog.warehouse or ""]]
@@ -998,17 +1000,34 @@ class DustSession:
             i += 1
         return Rows(columns=cols, types=types, values=values)
 
-    def _pragma_index_info(self, index: str | None) -> Rows:
+    def _pragma_index_info(self, index: str | None, xinfo: bool = False) -> Rows:
         """(seqno, cid, name) per indexed column, sqlite3-probed; the
         sqlite_autoindex_{t}_{n} name maps back to the table's nth
-        surfaced UNIQUE constraint (same skip rule as index_list)."""
+        surfaced UNIQUE constraint (same skip rule as index_list).
+        index_xinfo adds desc/coll/key and the probed auxiliary rows:
+        rowid tables append one (-1, NULL) rowid entry, WITHOUT ROWID
+        tables append the remaining table columns as non-key rows;
+        coll follows the column's declared collation (NOCASE columns
+        report NOCASE)."""
         cols = ["seqno", "cid", "name"]
         types = ["integer", "integer", "text"]
+        if xinfo:
+            cols += ["desc", "coll", "key"]
+            types += ["integer", "text", "integer"]
         m = re.match(r"sqlite_autoindex_(.+)_(\d+)$", (index or "").lower())
         st = self.catalog.tables.get(m.group(1)) if m else None
         values = []
         if st is not None:
             tdef = st.tdef
+
+            def coll(cname: str) -> str:
+                f = next((x for x in tdef.schema.fields if x.name == cname), None)
+                if f is not None and isinstance(f.dataType, T.StringType) and "LCASE" in str(
+                    f.dataType
+                ):
+                    return "NOCASE"
+                return "BINARY"
+
             surfaced = [
                 u
                 for u in tdef.unique
@@ -1017,8 +1036,23 @@ class DustSession:
             idx = int(m.group(2)) - 1
             if 0 <= idx < len(surfaced):
                 visible = [f.name for f in tdef.visible_fields()]
-                for seqno, c in enumerate(surfaced[idx]):
-                    values.append([seqno, visible.index(c) if c in visible else -1, c])
+                key_cols = list(surfaced[idx])
+                seqno = 0
+                for c in key_cols:
+                    row = [seqno, visible.index(c) if c in visible else -1, c]
+                    if xinfo:
+                        row += [0, coll(c), 1]
+                    values.append(row)
+                    seqno += 1
+                if xinfo:
+                    if tdef.rowid_column is not None:
+                        values.append([seqno, -1, None, 0, "BINARY", 0])
+                    else:
+                        for c in visible:
+                            if c in key_cols:
+                                continue
+                            values.append([seqno, visible.index(c), c, 0, coll(c), 0])
+                            seqno += 1
         return Rows(columns=cols, types=types, values=values)
 
     # -- DML --------------------------------------------------------------

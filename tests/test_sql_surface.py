@@ -910,6 +910,11 @@ def test_table_xinfo_index_info_sqlite_differential(db):
         "PRAGMA index_info(sqlite_autoindex_xt_1)",
         "PRAGMA index_info(sqlite_autoindex_ximp_1)",
         "PRAGMA index_info(no_such_index)",
+        # index_xinfo: aux rowid row on rowid tables, remaining table
+        # columns on WITHOUT ROWID; coll tracks declared collation
+        "PRAGMA index_xinfo(sqlite_autoindex_xt_1)",
+        "PRAGMA index_xinfo(sqlite_autoindex_ximp_1)",
+        "PRAGMA index_xinfo(no_such_index)",
     ):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
