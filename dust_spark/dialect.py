@@ -507,8 +507,11 @@ def parse_create_table(sql: str) -> TableDef:
             td.not_null.add(col)
         if "PRIMARY KEY" in rest:
             td.primary_key = [col]
-            if isinstance(dtype, T.LongType):
-                td.rowid_column = col  # SQLite: INTEGER PRIMARY KEY = rowid alias
+            # rowid alias requires the type to be EXACTLY "INTEGER" —
+            # "INT PRIMARY KEY" is a plain PK with its own autoindex
+            # (sqlite3-probed: rowid stays independent there)
+            if decl.strip().upper() == "INTEGER":
+                td.rowid_column = col
                 if "AUTOINCREMENT" in rest:
                     td.autoincrement = True
         if re.search(r"\bUNIQUE\b", rest):
@@ -536,17 +539,14 @@ def parse_create_table(sql: str) -> TableDef:
         td.declared_types[col] = decl
         fields.append(T.StructField(col, dtype, nullable=True))
 
-    # table-level PRIMARY KEY(a) on a single INTEGER column is a rowid
-    # alias too (lang_createtable.html#rowid — same rule as the
-    # column-level form; the engine's existing INT≈INTEGER affinity
-    # approximation applies to both)
+    # table-level PRIMARY KEY(a) on a single column declared EXACTLY
+    # "INTEGER" is a rowid alias too (lang_createtable.html#rowid —
+    # same exact-type rule as the column-level form, sqlite3-probed:
+    # "x INT, PRIMARY KEY(x)" keeps an independent rowid + autoindex)
     if (
         td.rowid_column is None
         and len(td.primary_key) == 1
-        and any(
-            f.name == td.primary_key[0] and isinstance(f.dataType, T.LongType)
-            for f in fields
-        )
+        and td.declared_types.get(td.primary_key[0], "").strip().upper() == "INTEGER"
     ):
         td.rowid_column = td.primary_key[0]
     if strict:

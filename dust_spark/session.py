@@ -2240,6 +2240,7 @@ class DustSession:
             self._register_sqlite_master()
         if re.search(r"\bsqlite_sequence\b", sql, re.I):
             self._register_sqlite_sequence()
+        sql = self._register_pragma_tvfs(sql)
         fm = (
             dialect.UNSUPPORTED_FRAME_RE.search(sql)
             if re.search(r"\bOVER\s*\(", sql, re.I)  # frame clauses live in OVER()
@@ -2398,6 +2399,66 @@ class DustSession:
         df = self.spark.createDataFrame(rows, schema)
         df.createOrReplaceTempView("sqlite_master")
         df.createOrReplaceTempView("sqlite_schema")
+
+    _PRAGMA_TVF_RE = re.compile(
+        r"\bpragma_(table_info|table_xinfo|index_list|index_info|index_xinfo"
+        r"|foreign_key_list|database_list)\s*\(\s*(?:'([^']*)'|\"([^\"]*)\")?\s*\)",
+        re.I,
+    )
+
+    def _register_pragma_tvfs(self, sql: str) -> str:
+        """SQLite pragma table-valued functions (SELECT ... FROM
+        pragma_table_info('t'), pragma.html#pragfunc): each call site
+        materializes its PRAGMA rows as a temp view and the call text
+        is substituted with the view name — joins, WHERE and aliases
+        then work like any table."""
+        if "pragma_" not in sql.lower():
+            return sql
+        n = 0
+
+        def sub(m):
+            nonlocal n
+            key = m.group(1).lower()
+            arg = m.group(2) if m.group(2) is not None else m.group(3)
+            rows = self._pragma_query(f"PRAGMA {key}({arg})" if arg else f"PRAGMA {key}")
+            n += 1
+            view = f"__pragma_tvf_{n}"
+            schema = T.StructType(
+                [
+                    T.StructField(c, T.LongType() if ty == "integer" else T.StringType())
+                    for c, ty in zip(rows.columns, rows.types)
+                ]
+            )
+            self.spark.createDataFrame(
+                [tuple(r) for r in rows.values], schema
+            ).createOrReplaceTempView(view)
+            return view
+
+        return self._pragma_tvf_sub(sql, sub)
+
+    def _pragma_tvf_sub(self, sql: str, sub) -> str:
+        # the argument is inside quotes, so a plain outside-strings map
+        # would split the call — scan manually: find call heads outside
+        # string literals, replace the whole call (incl. quoted arg)
+        out = []
+        i, n = 0, len(sql)
+        while i < n:
+            ch = sql[i]
+            if ch in ("'", '\"'):
+                j = i + 1
+                while j < n and sql[j] != ch:
+                    j += 1
+                out.append(sql[i : j + 1])
+                i = j + 1
+                continue
+            m = self._PRAGMA_TVF_RE.match(sql, i)
+            if m:
+                out.append(sub(m))
+                i = m.end()
+                continue
+            out.append(ch)
+            i += 1
+        return "".join(out)
 
     def _register_sqlite_sequence(self) -> None:
         """The AUTOINCREMENT bookkeeping table (sqlite3-probed: columns

@@ -524,6 +524,39 @@ def test_metadata_pragmas(db):
     ]
 
 
+def test_pragma_tvfs_and_exact_integer_alias(db):
+    """Pragma table-valued functions (SELECT ... FROM
+    pragma_table_info('t') with WHERE/aliases/joins) and the EXACT
+    'INTEGER' rowid-alias rule: 'x INT PRIMARY KEY' keeps an
+    independent rowid and its pk autoindex (sqlite3-probed), only
+    'INTEGER' aliases — both column-level and table-level PK forms."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE pt (a INT PRIMARY KEY, b TEXT NOT NULL)",
+        "CREATE TABLE pu (x integer PRIMARY KEY)",
+        "CREATE TABLE pv (x INT, PRIMARY KEY(x))",
+        "INSERT INTO pt VALUES (5, 'q')",
+        "INSERT INTO pu VALUES (5)",
+        "INSERT INTO pv VALUES (5)",
+    ):
+        ref.execute(s)
+        assert db.execute_string_stmt(s)[0].error == "", s
+    for q in (
+        "SELECT name, type FROM pragma_table_info('pt') ORDER BY cid",
+        "SELECT p.name FROM pragma_table_info('pt') AS p WHERE p.pk = 1",
+        "SELECT name FROM pragma_index_list('pt')",  # INT pk HAS an autoindex
+        "SELECT name FROM pragma_index_list('pu')",  # INTEGER alias: none
+        "SELECT name FROM pragma_index_list('pv')",  # table-level INT: autoindex
+        "SELECT rowid, a FROM pt",  # independent rowid restarts at 1
+        "SELECT rowid, x FROM pu",  # alias: rowid == x == 5
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+
+
 def test_numbered_parameters_sqlite_differential(db):
     """?NNN numbered placeholders (bind the NNNth parameter, set the
     running index; bare ? takes the next index) on both the write and
