@@ -1029,6 +1029,11 @@ SQLITE_FN_DDL = (
     # One independent md5 block per 16-byte chunk — a single repeated
     # block would tile (16 bytes of entropy, visibly periodic) — and
     # n < 1 clamps to a 1-byte blob like SQLite.
+    # SQLite random(): a signed 64-bit integer (typeof 'integer'), not
+    # Spark's [0,1) double — idioms like abs(random() % 100) depend on
+    # it; flagged by the determinism guard on the write path
+    "CREATE OR REPLACE TEMPORARY FUNCTION __sqlite_random() RETURNS BIGINT "
+    "RETURN CAST((rand() * 2.0 - 1.0) * 9.223372036854775E18 AS BIGINT)",
     "CREATE OR REPLACE TEMPORARY FUNCTION randomblob(n INT) RETURNS BINARY "
     "RETURN unhex(substr(aggregate(sequence(1, CAST(greatest(n, 1)/16 AS INT) + 1), "
     "CAST('' AS STRING), "
@@ -1082,6 +1087,7 @@ _FN_RENAMES = {
     "unicode": "ascii",          # code point of first char
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
+    "random": "__sqlite_random",  # int64 random (Spark's builtin random -> double)
     "json_extract": "get_json_object",  # same $.path syntax; scalars as text
     "json_patch": "__json_patch",       # RFC-7386 merge patch (json1.py)
 }

@@ -411,6 +411,19 @@ def test_randomblob_entropy_and_clamp(db):
     assert h[:32] != h[32:64], "randomblob tiles the same 16-byte block"
 
 
+def test_random_is_int64(db):
+    """SQLite random() returns a signed 64-bit INTEGER (typeof
+    'integer'), not Spark's [0,1) double — abs(random() % N) idioms
+    depend on it."""
+    out = db.query_string_stmt(
+        "SELECT typeof(random()) AS t, abs(random() % 100) AS m"
+    )[0]
+    t, m = out.values[0]
+    assert t == "integer" and 0 <= m < 100
+    vals = {db.query_string_stmt("SELECT random()")[0].values[0][0] for _ in range(4)}
+    assert all(isinstance(v, int) for v in vals) and len(vals) > 1
+
+
 def test_last_insert_rowid_in_string_literal(db):
     """The last_insert_rowid() inline must be string-literal aware: an
     occurrence inside a quoted string is data, not connection state."""
