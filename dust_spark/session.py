@@ -267,9 +267,20 @@ class DustSession:
                     break  # tx: no further statements (db/src/db.rs:184-188)
                 if self._explicit_tx is None:
                     overlay.rollback()
-                # inside an explicit tx a failed statement leaves prior
-                # staged work intact (SQLite: the statement aborts, the
-                # transaction stays open)
+                elif re.match(
+                    r"\s*(?:INSERT|UPDATE|DELETE|REPLACE)\s+OR\s+ROLLBACK\b",
+                    stmt.sql,
+                    re.I,
+                ):
+                    # OR ROLLBACK: the failed statement rolls back and
+                    # CLOSES the open transaction (sqlite3-probed)
+                    overlay.rollback()
+                    self._explicit_tx = None
+                    self._tx_pending = []
+                    overlay = Overlay(self.catalog)
+                # otherwise: inside an explicit tx a failed statement
+                # leaves prior staged work intact (SQLite: the statement
+                # aborts, the transaction stays open)
         if req.transaction and self._explicit_tx is None:
             if rollback:
                 overlay.rollback()

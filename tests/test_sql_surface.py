@@ -642,6 +642,13 @@ def test_explicit_transactions_sqlite_differential(db):
         "VACUUM",  # cannot VACUUM from within a transaction
         "END",  # COMMIT alias
         "VACUUM",  # fine outside
+        # OR ROLLBACK: the failed statement rolls back AND closes the tx
+        "CREATE TABLE xr (id INTEGER PRIMARY KEY)",
+        "INSERT INTO xr VALUES (1)",
+        "BEGIN",
+        "INSERT INTO xr VALUES (2)",
+        "INSERT OR ROLLBACK INTO xr VALUES (1)",  # conflict
+        "COMMIT",  # no tx active anymore
     ]
     for s in stmts:
         try:
