@@ -107,7 +107,8 @@ def is_write(sql: str) -> bool:
 # --------------------------------------------------------------------------
 
 _NONDET = re.compile(
-    r"\b(random|randomblob|rand|randn|uuid|current_timestamp|current_date|"
+    r"\b(__sqlite_random|random|randomblob|rand|randn|uuid|current_timestamp|"
+    r"current_date|"
     r"current_time|now|unix_timestamp\s*\(\s*\)|monotonically_increasing_id)\b",
     re.I,
 )
