@@ -1121,7 +1121,7 @@ def rewrite_sqlite_fns(sql: str) -> str:
             else:
                 out.append(ch)
                 i += 1
-    return _rewrite_operators(_rewrite_arg_fns(_rewrite_json_arrows("".join(out))))
+    return _rewrite_operators(_rewrite_glob_operator(_rewrite_arg_fns(_rewrite_json_arrows("".join(out)))))
 
 
 def _scan_back_primary(s: str, i: int) -> int:
@@ -1288,6 +1288,54 @@ UNSUPPORTED_FRAME_RE = re.compile(
 # and surfaces Spark's own unknown-collation error
 _COLLATE_NOCASE_RE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.I)
 _COLLATE_BINARY_RE = re.compile(r"\bCOLLATE\s+BINARY\b", re.I)
+
+
+_GLOB_RHS_RE = re.compile(r"\s*('(?:[^']|'')*'|\?\d*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)")
+_GLOB_OP_HEAD_RE = re.compile(r"(NOT\s+)?GLOB\b(?!\s*\()", re.I)
+
+
+def _rewrite_glob_operator(sql: str) -> str:
+    """SQLite's infix ``expr GLOB pattern`` / ``NOT GLOB`` (equivalent
+    to glob(pattern, expr)): rewritten to the __sqlite_glob macro
+    compared to 1/0. Primary operands only (literal / column ref /
+    parameter) — the call form glob(p, x) goes through the rename
+    layer, excluded here by the no-paren lookahead."""
+    while True:
+        i, in_str, found = 0, None, -1
+        n = len(sql)
+        neg = False
+        op_end = -1
+        while i < n:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+                i += 1
+                continue
+            if ch in ("'", '"'):
+                in_str = ch
+                i += 1
+                continue
+            if ch in "NnGg" and (i == 0 or not (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                m = _GLOB_OP_HEAD_RE.match(sql, i)
+                if m:
+                    found = i
+                    neg = bool(m.group(1))
+                    op_end = m.end()
+                    break
+            i += 1
+        if found < 0:
+            return sql
+        mr = _GLOB_RHS_RE.match(sql, op_end)
+        if not mr:
+            return sql
+        rhs = mr.group(1)
+        lhs_start = _scan_back_primary(sql, found)
+        lhs = sql[lhs_start:found].strip()
+        if not lhs:
+            return sql
+        repl = f"__sqlite_glob({rhs}, {lhs}) = {0 if neg else 1}"
+        sql = sql[:lhs_start] + repl + sql[mr.end() :]
 
 
 def _rewrite_operators(sql: str) -> str:

@@ -171,6 +171,11 @@ CASES = [
     "SELECT tanh(1)",
     "SELECT log2(8)",
     "SELECT ln(10)",
+    # infix GLOB / NOT GLOB operator form (≡ glob(pattern, expr))
+    "SELECT 'abc' GLOB 'a*'",
+    "SELECT 'abc' GLOB 'b*'",
+    "SELECT 'abc' NOT GLOB 'b*'",
+    "SELECT 'Apple' GLOB 'a*'",  # GLOB is case-SENSITIVE unlike LIKE
 ]
 
 
