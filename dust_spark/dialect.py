@@ -1718,7 +1718,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
-    r"|likely|unlikely|likelihood|hex"
+    r"|likely|unlikely|likelihood|hex|like"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1915,6 +1915,12 @@ def _rewrite_one_call(
         return f"({args[0]})"
     if n == "likelihood" and len(args) == 2:
         return f"({args[0]})"
+    if n == "like" and len(args) in (2, 3):
+        # SQLite like(PATTERN, STRING[, ESCAPE]) — argument order is the
+        # REVERSE of the infix form, and the function is case-insensitive
+        # like the operator (→ ILIKE)
+        esc = f" ESCAPE {args[2]}" if len(args) == 3 else ""
+        return f"(({args[1]}) ILIKE ({args[0]}){esc})"
     if n == "json_group_array" and len(args) == 1:
         # aggregate twin of json_array: per-row _jval serialization
         # (NULL rows serialize to the string 'null' via the to_json

@@ -176,6 +176,12 @@ CASES = [
     "SELECT 'abc' GLOB 'b*'",
     "SELECT 'abc' NOT GLOB 'b*'",
     "SELECT 'Apple' GLOB 'a*'",  # GLOB is case-SENSITIVE unlike LIKE
+    # like(PATTERN, STRING[, ESCAPE]) — reversed args, case-insensitive
+    "SELECT like('a%', 'Abc')",
+    "SELECT like('b%', 'abc')",
+    "SELECT like('a!_c', 'a_c', '!')",
+    "SELECT 'a_c' LIKE 'a!_c' ESCAPE '!'",
+    "SELECT 'a%b' LIKE 'a!%b' ESCAPE '!'",
 ]
 
 
