@@ -1085,7 +1085,6 @@ SQLITE_FN_DDL = (
 
 _FN_RENAMES = {
     "iif": "if",                 # SQLite iif(cond, a, b) ≡ Spark if()
-    "unicode": "ascii",          # code point of first char
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
     "random": "__sqlite_random",  # int64 random (Spark's builtin random -> double)
@@ -1718,7 +1717,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
-    r"|likely|unlikely|likelihood|hex|like"
+    r"|likely|unlikely|likelihood|hex|like|unicode"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1915,6 +1914,10 @@ def _rewrite_one_call(
         return f"({args[0]})"
     if n == "likelihood" and len(args) == 2:
         return f"({args[0]})"
+    if n == "unicode" and len(args) == 1:
+        # code point of the first char; SQLite returns NULL for the
+        # empty string (and char(0)'s empty result) where ascii gives 0
+        return f"nullif(ascii({args[0]}), 0)"
     if n == "like" and len(args) in (2, 3):
         # SQLite like(PATTERN, STRING[, ESCAPE]) — argument order is the
         # REVERSE of the infix form, and the function is case-insensitive
