@@ -1717,7 +1717,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
-    r"|likely|unlikely|likelihood|hex|like|unicode"
+    r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1778,6 +1778,16 @@ def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
         start = re.match(r"^'start of (day|month|year)'$", m, re.I)
         if start:
             e = f"date_trunc('{start.group(1).upper()}', {e})"
+            continue
+        wd = re.match(r"^'weekday (\d)'$", m, re.I)
+        if wd:
+            # advance to the NEXT weekday N (0=Sunday), no-op when the
+            # date already falls on it (lang_datefunc; Spark dayofweek:
+            # Sunday=1)
+            n = int(wd.group(1))
+            e = (
+                f"timestampadd(DAY, pmod({n} - (dayofweek({e}) - 1) + 7, 7), {e})"
+            )
             continue
         return None
     return f"date_format({e}, '{_DT_FMT[kind]}')"
@@ -1914,6 +1924,14 @@ def _rewrite_one_call(
         return f"({args[0]})"
     if n == "likelihood" and len(args) == 2:
         return f"({args[0]})"
+    if n == "unixepoch" and len(args) <= 1:
+        # SQLite 3.38 unixepoch([ts]): seconds since the epoch as INTEGER
+        if not args:
+            return "unix_timestamp()"
+        return (
+            f"unix_timestamp(coalesce(CAST({args[0]} AS TIMESTAMP), "
+            f"CAST(concat('1970-01-01 ', {args[0]}) AS TIMESTAMP)))"
+        )
     if n == "unicode" and len(args) == 1:
         # code point of the first char; SQLite returns NULL for the
         # empty string (and char(0)'s empty result) where ascii gives 0

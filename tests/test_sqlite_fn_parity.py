@@ -182,6 +182,13 @@ CASES = [
     "SELECT like('a!_c', 'a_c', '!')",
     "SELECT 'a_c' LIKE 'a!_c' ESCAPE '!'",
     "SELECT 'a%b' LIKE 'a!%b' ESCAPE '!'",
+    # 'weekday N' modifier (advance-or-stay) and unixepoch()
+    "SELECT date('2024-03-05', 'weekday 0')",
+    "SELECT date('2024-03-03', 'weekday 0')",
+    "SELECT date('2024-03-05', 'weekday 2')",
+    "SELECT datetime('2024-03-05 08:30:00', 'weekday 1', '+1 hour')",
+    "SELECT unixepoch('2024-03-05 00:00:00')",
+    "SELECT unixepoch('2024-03-05')",
 ]
 
 
