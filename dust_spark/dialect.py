@@ -1717,7 +1717,7 @@ _ARG_FN_RE = re.compile(
     r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
-    r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch"
+    r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
     r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
     re.I,
 )
@@ -1924,6 +1924,13 @@ def _rewrite_one_call(
         return f"({args[0]})"
     if n == "likelihood" and len(args) == 2:
         return f"({args[0]})"
+    if n == "julianday" and len(args) > 1:
+        # julianday with modifiers: apply the datetime modifier chain,
+        # then the single-arg julianday UDF converts
+        inner = _sqlite_datetime_expr("datetime", args)
+        if inner is None:
+            return None
+        return f"julianday(CAST({inner} AS TIMESTAMP))"
     if n == "unixepoch" and len(args) <= 1:
         # SQLite 3.38 unixepoch([ts]): seconds since the epoch as INTEGER
         if not args:

@@ -189,6 +189,8 @@ CASES = [
     "SELECT datetime('2024-03-05 08:30:00', 'weekday 1', '+1 hour')",
     "SELECT unixepoch('2024-03-05 00:00:00')",
     "SELECT unixepoch('2024-03-05')",
+    "SELECT julianday('2024-03-05', '+1 day') - julianday('2024-03-05')",
+    "SELECT julianday('2024-03-05', 'start of month')",
 ]
 
 
