@@ -96,6 +96,24 @@ _ROUND4_VERIFIED = (
     "c6b_asof_latest_odate c7a_sessionize"
 ).split()
 
+# Hash-green in CORRECTNESS_r05 (44 names: the r5-new queries
+# c3f/c3g/c9f/c9g/c2h/c2g/c4l/c4m plus the window filler re-confirmed
+# there):
+_ROUND5_VERIFIED = (
+    "c3f_ann_portable c3g_ann_recall c9f_shard_assign c9g_stratified_sample "
+    "c2h_dedup_against_corpus c2g_minhash_portable_pairs c4l_nfc_normalize "
+    "c4m_quality_filter c4g_tf_idf c8a_salted_agg c9a_clean_text "
+    "c9b_chunk_documents c10a_decontaminate c10b_cluster_dedup "
+    "c3e_vector_quantize c8b_salted_join c9d_pack_sequences b12a_pandas_udaf "
+    "c4h_corpus_stats c4i_repetition_score c1c_line_dedup c4j_top_terms "
+    "b9f_cast b4j_grouping_sets b5f_range_frame b9k_string_funcs2 "
+    "c4f_rolling_fingerprint c9c_train_val_test_split c5b_media_features "
+    "b1a_full_scan b1b_dup_projection b1c_expr_projection b2a_eq_filter "
+    "b2b_empty_result b2c_range_in_ts b2d_like_or_not b2e_null_pred "
+    "b3a_inner_join b3b_left_join b3c_full_join b3d_cross_join b3e_semi_join "
+    "b3f_anti_join b3g_theta_join"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -110,24 +128,29 @@ def _prioritized():
     from dust_spark.queries import all_queries
 
     cat = all_queries()
-    verified = (
-        set(_ROUND1_VERIFIED)
-        | set(_ROUND2_VERIFIED)
-        | set(_ROUND3_VERIFIED)
-        | set(_ROUND4_VERIFIED)
-    )
+    rounds = [
+        _ROUND1_VERIFIED,
+        _ROUND2_VERIFIED,
+        _ROUND3_VERIFIED,
+        _ROUND4_VERIFIED,
+        _ROUND5_VERIFIED,
+    ]
+    # latest round each name was hash-confirmed in (1-based; 0 = never)
+    latest: dict[str, int] = {}
+    for i, names in enumerate(rounds, start=1):
+        for n in names:
+            latest[n] = i
     rows_only = set(_ROWS_ONLY_DONE)
     # 1. never recorded by the driver at all (anything newly added)
-    order = [n for n in cat if n not in verified and n not in rows_only]
+    order = [n for n in cat if n not in latest and n not in rows_only]
     # 2. rows-only sketches (fresh rows-only rows each round)
     order += [n for n in _ROWS_ONLY_DONE if n in cat]
-    # 3. rotation filler, least-recently-confirmed first: names whose
-    #    latest confirmation is r1/r2, then r3, then the r4 pool
-    r34 = set(_ROUND3_VERIFIED) | set(_ROUND4_VERIFIED)
-    order += [n for n in _ROUND1_VERIFIED if n in cat and n not in r34]
-    order += [n for n in _ROUND2_VERIFIED if n in cat and n not in r34]
-    order += [n for n in _ROUND3_VERIFIED if n in cat and n not in set(_ROUND4_VERIFIED)]
-    order += [n for n in _ROUND4_VERIFIED if n in cat]
+    # 3. rotation filler, least-recently-confirmed first, catalog order
+    #    as the tiebreak
+    order += sorted(
+        (n for n in cat if n in latest),
+        key=lambda n: latest[n],
+    )
     seen = set()
     uniq = [n for n in order if not (n in seen or seen.add(n))]
     return {n: cat[n] for n in uniq}
