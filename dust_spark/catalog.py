@@ -231,6 +231,34 @@ class Overlay:
         self.staged[name] = None
         self.catalog.spark.catalog.dropTempView(self.catalog.view_name(name))
 
+    def snapshot(self) -> dict[int, dict[str, "TableState | None"]]:
+        """Statement-journal checkpoint: the staged maps of the whole
+        family, keyed by overlay identity (SQLite per-statement
+        atomicity — a statement that fails AFTER applying multi-table
+        side effects like FK CASCADE must undo only its own work)."""
+        return {id(ov): dict(ov.staged) for ov in self._family()}
+
+    def restore_snapshot(self, snap: dict[int, dict[str, "TableState | None"]]) -> None:
+        """Roll the family back to ``snap``: re-register the views of
+        every table whose staged entry changed since, then restore the
+        staged maps. Siblings created after the snapshot restore to
+        empty."""
+        _MISSING = object()
+        for ov in self._family():
+            before = snap.get(id(ov), {})
+            for name in set(ov.staged) | set(before):
+                cur = ov.staged.get(name, _MISSING)
+                prev = before.get(name, _MISSING)
+                if cur is prev:
+                    continue
+                st = before[name] if name in before else ov.catalog.tables.get(name)
+                view = ov.catalog.view_name(name)
+                if st is None:
+                    ov.catalog.spark.catalog.dropTempView(view)
+                else:
+                    st.visible_df().createOrReplaceTempView(view)
+            ov.staged = dict(before)
+
     def commit(self) -> None:
         for ov in self._family():
             ov.catalog.publish(ov.staged)

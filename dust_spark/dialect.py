@@ -1229,21 +1229,23 @@ _QPARAM_RE = re.compile(r"\?(\d+)?")
 
 
 def normalize_numbered_params(sql: str, params) -> tuple[str, list]:
-    """SQLite numbered placeholders: ``?NNN`` binds the NNNth parameter
-    and sets the running index, a bare ``?`` takes the next index
-    (lang_expr.html#varparam). Rewrites every placeholder to a plain
-    positional ``?`` with a reordered parameter list — a no-op for
-    pure-? SQL. String-literal aware."""
+    """SQLite numbered placeholders: ``?NNN`` binds the NNNth parameter,
+    a bare ``?`` takes the *largest index assigned so far* + 1 — not
+    previous-placeholder + 1 (lang_expr.html#varparam: "one greater than
+    the largest parameter number already assigned"; sqlite3-probed:
+    ``SELECT ?2, ?1, ?`` with (10,20,30) → (20,10,30)). Rewrites every
+    placeholder to a plain positional ``?`` with a reordered parameter
+    list — a no-op for pure-? SQL. String-literal aware."""
     params = list(params or [])
     if not params or "?" not in sql:
         return sql, params
     new_params: list = []
-    state = {"cur": 0}
+    state = {"max": 0}
 
     def fix(seg: str) -> str:
         def sub(m):
-            idx = int(m.group(1)) if m.group(1) else state["cur"] + 1
-            state["cur"] = idx
+            idx = int(m.group(1)) if m.group(1) else state["max"] + 1
+            state["max"] = max(state["max"], idx)
             new_params.append(params[idx - 1] if 1 <= idx <= len(params) else None)
             return "?"
 
@@ -1447,8 +1449,10 @@ def parse_from_aliases(sql: str) -> dict[str, str]:
                 if cand and cand.lower() not in _FROM_STOP_WORDS and cand.upper() != "AS":
                     alias = cand.lower()
                     i = ma.end()
+            # an alias HIDES the base name ('SELECT t.rowid FROM t AS a'
+            # is 'no such column: t.rowid' in SQLite) — only the alias
+            # (or the bare reference itself) lands in the map
             out[alias] = tname
-            out.setdefault(tname, tname)
             expect = False
     return out
 

@@ -293,6 +293,61 @@ def rp_lsh_topk_portable(
     )
 
 
+def embedding_near_dup_portable(
+    df: DataFrame,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    n_tables: int = 4,
+    bits_per_table: int = 8,
+) -> DataFrame:
+    """:func:`embedding_near_dup` on deterministic portable hyperplanes —
+    the hard-oracled twin of c2d (whose np.random planes cannot be
+    regenerated in SQL). Same candidate structure (n_tables sign-bit
+    bucket tables, same-bucket equi-join, exact cosine verify) with the
+    :func:`portable_planes` generator, so bucket words, the candidate
+    join and the re-rank all replay bit-exactly in DuckDB.
+
+    Scale posture matches c2d: the bucket table carries (id, t, bucket)
+    only — vectors never enter the candidate shuffle; pairs dedup on the
+    id key and vectors re-join by id for verification. O(n·tables) index
+    size, no crossJoin anywhere.
+    """
+    planes = portable_planes(dim, n_tables * bits_per_table)
+    base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
+    tables = []
+    for t in range(n_tables):
+        word = F.lit(0).cast("long")
+        for b in range(bits_per_table):
+            plane = F.array(*[F.lit(x) for x in planes[t * bits_per_table + b]])
+            dot = vec_dot(F.col("v"), plane)
+            word = word.bitwiseOR(
+                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        tables.append(F.struct(F.lit(t).alias("t"), word.alias("bucket")))
+    tagged = (
+        base.select("id", F.explode(F.array(*tables)).alias("tb"))
+        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+    )
+    a, b = tagged.alias("a"), tagged.alias("b")
+    pairs = (
+        a.join(b, ["t", "bucket"])
+        .filter(F.col("a.id") < F.col("b.id"))
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    return (
+        pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", (F.col("cos") + F.lit(0.0)).alias("cos"))
+    )
+
+
 def embedding_near_dup(
     df: DataFrame,
     threshold: float = 0.95,

@@ -146,6 +146,46 @@ def embedding_near_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.embedding_near_dup(_emb(spark, sf_dir), threshold=0.3).orderBy("id_a", "id_b")
 
 
+# Portable-plane embedding near-dup: same LSH structure as c2d but on
+# the deterministic plane generator, so bucket words, the candidate
+# equi-join and the cosine verify all replay bit-exactly in DuckDB
+# (the c3f recipe applied to the near-dup shape — VERDICT r5 item 2).
+_PORTABLE_NEAR_DUP_ORACLE = """
+WITH planes AS (
+  SELECT j, list_transform(range(0, 64), t ->
+    (((j*64 + t + 1) * 2654435761) % 2147483647)::DOUBLE / 2147483647.0 - 0.5) AS d
+  FROM (SELECT unnest(range(0, 32)) AS j)
+), vb AS (
+  SELECT e.vec_id, p.j // 8 AS tbl,
+         SUM(CASE WHEN list_sum(list_transform(list_zip(CAST(e.embedding AS DOUBLE[]), p.d),
+                      x -> x[1] * x[2])) >= 0
+                  THEN (1::BIGINT << (p.j % 8)) ELSE 0 END)::BIGINT AS bucket
+  FROM embeddings e, planes p
+  GROUP BY e.vec_id, p.j // 8
+), cand AS (
+  SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+  FROM vb a JOIN vb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+), scored AS (
+  SELECT c.id_a, c.id_b,
+         ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),
+                                      CAST(eb.embedding AS DOUBLE[])), 4) AS cs
+  FROM cand c
+  JOIN embeddings ea ON ea.vec_id = c.id_a
+  JOIN embeddings eb ON eb.vec_id = c.id_b
+)
+SELECT id_a, id_b, cs + 0.0 AS cos FROM scored WHERE cs >= 0.3 ORDER BY id_a, id_b
+"""
+
+
+@register("c2i_embedding_near_dup_portable", oracle=_PORTABLE_NEAR_DUP_ORACLE, tags=("tierc", "dedup", "jit"))
+def embedding_near_dup_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-oracled twin of c2d: portable planes + same-bucket candidate
+    join + exact cosine verify, hash-compared against DuckDB."""
+    return ops.embedding_near_dup_portable(_emb(spark, sf_dir), threshold=0.3).orderBy(
+        "id_a", "id_b"
+    )
+
+
 @register("c2e_minhash_estimate", tags=("tierc", "dedup", "no-oracle"))
 def minhash_estimate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The 100 TB MinHash path: verification via the signature-component

@@ -247,6 +247,11 @@ class DustSession:
                         rollback = True
                         break
                 continue
+            # statement-journal semantics: a statement failing AFTER
+            # staging multi-table side effects (FK CASCADE/SET NULL puts
+            # child states before a later constraint check raises) must
+            # undo exactly its own work inside an open explicit tx
+            tx_snap = overlay.snapshot() if self._explicit_tx is not None else None
             try:
                 r = self._apply(overlay, stmt)
                 if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE"):
@@ -263,13 +268,19 @@ class DustSession:
             except DustError as e:
                 responses.append(Response(error=str(e)))
                 if req.transaction:
+                    if tx_snap is not None:
+                        # request-tx over an open explicit tx: undo this
+                        # statement's partial work; the explicit tx stays
+                        overlay.restore_snapshot(tx_snap)
                     rollback = True
                     break  # tx: no further statements (db/src/db.rs:184-188)
                 if self._explicit_tx is None:
                     overlay.rollback()
                 elif re.match(
                     r"\s*(?:INSERT|UPDATE|DELETE|REPLACE)\s+OR\s+ROLLBACK\b",
-                    stmt.sql,
+                    # CTE-prefixed DML ('WITH ... INSERT OR ROLLBACK')
+                    # carries the conflict clause on the inner statement
+                    (dialect.split_with_prefix(stmt.sql) or (None, stmt.sql))[1],
                     re.I,
                 ):
                     # OR ROLLBACK: the failed statement rolls back and
@@ -278,9 +289,13 @@ class DustSession:
                     self._explicit_tx = None
                     self._tx_pending = []
                     overlay = Overlay(self.catalog)
-                # otherwise: inside an explicit tx a failed statement
-                # leaves prior staged work intact (SQLite: the statement
-                # aborts, the transaction stays open)
+                else:
+                    # inside an explicit tx a failed statement leaves
+                    # prior staged work intact (SQLite: the statement
+                    # aborts, the transaction stays open) — but its OWN
+                    # partial side effects roll back to the checkpoint
+                    if tx_snap is not None:
+                        overlay.restore_snapshot(tx_snap)
         if req.transaction and self._explicit_tx is None:
             if rollback:
                 overlay.rollback()
@@ -551,7 +566,7 @@ class DustSession:
             if if_not_exists:
                 return self._ok()
             raise DustError(f"table {name} already exists")
-        sel2, restore = self._resolve_read_rowid(dialect.rewrite_sqlite_fns(sel))
+        sel2, restore = self._resolve_read_rowid(dialect.rewrite_sqlite_fns(sel), overlay)
         try:
             df = self.spark.sql(sel2)
         finally:
@@ -1112,7 +1127,7 @@ class DustSession:
             # INSERT ... SELECT may reference rowid (e.g. copying ids
             # out of an implicit table) — same single-table resolution
             # + hidden-view exposure as the read path
-            src_sql2, restore = self._resolve_read_rowid(src_sql)
+            src_sql2, restore = self._resolve_read_rowid(src_sql, overlay)
             try:
                 src = self.spark.sql(src_sql2)
             finally:
@@ -2266,7 +2281,7 @@ class DustSession:
                 f"unsupported: window frame clause {fm.group(0).upper()} "
                 "(SQLite GROUPS/EXCLUDE frames)"
             )
-        sql, restore = self._resolve_read_rowid(sql)
+        sql, restore = self._resolve_read_rowid(sql, self._explicit_tx)
         if params:
             sql, params = dialect.normalize_numbered_params(sql, params)
         try:
@@ -2279,7 +2294,24 @@ class DustSession:
             if restore is not None:
                 restore()
 
-    def _resolve_read_rowid(self, sql: str):
+    def _rowid_states(self, overlay: "Overlay | None") -> dict[str, TableState]:
+        """Current name→state map for rowid resolution: committed tables
+        with the overlay's staged entries layered on top (a table
+        modified or created earlier in the same batch / explicit tx must
+        resolve against its STAGED schema and df, not the committed one —
+        ADVICE r5). Drops (staged None) disappear."""
+        states: dict[str, TableState] = {
+            n: st for n, st in self.catalog.tables.items() if st is not None
+        }
+        if overlay is not None:
+            for n, st in overlay.staged.items():
+                if st is None:
+                    states.pop(n, None)
+                else:
+                    states[n] = st
+        return states
+
+    def _resolve_read_rowid(self, sql: str, overlay: "Overlay | None" = None):
         """Resolve bare rowid tokens against the single referenced rowid
         table (SQLite alias semantics); ambiguous multi-table SQL is
         left alone and surfaces SQLite's own "no such column". For an
@@ -2288,20 +2320,25 @@ class DustSession:
         where restore_cb (or None) re-registers the visible projection;
         spark.sql analyzes eagerly, so restoring afterwards is safe.
         resolve_rowid expands any bare * so the hidden column can't
-        leak through the exposure."""
+        leak through the exposure. ``overlay`` (write batches / explicit
+        tx) makes both the exposure and the restore see staged state."""
         self._rowid_tdef = None
         self._rowid_multi = False
         if not dialect.has_rowid_token(sql):
             return sql, None
+        if overlay is not None:
+            # callers may hold a routed (attached-catalog) sibling; the
+            # staged entries for main-catalog names live on the overlay
+            # layered over self.catalog
+            overlay = overlay.sibling(self.catalog)
+        states = self._rowid_states(overlay)
         named = [
             (name, st)
-            for name, st in self.catalog.tables.items()
-            if st is not None
-            and re.search(rf"\b{re.escape(name)}\b", sql, re.I)
-            and st.tdef.rowid_column
+            for name, st in states.items()
+            if re.search(rf"\b{re.escape(name)}\b", sql, re.I) and st.tdef.rowid_column
         ]
         if len(named) > 1:
-            return self._resolve_read_rowid_multi(sql)
+            return self._resolve_read_rowid_multi(sql, overlay)
         if len(named) != 1:
             return sql, None
         name, st = named[0]
@@ -2313,12 +2350,12 @@ class DustSession:
         st.df.createOrReplaceTempView(view)
 
         def restore(name=name, view=view, st=st):
-            cur = self.catalog.tables.get(name) or st
+            cur = (overlay.get(name) if overlay is not None else self.catalog.tables.get(name)) or st
             cur.visible_df().createOrReplaceTempView(view)
 
         return sql, restore
 
-    def _resolve_read_rowid_multi(self, sql: str):
+    def _resolve_read_rowid_multi(self, sql: str, overlay: "Overlay | None" = None):
         """More than one rowid table referenced: alias-aware QUALIFIED
         resolution only (``a.rowid`` per FROM alias; a bare rowid token
         stays unresolved — SQLite raises 'no such column: rowid' there,
@@ -2326,9 +2363,12 @@ class DustSession:
         qualifier points at; Spark-derived output names are kept (the
         plain PK substitution and the AS-rowid item alias already
         produce SQLite's probed wire names)."""
+        if overlay is not None:
+            overlay = overlay.sibling(self.catalog)
+        states = self._rowid_states(overlay)
         amap = {}
         for alias, tname in dialect.parse_from_aliases(sql).items():
-            st = self.catalog.tables.get(tname)
+            st = states.get(tname)
             if st is not None and st.tdef.rowid_column:
                 amap[alias] = st.tdef
         if not amap:
@@ -2339,7 +2379,7 @@ class DustSession:
         self._rowid_multi = True
         restores = []
         for td in used:
-            st = self.catalog.tables.get(td.name)
+            st = states.get(td.name)
             if st is None:
                 continue
             view = self.catalog.view_name(td.name)
@@ -2348,7 +2388,9 @@ class DustSession:
 
         def restore():
             for name, view, st in restores:
-                cur = self.catalog.tables.get(name) or st
+                cur = (
+                    overlay.get(name) if overlay is not None else self.catalog.tables.get(name)
+                ) or st
                 cur.visible_df().createOrReplaceTempView(view)
 
         return new_sql, (restore if restores else None)
@@ -2596,9 +2638,11 @@ def _clean_error(e: Exception) -> str:
     m = re.search(r"TABLE_OR_VIEW_NOT_FOUND.*?`?([\w.]+)`? cannot be found", msg, re.S)
     if m:
         return f"no such table: {m.group(1).split('.')[-1]}"
-    m = re.search(r"UNRESOLVED_COLUMN[^`]*`([^`]+)`", msg, re.S)
+    m = re.search(r"UNRESOLVED_COLUMN[^`]*((?:`[^`]+`\.)*`[^`]+`)", msg, re.S)
     if m:
-        return f"no such column: {m.group(1)}"
+        # multi-part names keep their qualifier, dotted like SQLite
+        # ('no such column: ja.rowid', not just 'ja')
+        return "no such column: " + m.group(1).replace("`", "")
     first = msg.strip().splitlines()[0] if msg.strip() else repr(e)
     return first
 

@@ -280,6 +280,68 @@ def test_implicit_rowid_dml_sqlite_differential(db):
     assert db.query_string_stmt("SELECT rowid, v FROM imp2")[0].values == [[1, "h"]]
 
 
+def test_staged_rowid_in_tx_sqlite_differential(db):
+    """ADVICE r5: inside an explicit transaction, an INSERT...SELECT
+    whose source is an implicit-rowid table MODIFIED earlier in the
+    same tx must see the STAGED rows (not committed state), and the
+    rowid-view restore must re-register the staged projection so later
+    statements in the tx still see staged data. Differential against
+    sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.isolation_level = None
+    stmts = [
+        "CREATE TABLE src (a INT, b TEXT)",  # implicit rowid
+        "CREATE TABLE dst (r INT, a INT)",
+        "INSERT INTO src VALUES (10, 'pre')",
+        "BEGIN",
+        "INSERT INTO src VALUES (1, 'x')",
+        "INSERT INTO src VALUES (2, 'y')",
+        "DELETE FROM src WHERE a = 10",
+        # source read with rowid, mid-tx, against staged src
+        "INSERT INTO dst SELECT rowid, a FROM src",
+        # later statement must still see staged src (restore must not
+        # clobber the staged view with committed state)
+        "INSERT INTO dst SELECT rowid + 100, a FROM src WHERE a = 2",
+        "COMMIT",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    for q in (
+        "SELECT r, a FROM dst ORDER BY r, a",
+        "SELECT rowid, a, b FROM src ORDER BY rowid",
+    ):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+    # same shape through a single atomic batch (non-explicit overlay)
+    ref.execute("CREATE TABLE dst2 (r INT)")
+    ref.execute("BEGIN")
+    ref.execute("INSERT INTO src VALUES (3, 'z')")
+    ref.execute("INSERT INTO dst2 SELECT rowid FROM src WHERE a = 3")
+    ref.execute("COMMIT")
+    from dust_spark.model import Request, Statement
+
+    rs = db.execute(
+        Request(
+            transaction=True,
+            statements=[
+                Statement("CREATE TABLE dst2 (r INT)", []),
+                Statement("INSERT INTO src VALUES (3, 'z')", []),
+                Statement("INSERT INTO dst2 SELECT rowid FROM src WHERE a = 3", []),
+            ],
+        )
+    )
+    assert all(r.error == "" for r in rs), [r.error for r in rs]
+    q = "SELECT r FROM dst2 ORDER BY r"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
 def test_sqlite_sequence_and_window_frames(db):
     """sqlite_sequence mirrors sqlite3: one (name, seq) row per
     AUTOINCREMENT table once inserted, seq survives DELETE, and the
@@ -583,6 +645,9 @@ def test_numbered_parameters_sqlite_differential(db):
         ("INSERT INTO np VALUES (?1, ?2)", (5, "x")),
         ("INSERT INTO np VALUES (?2, ?1)", ("y", 7)),  # swapped refs
         ("INSERT INTO np VALUES (?1, ?)", (9, "z")),  # bare ? follows ?1
+        # bare ? after out-of-order refs: takes max-assigned+1 (=?3),
+        # NOT previous-placeholder+1 (=?2) — lang_expr.html#varparam
+        ("INSERT INTO np VALUES (?2, ?)", (11, 13, "w")),
     ):
         ref.execute(q, p)
         r = db.execute_string_stmt(q, list(p))[0]
@@ -590,6 +655,11 @@ def test_numbered_parameters_sqlite_differential(db):
     q = "SELECT a, b FROM np WHERE a = ?1 OR b = ?2 ORDER BY a"
     assert [list(r) for r in db.query_string_stmt(q, [5, "y"])[0].values] == [
         list(r) for r in ref.execute(q, (5, "y")).fetchall()
+    ]
+    # the probe from ADVICE r5: ?2, ?1, ? must bind (20, 10, 30)
+    q = "SELECT ?2 AS x, ?1 AS y, ? AS z"
+    assert [list(r) for r in db.query_string_stmt(q, [10, 20, 30])[0].values] == [
+        list(r) for r in ref.execute(q, (10, 20, 30)).fetchall()
     ]
 
 
@@ -931,6 +1001,102 @@ def test_multi_table_rowid_sqlite_differential(db):
         assert sorted(map(tuple, got.values)) == want, q
     with pytest.raises(DustError, match="no such column: rowid"):
         db.query_string_stmt("SELECT rowid FROM ja, jb")
+    # ADVICE r5: an alias HIDES the base table name — 'ja.rowid' with
+    # ja aliased is 'no such column: ja.rowid' in SQLite
+    q = "SELECT ja.rowid FROM ja AS x, jb"
+    with pytest.raises(sqlite3.OperationalError, match="no such column: ja.rowid"):
+        ref.execute(q)
+    with pytest.raises(DustError, match=r"no such column: ja\.rowid"):
+        db.query_string_stmt(q)
+
+
+def test_or_rollback_with_cte_prefix(db):
+    """ADVICE r5: 'WITH ... INSERT OR ROLLBACK' (CTE-prefixed DML) must
+    close the open explicit transaction on conflict, like bare INSERT
+    OR ROLLBACK — differential against sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.isolation_level = None
+    for s in (
+        "CREATE TABLE orb (id INTEGER PRIMARY KEY, v TEXT)",
+        "INSERT INTO orb VALUES (1, 'a')",
+        "BEGIN",
+        "INSERT INTO orb VALUES (2, 'b')",
+    ):
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    fail = "WITH src(i, w) AS (SELECT 1, 'dup') INSERT OR ROLLBACK INTO orb SELECT i, w FROM src"
+    try:
+        ref.execute(fail)
+        ref_err = None
+    except sqlite3.Error as e:
+        ref_err = str(e)
+    assert ref_err is not None
+    got = db.execute_string_stmt(fail)[0]
+    assert got.error != ""
+    # the tx is CLOSED: the staged (2,'b') rolled back with it, and a
+    # COMMIT now errors 'no transaction is active' on both engines
+    try:
+        ref.execute("COMMIT")
+        ref_commit_err = None
+    except sqlite3.Error as e:
+        ref_commit_err = str(e)
+    got_commit = db.execute_string_stmt("COMMIT")[0]
+    assert (ref_commit_err is None) == (got_commit.error == "")
+    q = "SELECT id, v FROM orb ORDER BY id"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
+def test_fk_cascade_partial_effects_rollback_in_tx(db):
+    """ADVICE r5 statement-journal semantics: a DELETE whose FK CASCADE
+    stages child-table work before a later NO ACTION constraint raises
+    must leave the open explicit tx exactly as before the statement —
+    differential against sqlite3 with PRAGMA foreign_keys=ON."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.isolation_level = None
+    ref.execute("PRAGMA foreign_keys = ON")
+    db.execute_string_stmt("PRAGMA foreign_keys = ON")
+    stmts = [
+        "CREATE TABLE par (id INTEGER PRIMARY KEY)",
+        "CREATE TABLE kid_cas (id INTEGER PRIMARY KEY, pid INT "
+        "REFERENCES par(id) ON DELETE CASCADE)",
+        "CREATE TABLE kid_res (id INTEGER PRIMARY KEY, pid INT REFERENCES par(id))",
+        "INSERT INTO par VALUES (1), (2)",
+        "INSERT INTO kid_cas VALUES (10, 1), (11, 2)",
+        "INSERT INTO kid_res VALUES (20, 1)",
+        "BEGIN",
+        "DELETE FROM par WHERE id = 2",  # cascades kid_cas(11) cleanly
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    # this DELETE cascades kid_cas(10) but kid_res(20) blocks it —
+    # the whole statement must roll back, keeping kid_cas(10)
+    fail = "DELETE FROM par WHERE id = 1"
+    try:
+        ref.execute(fail)
+        ref_err = None
+    except sqlite3.Error as e:
+        ref_err = str(e)
+    got = db.execute_string_stmt(fail)[0]
+    assert (ref_err is None) == (got.error == ""), (ref_err, got.error)
+    ref.execute("COMMIT")
+    assert db.execute_string_stmt("COMMIT")[0].error == ""
+    for q in (
+        "SELECT id FROM par ORDER BY id",
+        "SELECT id, pid FROM kid_cas ORDER BY id",
+        "SELECT id, pid FROM kid_res ORDER BY id",
+    ):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
 
 
 def test_standalone_values_statement(db):
