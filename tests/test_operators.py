@@ -279,6 +279,13 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     df = spark.createDataFrame(rows)
     got = {(r.id_a, r.id_b) for r in ops.embedding_near_dup(df, threshold=0.999, dim=16).collect()}
     assert (7, 99) in got
+    # the portable twin (c2i) must find it too: identical-direction
+    # vectors share every sign-bit bucket by construction
+    gotp = {
+        (r.id_a, r.id_b)
+        for r in ops.embedding_near_dup_portable(df, threshold=0.999, dim=16).collect()
+    }
+    assert (7, 99) in gotp
 
 
 def test_asof_join_vs_bruteforce(spark):
