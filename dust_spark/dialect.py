@@ -40,6 +40,31 @@ _WITH_HEAD_RE = re.compile(r"^\s*WITH\s+(?:RECURSIVE\s+)?", re.I)
 _CTE_DEF_RE = re.compile(r'\s*("[^"]+"|`[^`]+`|\[[^\]]+\]|\w+)\s*(\([^)]*\))?\s+AS\s*\(', re.I)
 
 
+_SP_NAME = r"(?:\"(?P<dq>[^\"]+)\"|'(?P<sq>[^']+)'|`(?P<bq>[^`]+)`|\[(?P<br>[^\]]+)\]|(?P<id>[A-Za-z_][\w$]*))"
+_SAVEPOINT_RE = re.compile(rf"^\s*SAVEPOINT\s+{_SP_NAME}\s*;?\s*$", re.I)
+_RELEASE_RE = re.compile(rf"^\s*RELEASE\s+(?:SAVEPOINT\s+)?{_SP_NAME}\s*;?\s*$", re.I)
+_ROLLBACK_TO_RE = re.compile(
+    rf"^\s*ROLLBACK\s+(?:TRANSACTION\s+)?TO\s+(?:SAVEPOINT\s+)?{_SP_NAME}\s*;?\s*$", re.I
+)
+
+
+def parse_savepoint_stmt(sql: str):
+    """(op, name) for SAVEPOINT / RELEASE [SAVEPOINT] / ROLLBACK
+    [TRANSACTION] TO [SAVEPOINT] statements (lang_savepoint.html), else
+    None. op is 'SAVEPOINT' | 'RELEASE' | 'ROLLBACK_TO'; the name keeps
+    its original case (matching is case-insensitive at the session)."""
+    for op, rx in (
+        ("SAVEPOINT", _SAVEPOINT_RE),
+        ("RELEASE", _RELEASE_RE),
+        ("ROLLBACK_TO", _ROLLBACK_TO_RE),
+    ):
+        m = rx.match(sql or "")
+        if m:
+            name = next(g for g in (m.group("dq"), m.group("sq"), m.group("bq"), m.group("br"), m.group("id")) if g is not None)
+            return op, name
+    return None
+
+
 def split_with_prefix(sql: str):
     """Split ``WITH ctes... <stmt>`` into (cte_text, rest_stmt); None
     when ``sql`` isn't WITH-prefixed or the CTE list doesn't parse."""

@@ -156,6 +156,10 @@ class DustSession:
         # statements to journal at COMMIT (connection state)
         self._explicit_tx: Overlay | None = None
         self._tx_pending: list[Statement] = []
+        # savepoint stack (lang_savepoint.html): name (lowered — matching
+        # is case-insensitive, sqlite3-probed), overlay snapshot, journal
+        # checkpoint, and whether this savepoint opened the transaction
+        self._sp_stack: list[dict] = []
         self._returning_table: str | None = None
         self._journal = os.path.join(warehouse, "journal.jsonl") if warehouse else None
         # continue the statement seq from max(manifest, journal tail) so a
@@ -236,6 +240,20 @@ class DustSession:
             if stmt.sql == "":  # skipped, no Response (db/src/db.rs:170-172)
                 continue
             kind = statement_kind(stmt.sql)
+            sp = (
+                dialect.parse_savepoint_stmt(stmt.sql)
+                if kind in ("SAVEPOINT", "RELEASE", "ROLLBACK")
+                else None
+            )
+            if sp is not None:
+                try:
+                    responses.append(self._savepoint_stmt(sp[0], sp[1], req, overlay))
+                except DustError as e:
+                    responses.append(Response(error=str(e)))
+                    if req.transaction:
+                        rollback = True
+                        break
+                continue
             if kind in ("BEGIN", "COMMIT", "END", "ROLLBACK"):
                 try:
                     responses.append(self._explicit_tx_stmt(kind, req, overlay))
@@ -288,6 +306,7 @@ class DustSession:
                     overlay.rollback()
                     self._explicit_tx = None
                     self._tx_pending = []
+                    self._sp_stack = []
                     overlay = Overlay(self.catalog)
                 else:
                     # inside an explicit tx a failed statement leaves
@@ -304,6 +323,10 @@ class DustSession:
                     if stmt.sql:
                         self._log_journal(stmt, True)
                 overlay.commit()
+        if self._explicit_tx is None:
+            # savepoints cannot outlive their transaction: the implicit
+            # request-tx COMMIT (or autocommit) releases them all
+            self._sp_stack = []
         return responses
 
     def _explicit_tx_stmt(self, kind: str, req: Request, overlay: Overlay) -> Response:
@@ -332,6 +355,55 @@ class DustSession:
             overlay.rollback()
         self._explicit_tx = None
         self._tx_pending = []
+        self._sp_stack = []  # COMMIT/ROLLBACK releases every savepoint
+        return self._ok()
+
+    def _savepoint_stmt(self, op: str, name: str, req: Request, overlay: Overlay) -> Response:
+        """SAVEPOINT / RELEASE / ROLLBACK TO (lang_savepoint.html,
+        sqlite3-probed): SAVEPOINT in autocommit opens a transaction the
+        way BEGIN does; RELEASE pops through the most recent matching
+        name (case-insensitive) and commits when that savepoint opened
+        the transaction; ROLLBACK TO restores the savepoint's overlay
+        snapshot and journal checkpoint but keeps the savepoint (and the
+        transaction) alive for repeated rollbacks."""
+        lname = name.lower()
+        if op == "SAVEPOINT":
+            starter = self._explicit_tx is None and not req.transaction
+            if starter:
+                self._tx_pending = []
+            self._sp_stack.append(
+                {
+                    "name": lname,
+                    "snap": overlay.snapshot(),
+                    "pend": len(self._tx_pending),
+                    "starter": starter,
+                }
+            )
+            if starter:
+                self._explicit_tx = overlay
+            return self._ok()
+        idx = next(
+            (i for i in range(len(self._sp_stack) - 1, -1, -1) if self._sp_stack[i]["name"] == lname),
+            None,
+        )
+        if idx is None:
+            raise DustError(f"no such savepoint: {name}")
+        entry = self._sp_stack[idx]
+        if op == "ROLLBACK_TO":
+            overlay.restore_snapshot(entry["snap"])
+            self._tx_pending = self._tx_pending[: entry["pend"]]
+            del self._sp_stack[idx + 1 :]
+            return self._ok()
+        # RELEASE: merge into parent — pop this savepoint and everything
+        # above it; releasing the transaction-opening savepoint commits
+        starter = entry["starter"]
+        del self._sp_stack[idx:]
+        if starter and self._explicit_tx is not None:
+            for p in self._tx_pending:
+                self._log_journal(p, True)
+            overlay.commit()
+            self._explicit_tx = None
+            self._tx_pending = []
         return self._ok()
 
     def query(self, req: Request) -> list[Rows]:
@@ -489,10 +561,9 @@ class DustSession:
         if kind == "CREATE_TRIGGER":
             raise DustError("unsupported statement: CREATE TRIGGER (triggers are not supported)")
         if kind in ("SAVEPOINT", "RELEASE"):
-            raise DustError(
-                f"unsupported statement: {kind} (savepoints are not supported; "
-                "use transactions)"
-            )
+            # well-formed savepoint statements are handled in execute();
+            # reaching here means the name didn't parse
+            raise DustError(f'near "{kind}": syntax error')
         try:
             if kind in ("CREATE_TABLE", "CREATE_INDEX", "CREATE_VIEW", "DROP", "ALTER"):
                 # schema cookie bumps on every DDL statement (SQLite's

@@ -510,21 +510,96 @@ def test_nested_with_insert(db):
     assert db.query_string_stmt("SELECT v FROM nw ORDER BY v")[0].values == [[3], [4]]
 
 
-def test_triggers_savepoints_rejected_loudly(db):
-    """Triggers and savepoints are legal SQLite reachable through the
-    reference pass-through but deliberately excluded (COVERAGE.md);
-    they must fail with a clear unsupported message, not fall through
-    generic paths with a misleading parse error (VERDICT r4 item 5)."""
+def test_triggers_rejected_loudly(db):
+    """Triggers are legal SQLite reachable through the reference
+    pass-through but deliberately excluded (COVERAGE.md); they must
+    fail with a clear unsupported message, not fall through generic
+    paths with a misleading parse error (VERDICT r4 item 5)."""
     db.execute_string_stmt("CREATE TABLE tr (id INTEGER NOT NULL PRIMARY KEY, v INT)")
     r = db.execute_string_stmt(
         "CREATE TRIGGER t1 AFTER INSERT ON tr BEGIN UPDATE tr SET v = 1; END"
     )
     assert "unsupported statement: CREATE TRIGGER" in r[0].error
-    assert "unsupported statement: SAVEPOINT" in db.execute_string_stmt("SAVEPOINT sp1")[0].error
-    assert "unsupported statement: RELEASE" in db.execute_string_stmt("RELEASE sp1")[0].error
     # the table is untouched and usable afterwards
     db.execute_string_stmt("INSERT INTO tr(v) VALUES (7)")
     assert db.query_string_stmt("SELECT v FROM tr")[0].values == [[7]]
+
+
+def test_savepoints_sqlite_differential(db):
+    """SAVEPOINT / RELEASE / ROLLBACK TO (r5 VERDICT item 6):
+    statement-by-statement differential against sqlite3 — SAVEPOINT in
+    autocommit opens a transaction, RELEASE of that savepoint commits,
+    ROLLBACK TO restores state but keeps the savepoint and transaction
+    alive, names match case-insensitively and most-recent-first, and
+    SQLite's exact error strings surface for misuse."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.isolation_level = None
+    stmts = [
+        "CREATE TABLE sv (a INT)",
+        # -- savepoint-started transaction, committed by RELEASE
+        "SAVEPOINT sp",
+        "INSERT INTO sv VALUES (1)",
+        "RELEASE sp",
+        "COMMIT",  # err: release already committed
+        # -- ROLLBACK TO keeps the savepoint alive for repeated rollbacks
+        "BEGIN",
+        "INSERT INTO sv VALUES (2)",
+        "SAVEPOINT w",
+        "INSERT INTO sv VALUES (3)",
+        "ROLLBACK TO w",
+        "INSERT INTO sv VALUES (4)",
+        "ROLLBACK TO SAVEPOINT w",
+        "INSERT INTO sv VALUES (5)",
+        "RELEASE SAVEPOINT w",
+        "RELEASE w",  # err: already released
+        "COMMIT",
+        # -- nested savepoints: releasing a lower one pops those above
+        "SAVEPOINT a",
+        "INSERT INTO sv VALUES (6)",
+        "SAVEPOINT b",
+        "INSERT INTO sv VALUES (7)",
+        "RELEASE a",  # pops b too, commits (a started the tx)
+        "RELEASE b",  # err: no such savepoint
+        "ROLLBACK TO a",  # err: no such savepoint
+        # -- case-insensitive matching; quoted names
+        "SAVEPOINT Alpha",
+        "INSERT INTO sv VALUES (8)",
+        'ROLLBACK TO "ALPHA"',
+        "RELEASE alpha",
+        # -- full ROLLBACK closes a savepoint-started tx and its stack
+        "SAVEPOINT z",
+        "INSERT INTO sv VALUES (9)",
+        "ROLLBACK",
+        "RELEASE z",  # err: stack cleared by the rollback
+        "BEGIN",  # works: previous tx fully closed
+        "INSERT INTO sv VALUES (10)",
+        "COMMIT",
+        "RELEASE nope",  # err outside any tx too
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got = db.execute_string_stmt(s)[0]
+        got_err = got.error or None
+        assert (ref_err is None) == (got_err is None), (s, ref_err, got_err)
+        if ref_err is not None:
+            assert got_err == ref_err, (s, ref_err, got_err)
+    q = "SELECT a FROM sv ORDER BY a"
+    assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+    # savepoint rolled-back work never reaches the journal: a reopened
+    # disk-mode session replays to the same committed state (covered for
+    # explicit tx by test_explicit_tx_journal_replay; memory mode here
+    # just re-checks the visible state is consistent post-stack-clear)
+    assert db.query_string_stmt("SELECT count(*) AS n FROM sv")[0].values == [
+        [ref.execute("SELECT count(*) FROM sv").fetchone()[0]]
+    ]
 
 
 def test_without_rowid_table(db):
@@ -752,6 +827,41 @@ def test_explicit_tx_journal_replay(spark, tmp_path):
     db.execute_string_stmt("BEGIN")
     db.execute_string_stmt("INSERT INTO t VALUES (99)")  # never committed
     want = '[{"columns":["a"],"types":["integer"],"values":[[1]]}]'
+    db.close()
+
+    replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
+    assert rows_to_json(replayed.query_string_stmt("SELECT a FROM t ORDER BY a")) == want
+    replayed.close()
+
+
+def test_savepoint_journal_replay(spark, tmp_path):
+    """Work rolled back via ROLLBACK TO never reaches the journal: the
+    tx journal checkpoint recorded at SAVEPOINT truncates on rollback,
+    so replay reproduces exactly the surviving statements."""
+    import os
+
+    from dust_spark import DustSession
+    from dust_spark.model import rows_to_json
+
+    wh = str(tmp_path / "wh_sp")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (a INT)")
+    db.execute_string_stmt("BEGIN")
+    db.execute_string_stmt("INSERT INTO t VALUES (1)")
+    db.execute_string_stmt("SAVEPOINT s")
+    db.execute_string_stmt("INSERT INTO t VALUES (2)")
+    db.execute_string_stmt("ROLLBACK TO s")
+    db.execute_string_stmt("INSERT INTO t VALUES (3)")
+    db.execute_string_stmt("RELEASE s")
+    db.execute_string_stmt("COMMIT")
+    # savepoint-started tx committed by RELEASE journals too
+    db.execute_string_stmt("SAVEPOINT outer_sp")
+    db.execute_string_stmt("INSERT INTO t VALUES (4)")
+    db.execute_string_stmt("RELEASE outer_sp")
+    # abandoned savepoint-started tx journals nothing
+    db.execute_string_stmt("SAVEPOINT gone")
+    db.execute_string_stmt("INSERT INTO t VALUES (99)")
+    want = '[{"columns":["a"],"types":["integer"],"values":[[1],[3],[4]]}]'
     db.close()
 
     replayed = DustSession.replay(os.path.join(wh, "journal.jsonl"), spark)
