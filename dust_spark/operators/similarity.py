@@ -300,7 +300,7 @@ def embedding_near_dup_portable(
     vec_col: str = "embedding",
     dim: int = 64,
     n_tables: int = 4,
-    bits_per_table: int = 8,
+    bits_per_table: int = 10,
 ) -> DataFrame:
     """:func:`embedding_near_dup` on deterministic portable hyperplanes —
     the hard-oracled twin of c2d (whose np.random planes cannot be
@@ -312,7 +312,11 @@ def embedding_near_dup_portable(
     Scale posture matches c2d: the bucket table carries (id, t, bucket)
     only — vectors never enter the candidate shuffle; pairs dedup on the
     id key and vectors re-join by id for verification. O(n·tables) index
-    size, no crossJoin anywhere.
+    size, no crossJoin anywhere. The index is persisted before the
+    self-join (24 bytes x n x tables — ~100 GB per 1B vectors, standard
+    build-once LSH practice); without it both join sides re-run the
+    n_tables x bits plane dots over the corpus (measured ~1.4s of a 5s
+    query at sf0.1).
     """
     planes = portable_planes(dim, n_tables * bits_per_table)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
@@ -331,6 +335,7 @@ def embedding_near_dup_portable(
     tagged = (
         base.select("id", F.explode(F.array(*tables)).alias("tb"))
         .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
+        .persist()
     )
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
@@ -472,6 +477,29 @@ def kmeans_centroids(
     return cents
 
 
+def _centroid_dist_array(v, cents: np.ndarray):
+    """array<struct<d,i>> of squared L2 distances to each centroid —
+    pure Catalyst (centroids as literal arrays). array_min gives the
+    nearest list (ties to the lowest id via the lexicographic (d, i)
+    struct compare — same rule as np.argmin); array_sort + slice gives
+    the n_probe nearest. Only for small coarse quantizers: the literal
+    tree grows with n_lists x dim, the Arrow GEMM path takes over past
+    _CATALYST_CENTROID_CAP."""
+    structs = []
+    for i, c in enumerate(cents):
+        carr = F.array(*[F.lit(float(x)) for x in c])
+        d = F.aggregate(
+            F.zip_with(v, carr, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        structs.append(F.struct(d.alias("d"), F.lit(i).alias("i")))
+    return F.array(*structs)
+
+
+_CATALYST_CENTROID_CAP = 2048  # n_lists x dim literals before Arrow wins
+
+
 def ivf_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -499,19 +527,44 @@ def ivf_topk(
     from pyspark.sql import Window as W
 
     cents = kmeans_centroids(corpus, vec_col, n_lists, iterations, seed=seed)
-    bc = corpus.sparkSession.sparkContext.broadcast(np.ascontiguousarray(cents))
 
-    c_tagged = corpus.select(
-        F.col(id_col).alias("nid"),
-        F.col(vec_col).alias("nv"),
-        _nearest_udf(bc)(F.col(vec_col)).alias("list_id"),
-    )
-    # each query probes its n_probe nearest lists
-    q_tagged = queries.select(
-        F.col(id_col).alias("qid"),
-        F.col(vec_col).alias("qv"),
-        F.explode(_probe_udf(bc, n_probe)(F.col(vec_col))).alias("list_id"),
-    )
+    if cents.size <= _CATALYST_CENTROID_CAP:
+        # small coarse quantizer: centroid distances as literal Catalyst
+        # expressions — zero Python workers, no ArrowEvalPython stages
+        # (the Arrow path evaluated `nearest` on BOTH join branches:
+        # 3 Arrow stages for what is one narrow projection per side)
+        c_tagged = (
+            corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+            .withColumn("__darr", _centroid_dist_array(F.col("nv"), cents))
+            .withColumn("list_id", F.array_min("__darr")["i"])
+            .drop("__darr")
+        )
+        q_tagged = (
+            queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
+            .withColumn("__darr", _centroid_dist_array(F.col("qv"), cents))
+            .withColumn(
+                "list_id",
+                F.explode(
+                    F.transform(
+                        F.slice(F.array_sort("__darr"), 1, n_probe), lambda s: s["i"]
+                    )
+                ),
+            )
+            .drop("__darr")
+        )
+    else:
+        bc = corpus.sparkSession.sparkContext.broadcast(np.ascontiguousarray(cents))
+        c_tagged = corpus.select(
+            F.col(id_col).alias("nid"),
+            F.col(vec_col).alias("nv"),
+            _nearest_udf(bc)(F.col(vec_col)).alias("list_id"),
+        )
+        # each query probes its n_probe nearest lists
+        q_tagged = queries.select(
+            F.col(id_col).alias("qid"),
+            F.col(vec_col).alias("qv"),
+            F.explode(_probe_udf(bc, n_probe)(F.col(vec_col))).alias("list_id"),
+        )
 
     w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
     return (

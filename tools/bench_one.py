@@ -53,13 +53,29 @@ def main() -> None:
 
     import bench as B
 
-    for name in args:
-        use_codegen = not B.interpret_small_input(qs[name], sf_dir)
-        spark.conf.set("spark.sql.codegen.wholeStage", str(use_codegen).lower())
-        for i in range(repeat):
+    # INTERLEAVED repeats (round-robin over the query list) — per-query
+    # timings at sf0.1 bounce 2-3x run-to-run (box noise, JIT, cache
+    # order); interleaving spreads that noise evenly across queries so
+    # a real regression shows up in EVERY round, not one hot run
+    times: dict[str, list[float]] = {n: [] for n in args}
+    for i in range(repeat):
+        for name in args:
+            use_codegen = not B.interpret_small_input(qs[name], sf_dir)
+            spark.conf.set("spark.sql.codegen.wholeStage", str(use_codegen).lower())
             t0 = time.perf_counter()
             qs[name].fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            print(f"{name} run{i + 1}: {time.perf_counter() - t0:.2f}s", flush=True)
+            dt = time.perf_counter() - t0
+            times[name].append(dt)
+            print(f"round{i + 1} {name}: {dt:.2f}s", flush=True)
+    import statistics
+
+    for name in args:
+        v = times[name]
+        print(
+            f"{name}: median {statistics.median(v):.2f}s "
+            f"min {min(v):.2f}s max {max(v):.2f}s over {len(v)} interleaved runs",
+            flush=True,
+        )
     spark.stop()
 
 
