@@ -214,6 +214,8 @@ def affinity_type(decl: str) -> T.DataType:
         # case-insensitive engine-wide, like SQLite
         if re.search(r"\bCOLLATE\s+(NOCASE|UTF8_LCASE)\b", re.sub(r"\s+", " ", d)):
             return T.StringType("UTF8_LCASE")
+        if re.search(r"\bCOLLATE\s+(RTRIM|UTF8_BINARY_RTRIM)\b", re.sub(r"\s+", " ", d)):
+            return T.StringType("UTF8_BINARY_RTRIM")
         return T.StringType()
     if d == "" or "BLOB" in d:
         return T.BinaryType()
@@ -529,6 +531,10 @@ def parse_create_table(sql: str) -> TableDef:
             r"\bCOLLATE\s+(NOCASE|UTF8_LCASE)\b", rest
         ):
             dtype = T.StringType("UTF8_LCASE")
+        if isinstance(dtype, T.StringType) and re.search(
+            r"\bCOLLATE\s+(RTRIM|UTF8_BINARY_RTRIM)\b", rest
+        ):
+            dtype = T.StringType("UTF8_BINARY_RTRIM")
         if "NOT NULL" in rest:
             td.not_null.add(col)
         if "PRIMARY KEY" in rest:
@@ -1310,10 +1316,12 @@ UNSUPPORTED_FRAME_RE = re.compile(
     re.I,
 )
 # SQLite collation names → Spark 4 collations (same postfix COLLATE
-# syntax); RTRIM (trailing-space-insensitive) has no Spark equivalent
-# and surfaces Spark's own unknown-collation error
+# syntax); RTRIM (trailing-space-insensitive compare, stored text
+# untouched) maps to Spark's UTF8_BINARY_RTRIM trim-modifier collation —
+# probed identical on =/</GROUP BY/DISTINCT semantics
 _COLLATE_NOCASE_RE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.I)
 _COLLATE_BINARY_RE = re.compile(r"\bCOLLATE\s+BINARY\b", re.I)
+_COLLATE_RTRIM_RE = re.compile(r"\bCOLLATE\s+RTRIM\b", re.I)
 
 
 _GLOB_RHS_RE = re.compile(r"\s*('(?:[^']|'')*'|\?\d*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)")
@@ -1372,6 +1380,7 @@ def _rewrite_operators(sql: str) -> str:
         seg = _EXCLUDE_NOOP_RE.sub("", seg)  # default frame exclusion = no-op
         seg = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", seg)
         seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)
+        seg = _COLLATE_RTRIM_RE.sub("COLLATE UTF8_BINARY_RTRIM", seg)
         return _LIKE_RE.sub("ILIKE", seg)
 
     return _map_outside_strings(sql, fix)

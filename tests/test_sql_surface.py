@@ -435,6 +435,34 @@ def test_collate_nocase(db):
     )[0].values == [[2], [1]]
 
 
+def test_collate_rtrim_sqlite_differential(db):
+    """SQLite RTRIM collation (trailing-space-insensitive compare,
+    stored text untouched) → Spark's UTF8_BINARY_RTRIM trim-modifier
+    collation — expression- and column-level, differential vs sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE rt (id INTEGER NOT NULL PRIMARY KEY, v TEXT COLLATE RTRIM)",
+        "INSERT INTO rt(v) VALUES ('x '), ('x'), ('y  '), ('  z')",
+    ):
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    for q in (
+        "SELECT 'abc  ' = 'abc' COLLATE RTRIM",
+        "SELECT '  abc' = 'abc' COLLATE RTRIM",
+        "SELECT 'a b ' = 'a b' COLLATE RTRIM",
+        "SELECT count(*) FROM rt WHERE v = 'x'",
+        "SELECT count(*) FROM rt WHERE v = 'z'",  # leading spaces still differ
+        "SELECT v, count(*) FROM rt GROUP BY v ORDER BY count(*) DESC, v",
+        "SELECT v FROM rt ORDER BY v, id",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+
+
 def test_with_cte_dml(db):
     """SQLite CTEs on DML: WITH ... INSERT folds the CTEs into the
     source select (incl. RECURSIVE); WITH ... UPDATE/DELETE and

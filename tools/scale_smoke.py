@@ -65,6 +65,39 @@ def scaled_docs(spark, sf_dir: str, k: int):
     return out.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
 
+def scaled_emb(spark, sf_dir: str, k: int, dim: int = 64):
+    """Scaled embeddings: replica r applies a deterministic per-replica
+    SIGN-FLIP pattern to each dimension. Within a replica every pairwise
+    cosine is preserved exactly (both vectors flip the same dims), so
+    the near-dup/ANN structure replicates; across replicas the patterns
+    differ, so no manufactured cross-replica near-dups — the embedding
+    analogue of the alphabet-rotation trick for documents."""
+    from pyspark.sql import functions as F
+
+    from dust_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    n = base.count()
+    reps = []
+    for r in range(k):
+        signs = F.array(
+            *[
+                F.lit(1.0 if ((r * dim + t) * 2654435761) % 2 == 0 else -1.0)
+                for t in range(dim)
+            ]
+        )
+        reps.append(
+            base.select(
+                (F.col("vec_id") + F.lit(r * n)).alias("vec_id"),
+                F.zip_with("embedding", signs, lambda x, s: x * s).alias("embedding"),
+            )
+        )
+    out = reps[0]
+    for rep in reps[1:]:
+        out = out.unionAll(rep)
+    return out.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
+
+
 def main() -> None:
     scales = [1, 4, 16]
     only_ops: list[str] | None = None
@@ -111,6 +144,8 @@ def main() -> None:
     results: dict[str, dict[int, float]] = {}
     for k in scales:
         docs = scaled_docs(spark, sf_dir, k).persist()
+        emb = scaled_emb(spark, sf_dir, k).persist()
+        emb.count()
         rows = docs.count()
         bench = docs.filter(F.col("doc_id") % 50 == 0)
         for name, fn in [
@@ -129,11 +164,28 @@ def main() -> None:
                     docs.filter(F.col("doc_id") % 97 == 0), docs, mode="flags"
                 ),
             ),
+            # r5/r6 portable-oracle additions (VERDICT r5 item 7)
+            (
+                "minhash_portable_pairs",
+                lambda: ops.minhash_lsh_pairs_portable(docs, threshold=0.2),
+            ),
+            (
+                "ann_portable",
+                lambda: ops.rp_lsh_topk_portable(
+                    emb.filter(F.col("vec_id") % 100 == 0), emb, k=10
+                ),
+            ),
+            (
+                "embedding_near_dup_portable",
+                lambda: ops.embedding_near_dup_portable(emb, threshold=0.3),
+            ),
+            ("ann_ivf", lambda: ops.ivf_topk(emb.filter(F.col("vec_id") % 100 == 0), emb, k=5, n_lists=8, n_probe=3, iterations=2)),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
             results.setdefault(name, {})[k] = run(name, fn)
         docs.unpersist()
+        emb.unpersist()
 
     print("\n| operator | " + " | ".join(f"{k}x ({k*5000} rows)" for k in scales) + " | growth vs rows |")
     print("|---|" + "---|" * (len(scales) + 1))
