@@ -128,7 +128,30 @@ def main() -> None:
     }
     if errors:
         out["errors"] = errors
-    print(json.dumps(out))
+    # the driver records only the LAST 2000 bytes of stdout (confirmed:
+    # BENCH_r04/r05 'parsed: null' with a 2000-char head-truncated tail).
+    # Always dump the full record to a sidecar file, and keep the stdout
+    # line under the capture window by trimming the queries map to the
+    # slowest entries if needed (p50/total/n are computed over ALL).
+    with open(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_full.json"), "w") as f:
+        json.dump(out, f)
+    line = json.dumps(out)
+    if len(line) > 1900:
+        slowest = sorted(timings.items(), key=lambda kv: -kv[1])
+        trimmed = dict(out)
+        keep: dict[str, float] = {}
+        for k, v in slowest:
+            keep[k] = v
+            trimmed["queries"] = keep
+            trimmed["queries_omitted"] = len(timings) - len(keep)
+            if len(json.dumps(trimmed)) > 1850:
+                del keep[k]
+                trimmed["queries"] = keep
+                trimmed["queries_omitted"] = len(timings) - len(keep)
+                break
+        trimmed["queries_note"] = "slowest shown; full map in BENCH_full.json"
+        line = json.dumps(trimmed)
+    print(line)
     spark.stop()
 
 

@@ -118,6 +118,75 @@ def shard_assign(
     return df2.withColumn(pos_col, F.row_number().over(w)).drop("__b")
 
 
+def cap_per_stratum(
+    df: DataFrame,
+    n: int,
+    stratum_col: str,
+    key: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+) -> DataFrame:
+    """Keep at most ``n`` rows per stratum (per-domain / per-source
+    caps — the standard head-chopping move against over-represented
+    hosts in a crawl corpus). Selection priority is the deterministic
+    hash bucket (then the key): which n survive is stable across runs
+    and independent of input order.
+
+    100 TB posture: one hash partition on the stratum; each stratum
+    ranks independently. Heavy-hitter strata are exactly the rows the
+    cap discards, and rank computation within one partition is a heap
+    of size ~stratum; for pathological single-stratum skew compose with
+    :func:`hash_sample` as a pre-filter. With ``hash_fn='portable'``
+    the whole selection replays in DuckDB (hard oracle)."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(stratum_col).orderBy("__b", key)
+    return (
+        df.withColumn("__b", _bucket(F.col(key), seed, hash_fn))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= n)
+        .drop("__b", "__rn")
+    )
+
+
+def token_budget_mix(
+    df: DataFrame,
+    budgets: dict[str, int],
+    source_col: str = "source",
+    cost_col: str = "n_chars",
+    key: str = "doc_id",
+    seed: int = 42,
+    hash_fn: str = "xxhash64",
+    default_budget: int = 0,
+) -> DataFrame:
+    """Fill each source's token/char budget with a deterministic,
+    hash-ordered prefix: rows are ranked per source by (bucket, key)
+    and kept while the cumulative ``cost_col`` stays within the
+    source's budget (the first row that crosses the line is the last
+    one kept — budgets are met, not undershot). This is the standard
+    'mix sources to a token recipe' step of a training-data pipeline,
+    stable under reprocessing.
+
+    One shuffle (hash partition on source); the running sum is a
+    window cumsum per source, never a driver loop."""
+    from pyspark.sql import Window as W
+
+    w = (
+        W.partitionBy(source_col)
+        .orderBy("__b", key)
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    budget = F.lit(int(default_budget))
+    for s, b in budgets.items():
+        budget = F.when(F.col(source_col) == s, F.lit(int(b))).otherwise(budget)
+    return (
+        df.withColumn("__b", _bucket(F.col(key), seed, hash_fn))
+        .withColumn("__cum", F.sum(F.col(cost_col)).over(w))
+        .filter(F.col("__cum") - F.col(cost_col) < budget)
+        .drop("__b", "__cum")
+    )
+
+
 def weighted_interleave(
     sources: list[tuple[DataFrame, float]],
     key: str = "doc_id",

@@ -831,6 +831,75 @@ ORDER BY doc_id"""
 )
 
 
+#: portable bucket over (doc_id, source, n_chars) — c9h/c9i
+_PORTABLE_SRC_BUCKET_CTE = """
+WITH b AS (
+  SELECT doc_id, source, n_chars,
+         (list_reduce(list_prepend(42::BIGINT,
+           list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+             i -> ascii(CAST(doc_id AS VARCHAR)[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) * 2654435761) % 2147483647 % 1000000 AS bk
+  FROM documents
+)
+"""
+
+_CAP_ORACLE = (
+    _PORTABLE_SRC_BUCKET_CTE
+    + """, r AS (
+  SELECT doc_id, source,
+         row_number() OVER (PARTITION BY source ORDER BY bk, doc_id) AS rn
+  FROM b
+)
+SELECT doc_id, source FROM r WHERE rn <= 10 ORDER BY doc_id"""
+)
+
+
+@register("c9h_cap_per_source", oracle=_CAP_ORACLE, tags=("tierc", "sampling"))
+def cap_per_source_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source head cap (at most 10 docs per source, hash-priority
+    selection) — the over-represented-host chop of a crawl pipeline,
+    stable across runs; portable bucket → DuckDB replays the exact
+    surviving set."""
+    return (
+        ops.cap_per_stratum(_docs(spark, sf_dir), 10, "source", hash_fn="portable")
+        .select("doc_id", "source")
+        .orderBy("doc_id")
+    )
+
+
+_BUDGET_ORACLE = (
+    _PORTABLE_SRC_BUCKET_CTE
+    + """, r AS (
+  SELECT doc_id, source, n_chars,
+         SUM(n_chars) OVER (PARTITION BY source ORDER BY bk, doc_id
+                            ROWS UNBOUNDED PRECEDING) AS cum
+  FROM b
+)
+SELECT doc_id, source, n_chars FROM r
+WHERE cum - n_chars < CASE source WHEN 'src0' THEN 3000
+                                  WHEN 'src1' THEN 6000 ELSE 1000 END
+ORDER BY doc_id"""
+)
+
+
+@register("c9i_token_budget_mix", oracle=_BUDGET_ORACLE, tags=("tierc", "sampling"))
+def token_budget_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token-recipe mixing: fill each source's char budget with the
+    deterministic hash-ordered prefix (src0 3k, src1 6k, others 1k);
+    the row that crosses the budget line is the last one kept. Window
+    cumsum per source — one shuffle; DuckDB replays bit-exactly."""
+    return (
+        ops.token_budget_mix(
+            _docs(spark, sf_dir),
+            {"src0": 3000, "src1": 6000},
+            default_budget=1000,
+            hash_fn="portable",
+        )
+        .select("doc_id", "source", "n_chars")
+        .orderBy("doc_id")
+    )
+
+
 @register("c9g_stratified_sample", oracle=_STRAT_ORACLE, tags=("tierc", "sampling"))
 def stratified_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Language-balanced mixture sampling (dataset-mixing weights as

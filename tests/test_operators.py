@@ -508,6 +508,43 @@ def test_stratified_and_interleave(spark):
     assert by_src[0] == 100 and 20 <= by_src[1] <= 80
 
 
+def test_cap_per_stratum_and_token_budget(spark):
+    """c9h/c9i invariants: the cap keeps at most n rows per stratum
+    (all rows when the stratum is smaller), deterministically; the
+    budget mix keeps a hash-ordered prefix whose cumulative cost prior
+    to each kept row stays under the source budget, with exactly one
+    budget-crossing row allowed."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=i, source=f"s{i % 3}", n_chars=50 + (i * 37) % 200)
+            for i in range(90)
+        ]
+    )
+    capped = ops.cap_per_stratum(docs, 7, "source").collect()
+    by_src: dict[str, int] = {}
+    for r in capped:
+        by_src[r.source] = by_src.get(r.source, 0) + 1
+    assert all(v == 7 for v in by_src.values()), by_src  # 30 per stratum > 7
+    again = {(r.doc_id, r.source) for r in ops.cap_per_stratum(docs, 7, "source").collect()}
+    assert again == {(r.doc_id, r.source) for r in capped}  # deterministic
+    # cap above the stratum size keeps everything
+    assert ops.cap_per_stratum(docs, 100, "source").count() == 90
+
+    out = ops.token_budget_mix(
+        docs, {"s0": 500, "s1": 900}, cost_col="n_chars", default_budget=300
+    ).collect()
+    budgets = {"s0": 500, "s1": 900, "s2": 300}
+    sums: dict[str, int] = {}
+    maxc: dict[str, int] = {}
+    for r in out:
+        sums[r.source] = sums.get(r.source, 0) + r.n_chars
+        maxc[r.source] = max(maxc.get(r.source, 0), r.n_chars)
+    for s, b in budgets.items():
+        assert s in sums, f"budget {s} got no rows"
+        # total may cross the line only by the final (crossing) row
+        assert sums[s] - maxc[s] < b, (s, sums[s], b)
+
+
 def test_shard_assign_invariants(spark, corpus):
     """Shard-assignment: every row lands in [0, n_shards), positions
     are contiguous 1..k per shard, assignment is deterministic, and
