@@ -1126,11 +1126,107 @@ _FN_RENAMES = {
 _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
 
 
+def escape_raw_literals(sql: str) -> str:
+    """SQLite single-quoted literals are RAW (backslash is an ordinary
+    character); Spark's parser treats backslash as an escape. Double
+    every backslash inside single-quoted segments so ``'ab\\%cd'`` and
+    ``ESCAPE '\\'`` survive the trip (r6 differential finding). Runs
+    FIRST, before any rewrite layer injects Spark-targeted literals
+    (whose backslashes must stay single)."""
+    if "\\" not in sql:
+        return sql
+    out, i, n, in_str = [], 0, len(sql), False
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append("\\\\" if ch == "\\" else ch)
+            if ch == "'":
+                in_str = False
+        else:
+            out.append(ch)
+            if ch == "'":
+                in_str = True
+        i += 1
+    return "".join(out)
+
+
+_FILTER_WHERE_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.I)
+
+
+def _rewrite_window_filter(sql: str) -> str:
+    """``agg(x) FILTER (WHERE p) OVER (...)`` → ``agg(CASE WHEN p THEN
+    x END) OVER (...)`` — Spark supports FILTER on plain aggregates but
+    not on window functions ('Window aggregate function with filter
+    predicate is not supported yet'); the CASE folding is exact for the
+    sum/avg/count/min/max/total family SQLite allows there
+    (``count(*)`` counts via ``CASE WHEN p THEN 1 END``). Non-window
+    FILTER clauses are left for Spark's native handling."""
+    pos = 0
+    while True:
+        m = _FILTER_WHERE_RE.search(sql, pos)
+        if not m:
+            return sql
+        open_idx = sql.index("(", m.start())
+        try:
+            close = _balanced_end(sql, open_idx)
+        except ValueError:
+            return sql
+        if not re.match(r"\s*OVER\b", sql[close:], re.I):
+            pos = close  # aggregate FILTER: Spark-native
+            continue
+        where_kw = re.compile(r"WHERE\b", re.I).search(sql, open_idx)
+        pred = sql[where_kw.end() : close - 1].strip()
+        head = sql[: m.start()].rstrip()
+        if not head.endswith(")"):
+            pos = close
+            continue
+        depth, j = 0, len(head) - 1
+        in_str = None
+        # backward balanced scan (strings handled by symmetry of quotes)
+        while j >= 0:
+            ch = head[j]
+            if in_str:
+                if ch == in_str:
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+            elif ch == ")":
+                depth += 1
+            elif ch == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            pos = close
+            continue
+        argtext = head[j + 1 : -1]
+        k = j - 1
+        while k >= 0 and head[k].isspace():
+            k -= 1
+        name_end = k
+        while k >= 0 and (head[k].isalnum() or head[k] == "_"):
+            k -= 1
+        fname = head[k + 1 : name_end + 1]
+        if not fname or re.search(r"\bDISTINCT\b", argtext, re.I):
+            pos = close  # unsupported shape: let Spark surface its error
+            continue
+        inner = "1" if argtext.strip() == "*" else f"({argtext})"
+        new_head = f"{head[: k + 1]}{fname}(CASE WHEN ({pred}) THEN {inner} END)"
+        sql = new_head + sql[close:]
+        pos = len(new_head)
+
+
 def rewrite_sqlite_fns(sql: str) -> str:
     """SQLite→Spark function dialect: token renames outside string
     literals, then the argument-aware pass for calls whose arity or
     semantics differ (variadic char/max/min, 2-arg trims, typeof/quote,
-    the date/time/datetime modifier family)."""
+    the date/time/datetime modifier family). Raw-literal backslash
+    escaping (:func:`escape_raw_literals`) is NOT applied here — this
+    function re-runs on statement fragments (CTAS SELECTs, RETURNING
+    projections, stored CHECK/generated exprs) and the escape is not
+    idempotent; the session applies it exactly once per statement at
+    the _apply/_sql entry points."""
     out, i, in_str = [], 0, None
     while i < len(sql):
         ch = sql[i]
@@ -1151,7 +1247,11 @@ def rewrite_sqlite_fns(sql: str) -> str:
             else:
                 out.append(ch)
                 i += 1
-    return _rewrite_operators(_rewrite_glob_operator(_rewrite_arg_fns(_rewrite_json_arrows("".join(out)))))
+    return _rewrite_operators(
+        _rewrite_glob_operator(
+            _rewrite_arg_fns(_rewrite_json_arrows(_rewrite_window_filter("".join(out))))
+        )
+    )
 
 
 def _scan_back_primary(s: str, i: int) -> int:
@@ -1756,7 +1856,7 @@ _ARG_FN_RE = re.compile(
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
-    r"|log|floor|ceil|ceiling|mod|trunc)\s*\(",
+    r"|log|floor|ceil|ceiling|mod|trunc|lower|upper)\s*\(",
     re.I,
 )
 
@@ -2033,8 +2133,24 @@ def _rewrite_one_call(
                 f"pmod(dayofweek({ts}) + 5, 7)) / 7) AS INT) AS STRING), 2, '0')"
             )
         return None  # general formats go through the strftime macro
-    if n == "char" and len(args) > 1:
-        return "concat(" + ", ".join(f"char({a})" for a in args) + ")"
+    if n == "char" and len(args) >= 1:
+        # SQLite char() takes UNICODE codepoints; Spark's char() wraps
+        # mod 256 (char(8364) gave '¬' — r6 differential finding).
+        # codepoint → 4-byte big-endian → UTF-32 decode handles the
+        # whole range incl. astral planes.
+        def cp(a: str) -> str:
+            return f"decode(to_binary(lpad(hex({a}), 8, '0'), 'hex'), 'UTF-32')"
+
+        if len(args) == 1:
+            return cp(args[0])
+        return "concat(" + ", ".join(cp(a) for a in args) + ")"
+    if n in ("lower", "upper") and len(args) == 1:
+        # SQLite lower()/upper() fold ASCII ONLY (lower('ÄBC') = 'Äbc');
+        # Spark's are full Unicode — translate() reproduces the ASCII-
+        # only behavior exactly
+        up, lo = "ABCDEFGHIJKLMNOPQRSTUVWXYZ", "abcdefghijklmnopqrstuvwxyz"
+        src, dst = (up, lo) if n == "lower" else (lo, up)
+        return f"translate(CAST(({args[0]}) AS STRING), '{src}', '{dst}')"
     if n in ("max", "min") and len(args) > 1:  # scalar form, not the aggregate
         return ("greatest(" if n == "max" else "least(") + ", ".join(args) + ")"
     if n == "sign" and len(args) == 1:
@@ -2046,9 +2162,25 @@ def _rewrite_one_call(
         return _SQLITE_TYPEOF_MAP.format(a=args[0])
     if n == "quote" and len(args) == 1:
         a = args[0]
+        ra = (raw_args or args)[0].strip()
+        if re.match(r"(?i)^X'[0-9a-f]*'$", ra):
+            # blob LITERAL: statically known type → X'..' form (blob
+            # COLUMNS keep the text fallback — Spark's static typing
+            # can't hex() a value that might not be binary)
+            return f"concat('X''', upper(hex({a})), '''')"
+        # runtime branch on Spark's (constant-folding) typeof: numerics
+        # render bare, booleans as SQLite's stored 1/0, text quoted.
+        # Every branch must ANALYZE for any input type, so values reach
+        # string ops via CAST(.. AS STRING) only.
         return (
-            f"CASE WHEN ({a}) IS NULL THEN 'NULL' ELSE "
-            f"concat('''', replace(CAST(({a}) AS STRING), '''', ''''''), '''') END"
+            f"CASE WHEN ({a}) IS NULL THEN 'NULL' "
+            f"WHEN typeof({a}) = 'boolean' THEN "
+            f"CASE CAST(({a}) AS STRING) WHEN 'true' THEN '1' ELSE '0' END "
+            f"WHEN typeof({a}) IN ('tinyint','smallint','int','bigint') THEN "
+            f"CAST(({a}) AS STRING) "
+            f"WHEN typeof({a}) RLIKE '^(double|float|decimal)' THEN "
+            f"CAST(CAST(CAST(({a}) AS STRING) AS DOUBLE) AS STRING) "
+            f"ELSE concat('''', replace(CAST(({a}) AS STRING), '''', ''''''), '''') END"
         )
     if n in ("date", "time", "datetime") and (len(args) >= 2 or n in ("time", "datetime")):
         # 1-arg date(x) keeps Spark's DATE cast; time/datetime always

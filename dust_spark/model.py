@@ -20,6 +20,7 @@ it (SURVEY.md §1.2).
 from __future__ import annotations
 
 import datetime as _dt
+import decimal as _decimal
 import json
 import math
 from dataclasses import dataclass, field
@@ -141,7 +142,10 @@ def spark_type_name(dtype: T.DataType) -> str:
     if isinstance(dtype, T.BooleanType):
         return DataType.BOOLEAN
     if isinstance(dtype, T.DecimalType):
-        return DataType.DECIMAL
+        # SQLite has no decimal storage class — decimal expressions
+        # (Spark parses `7.0` as DECIMAL(2,1)) surface as REAL, like
+        # sqlite3 does
+        return DataType.REAL
     if isinstance(dtype, T.ArrayType):
         return DataType.ARRAY
     if isinstance(dtype, T.MapType):
@@ -165,6 +169,10 @@ def _json_value(v: Any) -> Any:
         if math.isnan(v) or math.isinf(v):
             return None
         return v
+    if isinstance(v, _decimal.Decimal):
+        # decimal cells ride the REAL wire (str(v) here produced
+        # '3.500000'-style text — r6 differential finding)
+        return float(v)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, (_dt.datetime, _dt.date)):

@@ -537,7 +537,9 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
-        sql = dialect.rewrite_sqlite_fns(bind_params(stmt.sql, list(stmt.parameters or [])))
+        sql = dialect.rewrite_sqlite_fns(
+            dialect.escape_raw_literals(bind_params(stmt.sql, list(stmt.parameters or [])))
+        )
         kind = statement_kind(sql)
         if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE") and not self._capture_returning:
             _core, _ret = dialect.strip_returning(sql)
@@ -2317,7 +2319,7 @@ class DustSession:
         # SQLite's EXPLAIN QUERY PLAN prefix maps to plain EXPLAIN (the
         # plan text is engine-specific by nature in both systems)
         sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN", sql, flags=re.I)
-        sql = dialect.rewrite_sqlite_fns(sql)
+        sql = dialect.rewrite_sqlite_fns(dialect.escape_raw_literals(sql))
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         # last_insert_rowid() is connection state in SQLite — inline the
         # session's current value as a literal (string-literal aware,

@@ -435,6 +435,36 @@ def test_collate_nocase(db):
     )[0].values == [[2], [1]]
 
 
+def test_window_filter_and_decimal_wire(db):
+    """r6 differential findings: FILTER (WHERE ...) on WINDOW functions
+    (Spark lacks it — rewritten to the exact CASE folding), and decimal
+    expression results riding the REAL wire (Spark parses 7.0 as
+    DECIMAL; str(Decimal) leaked '3.500000'-style text)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE wf (a INT, b TEXT)",
+        "INSERT INTO wf VALUES (1,'x'),(2,'y'),(3,'x'),(4,'y'),(5,'x')",
+    ):
+        ref.execute(s)
+        assert db.execute_string_stmt(s)[0].error == ""
+    for q in (
+        "SELECT a, sum(a) FILTER (WHERE a > 1) OVER (ORDER BY a) FROM wf ORDER BY a",
+        "SELECT a, count(*) FILTER (WHERE b = 'x') OVER (ORDER BY a) FROM wf ORDER BY a",
+        "SELECT a, avg(a) FILTER (WHERE a >= 2) OVER (PARTITION BY b ORDER BY a) FROM wf ORDER BY a",
+        "SELECT count(*) FILTER (WHERE a > 1) FROM wf",  # aggregate form: Spark-native
+        "SELECT b, sum(a) FILTER (WHERE a >= 2) FROM wf GROUP BY b ORDER BY b",
+        "SELECT 7.0/2, 1.5 + 2.25, abs(-5.5)",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    # the wire TYPE for decimal expressions is 'real', like sqlite3
+    rows = db.query_string_stmt("SELECT 7.0/2 AS h")[0]
+    assert rows.types == ["real"], rows.types
+
+
 def test_collate_rtrim_sqlite_differential(db):
     """SQLite RTRIM collation (trailing-space-insensitive compare,
     stored text untouched) → Spark's UTF8_BINARY_RTRIM trim-modifier

@@ -55,6 +55,28 @@ CASES = [
     # variadic scalar forms
     "SELECT char(72, 105)",
     "SELECT char(65)",
+    # char() takes Unicode CODEPOINTS (r6: Spark's char wraps mod 256)
+    "SELECT char(8364)",
+    "SELECT char(72, 105, 8364)",
+    "SELECT unicode('€')",
+    # SQLite lower/upper fold ASCII ONLY (r6 differential finding)
+    "SELECT lower('ÄBC')",
+    "SELECT upper('äbc')",
+    "SELECT lower('MiXeD 123 ÖÜ')",
+    # quote() renders by storage class: numerics bare, booleans as 1/0,
+    # text quoted, blob literals X'..' (r6)
+    "SELECT quote(3)",
+    "SELECT quote(3.5)",
+    "SELECT quote(X'ff00')",
+    "SELECT quote('it''s')",
+    "SELECT quote(NULL)",
+    "SELECT quote(1 = 1)",
+    # raw string literals: backslash is an ORDINARY character (r6)
+    "SELECT 'a\\b'",
+    "SELECT length('a\\b')",
+    "SELECT 'ab%cd' LIKE 'ab\\%cd' ESCAPE '\\'",
+    "SELECT 'ab_cd' LIKE 'ab\\_cd' ESCAPE '\\'",
+    "SELECT replace('a\\b\\c', '\\', '/')",
     "SELECT max(1,2,3)",
     "SELECT min(4,2,9)",
     # strings
