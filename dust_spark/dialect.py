@@ -1150,6 +1150,135 @@ def escape_raw_literals(sql: str) -> str:
     return "".join(out)
 
 
+_AGG_CALL_RE = re.compile(
+    r"\b(count|sum|avg|total|group_concat|string_agg|min|max|median)\s*\(", re.I
+)
+_SIMPLE_IDENT_RE = re.compile(r"^[A-Za-z_]\w*(\.[A-Za-z_]\w*)*$")
+
+
+def _scan_top_level(sql: str, start: int, stop_re) -> int:
+    """Index of the first top-level (outside strings/parens) match of
+    ``stop_re`` at or after ``start``; len(sql) if none."""
+    i, n, depth, in_str = start, len(sql), 0, None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif depth == 0:
+            m = stop_re.match(sql, i)
+            if m:
+                return i
+        i += 1
+    return n
+
+
+def rewrite_bare_group_columns(sql: str) -> str | None:
+    """SQLite's 'bare columns in an aggregate query': ungrouped,
+    non-aggregate select items are legal and take their value from an
+    arbitrary row of the group — EXCEPT when the select list carries
+    exactly one 1-arg min()/max() aggregate, in which case bare columns
+    come from the min/max row (sqlite3-probed). Rewrites such items to
+    ``any_value(expr)`` (or ``min_by``/``max_by`` for the min/max-row
+    rule) with SQLite's wire name; returns None when the shape doesn't
+    apply (no GROUP BY, no bare items, unparseable). Called as a RETRY
+    after Spark's MISSING_AGGREGATION error — never on SQL Spark
+    already accepts."""
+    sp = split_with_prefix(sql)
+    prefix, rest = "", sql
+    if sp:
+        idx = sql.rfind(sp[1])
+        if idx < 0:
+            return None
+        prefix, rest = sql[:idx], sql[idx:]
+    m = re.match(r"(\s*SELECT\s+)(DISTINCT\s+|ALL\s+)?", rest, re.I)
+    if not m:
+        return None
+    sel_start = m.end()
+    from_re = re.compile(r"FROM\b", re.I)
+    from_idx = _scan_top_level(rest, sel_start, from_re)
+    if from_idx >= len(rest):
+        return None
+    select_list = rest[sel_start:from_idx]
+    gb_re = re.compile(r"GROUP\s+BY\b", re.I)
+    gb_idx = _scan_top_level(rest, from_idx, gb_re)
+    if gb_idx >= len(rest):
+        return None
+    gb_start = re.compile(r"GROUP\s+BY\s*", re.I).match(rest, gb_idx).end()
+    end_re = re.compile(r"(HAVING|ORDER\s+BY|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT)\b", re.I)
+    gb_end = _scan_top_level(rest, gb_start, end_re)
+    group_exprs = [g.strip() for g in split_top_level(rest[gb_start:gb_end]) if g.strip()]
+
+    def norm(x: str) -> str:
+        return re.sub(r"\s+", "", x).lower()
+
+    items = [it.strip() for it in split_top_level(select_list)]
+    grouped = {norm(g) for g in group_exprs}
+    positional = {int(g) for g in group_exprs if g.isdigit()}
+
+    # classify the aggregate calls in the select list: the min/max-row
+    # rule applies iff the only aggregate is a single 1-arg min()/max()
+    agg_calls: list[tuple[str, str]] = []  # (fname, first_arg_text)
+    for it in items:
+        for am in _AGG_CALL_RE.finditer(it):
+            try:
+                end = _balanced_end(it, am.end() - 1)
+            except ValueError:
+                return None
+            args = split_top_level(it[am.end() : end - 1])
+            fname = am.group(1).lower()
+            if fname in ("min", "max") and len(args) > 1:
+                continue  # scalar variadic form, not an aggregate
+            first = re.sub(r"(?i)^\s*DISTINCT\s+", "", args[0]).strip() if args else "*"
+            agg_calls.append((fname, first))
+    wrapper = "any_value"
+    order_arg = None
+    if len(agg_calls) == 1 and agg_calls[0][0] in ("min", "max"):
+        wrapper = "min_by" if agg_calls[0][0] == "min" else "max_by"
+        order_arg = agg_calls[0][1]
+
+    out_items, wrapped_any = [], False
+    for pos, it in enumerate(items, start=1):
+        ma = re.match(r"(?i)^(.*?)\s+AS\s+([A-Za-z_]\w*|\"[^\"]+\"|`[^`]+`)\s*$", it, re.S)
+        expr, alias = (ma.group(1).strip(), ma.group(2)) if ma else (it, None)
+        if (
+            norm(expr) in grouped
+            or pos in positional
+            or expr.strip() == "*"
+            or expr.strip().endswith(".*")
+            or _AGG_CALL_RE.search(expr)
+            or re.search(r"\bOVER\s*\(", expr, re.I)
+        ):
+            out_items.append(it)
+            continue
+        name = alias
+        if name is None:
+            name = expr.split(".")[-1] if _SIMPLE_IDENT_RE.match(expr) else expr
+        name = name.strip('`"')
+        call = (
+            f"{wrapper}({expr})"
+            if order_arg is None
+            else f"{wrapper}({expr}, {order_arg})"
+        )
+        out_items.append(f"{call} AS `{name}`")
+        wrapped_any = True
+    if not wrapped_any:
+        return None
+    return (
+        prefix
+        + rest[:sel_start]
+        + ", ".join(out_items)
+        + " "
+        + rest[from_idx:]
+    )
+
+
 _FILTER_WHERE_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.I)
 
 

@@ -2362,6 +2362,17 @@ class DustSession:
                 return self.spark.sql(sql, args=list(params))
             return self.spark.sql(sql)
         except Exception as e:
+            if "MISSING_AGGREGATION" in str(e):
+                # SQLite's bare-columns-in-aggregate-query feature:
+                # retry with the any_value/min_by/max_by rewrite
+                alt = dialect.rewrite_bare_group_columns(sql)
+                if alt is not None:
+                    try:
+                        if params:
+                            return self.spark.sql(alt, args=list(params))
+                        return self.spark.sql(alt)
+                    except Exception:
+                        pass  # surface the ORIGINAL error below
             raise DustError(_clean_error(e)) from e
         finally:
             if restore is not None:

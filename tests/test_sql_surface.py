@@ -465,6 +465,42 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_bare_group_columns_sqlite_differential(db):
+    """SQLite's bare-columns-in-aggregate-query feature (r6): ungrouped
+    non-aggregate select items are legal; with exactly one 1-arg
+    min()/max() they take values from the min/max row (→ min_by/max_by),
+    otherwise an arbitrary group row (→ any_value). Deterministic cases
+    differential vs sqlite3; arbitrary-row cases check membership."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE bg (a INT, b TEXT, g TEXT)")
+    db.execute_string_stmt("CREATE TABLE bg (a INT, b TEXT, g TEXT)")
+    for v in [(1, "p", "x"), (5, "q", "x"), (3, "r", "x"), (2, "s", "y"), (9, "u", "y")]:
+        ref.execute("INSERT INTO bg VALUES (?,?,?)", v)
+        db.execute_string_stmt("INSERT INTO bg VALUES (?,?,?)", list(v))
+    for q in (
+        "SELECT g, b, max(a) FROM bg GROUP BY g ORDER BY g",
+        "SELECT g, b, min(a) FROM bg GROUP BY g ORDER BY g",
+        "SELECT g, a+1, max(a) FROM bg GROUP BY g ORDER BY g",
+        "SELECT g, max(a) AS m, b FROM bg GROUP BY g ORDER BY g",
+        "SELECT bg.b, max(bg.a) FROM bg GROUP BY bg.g ORDER BY 1",
+    ):
+        cur = ref.execute(q)
+        want_cols = [d[0] for d in cur.description]
+        want = [list(r) for r in cur.fetchall()]
+        rows = db.query_string_stmt(q)[0]
+        assert rows.columns == want_cols, (q, rows.columns, want_cols)
+        assert [list(r) for r in rows.values] == want, q
+    # arbitrary-row semantics: any member of the group is legal
+    rows = db.query_string_stmt("SELECT g, b, count(*) FROM bg GROUP BY g ORDER BY g")[0]
+    got = {(r[0], r[2]) for r in rows.values}
+    assert got == {("x", 3), ("y", 2)}
+    members = {"x": {"p", "q", "r"}, "y": {"s", "u"}}
+    for r in rows.values:
+        assert r[1] in members[r[0]], r
+
+
 def test_collate_rtrim_sqlite_differential(db):
     """SQLite RTRIM collation (trailing-space-insensitive compare,
     stored text untouched) → Spark's UTF8_BINARY_RTRIM trim-modifier
