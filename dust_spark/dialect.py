@@ -1279,6 +1279,96 @@ def rewrite_bare_group_columns(sql: str) -> str | None:
     )
 
 
+_ROW_OP_RE = re.compile(r"\s*(==|=|!=|<>|<=|>=|<|>)\s*\(")
+
+
+def _rewrite_row_values(sql: str) -> str:
+    """SQLite row-value comparisons ``(a, b) OP (c, d)``
+    (rowvalue.html) → member-wise boolean expansion: Spark builds a
+    struct comparison but refuses member-type coercion (int literal vs
+    bigint column — r6 differential finding). ``=`` expands to an AND,
+    ``<``/``<=`` etc. to the lexicographic ladder; subqueries and
+    function calls are left untouched."""
+    i, n = 0, len(sql)
+    out = []
+    in_str = None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            # adjacency test on the RAW previous char: `f(` is a call,
+            # `WHERE (` / `AND (` are grouping (keyword + space)
+            if i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_"):
+                out.append(ch)
+                i += 1
+                continue
+            try:
+                e1 = _balanced_end(sql, i)
+            except ValueError:
+                out.append(ch)
+                i += 1
+                continue
+            left_inner = sql[i + 1 : e1 - 1]
+            mo = _ROW_OP_RE.match(sql, e1)
+            if not mo:
+                out.append("(" + _rewrite_row_values(left_inner) + ")")
+                i = e1
+                continue
+            try:
+                e2 = _balanced_end(sql, mo.end() - 1)
+            except ValueError:
+                out.append("(" + _rewrite_row_values(left_inner) + ")")
+                i = e1
+                continue
+            right_inner = sql[mo.end() : e2 - 1]
+            ls = [x.strip() for x in split_top_level(_rewrite_row_values(left_inner))]
+            rs = [x.strip() for x in split_top_level(_rewrite_row_values(right_inner))]
+            if (
+                len(ls) < 2
+                or len(ls) != len(rs)
+                or re.match(r"(?i)\s*SELECT\b", left_inner)
+                or re.match(r"(?i)\s*SELECT\b", right_inner)
+            ):
+                out.append("(" + _rewrite_row_values(left_inner) + ")")
+                i = e1
+                continue
+            op = mo.group(1)
+            if op == "==":
+                op = "="
+            if op in ("=", "!=", "<>"):
+                eq = " AND ".join(f"({a}) = ({b})" for a, b in zip(ls, rs))
+                expanded = f"({eq})" if op == "=" else f"(NOT ({eq}))"
+            else:
+                strict = op.rstrip("=")
+
+                def ladder(k: int) -> str:
+                    a, b = ls[k], rs[k]
+                    last = k == len(ls) - 1
+                    cmp_op = op if last else strict
+                    head = f"({a}) {cmp_op} ({b})"
+                    if last:
+                        return head
+                    return f"({head} OR (({a}) = ({b}) AND {ladder(k + 1)}))"
+
+                expanded = f"({ladder(0)})"
+            out.append(expanded)
+            i = e2
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
 _FILTER_WHERE_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.I)
 
 
@@ -1378,7 +1468,9 @@ def rewrite_sqlite_fns(sql: str) -> str:
                 i += 1
     return _rewrite_operators(
         _rewrite_glob_operator(
-            _rewrite_arg_fns(_rewrite_json_arrows(_rewrite_window_filter("".join(out))))
+            _rewrite_arg_fns(
+                _rewrite_json_arrows(_rewrite_window_filter(_rewrite_row_values("".join(out))))
+            )
         )
     )
 

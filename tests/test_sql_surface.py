@@ -465,6 +465,38 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_row_value_comparisons_sqlite_differential(db):
+    """SQLite row values (rowvalue.html): (a,b) OP (c,d) member-wise =
+    and lexicographic </<=/>/>= — expanded textually because Spark's
+    struct compare refuses member-type coercion (r6 finding). Function
+    calls, IN lists and 1-tuples stay untouched."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE rv (a INT, b TEXT, c INT)")
+    db.execute_string_stmt("CREATE TABLE rv (a INT, b TEXT, c INT)")
+    for v in [(1, "x", 10), (2, "y", 20), (1, "y", 30), (2, "x", 40), (None, "z", 50)]:
+        ref.execute("INSERT INTO rv VALUES (?,?,?)", v)
+        db.execute_string_stmt("INSERT INTO rv VALUES (?,?,?)", list(v))
+    for q in (
+        "SELECT c FROM rv WHERE (a, b) = (1, 'x')",
+        "SELECT c FROM rv WHERE (a, b) <> (1, 'x') ORDER BY c",
+        "SELECT c FROM rv WHERE (a, b) > (1, 'x') ORDER BY c",
+        "SELECT c FROM rv WHERE (a, b) >= (2, 'x') ORDER BY c",
+        "SELECT c FROM rv WHERE (a, b) < (2, 'y') ORDER BY c",
+        "SELECT c FROM rv WHERE (a, b) <= (1, 'y') ORDER BY c",
+        "SELECT (1, 2) = (1, 2), (1, 2) = (1, 3), (1, 'a') < (1, 'b')",
+        "SELECT c FROM rv WHERE ((a, b) = (1, 'x') OR (a, b) = (2, 'y')) ORDER BY c",
+        "SELECT c FROM rv WHERE (a) = (1) ORDER BY c",
+        "SELECT max(1, 2)",
+        "SELECT c FROM rv WHERE a IN (1, 2) ORDER BY c",
+        "SELECT (a, b) = (1, 'x') FROM rv ORDER BY c",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+
+
 def test_bare_group_columns_sqlite_differential(db):
     """SQLite's bare-columns-in-aggregate-query feature (r6): ungrouped
     non-aggregate select items are legal; with exactly one 1-arg
