@@ -1369,6 +1369,253 @@ def _rewrite_row_values(sql: str) -> str:
     return "".join(out)
 
 
+def truthy_sql(expr: str) -> str:
+    """SQLite truthiness of an arbitrary expression, Spark-typed:
+    booleans pass through, everything else goes through the REAL
+    affinity cast (numeric-prefix parse — '1abc' is true, 'abc'/blobs/
+    NULL are false). The typeof branch constant-folds; both arms are
+    analysis-safe for any input type (values reach the cast as
+    strings)."""
+    real = _rewrite_cast(f"({expr}) AS REAL")
+    # three-valued: NULL stays NULL (so WHERE drops it but NOT NULL
+    # stays NULL, exactly SQLite's behavior)
+    return (
+        f"(CASE WHEN typeof(({expr})) = 'boolean' "
+        f"THEN CAST(CAST(({expr}) AS STRING) AS BOOLEAN) "
+        f"ELSE ({real}) <> 0 END)"
+    )
+
+
+def _split_bool_keyword(e: str, kw: str) -> list[str]:
+    """Split ``e`` on top-level ``kw`` (AND/OR) — outside strings,
+    parens and CASE..END, and never the AND that closes a BETWEEN."""
+    kw_re = re.compile(rf"\b{kw}\b", re.I)
+    case_re = re.compile(r"\bCASE\b", re.I)
+    end_re = re.compile(r"\bEND\b", re.I)
+    between_re = re.compile(r"\bBETWEEN\b", re.I)
+    parts, last = [], 0
+    i, n, depth, in_str, case_d, pending_between = 0, len(e), 0, None, 0, 0
+    while i < n:
+        ch = e[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0:
+            if case_re.match(e, i):
+                case_d += 1
+                i += 4
+                continue
+            if case_d and end_re.match(e, i):
+                case_d -= 1
+                i += 3
+                continue
+            if case_d == 0:
+                if between_re.match(e, i):
+                    pending_between += 1
+                    i += 7
+                    continue
+                m = kw_re.match(e, i)
+                if m:
+                    if kw.upper() == "AND" and pending_between > 0:
+                        pending_between -= 1
+                    else:
+                        parts.append(e[last : i])
+                        last = m.end()
+                    i = m.end()
+                    continue
+        i += 1
+    parts.append(e[last:])
+    return parts
+
+
+def truthy_expr(e: str) -> str:
+    """Recursive SQLite-truthiness wrap: AND/OR/NOT structure is kept
+    (each operand wrapped), leaves go through :func:`truthy_sql` (a
+    no-op branch for values that are already boolean)."""
+    e = e.strip()
+    ors = _split_bool_keyword(e, "OR")
+    if len(ors) > 1:
+        return "(" + " OR ".join(truthy_expr(p) for p in ors) + ")"
+    ands = _split_bool_keyword(e, "AND")
+    if len(ands) > 1:
+        return "(" + " AND ".join(truthy_expr(p) for p in ands) + ")"
+    m = re.match(r"(?i)^NOT\b", e)
+    if m:
+        return "(NOT " + truthy_expr(e[m.end() :]) + ")"
+    if e.startswith("(") and not re.match(r"(?i)^\(\s*SELECT\b", e):
+        try:
+            if _balanced_end(e, 0) == len(e):
+                return truthy_expr(e[1:-1])
+        except ValueError:
+            pass
+    return truthy_sql(e)
+
+
+_CASE_WHEN_RE = re.compile(r"\bCASE\s+WHEN\b", re.I)
+
+
+def _wrap_case_when_truthy(sql: str) -> str:
+    """Wrap every searched-CASE WHEN condition (``CASE WHEN cond
+    THEN``) in :func:`truthy_expr` — SQLite accepts any value as the
+    condition. Simple CASE (``CASE x WHEN v``) comparisons are values,
+    not conditions, and are left alone."""
+    m = _CASE_WHEN_RE.search(sql)
+    if not m:
+        return sql
+    out, i, n, in_str, depth = [], 0, len(sql), None, 0
+    when_re = re.compile(r"\bWHEN\b", re.I)
+    then_re = re.compile(r"\bTHEN\b", re.I)
+    case_re = re.compile(r"\bCASE\b", re.I)
+    end_re = re.compile(r"\bEND\b", re.I)
+    # stack of flags: True = searched CASE at this nesting level
+    searched: list[bool] = []
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if case_re.match(sql, i):
+            searched.append(bool(_CASE_WHEN_RE.match(sql, i)))
+            out.append(sql[i : i + 4])
+            i += 4
+            continue
+        if searched and end_re.match(sql, i):
+            searched.pop()
+            out.append(sql[i : i + 3])
+            i += 3
+            continue
+        if searched and searched[-1] and when_re.match(sql, i):
+            # condition runs to the matching THEN at this level
+            j, d2, instr2, cd = i + 4, 0, None, 0
+            then_at = None
+            while j < n:
+                cj = sql[j]
+                if instr2:
+                    if cj == instr2:
+                        instr2 = None
+                elif cj in ("'", '"'):
+                    instr2 = cj
+                elif cj == "(":
+                    d2 += 1
+                elif cj == ")":
+                    d2 -= 1
+                elif d2 == 0:
+                    if case_re.match(sql, j):
+                        cd += 1
+                        j += 4
+                        continue
+                    if cd and end_re.match(sql, j):
+                        cd -= 1
+                        j += 3
+                        continue
+                    if cd == 0 and then_re.match(sql, j):
+                        then_at = j
+                        break
+                j += 1
+            if then_at is None:
+                out.append(sql[i:])
+                return "".join(out)
+            cond = _wrap_case_when_truthy(sql[i + 4 : then_at]).strip()
+            out.append("WHEN " + truthy_expr(cond) + " ")
+            i = then_at
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
+
+
+_WHERE_HAVING_RE = re.compile(r"\b(WHERE|HAVING)\b", re.I)
+_CLAUSE_END_RE = re.compile(
+    r"(GROUP\s+BY|ORDER\s+BY|LIMIT|WINDOW|UNION|INTERSECT|EXCEPT|HAVING|RETURNING)\b", re.I
+)
+
+
+def wrap_where_truthy(sql: str) -> str | None:
+    """Wrap every WHERE/HAVING clause body in :func:`truthy_sql` —
+    SQLite accepts any value there ('SELECT 1 WHERE 2'); Spark demands
+    boolean. Used only as a RETRY after FILTER_NOT_BOOLEAN, so SQL
+    Spark already accepts never pays the wrap. Returns None when no
+    clause was found."""
+    pre = _wrap_case_when_truthy(sql)
+    changed = pre != sql
+    sql = pre
+    out, i, n, in_str, depth = [], 0, len(sql), None, 0
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        m = _WHERE_HAVING_RE.match(sql, i)
+        if not m:
+            out.append(ch)
+            i += 1
+            continue
+        # clause body: to the next same-depth clause keyword, a ')'
+        # closing this depth, or end-of-string
+        j, d2, instr2 = m.end(), depth, None
+        body_end = n
+        while j < n:
+            cj = sql[j]
+            if instr2:
+                if cj == instr2:
+                    instr2 = None
+            elif cj in ("'", '"'):
+                instr2 = cj
+            elif cj == "(":
+                d2 += 1
+            elif cj == ")":
+                if d2 == depth:
+                    body_end = j
+                    break
+                d2 -= 1
+            elif d2 == depth and _CLAUSE_END_RE.match(sql, j):
+                body_end = j
+                break
+            j += 1
+        body = sql[m.end() : body_end].strip()
+        if body:
+            out.append(m.group(1) + " " + truthy_expr(body) + " ")
+            changed = True
+        else:
+            out.append(sql[i:body_end])
+        i = body_end
+    return "".join(out) if changed else None
+
+
 _FILTER_WHERE_RE = re.compile(r"\bFILTER\s*\(\s*WHERE\b", re.I)
 
 

@@ -2362,17 +2362,25 @@ class DustSession:
                 return self.spark.sql(sql, args=list(params))
             return self.spark.sql(sql)
         except Exception as e:
+            alt = None
             if "MISSING_AGGREGATION" in str(e):
                 # SQLite's bare-columns-in-aggregate-query feature:
                 # retry with the any_value/min_by/max_by rewrite
                 alt = dialect.rewrite_bare_group_columns(sql)
-                if alt is not None:
-                    try:
-                        if params:
-                            return self.spark.sql(alt, args=list(params))
-                        return self.spark.sql(alt)
-                    except Exception:
-                        pass  # surface the ORIGINAL error below
+            elif "FILTER_NOT_BOOLEAN" in str(e) or "DATATYPE_MISMATCH" in str(e):
+                # SQLite truthiness in WHERE/HAVING ('SELECT 1 WHERE 2',
+                # 'WHERE a AND 1', 'WHERE NOT a', CASE-WHEN conditions —
+                # the whole non-boolean-condition mismatch class; the
+                # retry surfaces the ORIGINAL error if the wrap doesn't
+                # analyze either)
+                alt = dialect.wrap_where_truthy(sql)
+            if alt is not None:
+                try:
+                    if params:
+                        return self.spark.sql(alt, args=list(params))
+                    return self.spark.sql(alt)
+                except Exception:
+                    pass  # surface the ORIGINAL error below
             raise DustError(_clean_error(e)) from e
         finally:
             if restore is not None:

@@ -465,6 +465,45 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_truthiness_sqlite_differential(db):
+    """SQLite truthiness of non-boolean conditions (r6): WHERE/HAVING
+    accept any value (numeric-prefix string coercion, three-valued NOT),
+    AND/OR/NOT operands coerce individually, searched-CASE WHEN
+    conditions too. Implemented as a DATATYPE_MISMATCH retry that wraps
+    the boolean structure — SQL Spark already accepts never pays it."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE tr2 (a INT, b TEXT)")
+    db.execute_string_stmt("CREATE TABLE tr2 (a INT, b TEXT)")
+    for v in [(0, "x"), (1, "y"), (2, "1z"), (None, "abc")]:
+        ref.execute("INSERT INTO tr2 VALUES (?,?)", v)
+        db.execute_string_stmt("INSERT INTO tr2 VALUES (?,?)", list(v))
+    for q in (
+        "SELECT 1 WHERE 2",
+        "SELECT 1 WHERE 'abc'",
+        "SELECT 1 WHERE '0.5'",
+        "SELECT 1 WHERE NULL",
+        "SELECT a FROM tr2 WHERE a ORDER BY a",
+        "SELECT a FROM tr2 WHERE b ORDER BY a",
+        "SELECT a FROM tr2 WHERE NOT a ORDER BY a",
+        "SELECT a FROM tr2 WHERE NOT b ORDER BY a",
+        "SELECT a FROM tr2 WHERE a AND 1 ORDER BY a",
+        "SELECT a FROM tr2 WHERE a OR 0 ORDER BY a",
+        "SELECT a FROM tr2 WHERE a BETWEEN 1 AND 2 AND b ORDER BY a",
+        "SELECT a FROM tr2 WHERE (a OR b) AND 1 ORDER BY a",
+        "SELECT a FROM tr2 WHERE CASE WHEN a THEN 1 ELSE 0 END AND 1 ORDER BY a",
+        "SELECT CASE WHEN 2 THEN 'y' ELSE 'n' END",
+        "SELECT CASE b WHEN 'x' THEN 1 ELSE 0 END FROM tr2 ORDER BY a",
+        "SELECT a, CASE WHEN a THEN CASE WHEN b THEN 'bb' ELSE 'nb' END "
+        "ELSE 'na' END FROM tr2 ORDER BY a",
+        "SELECT b, count(*) FROM tr2 GROUP BY b HAVING count(*) ORDER BY b",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+
+
 def test_row_value_comparisons_sqlite_differential(db):
     """SQLite row values (rowvalue.html): (a,b) OP (c,d) member-wise =
     and lexicographic </<=/>/>= — expanded textually because Spark's
