@@ -378,6 +378,31 @@ sql_query(
     tags=("window",),
 )
 
+sql_query(
+    "b5g_window_filter",
+    # FILTER (WHERE ...) on window aggregates: Spark lacks the clause,
+    # so the Spark side carries the exact CASE folding the engine's
+    # dialect layer emits (dialect._rewrite_window_filter); the DuckDB
+    # oracle uses the native FILTER syntax — value-identical
+    "SELECT o_orderkey, "
+    "ROUND(CAST(SUM(CASE WHEN (o_orderstatus = 'F') THEN "
+    "CAST(o_totalprice AS DECIMAL(18,2)) END) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE), 2) AS f_run, "
+    "COUNT(CASE WHEN (o_totalprice > 100000) THEN 1 END) OVER "
+    "(PARTITION BY o_custkey ORDER BY o_orderkey) AS big_cnt "
+    "FROM orders ORDER BY o_orderkey",
+    oracle=(
+        "SELECT o_orderkey, "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) "
+        "FILTER (WHERE o_orderstatus = 'F') OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS DOUBLE), 2) AS f_run, "
+        "COUNT(*) FILTER (WHERE o_totalprice > 100000) OVER "
+        "(PARTITION BY o_custkey ORDER BY o_orderkey) AS big_cnt "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    tags=("window",),
+)
+
 # ---------------------------------------------------------------------------
 # B6 — sorts / limits / top-k (ORDER BY+LIMIT plans as TakeOrderedAndProject:
 # per-partition top-k then driver merge — no total sort at scale)
