@@ -1126,6 +1126,18 @@ _FN_RENAMES = {
 _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
 
 
+_DEC_LITERAL_RE = re.compile(r"(?<![\w.$])(\d+\.\d*|\.\d+)(?![\w.])")
+
+
+def _double_literals(seg: str) -> str:
+    """``0.1`` parses as DECIMAL(1,1) in Spark (exact arithmetic:
+    0.1+0.2 = 0.3); SQLite stores REAL literals as doubles
+    (0.1+0.2 = 0.30000000000000004). Suffix every decimal literal with
+    ``D`` so arithmetic/typing match (r6 differential finding).
+    Exponent forms (1e5) are already doubles in both engines."""
+    return _DEC_LITERAL_RE.sub(r"\1D", seg)
+
+
 def escape_raw_literals(sql: str) -> str:
     """SQLite single-quoted literals are RAW (backslash is an ordinary
     character); Spark's parser treats backslash as an escape. Double
@@ -1949,6 +1961,7 @@ def _rewrite_operators(sql: str) -> str:
         seg = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", seg)
         seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)
         seg = _COLLATE_RTRIM_RE.sub("COLLATE UTF8_BINARY_RTRIM", seg)
+        seg = _double_literals(seg)
         return _LIKE_RE.sub("ILIKE", seg)
 
     return _map_outside_strings(sql, fix)
@@ -2324,7 +2337,7 @@ _ARG_FN_RE = re.compile(
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
-    r"|log|floor|ceil|ceiling|mod|trunc|lower|upper)\s*\(",
+    r"|log|floor|ceil|ceiling|mod|trunc|lower|upper|substr|substring)\s*\(",
     re.I,
 )
 
@@ -2379,7 +2392,20 @@ def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
     for m in mods:
         step = re.match(r"^'([+-]?\d+)\s+(day|hour|minute|second|month|year)s?'$", m, re.I)
         if step:
-            e = f"timestampadd({step.group(2).upper()}, {step.group(1)}, {e})"
+            unit, n = step.group(2).upper(), step.group(1)
+            if unit in ("MONTH", "YEAR"):
+                # SQLite NORMALIZES month/year overflow (Jan 31 +1 month
+                # = Mar 02, lang_datefunc) — Spark's add_months clamps.
+                # Rebuild: first-of-month + months + (day-1) days, time
+                # of day re-attached (r6 differential finding).
+                months = n if unit == "MONTH" else f"({n}) * 12"
+                e = (
+                    f"(timestampadd(DAY, day({e}) - 1, "
+                    f"timestampadd(MONTH, {months}, date_trunc('MONTH', {e}))) "
+                    f"+ ({e} - date_trunc('DAY', {e})))"
+                )
+            else:
+                e = f"timestampadd({unit}, {n}, {e})"
             continue
         start = re.match(r"^'start of (day|month|year)'$", m, re.I)
         if start:
@@ -2612,6 +2638,27 @@ def _rewrite_one_call(
         if len(args) == 1:
             return cp(args[0])
         return "concat(" + ", ".join(cp(a) for a in args) + ")"
+    if n in ("substr", "substring") and len(args) == 3:
+        # SQLite substr edge semantics (the func.c algorithm): start 0
+        # consumes one length unit, negative length takes the |Z| chars
+        # BEFORE the start, left-edge crossings clamp (r6 differential
+        # finding: substr('hello',0,3)='he', substr('hello',2,-1)='h').
+        x, y, z = args
+        L = f"length(CAST(({x}) AS STRING))"
+        p1 = (
+            f"(CASE WHEN ({y}) < 0 THEN greatest({L} + ({y}), 0) "
+            f"WHEN ({y}) = 0 THEN 0 ELSE ({y}) - 1 END)"
+        )
+        p2 = (
+            f"(CASE WHEN ({y}) < 0 AND {L} + ({y}) < 0 THEN ({z}) + {L} + ({y}) "
+            f"WHEN ({y}) = 0 AND ({z}) > 0 THEN ({z}) - 1 ELSE ({z}) END)"
+        )
+        p1f = f"(CASE WHEN {p2} < 0 THEN greatest({p1} + {p2}, 0) ELSE {p1} END)"
+        p2f = (
+            f"(CASE WHEN {p2} < 0 THEN "
+            f"(CASE WHEN {p1} + {p2} < 0 THEN {p1} ELSE -{p2} END) ELSE {p2} END)"
+        )
+        return f"substring(CAST(({x}) AS STRING), {p1f} + 1, greatest({p2f}, 0))"
     if n in ("lower", "upper") and len(args) == 1:
         # SQLite lower()/upper() fold ASCII ONLY (lower('ÄBC') = 'Äbc');
         # Spark's are full Unicode — translate() reproduces the ASCII-

@@ -71,6 +71,25 @@ CASES = [
     "SELECT quote('it''s')",
     "SELECT quote(NULL)",
     "SELECT quote(1 = 1)",
+    # substr edge semantics (func.c algorithm — r6): start 0 consumes a
+    # length unit, negative length takes chars BEFORE the start
+    "SELECT substr('hello', 0, 3)",
+    "SELECT substr('hello', 2, -1)",
+    "SELECT substr('hello', -7, 3)",
+    "SELECT substr('hello', -1, -2)",
+    "SELECT substr('hello', 6, -3)",
+    "SELECT substr('hello', 3, 0)",
+    "SELECT substr(NULL, 1, 2)",
+    # decimal literals are REAL (double) like SQLite, not exact DECIMAL
+    "SELECT 0.1 + 0.2",
+    "SELECT typeof(0.5)",
+    "SELECT 7.0/2",
+    # month/year modifiers NORMALIZE overflow (lang_datefunc)
+    "SELECT date('2024-01-31', '+1 month')",
+    "SELECT date('2024-02-29', '+1 year')",
+    "SELECT date('2024-03-31', '-1 month')",
+    "SELECT datetime('2024-05-31 23:59:59', '+25 months')",
+    "SELECT date('2023-01-29', '+1 month', 'start of month', '+3 days')",
     # raw string literals: backslash is an ORDINARY character (r6)
     "SELECT 'a\\b'",
     "SELECT length('a\\b')",
