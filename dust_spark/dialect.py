@@ -466,10 +466,18 @@ def parse_create_table(sql: str) -> TableDef:
         source_sql=source_sql,
     )
 
+    col_pk_desc = False  # column-level INTEGER PRIMARY KEY DESC seen
     for item in split_top_level(body):
         up = item.upper()
         if up.startswith("PRIMARY KEY"):
-            cols = [unquote_ident(c).lower() for c in split_top_level(item[item.index("(") + 1 : item.rindex(")")])]
+            # per-column ASC/DESC sort orders are legal here and do NOT
+            # affect the rowid-alias rule in the TABLE-level form
+            # (sqlite3-probed: PRIMARY KEY(x DESC) on INTEGER x IS an
+            # alias — only the COLUMN-level DESC form is excluded)
+            cols = [
+                unquote_ident(re.sub(r"(?i)\s+(ASC|DESC)\s*$", "", c.strip())).lower()
+                for c in split_top_level(item[item.index("(") + 1 : item.rindex(")")])
+            ]
             td.primary_key = cols
             continue
         if up.startswith("UNIQUE"):
@@ -541,11 +549,18 @@ def parse_create_table(sql: str) -> TableDef:
             td.primary_key = [col]
             # rowid alias requires the type to be EXACTLY "INTEGER" —
             # "INT PRIMARY KEY" is a plain PK with its own autoindex
-            # (sqlite3-probed: rowid stays independent there)
-            if decl.strip().upper() == "INTEGER":
+            # (sqlite3-probed: rowid stays independent there) — and NOT
+            # the DESC sort order: "INTEGER PRIMARY KEY DESC" is a plain
+            # PK (lang_createtable.html#rowid; r6-probed: NULL stays
+            # NULL, rowid independent)
+            if decl.strip().upper() == "INTEGER" and not re.search(
+                r"PRIMARY\s+KEY\s+DESC\b", rest
+            ):
                 td.rowid_column = col
                 if "AUTOINCREMENT" in rest:
                     td.autoincrement = True
+            elif re.search(r"PRIMARY\s+KEY\s+DESC\b", rest):
+                col_pk_desc = True
         if re.search(r"\bUNIQUE\b", rest):
             td.unique.append([col])
         ref = _REF_RE.search(rest_raw)
@@ -563,9 +578,25 @@ def parse_create_table(sql: str) -> TableDef:
             if re.search(r"\bSTORED\b", tail, re.I):
                 td.generated_stored.add(col)
         else:
-            dm = re.search(r"DEFAULT\s+(\([^)]*\)|'(?:[^']|'')*'|\S+)", rest_raw, re.I)
+            dm = re.search(r"DEFAULT\s+", rest_raw, re.I)
             if dm:
-                td.defaults[col] = dm.group(1)
+                tail = rest_raw[dm.end() :]
+                # function-call and parenthesized defaults capture
+                # BALANCED (the old \S+ fallback truncated rewritten
+                # calls like date_format(current_timestamp(), '...') at
+                # the first space — r6 finding); then quoted strings,
+                # then a bare token
+                fm2 = re.match(r"[A-Za-z_]\w*\s*\(", tail)
+                if fm2 or tail.startswith("("):
+                    try:
+                        end = _balanced_end(tail, (fm2.end() - 1) if fm2 else 0)
+                        td.defaults[col] = tail[:end]
+                    except ValueError:
+                        pass
+                else:
+                    vm = re.match(r"'(?:[^']|'')*'|\S+", tail)
+                    if vm:
+                        td.defaults[col] = vm.group(0)
         td.checks.extend(extract_checks(item))
 
         td.declared_types[col] = decl
@@ -577,6 +608,7 @@ def parse_create_table(sql: str) -> TableDef:
     # "x INT, PRIMARY KEY(x)" keeps an independent rowid + autoindex)
     if (
         td.rowid_column is None
+        and not col_pk_desc
         and len(td.primary_key) == 1
         and td.declared_types.get(td.primary_key[0], "").strip().upper() == "INTEGER"
     ):
@@ -594,6 +626,11 @@ def parse_create_table(sql: str) -> TableDef:
     td.schema = T.StructType(fields)
     if td.primary_key and td.primary_key not in td.unique:
         td.unique.insert(0, td.primary_key)
+    if without_rowid or strict:
+        # WITHOUT ROWID / STRICT tables: PRIMARY KEY columns are
+        # implicitly NOT NULL (ordinary rowid tables keep SQLite's
+        # legacy NULL-in-PK quirk — r6 sqlite3-probed)
+        td.not_null.update(td.primary_key)
     if without_rowid:
         td.rowid_column = None
     elif td.rowid_column is None:
@@ -1136,6 +1173,51 @@ def _double_literals(seg: str) -> str:
     ``D`` so arithmetic/typing match (r6 differential finding).
     Exponent forms (1e5) are already doubles in both engines."""
     return _DEC_LITERAL_RE.sub(r"\1D", seg)
+
+
+def dquote_idents_to_backticks(sql: str) -> str:
+    """SQLite double-quoted tokens are IDENTIFIERS (Spark's parser
+    reads them as string literals) — convert ``"name"`` to
+    ``` `name` ``` outside single-quoted strings, so keyword-named
+    tables/columns ('SELECT "order" FROM "select"') resolve. Doubled
+    ``""`` inside is the escaped quote. SQLite's deprecated
+    string-literal FALLBACK for unresolvable double-quoted tokens is
+    deliberately not reproduced (the documented misfeature)."""
+    if '"' not in sql:
+        return sql
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            out.append(sql[i : j + 1])
+            i = j + 1
+            continue
+        if ch == '"':
+            j = i + 1
+            name = []
+            while j < n:
+                if sql[j] == '"':
+                    if j + 1 < n and sql[j + 1] == '"':
+                        name.append('"')
+                        j += 2
+                        continue
+                    break
+                name.append(sql[j])
+                j += 1
+            out.append("`" + "".join(name).replace("`", "``") + "`")
+            i = j + 1
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out)
 
 
 def escape_raw_literals(sql: str) -> str:
@@ -1902,6 +1984,9 @@ UNSUPPORTED_FRAME_RE = re.compile(
 _COLLATE_NOCASE_RE = re.compile(r"\bCOLLATE\s+NOCASE\b", re.I)
 _COLLATE_BINARY_RE = re.compile(r"\bCOLLATE\s+BINARY\b", re.I)
 _COLLATE_RTRIM_RE = re.compile(r"\bCOLLATE\s+RTRIM\b", re.I)
+_CURRENT_TS_RE = re.compile(r"\bCURRENT_TIMESTAMP\b", re.I)
+_CURRENT_TIME_RE = re.compile(r"\bCURRENT_TIME\b(?!STAMP)", re.I)
+_CURRENT_DATE_RE = re.compile(r"\bCURRENT_DATE\b", re.I)
 
 
 _GLOB_RHS_RE = re.compile(r"\s*('(?:[^']|'')*'|\?\d*|[A-Za-z_]\w*(?:\.[A-Za-z_]\w*)*)")
@@ -1962,6 +2047,11 @@ def _rewrite_operators(sql: str) -> str:
         seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)
         seg = _COLLATE_RTRIM_RE.sub("COLLATE UTF8_BINARY_RTRIM", seg)
         seg = _double_literals(seg)
+        # SQLite CURRENT_* are UTC text in fixed formats (engine
+        # sessions run with a UTC session timezone)
+        seg = _CURRENT_TS_RE.sub("date_format(current_timestamp(), 'yyyy-MM-dd HH:mm:ss')", seg)
+        seg = _CURRENT_TIME_RE.sub("date_format(current_timestamp(), 'HH:mm:ss')", seg)
+        seg = _CURRENT_DATE_RE.sub("date_format(current_timestamp(), 'yyyy-MM-dd')", seg)
         return _LIKE_RE.sub("ILIKE", seg)
 
     return _map_outside_strings(sql, fix)

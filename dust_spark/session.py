@@ -1211,6 +1211,12 @@ class DustSession:
             if g in cols:
                 raise DustError(f'cannot INSERT into generated column "{g}"')
         if len(src.columns) != len(cols):
+            if not ins.columns:
+                # bare INSERT INTO t VALUES — SQLite's table-form string
+                raise DustError(
+                    f"table {ins.table} has {len(cols)} columns but "
+                    f"{len(src.columns)} values were supplied"
+                )
             raise DustError(f"{len(src.columns)} values for {len(cols)} columns")
         unknown = [c for c in cols if c not in schema_cols]
         if unknown:
@@ -2340,6 +2346,15 @@ class DustSession:
         if re.search(r"\bsqlite_sequence\b", sql, re.I):
             self._register_sqlite_sequence()
         sql = self._register_pragma_tvfs(sql)
+        # LAST text transform: double-quoted identifiers → backticks
+        # (earlier rewrite layers treat "..." as opaque strings, which
+        # protects the contents; Spark needs backticks to resolve them).
+        # dq_source keeps the pre-conversion text for the deprecated
+        # SQLite fallback: an UNRESOLVABLE double-quoted token is a
+        # string literal (legal in the reference's own tests) — handled
+        # by the UNRESOLVED_COLUMN retry below.
+        dq_source = sql
+        sql = dialect.dquote_idents_to_backticks(sql)
         fm = (
             dialect.UNSUPPORTED_FRAME_RE.search(sql)
             if re.search(r"\bOVER\s*\(", sql, re.I)  # frame clauses live in OVER()
@@ -2357,31 +2372,47 @@ class DustSession:
         sql, restore = self._resolve_read_rowid(sql, self._explicit_tx)
         if params:
             sql, params = dialect.normalize_numbered_params(sql, params)
-        try:
+
+        def run(s: str) -> DataFrame:
             if params:
-                return self.spark.sql(sql, args=list(params))
-            return self.spark.sql(sql)
-        except Exception as e:
-            alt = None
-            if "MISSING_AGGREGATION" in str(e):
-                # SQLite's bare-columns-in-aggregate-query feature:
-                # retry with the any_value/min_by/max_by rewrite
-                alt = dialect.rewrite_bare_group_columns(sql)
-            elif "FILTER_NOT_BOOLEAN" in str(e) or "DATATYPE_MISMATCH" in str(e):
-                # SQLite truthiness in WHERE/HAVING ('SELECT 1 WHERE 2',
-                # 'WHERE a AND 1', 'WHERE NOT a', CASE-WHEN conditions —
-                # the whole non-boolean-condition mismatch class; the
-                # retry surfaces the ORIGINAL error if the wrap doesn't
-                # analyze either)
-                alt = dialect.wrap_where_truthy(sql)
-            if alt is not None:
+                return self.spark.sql(s, args=list(params))
+            return self.spark.sql(s)
+
+        first_err: Exception | None = None
+        try:
+            for _ in range(8):
                 try:
-                    if params:
-                        return self.spark.sql(alt, args=list(params))
-                    return self.spark.sql(alt)
-                except Exception:
-                    pass  # surface the ORIGINAL error below
-            raise DustError(_clean_error(e)) from e
+                    return run(sql)
+                except Exception as e:
+                    if first_err is None:
+                        first_err = e
+                    msg = str(e)
+                    if "UNRESOLVED_COLUMN" in msg:
+                        # deprecated SQLite fallback: a double-quoted
+                        # token that resolves to no column is a string
+                        # literal — swap that ONE token and loop (the
+                        # reference's own tests use "..." strings)
+                        nm = re.search(r"name `((?:[^`]|``)+)`(?:\.`((?:[^`]|``)+)`)*", msg)
+                        parts = re.findall(r"`((?:[^`]|``)+)`", msg.split("cannot be resolved")[0]) if nm else []
+                        token = ".".join(parts) if parts else None
+                        if token and f'"{token}"' in dq_source:
+                            lit = "'" + token.replace("'", "''") + "'"
+                            dq_source = dq_source.replace(f'"{token}"', lit)
+                            sql = dialect.dquote_idents_to_backticks(dq_source)
+                            continue
+                        break
+                    if "MISSING_AGGREGATION" in msg:
+                        # SQLite's bare-columns-in-aggregate-query rule
+                        alt = dialect.rewrite_bare_group_columns(sql)
+                    elif "FILTER_NOT_BOOLEAN" in msg or "DATATYPE_MISMATCH" in msg:
+                        # SQLite truthiness of non-boolean conditions
+                        alt = dialect.wrap_where_truthy(sql)
+                    else:
+                        break
+                    if alt is None or alt == sql:
+                        break
+                    sql = alt
+            raise DustError(_clean_error(first_err)) from first_err
         finally:
             if restore is not None:
                 restore()

@@ -465,6 +465,61 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_ddl_edges_sqlite_differential(db):
+    """r6 DDL/ident findings vs sqlite3: double-quoted identifiers
+    (keyword table/column names), INTEGER PRIMARY KEY DESC is NOT a
+    rowid alias (but table-level PRIMARY KEY(x DESC) IS), NULL is legal
+    in ordinary-table PKs (the legacy quirk) but not in WITHOUT
+    ROWID/STRICT, CURRENT_TIMESTAMP/DATE defaults in SQLite's text
+    formats, function-call DEFAULTs captured balanced, and the
+    table-form values-count error string."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE de1 (a INT, b TEXT, c REAL)",
+        "INSERT INTO de1 VALUES (1,2,3,4)",  # table-form error string
+        'CREATE TABLE "select" ("order" INT)',
+        'INSERT INTO "select"("order") VALUES (7)',
+        "CREATE TABLE de3 (id INTEGER PRIMARY KEY DESC, v TEXT)",
+        "INSERT INTO de3(v) VALUES ('a')",  # id stays NULL
+        "INSERT INTO de3 VALUES (NULL, 'b')",
+        "CREATE TABLE de3b (x INTEGER, PRIMARY KEY (x DESC))",
+        "INSERT INTO de3b(x) VALUES (NULL)",  # alias: auto-assigns 1
+        "CREATE TABLE dep (k INT PRIMARY KEY, v TEXT)",
+        "INSERT INTO dep VALUES (NULL, 'a')",
+        "INSERT INTO dep VALUES (NULL, 'b')",  # two NULL PKs legal
+        "CREATE TABLE dew (k INT PRIMARY KEY, v TEXT) WITHOUT ROWID",
+        "INSERT INTO dew VALUES (NULL, 'x')",  # NOT NULL error
+        "CREATE TABLE dest (k INT PRIMARY KEY, v TEXT) STRICT",
+        "INSERT INTO dest VALUES (NULL, 'x')",  # NOT NULL error
+        "CREATE TABLE de6 (t TEXT DEFAULT CURRENT_TIMESTAMP, "
+        "d TEXT DEFAULT CURRENT_DATE, n INT)",
+        "INSERT INTO de6(n) VALUES (1)",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        got = db.execute_string_stmt(s)[0]
+        gerr = got.error or None
+        assert (werr is None) == (gerr is None), (s, werr, gerr)
+        if werr is not None:
+            assert gerr == werr, (s, werr, gerr)
+    for q in (
+        'SELECT "order" FROM "select"',
+        "SELECT id, v FROM de3 ORDER BY v",
+        "SELECT x FROM de3b",
+        "SELECT k, v FROM dep ORDER BY v",
+        "SELECT n, length(t) = 19, length(d) = 10 FROM de6",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+
+
 def test_truthiness_sqlite_differential(db):
     """SQLite truthiness of non-boolean conditions (r6): WHERE/HAVING
     accept any value (numeric-prefix string coercion, three-valued NOT),
