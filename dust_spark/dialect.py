@@ -2427,7 +2427,8 @@ _ARG_FN_RE = re.compile(
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
-    r"|log|floor|ceil|ceiling|mod|trunc|lower|upper|substr|substring)\s*\(",
+    r"|log|floor|ceil|ceiling|mod|trunc|lower|upper|substr|substring"
+    r"|printf|format_string)\s*\(",
     re.I,
 )
 
@@ -2728,6 +2729,48 @@ def _rewrite_one_call(
         if len(args) == 1:
             return cp(args[0])
         return "concat(" + ", ".join(cp(a) for a in args) + ")"
+    if n in ("printf", "format_string") and len(args) >= 1:
+        # SQLite printf COERCES args per conversion spec (%d of 3.7 is
+        # '3', of '42abc' is '42' — the INT/REAL affinity parses); Java's
+        # formatter throws on type mismatch (r6 finding). Only literal
+        # format strings are analyzable; %q/%w rewrite to %s + quote
+        # escaping.
+        fmt = (raw_args or args)[0].strip()
+        if fmt.startswith("'") and fmt.endswith("'") and len(fmt) >= 2:
+            body = fmt[1:-1]
+            spec_re = re.compile(r"%[-+ 0#]*\d*(?:\.\d+)?([diouxXeEfgGsqQwc%])")
+            new_args = list(args)
+            out_fmt, last, ai = [], 0, 1
+            for mm in spec_re.finditer(body):
+                sp = mm.group(1)
+                out_fmt.append(body[last : mm.start()])
+                frag = body[mm.start() : mm.end()]
+                last = mm.end()
+                if sp == "%":
+                    out_fmt.append(frag)
+                    continue
+                if ai < len(new_args):
+                    a = new_args[ai]
+                    if sp in "dioxX":
+                        new_args[ai] = _CAST_INT_WRAP.format(x=a)
+                        frag = frag[:-1] + ("d" if sp in "di" else sp)
+                    elif sp in "eEfgG":
+                        new_args[ai] = _CAST_REAL_WRAP.format(x=a)
+                    elif sp in "qQw":
+                        qc = "''''" if sp in "qQ" else "'\"'"
+                        dbl = "''''''" if sp in "qQ" else "'\"\"'"
+                        new_args[ai] = (
+                            f"replace(CAST(({a}) AS STRING), {qc}, {dbl})"
+                        )
+                        frag = frag[:-1] + "s"
+                    elif sp == "s":
+                        new_args[ai] = f"CAST(({a}) AS STRING)"
+                ai += 1
+                out_fmt.append(frag)
+            out_fmt.append(body[last:])
+            fmt2 = "'" + "".join(out_fmt) + "'"
+            return "format_string(" + ", ".join([fmt2, *new_args[1:]]) + ")"
+        return None
     if n in ("substr", "substring") and len(args) == 3:
         # SQLite substr edge semantics (the func.c algorithm): start 0
         # consumes one length unit, negative length takes the |Z| chars

@@ -90,6 +90,19 @@ CASES = [
     "SELECT date('2024-03-31', '-1 month')",
     "SELECT datetime('2024-05-31 23:59:59', '+25 months')",
     "SELECT date('2023-01-29', '+1 month', 'start of month', '+3 days')",
+    # printf arg coercion per conversion spec (r6): %d truncates reals
+    # and prefix-parses strings, %f accepts ints, %q escapes quotes
+    "SELECT printf('%d', 3.7)",
+    "SELECT printf('%d', '42abc')",
+    "SELECT printf('%f', 3)",
+    "SELECT printf('%x', 255.9)",
+    "SELECT printf('%s', 3.5)",
+    "SELECT printf('%5.2f|%03d|%x', 3.14159, 7, 255)",
+    "SELECT printf('%q', 'it''s')",
+    "SELECT printf('%%d')",
+    "SELECT printf('%i', 9.99)",
+    "SELECT format('%.2f', 7)",
+    "SELECT printf('%e', 12345)",
     # raw string literals: backslash is an ORDINARY character (r6)
     "SELECT 'a\\b'",
     "SELECT length('a\\b')",
