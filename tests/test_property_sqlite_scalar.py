@@ -5,9 +5,12 @@ must agree with an in-process sqlite3 byte-for-byte.
 
 The generator stays inside the documented parity envelope (see
 test_sqlite_fn_parity): no integer division, no cross-type comparisons,
-no month/year date steps (SQLite normalizes Feb 31 → Mar 2 where
-timestampadd clamps), no empty replace() search strings, 1-based
-substr offsets.
+no empty replace() search strings. The r6 parity wave WIDENED the
+envelope: month/year date steps (overflow now normalizes like SQLite),
+zero/negative substr offsets and negative lengths, astral-plane char()
+codepoints, decimal-literal REAL arithmetic, printf argument coercion,
+row-value comparisons, and non-boolean CASE WHEN conditions are all
+generated now.
 """
 
 from __future__ import annotations
@@ -32,7 +35,13 @@ def str_exprs(draw, depth: int = 2):
     if kind == 0:
         return "'" + draw(st.sampled_from(WORDS)) + "'"
     if kind == 1:
-        codes = draw(st.lists(st.integers(65, 122), min_size=1, max_size=3))
+        codes = draw(
+            st.lists(
+                st.one_of(st.integers(65, 122), st.sampled_from([8364, 955, 128512])),
+                min_size=1,
+                max_size=3,
+            )
+        )
         return "char(" + ", ".join(map(str, codes)) + ")"
     if kind == 2:
         fn = draw(st.sampled_from(["trim", "ltrim", "rtrim"]))
@@ -52,12 +61,15 @@ def str_exprs(draw, depth: int = 2):
         return f"{fn}({draw(str_exprs(depth=depth - 1))})"
     if kind == 6:
         inner = draw(str_exprs(depth=depth - 1))
-        start = draw(st.integers(1, 6))
-        n = draw(st.integers(0, 5))
+        # full func.c envelope: zero/negative starts, negative lengths
+        start = draw(st.integers(-7, 7))
+        n = draw(st.integers(-5, 6))
         return f"substr({inner}, {start}, {n})"
-    base = draw(st.sampled_from(["'2024-01-15'", "'2023-11-30'", "'2024-02-29'"]))
+    base = draw(st.sampled_from(["'2024-01-15'", "'2023-11-30'", "'2024-02-29'", "'2024-01-31'"]))
     step = draw(st.integers(-400, 400))
-    unit = draw(st.sampled_from(["days", "hours", "minutes", "seconds"]))
+    unit = draw(
+        st.sampled_from(["days", "hours", "minutes", "seconds", "months", "years"])
+    )
     mod = draw(st.sampled_from([f"'{step:+d} {unit}'", "'start of month'", "'start of year'"]))
     kindfn = draw(st.sampled_from(["date", "datetime"]))
     return f"{kindfn}({base}, {mod})"
@@ -108,7 +120,7 @@ def json_exprs(draw, depth: int = 1):
 
 @st.composite
 def scalar_exprs(draw):
-    kind = draw(st.integers(0, 6))
+    kind = draw(st.integers(0, 9))
     if kind == 0:
         return draw(str_exprs())
     if kind == 1:
@@ -131,11 +143,32 @@ def scalar_exprs(draw):
         x = draw(st.sampled_from(["2.5", "3.49", "-7.5", "0.0", "123.456"]))
         fn = draw(st.sampled_from(["round", "floor", "ceil", "trunc"]))
         return f"{fn}({x})"
-    # ASCII-only LIKE operands BY DESIGN: SQLite LIKE folds case for
-    # ASCII only while the engine's ILIKE rewrite folds full Unicode —
-    # a documented divergence (test_sqlite_fn_parity module docstring);
-    # non-ASCII operands here would flag it as a false regression
-    return f"{draw(str_exprs(depth=1))} LIKE '{draw(st.sampled_from(['%A%', 'a%', '%42%', '_']))}'"
+    if kind == 6:
+        # ASCII-only LIKE operands BY DESIGN: SQLite LIKE folds case for
+        # ASCII only while the engine's ILIKE rewrite folds full Unicode
+        # — a documented divergence (test_sqlite_fn_parity docstring);
+        # non-ASCII operands here would flag it as a false regression
+        return f"{draw(str_exprs(depth=1))} LIKE '{draw(st.sampled_from(['%A%', 'a%', '%42%', '_']))}'"
+    if kind == 7:
+        # printf coercion (r6): any arg type against any numeric spec
+        spec = draw(st.sampled_from(["%d", "%i", "%x", "%f", "%e", "%s", "%05d", "%.2f"]))
+        arg = draw(
+            st.one_of(
+                int_exprs(depth=1),
+                str_exprs(depth=1),
+                st.sampled_from(["3.7", "-2.25", "0.0"]),
+            )
+        )
+        return f"printf('[{spec}]', {arg})"
+    if kind == 8:
+        # row-value comparisons (r6): member-wise/lexicographic
+        op = draw(st.sampled_from(["=", "<>", "<", "<=", ">", ">="]))
+        a1, a2 = draw(int_exprs(depth=0)), draw(int_exprs(depth=0))
+        s1, s2 = draw(str_exprs(depth=0)), draw(str_exprs(depth=0))
+        return f"({a1}, {s1}) {op} ({a2}, {s2})"
+    # truthiness (r6): non-boolean searched-CASE conditions
+    cond = draw(st.one_of(int_exprs(depth=1), st.sampled_from(["0", "2", "'0.5'", "'abc'"])))
+    return f"CASE WHEN {cond} THEN 'y' ELSE 'n' END"
 
 
 @pytest.fixture(scope="module")
@@ -153,7 +186,7 @@ def ref():
 
 
 @settings(
-    max_examples=60,
+    max_examples=120,
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
