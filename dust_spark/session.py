@@ -1542,6 +1542,9 @@ class DustSession:
                 for f in tdef.schema.fields:
                     if f.name in sets:
                         e = re.sub(r"\bexcluded\.", "__exc_", sets[f.name], flags=re.I)
+                        # table-qualified target refs (SET n = u1.n * 10)
+                        # are legal SQLite — same strip as the WHERE
+                        e = re.sub(rf"\b{re.escape(ins.table)}\.", "", e, flags=re.I)
                         projs.append(
                             f"CAST(CASE WHEN {upd_cond} THEN ({e}) ELSE `{f.name}` END "
                             f"AS {f.dataType.simpleString()}) AS `{f.name}`"
@@ -2672,6 +2675,9 @@ class DustSession:
             return df.toDF(
                 *[f"column{c[3:]}" if re.fullmatch(r"col\d+", c) else c for c in df.columns]
             )
+        sp = dialect.split_with_prefix(sql)
+        if sp:
+            sql = sp[1]  # CTE names don't shape the output columns
         m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+)?(.*)$", sql, re.S | re.I)
         if not m:
             return None
@@ -2725,7 +2731,13 @@ class DustSession:
             if width < 0:
                 return None
             i = names.index("*")
-            names = names[:i] + list(df.columns[i : i + width]) + names[i + 1 :]
+            expand = list(df.columns[i : i + width])
+            if re.search(r"\bVALUES\s*\(", sql, re.I):
+                # SELECT * FROM (VALUES ...): colN → SQLite's columnN
+                expand = [
+                    f"column{c[3:]}" if re.fullmatch(r"col\d+", c) else c for c in expand
+                ]
+            names = names[:i] + expand + names[i + 1 :]
         if len(names) != len(df.columns):
             return None
         return df.toDF(*names)

@@ -465,6 +465,36 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_upsert_qualifier_and_values_naming(db):
+    """r6: table-qualified target refs in DO UPDATE SET (SET n = t.n*10),
+    SQLite's column1..N names for FROM (VALUES ...), and expression
+    naming through a WITH prefix — differential vs sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE uq (id INTEGER PRIMARY KEY, k TEXT UNIQUE, n INT DEFAULT 0)",
+        "INSERT INTO uq(k, n) VALUES ('a', 1), ('b', 2)",
+        "INSERT INTO uq(k, n) VALUES ('a', 10) ON CONFLICT(k) DO UPDATE SET n = n + excluded.n",
+        "INSERT INTO uq(k, n) VALUES ('b', 5) ON CONFLICT(k) "
+        "DO UPDATE SET n = uq.n * 10 WHERE uq.n < 100",
+    ):
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    for q in (
+        "SELECT id, k, n FROM uq ORDER BY id",
+        "SELECT * FROM (VALUES (1, 'a'), (2, 'b')) ORDER BY 1",
+        "WITH x(a) AS (VALUES (1),(2)) SELECT a*2 FROM x ORDER BY 1",
+    ):
+        cur = ref.execute(q)
+        want_cols = [d[0] for d in cur.description]
+        want = [list(r) for r in cur.fetchall()]
+        rows = db.query_string_stmt(q)[0]
+        assert rows.columns == want_cols, (q, rows.columns, want_cols)
+        assert [list(r) for r in rows.values] == want, q
+
+
 def test_ddl_edges_sqlite_differential(db):
     """r6 DDL/ident findings vs sqlite3: double-quoted identifiers
     (keyword table/column names), INTEGER PRIMARY KEY DESC is NOT a
