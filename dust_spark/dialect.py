@@ -2474,6 +2474,10 @@ def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
     if mods and mods[0].lower() == "'unixepoch'":
         e = f"timestamp_seconds(CAST({v} AS BIGINT))"
         mods = mods[1:]
+    elif mods and mods[0].lower() == "'julianday'":
+        # the value is a julian day number (lang_datefunc)
+        e = f"timestamp_seconds((CAST({v} AS DOUBLE) - 2440587.5) * 86400.0)"
+        mods = mods[1:]
     else:
         # accept both full datetimes and bare time-of-day strings
         e = (
@@ -2501,6 +2505,12 @@ def _sqlite_datetime_expr(kind: str, args: list[str]) -> str | None:
         start = re.match(r"^'start of (day|month|year)'$", m, re.I)
         if start:
             e = f"date_trunc('{start.group(1).upper()}', {e})"
+            continue
+        if m.lower() in ("'localtime'", "'utc'"):
+            # engine sessions pin spark.sql.session.timeZone=UTC, where
+            # both modifiers are identity transforms (SQLite converts
+            # between UTC and the HOST zone — a UTC host, like this
+            # container and the driver, sees no shift)
             continue
         wd = re.match(r"^'weekday (\d)'$", m, re.I)
         if wd:

@@ -84,6 +84,11 @@ CASES = [
     "SELECT 0.1 + 0.2",
     "SELECT typeof(0.5)",
     "SELECT 7.0/2",
+    # 'julianday' first-modifier + localtime/utc no-ops on a UTC host
+    "SELECT datetime(2460325.0, 'julianday')",
+    "SELECT date(2460310.5, 'julianday', '+1 month')",
+    "SELECT datetime('2024-01-15 12:00:00', 'localtime')",
+    "SELECT datetime('2024-01-15 12:00:00', 'utc')",
     # month/year modifiers NORMALIZE overflow (lang_datefunc)
     "SELECT date('2024-01-31', '+1 month')",
     "SELECT date('2024-02-29', '+1 year')",
