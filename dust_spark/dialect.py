@@ -1463,6 +1463,97 @@ def _rewrite_row_values(sql: str) -> str:
     return "".join(out)
 
 
+def rewrite_groups_frames(sql: str) -> str | None:
+    """SQLite GROUPS window frames → the dense_rank + RANGE equivalence:
+    ``OVER (PARTITION BY p ORDER BY o GROUPS <frame>)`` counts PEER
+    GROUPS, which is exactly ``RANGE <frame>`` over the integer
+    ``DENSE_RANK() OVER (PARTITION BY p ORDER BY o)`` (Spark has ROWS
+    and RANGE only). The FROM..WHERE part wraps in a subquery that adds
+    one ``__drN`` column per distinct (partition, order) pair. Handles
+    the simple single-SELECT shape (no *, no GROUP BY/HAVING/WINDOW
+    clause, GROUPS only in the top select list); returns None
+    otherwise — the caller keeps its loud rejection."""
+    if not re.search(r"\bGROUPS\b", sql, re.I):
+        return None
+    m = re.match(r"(\s*SELECT\s+)(DISTINCT\s+|ALL\s+)?", sql, re.I)
+    if not m:
+        return None
+    sel_start = m.end()
+    from_idx = _scan_top_level(sql, sel_start, re.compile(r"FROM\b", re.I))
+    if from_idx >= len(sql):
+        return None
+    select_list = sql[sel_start:from_idx]
+    if re.search(r"\bGROUPS\b", sql[from_idx:], re.I):
+        return None  # GROUPS in a subquery / WINDOW clause: out of scope
+    from_body_start = from_idx + 4
+    end_idx = _scan_top_level(
+        sql,
+        from_body_start,
+        re.compile(r"(GROUP\s+BY|HAVING|WINDOW|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", re.I),
+    )
+    tail = sql[end_idx:]
+    if re.match(r"\s*(GROUP|HAVING|WINDOW)\b", tail, re.I):
+        return None
+    from_part = sql[from_body_start:end_idx].strip()
+    items = split_top_level(select_list)
+    if any(it.strip() == "*" or it.strip().endswith(".*") for it in items):
+        return None
+
+    def norm(x: str) -> str:
+        return re.sub(r"\s+", " ", (x or "").strip()).lower()
+
+    windows: dict[tuple, str] = {}
+
+    def fix_overs(text: str) -> str | None:
+        out, i, n = [], 0, len(text)
+        over_re = re.compile(r"\bOVER\s*\(", re.I)
+        while i < n:
+            mo = over_re.search(text, i)
+            if not mo:
+                out.append(text[i:])
+                break
+            try:
+                close = _balanced_end(text, mo.end() - 1)
+            except ValueError:
+                return None
+            body = text[mo.end() : close - 1]
+            gi = _scan_top_level(body, 0, re.compile(r"GROUPS\b", re.I))
+            if gi >= len(body):
+                out.append(text[i:close])
+                i = close
+                continue
+            if re.search(r"\bEXCLUDE\b", body, re.I):
+                return None
+            pm = re.search(r"\bPARTITION\s+BY\b", body, re.I)
+            om = re.search(r"\bORDER\s+BY\b", body, re.I)
+            if not om:
+                return None
+            partition = body[pm.end() : om.start()].strip() if pm else None
+            order = body[om.end() : gi].strip()
+            frame = body[gi + len("GROUPS") :].strip()
+            key = (norm(partition or ""), norm(order))
+            dr = windows.setdefault(key, f"__dr{len(windows)}")
+            newbody = (f"PARTITION BY {partition} " if partition else "") + (
+                f"ORDER BY {dr} RANGE {frame}"
+            )
+            out.append(text[i : mo.start()] + f"OVER ({newbody})")
+            i = close
+        return "".join(out)
+
+    new_list = fix_overs(select_list)
+    new_tail = fix_overs(tail)
+    if new_list is None or new_tail is None or not windows:
+        return None
+    dr_cols = ", ".join(
+        "DENSE_RANK() OVER ("
+        + (f"PARTITION BY {p} " if p else "")
+        + f"ORDER BY {o}) AS {name}"
+        for (p, o), name in windows.items()
+    )
+    inner = f"(SELECT *, {dr_cols} FROM {from_part}) AS __groups_src"
+    return sql[: m.start(1)] + m.group(1) + (m.group(2) or "") + new_list + " FROM " + inner + " " + new_tail
+
+
 def truthy_sql(expr: str) -> str:
     """SQLite truthiness of an arbitrary expression, Spark-typed:
     booleans pass through, everything else goes through the REAL

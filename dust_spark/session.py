@@ -2364,14 +2364,23 @@ class DustSession:
             else None
         )
         if fm:
-            # SQLite >= 3.28 GROUPS frames / EXCLUDE clauses have no
-            # Spark window equivalent — reject with a clear message
-            # instead of surfacing a Spark parse error (EXCLUDE NO
-            # OTHERS, the no-op default, was already stripped)
-            raise DustError(
-                f"unsupported: window frame clause {fm.group(0).upper()} "
-                "(SQLite GROUPS/EXCLUDE frames)"
+            # GROUPS frames rewrite to the dense_rank + RANGE
+            # equivalence when the statement has the simple shape;
+            # EXCLUDE clauses (and unrewritable GROUPS) stay loudly
+            # rejected — no Spark window equivalent (EXCLUDE NO OTHERS,
+            # the no-op default, was already stripped)
+            alt = (
+                dialect.rewrite_groups_frames(sql)
+                if not re.search(r"\bEXCLUDE\b", fm.group(0), re.I)
+                else None
             )
+            if alt is not None and not dialect.UNSUPPORTED_FRAME_RE.search(alt):
+                sql = alt
+            else:
+                raise DustError(
+                    f"unsupported: window frame clause {fm.group(0).upper()} "
+                    "(SQLite GROUPS/EXCLUDE frames)"
+                )
         sql, restore = self._resolve_read_rowid(sql, self._explicit_tx)
         if params:
             sql, params = dialect.normalize_numbered_params(sql, params)

@@ -367,15 +367,45 @@ def test_sqlite_sequence_and_window_frames(db):
         "EXCLUDE NO OTHERS) AS s FROM sqa ORDER BY id"
     )[0]
     assert [r[0] for r in out.values] == [10, 30, 50]
-    # real GROUPS / EXCLUDE frames reject with a clear message
+    # GROUPS frames REWRITE (r6: dense_rank + RANGE equivalence) —
+    # sqlite3-differential below; EXCLUDE frames still reject loudly
     from dust_spark.session import DustError
 
-    for frag in (
-        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW",
-        "ROWS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW",
+    with pytest.raises(DustError, match="unsupported: window frame"):
+        db.query_string_stmt(
+            "SELECT SUM(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND "
+            "CURRENT ROW EXCLUDE CURRENT ROW) FROM sqa"
+        )
+
+
+def test_groups_frames_sqlite_differential(db):
+    """GROUPS window frames (r6): peer-group counting frames rewrite to
+    RANGE over DENSE_RANK — differential vs sqlite3 on mixed frame
+    bounds, multiple windows, WHERE interaction, and the short form."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE gf (p TEXT, o INT, v INT)")
+    db.execute_string_stmt("CREATE TABLE gf (p TEXT, o INT, v INT)")
+    for r in [("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40), ("b", 1, 5), ("b", 2, 6), ("b", 2, 7)]:
+        ref.execute("INSERT INTO gf VALUES (?,?,?)", r)
+        db.execute_string_stmt("INSERT INTO gf VALUES (?,?,?)", list(r))
+    for q in (
+        "SELECT p, o, v, sum(v) OVER (PARTITION BY p ORDER BY o GROUPS "
+        "BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM gf ORDER BY p, o, v",
+        "SELECT p, o, v, sum(v) OVER (PARTITION BY p ORDER BY o GROUPS "
+        "BETWEEN UNBOUNDED PRECEDING AND 1 FOLLOWING) AS s FROM gf ORDER BY p, o, v",
+        "SELECT o, count(*) OVER (ORDER BY o GROUPS BETWEEN CURRENT ROW AND "
+        "1 FOLLOWING) AS c FROM gf ORDER BY o, c",
+        "SELECT p, o, min(v) OVER (PARTITION BY p ORDER BY o GROUPS 1 PRECEDING) "
+        "AS mn FROM gf WHERE v > 5 ORDER BY p, o, mn",
+        "SELECT o, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 "
+        "FOLLOWING) AS s, avg(v) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED "
+        "PRECEDING AND CURRENT ROW) AS a FROM gf ORDER BY o, s",
     ):
-        with pytest.raises(DustError, match="unsupported: window frame"):
-            db.query_string_stmt(f"SELECT SUM(v) OVER (ORDER BY id {frag}) FROM sqa")
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
 
 
 def test_implicit_rowid_subqueries_sqlite_differential(db):
