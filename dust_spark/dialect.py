@@ -1463,6 +1463,153 @@ def _rewrite_row_values(sql: str) -> str:
     return "".join(out)
 
 
+_FRAME_BOUND_RE = re.compile(
+    r"^(UNBOUNDED\s+PRECEDING|UNBOUNDED\s+FOLLOWING|CURRENT\s+ROW|(\d+)\s+PRECEDING|(\d+)\s+FOLLOWING)$",
+    re.I,
+)
+
+
+def _frame_bound_sign(text: str):
+    """Signed offset class of a frame bound: -inf/-N/0/+N/+inf; None
+    when unparseable."""
+    t = re.sub(r"\s+", " ", text.strip()).upper()
+    m = _FRAME_BOUND_RE.match(t)
+    if not m:
+        return None
+    if t == "CURRENT ROW":
+        return 0
+    if t == "UNBOUNDED PRECEDING":
+        return float("-inf")
+    if t == "UNBOUNDED FOLLOWING":
+        return float("inf")
+    n = int(m.group(2) or m.group(3))
+    return -n if "PRECEDING" in t else n
+
+
+def rewrite_exclude_frames(sql: str) -> str | None:
+    """SQLite window EXCLUDE clauses for the INVERTIBLE aggregates
+    (sum/count/avg/total) by frame-aggregate subtraction — Spark has no
+    EXCLUDE. For a frame that straddles the current row:
+
+    - EXCLUDE CURRENT ROW → base − current contribution
+    - EXCLUDE GROUP       → base − peer-group aggregate
+    - EXCLUDE TIES        → base − peers + current contribution
+
+    The peer aggregate is the same function over ``RANGE BETWEEN
+    CURRENT ROW AND CURRENT ROW``; empty-after-exclusion sums surface
+    NULL via an excluded-count guard, exactly SQLite. min/max (not
+    invertible), GROUPS+EXCLUDE combinations, and non-straddling frames
+    return None — the caller keeps its loud rejection."""
+    excl_re = re.compile(r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", re.I)
+    if not excl_re.search(sql):
+        return None
+    over_re = re.compile(r"\bOVER\s*\(", re.I)
+    out, i, n = [], 0, len(sql)
+    while i < n:
+        mo = over_re.search(sql, i)
+        if not mo:
+            out.append(sql[i:])
+            break
+        try:
+            close = _balanced_end(sql, mo.end() - 1)
+        except ValueError:
+            return None
+        body = sql[mo.end() : close - 1]
+        em = excl_re.search(body)
+        if not em:
+            out.append(sql[i:close])
+            i = close
+            continue
+        kind = re.sub(r"\s+", " ", em.group(1).upper())
+        fm = re.search(r"\b(ROWS|RANGE|GROUPS)\b", body, re.I)
+        if not fm or fm.group(1).upper() == "GROUPS":
+            return None
+        prefix = body[: fm.start()].rstrip()
+        frame = body[fm.start() : em.start()].strip()
+        if body[em.end() :].strip():
+            return None
+        # bounds must straddle the current row for the subtraction form
+        bm = re.match(
+            r"(?is)^(ROWS|RANGE)\s+(?:BETWEEN\s+(.+?)\s+AND\s+(.+)$|(.+)$)", frame
+        )
+        if not bm:
+            return None
+        if bm.group(2) is not None:
+            lo, hi = _frame_bound_sign(bm.group(2)), _frame_bound_sign(bm.group(3))
+        else:
+            lo, hi = _frame_bound_sign(bm.group(4)), 0
+        if lo is None or hi is None or not (lo <= 0 <= hi):
+            return None
+        # the aggregate call immediately before OVER
+        head = sql[: mo.start()].rstrip()
+        if not head.endswith(")"):
+            return None
+        depth, j, instr = 0, len(head) - 1, None
+        while j >= 0:
+            ch = head[j]
+            if instr:
+                if ch == instr:
+                    instr = None
+            elif ch in ("'", '"'):
+                instr = ch
+            elif ch == ")":
+                depth += 1
+            elif ch == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+            j -= 1
+        if j < 0:
+            return None
+        argtext = head[j + 1 : -1].strip()
+        k = j - 1
+        while k >= 0 and head[k].isspace():
+            k -= 1
+        name_end = k
+        while k >= 0 and (head[k].isalnum() or head[k] == "_"):
+            k -= 1
+        fname = head[k + 1 : name_end + 1].lower()
+        if fname not in ("sum", "count", "avg", "total") or re.search(
+            r"\bDISTINCT\b", argtext, re.I
+        ):
+            return None
+        base = f"OVER ({prefix} {frame})"
+        peer = f"OVER ({prefix} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"
+        star = argtext == "*"
+        x = None if star else f"({argtext})"
+        notnull = "1" if star else f"(CASE WHEN {x} IS NOT NULL THEN 1 ELSE 0 END)"
+        cnt_base = f"count({argtext}) {base}"
+        cnt_peer = f"count({argtext}) {peer}"
+        sum_base = f"sum({x}) {base}" if x else None
+        sum_peer = f"sum({x}) {peer}" if x else None
+        if kind == "CURRENT ROW":
+            cnt_excl = f"({cnt_base} - {notnull})"
+            sum_excl = x and f"({sum_base} - coalesce({x}, 0))"
+        elif kind == "GROUP":
+            cnt_excl = f"({cnt_base} - {cnt_peer})"
+            sum_excl = x and f"({sum_base} - coalesce({sum_peer}, 0))"
+        else:  # TIES
+            cnt_excl = f"({cnt_base} - {cnt_peer} + {notnull})"
+            sum_excl = x and f"({sum_base} - coalesce({sum_peer}, 0) + coalesce({x}, 0))"
+        if fname == "count":
+            repl = cnt_excl
+        elif fname == "sum":
+            if x is None:
+                return None
+            repl = f"(CASE WHEN {cnt_excl} = 0 THEN NULL ELSE {sum_excl} END)"
+        elif fname == "total":
+            if x is None:
+                return None
+            repl = f"coalesce((CASE WHEN {cnt_excl} = 0 THEN NULL ELSE {sum_excl} END), CAST(0.0 AS DOUBLE))"
+        else:  # avg
+            if x is None:
+                return None
+            repl = f"(CAST({sum_excl} AS DOUBLE) / nullif({cnt_excl}, 0))"
+        out.append(sql[i : k + 1] + repl)
+        i = close
+    return "".join(out)
+
+
 def rewrite_groups_frames(sql: str) -> str | None:
     """SQLite GROUPS window frames → the dense_rank + RANGE equivalence:
     ``OVER (PARTITION BY p ORDER BY o GROUPS <frame>)`` counts PEER
@@ -2970,6 +3117,24 @@ def _rewrite_arg_fns(sql: str) -> str:
         inner = sql[m.end() : end - 1]
         raw_args = [a.strip() for a in split_top_level(inner)] if inner.strip() else []
         args = [_rewrite_arg_fns(a) for a in raw_args]
+        if m.group(1).lower() == "total" and len(args) == 1:
+            om = re.match(r"\s*OVER\s*\(", sql[end:], re.I)
+            if om:
+                # window form: the never-NULL coalesce must wrap the
+                # WHOLE windowed aggregate (r6: the plain rewrite left
+                # 'coalesce(sum(..), 0) OVER (..)', which doesn't parse)
+                try:
+                    oend = end + _balanced_end(sql[end:], om.end() - 1)
+                except ValueError:
+                    oend = None
+                if oend is not None:
+                    over_txt = _rewrite_arg_fns(sql[end:oend])
+                    out.append(
+                        f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)) {over_txt}, "
+                        "CAST(0.0 AS DOUBLE))"
+                    )
+                    i = oend
+                    continue
         repl = _rewrite_one_call(m.group(1), args, raw_args)
         if repl is not None:
             out.append(repl)

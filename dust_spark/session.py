@@ -2369,11 +2369,12 @@ class DustSession:
             # EXCLUDE clauses (and unrewritable GROUPS) stay loudly
             # rejected — no Spark window equivalent (EXCLUDE NO OTHERS,
             # the no-op default, was already stripped)
-            alt = (
-                dialect.rewrite_groups_frames(sql)
-                if not re.search(r"\bEXCLUDE\b", fm.group(0), re.I)
-                else None
-            )
+            if re.search(r"\bEXCLUDE\b", sql, re.I):
+                # invertible-aggregate EXCLUDE frames rewrite by
+                # subtraction; anything else stays rejected
+                alt = dialect.rewrite_exclude_frames(sql)
+            else:
+                alt = dialect.rewrite_groups_frames(sql)
             if alt is not None and not dialect.UNSUPPORTED_FRAME_RE.search(alt):
                 sql = alt
             else:

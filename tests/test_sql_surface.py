@@ -367,14 +367,63 @@ def test_sqlite_sequence_and_window_frames(db):
         "EXCLUDE NO OTHERS) AS s FROM sqa ORDER BY id"
     )[0]
     assert [r[0] for r in out.values] == [10, 30, 50]
-    # GROUPS frames REWRITE (r6: dense_rank + RANGE equivalence) —
-    # sqlite3-differential below; EXCLUDE frames still reject loudly
+    # GROUPS frames and invertible-aggregate EXCLUDE clauses REWRITE
+    # (r6) — sqlite3-differential in their own tests; non-invertible
+    # aggregates under EXCLUDE still reject loudly
     from dust_spark.session import DustError
 
     with pytest.raises(DustError, match="unsupported: window frame"):
         db.query_string_stmt(
-            "SELECT SUM(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND "
+            "SELECT MAX(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND "
             "CURRENT ROW EXCLUDE CURRENT ROW) FROM sqa"
+        )
+
+
+def test_exclude_frames_sqlite_differential(db):
+    """EXCLUDE window-frame clauses for invertible aggregates (r6):
+    CURRENT ROW / GROUP / TIES by frame-aggregate subtraction, with the
+    empty-after-exclusion NULL guard; total() in window position (its
+    never-NULL coalesce must wrap the whole windowed aggregate); min/max
+    EXCLUDE stays loud-rejected."""
+    import sqlite3
+
+    from dust_spark.session import DustError
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE ex (p TEXT, o INT, v INT)")
+    db.execute_string_stmt("CREATE TABLE ex (p TEXT, o INT, v INT)")
+    for r in [("a", 1, 10), ("a", 1, 20), ("a", 2, 30), ("a", 3, 40), ("b", 1, 5), ("b", 2, 6), ("b", 2, None)]:
+        ref.execute("INSERT INTO ex VALUES (?,?,?)", r)
+        db.execute_string_stmt("INSERT INTO ex VALUES (?,?,?)", list(r))
+    for q in (
+        "SELECT p,o,v, sum(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS s FROM ex ORDER BY p,o,v",
+        "SELECT p,o,v, sum(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS s "
+        "FROM ex ORDER BY p,o,v",
+        "SELECT p,o,v, sum(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS s FROM ex ORDER BY p,o,v",
+        "SELECT p,o, count(*) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN 2 "
+        "PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS c FROM ex ORDER BY p,o,c",
+        "SELECT p,o, count(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE GROUP) AS c "
+        "FROM ex ORDER BY p,o,c",
+        "SELECT p,o,v, avg(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS a FROM ex ORDER BY p,o,v",
+        "SELECT p,o,v, total(v) OVER (PARTITION BY p ORDER BY o RANGE BETWEEN "
+        "UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING EXCLUDE TIES) AS t "
+        "FROM ex ORDER BY p,o,v",
+        "SELECT o, total(v) OVER (ORDER BY o) AS t FROM ex WHERE p='b' ORDER BY o, t",
+        "SELECT p,o,v, sum(v) OVER (ORDER BY o ROWS 1 PRECEDING EXCLUDE "
+        "CURRENT ROW) AS s FROM ex WHERE p='a' ORDER BY o,v",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    with pytest.raises(DustError, match="unsupported: window frame"):
+        db.query_string_stmt(
+            "SELECT min(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 "
+            "FOLLOWING EXCLUDE CURRENT ROW) FROM ex"
         )
 
 
