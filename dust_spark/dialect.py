@@ -1156,7 +1156,9 @@ _FN_RENAMES = {
     "format": "format_string",   # SQLite format() ≡ printf ≡ format_string
     "glob": "__sqlite_glob",     # expression-macro UDF (SQLITE_FN_DDL)
     "random": "__sqlite_random",  # int64 random (Spark's builtin random -> double)
-    "json_extract": "get_json_object",  # same $.path syntax; scalars as text
+    # json_extract is an arg-aware rewrite (_rewrite_one_call): literal
+    # paths extract TYPED via VARIANT (ints stay INTEGER like SQLite),
+    # non-literal single paths keep the get_json_object text fallback
     "json_patch": "__json_patch",       # RFC-7386 merge patch (json1.py)
 }
 
@@ -2140,7 +2142,9 @@ def _rewrite_json_arrows(sql: str) -> str:
             inner = rhs[1:-1]
             path = rhs if inner.startswith("$") else f"'$.{inner}'"
         if deep:
-            repl = f"get_json_object({lhs}, {path})"
+            # ->> extracts TYPED like json_extract (SQLite: json ints
+            # come back INTEGER — r6 finding; containers as json text)
+            repl = _typed_json_extract(lhs, path)
         else:
             repl = f"to_json(try_variant_get(try_parse_json({lhs}), {path}))"
         sql = sql[:lhs_start] + repl + sql[m.end():]
@@ -2661,7 +2665,8 @@ def has_rowid_token(sql: str) -> bool:
 
 _ARG_FN_RE = re.compile(
     r"\b(char|max|min|sign|ltrim|rtrim|trim|typeof|quote|date|time|datetime|cast"
-    r"|total|group_concat|round|strftime|json_array|json_object|json_quote"
+    r"|total|group_concat|round|strftime|json_array_length|json_extract|json_type"
+    r"|json_array|json_object|json_quote"
     r"|json_set|json_insert|json_replace|json_remove"
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
@@ -2829,6 +2834,33 @@ def _rewrite_cast(arg: str) -> str | None:
     return None
 
 
+def _typed_json_extract(j: str, path_lit: str, keep_json_null: bool = False) -> str:
+    """TYPED json_extract over VARIANT for a literal path (SQLite
+    returns json ints as INTEGER, strings as raw TEXT, containers as
+    json text — r6 finding; Jackson's get_json_object flattened all to
+    text). Duplicate-key docs (VARIANT rejects, SQLite accepts) fall
+    back to the Jackson extraction re-parsed as a variant; unquoted
+    Jackson STRING results re-quote first (heuristic: anything not
+    json-shaped), so only dup-key docs with json-shaped string values
+    can mistype."""
+    js = f"CAST(({j}) AS STRING)"
+    jp = path_lit
+    ext = f"get_json_object({js}, {jp})"
+    xt = (
+        "(CASE WHEN try_parse_json(" + js + ") IS NOT NULL "
+        "THEN try_variant_get(parse_json(" + js + "), " + jp + ") "
+        "ELSE try_parse_json(CASE WHEN (" + ext + ") RLIKE "
+        "'^(\\\\{|\\\\[|-?[0-9]|true$|false$|null$)' THEN (" + ext + ") "
+        "ELSE concat('\"', replace(replace((" + ext + "), '\\\\', '\\\\\\\\'), "
+        "'\"', '\\\\\"'), '\"') END) END)"
+    )
+    if keep_json_null:
+        return xt
+    # SQLite json_extract maps json null to SQL NULL (json_type keeps
+    # the distinction, hence the flag)
+    return f"(CASE WHEN is_variant_null({xt}) THEN NULL ELSE {xt} END)"
+
+
 def _rewrite_one_call(
     name: str, args: list[str], raw_args: list[str] | None = None
 ) -> str | None:
@@ -2977,6 +3009,49 @@ def _rewrite_one_call(
         if len(args) == 1:
             return cp(args[0])
         return "concat(" + ", ".join(cp(a) for a in args) + ")"
+    if n == "json_extract" and len(args) >= 2:
+        lits = [(raw_args or args)[k].strip() for k in range(1, len(args))]
+        if all(p.startswith("'") and p.endswith("'") for p in lits):
+            xts = [_typed_json_extract(args[0], p) for p in lits]
+            if len(xts) == 1:
+                return xts[0]
+            # multi-path form returns a JSON array TEXT of the values
+            return "to_json(array(" + ", ".join(xts) + "))"
+        if len(args) == 2:
+            return f"get_json_object({args[0]}, {args[1]})"
+        return None
+    if n == "json_type" and len(args) == 2:
+        p = (raw_args or args)[1].strip()
+        if not (p.startswith("'") and p.endswith("'")):
+            return None
+        xt = _typed_json_extract(args[0], p, keep_json_null=True)
+        return (
+            f"(CASE WHEN ({xt}) IS NULL THEN NULL "
+            f"WHEN is_variant_null({xt}) THEN 'null' "
+            f"WHEN schema_of_variant({xt}) = 'STRING' THEN 'text' "
+            f"WHEN schema_of_variant({xt}) = 'BOOLEAN' THEN "
+            f"IF(CAST(({xt}) AS BOOLEAN), 'true', 'false') "
+            f"WHEN schema_of_variant({xt}) RLIKE '^(BIGINT|INT|SMALLINT|TINYINT)' THEN 'integer' "
+            f"WHEN schema_of_variant({xt}) RLIKE '^(DOUBLE|FLOAT|DECIMAL)' THEN 'real' "
+            f"WHEN schema_of_variant({xt}) RLIKE '^ARRAY' THEN 'array' "
+            f"ELSE 'object' END)"
+        )
+    if n == "json_array_length" and len(args) in (1, 2):
+        if len(args) == 1:
+            v = f"try_parse_json(CAST(({args[0]}) AS STRING))"
+        else:
+            p = (raw_args or args)[1].strip()
+            if not (p.startswith("'") and p.endswith("'")):
+                return None
+            v = _typed_json_extract(args[0], p)
+        # SQLite: arrays → element count, any valid non-array → 0,
+        # missing path → NULL
+        return (
+            f"(CASE WHEN ({v}) IS NULL THEN "
+            f"(CASE WHEN ({args[0]}) IS NULL THEN NULL ELSE json_array_length(CAST(({args[0]}) AS STRING)) END) "
+            f"WHEN try_cast(({v}) AS ARRAY<VARIANT>) IS NULL THEN 0 "
+            f"ELSE size(try_cast(({v}) AS ARRAY<VARIANT>)) END)"
+        )
     if n in ("printf", "format_string") and len(args) >= 1:
         # SQLite printf COERCES args per conversion spec (%d of 3.7 is
         # '3', of '42abc' is '42' — the INT/REAL affinity parses); Java's

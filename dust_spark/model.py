@@ -28,6 +28,11 @@ from typing import Any
 
 from pyspark.sql import types as T
 
+try:
+    from pyspark.sql.types import VariantVal as _VariantVal
+except ImportError:  # pragma: no cover - older pyspark
+    _VariantVal = None
+
 
 class DataType:
     """Lowercase type names of the wire contract."""
@@ -173,6 +178,13 @@ def _json_value(v: Any) -> Any:
         # decimal cells ride the REAL wire (str(v) here produced
         # '3.500000'-style text — r6 differential finding)
         return float(v)
+    if _VariantVal is not None and isinstance(v, _VariantVal):
+        # typed json extraction (r6): scalars keep their json type like
+        # SQLite json_extract; containers render as compact json text
+        pv = v.toPython()
+        if isinstance(pv, (dict, list)):
+            return json.dumps(pv, separators=(",", ":"), ensure_ascii=False)
+        return _json_value(pv)
     if isinstance(v, (bytes, bytearray)):
         return bytes(v).hex()
     if isinstance(v, (_dt.datetime, _dt.date)):

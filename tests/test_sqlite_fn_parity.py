@@ -312,6 +312,24 @@ def test_scalar_fn_matches_sqlite(db, ref, q):
 
 
 JSON_CASES = [
+    # typed extraction over VARIANT (r6): json ints come back INTEGER,
+    # strings raw text, containers as json text, json null → SQL NULL
+    "SELECT json_extract('{\"a\":[1,2,{\"b\":3}]}', '$.a[2].b')",
+    "SELECT json_extract('{\"a\":1,\"b\":2}', '$.a', '$.b')",
+    "SELECT json_extract('{\"a\":\"tx\"}', '$.a')",
+    "SELECT json_extract('{\"a\":{\"b\":1}}', '$.a')",
+    "SELECT json_extract('{\"a\":true}', '$.a'), json_extract('{\"a\":false}', '$.a')",
+    "SELECT json_extract('{\"a\":null}', '$.a') IS NULL",
+    "SELECT json_extract('{\"a\":3.5}', '$.a')",
+    "SELECT json_extract('{\"a\":1}', '$.zz') IS NULL",
+    "SELECT '{\"a\":5}' ->> 'a', '{\"a\":\"s\"}' ->> 'a', '{\"a\":[1]}' ->> 'a'",
+    "SELECT json_array_length('{\"a\":1}'), json_array_length('3')",
+    "SELECT json_array_length('{\"a\":[5,6]}', '$.a')",
+    "SELECT json_array_length('{\"a\":[5,6]}', '$.b') IS NULL",
+    "SELECT json_type('{\"a\":null}', '$.a'), json_type('{\"a\":3}', '$.a')",
+    "SELECT json_type('{\"a\":\"t\"}', '$.a'), json_type('{\"a\":true}', '$.a')",
+    "SELECT json_type('{\"a\":[1]}', '$.a'), json_type('{\"a\":{}}', '$.a')",
+    "SELECT json_type('[3]', '$[9]') IS NULL",
     'SELECT json_extract(\'{"a": 1, "b": {"c": [5,6]}}\', \'$.a\')',
     'SELECT json_extract(\'{"a": 1, "b": {"c": [5,6]}}\', \'$.b.c[1]\')',
     'SELECT json_extract(\'{"a": "txt"}\', \'$.a\')',
