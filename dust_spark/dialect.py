@@ -2671,7 +2671,7 @@ _ARG_FN_RE = re.compile(
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
     r"|log|floor|ceil|ceiling|mod|trunc|lower|upper|substr|substring"
-    r"|printf|format_string)\s*\(",
+    r"|printf|format_string|sqrt|acos|asin|acosh|atanh|power|pow)\s*\(",
     re.I,
 )
 
@@ -3123,7 +3123,15 @@ def _rewrite_one_call(
         src, dst = (up, lo) if n == "lower" else (lo, up)
         return f"translate(CAST(({args[0]}) AS STRING), '{src}', '{dst}')"
     if n in ("max", "min") and len(args) > 1:  # scalar form, not the aggregate
-        return ("greatest(" if n == "max" else "least(") + ", ".join(args) + ")"
+        # SQLite scalar max/min return NULL if ANY argument is NULL;
+        # Spark's greatest/least skip NULLs (r6 differential finding)
+        null_any = " OR ".join(f"({a}) IS NULL" for a in args)
+        base = ("greatest(" if n == "max" else "least(") + ", ".join(args) + ")"
+        return f"(CASE WHEN {null_any} THEN NULL ELSE {base} END)"
+    if n in ("sqrt", "acos", "asin", "acosh", "atanh", "power", "pow") and args:
+        # SQLite math functions return NULL on domain errors where the
+        # JVM returns NaN (sqrt(-1), acos(2), pow(-8, .333) — r6)
+        return f"nanvl({n}(" + ", ".join(args) + "), CAST(NULL AS DOUBLE))"
     if n == "sign" and len(args) == 1:
         return f"CAST(sign({args[0]}) AS BIGINT)"  # SQLite returns INTEGER
     if n in ("ltrim", "rtrim", "trim") and len(args) == 2:

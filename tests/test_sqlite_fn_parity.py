@@ -213,6 +213,15 @@ CASES = [
     # these inputs. exp(1)/cosh(1) are deliberately ABSENT: they differ
     # in the last ULP (JVM StrictMath vs libm), the documented
     # floating-point divergence class (module docstring).
+    # domain errors return NULL, not NaN (r6); scalar min/max NULL rule
+    "SELECT sqrt(-1) IS NULL",
+    "SELECT power(-8, 0.333) IS NULL",
+    "SELECT acos(2) IS NULL",
+    "SELECT asin(-2) IS NULL",
+    "SELECT acosh(0.5) IS NULL",
+    "SELECT atanh(2) IS NULL",
+    "SELECT min(NULL, 3) IS NULL",
+    "SELECT max(NULL, 'x') IS NULL",
     "SELECT sqrt(2)",
     "SELECT power(2, 0.5)",
     "SELECT pi()",
