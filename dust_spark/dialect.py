@@ -3074,20 +3074,24 @@ def _rewrite_one_call(
                     continue
                 if ai < len(new_args):
                     a = new_args[ai]
+                    # SQLite printf renders NULL args as 0 / '' / (NULL)
+                    # per spec (r6-probed), never the text 'null'
                     if sp in "dioxX":
-                        new_args[ai] = _CAST_INT_WRAP.format(x=a)
+                        new_args[ai] = f"coalesce({_CAST_INT_WRAP.format(x=a)}, 0)"
                         frag = frag[:-1] + ("d" if sp in "di" else sp)
                     elif sp in "eEfgG":
-                        new_args[ai] = _CAST_REAL_WRAP.format(x=a)
+                        new_args[ai] = (
+                            f"coalesce({_CAST_REAL_WRAP.format(x=a)}, CAST(0.0 AS DOUBLE))"
+                        )
                     elif sp in "qQw":
                         qc = "''''" if sp in "qQ" else "'\"'"
                         dbl = "''''''" if sp in "qQ" else "'\"\"'"
                         new_args[ai] = (
-                            f"replace(CAST(({a}) AS STRING), {qc}, {dbl})"
+                            f"coalesce(replace(CAST(({a}) AS STRING), {qc}, {dbl}), '(NULL)')"
                         )
                         frag = frag[:-1] + "s"
                     elif sp == "s":
-                        new_args[ai] = f"CAST(({a}) AS STRING)"
+                        new_args[ai] = f"coalesce(CAST(({a}) AS STRING), '')"
                 ai += 1
                 out_fmt.append(frag)
             out_fmt.append(body[last:])
