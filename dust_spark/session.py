@@ -2778,16 +2778,34 @@ class DustSession:
             )
 
 
+_SQL_KEYWORDS = frozenset(
+    "from where group order select limit having join on and or not as by".split()
+)
+
+
 def _clean_error(e: Exception) -> str:
     msg = str(e)
     m = re.search(r"TABLE_OR_VIEW_NOT_FOUND.*?`?([\w.]+)`? cannot be found", msg, re.S)
     if m:
         return f"no such table: {m.group(1).split('.')[-1]}"
+    m = re.search(r"UNRESOLVED_ROUTINE[^`]*`([^`]+)`", msg, re.S)
+    if m:
+        return f"no such function: {m.group(1)}"
+    m = re.search(r"PARSE_SYNTAX_ERROR\] Syntax error at or near (?:'([^']*)'|(end of input))", msg)
+    if m:
+        if m.group(2) or not m.group(1):
+            return "incomplete input"
+        return f'near "{m.group(1)}": syntax error'
     m = re.search(r"UNRESOLVED_COLUMN[^`]*((?:`[^`]+`\.)*`[^`]+`)", msg, re.S)
     if m:
+        name = m.group(1).replace("`", "")
+        if name.lower() in _SQL_KEYWORDS:
+            # 'SELECT FROM t': Spark resolves the keyword as a column
+            # name; SQLite calls it what it is
+            return f'near "{name}": syntax error'
         # multi-part names keep their qualifier, dotted like SQLite
         # ('no such column: ja.rowid', not just 'ja')
-        return "no such column: " + m.group(1).replace("`", "")
+        return "no such column: " + name
     first = msg.strip().splitlines()[0] if msg.strip() else repr(e)
     return first
 

@@ -544,6 +544,38 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_error_strings_sqlite_differential(db):
+    """r6 error-string parity: unknown functions, syntax errors (near-X
+    and incomplete input), and keyword-as-column shapes surface SQLite's
+    exact messages."""
+    import sqlite3
+
+    from dust_spark.session import DustError
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("CREATE TABLE et (a INT)")
+    db.execute_string_stmt("CREATE TABLE et (a INT)")
+    for q in (
+        "SELECT nosuchfn(1)",
+        "SELCT 1",
+        "SELECT 1 +",
+        "SELECT FROM et",
+        "SELECT nosuch_col FROM et",
+        "SELECT * FROM missing_table",
+    ):
+        try:
+            ref.execute(q)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        try:
+            db.query_string_stmt(q)
+            gerr = None
+        except DustError as e:
+            gerr = str(e)
+        assert gerr == werr, (q, werr, gerr)
+
+
 def test_upsert_qualifier_and_values_naming(db):
     """r6: table-qualified target refs in DO UPDATE SET (SET n = t.n*10),
     SQLite's column1..N names for FROM (VALUES ...), and expression
