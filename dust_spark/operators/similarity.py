@@ -442,6 +442,75 @@ def _probe_udf(bc, n_probe: int):
     return probes
 
 
+def kmeans_assign_portable(
+    df: DataFrame,
+    k: int = 4,
+    iterations: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Fully-distributed, HASH-STABLE Lloyd's k-means returning the
+    final cluster assignment per vector (r6): init = the vectors with
+    the ``k`` smallest ids; each iteration assigns by squared-L2
+    argmin (ties to the lowest centroid id via the (dist, cid)
+    struct-min) and recomputes centroids with ORDER-INDEPENDENT
+    DECIMAL(25,12) sums rounded to 6 decimals — the two tricks that
+    make an iterative float algorithm replay bit-exactly in DuckDB
+    (float += is order-dependent under shuffles; exact decimal
+    accumulation + an explicit ROUND are not).
+
+    Scale shape: centroids are a k-row broadcast each iteration;
+    assignment is one narrow pass (broadcast join, no shuffle of the
+    corpus); the update is one explode to (cid, dim, val) + hash-agg.
+    O(iterations) passes over the data — the standard distributed
+    Lloyd's layout."""
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    cents = (
+        base.orderBy("vid")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vid")).alias("cid"),
+            F.col("v").cast("array<double>").alias("c"),
+        )
+    )
+    assign = None
+    for _ in range(iterations):
+        dist = F.aggregate(
+            F.zip_with(
+                "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        assign = (
+            base.join(F.broadcast(cents))
+            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+            .groupBy("vid")
+            .agg(F.min("__dc").alias("m"))
+            .select("vid", F.col("m.i").alias("cid"))
+        )
+        exploded = (
+            assign.join(base, "vid")
+            .select("cid", F.posexplode(F.col("v").cast("array<double>")).alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("m")
+            )
+        )
+        cents = exploded.groupBy("cid").agg(
+            F.transform(
+                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+            ).alias("c")
+        )
+    return assign.orderBy("vid")
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

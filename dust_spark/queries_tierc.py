@@ -1009,6 +1009,60 @@ def cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.cluster_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+# Iterative Lloyd's k-means with a HARD oracle: order-independent
+# DECIMAL(25,12) centroid sums + ROUND(...,6) make the float iteration
+# replay bit-exactly; the assignment argmin ties to the lowest centroid
+# id (row_number over (d, cid) — same rule as Spark's struct-min).
+_KMEANS_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cid, v AS c
+  FROM (SELECT vid, v FROM base ORDER BY vid LIMIT 4)
+),
+d1 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, c0 c
+),
+a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.v[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a1 JOIN base b USING (vid), (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a1.cid, t.i
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+d2 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, c1 c
+),
+a2 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM d2) WHERE rn = 1
+)
+SELECT vid, cid FROM a2 ORDER BY vid
+"""
+
+
+@register("c3i_kmeans_portable", oracle=_KMEANS_ORACLE, tags=("tierc", "similarity", "jit"))
+def kmeans_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Distributed Lloyd's k-means (k=4, 2 iterations) with a hard
+    DuckDB oracle — iterative float ML made hash-stable by exact
+    decimal centroid accumulation (VERDICT-style portable-twin recipe
+    applied to an ITERATIVE algorithm)."""
+    return ops.kmeans_assign_portable(_emb(spark, sf_dir), k=4, iterations=2)
+
+
 _QUANT_ORACLE = """
 WITH s AS (
   SELECT vec_id,

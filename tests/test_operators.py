@@ -271,6 +271,33 @@ def test_rp_lsh_portable_ann_recall(spark):
     assert recall >= 0.8, f"portable ANN recall {recall}"
 
 
+def test_kmeans_portable_separates_blobs(spark):
+    """c3i semantics: on well-separated blobs, every point lands with
+    its blob-mates after 2 Lloyd iterations; deterministic across runs."""
+    import math
+
+    rows = []
+    # ids interleave across blobs so the k-smallest-id init picks one
+    # seed per blob (ids 1,2,3 are blob 0,1,2)
+    for blob in range(3):
+        center = [10.0 * blob + math.sin(d + blob) for d in range(8)]
+        for i in range(12):
+            rows.append(
+                Row(
+                    vec_id=blob + 3 * i + 1,
+                    embedding=[c + 0.01 * ((i * 7 + d) % 5) for d, c in enumerate(center)],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    out = {r.vid: r.cid for r in ops.kmeans_assign_portable(df, k=3, iterations=2).collect()}
+    again = {r.vid: r.cid for r in ops.kmeans_assign_portable(df, k=3, iterations=2).collect()}
+    assert out == again  # deterministic
+    blobs = {b: {out[b + 3 * i + 1] for i in range(12)} for b in range(3)}
+    for b, cids in blobs.items():
+        assert len(cids) == 1, f"blob {b} split across clusters {cids}"
+    assert len({next(iter(c)) for c in blobs.values()}) == 3  # blobs distinct
+
+
 def test_embedding_near_dup_finds_planted_pair(spark):
     import math
 
