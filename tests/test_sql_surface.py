@@ -544,6 +544,44 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_collated_constraints_sqlite_differential(db):
+    """Column collations flow through CONSTRAINTS (r6 probe): NOCASE /
+    RTRIM UNIQUE and PRIMARY KEY conflict case/trailing-space
+    insensitively, and upserts fire on collated conflicts — free from
+    the collated Spark string types, verified against sqlite3."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE cu (v TEXT COLLATE NOCASE UNIQUE)",
+        "INSERT INTO cu VALUES ('abc')",
+        "INSERT INTO cu VALUES ('ABC')",
+        "CREATE TABLE cr (v TEXT COLLATE RTRIM UNIQUE)",
+        "INSERT INTO cr VALUES ('x  ')",
+        "INSERT INTO cr VALUES ('x')",
+        "CREATE TABLE cp (v TEXT COLLATE NOCASE PRIMARY KEY, n INT)",
+        "INSERT INTO cp VALUES ('Key', 1)",
+        "INSERT INTO cp VALUES ('KEY', 2)",
+        "INSERT INTO cp VALUES ('other', 3) ON CONFLICT(v) DO UPDATE SET n = 9",
+        "INSERT INTO cp VALUES ('kEy', 7) ON CONFLICT(v) DO UPDATE SET n = 99",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        got = db.execute_string_stmt(s)[0]
+        gerr = got.error or None
+        assert (werr is None) == (gerr is None), (s, werr, gerr)
+        if werr is not None:
+            assert gerr == werr, (s, werr, gerr)
+    for q in ("SELECT v FROM cu", "SELECT v FROM cr", "SELECT v, n FROM cp ORDER BY n"):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+
+
 def test_error_strings_sqlite_differential(db):
     """r6 error-string parity: unknown functions, syntax errors (near-X
     and incomplete input), and keyword-as-column shapes surface SQLite's
