@@ -124,6 +124,70 @@ def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:
     return spark.createDataFrame(rows or [], schema)
 
 
+def domain_rank_portable(
+    df: DataFrame,
+    iterations: int = 2,
+    damping: float = 0.85,
+    text_col: str = "text",
+    source_col: str = "source",
+) -> DataFrame:
+    """HASH-STABLE PageRank-style domain authority over the (source →
+    referenced-domain) link graph — the crawl-quality weighting step of
+    a web-corpus pipeline, made bit-replayable in DuckDB by the same r6
+    recipe as the portable k-means: per-iteration rank contributions
+    accumulate in DECIMAL(28,15) (order-independent) and every new rank
+    rounds to 9 decimals before feeding the next pass.
+
+    Scale shape: edges/out-degrees build once (explode + distinct +
+    hash-agg); each power iteration is one equi-join on the edge list +
+    one hash-agg — node cardinality (domains) ≪ corpus, so ranks stay a
+    small table. Dangling-node mass is dropped (the standard simplified
+    iteration) identically on both engines."""
+    pat = r"https?://([A-Za-z0-9.-]+)"
+    edges = (
+        df.select(
+            F.lower(F.col(source_col)).alias("src"),
+            F.explode(
+                F.regexp_extract_all(F.col(text_col), F.lit(pat), F.lit(1))
+            ).alias("d"),
+        )
+        .select("src", F.lower(F.col("d")).alias("dst"))
+        .distinct()
+    )
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .unionAll(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    n = nodes.count()  # node cardinality ≪ corpus: a driver scalar is fine
+    outdeg = edges.groupBy("src").agg(F.count("*").alias("od"))
+    rank = nodes.withColumn(
+        "r", F.round(F.lit(1.0) / F.lit(n).cast("double"), 9)
+    )
+    for _ in range(iterations):
+        contrib = (
+            edges.join(rank.withColumnRenamed("node", "src"), "src")
+            .join(outdeg, "src")
+            .select(
+                F.col("dst").alias("node"),
+                (F.col("r") / F.col("od").cast("double")).alias("c"),
+            )
+        )
+        sums = contrib.groupBy("node").agg(
+            F.sum(F.col("c").cast("decimal(28,15)")).cast("double").alias("s")
+        )
+        rank = nodes.join(sums, "node", "left").select(
+            "node",
+            F.round(
+                F.lit(1.0 - damping) / F.lit(n).cast("double")
+                + F.lit(damping) * F.coalesce(F.col("s"), F.lit(0.0)),
+                9,
+            ).alias("r"),
+        )
+    return rank.orderBy("node")
+
+
 def cluster_dedup(
     df: DataFrame,
     pairs: DataFrame,

@@ -1009,6 +1009,76 @@ def cluster_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.cluster_dedup(docs, pairs).select("doc_id").orderBy("doc_id")
 
 
+# PageRank-style domain authority with a HARD oracle — the second
+# iterative algorithm on the decimal-stable recipe (see c3i): rank
+# contributions sum in DECIMAL(28,15), every iteration rounds to 9
+# decimals, so DuckDB replays the power iteration bit-exactly.
+_DOMAIN_RANK_ORACLE = """
+WITH seeded AS (
+  SELECT source,
+         text || ' https://d' || CAST(doc_id % 5 AS VARCHAR) || '.example/x'
+              || ' https://d' || CAST((doc_id * 3 + 1) % 7 AS VARCHAR) || '.example/y' AS t
+  FROM documents
+),
+edges AS (
+  SELECT DISTINCT lower(source) AS src, lower(d) AS dst
+  FROM (SELECT source, unnest(regexp_extract_all(t, 'https?://([A-Za-z0-9.-]+)', 1)) AS d
+        FROM seeded)
+),
+nodes AS (
+  SELECT DISTINCT node FROM (SELECT src AS node FROM edges UNION ALL SELECT dst FROM edges)
+),
+nn AS (SELECT COUNT(*) AS n FROM nodes),
+od AS (SELECT src, COUNT(*) AS od FROM edges GROUP BY src),
+r0 AS (SELECT node, ROUND(CAST(1.0 AS DOUBLE) / (SELECT n FROM nn), 9) AS r FROM nodes),
+s1 AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(r0.r / CAST(od.od AS DOUBLE) AS DECIMAL(28,15))) AS DOUBLE) AS s
+  FROM edges e JOIN r0 ON r0.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst
+),
+r1 AS (
+  SELECT n.node,
+         ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(s1.s, 0.0), 9) AS r
+  FROM nodes n LEFT JOIN s1 USING (node)
+),
+s2 AS (
+  SELECT e.dst AS node,
+         CAST(SUM(CAST(r1.r / CAST(od.od AS DOUBLE) AS DECIMAL(28,15))) AS DOUBLE) AS s
+  FROM edges e JOIN r1 ON r1.node = e.src JOIN od ON od.src = e.src GROUP BY e.dst
+),
+r2 AS (
+  SELECT n.node,
+         ROUND(CAST(0.15 AS DOUBLE) / (SELECT n FROM nn)
+               + CAST(0.85 AS DOUBLE) * COALESCE(s2.s, 0.0), 9) AS r
+  FROM nodes n LEFT JOIN s2 USING (node)
+)
+SELECT node, r FROM r2 ORDER BY node
+"""
+
+
+@register("c10c_domain_rank", oracle=_DOMAIN_RANK_ORACLE, tags=("tierc", "graph", "jit"))
+def domain_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank-ish domain authority over the source→linked-domain
+    graph (2 damped power iterations) — crawl-quality weighting with a
+    hash-stable decimal iteration (see c3i for the recipe). Links are
+    deterministically seeded like c4k (the fixture corpus carries no
+    URLs)."""
+    docs = _docs(spark, sf_dir)
+    seeded = docs.select(
+        "source",
+        F.concat(
+            F.col("text"),
+            F.lit(" https://d"),
+            (F.col("doc_id") % 5).cast("string"),
+            F.lit(".example/x https://d"),
+            ((F.col("doc_id") * 3 + 1) % 7).cast("string"),
+            F.lit(".example/y"),
+        ).alias("t"),
+    )
+    return ops.domain_rank_portable(seeded, iterations=2, text_col="t")
+
+
 # Iterative Lloyd's k-means with a HARD oracle: order-independent
 # DECIMAL(25,12) centroid sums + ROUND(...,6) make the float iteration
 # replay bit-exactly; the assignment argmin ties to the lowest centroid

@@ -271,6 +271,24 @@ def test_rp_lsh_portable_ann_recall(spark):
     assert recall >= 0.8, f"portable ANN recall {recall}"
 
 
+def test_domain_rank_invariants(spark):
+    """c10c semantics: deterministic, every node ranked, rank mass
+    bounded by 1, and nodes with more in-links outrank leaf sources."""
+    rows = [
+        Row(doc_id=i, source=f"s{i % 4}", text=f"x https://hub.example/{i}"
+            + (" https://rare.example/z" if i == 0 else ""))
+        for i in range(40)
+    ]
+    df = spark.createDataFrame(rows)
+    r1 = {r.node: r.r for r in ops.domain_rank_portable(df, iterations=2).collect()}
+    r2 = {r.node: r.r for r in ops.domain_rank_portable(df, iterations=2).collect()}
+    assert r1 == r2
+    assert set(r1) == {"s0", "s1", "s2", "s3", "hub.example", "rare.example"}
+    assert abs(sum(r1.values())) <= 1.0 + 1e-6
+    assert r1["hub.example"] > r1["rare.example"] > 0
+    assert all(v > 0 for v in r1.values())
+
+
 def test_kmeans_portable_separates_blobs(spark):
     """c3i semantics: on well-separated blobs, every point lands with
     its blob-mates after 2 Lloyd iterations; deterministic across runs."""
