@@ -1233,6 +1233,26 @@ def test_explicit_tx_journal_replay(spark, tmp_path):
     replayed.close()
 
 
+def test_collation_survives_disk_reopen(spark, tmp_path):
+    """RTRIM/NOCASE column collations round-trip through the manifest:
+    a reopened disk-mode session still enforces collated UNIQUE and
+    compares collation-insensitively (r6)."""
+    from dust_spark import DustSession
+
+    wh = str(tmp_path / "wh_coll")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE rc (v TEXT COLLATE RTRIM UNIQUE, n TEXT COLLATE NOCASE)")
+    db.execute_string_stmt("INSERT INTO rc VALUES ('x  ', 'Apple')")
+    db.close()
+    db2 = DustSession(spark, warehouse=wh)
+    try:
+        r = db2.execute_string_stmt("INSERT INTO rc VALUES ('x', 'b')")[0]
+        assert r.error == "UNIQUE constraint failed: rc.v"
+        assert db2.query_string_stmt("SELECT count(*) FROM rc WHERE n = 'APPLE'")[0].values == [[1]]
+    finally:
+        db2.close()
+
+
 def test_savepoint_journal_replay(spark, tmp_path):
     """Work rolled back via ROLLBACK TO never reaches the journal: the
     tx journal checkpoint recorded at SAVEPOINT truncates on rollback,
