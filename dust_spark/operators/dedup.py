@@ -437,6 +437,7 @@ def minhash_lsh_pairs_portable(
     shingle_words: int = 3,
     threshold: float = 0.2,
     max_bucket: int = 10_000,
+    verify: str = "exact",
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` on the portable polynomial hash family
     (:data:`dust_spark.functions.PORTABLE_HASH_MOD`) instead of
@@ -469,6 +470,35 @@ def minhash_lsh_pairs_portable(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    if verify == "estimate":
+        # 100 TB verification mode: Ĵ = matching signature components/k
+        # — candidate payloads are the fixed num_hashes*8-byte
+        # signatures, shingle SETS never travel (the same scale story
+        # as c2e, now with a hard oracle: the portable signatures
+        # replay in DuckDB)
+        va = sigs.select(F.col("id").alias("id_a"), F.col("sig").alias("sig_a"))
+        vb = sigs.select(F.col("id").alias("id_b"), F.col("sig").alias("sig_b"))
+        matches = F.aggregate(
+            F.zip_with(
+                "sig_a", "sig_b", lambda x, y: F.when(x == y, F.lit(1)).otherwise(F.lit(0))
+            ),
+            F.lit(0),
+            lambda s, x: s + x,
+        )
+        verified = (
+            candidates.join(va, "id_a")
+            .join(vb, "id_b")
+            .withColumn(
+                "est_jaccard",
+                F.round(matches.cast("double") / F.lit(float(num_hashes)), 4),
+            )
+            .filter(F.col("est_jaccard") >= threshold)
+            .select("id_a", "id_b", "est_jaccard")
+        )
+        verified = verified.persist()
+        verified.count()
+        sigs.unpersist()
+        return verified
     shing = sh.select("id", "shingles")
     sa = shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
     sb = shing.select(F.col("id").alias("id_b"), F.col("shingles").alias("sh_b"))

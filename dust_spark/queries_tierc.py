@@ -1385,7 +1385,7 @@ def simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # band-bucket candidate join AND the exact-Jaccard verification — so the
 # c2a-style band-pair construction gets a hard hash row (c2a itself stays
 # rows-only: xxhash64 isn't expressible outside the JVM).
-_PORTABLE_MINHASH_ORACLE = """
+_PORTABLE_MINHASH_CTES = """
 WITH tok AS (
   SELECT doc_id,
          CASE WHEN length(trim(text)) = 0 THEN []
@@ -1427,7 +1427,12 @@ WITH tok AS (
 ), cand AS (
   SELECT DISTINCT x.doc_id AS id_a, y.doc_id AS id_b
   FROM bk x JOIN bk y ON x.band = y.band AND x.bh = y.bh AND x.doc_id < y.doc_id
-), ver AS (
+)
+"""
+
+_PORTABLE_MINHASH_ORACLE = (
+    _PORTABLE_MINHASH_CTES
+    + """, ver AS (
   SELECT id_a, id_b,
     ROUND(len(list_intersect(sa.shingles, sb.shingles))::DOUBLE /
           (len(sa.shingles) + len(sb.shingles)
@@ -1436,8 +1441,23 @@ WITH tok AS (
   JOIN sh sa ON sa.doc_id = id_a
   JOIN sh sb ON sb.doc_id = id_b
 )
-SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2 ORDER BY id_a, id_b
-"""
+SELECT id_a, id_b, jaccard FROM ver WHERE jaccard >= 0.2 ORDER BY id_a, id_b"""
+)
+
+# estimate-mode twin of c2e: verification via matching signature
+# components (the fixed-payload 100 TB mode), portable → hard oracle
+_PORTABLE_MINHASH_EST_ORACLE = (
+    _PORTABLE_MINHASH_CTES
+    + """, est AS (
+  SELECT id_a, id_b,
+    ROUND(list_sum(list_transform(list_zip(sa.sig, sb.sig),
+        x -> CASE WHEN x[1] = x[2] THEN 1 ELSE 0 END))::DOUBLE / 64, 4) AS est_jaccard
+  FROM cand
+  JOIN sig sa ON sa.doc_id = id_a
+  JOIN sig sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b, est_jaccard FROM est WHERE est_jaccard >= 0.2 ORDER BY id_a, id_b"""
+)
 
 
 # Incremental dedup against an existing corpus (even doc_ids = corpus,
@@ -1519,6 +1539,20 @@ def dedup_against_corpus_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     corpus = docs.filter(F.col("doc_id") % 2 == 0)
     return ops.dedup_against_corpus(new, corpus, threshold=0.2, mode="flags").orderBy(
         "doc_id"
+    )
+
+
+@register("c2j_minhash_estimate_portable", oracle=_PORTABLE_MINHASH_EST_ORACLE, tags=("tierc", "dedup", "jit"))
+def minhash_estimate_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Estimate-mode portable MinHash — the hard-oracled twin of c2e:
+    Ĵ = matching signature components / k over the portable hash
+    family, so the 100 TB verification mode (fixed signature payloads,
+    no shingle sets in the join) replays bit-exactly in DuckDB. With
+    this, all SIX rows-only sketch queries have portable twins."""
+    return (
+        ops.minhash_lsh_pairs_portable(
+            _docs(spark, sf_dir), threshold=0.2, verify="estimate"
+        ).orderBy("id_a", "id_b")
     )
 
 
