@@ -1253,6 +1253,47 @@ def test_collation_survives_disk_reopen(spark, tmp_path):
         db2.close()
 
 
+def test_savepoint_across_attached_sqlite_differential(spark, tmp_path):
+    """Savepoints span ATTACHed databases atomically (the overlay
+    snapshot covers the whole sibling family): ROLLBACK TO reverts
+    staged work in BOTH catalogs — differential vs sqlite3 with a real
+    attached file."""
+    import os
+    import sqlite3
+
+    from dust_spark import DustSession
+
+    ref = sqlite3.connect(str(tmp_path / "main.db"))
+    ref.isolation_level = None
+    ref.execute(f"ATTACH '{tmp_path / 'aux.db'}' AS aux")
+    db = DustSession(spark)
+    try:
+        assert db.execute_string_stmt(f"ATTACH '{tmp_path / 'aux_wh'}' AS aux")[0].error == ""
+        for s in (
+            "CREATE TABLE m (a INT)",
+            "CREATE TABLE aux.x (b INT)",
+            "BEGIN",
+            "INSERT INTO m VALUES (1)",
+            "INSERT INTO aux.x VALUES (10)",
+            "SAVEPOINT sp",
+            "INSERT INTO m VALUES (2)",
+            "INSERT INTO aux.x VALUES (20)",
+            "ROLLBACK TO sp",
+            "INSERT INTO aux.x VALUES (30)",
+            "COMMIT",
+        ):
+            ref.execute(s)
+            r = db.execute_string_stmt(s)[0]
+            assert r.error == "", (s, r.error)
+        for q in ("SELECT a FROM m ORDER BY a", "SELECT b FROM aux.x ORDER BY b"):
+            want = [r0[0] for r0 in ref.execute(q).fetchall()]
+            got = [r0[0] for r0 in db.query_string_stmt(q)[0].values]
+            assert got == want, (q, got, want)
+    finally:
+        db.close()
+        ref.close()
+
+
 def test_savepoint_journal_replay(spark, tmp_path):
     """Work rolled back via ROLLBACK TO never reaches the journal: the
     tx journal checkpoint recorded at SAVEPOINT truncates on rollback,
