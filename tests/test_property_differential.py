@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import duckdb
 import pytest
-from hypothesis import HealthCheck, given, settings
+from hypothesis import HealthCheck, assume, given, settings
 from hypothesis import strategies as st
 
 from dust_spark.tables import register_views, table_path
@@ -44,11 +44,40 @@ def predicates(draw, depth: int = 2):
     return f"({a} {conj} {b})"
 
 
+def _connect(tables):
+    con = duckdb.connect()
+    for t in tables:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')")
+    return con
+
+
+class _DuckHolder:
+    """DuckDB connection wrapper that survives ORACLE-side crashes:
+    duckdb 1.0.0 has optimizer bugs (e.g. duplicated OR branches over a
+    degenerate BETWEEN dereference a NULL unique_ptr) that invalidate
+    the whole connection. A crashed example is DISCARDED via assume()
+    (it says nothing about the engine) and the connection reopens."""
+
+    def __init__(self, tables):
+        self.tables = tables
+        self.con = _connect(tables)
+
+    def run(self, sql, many):
+        try:
+            cur = self.con.execute(sql)
+            return cur.fetchall() if many else cur.fetchone()
+        except duckdb.Error:
+            try:
+                self.con.close()
+            except duckdb.Error:
+                pass
+            self.con = _connect(self.tables)
+            assume(False)
+
+
 @pytest.fixture(scope="module")
 def duck_orders():
-    con = duckdb.connect()
-    con.execute(f"CREATE VIEW orders AS SELECT * FROM read_parquet('{table_path(SF_DIR, 'orders')}')")
-    return con
+    return _DuckHolder(("orders",))
 
 
 @settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
@@ -61,7 +90,7 @@ def test_random_filter_agg_matches_duckdb(spark, duck_orders, pred):
         f"FROM orders WHERE {pred}"
     )
     got = spark.sql(sql).collect()[0]
-    want = duck_orders.execute(sql).fetchone()
+    want = duck_orders.run(sql, many=False)
     assert (got.n, got.sk, got.mn, got.mx) == want, f"predicate: {pred}"
 
 
@@ -71,7 +100,7 @@ def test_random_groupby_matches_duckdb(spark, duck_orders, pred, key):
     register_views(spark, SF_DIR)
     sql = f"SELECT {key} AS k, count(*) AS n FROM orders WHERE {pred} GROUP BY {key} ORDER BY k"
     got = [(r.k, r.n) for r in spark.sql(sql).collect()]
-    want = duck_orders.execute(sql).fetchall()
+    want = duck_orders.run(sql, many=True)
     assert got == want, f"predicate: {pred}"
 
 
@@ -87,13 +116,10 @@ def test_random_join_matches_duckdb(spark, duck_all, pred, join_type):
         f"FROM orders {join_type} customer ON o_custkey = c_custkey WHERE {pred}"
     )
     got = spark.sql(sql).collect()[0]
-    want = duck_all.execute(sql).fetchone()
+    want = duck_all.run(sql, many=False)
     assert (got.n, got.sk) == want, f"{join_type} with {pred}"
 
 
 @pytest.fixture(scope="module")
 def duck_all():
-    con = duckdb.connect()
-    for t in ("orders", "customer"):
-        con.execute(f"CREATE VIEW {t} AS SELECT * FROM read_parquet('{table_path(SF_DIR, t)}')")
-    return con
+    return _DuckHolder(("orders", "customer"))
