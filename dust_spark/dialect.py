@@ -1571,9 +1571,37 @@ def rewrite_exclude_frames(sql: str) -> str | None:
         while k >= 0 and (head[k].isalnum() or head[k] == "_"):
             k -= 1
         fname = head[k + 1 : name_end + 1].lower()
-        if fname not in ("sum", "count", "avg", "total") or re.search(
-            r"\bDISTINCT\b", argtext, re.I
-        ):
+        if re.search(r"\bDISTINCT\b", argtext, re.I):
+            return None
+        if fname in ("min", "max"):
+            # not invertible — but EXCLUDE CURRENT ROW on a ROWS frame
+            # splits exactly: min/max over [lo, -1] ∪ [+1, hi] row
+            # windows, combined with least/greatest (which skip NULLs,
+            # so an empty side drops out)
+            if kind != "CURRENT ROW" or bm.group(1).upper() != "ROWS":
+                return None
+            lo_txt = bm.group(2) if bm.group(2) is not None else bm.group(4)
+            hi_txt = bm.group(3) if bm.group(2) is not None else "CURRENT ROW"
+            sides = []
+            if lo < 0:  # rows strictly before current
+                sides.append(
+                    f"{fname}({argtext}) OVER ({prefix} ROWS BETWEEN {lo_txt} AND 1 PRECEDING)"
+                )
+            if hi > 0:  # rows strictly after current
+                sides.append(
+                    f"{fname}({argtext}) OVER ({prefix} ROWS BETWEEN 1 FOLLOWING AND {hi_txt})"
+                )
+            comb = "least" if fname == "min" else "greatest"
+            if len(sides) == 2:
+                repl = f"{comb}({sides[0]}, {sides[1]})"
+            elif sides:
+                repl = f"({sides[0]})"
+            else:  # frame was just the current row: excluded → NULL
+                repl = f"(CASE WHEN 1 = 0 THEN {fname}({argtext}) OVER ({prefix} {frame}) END)"
+            out.append(sql[i : k + 1] + repl)
+            i = close
+            continue
+        if fname not in ("sum", "count", "avg", "total"):
             return None
         base = f"OVER ({prefix} {frame})"
         peer = f"OVER ({prefix} RANGE BETWEEN CURRENT ROW AND CURRENT ROW)"

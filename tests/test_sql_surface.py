@@ -374,8 +374,8 @@ def test_sqlite_sequence_and_window_frames(db):
 
     with pytest.raises(DustError, match="unsupported: window frame"):
         db.query_string_stmt(
-            "SELECT MAX(v) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND "
-            "CURRENT ROW EXCLUDE CURRENT ROW) FROM sqa"
+            "SELECT MAX(v) OVER (ORDER BY id RANGE BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) FROM sqa"
         )
 
 
@@ -420,10 +420,24 @@ def test_exclude_frames_sqlite_differential(db):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
         assert got == want, (q, got, want)
+    # min/max EXCLUDE CURRENT ROW on ROWS frames: split-window form
+    for q in (
+        "SELECT p,o, min(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN 1 "
+        "PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM ex ORDER BY p,o",
+        "SELECT p,o, max(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN "
+        "UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE CURRENT ROW) AS m "
+        "FROM ex ORDER BY p,o",
+        "SELECT p,o, min(v) OVER (PARTITION BY p ORDER BY o ROWS BETWEEN "
+        "CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS m FROM ex ORDER BY p,o",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    # RANGE min/max under EXCLUDE stays rejected (peers aren't splittable)
     with pytest.raises(DustError, match="unsupported: window frame"):
         db.query_string_stmt(
-            "SELECT min(v) OVER (ORDER BY o ROWS BETWEEN 1 PRECEDING AND 1 "
-            "FOLLOWING EXCLUDE CURRENT ROW) FROM ex"
+            "SELECT min(v) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING "
+            "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) FROM ex"
         )
 
 
