@@ -2699,7 +2699,7 @@ _ARG_FN_RE = re.compile(
     r"|json_group_array|json_group_object"
     r"|likely|unlikely|likelihood|hex|like|unicode|unixepoch|julianday"
     r"|log|floor|ceil|ceiling|mod|trunc|lower|upper|substr|substring"
-    r"|printf|format_string|sqrt|acos|asin|acosh|atanh|power|pow)\s*\(",
+    r"|printf|format_string|sqrt|acos|asin|acosh|atanh|power|pow|avg)\s*\(",
     re.I,
 )
 
@@ -2903,12 +2903,30 @@ def _rewrite_one_call(
         return f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)), CAST(0.0 AS DOUBLE))"
     if n == "group_concat":
         # SQLite's default separator is ','; Spark's string_agg 1-arg
-        # form concatenates with no separator
+        # form concatenates with no separator. DISTINCT keeps SQLite's
+        # practical first-occurrence order via array_distinct over the
+        # collected list (both engines leave the order formally
+        # undefined; Spark's string_agg DISTINCT re-sorts, which never
+        # matches)
+        dm = re.match(r"(?is)^\s*DISTINCT\s+(.*)$", (raw_args or args)[0] if args else "")
+        if dm and len(args) <= 2:
+            inner = _rewrite_arg_fns(dm.group(1).strip())
+            sep = args[1] if len(args) == 2 else "','"
+            return (
+                f"array_join(array_distinct(collect_list(CAST(({inner}) AS STRING))), {sep})"
+            )
         if len(args) == 1:
             return f"string_agg({args[0]}, ',')"
         if len(args) == 2:
             return f"string_agg({args[0]}, {args[1]})"
         return None
+    if n == "avg" and len(args) == 1 and not re.search(r"(?is)^\s*DISTINCT\b", (raw_args or args)[0]):
+        # SQLite avg() applies REAL affinity per value: junk text counts
+        # as 0.0 INTO THE DENOMINATOR (avg of ('x','y','z','3.5') is
+        # 0.875, not 3.5 — r6 finding); Spark drops uncastable values.
+        # The affinity wrap preserves the count basis; numeric inputs
+        # pass through it unchanged.
+        return f"avg({_CAST_REAL_WRAP.format(x=args[0])})"
     if n == "round" and len(args) in (1, 2):
         # SQLite round() always returns REAL (Spark preserves DECIMAL)
         return f"CAST(round({', '.join(args)}) AS DOUBLE)"

@@ -263,6 +263,11 @@ CASES = [
 
 
 AGG_CASES = [
+    # r6: DISTINCT group_concat first-occurrence order; avg REAL
+    # affinity counts junk text as 0.0 in the denominator
+    "SELECT group_concat(DISTINCT s) FROM (SELECT s FROM t ORDER BY id)",
+    "SELECT ROUND(avg(s), 4) FROM t",
+    "SELECT avg(v) FROM t",
     "SELECT total(v) FROM t",
     "SELECT total(v) FROM t WHERE v > 99",
     "SELECT sum(v) FROM t WHERE v > 99",
