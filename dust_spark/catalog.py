@@ -302,6 +302,7 @@ def _tdef_to_json(tdef: TableDef) -> dict:
         "autoincrement": tdef.autoincrement,
         "strict": tdef.strict,
         "checks": [list(c) for c in tdef.checks],
+        "check_origins": list(tdef.check_origins),
         "generated": tdef.generated,
         "generated_stored": sorted(tdef.generated_stored),
         "defaults": tdef.defaults,
@@ -324,6 +325,7 @@ def _tdef_from_json(d: dict) -> TableDef:
         autoincrement=d.get("autoincrement", False),
         strict=d.get("strict", False),
         checks=[tuple(c) for c in d.get("checks", [])],
+        check_origins=d.get("check_origins", [None] * len(d.get("checks", []))),
         generated=d.get("generated", {}),
         generated_stored=set(d.get("generated_stored", [])),
         defaults=d.get("defaults", {}),

@@ -307,6 +307,13 @@ class TableDef:
     # verbatim — SQLite's error-message rule ("CHECK constraint failed:
     # a > 0" vs "... failed: bpos", probed against sqlite3 3.x)
     checks: list[tuple[str, str]] = field(default_factory=list)
+    # origin column of each check (parallel to ``checks``): the column
+    # whose definition carried it, or None for table-level constraints.
+    # DROP COLUMN semantics hinge on this (r6-probed): a check defined
+    # ON the dropped column vanishes silently with it, while any OTHER
+    # check still referencing the column makes the drop fail with
+    # SQLite's post-drop revalidation error
+    check_origins: list = field(default_factory=list)
     # original CREATE TABLE text for the sqlite_master 'sql' column;
     # None after column-level ALTERs (the text is then synthesized)
     source_sql: str | None = None
@@ -510,7 +517,9 @@ def parse_create_table(sql: str) -> TableDef:
             # table-level CHECK (possibly named) is enforced on write;
             # other named table constraints (CONSTRAINT x UNIQUE/PK/FK)
             # keep the pre-existing accept-and-skip posture
-            td.checks.extend(extract_checks(item))
+            new_checks = extract_checks(item)
+            td.checks.extend(new_checks)
+            td.check_origins.extend([None] * len(new_checks))
             continue
 
         # column definition: name [type tokens...] [constraints...]
@@ -597,7 +606,9 @@ def parse_create_table(sql: str) -> TableDef:
                     vm = re.match(r"'(?:[^']|'')*'|\S+", tail)
                     if vm:
                         td.defaults[col] = vm.group(0)
-        td.checks.extend(extract_checks(item))
+        col_checks = extract_checks(item)
+        td.checks.extend(col_checks)
+        td.check_origins.extend([col] * len(col_checks))
 
         td.declared_types[col] = decl
         fields.append(T.StructField(col, dtype, nullable=True))

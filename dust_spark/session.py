@@ -791,6 +791,7 @@ class DustSession:
             if default_sql is not None:
                 tdef.defaults[col] = default_sql
             tdef.checks.extend(sub.checks)
+            tdef.check_origins.extend([col] * len(sub.checks))
             tdef.foreign_keys.extend(sub.foreign_keys)
             tdef.source_sql = None  # sqlite_master sql re-synthesizes
             if col in sub.generated:
@@ -872,6 +873,9 @@ class DustSession:
                 (word.sub(new, lbl) if lbl == expr else lbl, word.sub(new, expr))
                 for lbl, expr in tdef.checks
             ]
+            tdef.check_origins = [
+                new if org == old else org for org in tdef.check_origins
+            ]
             tdef.source_sql = None
             for other in list(overlay.catalog.tables):
                 ost = overlay.get(other)
@@ -896,12 +900,54 @@ class DustSession:
             if any(col in cs for cs in tdef.unique):
                 raise DustError(f'cannot drop UNIQUE column: "{col}"')
             word = re.compile(rf"\b{re.escape(col)}\b", re.I)
+            visible = [
+                f.name for f in tdef.visible_fields()
+            ] if hasattr(tdef, "visible_fields") else fields
+            if len([c for c in visible if c != dialect.HIDDEN_ROWID]) <= 1:
+                raise DustError(f'cannot drop column "{col}": no other columns exist')
+            # SQLite revalidates the whole schema after the drop: checks
+            # carried by the dropped column vanish with it; any OTHER
+            # check / generated column / view still referencing it makes
+            # the drop fail (r6-probed error strings)
+            origins = list(tdef.check_origins) + [None] * (
+                len(tdef.checks) - len(tdef.check_origins)
+            )
+            for (lbl, expr), org in zip(tdef.checks, origins):
+                if org != col and word.search(expr):
+                    raise DustError(
+                        f"error in table {name} after drop column: no such column: {col}"
+                    )
+            for gcol, gexpr in tdef.generated.items():
+                if gcol != col and word.search(gexpr):
+                    raise DustError(
+                        f"error in table {name} after drop column: no such column: {col}"
+                    )
+            remaining = [
+                f.name
+                for f in tdef.schema.fields
+                if f.name != col and f.name != dialect.HIDDEN_ROWID
+            ]
+            if all(c in tdef.generated for c in remaining):
+                raise DustError(
+                    f"error in table {name} after drop column: "
+                    "must have at least one non-generated column"
+                )
+            tname_word = re.compile(rf"\b{re.escape(name)}\b", re.I)
+            for vname, sel in overlay.catalog.views.items():
+                if tname_word.search(sel) and word.search(sel):
+                    raise DustError(
+                        f"error in view {vname} after drop column: no such column: {col}"
+                    )
+            # own-column checks go silently; everything kept was already
+            # validated not to reference the dropped column
+            kept = [(c, o) for c, o in zip(tdef.checks, origins) if o != col]
+            tdef.checks = [c for c, _ in kept]
+            tdef.check_origins = [o for _, o in kept]
             tdef.schema = T.StructType([f for f in tdef.schema.fields if f.name != col])
             tdef.declared_types.pop(col, None)
             tdef.not_null.discard(col)
             tdef.defaults.pop(col, None)
             tdef.foreign_keys = [fk for fk in tdef.foreign_keys if col not in fk.columns]
-            tdef.checks = [(lbl, expr) for lbl, expr in tdef.checks if not word.search(expr)]
             tdef.source_sql = None
             new_df = st.df.drop(col)
 

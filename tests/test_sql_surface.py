@@ -558,6 +558,56 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_drop_column_revalidation_sqlite_differential(db):
+    """DROP COLUMN post-drop schema revalidation (r6-probed): checks
+    carried by the dropped column vanish silently, any OTHER check /
+    generated column / view still referencing it fails the drop with
+    SQLite's 'error in <kind> <name> after drop column' string; the
+    last visible column refuses. (Statements are ordered to dodge a
+    sqlite 3.40 quirk where an unrelated INSERT flips a later ALTER's
+    behavior — canonical semantics verified in isolation.)"""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE t1 (a INT CHECK (a < b), b INT, c INT)",
+        "ALTER TABLE t1 DROP COLUMN b",  # other-column check xref: error
+        "ALTER TABLE t1 DROP COLUMN a",  # own-column check drops silently
+        "CREATE TABLE t2 (a INT, b INT CHECK (b > a))",
+        "ALTER TABLE t2 DROP COLUMN b",
+        "ALTER TABLE t2 DROP COLUMN a",  # last column: error
+        "CREATE TABLE t3 (a INT, b INT, CHECK (a < b))",
+        "ALTER TABLE t3 DROP COLUMN b",  # table-level check xref: error
+        "CREATE TABLE g (p INT, r INT, q INT GENERATED ALWAYS AS (p*2) VIRTUAL)",
+        "ALTER TABLE g DROP COLUMN p",  # generated xref: error
+        "ALTER TABLE g DROP COLUMN r",
+        "CREATE TABLE u (x INT, y INT)",
+        "CREATE VIEW uv AS SELECT x FROM u",
+        "ALTER TABLE u DROP COLUMN x",  # view xref: error
+        "CREATE TABLE pk2 (m INT PRIMARY KEY, n INT UNIQUE, o INT)",
+        "ALTER TABLE pk2 DROP COLUMN m",
+        "ALTER TABLE pk2 DROP COLUMN n",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        got = db.execute_string_stmt(s)[0]
+        gerr = got.error or None
+        assert (werr is None) == (gerr is None), (s, werr, gerr)
+        if werr is not None:
+            assert gerr == werr, (s, werr, gerr)
+    # t2's own-column check really vanished: the once-invalid row inserts
+    ref.execute("INSERT INTO t2 VALUES (5)")
+    assert db.execute_string_stmt("INSERT INTO t2 VALUES (5)")[0].error == ""
+    for q in ("SELECT * FROM t1", "SELECT * FROM t2", "SELECT x FROM u"):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+
+
 def test_collated_constraints_sqlite_differential(db):
     """Column collations flow through CONSTRAINTS (r6 probe): NOCASE /
     RTRIM UNIQUE and PRIMARY KEY conflict case/trailing-space
