@@ -1501,6 +1501,14 @@ class DustSession:
                 ]
                 for tgt in targets
             ]
+            # the explicit target must NAME an actual uniqueness
+            # constraint (column order-insensitive) — SQLite rejects
+            # 'ON CONFLICT(x)' on a table whose PK is (x, y) (r6)
+            want = {frozenset(c) for c in all_constraints}
+            if frozenset(targets[0]) not in want:
+                raise DustError(
+                    "ON CONFLICT clause does not match any PRIMARY KEY or UNIQUE constraint"
+                )
         target = targets[0]
         existing = st.df
         schema_cols = [f.name for f in tdef.schema.fields]

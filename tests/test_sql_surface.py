@@ -558,6 +558,51 @@ def test_window_filter_and_decimal_wire(db):
     assert rows.types == ["real"], rows.types
 
 
+def test_conflict_target_validation_sqlite_differential(db):
+    """ON CONFLICT target validation (r6): the explicit column list
+    must name an actual PK/UNIQUE constraint (order-insensitive) —
+    'ON CONFLICT(x)' on a (x,y) composite PK is SQLite's 'does not
+    match any PRIMARY KEY or UNIQUE constraint' error; WITHOUT ROWID
+    and composite-PK upserts/REPLACE behave identically."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE w2 (k TEXT PRIMARY KEY, n INT) WITHOUT ROWID",
+        "INSERT INTO w2 VALUES ('a', 1), ('b', 2)",
+        "INSERT INTO w2 VALUES ('a', 10) ON CONFLICT(k) DO UPDATE SET n = n + excluded.n",
+        "REPLACE INTO w2 VALUES ('b', 99)",
+        "CREATE TABLE cpt (x INT, y INT, v TEXT, PRIMARY KEY (x, y))",
+        "INSERT INTO cpt VALUES (1,1,'a'), (1,2,'b')",
+        "INSERT INTO cpt VALUES (1,1,'z') ON CONFLICT(x, y) DO UPDATE SET v = excluded.v || '!'",
+        "INSERT INTO cpt VALUES (9,9,'m') ON CONFLICT(y, x) DO NOTHING",
+        "INSERT INTO cpt VALUES (2,2,'q') ON CONFLICT(x) DO NOTHING",  # error
+        "CREATE TABLE iu (a INT UNIQUE, b INT UNIQUE)",
+        "INSERT INTO iu VALUES (1, 2)",
+        "INSERT INTO iu VALUES (4, 2) ON CONFLICT(a, b) DO NOTHING",  # error
+        "DELETE FROM cpt WHERE (x, y) = (1, 2)",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        got = db.execute_string_stmt(s)[0]
+        gerr = got.error or None
+        assert (werr is None) == (gerr is None), (s, werr, gerr)
+        if werr is not None:
+            assert gerr == werr, (s, werr, gerr)
+    for q in (
+        "SELECT k, n FROM w2 ORDER BY k",
+        "SELECT x, y, v FROM cpt ORDER BY x, y",
+        "SELECT a, b FROM iu ORDER BY a",
+    ):
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
+
+
 def test_drop_column_revalidation_sqlite_differential(db):
     """DROP COLUMN post-drop schema revalidation (r6-probed): checks
     carried by the dropped column vanish silently, any OTHER check /
