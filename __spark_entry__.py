@@ -114,6 +114,24 @@ _ROUND5_VERIFIED = (
     "b3f_anti_join b3g_theta_join"
 ).split()
 
+# Hash-green in CORRECTNESS_r06 (44 names: the r6-new queries
+# b5g/c2i/c9h/c9i/c10c/c3i/c2j plus the window filler re-confirmed
+# there):
+_ROUND6_VERIFIED = (
+    "b5g_window_filter c2i_embedding_near_dup_portable c9h_cap_per_source "
+    "c9i_token_budget_mix c10c_domain_rank c3i_kmeans_portable "
+    "c2j_minhash_estimate_portable b3h_self_join b3i_star_join "
+    "b3j_using_join b4a_groupby_aggs b4b_count_distinct b4c_having "
+    "b4d_global_agg b4e_rollup b4f_conditional_agg b4g_distinct b4h_cube "
+    "b5a_row_number_rank b5b_lag_lead b5c_first_value b5d_running_sum "
+    "b5e_ntile_dense_rank b6a_order_by b6b_multi_key_order b6c_top_k "
+    "b6d_limit_offset b7a_union_all b7b_union_distinct b7c_intersect "
+    "b7d_except b8a_scalar_subquery b8b_in_subquery b8c_derived_table "
+    "b8d_cte b8f_recursive_cte b8e_correlated_scalar b9a_string_funcs "
+    "b9b_math_funcs b9c_date_extract b9d_date_trunc b9e_case_coalesce "
+    "b9g_json b11a_tumbling_window"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -134,6 +152,7 @@ def _prioritized():
         _ROUND3_VERIFIED,
         _ROUND4_VERIFIED,
         _ROUND5_VERIFIED,
+        _ROUND6_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}
