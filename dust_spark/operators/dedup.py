@@ -160,8 +160,15 @@ def minhash_lsh_pairs(
     threshold: float = 0.7,
     max_bucket: int = 10_000,
     verify: str = "exact",
+    sigs: DataFrame | None = None,
 ) -> DataFrame:
     """Near-duplicate pairs (id_a < id_b, jaccard >= threshold).
+
+    ``sigs`` optionally injects a precomputed (id, sig) signature table
+    (from :func:`minhash_signatures` with ``include_shingles=False``) —
+    the caller owns its lifecycle (persist/unpersist); several dedup
+    queries over the same corpus then share ONE signature computation
+    instead of re-running the Arrow kernel per call.
 
     Pipeline: signature (narrow) → explode band keys → self-join on
     (band, hash) → distinct candidate pairs → verify Jaccard. With b=16
@@ -187,6 +194,7 @@ def minhash_lsh_pairs(
     """
     if verify not in ("exact", "estimate"):
         raise ValueError(f"verify must be 'exact' or 'estimate', got {verify!r}")
+    owns_sigs = sigs is None
     # signature-only table: (id, 8·k-byte sig) — shingle sets never enter
     # the cache (or any shuffle; exact verification recomputes them
     # map-side below). Persist guarantees the Arrow sig kernel runs once
@@ -195,10 +203,11 @@ def minhash_lsh_pairs(
     # per-block write lock de-duplicates concurrent fills, so no eager
     # count job is needed (the round-2 plan without persist restated the
     # UDF 16×; the round-3 eager count paid one extra job per call).
-    sigs = minhash_signatures(
-        df, text_col, id_col, num_hashes, shingle_words, include_shingles=False
-    )
-    sigs = sigs.persist()
+    if owns_sigs:
+        sigs = minhash_signatures(
+            df, text_col, id_col, num_hashes, shingle_words, include_shingles=False
+        )
+        sigs = sigs.persist()
 
     from pyspark.sql import Window as W
 
@@ -255,9 +264,12 @@ def minhash_lsh_pairs(
     # Scope the signature cache to this call: materialize the (small)
     # verified-pair output, then release the signatures — long-lived
     # sessions running many dedups must not accumulate cache blocks.
+    # Caller-injected signatures are caller-owned: keep them cached and
+    # skip the eager count (nothing to release here).
     verified = verified.persist()
-    verified.count()
-    sigs.unpersist()
+    if owns_sigs:
+        verified.count()
+        sigs.unpersist()
     return verified
 
 
@@ -352,6 +364,8 @@ def dedup_against_corpus(
     threshold: float = 0.2,
     max_bucket: int = 10_000,
     mode: str = "clean",
+    new_shingle_sigs: tuple[DataFrame, DataFrame] | None = None,
+    corpus_shingle_sigs: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """Incremental dedup: flag (or drop) NEW documents that duplicate an
     EXISTING corpus — the standard ingest gate when a fresh crawl lands
@@ -387,8 +401,12 @@ def dedup_against_corpus(
         .select("id")
         .distinct()
     )
-    sh_n, sigs_n = _portable_shingle_sigs(new_df, text_col, id_col, num_hashes, shingle_words)
-    sh_c, sigs_c = _portable_shingle_sigs(
+    # optional precomputed (sh, sigs) per side — caller-owned, typically
+    # parity-filtered views of one shared full-corpus signature table
+    sh_n, sigs_n = new_shingle_sigs or _portable_shingle_sigs(
+        new_df, text_col, id_col, num_hashes, shingle_words
+    )
+    sh_c, sigs_c = corpus_shingle_sigs or _portable_shingle_sigs(
         corpus_df, text_col, id_col, num_hashes, shingle_words
     )
     bands_n = _portable_band_keys(sigs_n, num_hashes, bands, max_bucket)
@@ -438,6 +456,7 @@ def minhash_lsh_pairs_portable(
     threshold: float = 0.2,
     max_bucket: int = 10_000,
     verify: str = "exact",
+    shingle_sigs: tuple[DataFrame, DataFrame] | None = None,
 ) -> DataFrame:
     """:func:`minhash_lsh_pairs` on the portable polynomial hash family
     (:data:`dust_spark.functions.PORTABLE_HASH_MOD`) instead of
@@ -460,8 +479,15 @@ def minhash_lsh_pairs_portable(
     windowed ``max_bucket`` skew guard, exact-Jaccard verification with
     shingle sets recomputed map-side. 100% Catalyst, no Python stage.
     """
-    sh, sigs = _portable_shingle_sigs(df, text_col, id_col, num_hashes, shingle_words)
-    sigs = sigs.persist()
+    # ``shingle_sigs`` optionally injects the precomputed (sh, sigs)
+    # pair from :func:`_portable_shingle_sigs` — caller-owned lifecycle,
+    # shared across the portable MinHash query family.
+    owns_sigs = shingle_sigs is None
+    if owns_sigs:
+        sh, sigs = _portable_shingle_sigs(df, text_col, id_col, num_hashes, shingle_words)
+        sigs = sigs.persist()
+    else:
+        sh, sigs = shingle_sigs
     bands_df = _portable_band_keys(sigs, num_hashes, bands, max_bucket)
     a, b = bands_df.alias("a"), bands_df.alias("b")
     candidates = (
@@ -496,8 +522,9 @@ def minhash_lsh_pairs_portable(
             .select("id_a", "id_b", "est_jaccard")
         )
         verified = verified.persist()
-        verified.count()
-        sigs.unpersist()
+        if owns_sigs:
+            verified.count()
+            sigs.unpersist()
         return verified
     shing = sh.select("id", "shingles")
     sa = shing.select(F.col("id").alias("id_a"), F.col("shingles").alias("sh_a"))
@@ -510,8 +537,9 @@ def minhash_lsh_pairs_portable(
         .select("id_a", "id_b", "jaccard")
     )
     verified = verified.persist()
-    verified.count()
-    sigs.unpersist()
+    if owns_sigs:
+        verified.count()
+        sigs.unpersist()
     return verified
 
 
