@@ -67,6 +67,9 @@ class Catalog:
         self.view_prefix = view_prefix
         self.tables: dict[str, TableState] = {}
         self.views: dict[str, str] = {}  # view name -> SELECT sql
+        # trigger name (lower) -> serialized TriggerDef dict (creation
+        # order preserved by dict insertion; SQLite fires in that order)
+        self.triggers: dict[str, dict] = {}
         # journal high-water mark: seq of the last statement reflected in
         # this manifest — replay() skips entries at or below it, so
         # "load manifest + replay journal tail" never double-applies
@@ -113,6 +116,7 @@ class Catalog:
             )
             self.tables[key].visible_df().createOrReplaceTempView(key)
         self.views = man.get("views", {})
+        self.triggers = man.get("triggers", {})
         self.journal_seq = man.get("journal_seq", 0)
         for vname, vsql in self.views.items():
             self.spark.sql(f"CREATE OR REPLACE TEMP VIEW {vname} AS {vsql}")
@@ -141,6 +145,7 @@ class Catalog:
                 for name, st in self.tables.items()
             },
             "views": self.views,
+            "triggers": self.triggers,
             "journal_seq": self.journal_seq,
         }
         fd, tmp = tempfile.mkstemp(dir=self.warehouse, suffix=".json")

@@ -123,6 +123,7 @@ def is_write(sql: str) -> bool:
         "CREATE_TABLE",
         "CREATE_INDEX",
         "CREATE_VIEW",
+        "CREATE_TRIGGER",
     )
 
 
@@ -725,7 +726,7 @@ def split_dml_tail(text: str) -> tuple[str, str | None]:
     return text[:cut].rstrip(), text[cut:].strip().rstrip(";") or None
 
 _DROP_RE = re.compile(
-    r"^\s*DROP\s+(?P<kind>TABLE|VIEW|INDEX)\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
+    r"^\s*DROP\s+(?P<kind>TABLE|VIEW|INDEX|TRIGGER)\s+(?P<ie>IF\s+EXISTS\s+)?(?P<name>\"[^\"]+\"|`[^`]+`|\[[^\]]+\]|\w+)\s*;?\s*$",
     re.S | re.I,
 )
 
@@ -1651,17 +1652,31 @@ def rewrite_exclude_frames(sql: str) -> str | None:
     return "".join(out)
 
 
-def rewrite_groups_frames(sql: str) -> str | None:
-    """SQLite GROUPS window frames → the dense_rank + RANGE equivalence:
-    ``OVER (PARTITION BY p ORDER BY o GROUPS <frame>)`` counts PEER
-    GROUPS, which is exactly ``RANGE <frame>`` over the integer
-    ``DENSE_RANK() OVER (PARTITION BY p ORDER BY o)`` (Spark has ROWS
-    and RANGE only). The FROM..WHERE part wraps in a subquery that adds
-    one ``__drN`` column per distinct (partition, order) pair. Handles
-    the simple single-SELECT shape (no *, no GROUP BY/HAVING/WINDOW
-    clause, GROUPS only in the top select list); returns None
-    otherwise — the caller keeps its loud rejection."""
-    if not re.search(r"\bGROUPS\b", sql, re.I):
+def rewrite_exclude_minmax_range(sql: str) -> str | None:
+    """min/max + EXCLUDE on RANGE frames — the non-invertible remainder
+    of the r6 EXCLUDE work.  RANGE peers make the excluded unit a peer
+    GROUP, so the frame decomposes into flanking groups plus the peer
+    group, and flanking groups become integer offsets in the
+    ``DENSE_RANK`` domain (the GROUPS-frame equivalence):
+
+    - EXCLUDE GROUP:       least/greatest over the two dr-flank windows
+    - EXCLUDE TIES:        flanks plus the current row's own value
+    - EXCLUDE CURRENT ROW: flanks plus min/max of the peer group minus
+      this row, computed from per-group helper columns (group min, its
+      multiplicity, and the second-distinct value — a group constant,
+      so one more subquery level resolves the self-reference)
+
+    Scope: simple single-SELECT shape (mirroring
+    :func:`rewrite_groups_frames`), RANGE bounds limited to
+    UNBOUNDED/CURRENT ROW (value offsets do not translate to rank
+    offsets), frame straddling the current row, no DISTINCT.  Other
+    EXCLUDE occurrences are left for :func:`rewrite_exclude_frames`;
+    returns None when nothing was rewritten.
+    Behavior parity: sqlite3-probed in
+    tests/test_sql_surface.py::test_exclude_minmax_range_sqlite_differential.
+    """
+    excl_re = re.compile(r"\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", re.I)
+    if not excl_re.search(sql) or not re.search(r"\b(min|max)\s*\(", sql, re.I):
         return None
     m = re.match(r"(\s*SELECT\s+)(DISTINCT\s+|ALL\s+)?", sql, re.I)
     if not m:
@@ -1671,8 +1686,6 @@ def rewrite_groups_frames(sql: str) -> str | None:
     if from_idx >= len(sql):
         return None
     select_list = sql[sel_start:from_idx]
-    if re.search(r"\bGROUPS\b", sql[from_idx:], re.I):
-        return None  # GROUPS in a subquery / WINDOW clause: out of scope
     from_body_start = from_idx + 4
     end_idx = _scan_top_level(
         sql,
@@ -1683,6 +1696,303 @@ def rewrite_groups_frames(sql: str) -> str | None:
     if re.match(r"\s*(GROUP|HAVING|WINDOW)\b", tail, re.I):
         return None
     from_part = sql[from_body_start:end_idx].strip()
+    items = split_top_level(select_list)
+    if any(it.strip() == "*" or it.strip().endswith(".*") for it in items):
+        return None
+
+    def norm(x: str) -> str:
+        return re.sub(r"\s+", " ", (x or "").strip()).lower()
+
+    def order_keys(order: str) -> str:
+        """ORDER BY items stripped of direction/null-placement — the
+        peer-group partition keys (collation suffixes stay: they decide
+        peer equality)."""
+        keys = []
+        for it in split_top_level(order):
+            it = re.sub(r"\s+(ASC|DESC)\s*$", "", it.strip(), flags=re.I)
+            it = re.sub(r"\s+NULLS\s+(FIRST|LAST)\s*$", "", it, flags=re.I)
+            keys.append(it.strip())
+        return ", ".join(keys)
+
+    dr_windows: dict[tuple, str] = {}
+    g_helpers: dict[tuple, dict] = {}
+    changed = False
+
+    def fix_overs(text: str) -> str | None:
+        nonlocal changed
+        out, i, n = [], 0, len(text)
+        over_re = re.compile(r"\bOVER\s*\(", re.I)
+        while i < n:
+            mo = over_re.search(text, i)
+            if not mo:
+                out.append(text[i:])
+                break
+            try:
+                close = _balanced_end(text, mo.end() - 1)
+            except ValueError:
+                return None
+            body = text[mo.end() : close - 1]
+            em = excl_re.search(body)
+            fm = re.search(r"\bRANGE\b", body, re.I)
+            # aggregate call immediately before OVER
+            head = text[: mo.start()].rstrip()
+            fname, argtext, k = None, None, -1
+            if head.endswith(")"):
+                depth, j, instr = 0, len(head) - 1, None
+                while j >= 0:
+                    ch = head[j]
+                    if instr:
+                        if ch == instr:
+                            instr = None
+                    elif ch in ("'", '"'):
+                        instr = ch
+                    elif ch == ")":
+                        depth += 1
+                    elif ch == "(":
+                        depth -= 1
+                        if depth == 0:
+                            break
+                    j -= 1
+                if j >= 0:
+                    argtext = head[j + 1 : -1].strip()
+                    k = j - 1
+                    while k >= 0 and head[k].isspace():
+                        k -= 1
+                    name_end = k
+                    while k >= 0 and (head[k].isalnum() or head[k] == "_"):
+                        k -= 1
+                    fname = head[k + 1 : name_end + 1].lower()
+            if (
+                not em
+                or not fm
+                or fname not in ("min", "max")
+                or re.search(r"\bDISTINCT\b", argtext or "", re.I)
+                or body[em.end() :].strip()
+            ):
+                out.append(text[i:close])
+                i = close
+                continue
+            kind = re.sub(r"\s+", " ", em.group(1).upper())
+            om = re.search(r"\bORDER\s+BY\b", body, re.I)
+            if not om or om.start() > fm.start():
+                return None
+            pm = re.search(r"\bPARTITION\s+BY\b", body, re.I)
+            partition = body[pm.end() : om.start()].strip() if pm else None
+            order = body[om.end() : fm.start()].strip()
+            frame = body[fm.start() : em.start()].strip()
+            bm = re.match(
+                r"(?is)^RANGE\s+(?:BETWEEN\s+(.+?)\s+AND\s+(.+)$|(.+)$)", frame
+            )
+            if not bm:
+                return None
+            if bm.group(1) is not None:
+                lo, hi = _frame_bound_sign(bm.group(1)), _frame_bound_sign(bm.group(2))
+            else:
+                lo, hi = _frame_bound_sign(bm.group(3)), 0
+            # value offsets don't translate to rank offsets — UNBOUNDED
+            # and CURRENT ROW bounds only, straddling the current row
+            if lo not in (float("-inf"), 0) or hi not in (0, float("inf")):
+                return None
+            dr = dr_windows.setdefault(
+                (norm(partition or ""), norm(order)), f"__xmr_dr{len(dr_windows)}"
+            )
+            part_prefix = f"PARTITION BY {partition} " if partition else ""
+            comb = "least" if fname == "min" else "greatest"
+            sides = []
+            if lo < 0:
+                sides.append(
+                    f"{fname}({argtext}) OVER ({part_prefix}ORDER BY {dr} "
+                    f"RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                )
+            if hi > 0:
+                sides.append(
+                    f"{fname}({argtext}) OVER ({part_prefix}ORDER BY {dr} "
+                    f"RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+                )
+            if kind == "TIES":
+                sides.append(f"({argtext})")
+            elif kind == "CURRENT ROW":
+                gkey = (norm(partition or ""), norm(order), norm(argtext), fname)
+                h = g_helpers.setdefault(
+                    gkey,
+                    {
+                        "partition": partition,
+                        "keys": order_keys(order),
+                        "arg": argtext,
+                        "fn": fname,
+                        "g": f"__xmr_g{len(g_helpers)}",
+                    },
+                )
+                g, cmp_op = h["g"], (">" if fname == "min" else "<")
+                # peer group minus this row: the group extreme unless
+                # this row is its only attainer, then the second
+                # distinct value (NULL when none — least/greatest skip)
+                sides.append(
+                    f"(CASE WHEN ({argtext}) IS NULL OR ({argtext}) {cmp_op} {g} THEN {g} "
+                    f"WHEN {g}_cnt >= 2 THEN {g} ELSE {g}_2 END)"
+                )
+            if len(sides) > 1:
+                repl = f"{comb}(" + ", ".join(sides) + ")"
+            elif sides:
+                repl = f"({sides[0]})"
+            else:  # frame was the peer group only and it is excluded
+                repl = (
+                    f"(CASE WHEN 1 = 0 THEN {fname}({argtext}) "
+                    f"OVER ({part_prefix}ORDER BY {dr}) END)"
+                )
+            changed = True
+            out.append(text[i : k + 1] + repl)
+            i = close
+        return "".join(out)
+
+    new_list = fix_overs(select_list)
+    new_tail = fix_overs(tail)
+    if new_list is None or new_tail is None or not changed:
+        return None
+    dr_cols = ", ".join(
+        "DENSE_RANK() OVER ("
+        + (f"PARTITION BY {p} " if p else "")
+        + f"ORDER BY {o}) AS {name}"
+        for (p, o), name in dr_windows.items()
+    )
+    lvl1_cols = [dr_cols] if dr_cols else []
+    lvl2_cols = []
+    for h in g_helpers.values():
+        pk = (h["partition"] + ", " if h["partition"] else "") + h["keys"]
+        g, arg, fn = h["g"], h["arg"], h["fn"]
+        lvl1_cols.append(f"{fn}({arg}) OVER (PARTITION BY {pk}) AS {g}")
+        cmp_op = ">" if fn == "min" else "<"
+        lvl2_cols.append(
+            f"sum(CASE WHEN ({arg}) = {g} THEN 1 ELSE 0 END) "
+            f"OVER (PARTITION BY {pk}) AS {g}_cnt"
+        )
+        lvl2_cols.append(
+            f"{fn}(CASE WHEN ({arg}) {cmp_op} {g} THEN ({arg}) END) "
+            f"OVER (PARTITION BY {pk}) AS {g}_2"
+        )
+    inner = f"(SELECT *, {', '.join(lvl1_cols)} FROM {from_part}) AS __xmr_src1"
+    if lvl2_cols:
+        inner = f"(SELECT *, {', '.join(lvl2_cols)} FROM {inner}) AS __xmr_src2"
+    return (
+        sql[: m.start(1)] + m.group(1) + (m.group(2) or "") + new_list
+        + " FROM " + inner + " " + new_tail
+    )
+
+
+def rewrite_groups_frames(sql: str) -> str | None:
+    """SQLite GROUPS window frames → the dense_rank + RANGE equivalence
+    (see :func:`_rewrite_groups_stmt`), applied recursively: derived
+    tables, scalar subqueries and CTE bodies rewrite bottom-up (r7 —
+    the r6 version handled the top-level simple SELECT only), then the
+    outer statement itself.  Returns None when nothing changed; any
+    GROUPS the recursion could not reach survives in the output and the
+    caller's UNSUPPORTED_FRAME_RE check keeps its loud rejection."""
+    if not re.search(r"\bGROUPS\b", sql, re.I):
+        return None
+    new, changed = _rewrite_groups_recurse(sql)
+    if re.search(r"\bGROUPS\b", new, re.I):
+        sub = _rewrite_groups_stmt(new)
+        if sub is not None:
+            return sub
+    return new if changed else None
+
+
+def _rewrite_groups_recurse(sql: str) -> tuple:
+    """(text, changed): every parenthesized SELECT/WITH body rewritten
+    bottom-up via :func:`_rewrite_groups_stmt`."""
+    out, i, n = [], 0, len(sql)
+    changed, in_str = False, None
+    while i < n:
+        ch = sql[i]
+        if in_str:
+            out.append(ch)
+            if ch == in_str:
+                in_str = None
+            i += 1
+            continue
+        if ch in ("'", '"'):
+            in_str = ch
+            out.append(ch)
+            i += 1
+            continue
+        if ch == "(":
+            try:
+                close = _balanced_end(sql, i)
+            except ValueError:
+                out.append(sql[i:])
+                return "".join(out), changed
+            inner, ch2 = _rewrite_groups_recurse(sql[i + 1 : close - 1])
+            if re.match(r"\s*(SELECT|WITH)\b", inner, re.I) and re.search(
+                r"\bGROUPS\b", inner, re.I
+            ):
+                sub = _rewrite_groups_stmt(inner)
+                if sub is not None:
+                    inner, ch2 = sub, True
+            changed = changed or ch2
+            out.append("(" + inner + ")")
+            i = close
+            continue
+        out.append(ch)
+        i += 1
+    return "".join(out), changed
+
+
+def _rewrite_groups_stmt(sql: str) -> str | None:
+    """One statement's GROUPS frames → dense_rank + RANGE:
+    ``OVER (PARTITION BY p ORDER BY o GROUPS <frame>)`` counts PEER
+    GROUPS, which is exactly ``RANGE <frame>`` over the integer
+    ``DENSE_RANK() OVER (PARTITION BY p ORDER BY o)`` (Spark has ROWS
+    and RANGE only). The FROM..WHERE part wraps in a subquery that adds
+    one ``__drN`` column per distinct (partition, order) pair. Handles
+    the simple single-SELECT shape (no *, no GROUP BY/HAVING/WINDOW
+    clause), with an optional WITH prefix whose CTE bodies are treated
+    as opaque (the recursion already rewrote them); returns None
+    otherwise — the caller keeps its loud rejection."""
+    if not re.search(r"\bGROUPS\b", sql, re.I):
+        return None
+    prefix = ""
+    wm = re.match(r"\s*WITH\s+(RECURSIVE\s+)?", sql, re.I)
+    if wm:
+        # skip the CTE list: name [(cols)] AS (body) [, ...] — bodies
+        # are balanced paren groups, already handled by the recursion
+        i = wm.end()
+        while True:
+            mname = re.match(r"\s*[A-Za-z_]\w*\s*(\([^)]*\))?\s*AS\s*\(", sql[i:], re.I)
+            if not mname:
+                return None
+            i += mname.end() - 1
+            try:
+                i = _balanced_end(sql, i)
+            except ValueError:
+                return None
+            mc = re.match(r"\s*,", sql[i:])
+            if mc:
+                i += mc.end()
+                continue
+            break
+        prefix, sql = sql[:i], sql[i:]
+        if re.search(r"\bGROUPS\b", prefix, re.I):
+            return None
+    m = re.match(r"(\s*SELECT\s+)(DISTINCT\s+|ALL\s+)?", sql, re.I)
+    if not m:
+        return None
+    sel_start = m.end()
+    from_idx = _scan_top_level(sql, sel_start, re.compile(r"FROM\b", re.I))
+    if from_idx >= len(sql):
+        return None
+    select_list = sql[sel_start:from_idx]
+    from_body_start = from_idx + 4
+    end_idx = _scan_top_level(
+        sql,
+        from_body_start,
+        re.compile(r"(GROUP\s+BY|HAVING|WINDOW|ORDER\s+BY|LIMIT|UNION|INTERSECT|EXCEPT)\b", re.I),
+    )
+    tail = sql[end_idx:]
+    if re.match(r"\s*(GROUP|HAVING|WINDOW)\b", tail, re.I):
+        return None
+    from_part = sql[from_body_start:end_idx].strip()
+    if re.search(r"\bGROUPS\b", from_part, re.I):
+        return None  # an unrewritable GROUPS survives in a subquery
     items = split_top_level(select_list)
     if any(it.strip() == "*" or it.strip().endswith(".*") for it in items):
         return None
@@ -1738,8 +2048,18 @@ def rewrite_groups_frames(sql: str) -> str | None:
         + f"ORDER BY {o}) AS {name}"
         for (p, o), name in windows.items()
     )
-    inner = f"(SELECT *, {dr_cols} FROM {from_part}) AS __groups_src"
-    return sql[: m.start(1)] + m.group(1) + (m.group(2) or "") + new_list + " FROM " + inner + " " + new_tail
+    # single bare table (with optional alias): keep its name as the
+    # wrapper alias so correlated subqueries referencing it still
+    # resolve; anything else gets the synthetic alias
+    tm = re.fullmatch(
+        r"([A-Za-z_]\w*)(?:\s+(?:AS\s+)?([A-Za-z_]\w*))?", from_part, re.I
+    )
+    wrap_alias = (tm.group(2) or tm.group(1)) if tm else "__groups_src"
+    inner = f"(SELECT *, {dr_cols} FROM {from_part}) AS {wrap_alias}"
+    return (
+        prefix + sql[: m.start(1)] + m.group(1) + (m.group(2) or "")
+        + new_list + " FROM " + inner + " " + new_tail
+    )
 
 
 def truthy_sql(expr: str) -> str:
@@ -2066,6 +2386,11 @@ def rewrite_sqlite_fns(sql: str) -> str:
     projections, stored CHECK/generated exprs) and the escape is not
     idempotent; the session applies it exactly once per statement at
     the _apply/_sql entry points."""
+    # static-typing rewrites first, on the raw SQLite-dialect text
+    # (integer division, literal cross-type compare folding, string
+    # abs() — idempotent, so fragment re-runs are safe); the session
+    # adds a second, column-affinity-aware sweep at the _sql entry
+    sql = rewrite_typed_ops(sql)
     out, i, in_str = [], 0, None
     while i < len(sql):
         ch = sql[i]
@@ -2081,6 +2406,17 @@ def rewrite_sqlite_fns(sql: str) -> str:
         else:
             m = _FN_RENAME_RE.match(sql, i)
             if m:
+                # an identifier in TABLE position is not a function call:
+                # CREATE TABLE log(...), INSERT INTO log(...), DELETE
+                # FROM log — r7 (found by the trigger differential; the
+                # rename layer turned the table 'log' into 'log10')
+                tailw = re.search(r"([A-Za-z_]\w*)\s*$", "".join(out[-24:]))
+                if tailw and tailw.group(1).upper() in (
+                    "TABLE", "INTO", "FROM", "JOIN", "UPDATE", "VIEW", "TRIGGER",
+                ):
+                    out.append(m.group(1))
+                    i = m.start() + len(m.group(1))
+                    continue
                 out.append(_FN_RENAMES[m.group(1).lower()] + "(")
                 i = m.end()
             else:
@@ -3252,6 +3588,18 @@ def _rewrite_arg_fns(sql: str) -> str:
             out.append(ch)
             i += 1
             continue
+        # an identifier in TABLE position is not a function call:
+        # CREATE TABLE log(...), INSERT INTO round(...), DELETE FROM
+        # char — r7, found by the trigger differential (the arg-fn
+        # layer rewrote the table 'log' into 'log10')
+        tailw = re.search(r"([A-Za-z_]\w*)\s*$", "".join(out[-24:]))
+        if tailw and tailw.group(1).upper() in (
+            "TABLE", "INTO", "FROM", "JOIN", "UPDATE", "VIEW", "TRIGGER",
+        ):
+            word_end = i + len(m.group(1)) if m.groups() else m.end()
+            out.append(sql[i:word_end])
+            i = word_end
+            continue
         try:
             end = _balanced_end(sql, m.end() - 1)
         except ValueError:
@@ -3308,3 +3656,531 @@ def _balanced_end(s: str, i: int) -> int:
                 return i + 1
         i += 1
     raise ValueError("unbalanced parentheses")
+
+
+# --------------------------------------------------------------------------
+# Static-typing rewrites: SQLite integer division, literal cross-type
+# comparison folding, string-affinity abs().  SQLite is dynamically
+# typed per CELL; a static engine can still reproduce the dynamic rules
+# wherever the storage classes are provable from the text alone (plus,
+# optionally, INTEGER-affinity column names supplied by the session).
+# Behavior parity: sqlite3-probed — 7/2=3 (truncation toward zero, so
+# Spark's ``div`` matches exactly incl. negatives), 1 < '1' is 1
+# (storage-class ordering NUMERIC < TEXT < BLOB, lang_datatype3.html §4.1,
+# literals never affinity-convert), abs('12') is 12.0 REAL (numeric
+# prefix conversion, always REAL for text/blob input).
+# --------------------------------------------------------------------------
+
+_TYPED_TOKEN_RE = re.compile(
+    r"""(?P<ws>\s+)
+      | (?P<blob>[xX]'[0-9A-Fa-f]*')
+      | (?P<str>'(?:[^']|'')*')
+      | (?P<qid>"(?:[^"]|"")*"|`(?:[^`]|``)*`)
+      | (?P<num>0[xX][0-9A-Fa-f]+|(?:\d+\.\d*|\.\d+|\d+)(?:[eE][+-]?\d+)?[dD]?)
+      | (?P<word>[A-Za-z_]\w*)
+      | (?P<op><=|>=|<>|!=|==|\|\||<<|>>|[=<>/*%+\-.,();&|~?:@\[\]])
+    """,
+    re.X,
+)
+
+# storage classes for the typed passes
+_CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB, _CLS_NULL, _CLS_UNKNOWN = range(6)
+_CLS_RANK = {_CLS_INT: 0, _CLS_REAL: 0, _CLS_TEXT: 1, _CLS_BLOB: 2}
+
+# functions that return INTEGER storage in both engines (pre- and
+# post-rename spellings, since this pass re-runs on rewritten fragments)
+_INT_RESULT_FNS = {
+    "length", "char_length", "octet_length", "instr", "locate",
+    "unicode", "ascii", "count", "changes", "total_changes",
+    "last_insert_rowid",
+}
+
+_MUL_OPS = {"*", "/", "%"}
+_ADD_OPS = {"+", "-"}
+
+_SAFE_BEFORE_WORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else",
+    "on", "having", "by", "all", "distinct", "case",
+}
+_SAFE_AFTER_WORDS = {
+    "and", "or", "then", "else", "end", "when", "as", "from", "where",
+    "group", "order", "limit", "offset", "union", "intersect", "except",
+    "is", "not", "in", "between", "like", "glob", "asc", "desc",
+}
+
+
+def _typed_tokenize(sql: str):
+    """Token list [(kind, text, start, end)] with whitespace dropped, or
+    None when the text contains something this pass must not touch
+    (comments, an unmatched character)."""
+    toks = []
+    i, n = 0, len(sql)
+    while i < n:
+        if sql.startswith("--", i) or sql.startswith("/*", i):
+            return None
+        m = _TYPED_TOKEN_RE.match(sql, i)
+        if not m:
+            return None
+        if m.lastgroup != "ws":
+            toks.append((m.lastgroup, m.group(0), m.start(), m.end()))
+        i = m.end()
+    return toks
+
+
+def _num_is_int(text: str) -> bool:
+    return bool(re.fullmatch(r"\d+|0[xX][0-9A-Fa-f]+", text))
+
+
+def _sqlite_text_to_real(s: str) -> float:
+    """SQLite's text→REAL conversion: longest numeric prefix (optional
+    sign, digits, '.', exponent only when digit-followed), junk → 0.0,
+    bare sign keeps its signed zero (probed: abs('-') is -0.0)."""
+    t = s.lstrip(" \t\r\n\f\v")
+    m = re.match(r"([+-]?)(\d*)(?:\.(\d*))?", t)
+    sign, ip, fp = m.group(1), m.group(2), m.group(3)
+    rest = t[m.end():]
+    exp = ""
+    me = re.match(r"[eE]([+-]?\d+)", rest)
+    if me and (ip or fp):
+        exp = "e" + me.group(1)
+    if not ip and fp is None:
+        return -0.0 if sign == "-" else 0.0
+    val = float((sign or "") + (ip or "0") + ("." + fp if fp else "") + exp)
+    return val
+
+
+class _TypedPass:
+    """One rewrite sweep over the token list; collects surgical
+    (start, end, replacement) edits against the original text."""
+
+    def __init__(self, toks, int_cols: frozenset):
+        self.toks = toks
+        self.int_cols = int_cols
+        self.edits: list[tuple[int, int, str]] = []
+
+    # -- primary parsing ---------------------------------------------------
+
+    def _match_paren(self, i: int) -> int:
+        """toks[i] is '(' → index of matching ')' token (or -1)."""
+        depth = 0
+        for j in range(i, len(self.toks)):
+            t = self.toks[j][1]
+            if t == "(":
+                depth += 1
+            elif t == ")":
+                depth -= 1
+                if depth == 0:
+                    return j
+        return -1
+
+    def parse_primary(self, i: int, subspans: list):
+        """Parse one primary starting at token i.  Returns
+        (next_index, storage_class, is_pure_literal) or None.  Balanced
+        sub-groups are recorded in ``subspans`` for recursive scanning."""
+        toks = self.toks
+        n = len(toks)
+        if i >= n:
+            return None
+        sign = False
+        while i < n and toks[i][1] in ("+", "-"):
+            sign = True
+            i += 1
+        if i >= n:
+            return None
+        kind, text = toks[i][0], toks[i][1]
+        if kind == "num":
+            return (i + 1, _CLS_INT if _num_is_int(text) else _CLS_REAL, True)
+        if kind == "str":
+            # unary sign applies SQLite numeric conversion — the result
+            # is numeric, not text; bail out of literal-class claims
+            return (i + 1, _CLS_UNKNOWN if sign else _CLS_TEXT, not sign)
+        if kind == "blob":
+            return (i + 1, _CLS_UNKNOWN if sign else _CLS_BLOB, not sign)
+        if kind == "word":
+            wl = text.lower()
+            if wl == "null":
+                return (i + 1, _CLS_NULL, False)
+            if wl in ("true", "false"):
+                return (i + 1, _CLS_INT, False)
+            if wl in ("case", "select", "exists", "interval"):
+                return None
+            if wl == "cast" and i + 1 < n and toks[i + 1][1] == "(":
+                j = self._match_paren(i + 1)
+                if j < 0:
+                    return None
+                subspans.append((i + 2, j))
+                # type keyword(s): tokens after the LAST top-level AS
+                depth, as_pos = 0, -1
+                for k in range(i + 2, j):
+                    t = toks[k][1]
+                    if t == "(":
+                        depth += 1
+                    elif t == ")":
+                        depth -= 1
+                    elif depth == 0 and toks[k][0] == "word" and t.lower() == "as":
+                        as_pos = k
+                if as_pos < 0:
+                    return None
+                decl = " ".join(t[1] for t in toks[as_pos + 1 : j])
+                d = decl.upper()
+                if "INT" in d:
+                    cls = _CLS_INT
+                elif "CHAR" in d or "CLOB" in d or "TEXT" in d:
+                    cls = _CLS_TEXT
+                elif "REAL" in d or "FLOA" in d or "DOUB" in d:
+                    cls = _CLS_REAL
+                elif "BLOB" in d:
+                    cls = _CLS_BLOB
+                else:
+                    cls = _CLS_UNKNOWN  # NUMERIC affinity is dynamic
+                return (j + 1, cls, False)
+            if i + 1 < n and toks[i + 1][1] == "(":
+                j = self._match_paren(i + 1)
+                if j < 0:
+                    return None
+                subspans.append((i + 2, j))
+                cls = _CLS_INT if wl in _INT_RESULT_FNS else _CLS_UNKNOWN
+                return (j + 1, cls, False)
+            # plain (possibly dotted) identifier
+            parts = [wl]
+            while i + 2 < n and toks[i + 1][1] == "." and toks[i + 2][0] in ("word", "qid"):
+                nxt = toks[i + 2]
+                parts.append(nxt[1].strip('`"').lower())
+                i += 2
+            name = ".".join(parts)
+            cls = _CLS_INT if (name in self.int_cols or parts[-1] in self.int_cols) else _CLS_UNKNOWN
+            return (i + 1, cls, False)
+        if kind == "qid":
+            name = text.strip('`"').lower()
+            cls = _CLS_INT if name in self.int_cols else _CLS_UNKNOWN
+            return (i + 1, cls, False)
+        if text == "(":
+            j = self._match_paren(i)
+            if j < 0:
+                return None
+            subspans.append((i + 1, j))
+            return (j + 1, self.type_of_span(i + 1, j), False)
+        return None
+
+    def type_of_span(self, lo: int, hi: int) -> int:
+        """Storage class of the expression in tokens [lo, hi): a chain
+        of primaries joined by arithmetic ops.  Anything else → UNKNOWN."""
+        subspans: list = []
+        res = self.parse_primary(lo, subspans)
+        if res is None:
+            return _CLS_UNKNOWN
+        i, cls, _ = res
+        classes = [cls]
+        ops = []
+        while i < hi:
+            t = self.toks[i]
+            op = t[1].lower() if t[0] == "word" else t[1]
+            if op in _MUL_OPS or op in _ADD_OPS or op == "div":
+                ops.append(op)
+                res = self.parse_primary(i + 1, subspans)
+                if res is None or res[0] > hi:
+                    return _CLS_UNKNOWN
+                i, cls, _ = res
+                classes.append(cls)
+            else:
+                return _CLS_UNKNOWN
+        if i != hi:
+            return _CLS_UNKNOWN
+        if len(classes) == 1:
+            return classes[0]
+        if "/" in ops:
+            return _CLS_UNKNOWN  # untyped division — a later sweep may fix
+        if all(c == _CLS_INT for c in classes):
+            return _CLS_INT
+        if all(c in (_CLS_INT, _CLS_REAL) for c in classes):
+            return _CLS_REAL
+        return _CLS_UNKNOWN
+
+    # -- passes ------------------------------------------------------------
+
+    def scan(self, lo: int, hi: int) -> None:
+        toks = self.toks
+        i = lo
+        while i < hi:
+            t = toks[i]
+            # abs(<text/blob literal>) → folded REAL literal
+            if (
+                t[0] == "word"
+                and t[1].lower() == "abs"
+                and i + 3 < hi
+                and toks[i + 1][1] == "("
+                and toks[i + 2][0] in ("str", "blob")
+                and toks[i + 3][1] == ")"
+            ):
+                lit = toks[i + 2]
+                if lit[0] == "blob":
+                    raw = bytes.fromhex(lit[1][2:-1]).decode("latin-1")
+                else:
+                    raw = lit[1][1:-1].replace("''", "'")
+                v = _sqlite_text_to_real(raw)
+                if v < 0:  # SQLite's own rule: -0.0 is not < 0, stays
+                    v = -v
+                out = repr(v)
+                if "e" not in out and "." not in out and "inf" not in out:
+                    out += ".0"
+                self.edits.append((t[2], toks[i + 3][3], out))
+                i += 4
+                continue
+            # multiplicative chain with provable-INT members → div
+            chain = self._try_chain(i, hi)
+            if chain is not None:
+                i = chain
+                continue
+            # literal cross-type comparison folding
+            fold = self._try_fold_compare(i, hi)
+            if fold is not None:
+                i = fold
+                continue
+            if t[1] == "(":
+                j = self._match_paren(i)
+                if 0 < j:
+                    self.scan(i + 1, j)
+                    i = j + 1
+                    continue
+            i += 1
+
+    def _try_chain(self, i: int, hi: int):
+        """Try to parse a multiplicative chain starting at token i; when
+        every member is provably INTEGER, rewrite its '/' ops to div.
+        Returns the index after the chain when one (with >= 2 members)
+        was parsed, else None."""
+        subspans: list = []
+        res = self.parse_primary(i, subspans)
+        if res is None:
+            return None
+        j, cls, _ = res
+        classes = [cls]
+        slash_toks = []
+        while j < hi:
+            t = self.toks[j]
+            op = t[1].lower() if t[0] == "word" else t[1]
+            if op in _MUL_OPS or op == "div":
+                res = self.parse_primary(j + 1, subspans)
+                if res is None:
+                    break
+                if op == "/":
+                    slash_toks.append(t)
+                j, cls, _ = res
+                classes.append(cls)
+            else:
+                break
+        for lo_s, hi_s in subspans:
+            self.scan(lo_s, hi_s)
+        if len(classes) < 2:
+            return None
+        if slash_toks and all(c == _CLS_INT for c in classes):
+            for t in slash_toks:
+                self.edits.append((t[2], t[3], " div "))
+        return j
+
+    def _try_fold_compare(self, i: int, hi: int):
+        """Fold ``<literal> cmp <literal>`` across storage classes to
+        its constant (SQLite never coerces literals; ordering is
+        NUMERIC < TEXT < BLOB)."""
+        toks = self.toks
+        res = self.parse_primary(i, [])
+        if res is None:
+            return None
+        j, lcls, lpure = res
+        if not lpure or j >= hi:
+            return None
+        op = toks[j][1]
+        if op not in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
+            return None
+        res = self.parse_primary(j + 1, [])
+        if res is None:
+            return None
+        k, rcls, rpure = res
+        if not rpure or k > hi:
+            return None
+        lr = _CLS_RANK.get(lcls)
+        rr = _CLS_RANK.get(rcls)
+        if lr is None or rr is None or lr == rr:
+            return None
+        # guards: the literals must be the WHOLE operands
+        prev = toks[i - 1] if i > 0 else None
+        if prev is not None:
+            pv = prev[1].lower() if prev[0] == "word" else prev[1]
+            if not (pv in ("(", ",", ";") or pv in _SAFE_BEFORE_WORDS):
+                return None
+        nxt = toks[k] if k < len(toks) else None
+        if nxt is not None:
+            nv = nxt[1].lower() if nxt[0] == "word" else nxt[1]
+            if not (nv in (")", ",", ";") or nv in _SAFE_AFTER_WORDS):
+                return None
+        if op in ("=", "=="):
+            val = False
+        elif op in ("!=", "<>"):
+            val = True
+        elif op in ("<", "<="):
+            val = lr < rr
+        else:
+            val = lr > rr
+        self.edits.append((toks[i][2], toks[k - 1][3], "TRUE" if val else "FALSE"))
+        return k
+
+
+def rewrite_typed_ops(sql: str, int_cols: frozenset = frozenset()) -> str:
+    """Apply the static-typing rewrites (docstring at section head).
+    ``int_cols`` optionally carries lowercased INTEGER-affinity column
+    names (bare and alias-qualified) so column division types too.
+    Unparseable text returns unchanged; runs to a small fixpoint so
+    parenthesized integer divisions type outer chains on later sweeps."""
+    for _ in range(3):
+        toks = _typed_tokenize(sql)
+        if toks is None:
+            return sql
+        p = _TypedPass(toks, int_cols)
+        try:
+            p.scan(0, len(toks))
+        except (ValueError, RecursionError):
+            return sql
+        if not p.edits:
+            return sql
+        edits = sorted(p.edits, key=lambda e: e[0], reverse=True)
+        # overlapping edits: keep the earliest-starting (outermost) only
+        pruned, last_start = [], None
+        for s, e, r in edits:
+            if last_start is not None and e > last_start:
+                continue
+            pruned.append((s, e, r))
+            last_start = s
+        for s, e, r in pruned:
+            sql = sql[:s] + r + sql[e:]
+    return sql
+
+
+# --------------------------------------------------------------------------
+# CREATE TRIGGER (r7 — closes the documented exclusion).  Row triggers
+# only, like SQLite itself (lang_createtrigger.html: FOR EACH ROW is the
+# only supported and the default behavior).
+# --------------------------------------------------------------------------
+
+
+@dataclass
+class TriggerDef:
+    name: str
+    timing: str  # BEFORE | AFTER | INSTEAD OF
+    event: str  # INSERT | UPDATE | DELETE
+    of_cols: tuple  # UPDATE OF columns ((), = any column)
+    table: str
+    when_sql: str | None
+    body: tuple  # statement SQL strings, in order
+    source_sql: str
+    temp: bool = False
+    if_not_exists: bool = False
+
+
+_TRIGGER_HEAD_RE = re.compile(
+    r"""^\s*CREATE\s+(?P<temp>TEMP(?:ORARY)?\s+)?TRIGGER\s+
+        (?P<ine>IF\s+NOT\s+EXISTS\s+)?
+        (?P<name>"[^"]+"|`[^`]+`|\[[^\]]+\]|[A-Za-z_]\w*)\s+
+        (?P<timing>BEFORE\s+|AFTER\s+|INSTEAD\s+OF\s+)?
+        (?P<event>DELETE|INSERT|UPDATE)
+        (?:\s+OF\s+(?P<ofcols>.+?))?\s+
+        ON\s+(?P<table>"[^"]+"|`[^`]+`|\[[^\]]+\]|[A-Za-z_]\w*)\s+
+        (?:FOR\s+EACH\s+ROW\s+)?
+    """,
+    re.I | re.X | re.S,
+)
+
+
+def _unquote_ident(t: str) -> str:
+    if t and t[0] in ('"', "`", "["):
+        return t[1:-1]
+    return t
+
+
+def parse_create_trigger(sql: str) -> TriggerDef:
+    """Parse CREATE TRIGGER into a :class:`TriggerDef`.  Raises
+    ValueError with a SQLite-shaped message on malformed text."""
+    m = _TRIGGER_HEAD_RE.match(sql)
+    if not m:
+        raise ValueError('near "TRIGGER": syntax error')
+    rest_at = m.end()
+    when_sql = None
+    begin_at = _scan_top_level(sql, rest_at, re.compile(r"BEGIN\b", re.I))
+    if begin_at >= len(sql):
+        raise ValueError('near "BEGIN": syntax error')
+    wm = re.match(r"\s*WHEN\b", sql[rest_at:begin_at], re.I)
+    if wm:
+        when_sql = sql[rest_at + wm.end() : begin_at].strip()
+        if not when_sql:
+            raise ValueError('near "BEGIN": syntax error')
+    elif sql[rest_at:begin_at].strip():
+        raise ValueError('near "BEGIN": syntax error')
+    tail = sql[begin_at + len("BEGIN") :]
+    # strip the trailing END (+ optional ';'), then split statements on
+    # top-level semicolons — CASE..END inside statements is paren/; safe
+    tm = re.search(r"\bEND\s*;?\s*$", tail, re.I)
+    if not tm:
+        raise ValueError('near "END": syntax error')
+    body_text = tail[: tm.start()]
+    stmts = []
+    i, last, n, in_str = 0, 0, len(body_text), None
+    while i < n:
+        ch = body_text[i]
+        if in_str:
+            if ch == in_str:
+                in_str = None
+        elif ch in ("'", '"'):
+            in_str = ch
+        elif ch == ";":
+            if body_text[last:i].strip():
+                stmts.append(body_text[last:i].strip())
+            last = i + 1
+        i += 1
+    if body_text[last:].strip():
+        stmts.append(body_text[last:].strip())
+    if not stmts:
+        raise ValueError('near "END": syntax error')
+    of_cols = tuple(
+        _unquote_ident(c.strip()) for c in (m.group("ofcols") or "").split(",") if c.strip()
+    )
+    timing = re.sub(r"\s+", " ", (m.group("timing") or "BEFORE").strip().upper())
+    return TriggerDef(
+        name=_unquote_ident(m.group("name")),
+        timing=timing,
+        event=m.group("event").upper(),
+        of_cols=of_cols,
+        table=_unquote_ident(m.group("table")),
+        when_sql=when_sql,
+        body=tuple(stmts),
+        source_sql=sql.strip().rstrip(";").strip(),
+        temp=bool(m.group("temp")),
+        if_not_exists=bool(m.group("ine")),
+    )
+
+
+_RAISE_RE = re.compile(r"\bRAISE\s*\(\s*(ABORT|ROLLBACK|FAIL|IGNORE)\s*(?:,\s*)?", re.I)
+
+RAISE_MARKER = "\x01dust_raise\x01"
+
+
+def rewrite_raise(sql: str) -> str:
+    """RAISE(ABORT|ROLLBACK|FAIL, 'msg') → raise_error(marker || msg):
+    Spark's raise_error throws lazily at evaluation, exactly SQLite's
+    RAISE-as-expression semantics; the session converts the marked
+    error back into the bare message (sqlite3-probed: the user sees
+    just 'msg').  ABORT/ROLLBACK/FAIL all abort the whole statement
+    here (copy-on-write statements are all-or-nothing; FAIL's
+    keep-partial-changes nuance is not reproducible and documented).
+    RAISE(IGNORE) is rejected at CREATE time."""
+
+    def fix(seg: str) -> str:
+        out, i = [], 0
+        while True:
+            m = _RAISE_RE.search(seg, i)
+            if not m:
+                out.append(seg[i:])
+                return "".join(out)
+            out.append(seg[i : m.start()])
+            out.append(f"raise_error('{RAISE_MARKER}' || ")
+            i = m.end()
+
+    return _map_outside_strings(sql, fix)

@@ -93,6 +93,22 @@ def bind_params(sql: str, params: list[Any]) -> str:
     return "".join(out)
 
 
+def _sqlite_truthy(v: Any) -> bool:
+    """SQLite truthiness of a Python-side value (trigger WHEN clause):
+    numeric-prefix conversion, non-zero is true."""
+    if v is None:
+        return False
+    if isinstance(v, bool):
+        return v
+    if isinstance(v, (int, float)):
+        return v != 0
+    if isinstance(v, (bytes, bytearray)):
+        return False
+    from dust_spark.dialect import _sqlite_text_to_real
+
+    return _sqlite_text_to_real(str(v)) != 0
+
+
 def _sql_literal(v: Any) -> str:
     if v is None:
         return "NULL"
@@ -140,6 +156,7 @@ class DustSession:
         self._fk_enabled = False
         self._user_version = 0
         self._schema_version = 0
+        self._trigger_depth = 0  # >0 inside a trigger body (no recursion)
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
         # changes()/total_changes() connection state (most recent DML /
@@ -561,7 +578,7 @@ class DustSession:
         # COVERAGE.md; reachable via the reference pass-through
         # db/src/db.rs:176 but unused by any reference test or tool)
         if kind == "CREATE_TRIGGER":
-            raise DustError("unsupported statement: CREATE TRIGGER (triggers are not supported)")
+            return self._create_trigger(overlay, sql)
         if kind in ("SAVEPOINT", "RELEASE"):
             # well-formed savepoint statements are handled in execute();
             # reaching here means the name didn't parse
@@ -741,13 +758,187 @@ class DustSession:
             return self._ok()
         if is_view:
             raise DustError(f"use DROP VIEW to delete view {name}")
+        if kind == "TRIGGER":
+            if name in self.catalog.triggers:
+                self.catalog.triggers.pop(name)
+                if self.catalog.warehouse:
+                    self.catalog._save_manifest()
+                return self._ok()
+            if if_exists:
+                return self._ok()
+            raise DustError(f"no such trigger: {name}")
         overlay = self._route(overlay, name)
         if not overlay.exists(name):
             if if_exists:
                 return self._ok()
             raise DustError(f"no such table: {name}")
         overlay.drop(name)
+        # DROP TABLE drops its triggers with it (SQLite
+        # lang_createtrigger.html: triggers are deleted automatically)
+        dropped = [k for k, t in self.catalog.triggers.items() if t["table"] == name]
+        for k in dropped:
+            self.catalog.triggers.pop(k)
+        if dropped and self.catalog.warehouse:
+            self.catalog._save_manifest()
         return self._ok()
+
+    # ------------------------------------------------------------------
+    # triggers (r7 — closes the documented CREATE TRIGGER exclusion)
+    # ------------------------------------------------------------------
+
+    def _create_trigger(self, overlay: Overlay, sql: str) -> Response:
+        """Row triggers, SQLite semantics (sqlite3-probed throughout):
+        BEFORE (the default) / AFTER on INSERT / UPDATE [OF cols] /
+        DELETE, optional WHEN, NEW./OLD. references, RAISE(ABORT/
+        ROLLBACK/FAIL).  Bodies execute per affected row in statement
+        order, triggers in REVERSE creation order (probed — SQLite
+        prepends to its trigger list); recursive firing is off, like
+        SQLite's default recursive_triggers=0.  Documented scope
+        limits (COVERAGE.md): INSTEAD OF view triggers and
+        RAISE(IGNORE) are rejected loudly; upsert (ON CONFLICT DO) and
+        UPDATE...FROM statements do not fire triggers; a BEFORE-trigger
+        body writing the trigger's OWN table is overwritten by the
+        outer statement's batch apply (AFTER bodies land normally), and
+        a body READING its own table during a multi-row statement sees
+        the batch-applied state where SQLite interleaves row-at-a-time.
+        """
+        try:
+            td = dialect.parse_create_trigger(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
+        tbl = td.table.lower()
+        if td.timing == "INSTEAD OF":
+            if tbl in self.catalog.views:
+                raise DustError(
+                    "unsupported statement: INSTEAD OF triggers on views"
+                )
+            raise DustError(f"cannot create INSTEAD OF trigger on table: {td.table}")
+        if tbl in self.catalog.views:
+            raise DustError(f"cannot create {td.timing} trigger on view: {td.table}")
+        key = td.name.lower()
+        if key in self.catalog.triggers or overlay.exists(key):
+            if td.if_not_exists:
+                return self._ok()
+            raise DustError(f"trigger {td.name} already exists")
+        if not overlay.exists(tbl):
+            raise DustError(f"no such table: main.{td.table}")
+        for s in td.body + ((td.when_sql,) if td.when_sql else ()):
+            if re.search(r"\bRAISE\s*\(\s*IGNORE\s*\)", s, re.I):
+                raise DustError("unsupported: RAISE(IGNORE) in trigger body")
+            reason = dialect.nondeterministic_reason(s)
+            if reason:
+                raise DustError(reason)
+        self.catalog.triggers[key] = {
+            "name": td.name,
+            "timing": td.timing,
+            "event": td.event,
+            "of": list(td.of_cols),
+            "table": tbl,
+            "when": td.when_sql,
+            "body": list(td.body),
+            "sql": td.source_sql,
+        }
+        if self.catalog.warehouse:
+            self.catalog._save_manifest()
+        self._schema_version += 1
+        return self._ok()
+
+    def _table_triggers(self, table: str, event: str, timing: str, assigned=None) -> list:
+        """Matching triggers in FIRING order (reverse creation —
+        sqlite3-probed); UPDATE OF lists filter on the assigned
+        columns.  Empty while already inside a trigger body
+        (recursive_triggers off, SQLite's default)."""
+        if self._trigger_depth:
+            return []
+        out = []
+        for t in self.catalog.triggers.values():
+            if t["table"] != table.lower() or t["event"] != event or t["timing"] != timing:
+                continue
+            if event == "UPDATE" and t["of"] and assigned is not None:
+                low = {c.lower() for c in assigned}
+                if not any(c.lower() in low for c in t["of"]):
+                    continue
+            out.append(t)
+        return list(reversed(out))
+
+    def _subst_row_refs(self, sql: str, new, old, tdef: TableDef) -> str:
+        """NEW.col / OLD.col → the row's values as SQL literals (rowid
+        aliases resolve through the rowid column); a reference to the
+        missing side raises SQLite's runtime error string."""
+        ref_re = re.compile(
+            r'\b(new|old)\s*\.\s*("[^"]+"|`[^`]+`|\[[^\]]+\]|[A-Za-z_]\w*)', re.I
+        )
+
+        def repl(m):
+            which = m.group(1).lower()
+            col = dialect.unquote_ident(m.group(2))
+            row = new if which == "new" else old
+            shown = f"{m.group(1)}.{col}"
+            if row is None:
+                raise DustError(f"no such column: {shown}")
+            cl = col.lower()
+            keys_low = {k.lower(): k for k in row}
+            if cl in ("rowid", "_rowid_", "oid") and cl not in keys_low and tdef.rowid_column:
+                cl = tdef.rowid_column.lower()
+            if cl not in keys_low:
+                raise DustError(f"no such column: {shown}")
+            return _sql_literal(row[keys_low[cl]])
+
+        return dialect._map_outside_strings(sql, lambda seg: ref_re.sub(repl, seg))
+
+    def _convert_raise(self, e: Exception) -> Exception:
+        s = str(e)
+        if dialect.RAISE_MARKER in s:
+            msg = s.split(dialect.RAISE_MARKER, 1)[1]
+            # raise_error wraps the text in Spark's USER_RAISED_EXCEPTION
+            # scaffolding — keep the first line, strip the SQLSTATE tag
+            # and trailing quotes: the user sees just SQLite's bare msg
+            msg = msg.splitlines()[0]
+            msg = re.sub(r"\s*\.?\s*SQLSTATE:.*$", "", msg).strip().strip(".").strip("'\"")
+            return DustError(msg)
+        if isinstance(e, DustError):
+            return e
+        return DustError(_clean_error(e))
+
+    def _fire_triggers(self, overlay: Overlay, tdef: TableDef, trigs: list, rows: list) -> None:
+        """Fire ``trigs`` for each (old, new) row dict pair, per-row in
+        statement order (SQLite's row-at-a-time model — the engine's
+        SQL surface is the small-data reference-parity layer, so a
+        driver-side loop over the affected rows is the faithful and
+        bounded implementation; the Tier C pipeline operators never
+        pass through here)."""
+        if not trigs or not rows:
+            return
+        self._trigger_depth += 1
+        try:
+            for old, new in rows:
+                for t in trigs:
+                    if t["when"]:
+                        w = dialect.rewrite_raise(
+                            self._subst_row_refs(t["when"], new, old, tdef)
+                        )
+                        try:
+                            val = self._sql(f"SELECT ({w}) AS __t", None).collect()[0][0]
+                        except Exception as e:  # noqa: BLE001
+                            raise self._convert_raise(e) from e
+                        if not _sqlite_truthy(val):
+                            continue
+                    for b in t["body"]:
+                        bsql = dialect.rewrite_raise(
+                            self._subst_row_refs(b, new, old, tdef)
+                        )
+                        try:
+                            if bsql.lstrip().upper().startswith(("SELECT", "WITH")):
+                                # SELECT bodies evaluate for effect only
+                                # (RAISE throws at evaluation)
+                                self._sql(bsql, None).collect()
+                            else:
+                                r = self._apply(overlay, Statement(sql=bsql, parameters=[]))
+                                self._total_changes += r.rows_affected or 0
+                        except Exception as e:  # noqa: BLE001
+                            raise self._convert_raise(e) from e
+        finally:
+            self._trigger_depth -= 1
 
     def _alter_table(self, overlay: Overlay, sql: str) -> Response:
         """SQLite's full ALTER TABLE family (lang_altertable): ADD
@@ -1413,6 +1604,21 @@ class DustSession:
             ):
                 raise DustError(f"UNIQUE constraint failed: {tdef.name}.rowid")
 
+        trig_b = self._table_triggers(ins.table, "INSERT", "BEFORE")
+        trig_a = self._table_triggers(ins.table, "INSERT", "AFTER")
+        fired = None
+        if trig_b or trig_a:
+            # final row images (defaults, generated, assigned rowids) in
+            # insertion order — checkpoint so the collect and the later
+            # count/union share one materialization
+            new_rows = new_rows.localCheckpoint(eager=True)
+            fired = []
+            for r in new_rows.orderBy("__rn").collect():
+                d = r.asDict()
+                d.pop("__rn", None)
+                fired.append((None, d))
+            self._fire_triggers(overlay, tdef, trig_b, fired)
+
         self._check_constraints(
             overlay, tdef, new_rows.drop("__rn"), None if ins.or_replace else existing
         )
@@ -1444,6 +1650,9 @@ class DustSession:
         )
         overlay.put(ins.table, new_st)
         self._last_insert_id = last_id
+        if fired:
+            self._fire_triggers(overlay, tdef, trig_a, fired)
+            self._last_insert_id = last_id  # body inserts must not leak out
         return Response(last_insert_id=last_id, rows_affected=n)
 
     def _upsert(self, overlay: Overlay, st: TableState, tdef, ins, new_rows: DataFrame) -> Response:
@@ -1769,7 +1978,13 @@ class DustSession:
         if up.from_sql is not None:
             if up.tail is not None:
                 raise DustError("unsupported: UPDATE ... FROM with ORDER BY/LIMIT")
+            # documented scope limit: UPDATE...FROM does not fire
+            # triggers (COVERAGE.md)
             return self._update_from(overlay, st, up, where, assigned)
+
+        trig_b = self._table_triggers(up.table, "UPDATE", "BEFORE", assigned)
+        trig_a = self._table_triggers(up.table, "UPDATE", "AFTER", assigned)
+        want_pairs = bool(trig_b or trig_a)
 
         # WITH-CTE DML: the CTE list prefixes the rewrite so SET/WHERE
         # subqueries can reference it (SQLite CTE-DML semantics)
@@ -1819,6 +2034,14 @@ class DustSession:
             extra = ", " + ", ".join(
                 f"`{c}` AS `__old_{c}`" for c in assigned
             ) + ", monotonically_increasing_id() AS __scan"
+        tg_cols: list[str] = []
+        if want_pairs:
+            # carry the full OLD row image + a scan-order id through the
+            # projection so triggers see (old, new) pairs in scan order
+            tg_cols = [f.name for f in tdef.schema.fields]
+            extra += ", " + ", ".join(
+                f"`{c}` AS `__tg_{c}`" for c in tg_cols
+            ) + ", monotonically_increasing_id() AS __tg_ord"
         # alias the staged view as the target table so correlated
         # subqueries (SET v = (SELECT ... WHERE b.id = t.id)) resolve
         marked = self.spark.sql(
@@ -1829,6 +2052,15 @@ class DustSession:
             marked = self._update_resolve_conflicts(tdef, assigned, marked, up.or_action)
         marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
+        pairs: list = []
+        if want_pairs:
+            for r in marked.filter(F.col("__m") == 1).orderBy("__tg_ord").collect():
+                d = r.asDict()
+                pairs.append(
+                    ({c: d[f"__tg_{c}"] for c in tg_cols}, {c: d[c] for c in tg_cols})
+                )
+            marked = marked.drop("__tg_ord", *[f"__tg_{c}" for c in tg_cols])
+            self._fire_triggers(overlay, tdef, trig_b, pairs)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")
         if self._capture_returning:
@@ -1847,6 +2079,8 @@ class DustSession:
             hw = max(hw, int(mx or 0)) if tdef.autoincrement else int(mx or 0)
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, hw, st.version + 1))
         overlay.put(up.table, new_st)
+        if pairs:
+            self._fire_triggers(overlay, tdef, trig_a, pairs)
         return self._ok(n)
 
     def _apply_generated(self, tdef: TableDef, df: DataFrame) -> DataFrame:
@@ -2037,6 +2271,9 @@ class DustSession:
     def _delete_impl(self, overlay: Overlay, st: TableState, de) -> Response:
         st.df.createOrReplaceTempView("__dust_stage")
         with_prefix = (de.with_sql + " ") if de.with_sql else ""
+        trig_b = self._table_triggers(de.table, "DELETE", "BEFORE")
+        trig_a = self._table_triggers(de.table, "DELETE", "AFTER")
+        want_pairs = bool(trig_b or trig_a)
         if de.where is not None:
             de = de.__class__(
                 de.table, dialect.resolve_rowid(de.where, st.tdef), de.with_sql, de.tail
@@ -2052,6 +2289,15 @@ class DustSession:
                 f"WHERE coalesce(({de.where or 'TRUE'}), false) {tail}"
             ).localCheckpoint(eager=True)
             n = victims.count()
+            pairs: list = []
+            if want_pairs:
+                pairs = [
+                    ({k: v for k, v in r.asDict().items() if k != "__rid"}, None)
+                    for r in rid_df.join(victims, "__rid", "left_semi")
+                    .orderBy("__rid")
+                    .collect()
+                ]
+                self._fire_triggers(overlay, st.tdef, trig_b, pairs)
             if self._capture_returning:
                 self._returning_df = rid_df.join(victims, "__rid", "left_semi").drop("__rid")
                 self._returning_table = de.table
@@ -2064,12 +2310,15 @@ class DustSession:
                 ),
             )
             overlay.put(de.table, new_st)
+            if pairs:
+                self._fire_triggers(overlay, st.tdef, trig_a, pairs)
             return self._ok(n)
         if de.where is None:
             n = st.df.count()
             if self._capture_returning:
                 self._returning_df = st.df
                 self._returning_table = de.table
+            victims_df = st.df if want_pairs else None
             new_df = self.spark.createDataFrame([], st.tdef.schema)
         else:
             new_df = self.spark.sql(
@@ -2077,18 +2326,40 @@ class DustSession:
                 f"WHERE NOT coalesce(({de.where}), false)"
             ).localCheckpoint(eager=True)
             n = st.df.count() - new_df.count()
+            victims_df = (
+                self.spark.sql(
+                    f"{with_prefix}SELECT * FROM __dust_stage AS `{de.table}` "
+                    f"WHERE coalesce(({de.where}), false)"
+                )
+                if want_pairs
+                else None
+            )
             if self._capture_returning:
                 self._returning_df = self.spark.sql(
                     f"{with_prefix}SELECT * FROM __dust_stage AS `{de.table}` "
                     f"WHERE coalesce(({de.where}), false)"
                 )
                 self._returning_table = de.table
+        pairs = []
+        if victims_df is not None:
+            pairs = [
+                (r.asDict(), None)
+                for r in victims_df.withColumn(
+                    "__tg_ord", F.monotonically_increasing_id()
+                )
+                .orderBy("__tg_ord")
+                .drop("__tg_ord")
+                .collect()
+            ]
+            self._fire_triggers(overlay, st.tdef, trig_b, pairs)
         new_df = self._check_child_fks(overlay, de.table, new_df, dml="delete")
         new_st = overlay.catalog.materialize(
             de.table,
             TableState(st.tdef, new_df, self._post_delete_high_water(st, new_df), st.version + 1),
         )
         overlay.put(de.table, new_st)
+        if pairs:
+            self._fire_triggers(overlay, st.tdef, trig_a, pairs)
         return self._ok(n)
 
     def _post_delete_high_water(self, st: TableState, new_df: DataFrame) -> int:
@@ -2383,6 +2654,10 @@ class DustSession:
         # plan text is engine-specific by nature in both systems)
         sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN", sql, flags=re.I)
         sql = dialect.rewrite_sqlite_fns(dialect.escape_raw_literals(sql))
+        # second typed-ops sweep, now column-affinity-aware: INTEGER
+        # columns of the tables in scope make x/2 integer division,
+        # exactly as their LongType storage implies
+        sql = dialect.rewrite_typed_ops(sql, self._int_cols_in_scope(sql))
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         # last_insert_rowid() is connection state in SQLite — inline the
         # session's current value as a literal (string-literal aware,
@@ -2424,9 +2699,14 @@ class DustSession:
             # rejected — no Spark window equivalent (EXCLUDE NO OTHERS,
             # the no-op default, was already stripped)
             if re.search(r"\bEXCLUDE\b", sql, re.I):
-                # invertible-aggregate EXCLUDE frames rewrite by
-                # subtraction; anything else stays rejected
-                alt = dialect.rewrite_exclude_frames(sql)
+                # min/max EXCLUDE on RANGE frames first (dense-rank
+                # flank decomposition, r7), then invertible-aggregate
+                # EXCLUDE frames by subtraction; anything else stays
+                # rejected
+                pre = dialect.rewrite_exclude_minmax_range(sql)
+                alt = dialect.rewrite_exclude_frames(pre if pre is not None else sql)
+                if alt is None:
+                    alt = pre
             else:
                 alt = dialect.rewrite_groups_frames(sql)
             if alt is not None and not dialect.UNSUPPORTED_FRAME_RE.search(alt):
@@ -2483,6 +2763,35 @@ class DustSession:
         finally:
             if restore is not None:
                 restore()
+
+    def _int_cols_in_scope(self, sql: str) -> frozenset:
+        """Lowercased INTEGER-affinity column names for the tables the
+        statement references (bare + alias-qualified), feeding the
+        column-aware integer-division rewrite.  A bare name is included
+        only when every in-scope table defining it agrees it is INTEGER
+        — an ambiguous reference would error in both engines anyway,
+        but stay conservative."""
+        try:
+            aliases = dialect.parse_from_aliases(sql)
+        except Exception:
+            return frozenset()
+        out: set[str] = set()
+        bare_int: dict[str, bool] = {}
+        for alias, tname in aliases.items():
+            st = self.catalog.tables.get(tname)
+            if st is None:
+                continue
+            for col, decl in st.tdef.declared_types.items():
+                is_int = "INT" in (decl or "").upper()
+                cl = col.lower()
+                if is_int:
+                    out.add(f"{alias}.{cl}")
+                if cl in bare_int:
+                    bare_int[cl] = bare_int[cl] and is_int
+                else:
+                    bare_int[cl] = is_int
+        out.update(c for c, ok in bare_int.items() if ok)
+        return frozenset(out)
 
     def _rowid_states(self, overlay: "Overlay | None") -> dict[str, TableState]:
         """Current name→state map for rowid resolution: committed tables
@@ -2630,6 +2939,8 @@ class DustSession:
                 page += 1
         for vname, sel in self.catalog.views.items():
             rows.append(("view", vname, vname, 0, f"CREATE VIEW {vname} AS {sel}"))
+        for t in self.catalog.triggers.values():
+            rows.append(("trigger", t["name"], t["table"], 0, t["sql"]))
         schema = T.StructType(
             [
                 T.StructField("type", T.StringType()),

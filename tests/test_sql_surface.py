@@ -368,15 +368,15 @@ def test_sqlite_sequence_and_window_frames(db):
     )[0]
     assert [r[0] for r in out.values] == [10, 30, 50]
     # GROUPS frames and invertible-aggregate EXCLUDE clauses REWRITE
-    # (r6) — sqlite3-differential in their own tests; non-invertible
-    # aggregates under EXCLUDE still reject loudly
-    from dust_spark.session import DustError
-
-    with pytest.raises(DustError, match="unsupported: window frame"):
-        db.query_string_stmt(
-            "SELECT MAX(v) OVER (ORDER BY id RANGE BETWEEN UNBOUNDED PRECEDING "
-            "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) FROM sqa"
-        )
+    # (r6) — sqlite3-differential in their own tests; min/max under
+    # EXCLUDE on unbounded RANGE frames rewrites too as of r7
+    # (test_exclude_minmax_range_sqlite_differential) — only
+    # value-offset RANGE bounds still reject
+    out = db.query_string_stmt(
+        "SELECT MAX(v) OVER (ORDER BY id RANGE BETWEEN UNBOUNDED PRECEDING "
+        "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS m FROM sqa ORDER BY id"
+    )[0]
+    assert [r[0] for r in out.values] == [30, 30, 20]
 
 
 def test_exclude_frames_sqlite_differential(db):
@@ -433,12 +433,59 @@ def test_exclude_frames_sqlite_differential(db):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
         assert got == want, (q, got, want)
-    # RANGE min/max under EXCLUDE stays rejected (peers aren't splittable)
+    # RANGE min/max under EXCLUDE with a VALUE-OFFSET bound stays
+    # rejected (value offsets don't translate to rank offsets; r7
+    # closed the UNBOUNDED/CURRENT-ROW-bound cases — see
+    # test_exclude_minmax_range_sqlite_differential)
     with pytest.raises(DustError, match="unsupported: window frame"):
         db.query_string_stmt(
-            "SELECT min(v) OVER (ORDER BY o RANGE BETWEEN UNBOUNDED PRECEDING "
-            "AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) FROM ex"
+            "SELECT min(v) OVER (ORDER BY o RANGE BETWEEN 1 PRECEDING "
+            "AND 1 FOLLOWING EXCLUDE CURRENT ROW) FROM ex"
         )
+
+
+def test_exclude_minmax_range_sqlite_differential(db):
+    """min/max + EXCLUDE on RANGE frames (r7,
+    dialect.rewrite_exclude_minmax_range): flanking peer groups become
+    integer offsets in the DENSE_RANK domain; EXCLUDE CURRENT ROW adds
+    the peer-group-minus-this-row term from per-group helper columns
+    (group extreme, multiplicity, second-distinct value).  Duplicate
+    peers, NULLs, single-row groups, unpartitioned windows and a mixed
+    min+sum statement all sqlite3-differential."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE xmr (g TEXT, y INTEGER, x INTEGER)"
+    ref.execute(ddl)
+    db.execute_string_stmt(ddl)
+    for r in [
+        ("a", 1, 5), ("a", 1, 3), ("a", 2, 9), ("a", 2, 1), ("a", 3, 7),
+        ("b", 1, 4), ("b", 1, 4), ("b", 2, None), ("b", 3, 2),
+        ("a", 1, 3), ("a", 4, None),
+    ]:
+        ref.execute("INSERT INTO xmr VALUES (?,?,?)", r)
+        db.execute_string_stmt("INSERT INTO xmr VALUES (?,?,?)", list(r))
+    base = "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW"
+    full = "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING"
+    after = "RANGE BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING"
+    for q in (
+        f"SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, max(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y {full} EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE TIES) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, max(x) OVER (PARTITION BY g ORDER BY y {after} EXCLUDE TIES) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, max(x) OVER (PARTITION BY g ORDER BY y {full} EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y RANGE BETWEEN CURRENT ROW AND CURRENT ROW EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y,x, max(x) OVER (ORDER BY y {base} EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y RANGE UNBOUNDED PRECEDING EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        f"SELECT g,y, min(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE GROUP) AS m, "
+        f"sum(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE CURRENT ROW) AS s FROM xmr ORDER BY g,y,m,s",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
 
 
 def test_groups_frames_sqlite_differential(db):
@@ -465,6 +512,30 @@ def test_groups_frames_sqlite_differential(db):
         "SELECT o, sum(v) OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND 1 "
         "FOLLOWING) AS s, avg(v) OVER (ORDER BY o GROUPS BETWEEN UNBOUNDED "
         "PRECEDING AND CURRENT ROW) AS a FROM gf ORDER BY o, s",
+    ):
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    # r7: GROUPS frames inside CTE bodies, derived tables and next to
+    # correlated scalar subqueries (rewrite_groups_frames recursion; the
+    # single-table wrap keeps the original alias so w.g still resolves)
+    for q in (
+        "WITH s AS (SELECT p, o, sum(v) OVER (PARTITION BY p ORDER BY o "
+        "GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS r FROM gf) "
+        "SELECT p, o, r FROM s ORDER BY p, o, r",
+        "SELECT p, mx FROM (SELECT p, max(v) OVER (PARTITION BY p ORDER BY o "
+        "GROUPS BETWEEN CURRENT ROW AND 1 FOLLOWING) AS mx FROM gf) t "
+        "WHERE mx > 6 ORDER BY p, mx",
+        "WITH s AS (SELECT p, o, v, count(*) OVER (PARTITION BY p ORDER BY o "
+        "GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS c FROM gf) "
+        "SELECT p, o, c, sum(v) OVER (PARTITION BY p ORDER BY o GROUPS "
+        "BETWEEN 1 PRECEDING AND 1 FOLLOWING) AS s2 FROM s ORDER BY p, o, c, s2",
+        "SELECT p, o, (SELECT count(*) FROM gf g2 WHERE g2.p = gf.p) AS n, "
+        "sum(v) OVER (PARTITION BY p ORDER BY o GROUPS BETWEEN 1 PRECEDING "
+        "AND CURRENT ROW) AS s FROM gf ORDER BY p, o, n, s",
+        "WITH a AS (SELECT * FROM gf WHERE p = 'a'), b AS (SELECT o, min(v) "
+        "OVER (ORDER BY o GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW) AS m "
+        "FROM a) SELECT o, m FROM b ORDER BY o, m",
     ):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
@@ -1018,19 +1089,23 @@ def test_nested_with_insert(db):
     assert db.query_string_stmt("SELECT v FROM nw ORDER BY v")[0].values == [[3], [4]]
 
 
-def test_triggers_rejected_loudly(db):
-    """Triggers are legal SQLite reachable through the reference
-    pass-through but deliberately excluded (COVERAGE.md); they must
-    fail with a clear unsupported message, not fall through generic
-    paths with a misleading parse error (VERDICT r4 item 5)."""
+def test_triggers_supported_instead_of_rejected(db):
+    """CREATE TRIGGER was a documented exclusion through r6; r7
+    implemented it (tests/test_triggers.py is the sqlite3-differential
+    battery).  The remaining loud rejections are INSTEAD OF view
+    triggers and RAISE(IGNORE)."""
     db.execute_string_stmt("CREATE TABLE tr (id INTEGER NOT NULL PRIMARY KEY, v INT)")
     r = db.execute_string_stmt(
-        "CREATE TRIGGER t1 AFTER INSERT ON tr BEGIN UPDATE tr SET v = 1; END"
+        "CREATE TRIGGER t1 AFTER INSERT ON tr BEGIN UPDATE tr SET v = 1 WHERE id = NEW.id; END"
     )
-    assert "unsupported statement: CREATE TRIGGER" in r[0].error
-    # the table is untouched and usable afterwards
+    assert not r[0].error
     db.execute_string_stmt("INSERT INTO tr(v) VALUES (7)")
-    assert db.query_string_stmt("SELECT v FROM tr")[0].values == [[7]]
+    assert db.query_string_stmt("SELECT v FROM tr")[0].values == [[1]]
+    db.execute_string_stmt("DROP TRIGGER t1")
+    r = db.execute_string_stmt(
+        "CREATE TRIGGER t2 AFTER INSERT ON tr BEGIN SELECT RAISE(IGNORE); END"
+    )
+    assert "RAISE(IGNORE)" in r[0].error
 
 
 def test_savepoints_sqlite_differential(db):

@@ -5,9 +5,15 @@ for the function dialect (dialect.rewrite_sqlite_fns + SQLITE_FN_DDL).
 
 Known, documented divergences (not asserted — all stem from SQLite's
 dynamic typing, which no static-typed engine can reproduce textually):
-integer division (SQLite 5/2=2, Spark 2.5 — a text rewrite cannot know
-operand types); implicit cross-type comparison ordering (SQLite orders
-numbers < text, '10'=10 is false; Spark coerces); integer truthiness in
+integer division with a TEXT operand ('7'/2=3 in SQLite: the cell's
+runtime storage class decides — provably-INTEGER operands ARE now
+asserted below via dialect.rewrite_typed_ops: literals, INTEGER-affinity
+columns, int-returning functions, all-int arithmetic chains);
+cross-type comparison where an operand is a non-literal text expression
+(s > 5 with s TEXT: SQLite compares storage classes per row; literal
+vs literal IS now asserted — folded by storage-class ordering);
+abs() of a non-literal text expression (literal text/blob IS asserted:
+numeric-prefix fold); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
 literals (SQLite literal, Spark escape); printf('%f', <decimal
 literal>); quote(<number>) quotes the text form; glob patterns with a
@@ -259,7 +265,74 @@ CASES = [
     "SELECT unixepoch('2024-03-05')",
     "SELECT julianday('2024-03-05', '+1 day') - julianday('2024-03-05')",
     "SELECT julianday('2024-03-05', 'start of month')",
+    # r7 typed-ops rewrites (dialect.rewrite_typed_ops): integer
+    # division where both operands are provably INTEGER — truncation
+    # toward zero, matching Spark's div exactly (negatives included)
+    "SELECT 7/2",
+    "SELECT -7/2",
+    "SELECT 7/-2",
+    "SELECT 7/2/2",
+    "SELECT 3*7/2",
+    "SELECT 7/2*3",
+    "SELECT (8/2)/2",
+    "SELECT (1+3)/2",
+    "SELECT 1/0",
+    "SELECT 7.0/2",  # any REAL operand keeps real division
+    "SELECT 7/2.0",
+    "SELECT length('abcde')/2",
+    "SELECT CAST('7' AS INTEGER)/2",
+    # literal cross-type comparisons fold to the storage-class ordering
+    # (NUMERIC < TEXT < BLOB; literals never affinity-convert)
+    "SELECT 1 < '1'",
+    "SELECT 1 = '1'",
+    "SELECT 1 > '1'",
+    "SELECT 1 <= '1'",
+    "SELECT 1 != '1'",
+    "SELECT 1.5 < 'a'",
+    "SELECT '' > 9e99",
+    "SELECT x'00' > 'zzz'",
+    "SELECT 'a' < x'00'",
+    # string/blob-affinity abs(): numeric-prefix conversion, always REAL
+    "SELECT abs('12')",
+    "SELECT abs('-5x')",
+    "SELECT abs('abc')",
+    "SELECT abs(x'3132')",
+    "SELECT abs('1.2.3')",
+    "SELECT abs('')",
+    "SELECT abs(' 12')",
+    "SELECT abs('1e2')",
+    "SELECT abs('-')",  # signed zero survives SQLite's x<0 test
 ]
+
+
+def test_int_affinity_column_division(spark):
+    """Column-aware integer division: INTEGER-affinity columns store
+    LongType, so x/y between them is SQLite integer division (the
+    session feeds the in-scope INTEGER column names to
+    dialect.rewrite_typed_ops). sqlite3-differential."""
+    db = DustSession(spark)
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE dv (a INTEGER, b INTEGER, r REAL, s TEXT)"
+    rows = "INSERT INTO dv VALUES (7,2,2.5,'x'), (-9,4,0.5,'3'), (5,0,1.0,'y')"
+    for c in (db.execute_string_stmt, lambda q: ref.execute(q)):
+        c(ddl)
+        c(rows)
+    for q in [
+        "SELECT a/b FROM dv ORDER BY a",
+        "SELECT a/2 FROM dv ORDER BY a",
+        "SELECT a/r FROM dv ORDER BY a",  # real operand: real division
+        "SELECT a*b/2 FROM dv ORDER BY a",
+        "SELECT (a+b)/2 FROM dv ORDER BY a",
+        "SELECT dv.a/dv.b FROM dv ORDER BY a",
+        "SELECT a FROM dv WHERE a/2 = 3 ORDER BY a",
+        "SELECT sum(a)/count(*) FROM dv",
+        "SELECT count(*) FROM dv WHERE 1 < '1'",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    db.close()
+    ref.close()
 
 
 AGG_CASES = [
