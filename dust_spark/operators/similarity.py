@@ -371,10 +371,19 @@ def embedding_near_dup(
     # Bucket table carries ids only; candidate pairs are deduped on the
     # (id_a, id_b) key and vectors re-joined by id for verification —
     # the wide arrays never enter a shuffle hash key.
-    tagged = df.select(
-        F.col(id_col).alias("id"),
-        F.posexplode(sigs(F.col(vec_col))).alias("t", "sig"),
-    ).select("id", "t", F.xxhash64("t", "sig").alias("bucket"))
+    # Persist the (id, t, bucket) index before the self-join — 24 bytes
+    # × n × tables, the standard build-once LSH index. Without it BOTH
+    # join sides re-run the n_tables × bits Arrow plane-dot kernel over
+    # the corpus (the same fix c2i's portable twin got in r6; measured
+    # ~2× on the cold run at sf0.1).
+    tagged = (
+        df.select(
+            F.col(id_col).alias("id"),
+            F.posexplode(sigs(F.col(vec_col))).alias("t", "sig"),
+        )
+        .select("id", "t", F.xxhash64("t", "sig").alias("bucket"))
+        .persist()
+    )
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
         a.join(b, ["t", "bucket"])
