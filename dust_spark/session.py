@@ -156,7 +156,12 @@ class DustSession:
         self._fk_enabled = False
         self._user_version = 0
         self._schema_version = 0
-        self._trigger_depth = 0  # >0 inside a trigger body (no recursion)
+        # triggers currently firing (lowered names) — SQLite with its
+        # default recursive_triggers=0 suppresses only RE-ENTRY of a
+        # trigger already on the firing stack (direct or indirect
+        # recursion); nested firing of OTHER triggers chains normally
+        # (sqlite3-probed: t1-on-a inserting into b fires t2-on-b)
+        self._trigger_stack: list[str] = []
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
         # changes()/total_changes() connection state (most recent DML /
@@ -753,6 +758,12 @@ class DustSession:
                 raise DustError(f"no such view: {name}")
             self.catalog.views.pop(name, None)
             self.spark.catalog.dropTempView(name)
+            # DROP VIEW drops its INSTEAD OF triggers with it (SQLite
+            # lang_createtrigger.html, same cascade as DROP TABLE)
+            for k in [
+                k for k, t in self.catalog.triggers.items() if t["table"] == name
+            ]:
+                self.catalog.triggers.pop(k)
             if self.catalog.warehouse:
                 self.catalog._save_manifest()
             return self._ok()
@@ -788,39 +799,43 @@ class DustSession:
 
     def _create_trigger(self, overlay: Overlay, sql: str) -> Response:
         """Row triggers, SQLite semantics (sqlite3-probed throughout):
-        BEFORE (the default) / AFTER on INSERT / UPDATE [OF cols] /
-        DELETE, optional WHEN, NEW./OLD. references, RAISE(ABORT/
-        ROLLBACK/FAIL).  Bodies execute per affected row in statement
-        order, triggers in REVERSE creation order (probed — SQLite
-        prepends to its trigger list); recursive firing is off, like
-        SQLite's default recursive_triggers=0.  Documented scope
-        limits (COVERAGE.md): INSTEAD OF view triggers and
-        RAISE(IGNORE) are rejected loudly; upsert (ON CONFLICT DO) and
-        UPDATE...FROM statements do not fire triggers; a BEFORE-trigger
-        body writing the trigger's OWN table is overwritten by the
-        outer statement's batch apply (AFTER bodies land normally), and
-        a body READING its own table during a multi-row statement sees
-        the batch-applied state where SQLite interleaves row-at-a-time.
+        BEFORE (the default) / AFTER on tables and INSTEAD OF on views,
+        for INSERT / UPDATE [OF cols] / DELETE, optional WHEN, NEW./OLD.
+        references, RAISE(ABORT/ROLLBACK/FAIL).  Bodies execute per
+        affected row in statement order, triggers in REVERSE creation
+        order (probed — SQLite prepends to its trigger list); with
+        recursive_triggers off (SQLite's default) only RE-ENTRY of a
+        trigger already on the firing stack is suppressed — nested
+        firing of other triggers chains normally.  Documented scope
+        limits (COVERAGE.md): RAISE(IGNORE) is rejected loudly; upsert
+        (ON CONFLICT DO) and UPDATE...FROM statements do not fire
+        table triggers; a BEFORE-trigger body writing the trigger's OWN
+        table is overwritten by the outer statement's batch apply
+        (AFTER bodies land normally), and a body READING its own table
+        during a multi-row statement sees the batch-applied state where
+        SQLite interleaves row-at-a-time.
         """
         try:
             td = dialect.parse_create_trigger(sql)
         except ValueError as e:
             raise DustError(str(e)) from e
         tbl = td.table.lower()
+        is_view = tbl in self.catalog.views
         if td.timing == "INSTEAD OF":
-            if tbl in self.catalog.views:
-                raise DustError(
-                    "unsupported statement: INSTEAD OF triggers on views"
-                )
-            raise DustError(f"cannot create INSTEAD OF trigger on table: {td.table}")
-        if tbl in self.catalog.views:
+            if not is_view:
+                if overlay.exists(tbl):
+                    raise DustError(
+                        f"cannot create INSTEAD OF trigger on table: {td.table}"
+                    )
+                raise DustError(f"no such table: main.{td.table}")
+        elif is_view:
             raise DustError(f"cannot create {td.timing} trigger on view: {td.table}")
         key = td.name.lower()
         if key in self.catalog.triggers or overlay.exists(key):
             if td.if_not_exists:
                 return self._ok()
             raise DustError(f"trigger {td.name} already exists")
-        if not overlay.exists(tbl):
+        if not is_view and not overlay.exists(tbl):
             raise DustError(f"no such table: main.{td.table}")
         for s in td.body + ((td.when_sql,) if td.when_sql else ()):
             if re.search(r"\bRAISE\s*\(\s*IGNORE\s*\)", s, re.I):
@@ -846,13 +861,16 @@ class DustSession:
     def _table_triggers(self, table: str, event: str, timing: str, assigned=None) -> list:
         """Matching triggers in FIRING order (reverse creation —
         sqlite3-probed); UPDATE OF lists filter on the assigned
-        columns.  Empty while already inside a trigger body
-        (recursive_triggers off, SQLite's default)."""
-        if self._trigger_depth:
-            return []
+        columns.  Triggers already on the firing stack are skipped
+        (recursive_triggers off, SQLite's default: re-entry of the SAME
+        trigger — directly or through a cycle — is suppressed, while
+        nested firing of other triggers chains normally)."""
+        on_stack = set(self._trigger_stack)
         out = []
         for t in self.catalog.triggers.values():
             if t["table"] != table.lower() or t["event"] != event or t["timing"] != timing:
+                continue
+            if t["name"].lower() in on_stack:
                 continue
             if event == "UPDATE" and t["of"] and assigned is not None:
                 low = {c.lower() for c in assigned}
@@ -909,10 +927,13 @@ class DustSession:
         pass through here)."""
         if not trigs or not rows:
             return
-        self._trigger_depth += 1
-        try:
-            for old, new in rows:
-                for t in trigs:
+        for old, new in rows:
+            for t in trigs:
+                key = t["name"].lower()
+                if key in self._trigger_stack:
+                    continue  # re-entry through a cycle: suppressed
+                self._trigger_stack.append(key)
+                try:
                     if t["when"]:
                         w = dialect.rewrite_raise(
                             self._subst_row_refs(t["when"], new, old, tdef)
@@ -937,8 +958,172 @@ class DustSession:
                                 self._total_changes += r.rows_affected or 0
                         except Exception as e:  # noqa: BLE001
                             raise self._convert_raise(e) from e
-        finally:
-            self._trigger_depth -= 1
+                finally:
+                    self._trigger_stack.pop()
+
+    # ------------------------------------------------------------------
+    # INSTEAD OF triggers — DML on views (r7)
+    # ------------------------------------------------------------------
+
+    def _instead_of(self, view: str, event: str, assigned=None) -> tuple[bool, list]:
+        """(any trigger DEFINED for this view+event, firing list).
+
+        The existence check ignores the firing stack — SQLite validates
+        "is this view modifiable" at prepare time, so DML on a view
+        whose only matching trigger is currently ON the stack is a
+        silent no-op (sqlite3-probed: a self-recursive INSTEAD OF body
+        neither errors nor recurses), while a view with NO matching
+        trigger at all raises 'cannot modify'."""
+        defined = [
+            t
+            for t in self.catalog.triggers.values()
+            if t["table"] == view.lower()
+            and t["timing"] == "INSTEAD OF"
+            and t["event"] == event
+            and not (
+                event == "UPDATE"
+                and t["of"]
+                and assigned is not None
+                and not any(
+                    c.lower() in {a.lower() for a in assigned} for c in t["of"]
+                )
+            )
+        ]
+        firing = self._table_triggers(view, event, "INSTEAD OF", assigned)
+        return bool(defined), firing
+
+    @staticmethod
+    def _view_row(cols: list, vals: tuple, ordinal: int) -> dict:
+        """Row dict for NEW/OLD binding in a view trigger. SQLite gives
+        view rows per-statement ordinal rowids (1-based; -1 for the NEW
+        row of an INSERT — sqlite3-probed), exposed here as dict keys
+        unless a real view column shadows the alias."""
+        d = dict(zip(cols, vals))
+        low = {c.lower() for c in cols}
+        for alias in ("rowid", "_rowid_", "oid"):
+            if alias not in low:
+                d[alias] = ordinal
+        return d
+
+    def _fire_view_triggers(self, overlay: Overlay, trigs: list, rows: list) -> Response:
+        """Fire INSTEAD OF triggers and return the outer statement's
+        response: rows_affected is 0 (sqlite3-probed: changes() after
+        view DML is 0; the body's own DML lands in total_changes via
+        the firing loop) and last_insert_rowid() is untouched (body
+        inserts do not leak out of the trigger)."""
+        import types
+
+        vdef = types.SimpleNamespace(rowid_column=None)
+        saved_lir = self._last_insert_id
+        self._fire_triggers(overlay, vdef, trigs, rows)
+        self._last_insert_id = saved_lir
+        return Response(last_insert_id=saved_lir, rows_affected=0)
+
+    def _view_insert(self, overlay: Overlay, ins) -> Response:
+        view = ins.table
+        defined, trigs = self._instead_of(view, "INSERT")
+        if not defined:
+            raise DustError(f"cannot modify {view} because it is a view")
+        if ins.on_conflict is not None:
+            raise DustError("cannot UPSERT a view")
+        cols = self.spark.table(view).columns
+        low = {c.lower(): c for c in cols}
+        targets = list(cols)
+        if ins.columns:
+            targets = []
+            for c in ins.columns:
+                if c.lower() not in low:
+                    raise DustError(f"table {view} has no column named {c}")
+                targets.append(low[c.lower()])
+        src = ins.source_sql.strip().rstrip(";")
+        if re.match(r"DEFAULT\s+VALUES\s*$", src, re.I):
+            raw = [tuple(None for _ in cols)]
+            targets = list(cols)
+        else:
+            q = src if src.upper().startswith(("SELECT", "WITH")) else f"SELECT * FROM ({src})"
+            try:
+                collected = self._sql(q, None).collect()
+            except Exception as e:  # noqa: BLE001
+                raise self._convert_raise(e) from e
+            raw = [tuple(r) for r in collected]
+            for r in raw:
+                if len(r) != len(targets):
+                    if not ins.columns:
+                        raise DustError(
+                            f"table {view} has {len(targets)} columns but "
+                            f"{len(r)} values were supplied"
+                        )
+                    raise DustError(f"{len(r)} values for {len(targets)} columns")
+        rows = []
+        for vals in raw:
+            bound = dict(zip(targets, vals))
+            rows.append(
+                (None, self._view_row(cols, tuple(bound.get(c) for c in cols), -1))
+            )
+        return self._fire_view_triggers(overlay, trigs, rows)
+
+    def _view_update(self, overlay: Overlay, up) -> Response:
+        view = up.table
+        assigned = [c for c, _ in up.sets]
+        defined, trigs = self._instead_of(view, "UPDATE", assigned)
+        if not defined:
+            raise DustError(f"cannot modify {view} because it is a view")
+        if up.from_sql:
+            raise DustError(f"cannot modify {view} because it is a view")
+        cols = self.spark.table(view).columns
+        low = {c.lower(): c for c in cols}
+        for c in assigned:
+            if c.lower() not in low:
+                raise DustError(f"no such column: {c}")
+        # one pass evaluates the SET expressions against each OLD view
+        # row (SQLite's semantics: expressions see the pre-update row)
+        proj = ", ".join(
+            f"({e}) AS __new_{i}" for i, (_, e) in enumerate(up.sets)
+        )
+        q = f"SELECT *, {proj} FROM {view}"
+        if up.where:
+            q += f" WHERE {up.where}"
+        if up.tail:
+            q += f" {up.tail}"
+        if up.with_sql:
+            q = f"{up.with_sql} {q}"
+        try:
+            collected = self._sql(q, None).collect()
+        except Exception as e:  # noqa: BLE001
+            raise self._convert_raise(e) from e
+        rows = []
+        for i, r in enumerate(collected):
+            vals = tuple(r)[: len(cols)]
+            old = self._view_row(cols, vals, i + 1)
+            newvals = dict(zip(cols, vals))
+            for j, (c, _) in enumerate(up.sets):
+                newvals[low[c.lower()]] = r[len(cols) + j]
+            new = self._view_row(cols, tuple(newvals[c] for c in cols), i + 1)
+            rows.append((old, new))
+        return self._fire_view_triggers(overlay, trigs, rows)
+
+    def _view_delete(self, overlay: Overlay, de) -> Response:
+        view = de.table
+        defined, trigs = self._instead_of(view, "DELETE")
+        if not defined:
+            raise DustError(f"cannot modify {view} because it is a view")
+        cols = self.spark.table(view).columns
+        q = f"SELECT * FROM {view}"
+        if de.where:
+            q += f" WHERE {de.where}"
+        if de.tail:
+            q += f" {de.tail}"
+        if de.with_sql:
+            q = f"{de.with_sql} {q}"
+        try:
+            collected = self._sql(q, None).collect()
+        except Exception as e:  # noqa: BLE001
+            raise self._convert_raise(e) from e
+        rows = [
+            (self._view_row(cols, tuple(r), i + 1), None)
+            for i, r in enumerate(collected)
+        ]
+        return self._fire_view_triggers(overlay, trigs, rows)
 
     def _alter_table(self, overlay: Overlay, sql: str) -> Response:
         """SQLite's full ALTER TABLE family (lang_altertable): ADD
@@ -1399,7 +1584,7 @@ class DustSession:
         st = overlay.get(ins.table)
         if st is None:
             if ins.table in self.catalog.views:
-                raise DustError(f"cannot modify {ins.table} because it is a view")
+                return self._view_insert(overlay, ins)
             raise DustError(f"no such table: {ins.table}")
         tdef = st.tdef
         schema_cols = [f.name for f in tdef.schema.fields]
@@ -1952,7 +2137,7 @@ class DustSession:
         st = overlay.get(up.table)
         if st is None:
             if up.table in self.catalog.views:
-                raise DustError(f"cannot modify {up.table} because it is a view")
+                return self._view_update(overlay, up)
             raise DustError(f"no such table: {up.table}")
         with self._exposed_rowid_view(overlay, up.table, st, sql):
             return self._update_impl(overlay, st, up)
@@ -2263,7 +2448,7 @@ class DustSession:
         st = overlay.get(de.table)
         if st is None:
             if de.table in self.catalog.views:
-                raise DustError(f"cannot modify {de.table} because it is a view")
+                return self._view_delete(overlay, de)
             raise DustError(f"no such table: {de.table}")
         with self._exposed_rowid_view(overlay, de.table, st, sql):
             return self._delete_impl(overlay, st, de)

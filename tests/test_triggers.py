@@ -270,3 +270,274 @@ def test_trigger_raise_ignore_rejected_loudly(pair):
         "CREATE TRIGGER tr AFTER INSERT ON t BEGIN SELECT RAISE(IGNORE); END"
     )
     assert "RAISE(IGNORE)" in (rs[0].error or "")
+
+
+# ---------------------------------------------------------------------------
+# r7 second wave: nested-trigger chaining + INSTEAD OF view triggers
+# ---------------------------------------------------------------------------
+
+
+def test_nested_triggers_chain_differential(pair):
+    """recursive_triggers=0 suppresses only RE-ENTRY of a trigger already
+    firing; nested firing of OTHER triggers chains (sqlite3-probed:
+    t1-on-a inserting into b fires t2-on-b)."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE a (x INTEGER)",
+        "CREATE TABLE b (y INTEGER)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER t1 AFTER INSERT ON a BEGIN INSERT INTO b VALUES (NEW.x); END",
+        "CREATE TRIGGER t2 AFTER INSERT ON b BEGIN INSERT INTO log VALUES ('t2:'||NEW.y); END",
+        "INSERT INTO a VALUES (7)",
+    )
+    q_both(db, ref, "SELECT m FROM log ORDER BY m")
+    q_both(db, ref, "SELECT y FROM b ORDER BY y")
+
+
+def test_indirect_trigger_recursion_suppressed_differential(pair):
+    """a->b->a cycle: the second firing of r1 is suppressed (it is on
+    the firing stack), so the inner INSERT INTO c1 lands plainly."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE c1 (x INTEGER)",
+        "CREATE TABLE c2 (y INTEGER)",
+        "CREATE TRIGGER r1 AFTER INSERT ON c1 BEGIN INSERT INTO c2 VALUES (NEW.x+1); END",
+        "CREATE TRIGGER r2 AFTER INSERT ON c2 BEGIN INSERT INTO c1 VALUES (NEW.y+1); END",
+        "INSERT INTO c1 VALUES (0)",
+    )
+    q_both(db, ref, "SELECT x FROM c1 ORDER BY x")
+    q_both(db, ref, "SELECT y FROM c2 ORDER BY y")
+
+
+@pytest.fixture()
+def view_pair(pair):
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)",
+        "CREATE VIEW w AS SELECT id, v*2 AS dv FROM t",
+        "CREATE TABLE log (m TEXT, a INTEGER, b INTEGER)",
+    )
+    return db, ref
+
+
+def test_instead_of_insert_differential(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO t VALUES (NEW.id, NEW.dv/2); "
+        "INSERT INTO log VALUES ('I', NEW.id, NEW.dv); END",
+        "INSERT INTO w VALUES (1, 20), (2, 40)",
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m, a, b FROM log ORDER BY a")
+    # changes() after view DML is 0; body DML lands in total_changes;
+    # last_insert_rowid() does not leak out of the trigger
+    q_both(db, ref, "SELECT changes(), total_changes(), last_insert_rowid()")
+    # column-list insert: unnamed view columns bind NULL
+    run_both(db, ref, "INSERT INTO w(dv) VALUES (100)")
+    q_both(db, ref, "SELECT m, a, b FROM log WHERE b = 100")
+    # DEFAULT VALUES: every column NULL
+    run_both(db, ref, "INSERT INTO w DEFAULT VALUES")
+    q_both(db, ref, "SELECT count(*) FROM log WHERE a IS NULL AND b IS NULL")
+    # NEW.rowid on a view INSERT is -1 (sqlite3-probed)
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wr INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO log VALUES ('R', NEW.rowid, NULL); END",
+        "INSERT INTO w VALUES (50, 2)",
+    )
+    q_both(db, ref, "SELECT m, a FROM log WHERE m = 'R'")
+
+
+def test_instead_of_update_differential(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "INSERT INTO t VALUES (1, 10), (2, 20), (3, 30)",
+        "CREATE TRIGGER wu INSTEAD OF UPDATE OF dv ON w WHEN NEW.dv <> OLD.dv BEGIN "
+        "UPDATE t SET v = NEW.dv/2 WHERE id = OLD.id; "
+        "INSERT INTO log VALUES ('U', OLD.dv, NEW.dv); END",
+        "UPDATE w SET dv = 100 WHERE id = 1",
+        "UPDATE w SET dv = dv WHERE id = 2",  # WHEN NEW<>OLD: no fire
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m, a, b FROM log ORDER BY a")
+    q_both(db, ref, "SELECT changes(), total_changes()")
+    # an UPDATE whose assigned columns miss every OF list cannot modify
+    with pytest.raises(sqlite3.OperationalError, match="cannot modify w"):
+        ref.execute("UPDATE w SET id = id + 1")
+    rs = db.execute_string_stmt("UPDATE w SET id = id + 1")
+    assert rs[0].error == "cannot modify w because it is a view"
+    # OLD.rowid / NEW.rowid are per-statement 1-based ordinals
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wu2 INSTEAD OF UPDATE ON w BEGIN "
+        "INSERT INTO log VALUES ('O', OLD.rowid, NEW.rowid); END",
+        "UPDATE w SET dv = dv + 2",
+    )
+    q_both(db, ref, "SELECT m, a, b FROM log WHERE m = 'O' ORDER BY a")
+
+
+def test_instead_of_delete_differential(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "INSERT INTO t VALUES (10, 1), (20, 2), (30, 3)",
+        "CREATE TRIGGER wd INSTEAD OF DELETE ON w BEGIN "
+        "DELETE FROM t WHERE id = OLD.id; "
+        "INSERT INTO log VALUES ('D', OLD.rowid, OLD.id); END",
+        "DELETE FROM w WHERE dv >= 4",
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m, a, b FROM log ORDER BY b")
+    q_both(db, ref, "SELECT changes(), total_changes()")
+
+
+def test_instead_of_firing_order_and_upsert_errors(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER z INSTEAD OF INSERT ON w BEGIN INSERT INTO log VALUES ('z', NEW.id, NULL); END",
+        "CREATE TRIGGER a INSTEAD OF INSERT ON w BEGIN INSERT INTO log VALUES ('a', NEW.id, NULL); END",
+        "INSERT INTO w VALUES (9, 18)",
+    )
+    # reverse creation order, per row
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    with pytest.raises(sqlite3.OperationalError, match="cannot UPSERT a view"):
+        ref.execute("INSERT INTO w VALUES (9, 18) ON CONFLICT DO NOTHING")
+    rs = db.execute_string_stmt("INSERT INTO w VALUES (9, 18) ON CONFLICT DO NOTHING")
+    assert rs[0].error == "cannot UPSERT a view"
+    # INSERT OR REPLACE fires INSTEAD OF normally (conflict action moot)
+    run_both(db, ref, "INSERT OR REPLACE INTO w VALUES (7, 14)")
+    q_both(db, ref, "SELECT count(*) FROM log")
+
+
+def test_instead_of_insert_column_errors(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN SELECT 1; END",
+    )
+    for sql in [
+        "INSERT INTO w(id, nosuch) VALUES (1, 2)",
+        "INSERT INTO w VALUES (1)",
+        "INSERT INTO w VALUES (1, 2, 3)",
+        "UPDATE w SET nosuch = 1",
+    ]:
+        try:
+            ref.execute(sql)
+            want = None
+        except Exception as e:  # noqa: BLE001
+            want = str(e)
+        rs = db.execute_string_stmt(sql)
+        assert rs[0].error == want, (sql, rs[0].error, want)
+
+
+def test_instead_of_from_table_trigger_body(view_pair):
+    """An INSTEAD OF trigger fires from inside another trigger's body
+    (nesting is not recursion)."""
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE src (n INTEGER)",
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO t VALUES (NEW.id, NEW.dv/2); END",
+        "CREATE TRIGGER si AFTER INSERT ON src BEGIN "
+        "INSERT INTO w VALUES (NEW.n, NEW.n * 10); END",
+        "INSERT INTO src VALUES (4)",
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_instead_of_self_recursion_noop(view_pair):
+    """A self-recursive INSTEAD OF body neither errors nor recurses:
+    the inner view DML finds its only trigger on the firing stack and
+    does nothing (sqlite3-probed)."""
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO w VALUES (NEW.id, NEW.dv); "
+        "INSERT INTO log VALUES ('hit', NEW.id, NULL); END",
+        "INSERT INTO w VALUES (1, 2)",
+    )
+    q_both(db, ref, "SELECT count(*) FROM t")
+    q_both(db, ref, "SELECT count(*) FROM log")
+
+
+def test_instead_of_raise_abort_atomicity(view_pair):
+    db, ref = view_pair
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO t VALUES (NEW.id, NEW.dv); "
+        "SELECT RAISE(ABORT, 'nope') WHERE NEW.id > 1; END",
+    )
+    with pytest.raises(sqlite3.IntegrityError, match="nope"):
+        ref.execute("INSERT INTO w VALUES (1, 10), (2, 20)")
+    rs = db.execute_string_stmt("INSERT INTO w VALUES (1, 10), (2, 20)")
+    assert rs[0].error == "nope"
+    q_both(db, ref, "SELECT count(*) FROM t")
+
+
+def test_instead_of_ddl_and_drop_view_cascade(view_pair):
+    db, ref = view_pair
+    cases = [
+        "CREATE TRIGGER b1 BEFORE INSERT ON w BEGIN SELECT 1; END",
+        "CREATE TRIGGER a1 AFTER UPDATE ON w BEGIN SELECT 1; END",
+        "CREATE TRIGGER i1 INSTEAD OF INSERT ON t BEGIN SELECT 1; END",
+        "INSERT INTO w VALUES (1, 2)",  # no trigger yet: cannot modify
+        "DELETE FROM w",
+        "UPDATE w SET dv = 1",
+    ]
+    for sql in cases:
+        try:
+            ref.execute(sql)
+            want = None
+        except Exception as e:  # noqa: BLE001
+            want = str(e)
+        rs = db.execute_string_stmt(sql)
+        assert rs[0].error == want, (sql, rs[0].error, want)
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN SELECT 1; END",
+    )
+    q_both(db, ref, "SELECT name, tbl_name FROM sqlite_master WHERE type='trigger'")
+    run_both(db, ref, "DROP VIEW w")
+    q_both(db, ref, "SELECT count(*) FROM sqlite_master WHERE type='trigger'")
+
+
+def test_instead_of_persists_across_disk_reopen(spark, tmp_path):
+    wh = str(tmp_path / "wh_iof")
+    db = DustSession(spark, warehouse=wh)
+    db.execute_string_stmt("CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)")
+    db.execute_string_stmt("CREATE VIEW w AS SELECT id, v FROM t")
+    db.execute_string_stmt(
+        "CREATE TRIGGER wi INSTEAD OF INSERT ON w BEGIN "
+        "INSERT INTO t VALUES (NEW.id, NEW.v); END"
+    )
+    db.execute_string_stmt("INSERT INTO w VALUES (1, 10)")
+    db.close()
+    db2 = DustSession(spark, warehouse=wh)
+    db2.execute_string_stmt("INSERT INTO w VALUES (2, 20)")
+    rows = db2.query_string_stmt("SELECT id, v FROM t ORDER BY id")[0].values
+    assert rows == [[1, 10], [2, 20]]
+    db2.close()
