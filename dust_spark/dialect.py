@@ -2520,6 +2520,9 @@ def _rewrite_json_arrows(sql: str) -> str:
             # ->> extracts TYPED like json_extract (SQLite: json ints
             # come back INTEGER — r6 finding; containers as json text)
             repl = _typed_json_extract(lhs, path)
+        elif "#" in path:
+            # '->' returns json text; the navigator already serializes
+            repl = f"__json_extract_path(CAST(({lhs}) AS STRING), {path})"
         else:
             repl = f"to_json(try_variant_get(try_parse_json({lhs}), {path}))"
         sql = sql[:lhs_start] + repl + sql[m.end():]
@@ -3220,6 +3223,14 @@ def _typed_json_extract(j: str, path_lit: str, keep_json_null: bool = False) -> 
     can mistype."""
     js = f"CAST(({j}) AS STRING)"
     jp = path_lit
+    if "#" in jp:
+        # '$[#-N]' from-end indexing — no variant_get path equivalent;
+        # the Python json1 navigator extracts and re-serializes, and
+        # try_parse_json restores the typed-VARIANT contract
+        xt = f"try_parse_json(__json_extract_path({js}, {jp}))"
+        if keep_json_null:
+            return xt
+        return f"(CASE WHEN is_variant_null({xt}) THEN NULL ELSE {xt} END)"
     ext = f"get_json_object({js}, {jp})"
     xt = (
         "(CASE WHEN try_parse_json(" + js + ") IS NOT NULL "
@@ -3311,9 +3322,13 @@ def _rewrite_one_call(
         # Spark hexes numbers numerically. Blobs hex their raw bytes on
         # both sides; typeof() is static → the CASE constant-folds.
         a = args[0]
+        # the 'blob' alternative keeps this stable when a fragment
+        # passes through the rewriter twice (trigger bodies, view DML):
+        # the second pass maps typeof() to storage-class names
+        # hex(NULL) is '' in SQLite (never NULL)
         return (
-            f"(CASE WHEN typeof({a}) = 'binary' THEN upper(hex({a})) "
-            f"ELSE upper(hex(CAST({a} AS STRING))) END)"
+            f"coalesce(CASE WHEN typeof({a}) IN ('binary', 'blob') THEN upper(hex({a})) "
+            f"ELSE upper(hex(CAST({a} AS STRING))) END, '')"
         )
     if n in ("likely", "unlikely") and len(args) == 1:
         # planner-hint no-ops: pass the value through (SQLite core)
@@ -3547,14 +3562,20 @@ def _rewrite_one_call(
         # runtime branch on Spark's (constant-folding) typeof: numerics
         # render bare, booleans as SQLite's stored 1/0, text quoted.
         # Every branch must ANALYZE for any input type, so values reach
-        # string ops via CAST(.. AS STRING) only.
+        # string ops via CAST(.. AS STRING) only. Branch vocabularies
+        # include the SQLite STORAGE-CLASS names ('integer'/'real') so
+        # the expansion stays correct when a fragment passes through the
+        # rewriter twice (trigger bodies, view DML): the second pass
+        # maps the emitted typeof() to storage classes. Booleans fold
+        # into the integer branch via the true/false CASE because that
+        # second pass reports them as 'integer'.
         return (
             f"CASE WHEN ({a}) IS NULL THEN 'NULL' "
-            f"WHEN typeof({a}) = 'boolean' THEN "
-            f"CASE CAST(({a}) AS STRING) WHEN 'true' THEN '1' ELSE '0' END "
-            f"WHEN typeof({a}) IN ('tinyint','smallint','int','bigint') THEN "
-            f"CAST(({a}) AS STRING) "
-            f"WHEN typeof({a}) RLIKE '^(double|float|decimal)' THEN "
+            f"WHEN typeof({a}) IN "
+            f"('boolean','tinyint','smallint','int','bigint','integer') THEN "
+            f"CASE CAST(({a}) AS STRING) WHEN 'true' THEN '1' "
+            f"WHEN 'false' THEN '0' ELSE CAST(({a}) AS STRING) END "
+            f"WHEN typeof({a}) RLIKE '^(double|float|decimal|real)' THEN "
             f"CAST(CAST(CAST(({a}) AS STRING) AS DOUBLE) AS STRING) "
             f"ELSE concat('''', replace(CAST(({a}) AS STRING), '''', ''''''), '''') END"
         )

@@ -17,7 +17,7 @@ from __future__ import annotations
 import json
 import re
 
-_STEP_RE = re.compile(r"\.([^.\[\]]+)|\[(\d+)\]|\[#-(\d+)\]")
+_STEP_RE = re.compile(r"\.([^.\[\]]+)|\[(\d+)\]|\[#(?:-(\d+))?\]")
 
 
 def parse_path(path: str) -> list:
@@ -35,7 +35,9 @@ def parse_path(path: str) -> list:
         elif m.group(2) is not None:
             steps.append(("idx", int(m.group(2))))
         else:
-            steps.append(("end", int(m.group(3))))
+            # '$[#-n]' = n-from-end; bare '$[#]' = one-past-end (the
+            # append position for set/insert, out of range to read)
+            steps.append(("end", int(m.group(3) or 0)))
         pos = m.end()
     return steps
 
@@ -110,6 +112,35 @@ def mutate(j: str, mode: str, pairs_json: str) -> str | None:
             elif not exists and mode in ("set", "insert") and i == len(parent):
                 parent.append(value)
     return json.dumps(doc, separators=(",", ":"), ensure_ascii=False)
+
+
+def extract_json_text(j: str, path: str) -> str | None:
+    """Single-path json_extract for path forms Spark's variant_get
+    cannot express ('$[#-N]' from-end indexing, sqlite json1 docs):
+    returns the extracted value re-serialized as JSON text (None when
+    the path doesn't resolve), for re-parsing to VARIANT on the SQL
+    side so the typed-extraction contract is identical to the
+    variant_get fast path."""
+    if j is None:
+        return None
+    steps = parse_path(path)  # malformed path raises, like SQLite
+    try:
+        cur = json.loads(j)
+    except Exception:
+        return None
+    for kind, key in steps:
+        if kind == "key":
+            if not isinstance(cur, dict) or key not in cur:
+                return None
+            cur = cur[key]
+        else:
+            if not isinstance(cur, list):
+                return None
+            i = key if kind == "idx" else len(cur) - key
+            if not (0 <= i < len(cur)):
+                return None
+            cur = cur[i]
+    return json.dumps(cur, separators=(",", ":"), ensure_ascii=False)
 
 
 def _json_type(v) -> str:
@@ -205,6 +236,7 @@ def register(spark) -> None:
     (UDTF) on a SparkSession — called from DustSession init."""
     spark.udf.register("__json_mutate", mutate, "string")
     spark.udf.register("__json_patch", merge_patch, "string")
+    spark.udf.register("__json_extract_path", extract_json_text, "string")
 
     from pyspark.sql.functions import udtf
 

@@ -48,3 +48,62 @@ def hypertable_rollup(
             F.round(F.sum(value_col), 4).alias("sum_value"),
         )
     )
+
+
+def gap_fill_locf(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_cols: tuple = ("event_type",),
+    value_col: str = "value",
+    resolution_s: int = 3600,
+) -> DataFrame:
+    """Gap-filled per-key time buckets with last-observation-carried-
+    forward — TimescaleDB's ``time_bucket_gapfill`` + ``locf()`` shape.
+
+    Builds the dense bucket spine from the GLOBAL [min, max] bucket
+    range (one tiny agg, metadata-sized: span/resolution rows) crossed
+    with the distinct key set, left-joins the observed per-bucket
+    averages, then carries each key's last observed average forward
+    with an IGNORE NULLS running last_value. Leading gaps (before a
+    key's first observation) stay NULL, matching locf(). ``filled`` = 1
+    marks carried rows.
+
+    Hash stability: bucket keys are epoch-second BIGINT floors; the
+    average is an exact DECIMAL(25,6) sum cast to DOUBLE, divided by
+    the count and rounded to 4 — order-independent and engine-exact
+    (the c3i/c10c decimal recipe).
+
+    Scale: the spine never materializes the corpus — span/res × |keys|
+    rows; the observed aggregation is one shuffle with map-side
+    combine; the LOCF window partitions by key (one more shuffle on
+    the SPINE, not the events)."""
+    from pyspark.sql import Window as W
+
+    res = F.lit(int(resolution_s)).cast("long")
+    keyed = events.select(
+        *[F.col(k) for k in key_cols],
+        (F.floor(F.unix_timestamp(F.col(ts_col)) / res) * res)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).alias("__v"),
+    )
+    observed = keyed.groupBy(*key_cols, "bucket_s").agg(
+        F.round(
+            F.sum(F.col("__v").cast("decimal(25,6)")).cast("double") / F.count("*"),
+            4,
+        ).alias("avg_value")
+    )
+    rng = keyed.agg(F.min("bucket_s").alias("lo"), F.max("bucket_s").alias("hi"))
+    spine = rng.select(
+        F.explode(F.sequence(F.col("lo"), F.col("hi"), res)).alias("bucket_s")
+    ).crossJoin(keyed.select(*key_cols).distinct())
+    w = (
+        W.partitionBy(*key_cols)
+        .orderBy("bucket_s")
+        .rowsBetween(W.unboundedPreceding, W.currentRow)
+    )
+    return (
+        spine.join(observed, [*key_cols, "bucket_s"], "left")
+        .withColumn("filled", F.col("avg_value").isNull().cast("long"))
+        .withColumn("avg_value", F.last("avg_value", ignorenulls=True).over(w))
+    )

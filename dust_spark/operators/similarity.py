@@ -520,6 +520,48 @@ def kmeans_assign_portable(
     return assign.orderBy("vid")
 
 
+def semantic_dedup_pairs(
+    df: DataFrame,
+    k: int = 16,
+    iterations: int = 2,
+    threshold: float = 0.3,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """SemDeDup-shaped semantic near-duplicate pairs (Abbas et al. 2023,
+    arXiv:2303.09540): cluster the embedding corpus with the
+    hash-stable portable k-means (:func:`kmeans_assign_portable`), then
+    verify exact cosine ONLY within each cluster — the candidate set is
+    the cluster co-membership relation instead of an LSH bucket join.
+    Returns (id_a < id_b, cos) pairs with cos >= threshold, the same
+    output contract as :func:`embedding_near_dup_portable`.
+
+    100 TB posture: the assignment is O(iterations) narrow passes with
+    a k-row broadcast; the pair join shuffles on the cluster id and the
+    per-cluster pair count is bounded by (n/k)^2 per cluster — k grows
+    ~sqrt(n) in SemDeDup practice to hold cluster occupancy (and the
+    quadratic verify) constant. Vectors never enter the candidate
+    shuffle: the (vid, cid) assignment joins, and vectors re-join by id
+    for the cosine verify."""
+    assign = kmeans_assign_portable(
+        df, k=k, iterations=iterations, id_col=id_col, vec_col=vec_col
+    ).persist()
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    a, b = assign.alias("a"), assign.alias("b")
+    pairs = (
+        a.join(b, "cid")
+        .filter(F.col("a.vid") < F.col("b.vid"))
+        .select(F.col("a.vid").alias("id_a"), F.col("b.vid").alias("id_b"))
+    )
+    return (
+        pairs.join(base.select(F.col("vid").alias("id_a"), F.col("v").alias("va")), "id_a")
+        .join(base.select(F.col("vid").alias("id_b"), F.col("v").alias("vb")), "id_b")
+        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        .filter(F.col("cos") >= threshold)
+        .select("id_a", "id_b", (F.col("cos") + F.lit(0.0)).alias("cos"))
+    )
+
+
 def kmeans_centroids(
     df: DataFrame,
     vec_col: str = "embedding",

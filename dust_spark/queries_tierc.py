@@ -1177,6 +1177,39 @@ def kmeans_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.kmeans_assign_portable(_emb(spark, sf_dir), k=4, iterations=2)
 
 
+# SemDeDup (r7): the k-means CTE chain at k=16, then exact cosine over
+# cluster-co-member pairs — clustering, tie rule and the verify all
+# replay bit-exactly in DuckDB (the c3i recipe feeding the c2i verify).
+_SEMDEDUP_ORACLE = (
+    _KMEANS_ORACLE.replace("LIMIT 4", "LIMIT 16")
+    .rsplit("SELECT vid, cid FROM a2 ORDER BY vid", 1)[0]
+    .rstrip()
+    .rstrip(")")
+    + """),
+scored AS (
+  SELECT a.vid AS id_a, b.vid AS id_b,
+         ROUND(list_cosine_similarity(ea.v, eb.v), 4) AS cs
+  FROM a2 a JOIN a2 b ON a.cid = b.cid AND a.vid < b.vid
+  JOIN base ea ON ea.vid = a.vid
+  JOIN base eb ON eb.vid = b.vid
+)
+SELECT id_a, id_b, cs + 0.0 AS cos FROM scored WHERE cs >= 0.3 ORDER BY id_a, id_b
+"""
+)
+
+
+@register("c2k_semantic_dedup", oracle=_SEMDEDUP_ORACLE, tags=("tierc", "dedup", "jit"))
+def semantic_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-shaped semantic near-dup pairs (arXiv:2303.09540):
+    portable k-means clusters (k=16, the hash-stable c3i recipe) as the
+    candidate generator, exact cosine >= 0.3 verified within clusters
+    only — the third candidate-generation family next to MinHash bands
+    (c2g) and RP-LSH buckets (c2i), hash-compared against DuckDB."""
+    return ops.semantic_dedup_pairs(
+        _emb(spark, sf_dir), k=16, iterations=2, threshold=0.3
+    ).orderBy("id_a", "id_b")
+
+
 _QUANT_ORACLE = """
 WITH s AS (
   SELECT vec_id,
@@ -1834,6 +1867,52 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ops.hypertable_rollup(ev).orderBy("res_s", "bucket_s", "event_type")
+
+
+# Gap-fill + LOCF (r7): dense hourly spine from the global bucket
+# range × distinct keys, exact-decimal bucket averages, IGNORE NULLS
+# running last_value — TimescaleDB's time_bucket_gapfill + locf().
+_GAPFILL_ORACLE = """
+WITH keyed AS (
+  SELECT event_type,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         value
+  FROM events
+), observed AS (
+  SELECT event_type, bucket_s,
+         ROUND(CAST(SUM(CAST(value AS DECIMAL(25,6))) AS DOUBLE) / COUNT(*), 4) AS avg_value
+  FROM keyed GROUP BY event_type, bucket_s
+), rng AS (
+  SELECT min(bucket_s) AS lo, max(bucket_s) AS hi FROM keyed
+), spine AS (
+  SELECT k.event_type, CAST(g.b AS BIGINT) AS bucket_s
+  FROM (SELECT DISTINCT event_type FROM keyed) k,
+       (SELECT unnest(generate_series((SELECT lo FROM rng),
+                                      (SELECT hi FROM rng), 3600)) AS b) g
+)
+SELECT s.event_type, s.bucket_s,
+       last_value(o.avg_value IGNORE NULLS) OVER (
+         PARTITION BY s.event_type ORDER BY s.bucket_s
+         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value,
+       CAST(o.avg_value IS NULL AS BIGINT) AS filled
+FROM spine s LEFT JOIN observed o USING (event_type, bucket_s)
+ORDER BY event_type, bucket_s
+"""
+
+
+@register("c7c_gap_fill_locf", oracle=_GAPFILL_ORACLE, tags=("tierc", "rollup"))
+def gap_fill_locf_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly averages per event_type with LOCF carry —
+    TimescaleDB's time_bucket_gapfill + locf() over the events
+    hypertable; dense spine is span/3600 × |keys| rows (metadata-sized),
+    averages are exact-decimal, the carry is an IGNORE NULLS running
+    last_value. Leading gaps stay NULL."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.gap_fill_locf(ev).select(
+        "event_type", "bucket_s", "avg_value", "filled"
+    ).orderBy("event_type", "bucket_s")
 
 
 _SPAN_DUP_ORACLE = """

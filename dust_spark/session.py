@@ -559,9 +559,8 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _apply(self, overlay: Overlay, stmt: Statement) -> Response:
-        sql = dialect.rewrite_sqlite_fns(
-            dialect.escape_raw_literals(bind_params(stmt.sql, list(stmt.parameters or [])))
-        )
+        raw = bind_params(stmt.sql, list(stmt.parameters or []))
+        sql = dialect.rewrite_sqlite_fns(dialect.escape_raw_literals(raw))
         kind = statement_kind(sql)
         if kind in ("INSERT", "REPLACE", "UPDATE", "DELETE") and not self._capture_returning:
             _core, _ret = dialect.strip_returning(sql)
@@ -583,7 +582,11 @@ class DustSession:
         # COVERAGE.md; reachable via the reference pass-through
         # db/src/db.rs:176 but unused by any reference test or tool)
         if kind == "CREATE_TRIGGER":
-            return self._create_trigger(overlay, sql)
+            # triggers store their RAW body/WHEN text: fragments are
+            # rewritten exactly once at FIRE time (storing the rewritten
+            # text double-rewrites — quote()'s expansion contains
+            # typeof(), which a second pass re-maps to storage classes)
+            return self._create_trigger(overlay, raw)
         if kind in ("SAVEPOINT", "RELEASE"):
             # well-formed savepoint statements are handled in execute();
             # reaching here means the name didn't parse
@@ -806,14 +809,19 @@ class DustSession:
         order (probed — SQLite prepends to its trigger list); with
         recursive_triggers off (SQLite's default) only RE-ENTRY of a
         trigger already on the firing stack is suppressed — nested
-        firing of other triggers chains normally.  Documented scope
-        limits (COVERAGE.md): RAISE(IGNORE) is rejected loudly; upsert
-        (ON CONFLICT DO) and UPDATE...FROM statements do not fire
-        table triggers; a BEFORE-trigger body writing the trigger's OWN
-        table is overwritten by the outer statement's batch apply
-        (AFTER bodies land normally), and a body READING its own table
-        during a multi-row statement sees the batch-applied state where
-        SQLite interleaves row-at-a-time.
+        firing of other triggers chains normally.  Conflict paths fire
+        too (all probed): upsert (BI per attempted row, then AI or
+        BU/AU), REPLACE (BI+AI per batch row, displaced-row delete
+        triggers suppressed like recursive_triggers=0), INSERT OR
+        IGNORE (BI even for dropped violators), UPDATE...FROM (BU/AU).
+        Bodies/WHEN store RAW SQL, rewritten exactly once at fire time.
+        Documented scope limits (COVERAGE.md): RAISE(IGNORE) is
+        rejected loudly; a BEFORE-only trigger body writing the
+        trigger's OWN table is overwritten by the outer statement's
+        batch apply (with both timings the interleaved loop runs
+        post-mutation and own-table writes land), and a body READING
+        its own table during a multi-row statement sees the
+        batch-applied state where SQLite interleaves row-at-a-time.
         """
         try:
             td = dialect.parse_create_trigger(sql)
@@ -1004,6 +1012,30 @@ class DustSession:
             if alias not in low:
                 d[alias] = ordinal
         return d
+
+    def _fire_pairs(
+        self,
+        overlay: Overlay,
+        tdef,
+        trig_b: list,
+        trig_a: list,
+        pairs: list,
+        before_done: bool = False,
+    ) -> None:
+        """Post-mutation trigger firing that preserves SQLite's per-row
+        interleave (B:row1, A:row1, B:row2, ...) when BOTH timings have
+        triggers. With only one timing the caller's phase placement
+        already matches SQLite's observable order; ``before_done`` marks
+        that BEFORE triggers were fired pre-mutation (single-timing
+        fast path)."""
+        if not pairs:
+            return
+        if before_done or not trig_b:
+            self._fire_triggers(overlay, tdef, trig_a, pairs)
+            return
+        for p in pairs:
+            self._fire_triggers(overlay, tdef, trig_b, [p])
+            self._fire_triggers(overlay, tdef, trig_a, [p])
 
     def _fire_view_triggers(self, overlay: Overlay, trigs: list, rows: list) -> Response:
         """Fire INSTEAD OF triggers and return the outer statement's
@@ -1671,6 +1703,16 @@ class DustSession:
         new_rows = src.select(*projected, F.col("__rn"))
         new_rows = self._apply_generated(tdef, new_rows)
 
+        # trigger-image capture points (only when this table has any
+        # trigger): OR IGNORE fires BEFORE INSERT for EVERY attempted
+        # row — even NOT NULL/CHECK/unique violators it then drops —
+        # and REPLACE fires BI+AI for every batch row including
+        # in-batch losers (sqlite3-probed r7)
+        has_trig = any(
+            t["table"] == ins.table.lower() for t in self.catalog.triggers.values()
+        )
+        bi_pre_ignore = new_rows if (has_trig and ins.or_ignore) else None
+
         if ins.or_ignore:
             # OR IGNORE silently drops rows violating NOT NULL, CHECK
             # or uniqueness BEFORE the auto-rowid assignment below, so
@@ -1712,6 +1754,15 @@ class DustSession:
                         )
                     )
 
+        if has_trig:
+            # SQLite's BEFORE INSERT NEW.<rowid> is -1 for rows whose
+            # rowid is auto-assigned (sqlite3-probed); remember which
+            new_rows = new_rows.withColumn(
+                "__auto",
+                F.col(tdef.rowid_column).isNull()
+                if tdef.rowid_column is not None
+                else F.lit(False),
+            )
         if tdef.rowid_column is not None:
             f = next(fl for fl in tdef.schema.fields if fl.name == tdef.rowid_column)
             c = F.col(tdef.rowid_column)
@@ -1756,6 +1807,7 @@ class DustSession:
                 )
 
         existing = st.df
+        all_rows_pre_replace = new_rows if (has_trig and ins.or_replace) else None
         if ins.or_replace:
             # SQLite REPLACE semantics: conflicting existing rows are
             # deleted; within the batch the LAST conflicting row wins
@@ -1797,15 +1849,45 @@ class DustSession:
             # insertion order — checkpoint so the collect and the later
             # count/union share one materialization
             new_rows = new_rows.localCheckpoint(eager=True)
-            fired = []
-            for r in new_rows.orderBy("__rn").collect():
-                d = r.asDict()
-                d.pop("__rn", None)
-                fired.append((None, d))
-            self._fire_triggers(overlay, tdef, trig_b, fired)
+
+            def _images(df: DataFrame, before: bool) -> list:
+                out = []
+                for r in df.orderBy("__rn").collect():
+                    d = r.asDict()
+                    rn = d.pop("__rn", None)
+                    auto = d.pop("__auto", False)
+                    if before and tdef.rowid_column and (
+                        auto or d.get(tdef.rowid_column) is None
+                    ):
+                        # SQLite BEFORE INSERT: auto rowid reads -1
+                        # (pre-assign capture has NULL there instead)
+                        d = dict(d, **{tdef.rowid_column: -1})
+                    out.append((rn, (None, d)))
+                return out
+
+            ai_list = _images(
+                all_rows_pre_replace if all_rows_pre_replace is not None else new_rows,
+                before=False,
+            )
+            bi_rows = (
+                bi_pre_ignore
+                if bi_pre_ignore is not None
+                else (
+                    all_rows_pre_replace
+                    if all_rows_pre_replace is not None
+                    else new_rows
+                )
+            )
+            bi_list = _images(bi_rows, before=True)
+            fired = [p for _, p in ai_list]
+            if trig_b and not trig_a:
+                # single-timing fast path: phase order == SQLite's
+                # observable per-row order, and BEFORE bodies run
+                # pre-mutation (own-table writes overwritten — documented)
+                self._fire_triggers(overlay, tdef, trig_b, [p for _, p in bi_list])
 
         self._check_constraints(
-            overlay, tdef, new_rows.drop("__rn"), None if ins.or_replace else existing
+            overlay, tdef, new_rows.drop("__rn", "__auto"), None if ins.or_replace else existing
         )
 
         n = new_rows.count()
@@ -1827,16 +1909,27 @@ class DustSession:
             # checkpoint once, reuse for BOTH the returning capture and
             # the table union — no double evaluation of the source plan
             new_rows = new_rows.localCheckpoint(eager=True)
-            self._returning_df = new_rows.orderBy("__rn").drop("__rn")
+            self._returning_df = new_rows.orderBy("__rn").drop("__rn", "__auto")
             self._returning_table = ins.table
-        out_df = existing.unionByName(new_rows.drop("__rn"))
+        out_df = existing.unionByName(new_rows.drop("__rn", "__auto"))
         new_st = overlay.catalog.materialize(
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
         )
         overlay.put(ins.table, new_st)
         self._last_insert_id = last_id
-        if fired:
-            self._fire_triggers(overlay, tdef, trig_a, fired)
+        if fired is not None:
+            if trig_b and trig_a:
+                # both timings: SQLite's per-row interleave (B:row1,
+                # A:row1, B:row2, ...), pairing BEFORE images with the
+                # landed rows by insertion index — OR IGNORE drops fire
+                # BEFORE only, exactly like SQLite's sequential loop
+                landed = {rn: p for rn, p in ai_list}
+                for rn, bp in bi_list:
+                    self._fire_triggers(overlay, tdef, trig_b, [bp])
+                    if rn in landed:
+                        self._fire_triggers(overlay, tdef, trig_a, [landed[rn]])
+            elif trig_a:
+                self._fire_triggers(overlay, tdef, trig_a, fired)
             self._last_insert_id = last_id  # body inserts must not leak out
         return Response(last_insert_id=last_id, rows_affected=n)
 
@@ -1855,6 +1948,11 @@ class DustSession:
         pathological; the common paths (single constraint, or rows
         conflicting with existing data) match exactly."""
         kind, target = ins.on_conflict[0], ins.on_conflict[1]
+        # trigger replay input: batch rows with the __auto rowid marker
+        # (present only when the table has triggers); the set-based
+        # merge below works on the clean projection
+        batch_trig_df = new_rows if "__auto" in new_rows.columns else None
+        new_rows = new_rows.drop("__auto")
         all_constraints = [list(u) for u in tdef.unique]
         # the hidden rowid of an implicit table only counts as a
         # conflictable constraint when the batch supplies explicit
@@ -2068,7 +2166,165 @@ class DustSession:
             ins.table, TableState(tdef, out_df, high_water, st.version + 1)
         )
         overlay.put(ins.table, new_st)
+        if batch_trig_df is not None:
+            self._fire_upsert_triggers(
+                overlay, tdef, ins, batch_trig_df, targets, kind, existing
+            )
         return Response(last_insert_id=self._last_insert_id, rows_affected=n_fresh + n_updated)
+
+    def _fire_upsert_triggers(
+        self,
+        overlay: Overlay,
+        tdef: TableDef,
+        ins,
+        batch_df: DataFrame,
+        targets: list,
+        kind: str,
+        existing: DataFrame,
+    ) -> None:
+        """Row-by-row trigger replay for upserts (sqlite3-probed r7):
+        every batch row fires BEFORE INSERT (auto rowids read -1);
+        a fresh row then fires AFTER INSERT; a conflicting row fires
+        BEFORE/AFTER UPDATE under DO UPDATE (gated by the DO UPDATE
+        WHERE) and nothing further under DO NOTHING. OLD images evolve
+        across same-key batch rows exactly as SQLite's sequential loop
+        (the set-based data merge keeps its documented one-fold
+        divergence for self-accumulating SETs — the trigger log here is
+        the faithful sequential view)."""
+        fields = [f.name for f in tdef.schema.fields]
+        trig_bi = self._table_triggers(ins.table, "INSERT", "BEFORE")
+        trig_ai = self._table_triggers(ins.table, "INSERT", "AFTER")
+        sets = dict(ins.on_conflict[2]) if kind == "update" else {}
+        oc_where = (
+            ins.on_conflict[3]
+            if kind == "update" and len(ins.on_conflict) > 3
+            else None
+        )
+        assigned = list(sets) if kind == "update" else None
+        trig_bu = (
+            self._table_triggers(ins.table, "UPDATE", "BEFORE", assigned=assigned)
+            if kind == "update"
+            else []
+        )
+        trig_au = (
+            self._table_triggers(ins.table, "UPDATE", "AFTER", assigned=assigned)
+            if kind == "update"
+            else []
+        )
+        if not (trig_bi or trig_ai or trig_bu or trig_au):
+            return
+        batch = []
+        for r in batch_df.orderBy("__rn").collect():
+            d = r.asDict()
+            d.pop("__rn", None)
+            batch.append((d, d.pop("__auto", False)))
+        # pre-statement rows for the batch's conflict keys, keyed per
+        # target constraint (bounded: filters on the batch's own keys)
+        cur: dict = {}
+        for ti, tgt in enumerate(targets):
+            keys = {
+                tuple(d[c] for c in tgt)
+                for d, _ in batch
+                if all(d[c] is not None for c in tgt)
+            }
+            if not keys:
+                continue
+            cond = None
+            for k in keys:
+                kc = None
+                for c, v in zip(tgt, k):
+                    e = F.col(c).eqNullSafe(F.lit(v))
+                    kc = e if kc is None else (kc & e)
+                cond = kc if cond is None else (cond | kc)
+            for r in existing.filter(cond).collect():
+                d = r.asDict()
+                cur[(ti, tuple(d[c] for c in tgt))] = {c: d[c] for c in fields}
+        for row, auto in batch:
+            if trig_bi:
+                bi = dict(row)
+                if tdef.rowid_column and (auto or bi.get(tdef.rowid_column) is None):
+                    bi[tdef.rowid_column] = -1
+                self._fire_triggers(overlay, tdef, trig_bi, [(None, bi)])
+            hit = None
+            for ti, tgt in enumerate(targets):
+                key = tuple(row[c] for c in tgt)
+                if all(v is not None for v in key) and (ti, key) in cur:
+                    hit = (ti, key)
+                    break
+            if hit is None:
+                if trig_ai:
+                    self._fire_triggers(overlay, tdef, trig_ai, [(None, dict(row))])
+                for ti, tgt in enumerate(targets):
+                    key = tuple(row[c] for c in tgt)
+                    if all(v is not None for v in key):
+                        cur[(ti, key)] = dict(row)
+                continue
+            if kind != "update":
+                continue  # DO NOTHING: conflicting row fires BI only
+            old = cur[hit]
+            if oc_where is not None:
+                pred = self._subst_upsert_expr(oc_where, old, row, ins.table, fields)
+                try:
+                    val = self._sql(f"SELECT ({pred}) AS __t", None).collect()[0][0]
+                except Exception as e:  # noqa: BLE001
+                    raise self._convert_raise(e) from e
+                if not _sqlite_truthy(val):
+                    continue
+            projs = []
+            for f in tdef.schema.fields:
+                if f.name in sets:
+                    e = self._subst_upsert_expr(
+                        sets[f.name], old, row, ins.table, fields
+                    )
+                    projs.append(
+                        f"CAST(({e}) AS {f.dataType.simpleString()}) AS `{f.name}`"
+                    )
+                else:
+                    projs.append(f"{_sql_literal(old[f.name])} AS `{f.name}`")
+            try:
+                nr = self._sql("SELECT " + ", ".join(projs), None).collect()[0]
+            except Exception as e:  # noqa: BLE001
+                raise self._convert_raise(e) from e
+            new = {f.name: nr[f.name] for f in tdef.schema.fields}
+            if trig_bu:
+                self._fire_triggers(overlay, tdef, trig_bu, [(old, new)])
+            if trig_au:
+                self._fire_triggers(overlay, tdef, trig_au, [(old, new)])
+            cur[hit] = new
+
+    @staticmethod
+    def _subst_upsert_expr(
+        expr: str, old: dict, exc: dict, table: str, fields: list
+    ) -> str:
+        """DO UPDATE SET/WHERE expression with row context folded to
+        literals: excluded.x → the incoming row's value, table-qualified
+        or bare column references → the (evolving) target row's value.
+        Bare references skip function-call positions."""
+        low = {c.lower(): c for c in fields}
+
+        def seg_sub(seg: str) -> str:
+            seg = re.sub(
+                r"\bexcluded\s*\.\s*(\w+)",
+                lambda m: _sql_literal(exc.get(low.get(m.group(1).lower(), m.group(1)))),
+                seg,
+                flags=re.I,
+            )
+            seg = re.sub(
+                rf"\b{re.escape(table)}\s*\.\s*(\w+)",
+                lambda m: _sql_literal(old.get(low.get(m.group(1).lower(), m.group(1)))),
+                seg,
+                flags=re.I,
+            )
+
+            def bare(m):
+                name = m.group(1)
+                if name.lower() in low:
+                    return _sql_literal(old[low[name.lower()]])
+                return name
+
+            return re.sub(r"(?<![\w.\"'`])([A-Za-z_]\w*)\b(?!\s*\()(?!\s*\.)", bare, seg)
+
+        return dialect._map_outside_strings(expr, seg_sub)
 
     def _with_insertion_index(self, src: DataFrame) -> DataFrame:
         """Add ``__rn`` = 1..n in insertion order, in parallel: tag rows
@@ -2245,7 +2501,8 @@ class DustSession:
                     ({c: d[f"__tg_{c}"] for c in tg_cols}, {c: d[c] for c in tg_cols})
                 )
             marked = marked.drop("__tg_ord", *[f"__tg_{c}" for c in tg_cols])
-            self._fire_triggers(overlay, tdef, trig_b, pairs)
+            if not trig_a:
+                self._fire_triggers(overlay, tdef, trig_b, pairs)
         n = marked.filter(F.col("__m") == 1).count()
         new_df = marked.drop("__m")
         if self._capture_returning:
@@ -2265,7 +2522,7 @@ class DustSession:
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, hw, st.version + 1))
         overlay.put(up.table, new_st)
         if pairs:
-            self._fire_triggers(overlay, tdef, trig_a, pairs)
+            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=not trig_a)
         return self._ok(n)
 
     def _apply_generated(self, tdef: TableDef, df: DataFrame) -> DataFrame:
@@ -2427,6 +2684,30 @@ class DustSession:
                 )
             else:
                 cols.append(F.col(f.name))
+        # UPDATE...FROM fires UPDATE triggers like any UPDATE
+        # (sqlite3-probed) — OLD = pre-statement row, NEW = the row with
+        # its last-match SET values, in table scan (__rid) order
+        trig_b = self._table_triggers(t, "UPDATE", "BEFORE", assigned=list(assigned))
+        trig_a = self._table_triggers(t, "UPDATE", "AFTER", assigned=list(assigned))
+        pairs: list = []
+        if trig_b or trig_a:
+            olds = [F.col(f.name).alias(f"__old_{f.name}") for f in tdef.schema.fields]
+            hits = (
+                joined.filter(F.col("__hit") == 1)
+                .select(*cols, F.col("__rid"), *olds)
+                .orderBy("__rid")
+                .collect()
+            )
+            for r in hits:
+                d = r.asDict()
+                pairs.append(
+                    (
+                        {f.name: d[f"__old_{f.name}"] for f in tdef.schema.fields},
+                        {f.name: d[f.name] for f in tdef.schema.fields},
+                    )
+                )
+            if not trig_a:
+                self._fire_triggers(overlay, tdef, trig_b, pairs)
         marked = joined.select(*cols, F.coalesce(F.col("__hit"), F.lit(0)).alias("__m"))
         marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
@@ -2440,6 +2721,8 @@ class DustSession:
         new_df = self._check_child_fks(overlay, t, new_df, dml="update")
         new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(t, new_st)
+        if pairs:
+            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=not trig_a)
         return self._ok(n)
 
     def _delete(self, overlay: Overlay, sql: str) -> Response:
@@ -2482,7 +2765,8 @@ class DustSession:
                     .orderBy("__rid")
                     .collect()
                 ]
-                self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+                if not trig_a:
+                    self._fire_triggers(overlay, st.tdef, trig_b, pairs)
             if self._capture_returning:
                 self._returning_df = rid_df.join(victims, "__rid", "left_semi").drop("__rid")
                 self._returning_table = de.table
@@ -2496,7 +2780,7 @@ class DustSession:
             )
             overlay.put(de.table, new_st)
             if pairs:
-                self._fire_triggers(overlay, st.tdef, trig_a, pairs)
+                self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=not trig_a)
             return self._ok(n)
         if de.where is None:
             n = st.df.count()
@@ -2536,7 +2820,8 @@ class DustSession:
                 .drop("__tg_ord")
                 .collect()
             ]
-            self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+            if not trig_a:
+                self._fire_triggers(overlay, st.tdef, trig_b, pairs)
         new_df = self._check_child_fks(overlay, de.table, new_df, dml="delete")
         new_st = overlay.catalog.materialize(
             de.table,
@@ -2544,7 +2829,7 @@ class DustSession:
         )
         overlay.put(de.table, new_st)
         if pairs:
-            self._fire_triggers(overlay, st.tdef, trig_a, pairs)
+            self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=not trig_a)
         return self._ok(n)
 
     def _post_delete_high_water(self, st: TableState, new_df: DataFrame) -> int:

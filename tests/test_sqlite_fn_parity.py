@@ -473,6 +473,29 @@ JSON_MUTATE_CASES = [
     "SELECT json_set('{\"a\": true}', '$.a', false)",
     "SELECT json_remove('[1,2,3]', '$[0]', '$[1]')",
     "SELECT json_set('{\"a\":1}', '$.b', json_array(1, 'x'))",
+    # r7: '$[#-N]' from-end paths (former documented divergence) —
+    # extraction via the Python json1 navigator re-parsed to VARIANT,
+    # mutations via the shared parse_path step grammar
+    "SELECT json_extract('[1,2,3,4]', '$[#-1]')",
+    "SELECT json_extract('[1,2,3,4]', '$[#-2]')",
+    "SELECT json_extract('{\"a\":[5,6]}', '$.a[#-1]')",
+    "SELECT json_extract('[[1,2],[3,4,5]]', '$[#-1][#-1]')",
+    "SELECT json_extract('[1,2]', '$[#]')",
+    "SELECT json_extract('[1,2]', '$[#-0]')",
+    "SELECT json_extract('[1,2]', '$[#-5]')",
+    "SELECT json_extract('[\"x\",\"y\"]', '$[#-1]')",
+    "SELECT '[1,2]' -> '$[#-1]'",
+    "SELECT '[1,2]' ->> '$[#-1]'",
+    "SELECT json_set('[1,2]', '$[#]', 9)",
+    "SELECT json_insert('[1,2]', '$[#]', 9)",
+    "SELECT json_replace('[1,2]', '$[#]', 9)",
+    "SELECT json_set('[1,2,3]', '$[#-1]', 'z')",
+    "SELECT json_remove('[1,2,3]', '$[#-1]')",
+    "SELECT json_type('[1,2]', '$[#-1]')",
+    "SELECT json_array_length('[[1],[2,3]]', '$[#-1]')",
+    # hex(NULL) is '' (r7, found via the trigger-body differential)
+    "SELECT hex(NULL)",
+    "SELECT 'a'||hex(NULL)||'b'",
     "SELECT json_array(json_array(1,2), 3)",
     "SELECT json_object('a', json_object('b', 1))",
     "SELECT json_array(json_quote('x'))",

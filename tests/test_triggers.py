@@ -541,3 +541,164 @@ def test_instead_of_persists_across_disk_reopen(spark, tmp_path):
     rows = db2.query_string_stmt("SELECT id, v FROM t ORDER BY id")[0].values
     assert rows == [[1, 10], [2, 20]]
     db2.close()
+
+
+# ---------------------------------------------------------------------------
+# r7 third wave: triggers fire for upsert / REPLACE / OR IGNORE /
+# UPDATE...FROM (former documented scope limits, sqlite3-probed)
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture()
+def fire_pair(pair):
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER tbi BEFORE INSERT ON t BEGIN "
+        "INSERT INTO log VALUES ('BI:'||quote(NEW.id)||':'||quote(NEW.v)); END",
+        "CREATE TRIGGER tai AFTER INSERT ON t BEGIN "
+        "INSERT INTO log VALUES ('AI:'||NEW.id); END",
+        "CREATE TRIGGER tbu BEFORE UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES ('BU:'||OLD.v||'->'||NEW.v); END",
+        "CREATE TRIGGER tau AFTER UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES ('AU:'||OLD.v||'->'||NEW.v); END",
+        "INSERT INTO t VALUES (1, 10)",
+        "DELETE FROM log",
+    )
+    return db, ref
+
+
+def test_upsert_trigger_firing_differential(fire_pair):
+    db, ref = fire_pair
+    # conflicting row: BI (attempted values), then BU/AU for DO UPDATE
+    run_both(db, ref, "INSERT INTO t VALUES (1, 99) ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(db, ref, "DELETE FROM log")
+    # fresh row: BI + AI only
+    run_both(db, ref, "INSERT INTO t VALUES (2, 20) ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(db, ref, "DELETE FROM log")
+    # DO NOTHING conflict: BI only
+    run_both(db, ref, "INSERT INTO t VALUES (1, 50) ON CONFLICT(id) DO NOTHING")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(db, ref, "DELETE FROM log")
+    # DO UPDATE WHERE false: BI only, no update triggers, row untouched
+    run_both(db, ref, "INSERT INTO t VALUES (1, 50) ON CONFLICT(id) DO UPDATE SET v = excluded.v WHERE excluded.v > 90")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    run_both(db, ref, "DELETE FROM log")
+    # auto-assigned rowid reads -1 in BEFORE INSERT
+    run_both(db, ref, "INSERT INTO t(v) VALUES (7) ON CONFLICT(id) DO NOTHING")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    # mixed multi-row batch in one statement, per-row interleave
+    run_both(db, ref, "DELETE FROM log")
+    run_both(db, ref, "INSERT INTO t VALUES (1, 111), (9, 90), (2, 222) "
+                      "ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_upsert_trigger_evolving_old_images(fire_pair):
+    db, ref = fire_pair
+    # same-key rows in one batch: OLD images evolve sequentially in the
+    # trigger log (the table's set-based fold divergence is documented
+    # separately — assert the LOG matches sqlite exactly)
+    run_both(db, ref, "DELETE FROM log")
+    ref.execute("INSERT INTO t VALUES (1, 5), (1, 6) ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    db.execute_string_stmt("INSERT INTO t VALUES (1, 5), (1, 6) ON CONFLICT(id) DO UPDATE SET v = excluded.v")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_replace_trigger_firing_differential(fire_pair):
+    db, ref = fire_pair
+    # REPLACE with recursive_triggers off: BI+AI per batch row, no
+    # delete triggers for the displaced row (sqlite3-probed)
+    run_both(db, ref, "REPLACE INTO t VALUES (1, 77)")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    run_both(db, ref, "DELETE FROM log")
+    # in-batch losers still fire (row-by-row in SQLite)
+    run_both(db, ref, "REPLACE INTO t VALUES (5, 1), (5, 2)")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_or_ignore_trigger_firing_differential(pair):
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER NOT NULL CHECK (v < 100))",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER tbi BEFORE INSERT ON t BEGIN "
+        "INSERT INTO log VALUES ('BI:'||quote(NEW.id)||':'||quote(NEW.v)); END",
+        "CREATE TRIGGER tai AFTER INSERT ON t BEGIN "
+        "INSERT INTO log VALUES ('AI:'||NEW.v); END",
+        # BI fires for every attempted row, even NOT NULL / CHECK
+        # violators that OR IGNORE then drops; AI only for landed rows
+        "INSERT OR IGNORE INTO t(v) VALUES (1), (NULL), (500), (2)",
+    )
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_update_from_trigger_firing_differential(fire_pair):
+    db, ref = fire_pair
+    run_both(
+        db,
+        ref,
+        "INSERT INTO t VALUES (2, 20), (3, 30)",
+        "DELETE FROM log",
+        "CREATE TABLE s (id INTEGER, nv INTEGER)",
+        "INSERT INTO s VALUES (1, 7), (3, 9), (4, 99)",
+        "UPDATE t SET v = s.nv FROM s WHERE t.id = s.id",
+    )
+    q_both(db, ref, "SELECT m FROM log ORDER BY m")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+
+
+def test_both_timing_interleave_differential(fire_pair):
+    """Multi-row statements with BOTH timings fire per-row interleaved
+    (B:row1, A:row1, B:row2, ...) like SQLite's sequential loop, for
+    INSERT, UPDATE and DELETE."""
+    db, ref = fire_pair
+    run_both(db, ref, "INSERT INTO t VALUES (2, 20), (3, 30)")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(db, ref, "DELETE FROM log", "UPDATE t SET v = v + 1 WHERE id >= 2")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(
+        db,
+        ref,
+        "CREATE TRIGGER tbd BEFORE DELETE ON t BEGIN INSERT INTO log VALUES ('BD:'||OLD.id); END",
+        "CREATE TRIGGER tad AFTER DELETE ON t BEGIN INSERT INTO log VALUES ('AD:'||OLD.id); END",
+        "DELETE FROM log",
+        "DELETE FROM t WHERE id >= 2",
+    )
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+
+
+def test_trigger_body_rewrites_once_differential(pair):
+    """Trigger bodies store RAW SQL and rewrite exactly once at fire
+    time — quote()/hex()/typeof() in a body must behave identically to
+    the same expression in a plain statement (the double-rewrite bug:
+    quote()'s expansion contains typeof(), which a second pass re-maps
+    to storage classes)."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER, s TEXT)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER tr AFTER INSERT ON t BEGIN "
+        "INSERT INTO log VALUES ('q:'||quote(NEW.v)||':'||quote(NEW.s)"
+        "||':'||typeof(NEW.v)||':'||hex(NEW.v)); END",
+        "INSERT INTO t VALUES (1, 10, 'a''b')",
+        "INSERT INTO t(id, s) VALUES (2, 'x')",
+    )
+    q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+    # sqlite_master stores the original CREATE TRIGGER text
+    q_both(db, ref, "SELECT sql FROM sqlite_master WHERE type='trigger'")
