@@ -116,3 +116,44 @@ def salted_join(
     salted_r = right.withColumn("__salt", salts)
     out = salted_l.join(salted_r, [*on, "__salt"], how)
     return out.drop("__salt")
+
+
+def salted_topk(
+    df: DataFrame,
+    keys: list[str],
+    order_by: list,
+    k: int,
+    salt_on: str | Column,
+    num_salts: int = 32,
+) -> DataFrame:
+    """Two-phase skew-resistant top-k per key: top-k decomposes like
+    the algebraic aggregates (the global top-k of a group is contained
+    in the union of per-salt top-ks), so a hot key never funnels all
+    its rows through one reducer's sort.
+
+      phase 1: row_number over (keys + salt) keeps k rows per salt
+      phase 2: row_number over keys on the ≤ k·num_salts survivors
+
+    ``order_by``: list of (column, 'asc'|'desc') pairs; include a
+    unique tiebreaker as the last pair for deterministic output.
+    ``salt_on``: deterministic high-cardinality discriminator (never
+    rand() — statement-replay discipline)."""
+    from pyspark.sql import Window as W
+
+    cols = []
+    for c, d in order_by:
+        cc = F.col(c) if isinstance(c, str) else c
+        cols.append(cc.desc() if str(d).lower() == "desc" else cc.asc())
+    salt_col = F.col(salt_on) if isinstance(salt_on, str) else salt_on
+    salted = df.withColumn("__salt", F.pmod(F.xxhash64(salt_col), F.lit(num_salts)))
+    w1 = W.partitionBy(*keys, "__salt").orderBy(*cols)
+    survivors = (
+        salted.withColumn("__rk", F.row_number().over(w1))
+        .filter(F.col("__rk") <= k)
+        .drop("__rk", "__salt")
+    )
+    w2 = W.partitionBy(*keys).orderBy(*cols)
+    return (
+        survivors.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+    )

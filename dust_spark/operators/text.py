@@ -520,3 +520,53 @@ def repetition_score(
         F.round(1.0 - distinct / total.cast("double"), 4)
     )
     return base.withColumn(out_col, score).drop("__tok")
+
+
+def token_rarity(
+    df: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Per-document corpus-frequency rarity profile — the integer-exact
+    perplexity proxy of a unigram LM scored on its own corpus.
+
+    For each token t with corpus count c(t) and corpus size T, the
+    information content -log2(c/T) = log2(T) - log2(c) is approximated
+    at 1-bit resolution by bitlength(T) - bitlength(c), where
+    bitlength(x) = length(bin(x)) is EXACT integer arithmetic in any
+    engine — no libm log2, whose last-ulp differences would break
+    bit-exact cross-engine replay. Output per doc:
+
+    - n_tokens
+    - rare_frac: fraction of tokens with corpus count <= 2 (the classic
+      hapax/dis-legomena ratio quality signal)
+    - avg_bits: mean approximate information content per token,
+      ROUND((n·bitlength(T) − Σ bitlength(c)) / n, 4) — an integer
+      numerator and one exact division
+
+    Scale: explode → one hash-agg for the counts (map-side combine),
+    broadcast-sized (1-row) corpus total, count-table join back on the
+    token key, final per-doc agg. Empty docs are excluded (n = 0).
+    """
+    tok = df.select(
+        F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
+    )
+    ct = tok.groupBy("t").agg(F.count("*").alias("c"))
+    tot = ct.agg(F.length(F.bin(F.sum("c"))).alias("blt"))
+    j = tok.join(ct, "t").crossJoin(F.broadcast(tot))
+    return (
+        j.groupBy(F.col("id").alias(id_col))
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.round(
+                F.sum((F.col("c") <= 2).cast("long")).cast("double") / F.count("*"),
+                4,
+            ).alias("rare_frac"),
+            F.round(
+                (
+                    F.count("*") * F.first("blt")
+                    - F.sum(F.length(F.bin(F.col("c"))).cast("long"))
+                ).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("avg_bits"),
+        )
+    )

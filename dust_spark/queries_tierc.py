@@ -1869,6 +1869,130 @@ def hypertable_rollup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.hypertable_rollup(ev).orderBy("res_s", "bucket_s", "event_type")
 
 
+# Salted top-k (r7): the global top-k per key equals the two-phase
+# salted plan's output by construction — the oracle is the plain
+# window top-k, exactly what the skew-resistant plan must reproduce.
+_SALTED_TOPK_ORACLE = """
+SELECT event_type, event_id, value, rank FROM (
+  SELECT event_type, event_id, value,
+         row_number() OVER (PARTITION BY event_type
+                            ORDER BY value DESC, event_id ASC) AS rank
+  FROM events) WHERE rank <= 5
+ORDER BY event_type, rank
+"""
+
+
+@register("c8c_salted_topk", oracle=_SALTED_TOPK_ORACLE, tags=("tierc", "skew"))
+def salted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-resistant per-key top-5 (highest value, event_id tiebreak):
+    per-salt row_number prune then a final top-k over ≤ k·salts
+    survivors — a hot key's rows never serialize through one reducer's
+    sort. Must equal the plain window top-k, which the oracle checks."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events").select("event_type", "event_id", "value")
+    out = ops.salted_topk(
+        ev,
+        ["event_type"],
+        [("value", "desc"), ("event_id", "asc")],
+        k=5,
+        salt_on="event_id",
+        num_salts=16,
+    )
+    return out.select("event_type", "event_id", "value", "rank").orderBy(
+        "event_type", "rank"
+    )
+
+
+# Nearest as-of (r7): both-directions nearest with the operator's
+# exact tie rules (backward side: latest time then largest id; forward
+# side: earliest then smallest; cross-side tie -> backward). The oracle
+# may all-pairs join per user (sf0.01); the Spark side is the
+# single-shuffle two-window plan.
+_ASOF_NEAREST_ORACLE = """
+WITH e AS (
+  SELECT event_id, user_id, epoch_us(ts) AS t FROM events WHERE event_type = 'error'
+), c AS (
+  SELECT event_id AS rid, user_id, epoch_us(ts) AS ct FROM events WHERE event_type = 'click'
+), b AS (
+  SELECT event_id, rid, ct FROM (
+    SELECT e.event_id, c.rid, c.ct,
+           row_number() OVER (PARTITION BY e.event_id ORDER BY c.ct DESC, c.rid DESC) AS rn
+    FROM e JOIN c ON e.user_id = c.user_id AND c.ct <= e.t) WHERE rn = 1
+), f AS (
+  SELECT event_id, rid, ct FROM (
+    SELECT e.event_id, c.rid, c.ct,
+           row_number() OVER (PARTITION BY e.event_id ORDER BY c.ct ASC, c.rid ASC) AS rn
+    FROM e JOIN c ON e.user_id = c.user_id AND c.ct >= e.t) WHERE rn = 1
+)
+SELECT e.event_id, e.user_id,
+       CASE WHEN b.rid IS NOT NULL AND (f.rid IS NULL OR (e.t - b.ct) <= (f.ct - e.t))
+            THEN b.rid ELSE f.rid END AS click_event_id,
+       CASE WHEN b.rid IS NOT NULL AND (f.rid IS NULL OR (e.t - b.ct) <= (f.ct - e.t))
+            THEN b.ct - e.t ELSE f.ct - e.t END AS delta
+FROM e LEFT JOIN b USING (event_id) LEFT JOIN f USING (event_id)
+ORDER BY event_id
+"""
+
+
+@register("c6c_asof_nearest", oracle=_ASOF_NEAREST_ORACLE, tags=("tierc", "asof"))
+def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest click event to each error event of the same user, by
+    absolute time distance in exact epoch microseconds — kdb-style
+    nearest as-of. One shuffle, two window passes; never an all-pairs
+    join (the ORACLE all-pairs, the operator must agree)."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        "event_id", "user_id", F.unix_micros("ts").alias("t")
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_event_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ct"),
+    )
+    out = ops.asof_nearest(
+        err, clk, "t", "ct", "user_id", "user_id", "click_event_id"
+    )
+    return out.select("event_id", "user_id", "click_event_id", "delta").orderBy(
+        "event_id"
+    )
+
+
+# Token rarity (r7): the integer-exact perplexity proxy — bitlength
+# via length(bin(x)) replaces log2 so the score replays bit-exactly
+# (libm log2 differs in the last ulp across engines).
+_RARITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(
+    CASE WHEN length(trim(text)) = 0 THEN []
+         ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END) AS t
+  FROM documents
+), ct AS (
+  SELECT t, count(*) AS c FROM tok GROUP BY t
+), tot AS (
+  SELECT length(bin(SUM(c))) AS blt FROM ct
+), j AS (
+  SELECT tok.doc_id, ct.c FROM tok JOIN ct USING (t)
+)
+SELECT doc_id, count(*) AS n_tokens,
+       ROUND(CAST(SUM(CASE WHEN c <= 2 THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS rare_frac,
+       ROUND(CAST(count(*) * (SELECT blt FROM tot)
+                  - SUM(length(bin(c))) AS DOUBLE) / count(*), 4) AS avg_bits
+FROM j GROUP BY doc_id ORDER BY doc_id
+"""
+
+
+@register("c4n_token_rarity", oracle=_RARITY_ORACLE, tags=("tierc", "text", "jit"))
+def token_rarity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc corpus-frequency rarity profile (hapax ratio + mean
+    approximate information content) — the unigram-LM perplexity proxy
+    made integer-exact via bitlength(count) instead of log2, so the
+    DuckDB oracle replays it bit-for-bit."""
+    return ops.token_rarity(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
 # Gap-fill + LOCF (r7): dense hourly spine from the global bucket
 # range × distinct keys, exact-decimal bucket averages, IGNORE NULLS
 # running last_value — TimescaleDB's time_bucket_gapfill + locf().

@@ -935,3 +935,126 @@ def test_connected_components_local_vs_distributed(spark):
     }
     assert local == dist
     assert local == {(1, 1), (2, 1), (3, 1), (4, 1), (10, 10), (11, 10), (20, 20), (21, 20), (22, 20)}
+
+
+def test_semantic_dedup_pairs_within_clusters(spark):
+    """Planted near-identical vectors land in the same k-means cluster
+    and surface as high-cosine pairs; orthogonal vectors do not."""
+    import numpy as np
+
+    rng = np.random.default_rng(7)
+    rows = []
+    base = rng.normal(size=(4, 16))
+    # interleave ids across blobs: the portable k-means seeds from the
+    # k SMALLEST ids, so ids 0..3 must hit distinct blobs
+    for copy in range(3):
+        for blob, b in enumerate(base):
+            v = b + rng.normal(scale=0.01, size=16)
+            rows.append(
+                Row(vec_id=copy * 4 + blob, embedding=[float(x) for x in v])
+            )
+    df = spark.createDataFrame(rows)
+    out = ops.semantic_dedup_pairs(df, k=4, iterations=2, threshold=0.9).collect()
+    got = {(r.id_a, r.id_b) for r in out}
+    # every same-blob pair found (ids ≡ blob mod 4), no cross-blob pair
+    for blob in range(4):
+        ids = [blob, blob + 4, blob + 8]
+        for i, a in enumerate(ids):
+            for b in ids[i + 1 :]:
+                assert (a, b) in got, (a, b, got)
+    for a, b in got:
+        assert a % 4 == b % 4, (a, b)
+
+
+def test_gap_fill_locf_carries_forward(spark):
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 0, 30)
+    rows = [
+        Row(ts=t0, k="a", v=10.0),
+        Row(ts=t0 + dt.timedelta(hours=3), k="a", v=20.0),
+        Row(ts=t0 + dt.timedelta(hours=1), k="b", v=5.0),
+    ]
+    df = spark.createDataFrame(rows)
+    out = {
+        (r.k, r.bucket_s): (r.avg_value, r.filled)
+        for r in ops.gap_fill_locf(df, ts_col="ts", key_cols=("k",), value_col="v").collect()
+    }
+    buckets = sorted({b for _, b in out})
+    assert len(buckets) == 4  # hours 0..3 of the global span
+    # a: observed, carried, carried, observed
+    assert out[("a", buckets[0])] == (10.0, 0)
+    assert out[("a", buckets[1])] == (10.0, 1)
+    assert out[("a", buckets[2])] == (10.0, 1)
+    assert out[("a", buckets[3])] == (20.0, 0)
+    # b: leading gap stays NULL, then observed, then carried
+    assert out[("b", buckets[0])] == (None, 1)
+    assert out[("b", buckets[1])] == (5.0, 0)
+    assert out[("b", buckets[2])] == (5.0, 1)
+
+
+def test_token_rarity_profile(spark):
+    df = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="the the the rare"),
+            Row(doc_id=2, text="the unique"),
+            Row(doc_id=3, text="   "),
+        ]
+    )
+    out = {r.doc_id: r for r in ops.token_rarity(df).collect()}
+    assert 3 not in out  # empty doc excluded
+    # corpus: the=4, rare=1, unique=1; T=6 → bitlength(6)=3
+    # doc1: counts [4,4,4,1] → bl [3,3,3,1]; avg_bits=(4*3-10)/4=0.5
+    r1 = out[1]
+    assert (r1.n_tokens, r1.rare_frac, r1.avg_bits) == (4, 0.25, 0.5)
+    # doc2: counts [4,1] → bl [3,1]; avg_bits=(2*3-4)/2=1.0
+    r2 = out[2]
+    assert (r2.n_tokens, r2.rare_frac, r2.avg_bits) == (2, 0.5, 1.0)
+
+
+def test_asof_nearest_directions_and_ties(spark):
+    left = spark.createDataFrame(
+        [Row(id=1, k=1, t=100), Row(id=2, k=1, t=205), Row(id=3, k=2, t=50)]
+    )
+    right = spark.createDataFrame(
+        [
+            Row(rid=10, k=1, rt=90),   # 10 before t=100
+            Row(rid=11, k=1, rt=111),  # 11 after  t=100 → backward wins (10 ≤ 11)? d_b=10 < d_f=11
+            Row(rid=12, k=1, rt=200),  # nearest to t=205 (d=5)
+            Row(rid=13, k=1, rt=210),  # d=5 too → cross-side tie → backward
+        ]
+    )
+    out = {
+        r.id: (r.rid, r.delta)
+        for r in ops.asof_nearest(left, right, "t", "rt", "k", "k", "rid").collect()
+    }
+    assert out[1] == (10, -10)
+    assert out[2] == (12, -5)  # tie 5 vs 5 → backward
+    assert out[3] == (None, None)  # no right rows for k=2
+
+
+def test_salted_topk_equals_plain_topk(spark):
+    import random
+
+    random.seed(3)
+    rows = [
+        Row(k="hot" if i % 10 else "cold", i=i, v=float(random.randint(0, 50)))
+        for i in range(500)
+    ]
+    df = spark.createDataFrame(rows)
+    got = {
+        (r.k, r.rank): r.i
+        for r in ops.salted_topk(
+            df, ["k"], [("v", "desc"), ("i", "asc")], k=7, salt_on="i", num_salts=8
+        ).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy(F.col("v").desc(), F.col("i").asc())
+    want = {
+        (r.k, r.rank): r.i
+        for r in df.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 7)
+        .collect()
+    }
+    assert got == want
