@@ -2983,11 +2983,19 @@ class DustSession:
                 # self-referencing tables check against their post-image
                 child_df = parent_new_df if child == parent else cst.df
 
+                # FK actions fire the child table's own triggers even
+                # with recursive_triggers off (sqlite3-probed r7):
+                # CASCADE deletes fire child DELETE triggers, SET NULL
+                # fires child UPDATE triggers
+                del_b = self._table_triggers(child, "DELETE", "BEFORE")
+                del_a = self._table_triggers(child, "DELETE", "AFTER")
+
                 if action == "CASCADE":
                     if child == parent:
                         # self-reference chains: removing a row can
                         # orphan the next — iterate to a fixpoint on the
                         # post-image (caller materializes the result)
+                        initial = parent_new_df
                         for _ in range(64):
                             keep = parent_new_df.filter(~nn).unionByName(
                                 parent_new_df.filter(nn).join(
@@ -2999,7 +3007,21 @@ class DustSession:
                             parent_new_df = keep
                         else:
                             raise DustError("foreign key cascade depth exceeded")
+                        if del_b or del_a:
+                            cascaded = [
+                                (r.asDict(), None)
+                                for r in initial.exceptAll(parent_new_df).collect()
+                            ]
+                            self._fire_pairs(
+                                overlay, cst.tdef, del_b, del_a, cascaded
+                            )
                         continue
+                    pairs = []
+                    if del_b or del_a:
+                        victims = child_df.filter(nn).join(
+                            refsel(parent_new_df), on, "left_anti"
+                        )
+                        pairs = [(r.asDict(), None) for r in victims.collect()]
                     keep = child_df.filter(~nn).unionByName(
                         child_df.filter(nn).join(refsel(parent_new_df), on, "left_semi")
                     ).localCheckpoint(eager=True)
@@ -3011,6 +3033,8 @@ class DustSession:
                         child, TableState(cst.tdef, keep, cst.high_water, cst.version + 1)
                     )
                     self._route(overlay, child).put(child, new_cst)
+                    if pairs:
+                        self._fire_pairs(overlay, cst.tdef, del_b, del_a, pairs)
                     continue
 
                 if action == "SET NULL":
@@ -3024,6 +3048,20 @@ class DustSession:
                             raise DustError(
                                 f"NOT NULL constraint failed: {cst.tdef.name}.{c}"
                             )
+                    upd_b = self._table_triggers(
+                        child, "UPDATE", "BEFORE", assigned=list(fk.columns)
+                    )
+                    upd_a = self._table_triggers(
+                        child, "UPDATE", "AFTER", assigned=list(fk.columns)
+                    )
+                    pairs = []
+                    if upd_b or upd_a:
+                        fields = [f_.name for f_ in cst.tdef.schema.fields]
+                        for r in marked.filter(orphan).collect():
+                            d = r.asDict()
+                            old = {c: d[c] for c in fields}
+                            new = dict(old, **{c: None for c in fk.columns})
+                            pairs.append((old, new))
                     cols = []
                     for f_ in cst.tdef.schema.fields:
                         if f_.name in fk.columns:
@@ -3037,11 +3075,15 @@ class DustSession:
                     nulled = marked.select(*cols).localCheckpoint(eager=True)
                     if child == parent:
                         parent_new_df = nulled
+                        if pairs:
+                            self._fire_pairs(overlay, cst.tdef, upd_b, upd_a, pairs)
                         continue
                     new_cst = overlay.catalog.materialize(
                         child, TableState(cst.tdef, nulled, cst.high_water, cst.version + 1)
                     )
                     self._route(overlay, child).put(child, new_cst)
+                    if pairs:
+                        self._fire_pairs(overlay, cst.tdef, upd_b, upd_a, pairs)
                     continue
 
                 # NO ACTION / RESTRICT: refuse while children point here

@@ -702,3 +702,56 @@ def test_trigger_body_rewrites_once_differential(pair):
     q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
     # sqlite_master stores the original CREATE TRIGGER text
     q_both(db, ref, "SELECT sql FROM sqlite_master WHERE type='trigger'")
+
+
+def test_fk_action_trigger_firing_differential(pair):
+    """FK ON DELETE actions fire the child table's own triggers even
+    with recursive_triggers off (sqlite3-probed): CASCADE deletes fire
+    child DELETE triggers, SET NULL fires child UPDATE triggers."""
+    db, ref = pair
+    ref.execute("PRAGMA foreign_keys=ON")
+    run_both(
+        db,
+        ref,
+        "PRAGMA foreign_keys=ON",
+        "CREATE TABLE p (id INTEGER PRIMARY KEY)",
+        "CREATE TABLE ch (id INTEGER PRIMARY KEY, pid INTEGER REFERENCES p(id) ON DELETE CASCADE)",
+        "CREATE TABLE ch2 (id INTEGER PRIMARY KEY, pid INTEGER REFERENCES p(id) ON DELETE SET NULL)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER cd AFTER DELETE ON ch BEGIN INSERT INTO log VALUES ('ch-del:'||OLD.id); END",
+        "CREATE TRIGGER cu AFTER UPDATE OF pid ON ch2 BEGIN "
+        "INSERT INTO log VALUES ('ch2-upd:'||OLD.pid||'->'||quote(NEW.pid)); END",
+        "CREATE TRIGGER pd BEFORE DELETE ON p BEGIN INSERT INTO log VALUES ('p-del:'||OLD.id); END",
+        "INSERT INTO p VALUES (1), (2)",
+        "INSERT INTO ch VALUES (10, 1), (11, 1), (12, 2)",
+        "INSERT INTO ch2 VALUES (20, 1)",
+        "DELETE FROM p WHERE id = 1",
+    )
+    # cross-table firing order differs (SQLite fires actions during the
+    # parent row loop); compare the SET of fired entries + final states
+    q_both(db, ref, "SELECT m FROM log ORDER BY m")
+    q_both(db, ref, "SELECT id, pid FROM ch ORDER BY id")
+    q_both(db, ref, "SELECT id, pid FROM ch2 ORDER BY id")
+
+
+def test_fk_cascade_grandchild_triggers_differential(pair):
+    db, ref = pair
+    ref.execute("PRAGMA foreign_keys=ON")
+    run_both(
+        db,
+        ref,
+        "PRAGMA foreign_keys=ON",
+        "CREATE TABLE a (id INTEGER PRIMARY KEY)",
+        "CREATE TABLE b (id INTEGER PRIMARY KEY, aid INTEGER REFERENCES a(id) ON DELETE CASCADE)",
+        "CREATE TABLE c (id INTEGER PRIMARY KEY, bid INTEGER REFERENCES b(id) ON DELETE CASCADE)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER bd AFTER DELETE ON b BEGIN INSERT INTO log VALUES ('b:'||OLD.id); END",
+        "CREATE TRIGGER cdt AFTER DELETE ON c BEGIN INSERT INTO log VALUES ('c:'||OLD.id); END",
+        "INSERT INTO a VALUES (1)",
+        "INSERT INTO b VALUES (5, 1)",
+        "INSERT INTO c VALUES (9, 5)",
+        "DELETE FROM a",
+    )
+    q_both(db, ref, "SELECT m FROM log ORDER BY m")
+    q_both(db, ref, "SELECT count(*) FROM b")
+    q_both(db, ref, "SELECT count(*) FROM c")

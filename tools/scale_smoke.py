@@ -180,6 +180,15 @@ def main() -> None:
                 lambda: ops.embedding_near_dup_portable(emb, threshold=0.3),
             ),
             ("ann_ivf", lambda: ops.ivf_topk(emb.filter(F.col("vec_id") % 100 == 0), emb, k=5, n_lists=8, n_probe=3, iterations=2)),
+            # r7: SemDeDup — the cluster count grows WITH the corpus
+            # (k ∝ n, SemDeDup practice) so per-cluster occupancy and
+            # the quadratic within-cluster verify stay constant-sized
+            (
+                "semantic_dedup",
+                lambda: ops.semantic_dedup_pairs(
+                    emb, k=16 * k, iterations=2, threshold=0.3
+                ),
+            ),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
