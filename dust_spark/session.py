@@ -160,8 +160,11 @@ class DustSession:
         # default recursive_triggers=0 suppresses only RE-ENTRY of a
         # trigger already on the firing stack (direct or indirect
         # recursion); nested firing of OTHER triggers chains normally
-        # (sqlite3-probed: t1-on-a inserting into b fires t2-on-b)
+        # (sqlite3-probed: t1-on-a inserting into b fires t2-on-b).
+        # PRAGMA recursive_triggers=ON lifts the re-entry suppression;
+        # the stack depth then caps recursion with SQLite's error
         self._trigger_stack: list[str] = []
+        self._recursive_triggers = False
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
         # changes()/total_changes() connection state (most recent DML /
@@ -873,7 +876,7 @@ class DustSession:
         (recursive_triggers off, SQLite's default: re-entry of the SAME
         trigger — directly or through a cycle — is suppressed, while
         nested firing of other triggers chains normally)."""
-        on_stack = set(self._trigger_stack)
+        on_stack = set() if self._recursive_triggers else set(self._trigger_stack)
         out = []
         for t in self.catalog.triggers.values():
             if t["table"] != table.lower() or t["event"] != event or t["timing"] != timing:
@@ -938,8 +941,14 @@ class DustSession:
         for old, new in rows:
             for t in trigs:
                 key = t["name"].lower()
-                if key in self._trigger_stack:
+                if not self._recursive_triggers and key in self._trigger_stack:
                     continue  # re-entry through a cycle: suppressed
+                if len(self._trigger_stack) >= 100:
+                    # PRAGMA recursive_triggers=ON: depth-capped like
+                    # SQLite (whose SQLITE_MAX_TRIGGER_DEPTH is 1000;
+                    # 100 here keeps the Python/statement stack sane —
+                    # same error string, lower ceiling, documented)
+                    raise DustError("too many levels of trigger recursion")
                 self._trigger_stack.append(key)
                 try:
                     if t["when"]:
@@ -1419,6 +1428,8 @@ class DustSession:
             raise DustError(str(e)) from e
         if key == "foreign_keys" and val is not None:
             self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
+        if key == "recursive_triggers" and val is not None:
+            self._recursive_triggers = val.lower() in ("1", "on", "true", "yes")
         if key == "user_version" and val is not None:
             self._user_version = int(val)
         return self._ok()
@@ -1433,6 +1444,15 @@ class DustSession:
                 self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
                 return Rows()
             return Rows(columns=["foreign_keys"], types=["integer"], values=[[1 if self._fk_enabled else 0]])
+        if key == "recursive_triggers":
+            if val is not None:
+                self._recursive_triggers = val.lower() in ("1", "on", "true", "yes")
+                return Rows()
+            return Rows(
+                columns=["recursive_triggers"],
+                types=["integer"],
+                values=[[1 if self._recursive_triggers else 0]],
+            )
         if key == "user_version":
             # settable per-connection schema cookie (PRAGMA user_version
             # = N); reads return the stored int, 0 initially like SQLite
@@ -1880,7 +1900,15 @@ class DustSession:
             )
             bi_list = _images(bi_rows, before=True)
             fired = [p for _, p in ai_list]
-            if trig_b and not trig_a:
+            # REPLACE under PRAGMA recursive_triggers=ON fires DELETE
+            # triggers for the displaced rows (sqlite3-probed; with the
+            # default OFF they are suppressed) — handled by a dedicated
+            # per-row replay below
+            del_b = del_a = []
+            if ins.or_replace and self._recursive_triggers:
+                del_b = self._table_triggers(ins.table, "DELETE", "BEFORE")
+                del_a = self._table_triggers(ins.table, "DELETE", "AFTER")
+            if trig_b and not trig_a and not (del_b or del_a):
                 # single-timing fast path: phase order == SQLite's
                 # observable per-row order, and BEFORE bodies run
                 # pre-mutation (own-table writes overwritten — documented)
@@ -1918,7 +1946,16 @@ class DustSession:
         overlay.put(ins.table, new_st)
         self._last_insert_id = last_id
         if fired is not None:
-            if trig_b and trig_a:
+            if del_b or del_a:
+                # REPLACE + recursive_triggers=ON: per-row BI, then
+                # BD/AD for each row this one displaces (existing-table
+                # or earlier-batch victim), then AI (sqlite3-probed
+                # order). replace_sets is in scope — or_replace is set.
+                self._fire_replace_triggers(
+                    overlay, tdef, st, ins, replace_sets,
+                    bi_list, ai_list, trig_b, trig_a, del_b, del_a,
+                )
+            elif trig_b and trig_a:
                 # both timings: SQLite's per-row interleave (B:row1,
                 # A:row1, B:row2, ...), pairing BEFORE images with the
                 # landed rows by insertion index — OR IGNORE drops fire
@@ -1932,6 +1969,73 @@ class DustSession:
                 self._fire_triggers(overlay, tdef, trig_a, fired)
             self._last_insert_id = last_id  # body inserts must not leak out
         return Response(last_insert_id=last_id, rows_affected=n)
+
+    def _fire_replace_triggers(
+        self,
+        overlay: Overlay,
+        tdef: TableDef,
+        st: TableState,
+        ins,
+        replace_sets: list,
+        bi_list: list,
+        ai_list: list,
+        trig_b: list,
+        trig_a: list,
+        del_b: list,
+        del_a: list,
+    ) -> None:
+        """Per-row REPLACE trigger replay under recursive_triggers=ON:
+        each batch row fires BEFORE INSERT, then BEFORE/AFTER DELETE for
+        every row it displaces — an existing-table row or an
+        earlier-batch row it replaces in-batch — then AFTER INSERT.
+        Victims are tracked per uniqueness constraint; a row displaced
+        through several constraints fires its delete triggers once."""
+        fields = [f.name for f in tdef.schema.fields]
+        batch = [dict(p[1]) for _, p in ai_list]
+        # existing rows that share any constraint key with the batch
+        cur: dict = {}
+
+        def keys_of(row: dict):
+            out = []
+            for si, colset in enumerate(replace_sets):
+                key = tuple(row.get(c) for c in colset)
+                if all(v is not None for v in key):
+                    out.append((si, key))
+            return out
+
+        batch_keys = {kk for row in batch for kk in keys_of(row)}
+        if batch_keys:
+            cond = None
+            for si, colset in enumerate(replace_sets):
+                want = {k for s, k in batch_keys if s == si}
+                for k in want:
+                    kc = None
+                    for c, v in zip(colset, k):
+                        e = F.col(c).eqNullSafe(F.lit(v))
+                        kc = e if kc is None else (kc & e)
+                    cond = kc if cond is None else (cond | kc)
+            if cond is not None:
+                for r in st.df.filter(cond).collect():
+                    d = {c: r[c] for c in fields}
+                    for kk in keys_of(d):
+                        cur[kk] = d
+        for (rn, bp), (_, ap) in zip(bi_list, ai_list):
+            if trig_b:
+                self._fire_triggers(overlay, tdef, trig_b, [bp])
+            row = dict(ap[1])
+            victims = []
+            for kk in keys_of(row):
+                v = cur.get(kk)
+                if v is not None and not any(v is x for x in victims):
+                    victims.append(v)
+            for v in victims:
+                for kk in [k for k, val in cur.items() if val is v]:
+                    cur.pop(kk)
+                self._fire_pairs(overlay, tdef, del_b, del_a, [(v, None)])
+            for kk in keys_of(row):
+                cur[kk] = row
+            if trig_a:
+                self._fire_triggers(overlay, tdef, trig_a, [ap])
 
     def _upsert(self, overlay: Overlay, st: TableState, tdef, ins, new_rows: DataFrame) -> Response:
         """SQLite upsert (INSERT ... ON CONFLICT DO NOTHING / DO UPDATE

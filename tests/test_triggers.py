@@ -755,3 +755,62 @@ def test_fk_cascade_grandchild_triggers_differential(pair):
     q_both(db, ref, "SELECT m FROM log ORDER BY m")
     q_both(db, ref, "SELECT count(*) FROM b")
     q_both(db, ref, "SELECT count(*) FROM c")
+
+
+def test_recursive_triggers_pragma_differential(pair):
+    """PRAGMA recursive_triggers=ON lifts the re-entry suppression:
+    bounded self-recursion runs to its WHEN fixpoint, REPLACE fires
+    DELETE triggers for displaced rows, and the pragma reads back."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "PRAGMA recursive_triggers=ON",
+        "CREATE TABLE t (a INTEGER)",
+        "CREATE TRIGGER ti AFTER INSERT ON t WHEN NEW.a < 20 BEGIN "
+        "INSERT INTO t VALUES (NEW.a + 1); END",
+        "INSERT INTO t VALUES (1)",
+    )
+    q_both(db, ref, "SELECT count(*), max(a) FROM t")
+    q_both(db, ref, "PRAGMA recursive_triggers")
+    # REPLACE displaced-row delete triggers fire with the pragma ON
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE r (id INTEGER PRIMARY KEY, v INTEGER)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER rbi BEFORE INSERT ON r BEGIN INSERT INTO log VALUES ('BI:'||NEW.v); END",
+        "CREATE TRIGGER rai AFTER INSERT ON r BEGIN INSERT INTO log VALUES ('AI:'||NEW.v); END",
+        "CREATE TRIGGER rbd BEFORE DELETE ON r BEGIN INSERT INTO log VALUES ('BD:'||OLD.v); END",
+        "CREATE TRIGGER rad AFTER DELETE ON r BEGIN INSERT INTO log VALUES ('AD:'||OLD.v); END",
+        "INSERT INTO r VALUES (1, 10)",
+        "DELETE FROM log",
+        "REPLACE INTO r VALUES (1, 77)",
+    )
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    run_both(db, ref, "DELETE FROM log",
+             "REPLACE INTO r VALUES (5, 1), (5, 2)")  # in-batch displacement
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT id, v FROM r ORDER BY id")
+    # back OFF: displaced deletes suppressed again
+    run_both(db, ref, "PRAGMA recursive_triggers=OFF",
+             "DELETE FROM log", "REPLACE INTO r VALUES (1, 99)")
+    q_both(db, ref, "SELECT rowid, m FROM log ORDER BY rowid")
+
+
+def test_recursion_depth_error(pair):
+    """Unbounded self-recursion with the pragma ON hits the depth cap
+    with SQLite's error string (our ceiling is 100 vs SQLite's 1000 —
+    documented; the error text matches)."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "PRAGMA recursive_triggers=ON",
+        "CREATE TABLE x (a INTEGER)",
+        "CREATE TRIGGER xi AFTER INSERT ON x BEGIN INSERT INTO x VALUES (NEW.a + 1); END",
+    )
+    with pytest.raises(sqlite3.OperationalError, match="too many levels of trigger recursion"):
+        ref.execute("INSERT INTO x VALUES (1)")
+    rs = db.execute_string_stmt("INSERT INTO x VALUES (1)")
+    assert rs[0].error == "too many levels of trigger recursion"
