@@ -1790,9 +1790,17 @@ def rewrite_exclude_minmax_range(sql: str) -> str | None:
             else:
                 lo, hi = _frame_bound_sign(bm.group(3)), 0
             # value offsets don't translate to rank offsets — UNBOUNDED
-            # and CURRENT ROW bounds only, straddling the current row
-            if lo not in (float("-inf"), 0) or hi not in (0, float("inf")):
+            # and CURRENT ROW bounds only — EXCEPT over a __dr column
+            # the GROUPS rewrite just emitted: dense ranks are
+            # consecutive integers, so numeric RANGE offsets there ARE
+            # group offsets and finite flanks translate directly
+            dense_key = re.fullmatch(r"__dr\d+", order.strip()) is not None
+            if not dense_key and (
+                lo not in (float("-inf"), 0) or hi not in (0, float("inf"))
+            ):
                 return None
+            if lo > 0 or hi < 0:
+                return None  # non-straddling frame: decomposition n/a
             dr = dr_windows.setdefault(
                 (norm(partition or ""), norm(order)), f"__xmr_dr{len(dr_windows)}"
             )
@@ -1800,14 +1808,24 @@ def rewrite_exclude_minmax_range(sql: str) -> str | None:
             comb = "least" if fname == "min" else "greatest"
             sides = []
             if lo < 0:
+                lo_b = (
+                    "UNBOUNDED PRECEDING"
+                    if lo == float("-inf")
+                    else f"{int(-lo)} PRECEDING"
+                )
                 sides.append(
                     f"{fname}({argtext}) OVER ({part_prefix}ORDER BY {dr} "
-                    f"RANGE BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)"
+                    f"RANGE BETWEEN {lo_b} AND 1 PRECEDING)"
                 )
             if hi > 0:
+                hi_b = (
+                    "UNBOUNDED FOLLOWING"
+                    if hi == float("inf")
+                    else f"{int(hi)} FOLLOWING"
+                )
                 sides.append(
                     f"{fname}({argtext}) OVER ({part_prefix}ORDER BY {dr} "
-                    f"RANGE BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)"
+                    f"RANGE BETWEEN 1 FOLLOWING AND {hi_b})"
                 )
             if kind == "TIES":
                 sides.append(f"({argtext})")
@@ -2020,8 +2038,9 @@ def _rewrite_groups_stmt(sql: str) -> str | None:
                 out.append(text[i:close])
                 i = close
                 continue
-            if re.search(r"\bEXCLUDE\b", body, re.I):
-                return None
+            # EXCLUDE clauses ride along: GROUPS peers == RANGE-on-
+            # dense_rank peers, so the EXCLUDE rewrites compose on the
+            # rewritten frame (the caller chains them)
             pm = re.search(r"\bPARTITION\s+BY\b", body, re.I)
             om = re.search(r"\bORDER\s+BY\b", body, re.I)
             if not om:

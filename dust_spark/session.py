@@ -3315,12 +3315,19 @@ class DustSession:
             # rejected — no Spark window equivalent (EXCLUDE NO OTHERS,
             # the no-op default, was already stripped)
             if re.search(r"\bEXCLUDE\b", sql, re.I):
-                # min/max EXCLUDE on RANGE frames first (dense-rank
+                # GROUPS first (peers == RANGE-on-dense_rank peers, so
+                # EXCLUDE semantics carry over the rewritten frame),
+                # then min/max EXCLUDE on RANGE frames (dense-rank
                 # flank decomposition, r7), then invertible-aggregate
                 # EXCLUDE frames by subtraction; anything else stays
                 # rejected
-                pre = dialect.rewrite_exclude_minmax_range(sql)
-                alt = dialect.rewrite_exclude_frames(pre if pre is not None else sql)
+                base = sql
+                if re.search(r"\bGROUPS\b", base, re.I):
+                    g = dialect.rewrite_groups_frames(base)
+                    if g is not None:
+                        base = g
+                pre = dialect.rewrite_exclude_minmax_range(base)
+                alt = dialect.rewrite_exclude_frames(pre if pre is not None else base)
                 if alt is None:
                     alt = pre
             else:

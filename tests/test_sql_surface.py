@@ -482,6 +482,17 @@ def test_exclude_minmax_range_sqlite_differential(db):
         "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y RANGE UNBOUNDED PRECEDING EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
         f"SELECT g,y, min(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE GROUP) AS m, "
         f"sum(x) OVER (PARTITION BY g ORDER BY y {base} EXCLUDE CURRENT ROW) AS s FROM xmr ORDER BY g,y,m,s",
+        # r7 second wave: GROUPS + EXCLUDE composes (GROUPS rewrites to
+        # RANGE over DENSE_RANK first; numeric offsets in that domain
+        # ARE group offsets, so finite flanks translate directly)
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, max(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 2 PRECEDING AND 1 FOLLOWING EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE TIES) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y GROUPS 1 PRECEDING EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, max(x) OVER (ORDER BY y GROUPS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, sum(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS s FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, count(*) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS c FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, avg(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS a FROM xmr ORDER BY g,y,x",
     ):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
