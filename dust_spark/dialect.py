@@ -1652,6 +1652,50 @@ def rewrite_exclude_frames(sql: str) -> str | None:
     return "".join(out)
 
 
+def strip_noop_excludes(sql: str) -> str:
+    """Remove EXCLUDE clauses from NON-STRADDLING RANGE/GROUPS frames
+    (lo > 0 or hi < 0): the current row — and, for those frame types,
+    its whole peer group — lies outside the frame, so CURRENT
+    ROW/GROUP/TIES exclude nothing (sqlite3-probed against EXCLUDE NO
+    OTHERS twins). ROWS frames are left alone: peers of the current row
+    CAN sit inside a non-straddling ROWS frame."""
+    excl_re = re.compile(r"\s*\bEXCLUDE\s+(CURRENT\s+ROW|GROUP|TIES)\b", re.I)
+    over_re = re.compile(r"\bOVER\s*\(", re.I)
+    out, i = [], 0
+    while i < len(sql):
+        mo = over_re.search(sql, i)
+        if not mo:
+            out.append(sql[i:])
+            break
+        try:
+            close = _balanced_end(sql, mo.end() - 1)
+        except ValueError:
+            out.append(sql[i:])
+            break
+        body = sql[mo.end() : close - 1]
+        em = excl_re.search(body)
+        fm = re.search(r"\b(RANGE|GROUPS)\b", body, re.I)
+        if em and fm and fm.start() < em.start():
+            frame = body[fm.end() : em.start()].strip()
+            bm = re.match(
+                r"(?is)^(?:BETWEEN\s+(.+?)\s+AND\s+(.+)$|(.+)$)", frame
+            )
+            if bm:
+                try:
+                    if bm.group(1) is not None:
+                        lo = _frame_bound_sign(bm.group(1))
+                        hi = _frame_bound_sign(bm.group(2))
+                    else:
+                        lo, hi = _frame_bound_sign(bm.group(3)), 0
+                except Exception:  # noqa: BLE001  unparsable bound: leave as-is
+                    lo = hi = 0
+                if lo > 0 or hi < 0:
+                    body = excl_re.sub("", body)
+        out.append(sql[i : mo.end()] + body + ")")
+        i = close
+    return "".join(out)
+
+
 def rewrite_exclude_minmax_range(sql: str) -> str | None:
     """min/max + EXCLUDE on RANGE frames — the non-invertible remainder
     of the r6 EXCLUDE work.  RANGE peers make the excluded unit a peer

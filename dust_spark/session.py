@@ -3321,15 +3321,23 @@ class DustSession:
                 # flank decomposition, r7), then invertible-aggregate
                 # EXCLUDE frames by subtraction; anything else stays
                 # rejected
-                base = sql
+                # non-straddling RANGE/GROUPS frames first: their
+                # EXCLUDE clauses are provable no-ops and just strip
+                base = dialect.strip_noop_excludes(sql)
                 if re.search(r"\bGROUPS\b", base, re.I):
                     g = dialect.rewrite_groups_frames(base)
                     if g is not None:
                         base = g
-                pre = dialect.rewrite_exclude_minmax_range(base)
-                alt = dialect.rewrite_exclude_frames(pre if pre is not None else base)
-                if alt is None:
-                    alt = pre
+                if re.search(r"\bEXCLUDE\b", base, re.I):
+                    pre = dialect.rewrite_exclude_minmax_range(base)
+                    alt = dialect.rewrite_exclude_frames(
+                        pre if pre is not None else base
+                    )
+                    if alt is None:
+                        alt = pre
+                else:
+                    # every EXCLUDE was a non-straddling no-op
+                    alt = base
             else:
                 alt = dialect.rewrite_groups_frames(sql)
             if alt is not None and not dialect.UNSUPPORTED_FRAME_RE.search(alt):

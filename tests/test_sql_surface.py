@@ -493,6 +493,11 @@ def test_exclude_minmax_range_sqlite_differential(db):
         "SELECT g,y,x, sum(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND 1 FOLLOWING EXCLUDE TIES) AS s FROM xmr ORDER BY g,y,x",
         "SELECT g,y,x, count(*) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING EXCLUDE CURRENT ROW) AS c FROM xmr ORDER BY g,y,x",
         "SELECT g,y,x, avg(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 1 PRECEDING AND CURRENT ROW EXCLUDE GROUP) AS a FROM xmr ORDER BY g,y,x",
+        # non-straddling RANGE/GROUPS frames: EXCLUDE is a provable
+        # no-op (the current group lies outside the frame) and strips
+        "SELECT g,y,x, min(x) OVER (PARTITION BY g ORDER BY y GROUPS BETWEEN 2 PRECEDING AND 1 PRECEDING EXCLUDE GROUP) AS m FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, sum(x) OVER (PARTITION BY g ORDER BY y RANGE BETWEEN 1 FOLLOWING AND 2 FOLLOWING EXCLUDE TIES) AS s FROM xmr ORDER BY g,y,x",
+        "SELECT g,y,x, max(x) OVER (ORDER BY y GROUPS BETWEEN 3 FOLLOWING AND 5 FOLLOWING EXCLUDE CURRENT ROW) AS m FROM xmr ORDER BY g,y,x",
     ):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
