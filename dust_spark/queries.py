@@ -403,6 +403,50 @@ sql_query(
     tags=("window",),
 )
 
+sql_query(
+    "b5h_exclude_frames",
+    # window EXCLUDE semantics (r7): the Spark side carries the exact
+    # decompositions the engine's dialect layer emits — EXCLUDE GROUP
+    # by frame-minus-peer-group subtraction (NULL when the frame was
+    # the peer group alone), EXCLUDE TIES keeping the current row, and
+    # min EXCLUDE CURRENT ROW over the full partition via the
+    # group-extreme / multiplicity / second-distinct helper columns.
+    # The DuckDB oracle uses native RANGE ... EXCLUDE — value-identical.
+    "SELECT o_orderkey, "
+    "CASE WHEN cf = cg THEN NULL ELSE ROUND(CAST(sf - sg AS DOUBLE), 2) END AS sum_excl_group, "
+    "cf - cg + 1 AS cnt_excl_ties, "
+    "ROUND(CAST(CASE WHEN p > pmin THEN pmin WHEN pcnt >= 2 THEN pmin ELSE p2 END AS DOUBLE), 2) AS min_excl_self "
+    "FROM (SELECT o_orderkey, p, sf, sg, cf, cg, pmin, "
+    "SUM(CASE WHEN p = pmin THEN 1 ELSE 0 END) OVER (PARTITION BY s) AS pcnt, "
+    "MIN(CASE WHEN p > pmin THEN p END) OVER (PARTITION BY s) AS p2 "
+    "FROM (SELECT o_orderkey, o_orderstatus AS s, "
+    "CAST(o_totalprice AS DECIMAL(18,2)) AS p, "
+    "SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_orderstatus ORDER BY o_orderdate) AS sf, "
+    "SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_orderstatus, o_orderdate) AS sg, "
+    "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate) AS cf, "
+    "COUNT(*) OVER (PARTITION BY o_orderstatus, o_orderdate) AS cg, "
+    "MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+    "(PARTITION BY o_orderstatus) AS pmin "
+    "FROM orders) l1) l2 ORDER BY o_orderkey",
+    oracle=(
+        "SELECT o_orderkey, "
+        "ROUND(CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderdate "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE GROUP) "
+        "AS DOUBLE), 2) AS sum_excl_group, "
+        "COUNT(*) OVER (PARTITION BY o_orderstatus ORDER BY o_orderdate "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW EXCLUDE TIES) AS cnt_excl_ties, "
+        "ROUND(CAST(MIN(CAST(o_totalprice AS DECIMAL(18,2))) OVER "
+        "(PARTITION BY o_orderstatus ORDER BY o_orderdate "
+        "RANGE BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING "
+        "EXCLUDE CURRENT ROW) AS DOUBLE), 2) AS min_excl_self "
+        "FROM orders ORDER BY o_orderkey"
+    ),
+    tags=("window",),
+)
+
 # ---------------------------------------------------------------------------
 # B6 — sorts / limits / top-k (ORDER BY+LIMIT plans as TakeOrderedAndProject:
 # per-partition top-k then driver merge — no total sort at scale)

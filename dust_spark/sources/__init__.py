@@ -58,6 +58,27 @@ def read_orc(spark: SparkSession, path: str) -> DataFrame:
     return spark.read.orc(path)
 
 
+def read_xml(
+    spark: SparkSession,
+    path: str,
+    row_tag: str = "row",
+    schema: T.StructType | str | None = None,
+) -> DataFrame:
+    """Native XML source (Spark 4 built-in, the former spark-xml
+    package): one row per ``row_tag`` element, attributes as
+    ``_attr`` columns, schema inferred unless given."""
+    reader = spark.read.format("xml").option("rowTag", row_tag)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.load(path)
+
+
+def write_xml(
+    df: DataFrame, path: str, row_tag: str = "row", mode: str = "overwrite"
+) -> None:
+    df.write.format("xml").option("rowTag", row_tag).mode(mode).save(path)
+
+
 def read_text(spark: SparkSession, path: str, whole_file: bool = False) -> DataFrame:
     return spark.read.option("wholetext", whole_file).text(path)
 

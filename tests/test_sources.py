@@ -53,3 +53,16 @@ def test_binary_file_reader(spark, tmp_path):
     assert len(rows) == 1
     assert rows[0]["content"] == bytearray(b"\x00\x01payload")
     assert rows[0]["length"] == 9
+
+
+def test_xml_roundtrip(spark, tmp_path):
+    """Native XML source/sink (Spark 4 built-in): write, read back with
+    an explicit rowTag, values and schema survive."""
+    from dust_spark import sources as src
+
+    df = spark.createDataFrame([(1, "x"), (2, "y<z&")], "a INT, b STRING")
+    p = str(tmp_path / "xml_out")
+    src.write_xml(df, p, row_tag="rec")
+    back = src.read_xml(spark, p, row_tag="rec")
+    got = sorted((r.a, r.b) for r in back.collect())
+    assert got == [(1, "x"), (2, "y<z&")]  # entity escaping round-trips
