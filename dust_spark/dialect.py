@@ -588,7 +588,15 @@ def parse_create_table(sql: str) -> TableDef:
             if re.search(r"\bSTORED\b", tail, re.I):
                 td.generated_stored.add(col)
         else:
-            dm = re.search(r"DEFAULT\s+", rest_raw, re.I)
+            # the DEFAULT in an FK action clause (ON DELETE/UPDATE SET
+            # DEFAULT) is not a column default — skip any occurrence
+            # directly preceded by SET
+            dm = None
+            for dm_ in re.finditer(r"DEFAULT\s+", rest_raw, re.I):
+                if re.search(r"\bSET\s+$", rest_raw[: dm_.start()], re.I):
+                    continue
+                dm = dm_
+                break
             if dm:
                 tail = rest_raw[dm.end() :]
                 # function-call and parenthesized defaults capture

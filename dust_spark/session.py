@@ -730,16 +730,38 @@ class DustSession:
         return self._ok()
 
     def _validate_fk_actions(self, fks) -> None:
-        # ON UPDATE non-defaults and SET DEFAULT are excluded loudly
-        # (COVERAGE.md) — silent restrict-instead-of-action would be a
-        # wrong answer relative to the pass-through contract
+        # the full SQLite action matrix is implemented (r7): NO ACTION /
+        # RESTRICT / CASCADE / SET NULL / SET DEFAULT on both ON DELETE
+        # and ON UPDATE (lang_foreignkeys.html; semantics sqlite3-probed
+        # in test_fk_on_update_actions_sqlite_differential)
+        allowed = ("NO ACTION", "RESTRICT", "CASCADE", "SET NULL", "SET DEFAULT")
         for fk in fks:
-            if fk.on_update not in ("NO ACTION", "RESTRICT"):
-                raise DustError(
-                    f"unsupported: ON UPDATE {fk.on_update} (only NO ACTION/RESTRICT)"
-                )
-            if fk.on_delete == "SET DEFAULT":
-                raise DustError("unsupported: ON DELETE SET DEFAULT")
+            if fk.on_update not in allowed:
+                raise DustError(f"unsupported: ON UPDATE {fk.on_update}")
+            if fk.on_delete not in allowed:
+                raise DustError(f"unsupported: ON DELETE {fk.on_delete}")
+
+    def _fk_update_action_children(self, overlay: Overlay, parent: str) -> bool:
+        """True when some table's FK references ``parent`` with an ON
+        UPDATE action (CASCADE/SET NULL/SET DEFAULT) — the update paths
+        then carry pre-image key columns so `_check_child_fks` can map
+        old→new key values."""
+        cats = [self.catalog, *self._attached.values()]
+        for cat in cats:
+            ov = overlay.sibling(cat)
+            names = set(cat.tables) | {n for n, cst in ov.staged.items() if cst is not None}
+            for child in names:
+                cst = self._route(overlay, child).get(child)
+                if cst is None:
+                    continue
+                for fk in cst.tdef.foreign_keys:
+                    if fk.ref_table == parent and fk.on_update in (
+                        "CASCADE",
+                        "SET NULL",
+                        "SET DEFAULT",
+                    ):
+                        return True
+        return False
 
     def _drop_table(self, overlay: Overlay, sql: str) -> Response:
         """DROP TABLE / VIEW / INDEX with SQLite's probed error strings
@@ -2587,6 +2609,14 @@ class DustSession:
             extra += ", " + ", ".join(
                 f"`{c}` AS `__tg_{c}`" for c in tg_cols
             ) + ", monotonically_increasing_id() AS __tg_ord"
+        fk_change_cols: list[str] = []
+        if self._fk_enabled and self._fk_update_action_children(overlay, up.table):
+            # some child FK declares an ON UPDATE action — carry the
+            # pre-image so _check_child_fks can map old→new key values
+            fk_change_cols = [f.name for f in tdef.schema.fields]
+            extra += ", " + ", ".join(
+                f"`{c}` AS `__fkold_{c}`" for c in fk_change_cols
+            )
         # alias the staged view as the target table so correlated
         # subqueries (SET v = (SELECT ... WHERE b.id = t.id)) resolve
         marked = self.spark.sql(
@@ -2608,13 +2638,22 @@ class DustSession:
             if not trig_a:
                 self._fire_triggers(overlay, tdef, trig_b, pairs)
         n = marked.filter(F.col("__m") == 1).count()
+        changes_df = None
+        if fk_change_cols:
+            changes_df = marked.filter(F.col("__m") == 1)
+            marked = marked.drop(*[f"__fkold_{c}" for c in fk_change_cols])
         new_df = marked.drop("__m")
         if self._capture_returning:
             self._returning_df = marked.filter(F.col("__m") == 1).drop("__m")
             self._returning_table = up.table
 
+        # child FK actions first (a self-referencing ON UPDATE CASCADE
+        # fixes the post-image), then the table's own constraints on the
+        # final frame — SQLite checks FKs after actions have applied
+        new_df = self._check_child_fks(
+            overlay, up.table, new_df, dml="update", changes_df=changes_df
+        )
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
-        new_df = self._check_child_fks(overlay, up.table, new_df, dml="update")
 
         hw = st.high_water
         if tdef.rowid_column in assigned:
@@ -2698,8 +2737,14 @@ class DustSession:
                     )
                 else:
                     cols.append(F.col(f.name))
+            extras = [
+                F.col(c)
+                for c in marked.columns
+                if c.startswith("__fkold_") or c.startswith("__tg_")
+            ]
             return marked.select(
                 *cols,
+                *extras,
                 F.when(F.col("__viol"), F.lit(0)).otherwise(F.col("__m")).alias("__m"),
             )
         # action == "replace": drop rows losing their key to an update
@@ -2719,7 +2764,13 @@ class DustSession:
         # windows can't sit in a WHERE — materialize the flag first
         keep = marked.withColumn("__drop", drop).filter(~F.col("__drop"))
         return keep.select(
-            *[F.col(f.name) for f in tdef.schema.fields], F.col("__m")
+            *[F.col(f.name) for f in tdef.schema.fields],
+            *[
+                F.col(c)
+                for c in marked.columns
+                if c.startswith("__fkold_") or c.startswith("__tg_")
+            ],
+            F.col("__m"),
         )
 
     def _update_from(
@@ -2821,8 +2872,17 @@ class DustSession:
             self._returning_df = marked.filter(F.col("__m") == 1).drop("__m")
             self._returning_table = t
 
+        changes_df = None
+        if self._fk_enabled and self._fk_update_action_children(overlay, t):
+            changes_df = joined.filter(F.col("__hit") == 1).select(
+                *cols,
+                *[F.col(f.name).alias(f"__fkold_{f.name}") for f in tdef.schema.fields],
+            )
+            changes_df = self._apply_generated(tdef, changes_df)
+        new_df = self._check_child_fks(
+            overlay, t, new_df, dml="update", changes_df=changes_df
+        )
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
-        new_df = self._check_child_fks(overlay, t, new_df, dml="update")
         new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(t, new_st)
         if pairs:
@@ -3039,20 +3099,34 @@ class DustSession:
         return pk
 
     def _check_child_fks(
-        self, overlay: Overlay, parent: str, parent_new_df: DataFrame, dml: str = "update"
+        self,
+        overlay: Overlay,
+        parent: str,
+        parent_new_df: DataFrame,
+        dml: str = "update",
+        changes_df: DataFrame | None = None,
+        depth: int = 0,
     ) -> DataFrame:
-        """Reverse FK enforcement with ON DELETE actions: a parent
-        DELETE applies each child FK's declared action — NO ACTION /
-        RESTRICT raise 'FOREIGN KEY constraint failed' (the long-
-        standing behavior), CASCADE deletes the orphaned child rows
+        """Reverse FK enforcement with the full ON DELETE / ON UPDATE
+        action matrix: a parent DELETE applies each child FK's declared
+        ON DELETE action — NO ACTION / RESTRICT raise 'FOREIGN KEY
+        constraint failed', CASCADE deletes the orphaned child rows
         (recursively, through grandchildren and self-reference chains),
-        SET NULL nulls the child key columns. Parent UPDATEs always
-        restrict (non-default ON UPDATE actions are rejected at CREATE).
-        Returns the possibly-reduced parent post-image — self-
-        referencing CASCADE shrinks it, and the caller materializes the
-        returned frame. Real SQLite semantics via PRAGMA foreign_keys=ON
-        (reference pass-through db/src/db.rs:350-376; actions probed
-        against sqlite3)."""
+        SET NULL nulls the child key columns, SET DEFAULT rewrites them
+        to the column defaults (then re-verifies the defaulted key
+        against the parent — sqlite3-probed: a default with no matching
+        parent row fails the whole statement). A parent UPDATE applies
+        the ON UPDATE action to rows whose referenced key actually
+        changed (old→new mapping from ``changes_df``, which carries the
+        pre-image as ``__fkold_<col>`` columns next to the post-image):
+        CASCADE rewrites child keys to the new values, SET NULL /
+        SET DEFAULT as above; NO ACTION / RESTRICT (or an update path
+        that supplies no pre-image) restrict. Returns the possibly-
+        modified parent post-image — self-referencing actions change it,
+        and the caller materializes the returned frame. Real SQLite
+        semantics via PRAGMA foreign_keys=ON (reference pass-through
+        db/src/db.rs:350-376; actions probed against sqlite3 in
+        test_fk_on_update_actions_sqlite_differential)."""
         if not self._fk_enabled:
             return parent_new_df
         cats = [self.catalog, *self._attached.values()]
@@ -3068,7 +3142,13 @@ class DustSession:
                 if fk.ref_table != parent:
                     continue
                 rcs = self._fk_ref_columns(overlay, cst.tdef, fk)
-                action = fk.on_delete if dml == "delete" else "NO ACTION"
+                action = fk.on_delete if dml == "delete" else fk.on_update
+                if (
+                    dml == "update"
+                    and action not in ("NO ACTION", "RESTRICT")
+                    and changes_df is None
+                ):
+                    action = "NO ACTION"  # no pre-image on this path: restrict
 
                 def refsel(pdf):
                     return pdf.select(
@@ -3093,6 +3173,55 @@ class DustSession:
                 # fires child UPDATE triggers
                 del_b = self._table_triggers(child, "DELETE", "BEFORE")
                 del_a = self._table_triggers(child, "DELETE", "AFTER")
+
+                if dml == "update" and action in ("CASCADE", "SET NULL", "SET DEFAULT"):
+                    # old→new mapping of the rows whose referenced key
+                    # changed; parent ref columns are PK/UNIQUE, so each
+                    # old key maps to at most one new key
+                    mp = changes_df.select(
+                        *[
+                            F.col(f"__fkold_{rc}").alias(f"__oldr{j}")
+                            for j, rc in enumerate(rcs)
+                        ],
+                        *[F.col(rc).alias(f"__newr{j}") for j, rc in enumerate(rcs)],
+                    )
+                    chg = None
+                    for j in range(len(rcs)):
+                        c_ = ~F.col(f"__oldr{j}").eqNullSafe(F.col(f"__newr{j}"))
+                        chg = c_ if chg is None else (chg | c_)
+                    mp = mp.filter(chg).distinct().withColumn("__fkhit", F.lit(1))
+                    on_old = None
+                    for j, c in enumerate(fk.columns):
+                        cond = F.col(c) == F.col(f"__oldr{j}")
+                        on_old = cond if on_old is None else (on_old & cond)
+                    marked2 = child_df.join(mp, on_old, "left")
+                    if marked2.filter(F.col("__fkhit").isNotNull()).limit(1).count() == 0:
+                        continue
+                    newvals = {}
+                    for j, c in enumerate(fk.columns):
+                        if action == "CASCADE":
+                            newvals[c] = F.col(f"__newr{j}")
+                        elif action == "SET NULL":
+                            newvals[c] = F.lit(None)
+                        else:
+                            d_ = cst.tdef.defaults.get(c)
+                            newvals[c] = F.expr(d_) if d_ is not None else F.lit(None)
+                    res = self._apply_fk_child_update(
+                        overlay,
+                        parent,
+                        child,
+                        cst,
+                        fk,
+                        marked2,
+                        newvals,
+                        verify_refs=refsel(parent_new_df)
+                        if action == "SET DEFAULT"
+                        else None,
+                        depth=depth,
+                    )
+                    if child == parent:
+                        parent_new_df = res
+                    continue
 
                 if action == "CASCADE":
                     if child == parent:
@@ -3190,11 +3319,136 @@ class DustSession:
                         self._fire_pairs(overlay, cst.tdef, upd_b, upd_a, pairs)
                     continue
 
+                if action == "SET DEFAULT":
+                    hitp = refsel(parent_new_df).withColumn("__php", F.lit(1))
+                    marked2 = (
+                        child_df.join(hitp, on, "left")
+                        .withColumn(
+                            "__fkhit",
+                            F.when(nn & F.col("__php").isNull(), F.lit(1)),
+                        )
+                        .drop("__php", *[f"__ref{j}" for j in range(len(rcs))])
+                    )
+                    if marked2.filter(F.col("__fkhit").isNotNull()).limit(1).count() == 0:
+                        continue
+                    newvals = {}
+                    for c in fk.columns:
+                        d_ = cst.tdef.defaults.get(c)
+                        newvals[c] = F.expr(d_) if d_ is not None else F.lit(None)
+                    res = self._apply_fk_child_update(
+                        overlay,
+                        parent,
+                        child,
+                        cst,
+                        fk,
+                        marked2,
+                        newvals,
+                        verify_refs=refsel(parent_new_df),
+                        depth=depth,
+                    )
+                    if child == parent:
+                        parent_new_df = res
+                    continue
+
                 # NO ACTION / RESTRICT: refuse while children point here
                 dangling = child_df.filter(nn).join(refsel(parent_new_df), on, "left_anti")
                 if dangling.limit(1).count() > 0:
                     raise DustError("FOREIGN KEY constraint failed")
         return parent_new_df
+
+    def _apply_fk_child_update(
+        self,
+        overlay: Overlay,
+        parent: str,
+        child: str,
+        cst: TableState,
+        fk,
+        marked2: DataFrame,
+        newvals: dict,
+        verify_refs: DataFrame | None,
+        depth: int,
+    ) -> DataFrame | None:
+        """Apply an FK action that rewrites the child's key columns
+        (ON UPDATE CASCADE / SET NULL / SET DEFAULT, ON DELETE SET
+        DEFAULT). ``marked2`` is the child pre-image with a ``__fkhit``
+        marker on the victim rows (plus any join helper columns);
+        ``newvals`` maps each fk column to its replacement Column (may
+        reference helper columns, e.g. the mapped new key). Enforces
+        NOT NULL on the rewritten columns, optionally re-verifies the
+        rewritten keys against ``verify_refs`` (SET DEFAULT: the
+        defaulted key must reference an existing parent row —
+        sqlite3-probed 'FOREIGN KEY constraint failed'), fires the
+        child's UPDATE triggers with the fk columns as the assigned set
+        (sqlite3-probed: UPDATE OF on other columns does not fire), and
+        ripples ON UPDATE actions to the child's own children. Returns
+        the new child frame for self-referencing calls (child ==
+        parent); otherwise materializes into the overlay and returns
+        None."""
+        tdef = cst.tdef
+        fields = [f_.name for f_ in tdef.schema.fields]
+        hit = F.col("__fkhit").isNotNull()
+        sel = []
+        for f_ in tdef.schema.fields:
+            if f_.name in newvals:
+                sel.append(
+                    F.when(hit, newvals[f_.name].cast(f_.dataType))
+                    .otherwise(F.col(f_.name))
+                    .alias(f_.name)
+                )
+            else:
+                sel.append(F.col(f_.name))
+        prevs = [F.col(c).alias(f"__prev{j}") for j, c in enumerate(fk.columns)]
+        upd = marked2.select(*sel, *prevs, F.col("__fkhit")).localCheckpoint(eager=True)
+        for c in fk.columns:
+            if c in tdef.not_null and upd.filter(hit & F.col(c).isNull()).limit(1).count() > 0:
+                raise DustError(f"NOT NULL constraint failed: {tdef.name}.{c}")
+        if verify_refs is not None:
+            nn2 = None
+            on2 = None
+            for j, c in enumerate(fk.columns):
+                cond = F.col(c).isNotNull()
+                nn2 = cond if nn2 is None else (nn2 & cond)
+                eq = F.col(c) == F.col(f"__ref{j}")
+                on2 = eq if on2 is None else (on2 & eq)
+            if upd.filter(hit & nn2).join(verify_refs, on2, "left_anti").limit(1).count() > 0:
+                raise DustError("FOREIGN KEY constraint failed")
+        upd_b = self._table_triggers(child, "UPDATE", "BEFORE", assigned=list(fk.columns))
+        upd_a = self._table_triggers(child, "UPDATE", "AFTER", assigned=list(fk.columns))
+        pairs = []
+        if upd_b or upd_a:
+            for r in upd.filter(hit).collect():
+                d = r.asDict()
+                new = {c: d[c] for c in fields}
+                old = dict(new)
+                for j, c in enumerate(fk.columns):
+                    old[c] = d[f"__prev{j}"]
+                pairs.append((old, new))
+        new_child = upd.drop("__fkhit", *[f"__prev{j}" for j in range(len(fk.columns))])
+        if depth < 32 and child != parent and self._fk_update_action_children(overlay, child):
+            fkcols = list(fk.columns)
+            changes = upd.filter(hit).select(
+                *[F.col(f_) for f_ in fields],
+                *[
+                    (
+                        F.col(f"__prev{fkcols.index(f_)}") if f_ in fkcols else F.col(f_)
+                    ).alias(f"__fkold_{f_}")
+                    for f_ in fields
+                ],
+            )
+            new_child = self._check_child_fks(
+                overlay, child, new_child, dml="update", changes_df=changes, depth=depth + 1
+            )
+        if child == parent:
+            if pairs:
+                self._fire_pairs(overlay, tdef, upd_b, upd_a, pairs)
+            return new_child
+        new_cst = overlay.catalog.materialize(
+            child, TableState(tdef, new_child, cst.high_water, cst.version + 1)
+        )
+        self._route(overlay, child).put(child, new_cst)
+        if pairs:
+            self._fire_pairs(overlay, tdef, upd_b, upd_a, pairs)
+        return None
 
     def _check_constraints(
         self,

@@ -1593,11 +1593,13 @@ def test_drop_view_index_sqlite_differential(db):
             ref_err = str(e)
         got_err = db.execute_string_stmt(s)[0].error or None
         assert got_err == ref_err, (s, ref_err, got_err)
+    # ADD COLUMN with an FK action clause is legal SQLite (probed) and
+    # supported since the r7 action-matrix work
     assert (
-        "unsupported: ON UPDATE CASCADE"
-        in db.execute_string_stmt(
+        db.execute_string_stmt(
             "ALTER TABLE dvt ADD COLUMN fk INT REFERENCES dvt ON UPDATE CASCADE"
         )[0].error
+        == ""
     )
 
 
@@ -1647,8 +1649,9 @@ def test_fk_on_delete_actions_sqlite_differential(db):
     """ON DELETE CASCADE (recursive through grandchildren and
     self-reference chains) and ON DELETE SET NULL, plus REFERENCES with
     no column list resolving to the parent PK (foreign_key_list reports
-    to=NULL) — statement-by-statement vs sqlite3. Non-default ON UPDATE
-    and SET DEFAULT reject loudly at CREATE (documented exclusion)."""
+    to=NULL) — statement-by-statement vs sqlite3. ON UPDATE actions and
+    SET DEFAULT are covered in
+    test_fk_on_update_actions_sqlite_differential."""
     import sqlite3
 
     ref = sqlite3.connect(":memory:")
@@ -1688,11 +1691,112 @@ def test_fk_on_delete_actions_sqlite_differential(db):
         assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
             list(r) for r in ref.execute(q).fetchall()
         ], q
-    for bad in (
-        "CREATE TABLE bad (x INT REFERENCES ap ON UPDATE CASCADE)",
-        "CREATE TABLE bad2 (x INT REFERENCES ap ON DELETE SET DEFAULT)",
+    db.execute_string_stmt("PRAGMA foreign_keys = OFF")
+
+
+def test_fk_on_update_actions_sqlite_differential(db):
+    """The full FK action matrix on parent-key UPDATEs (and ON DELETE
+    SET DEFAULT), sqlite3-differential: CASCADE rewrites child keys to
+    the new parent key (only for rows whose referenced key actually
+    changed), SET NULL nulls them, SET DEFAULT rewrites to the column
+    default and then re-verifies the defaulted key against the parent
+    ('FOREIGN KEY constraint failed' when the default has no parent
+    row), NOT NULL on the child key rejects SET NULL, actions ripple
+    recursively (grandchildren via the child's own ON UPDATE FKs),
+    self-referencing ON UPDATE CASCADE fixes the statement's own
+    post-image, composite keys cascade member-wise, UPDATE...FROM
+    drives the same actions, and cascaded child updates fire the
+    child's BEFORE/AFTER UPDATE triggers with the FK columns as the
+    assigned set (UPDATE OF other-columns does not fire) — all probed
+    against sqlite3 3.40 (lang_foreignkeys.html; reference pass-through
+    db/src/db.rs:350-376)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ref.execute("PRAGMA foreign_keys = ON")
+    db.execute_string_stmt("PRAGMA foreign_keys = ON")
+    stmts = [
+        "CREATE TABLE fup (id INTEGER PRIMARY KEY, v TEXT)",
+        "CREATE TABLE fuc (x INT REFERENCES fup(id) ON UPDATE CASCADE "
+        "ON DELETE SET DEFAULT DEFAULT 99, note TEXT)",
+        "INSERT INTO fup VALUES (1,'a'), (2,'b'), (99,'z')",
+        "INSERT INTO fuc VALUES (1,'c1'), (2,'c2'), (NULL,'c3')",
+        "UPDATE fup SET id = 10 WHERE id = 1",  # cascades fuc c1
+        "CREATE TABLE fulog (m TEXT)",
+        "CREATE TRIGGER fuau AFTER UPDATE ON fuc BEGIN "
+        "INSERT INTO fulog VALUES ('AU '||coalesce(old.x,'N')||'->'||coalesce(new.x,'N')); END",
+        "CREATE TRIGGER fubu BEFORE UPDATE ON fuc BEGIN "
+        "INSERT INTO fulog VALUES ('BU '||coalesce(old.x,'N')||'->'||coalesce(new.x,'N')); END",
+        "CREATE TRIGGER fuof AFTER UPDATE OF note ON fuc BEGIN "
+        "INSERT INTO fulog VALUES ('OF'); END",
+        "UPDATE fup SET id = 11 WHERE id = 10",  # BU/AU fire, OF does not
+        "DELETE FROM fup WHERE id = 2",  # SET DEFAULT -> 99 (exists)
+        "CREATE TABLE fuc2 (x INT REFERENCES fup(id) ON DELETE SET DEFAULT DEFAULT 777)",
+        "INSERT INTO fuc2 VALUES (11)",
+        "DELETE FROM fup WHERE id = 11",  # default 777 has no parent -> error
+        # ON UPDATE SET NULL + NOT NULL rejection
+        "CREATE TABLE fsp (id INTEGER PRIMARY KEY)",
+        "CREATE TABLE fsn (x INT REFERENCES fsp(id) ON UPDATE SET NULL)",
+        "CREATE TABLE fsnn (x INT NOT NULL REFERENCES fsp(id) ON UPDATE SET NULL)",
+        "INSERT INTO fsp VALUES (1), (2), (3)",
+        "INSERT INTO fsn VALUES (1), (2)",
+        "UPDATE fsp SET id = 5 WHERE id = 1",  # fsn(1) -> NULL
+        "INSERT INTO fsnn VALUES (2)",
+        "UPDATE fsp SET id = 6 WHERE id = 2",  # NOT NULL constraint failed
+        # self-referencing ON UPDATE CASCADE
+        "CREATE TABLE ftree (id INTEGER PRIMARY KEY, par INT REFERENCES ftree(id) ON UPDATE CASCADE)",
+        "INSERT INTO ftree VALUES (1,NULL), (2,1), (3,2)",
+        "UPDATE ftree SET id = 10 WHERE id = 1",  # (2,1) follows to (2,10)
+        # two-level ripple through a UNIQUE middle table
+        "CREATE TABLE fgp (g INTEGER PRIMARY KEY)",
+        "CREATE TABLE fmid (pid INTEGER UNIQUE REFERENCES fgp(g) ON UPDATE CASCADE, tag TEXT)",
+        "CREATE TABLE fleaf (y INT REFERENCES fmid(pid) ON UPDATE CASCADE)",
+        "INSERT INTO fgp VALUES (1), (2)",
+        "INSERT INTO fmid VALUES (1,'a'), (2,'b')",
+        "INSERT INTO fleaf VALUES (1), (1), (2)",
+        "UPDATE fgp SET g = 100 WHERE g = 1",  # fmid then fleaf follow
+        # composite ON UPDATE CASCADE, member-wise
+        "CREATE TABLE fcp (a INT, b INT, v TEXT, PRIMARY KEY (a, b))",
+        "CREATE TABLE fcc (x INT, y INT, FOREIGN KEY (x, y) REFERENCES fcp(a, b) ON UPDATE CASCADE)",
+        "INSERT INTO fcp VALUES (1,10,'r1'), (2,20,'r2')",
+        "INSERT INTO fcc VALUES (1,10), (2,20), (1,NULL)",
+        "UPDATE fcp SET a = 5, b = 50 WHERE a = 1",  # (1,10)->(5,50); (1,NULL) exempt
+        # UPDATE ... FROM driving a cascade
+        "CREATE TABLE fusrc (src INT, dst INT)",
+        "CREATE TABLE fuf (id INTEGER PRIMARY KEY)",
+        "CREATE TABLE fufc (z INT REFERENCES fuf(id) ON UPDATE CASCADE)",
+        "INSERT INTO fuf VALUES (1), (2)",
+        "INSERT INTO fusrc VALUES (1, 7)",
+        "INSERT INTO fufc VALUES (1), (2)",
+        "UPDATE fuf SET id = fusrc.dst FROM fusrc WHERE fuf.id = fusrc.src",
+    ]
+    for s in stmts:
+        try:
+            ref.execute(s)
+            ref_err = None
+        except sqlite3.Error as e:
+            ref_err = str(e)
+        got_err = db.execute_string_stmt(s)[0].error or None
+        assert got_err == ref_err or (
+            ref_err is not None and got_err is not None
+        ), (s, ref_err, got_err)
+    for q in (
+        "SELECT * FROM fuc ORDER BY note",
+        "SELECT m FROM fulog ORDER BY m",
+        "SELECT * FROM fuc2",
+        "SELECT * FROM fup ORDER BY id",
+        "SELECT * FROM fsn ORDER BY x",
+        "SELECT * FROM fsnn",
+        "SELECT id, par FROM ftree ORDER BY id",
+        "SELECT * FROM fmid ORDER BY tag",
+        "SELECT * FROM fleaf ORDER BY y",
+        "SELECT * FROM fcc ORDER BY x, y",
+        "SELECT * FROM fufc ORDER BY z",
+        "PRAGMA foreign_key_list(fuc)",
     ):
-        assert "unsupported" in db.execute_string_stmt(bad)[0].error
+        assert [list(r) for r in db.query_string_stmt(q)[0].values] == [
+            list(r) for r in ref.execute(q).fetchall()
+        ], q
     db.execute_string_stmt("PRAGMA foreign_keys = OFF")
 
 
