@@ -129,6 +129,78 @@ def asof_aggregate(
     )
 
 
+def interval_join(
+    left: DataFrame,
+    right: DataFrame,
+    by_left: str,
+    by_right: str,
+    left_start: str,
+    left_end: str,
+    right_start: str,
+    right_end: str,
+    bucket_width: int,
+) -> DataFrame:
+    """Interval-overlap (range) join: all (left, right) pairs on the
+    by-key whose closed intervals overlap — ``ls <= re AND rs <= le``.
+
+    Spark has no range-join operator; a naive theta join degenerates to
+    a per-key nested loop (BroadcastNestedLoopJoin or a cartesian
+    blow-up on hot keys). This is the standard binning construction
+    used by genomics/spatial engines:
+
+      1. Explode each interval into the fixed-width buckets it spans
+         (``sequence(floor(start/w), floor(end/w))`` — narrow, no
+         shuffle).
+      2. Equi-join on ``(key, bucket)`` — a plain shuffled hash join,
+         AQE-skew-splittable, never a nested loop.
+      3. Post-filter the true overlap predicate.
+      4. Emit each pair exactly once WITHOUT a distinct shuffle: keep
+         only the match in the bucket containing the overlap's start
+         (``bucket == floor(greatest(ls, rs)/w)``) — that bucket is
+         shared by both sides of every overlapping pair by
+         construction.
+
+    ``bucket_width`` trades replication for join selectivity: each row
+    is replicated ``span/width + 1`` times, so pick width around the
+    typical interval length. Both inputs keep all their columns in the
+    output — pre-rename collisions on the caller side.
+
+    floor(x/w) goes through double division — monotone, and exact for
+    |x| < 2^53, so bucket membership always covers the overlap bucket
+    even at epoch-microsecond magnitudes.
+    """
+    w = F.lit(bucket_width)
+    lb = left.select(
+        F.col(by_left).alias("__k"),
+        F.struct(*left.columns).alias("__l"),
+        F.col(left_start).alias("__ls"),
+        F.col(left_end).alias("__le"),
+    ).withColumn(
+        "__b", F.explode(F.sequence(F.floor(F.col("__ls") / w), F.floor(F.col("__le") / w)))
+    )
+    rb = right.select(
+        F.col(by_right).alias("__rk"),
+        F.struct(*right.columns).alias("__r"),
+        F.col(right_start).alias("__rs"),
+        F.col(right_end).alias("__re"),
+    ).withColumn(
+        "__rb", F.explode(F.sequence(F.floor(F.col("__rs") / w), F.floor(F.col("__re") / w)))
+    )
+    joined = lb.join(
+        rb,
+        (lb["__k"] == rb["__rk"])
+        & (lb["__b"] == rb["__rb"])
+        & (F.col("__ls") <= F.col("__re"))
+        & (F.col("__rs") <= F.col("__le"))
+        & (F.col("__b") == F.floor(F.greatest(F.col("__ls"), F.col("__rs")) / w)),
+        "inner",
+    )
+    return joined.select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        *[F.col(f"__r.{c}").alias(c) for c in right.columns],
+    )
+
+
 def asof_nearest(
     left: DataFrame,
     right: DataFrame,

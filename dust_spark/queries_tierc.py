@@ -1960,6 +1960,63 @@ def asof_nearest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Interval-overlap (range) join (r7): error windows × click windows per
+# user. Durations derive from event_id (1–7h / 2–10h) so the oracle —
+# a plain theta join DuckDB runs as IEJoin — replays bit-exactly in
+# integer epoch microseconds; the Spark side must produce the same
+# pairs through the bucketed equi-join (never a nested loop).
+_INTERVAL_JOIN_ORACLE = """
+WITH l AS (
+  SELECT event_id AS l_id, user_id, epoch_us(ts) AS ls,
+         epoch_us(ts) + (event_id % 7 + 1) * 3600000000 AS le
+  FROM events WHERE event_type = 'error'
+), r AS (
+  SELECT event_id AS r_id, user_id, epoch_us(ts) AS rs,
+         epoch_us(ts) + (event_id % 5 + 1) * 7200000000 AS re
+  FROM events WHERE event_type = 'click'
+)
+SELECT l_id, r_id, (least(le, re) - greatest(ls, rs)) AS overlap_us
+FROM l JOIN r USING (user_id)
+WHERE ls <= re AND rs <= le
+ORDER BY l_id, r_id
+"""
+
+
+@register("c6d_interval_join", oracle=_INTERVAL_JOIN_ORACLE, tags=("tierc", "asof"))
+def interval_join_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """All overlapping (error-window, click-window) pairs per user with
+    the exact overlap length in microseconds. The operator explodes
+    each interval into 4-hour buckets and equi-joins on (user, bucket)
+    — a shuffled hash join Catalyst can AQE-split, not the
+    BroadcastNestedLoopJoin a raw range predicate would plan — then
+    dedups multi-bucket pairs by the overlap-start bucket with no
+    distinct shuffle."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    err = ev.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ls"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7 + 1) * 3600000000).alias("le"),
+    )
+    clk = ev.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.unix_micros("ts").alias("rs"),
+        (F.unix_micros("ts") + (F.col("event_id") % 5 + 1) * 7200000000).alias("re"),
+    )
+    out = ops.interval_join(
+        err, clk, "user_id", "r_user", "ls", "le", "rs", "re",
+        bucket_width=4 * 3600 * 1_000_000,
+    )
+    return out.select(
+        "l_id",
+        "r_id",
+        (F.least("le", "re") - F.greatest("ls", "rs")).alias("overlap_us"),
+    ).orderBy("l_id", "r_id")
+
+
 # Token rarity (r7): the integer-exact perplexity proxy — bitlength
 # via length(bin(x)) replaces log2 so the score replays bit-exactly
 # (libm log2 differs in the last ulp across engines).

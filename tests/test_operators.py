@@ -1033,6 +1033,49 @@ def test_asof_nearest_directions_and_ties(spark):
     assert out[3] == (None, None)  # no right rows for k=2
 
 
+def test_interval_join_vs_bruteforce(spark):
+    import random
+
+    random.seed(11)
+    def mk(i, span):
+        s = random.randint(0, 1000)
+        return i, random.randint(1, 4), s, s + random.randint(0, span)
+
+    lrows = [Row(lid=i, k=k, ls=s, le=e) for i, k, s, e in (mk(i, 120) for i in range(60))]
+    rrows = [Row(rid=i, k=k, rs=s, re=e) for i, k, s, e in (mk(i, 300) for i in range(60))]
+    left = spark.createDataFrame(lrows)
+    right = spark.createDataFrame(rrows)
+    out = ops.interval_join(left, right, "k", "k", "ls", "le", "rs", "re", bucket_width=64)
+    got = sorted((r.lid, r.rid) for r in out.collect())
+    want = sorted(
+        (l.lid, r.rid)
+        for l in lrows
+        for r in rrows
+        if l.k == r.k and l.ls <= r.re and r.rs <= l.le
+    )
+    assert got == want  # exactly once per overlapping pair, no dupes
+    # the whole point: a bucketed equi-join, never a nested loop
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_interval_join_bucket_width_invariance(spark):
+    rows_l = [Row(lid=1, k=1, ls=0, le=500), Row(lid=2, k=1, ls=10, le=10)]
+    rows_r = [Row(rid=1, k=1, rs=499, re=600), Row(rid=2, k=1, rs=10, re=10), Row(rid=3, k=2, rs=0, re=9)]
+    left = spark.createDataFrame(rows_l)
+    right = spark.createDataFrame(rows_r)
+    expect = [(1, 1), (1, 2), (2, 2)]
+    for w in (7, 100, 10_000):  # point intervals, wide spans, width >> span
+        got = sorted(
+            (r.lid, r.rid)
+            for r in ops.interval_join(
+                left, right, "k", "k", "ls", "le", "rs", "re", bucket_width=w
+            ).collect()
+        )
+        assert got == expect, w
+
+
 def test_salted_topk_equals_plain_topk(spark):
     import random
 
