@@ -4252,6 +4252,7 @@ def parse_create_trigger(sql: str) -> TriggerDef:
 _RAISE_RE = re.compile(r"\bRAISE\s*\(\s*(ABORT|ROLLBACK|FAIL|IGNORE)\s*(?:,\s*)?", re.I)
 
 RAISE_MARKER = "\x01dust_raise\x01"
+RAISE_IGNORE_MARKER = "\x01dust_raise_ignore\x01"
 
 
 def rewrite_raise(sql: str) -> str:
@@ -4262,7 +4263,10 @@ def rewrite_raise(sql: str) -> str:
     just 'msg').  ABORT/ROLLBACK/FAIL all abort the whole statement
     here (copy-on-write statements are all-or-nothing; FAIL's
     keep-partial-changes nuance is not reproducible and documented).
-    RAISE(IGNORE) is rejected at CREATE time."""
+    RAISE(IGNORE) (no message arg) gets its own marker — the session
+    converts it into the per-row abandon signal (_TriggerIgnore)
+    instead of an error (lang_createtrigger.html RAISE semantics,
+    sqlite3-probed in test_triggers.py)."""
 
     def fix(seg: str) -> str:
         out, i = [], 0
@@ -4272,7 +4276,12 @@ def rewrite_raise(sql: str) -> str:
                 out.append(seg[i:])
                 return "".join(out)
             out.append(seg[i : m.start()])
-            out.append(f"raise_error('{RAISE_MARKER}' || ")
+            if m.group(1).upper() == "IGNORE":
+                # RAISE(IGNORE) takes no message; the source's `)`
+                # closes the raise_error call
+                out.append(f"raise_error('{RAISE_IGNORE_MARKER}'")
+            else:
+                out.append(f"raise_error('{RAISE_MARKER}' || ")
             i = m.end()
 
     return _map_outside_strings(sql, fix)

@@ -53,6 +53,13 @@ class DustError(Exception):
     asserts on exact text."""
 
 
+class _TriggerIgnore(Exception):
+    """RAISE(IGNORE) evaluated inside a trigger program — a control
+    signal, not an error: the firing loop abandons the current row's
+    remaining trigger programs (and, for BEFORE timing, the row change
+    itself). Never escapes _fire_triggers."""
+
+
 _CREATE_VIEW_RE = re.compile(
     r"^\s*CREATE\s+(?P<rep>OR\s+REPLACE\s+)?(?:TEMP(?:ORARY)?\s+)?VIEW\s+"
     r"(?P<ine>IF\s+NOT\s+EXISTS\s+)?"
@@ -840,13 +847,26 @@ class DustSession:
         triggers suppressed like recursive_triggers=0), INSERT OR
         IGNORE (BI even for dropped violators), UPDATE...FROM (BU/AU).
         Bodies/WHEN store RAW SQL, rewritten exactly once at fire time.
-        Documented scope limits (COVERAGE.md): RAISE(IGNORE) is
-        rejected loudly; a BEFORE-only trigger body writing the
-        trigger's OWN table is overwritten by the outer statement's
-        batch apply (with both timings the interleaved loop runs
-        post-mutation and own-table writes land), and a body READING
-        its own table during a multi-row statement sees the
-        batch-applied state where SQLite interleaves row-at-a-time.
+        RAISE(IGNORE) (r7, probed): abandons the remainder of the
+        current trigger program AND all later trigger programs for that
+        row; raised during a BEFORE program (body or WHEN) it also
+        skips the row change itself — not applied, not counted in
+        changes(), its AFTER triggers never fire — while earlier side
+        effects of the same program are kept.  Row-skip is wired on the
+        plain INSERT / UPDATE / DELETE and INSTEAD OF paths; on the
+        exotic replays (upsert conflict arms, REPLACE displaced rows,
+        FK-action child triggers, LIMIT-ed DELETE/UPDATE) IGNORE
+        abandons the row's remaining trigger programs but the set-based
+        data change still applies (documented divergence, COVERAGE.md).
+        Documented scope limits (COVERAGE.md): a BEFORE-only trigger
+        body writing the trigger's OWN table is overwritten by the
+        outer statement's batch apply (with both timings the
+        interleaved loop runs post-mutation and own-table writes land;
+        with a may-IGNORE BEFORE trigger the B programs all run
+        pre-mutation, so a multi-row statement logs B1,B2,…,A1,A2
+        where SQLite interleaves), and a body READING its own table
+        during a multi-row statement sees the batch-applied state
+        where SQLite interleaves row-at-a-time.
         """
         try:
             td = dialect.parse_create_trigger(sql)
@@ -871,8 +891,6 @@ class DustSession:
         if not is_view and not overlay.exists(tbl):
             raise DustError(f"no such table: main.{td.table}")
         for s in td.body + ((td.when_sql,) if td.when_sql else ()):
-            if re.search(r"\bRAISE\s*\(\s*IGNORE\s*\)", s, re.I):
-                raise DustError("unsupported: RAISE(IGNORE) in trigger body")
             reason = dialect.nondeterministic_reason(s)
             if reason:
                 raise DustError(reason)
@@ -939,6 +957,8 @@ class DustSession:
 
     def _convert_raise(self, e: Exception) -> Exception:
         s = str(e)
+        if dialect.RAISE_IGNORE_MARKER in s:
+            return _TriggerIgnore()
         if dialect.RAISE_MARKER in s:
             msg = s.split(dialect.RAISE_MARKER, 1)[1]
             # raise_error wraps the text in Spark's USER_RAISED_EXCEPTION
@@ -951,16 +971,38 @@ class DustSession:
             return e
         return DustError(_clean_error(e))
 
-    def _fire_triggers(self, overlay: Overlay, tdef: TableDef, trigs: list, rows: list) -> None:
+    @staticmethod
+    def _may_ignore(trigs: list) -> bool:
+        """Static text probe: could firing these triggers raise
+        RAISE(IGNORE)?  Used to route BEFORE firing pre-mutation so the
+        ignored rows can be excluded from the batch apply; a false
+        positive (the text in a string literal, or a never-taken
+        branch) only costs the pre-mutation routing, never
+        correctness."""
+        pat = re.compile(r"\bRAISE\s*\(\s*IGNORE\s*\)", re.I)
+        return any(
+            pat.search(s)
+            for t in trigs
+            for s in (*t["body"], *((t["when"],) if t["when"] else ()))
+        )
+
+    def _fire_triggers(self, overlay: Overlay, tdef: TableDef, trigs: list, rows: list) -> set:
         """Fire ``trigs`` for each (old, new) row dict pair, per-row in
         statement order (SQLite's row-at-a-time model — the engine's
         SQL surface is the small-data reference-parity layer, so a
         driver-side loop over the affected rows is the faithful and
         bounded implementation; the Tier C pipeline operators never
-        pass through here)."""
+        pass through here).
+
+        Returns the indices of rows whose processing was abandoned by
+        RAISE(IGNORE) (raised in a WHEN or a body — sqlite3-probed to
+        behave identically): the row's remaining trigger programs are
+        skipped here; callers firing BEFORE timing pre-mutation use the
+        set to exclude those rows from the row change itself."""
+        ignored: set = set()
         if not trigs or not rows:
-            return
-        for old, new in rows:
+            return ignored
+        for idx, (old, new) in enumerate(rows):
             for t in trigs:
                 key = t["name"].lower()
                 if not self._recursive_triggers and key in self._trigger_stack:
@@ -973,32 +1015,44 @@ class DustSession:
                     raise DustError("too many levels of trigger recursion")
                 self._trigger_stack.append(key)
                 try:
-                    if t["when"]:
-                        w = dialect.rewrite_raise(
-                            self._subst_row_refs(t["when"], new, old, tdef)
-                        )
-                        try:
-                            val = self._sql(f"SELECT ({w}) AS __t", None).collect()[0][0]
-                        except Exception as e:  # noqa: BLE001
-                            raise self._convert_raise(e) from e
-                        if not _sqlite_truthy(val):
-                            continue
-                    for b in t["body"]:
-                        bsql = dialect.rewrite_raise(
-                            self._subst_row_refs(b, new, old, tdef)
-                        )
-                        try:
-                            if bsql.lstrip().upper().startswith(("SELECT", "WITH")):
-                                # SELECT bodies evaluate for effect only
-                                # (RAISE throws at evaluation)
-                                self._sql(bsql, None).collect()
-                            else:
-                                r = self._apply(overlay, Statement(sql=bsql, parameters=[]))
-                                self._total_changes += r.rows_affected or 0
-                        except Exception as e:  # noqa: BLE001
-                            raise self._convert_raise(e) from e
+                    try:
+                        if t["when"]:
+                            w = dialect.rewrite_raise(
+                                self._subst_row_refs(t["when"], new, old, tdef)
+                            )
+                            try:
+                                val = self._sql(f"SELECT ({w}) AS __t", None).collect()[0][0]
+                            except Exception as e:  # noqa: BLE001
+                                raise self._convert_raise(e) from e
+                            if not _sqlite_truthy(val):
+                                continue
+                        for b in t["body"]:
+                            bsql = dialect.rewrite_raise(
+                                self._subst_row_refs(b, new, old, tdef)
+                            )
+                            try:
+                                if bsql.lstrip().upper().startswith(("SELECT", "WITH")):
+                                    # SELECT bodies evaluate for effect only
+                                    # (RAISE throws at evaluation)
+                                    self._sql(bsql, None).collect()
+                                else:
+                                    r = self._apply(overlay, Statement(sql=bsql, parameters=[]))
+                                    self._total_changes += r.rows_affected or 0
+                            except Exception as e:  # noqa: BLE001
+                                raise self._convert_raise(e) from e
+                    except _TriggerIgnore:
+                        # abandon this row: remaining statements of this
+                        # program AND all later programs for the row.
+                        # Side effects already applied are kept (probed:
+                        # IGNORE rolls nothing back). A nested trigger's
+                        # IGNORE never reaches here — it is consumed by
+                        # the inner statement's own firing loop.
+                        ignored.add(idx)
                 finally:
                     self._trigger_stack.pop()
+                if idx in ignored:
+                    break
+        return ignored
 
     # ------------------------------------------------------------------
     # INSTEAD OF triggers — DML on views (r7)
@@ -1930,11 +1984,50 @@ class DustSession:
             if ins.or_replace and self._recursive_triggers:
                 del_b = self._table_triggers(ins.table, "DELETE", "BEFORE")
                 del_a = self._table_triggers(ins.table, "DELETE", "AFTER")
-            if trig_b and not trig_a and not (del_b or del_a):
+            may_ign_b = trig_b and self._may_ignore(trig_b)
+            pre_b_done = False
+            if trig_b and not (del_b or del_a) and (
+                not trig_a or (may_ign_b and not ins.or_replace)
+            ):
                 # single-timing fast path: phase order == SQLite's
                 # observable per-row order, and BEFORE bodies run
-                # pre-mutation (own-table writes overwritten — documented)
-                self._fire_triggers(overlay, tdef, trig_b, [p for _, p in bi_list])
+                # pre-mutation (own-table writes overwritten — documented).
+                # Also taken with BOTH timings when a BEFORE trigger may
+                # RAISE(IGNORE): the ignored rows must be excluded from
+                # the batch apply, so B programs run pre-mutation for
+                # every row (B1..Bn,A1..An log order — documented).
+                pre_b_done = True
+                ign = self._fire_triggers(overlay, tdef, trig_b, [p for _, p in bi_list])
+                if ign and not ins.or_replace:
+                    # RAISE(IGNORE)d rows: not inserted, not counted,
+                    # no AFTER triggers (sqlite3-probed)
+                    bad = {bi_list[i][0] for i in ign}
+                    new_rows = new_rows.filter(~F.col("__rn").isin(list(bad)))
+                    if tdef.rowid_column is not None:
+                        # ignored rows don't consume auto ids (probed):
+                        # null the auto slots back out and replay the
+                        # sequential closed form from the assignment
+                        # section above over the survivors
+                        rc = tdef.rowid_column
+                        fld = next(fl for fl in tdef.schema.fields if fl.name == rc)
+                        cnull = F.when(F.col("__auto"), F.lit(None)).otherwise(F.col(rc))
+                        run2 = Window.orderBy("__rn").rowsBetween(
+                            Window.unboundedPreceding, Window.currentRow
+                        )
+                        a2 = F.sum(F.when(cnull.isNull(), 1).otherwise(0)).over(run2)
+                        e2 = F.max(
+                            F.when(cnull.isNotNull(), cnull.cast("long") - a2)
+                        ).over(run2)
+                        hw0 = F.lit(st.high_water).cast("long")
+                        new_rows = new_rows.withColumn(
+                            rc,
+                            F.coalesce(
+                                cnull, a2 + F.greatest(hw0, F.coalesce(e2, hw0))
+                            ).cast(fld.dataType),
+                        )
+                    new_rows = new_rows.localCheckpoint(eager=True)
+                    ai_list = _images(new_rows, before=False)
+                    fired = [p for _, p in ai_list]
 
         self._check_constraints(
             overlay, tdef, new_rows.drop("__rn", "__auto"), None if ins.or_replace else existing
@@ -1977,7 +2070,7 @@ class DustSession:
                     overlay, tdef, st, ins, replace_sets,
                     bi_list, ai_list, trig_b, trig_a, del_b, del_a,
                 )
-            elif trig_b and trig_a:
+            elif trig_b and trig_a and not pre_b_done:
                 # both timings: SQLite's per-row interleave (B:row1,
                 # A:row1, B:row2, ...), pairing BEFORE images with the
                 # landed rows by insertion index — OR IGNORE drops fire
@@ -2370,7 +2463,11 @@ class DustSession:
                 bi = dict(row)
                 if tdef.rowid_column and (auto or bi.get(tdef.rowid_column) is None):
                     bi[tdef.rowid_column] = -1
-                self._fire_triggers(overlay, tdef, trig_bi, [(None, bi)])
+                if self._fire_triggers(overlay, tdef, trig_bi, [(None, bi)]):
+                    # RAISE(IGNORE): the row's later trigger programs
+                    # are abandoned (data merge stays set-based —
+                    # documented divergence, COVERAGE.md)
+                    continue
             hit = None
             for ti, tgt in enumerate(targets):
                 key = tuple(row[c] for c in tgt)
@@ -2412,8 +2509,8 @@ class DustSession:
             except Exception as e:  # noqa: BLE001
                 raise self._convert_raise(e) from e
             new = {f.name: nr[f.name] for f in tdef.schema.fields}
-            if trig_bu:
-                self._fire_triggers(overlay, tdef, trig_bu, [(old, new)])
+            if trig_bu and self._fire_triggers(overlay, tdef, trig_bu, [(old, new)]):
+                continue  # RAISE(IGNORE): no AU, sequential view keeps OLD
             if trig_au:
                 self._fire_triggers(overlay, tdef, trig_au, [(old, new)])
             cur[hit] = new
@@ -2628,15 +2725,38 @@ class DustSession:
         marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
         pairs: list = []
+        before_fired = False
         if want_pairs:
+            ords: list = []
             for r in marked.filter(F.col("__m") == 1).orderBy("__tg_ord").collect():
                 d = r.asDict()
                 pairs.append(
                     ({c: d[f"__tg_{c}"] for c in tg_cols}, {c: d[c] for c in tg_cols})
                 )
+                ords.append(d["__tg_ord"])
+            may_ign_b = trig_b and self._may_ignore(trig_b)
+            if not trig_a or may_ign_b:
+                # BEFORE pre-mutation; when RAISE(IGNORE) may fire, even
+                # with AFTER triggers present, so ignored rows can be
+                # reverted out of the batch post-image (B-all-then-A log
+                # order for multi-row statements — documented)
+                before_fired = True
+                ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
+                if ign:
+                    # RAISE(IGNORE)d rows revert to their OLD image and
+                    # don't count toward changes(); their AFTER triggers
+                    # never fire (sqlite3-probed)
+                    cond = F.col("__tg_ord").isin([ords[i] for i in ign])
+                    for c in tg_cols:
+                        marked = marked.withColumn(
+                            c, F.when(cond, F.col(f"__tg_{c}")).otherwise(F.col(c))
+                        )
+                    marked = marked.withColumn(
+                        "__m", F.when(cond, F.lit(0)).otherwise(F.col("__m"))
+                    )
+                    marked = marked.localCheckpoint(eager=True)
+                    pairs = [p for i, p in enumerate(pairs) if i not in ign]
             marked = marked.drop("__tg_ord", *[f"__tg_{c}" for c in tg_cols])
-            if not trig_a:
-                self._fire_triggers(overlay, tdef, trig_b, pairs)
         n = marked.filter(F.col("__m") == 1).count()
         changes_df = None
         if fk_change_cols:
@@ -2665,7 +2785,7 @@ class DustSession:
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, hw, st.version + 1))
         overlay.put(up.table, new_st)
         if pairs:
-            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=not trig_a)
+            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
     def _apply_generated(self, tdef: TableDef, df: DataFrame) -> DataFrame:
@@ -2974,18 +3094,34 @@ class DustSession:
                 )
                 self._returning_table = de.table
         pairs = []
+        before_fired = False
         if victims_df is not None:
+            vdf = victims_df.withColumn(
+                "__tg_ord", F.monotonically_increasing_id()
+            ).localCheckpoint(eager=True)
+            vrows = vdf.orderBy("__tg_ord").collect()
             pairs = [
-                (r.asDict(), None)
-                for r in victims_df.withColumn(
-                    "__tg_ord", F.monotonically_increasing_id()
-                )
-                .orderBy("__tg_ord")
-                .drop("__tg_ord")
-                .collect()
+                ({k: v for k, v in r.asDict().items() if k != "__tg_ord"}, None)
+                for r in vrows
             ]
-            if not trig_a:
-                self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+            may_ign_b = trig_b and self._may_ignore(trig_b)
+            if not trig_a or may_ign_b:
+                # BEFORE pre-mutation; with a may-RAISE(IGNORE) trigger
+                # even when AFTER triggers exist, so ignored victims can
+                # be restored to the table (not deleted, not counted,
+                # no AFTER triggers — sqlite3-probed)
+                before_fired = True
+                ign = self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+                if ign:
+                    bad = [vrows[i]["__tg_ord"] for i in ign]
+                    keep = vdf.filter(F.col("__tg_ord").isin(bad)).drop("__tg_ord")
+                    new_df = new_df.unionByName(keep).localCheckpoint(eager=True)
+                    n -= len(ign)
+                    pairs = [p for i, p in enumerate(pairs) if i not in ign]
+                    if self._capture_returning:
+                        self._returning_df = vdf.filter(
+                            ~F.col("__tg_ord").isin(bad)
+                        ).drop("__tg_ord")
         new_df = self._check_child_fks(overlay, de.table, new_df, dml="delete")
         new_st = overlay.catalog.materialize(
             de.table,
@@ -2993,7 +3129,7 @@ class DustSession:
         )
         overlay.put(de.table, new_st)
         if pairs:
-            self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=not trig_a)
+            self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
     def _post_delete_high_water(self, st: TableState, new_df: DataFrame) -> int:

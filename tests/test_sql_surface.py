@@ -1108,8 +1108,8 @@ def test_nested_with_insert(db):
 def test_triggers_supported_instead_of_rejected(db):
     """CREATE TRIGGER was a documented exclusion through r6; r7
     implemented it (tests/test_triggers.py is the sqlite3-differential
-    battery).  The remaining loud rejections are INSTEAD OF view
-    triggers and RAISE(IGNORE)."""
+    battery), including RAISE(IGNORE) in the r7 fourth wave — the full
+    trigger grammar now parses and fires."""
     db.execute_string_stmt("CREATE TABLE tr (id INTEGER NOT NULL PRIMARY KEY, v INT)")
     r = db.execute_string_stmt(
         "CREATE TRIGGER t1 AFTER INSERT ON tr BEGIN UPDATE tr SET v = 1 WHERE id = NEW.id; END"
@@ -1119,9 +1119,12 @@ def test_triggers_supported_instead_of_rejected(db):
     assert db.query_string_stmt("SELECT v FROM tr")[0].values == [[1]]
     db.execute_string_stmt("DROP TRIGGER t1")
     r = db.execute_string_stmt(
-        "CREATE TRIGGER t2 AFTER INSERT ON tr BEGIN SELECT RAISE(IGNORE); END"
+        "CREATE TRIGGER t2 BEFORE INSERT ON tr BEGIN "
+        "SELECT RAISE(IGNORE) WHERE NEW.v < 0; END"
     )
-    assert "RAISE(IGNORE)" in r[0].error
+    assert not r[0].error
+    db.execute_string_stmt("INSERT INTO tr(v) VALUES (-1), (5)")
+    assert db.query_string_stmt("SELECT v FROM tr ORDER BY id")[0].values == [[1], [5]]
 
 
 def test_savepoints_sqlite_differential(db):
