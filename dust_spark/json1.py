@@ -159,51 +159,145 @@ def _json_type(v) -> str:
     return "object" if isinstance(v, dict) else "array"
 
 
-def each_rows(j: str, path: str | None = None):
-    """json_each rows: (key, value, type, fullkey, path). Scalars render
-    their text form, containers their minified JSON (SQLite returns
-    dynamic values; the wire here is string-typed — documented). The
-    optional 2nd argument roots iteration at a path ('$.a.b' — missing
-    paths yield no rows, sqlite3-probed); fullkey/path prefix with it."""
+_KEYID_RE = re.compile(r"^[A-Za-z][A-Za-z0-9]*$")
+
+
+def _fullkey_step(prefix: str, key) -> str:
+    """Append one step to a fullkey the way SQLite renders it
+    (sqlite3-probed): array index `[i]`; object keys bare ONLY when
+    they match [A-Za-z][A-Za-z0-9]* (underscores quote!), otherwise
+    JSON-escaped inside double quotes ($."a b", $."e\\"f", $."")."""
+    if isinstance(key, int):
+        return f"{prefix}[{key}]"
+    if _KEYID_RE.match(key):
+        return f"{prefix}.{key}"
+    return f'{prefix}."' + json.dumps(key, ensure_ascii=False)[1:-1] + '"'
+
+
+def _render(v):
+    """SQLite's json_each/json_tree value/atom rendering, string-typed
+    on our wire (SQLite returns dynamic values — CAST(x AS TEXT) on the
+    SQLite side matches bit-for-bit; documented divergence)."""
+    if v is None:
+        return None
+    if isinstance(v, (dict, list)):
+        return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
+    if v is True:
+        return "1"
+    if v is False:
+        return "0"
+    return str(v)
+
+
+def _resolve_steps(doc, path: str):
+    """User root path → absolute (str key | int index) tuple against
+    ``doc``; None when the path doesn't resolve (→ zero rows, probed)."""
+    out: list = []
+    cur = doc
+    try:
+        steps = parse_path(path)
+    except Exception:
+        return None
+    for kind, v in steps:
+        if kind == "key" and isinstance(cur, dict) and v in cur:
+            cur = cur[v]
+            out.append(str(v))
+        elif kind == "idx" and isinstance(cur, list) and 0 <= v < len(cur):
+            cur = cur[v]
+            out.append(v)
+        elif kind == "end" and isinstance(cur, list) and 0 <= len(cur) - v < len(cur):
+            i = len(cur) - v  # '$[#-n]' (same rule as _navigate)
+            cur = cur[i]
+            out.append(i)
+        else:
+            return None
+    return tuple(out)
+
+
+def tree_rows(j: str, path: str | None = None, each: bool = False):
+    """json_tree (and, with ``each=True``, json_each) rows in SQLite's
+    8-column shape: (key, value, type, atom, id, parent, fullkey,
+    path).  All sqlite3-probed:
+
+    - ``id`` is a preorder token count over the WHOLE document (even
+      when rooted at a path): every container/scalar node takes one
+      slot at entry and every object KEY takes one slot before its
+      value's subtree — reproduces the ids SQLite derives from its
+      JSONB encoding.
+    - json_tree emits the (sub)tree root row with parent NULL and
+      recurses; json_each emits only the root's immediate children
+      (or the root itself when it is a scalar) with parent always
+      NULL and key NULL on the scalar-self row.
+    - ``path`` is the parent's fullkey ('$' for the document root);
+      json_each's scalar-self row uses its own fullkey instead.
+    - a root path that doesn't resolve yields no rows; malformed JSON
+      raises (SQLite: 'malformed JSON')."""
     if j is None:
         return
     doc = json.loads(j)
-    root = "$"
+    target: tuple = ()
     if path is not None:
-        root = path
-        try:
-            steps = parse_path(path)
-        except Exception:
+        t = _resolve_steps(doc, path)
+        if t is None:
             return
-        for kind, v in steps:
-            if kind == "key" and isinstance(doc, dict) and v in doc:
-                doc = doc[v]
-            elif kind == "idx" and isinstance(doc, list) and 0 <= v < len(doc):
-                doc = doc[v]
-            elif kind == "end" and isinstance(doc, list) and 0 <= len(doc) - v < len(doc):
-                doc = doc[len(doc) - v]  # '$[#-n]' (same rule as _navigate)
-            else:
-                return
+        target = t
+    rows: list = []
+    counter = [0]
 
-    def render(v):
-        if v is None:
-            return None
-        if isinstance(v, (dict, list)):
-            return json.dumps(v, separators=(",", ":"), ensure_ascii=False)
-        if v is True:
-            return "1"
-        if v is False:
-            return "0"
-        return str(v)
+    def visit(node, key, parent_id, fullkey, parent_fullkey, cur):
+        nid = counter[0]
+        counter[0] += 1
+        depth = len(cur)
+        if depth >= len(target) and cur[: len(target)] == target:
+            is_root = depth == len(target)
+            scalar = not isinstance(node, (dict, list))
+            emit = (
+                (depth == len(target) + 1 or (is_root and scalar))
+                if each
+                else True
+            )
+            if emit:
+                if is_root and (
+                    each or key is None or scalar or isinstance(key, int)
+                ):
+                    # probed: the subtree-root row keeps its key ONLY
+                    # when it is a container reached via an object key;
+                    # scalars, nulls and array elements read key NULL
+                    k = None
+                else:
+                    k = str(key)
+                p = (
+                    fullkey
+                    if each and is_root
+                    else (parent_fullkey if parent_fullkey is not None else "$")
+                )
+                rows.append(
+                    (
+                        k,
+                        _render(node),
+                        _json_type(node),
+                        _render(node) if scalar else None,
+                        nid,
+                        None if (each or is_root) else parent_id,
+                        fullkey,
+                        p,
+                    )
+                )
+        if isinstance(node, dict):
+            for kk, vv in node.items():
+                counter[0] += 1  # the object key's token slot
+                visit(vv, str(kk), nid, _fullkey_step(fullkey, str(kk)), fullkey, cur + (str(kk),))
+        elif isinstance(node, list):
+            for i, vv in enumerate(node):
+                visit(vv, i, nid, _fullkey_step(fullkey, i), fullkey, cur + (i,))
 
-    if isinstance(doc, dict):
-        for k, v in doc.items():
-            yield (str(k), render(v), _json_type(v), f"{root}.{k}", root)
-    elif isinstance(doc, list):
-        for i, v in enumerate(doc):
-            yield (str(i), render(v), _json_type(v), f"{root}[{i}]", root)
-    else:
-        yield (None, render(doc), _json_type(doc), root, root)
+    visit(doc, None, None, "$", None, ())
+    yield from rows
+
+
+def each_rows(j: str, path: str | None = None):
+    """json_each rows — the non-recursive view of :func:`tree_rows`."""
+    yield from tree_rows(j, path, each=True)
 
 
 def merge_patch(a: str | None, b: str | None) -> str | None:
@@ -232,17 +326,29 @@ def merge_patch(a: str | None, b: str | None) -> str | None:
 
 
 def register(spark) -> None:
-    """Register __json_mutate / __json_patch (scalars) and json_each
-    (UDTF) on a SparkSession — called from DustSession init."""
+    """Register __json_mutate / __json_patch (scalars) and the
+    json_each / json_tree UDTFs (SQLite's 8-column table-function
+    shape) on a SparkSession — called from DustSession init."""
     spark.udf.register("__json_mutate", mutate, "string")
     spark.udf.register("__json_patch", merge_patch, "string")
     spark.udf.register("__json_extract_path", extract_json_text, "string")
 
     from pyspark.sql.functions import udtf
 
-    @udtf(returnType="key string, value string, type string, fullkey string, path string")
+    _SCHEMA = (
+        "key string, value string, type string, atom string, "
+        "id bigint, parent bigint, fullkey string, path string"
+    )
+
+    @udtf(returnType=_SCHEMA)
     class JsonEach:
         def eval(self, j: str, path: str = None):
             yield from each_rows(j, path)
 
+    @udtf(returnType=_SCHEMA)
+    class JsonTree:
+        def eval(self, j: str, path: str = None):
+            yield from tree_rows(j, path)
+
     spark.udtf.register("json_each", JsonEach)
+    spark.udtf.register("json_tree", JsonTree)

@@ -560,6 +560,79 @@ def test_json_each_table_function(db, ref):
     assert db.query_string_stmt(q4)[0].values == [[r for r in ref.execute(q4).fetchone()]]
 
 
+_TREE_DOC = '{"a":[1,2,{"x":true}],"b":{"c":null,"d":"s"},"e":2.5}'
+
+
+def test_json_tree_table_function(db, ref):
+    """json_tree (r7): full recursive walk in SQLite's 8-column shape,
+    including the JSONB-derived id/parent numbering (preorder token
+    count; object keys consume a slot — sqlite3-probed).  key/value/
+    atom are string-typed on our wire, so the comparison CASTs the
+    SQLite side to TEXT (bit-identical rendering)."""
+    q = (
+        "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, type, "
+        "CAST(atom AS TEXT) AS a, id, parent, fullkey, path "
+        f"FROM json_tree('{_TREE_DOC}')"
+    )
+    got = db.query_string_stmt(q)[0].values
+    want = [list(r) for r in ref.execute(q).fetchall()]
+    assert got == want
+    # rooted: subtree root keeps its key, parent NULL, ids still global
+    q2 = (
+        "SELECT CAST(key AS TEXT) AS k, id, parent, fullkey, path "
+        f"FROM json_tree('{_TREE_DOC}', '$.a')"
+    )
+    assert db.query_string_stmt(q2)[0].values == [
+        list(r) for r in ref.execute(q2).fetchall()
+    ]
+    # scalar root: path is the PARENT's fullkey in tree mode (vs the
+    # node's own fullkey in each mode — both probed)
+    for fn in ("json_tree", "json_each"):
+        q3 = (
+            "SELECT CAST(key AS TEXT) AS k, CAST(value AS TEXT) AS v, "
+            "CAST(atom AS TEXT) AS a, id, parent, fullkey, path "
+            f"FROM {fn}('{{\"a\":{{\"b\":7}}}}', '$.a.b')"
+        )
+        assert db.query_string_stmt(q3)[0].values == [
+            list(r) for r in ref.execute(q3).fetchall()
+        ], fn
+    # missing path -> zero rows
+    q4 = f"SELECT count(*) AS n FROM json_tree('{_TREE_DOC}', '$.zz')"
+    assert db.query_string_stmt(q4)[0].values == [
+        list(ref.execute(q4).fetchone())
+    ]
+
+
+def test_json_tree_fullkey_quoting(db, ref):
+    """fullkey quoting rule (probed): bare only for [A-Za-z][A-Za-z0-9]*
+    — underscores, dots, spaces, quotes, unicode and the empty key all
+    JSON-escape inside double quotes.  (SQLite echoes the key's RAW
+    source escaping — a doc written with '\\u00e4' keeps the escape in
+    fullkey where we re-serialize the decoded char; documented, so the
+    test uses the literal char.)"""
+    doc = '{"a b":1,"c.d":2,"e\\"f":3,"":4,"_x":5,"ok1":6,"ä":7}'
+    q = (
+        "SELECT fullkey, id, parent FROM "
+        f"json_tree('{doc}') WHERE key IS NOT NULL ORDER BY id"
+    )
+    assert db.query_string_stmt(q)[0].values == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
+def test_json_each_full_schema(db, ref):
+    """json_each's atom/id/parent columns (r7: the 5-column wire grew to
+    SQLite's full 8): parent is ALWAYS NULL for json_each (probed), ids
+    match json_tree's global numbering."""
+    q = (
+        "SELECT CAST(key AS TEXT) AS k, CAST(atom AS TEXT) AS a, "
+        f"id, parent FROM json_each('{_TREE_DOC}')"
+    )
+    assert db.query_string_stmt(q)[0].values == [
+        list(r) for r in ref.execute(q).fetchall()
+    ]
+
+
 WINDOW_CASES = [
     "SELECT s, row_number() OVER (ORDER BY v, s) FROM wt ORDER BY s",
     "SELECT s, rank() OVER (ORDER BY v) FROM wt ORDER BY s",
