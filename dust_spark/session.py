@@ -853,7 +853,8 @@ class DustSession:
         skips the row change itself — not applied, not counted in
         changes(), its AFTER triggers never fire — while earlier side
         effects of the same program are kept.  Row-skip is wired on the
-        plain INSERT / UPDATE / DELETE and INSTEAD OF paths; on the
+        plain INSERT / UPDATE / DELETE, UPDATE...FROM and INSTEAD OF
+        paths; on the
         exotic replays (upsert conflict arms, REPLACE displaced rows,
         FK-action child triggers, LIMIT-ed DELETE/UPDATE) IGNORE
         abandons the row's remaining trigger programs but the set-based
@@ -2965,6 +2966,8 @@ class DustSession:
         trig_b = self._table_triggers(t, "UPDATE", "BEFORE", assigned=list(assigned))
         trig_a = self._table_triggers(t, "UPDATE", "AFTER", assigned=list(assigned))
         pairs: list = []
+        before_fired = False
+        ign_cond = None
         if trig_b or trig_a:
             olds = [F.col(f.name).alias(f"__old_{f.name}") for f in tdef.schema.fields]
             hits = (
@@ -2973,6 +2976,7 @@ class DustSession:
                 .orderBy("__rid")
                 .collect()
             )
+            rids: list = []
             for r in hits:
                 d = r.asDict()
                 pairs.append(
@@ -2981,9 +2985,29 @@ class DustSession:
                         {f.name: d[f.name] for f in tdef.schema.fields},
                     )
                 )
-            if not trig_a:
-                self._fire_triggers(overlay, tdef, trig_b, pairs)
-        marked = joined.select(*cols, F.coalesce(F.col("__hit"), F.lit(0)).alias("__m"))
+                rids.append(d["__rid"])
+            if not trig_a or (trig_b and self._may_ignore(trig_b)):
+                # BEFORE pre-mutation (see _update_impl: with a
+                # may-RAISE(IGNORE) trigger even when AFTER triggers
+                # exist, so ignored rows revert to their old values)
+                before_fired = True
+                ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
+                if ign:
+                    ign_cond = F.col("__rid").isin([rids[i] for i in ign])
+                    pairs = [p for i, p in enumerate(pairs) if i not in ign]
+        if ign_cond is not None:
+            # RAISE(IGNORE)d rows keep their pre-statement values and
+            # don't count toward changes() (sqlite3-probed)
+            rev_cols = [
+                F.when(ign_cond, F.col(f.name)).otherwise(c).alias(f.name)
+                for f, c in zip(tdef.schema.fields, cols)
+            ]
+            hit_col = F.when(ign_cond, F.lit(0)).otherwise(
+                F.coalesce(F.col("__hit"), F.lit(0))
+            )
+            marked = joined.select(*rev_cols, hit_col.alias("__m"))
+        else:
+            marked = joined.select(*cols, F.coalesce(F.col("__hit"), F.lit(0)).alias("__m"))
         marked = self._apply_generated(tdef, marked)
         marked = marked.localCheckpoint(eager=True)
         n = marked.filter(F.col("__m") == 1).count()
@@ -2994,7 +3018,10 @@ class DustSession:
 
         changes_df = None
         if self._fk_enabled and self._fk_update_action_children(overlay, t):
-            changes_df = joined.filter(F.col("__hit") == 1).select(
+            hit_rows = joined.filter(F.col("__hit") == 1)
+            if ign_cond is not None:
+                hit_rows = hit_rows.filter(~ign_cond)
+            changes_df = hit_rows.select(
                 *cols,
                 *[F.col(f.name).alias(f"__fkold_{f.name}") for f in tdef.schema.fields],
             )
@@ -3006,7 +3033,7 @@ class DustSession:
         new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(t, new_st)
         if pairs:
-            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=not trig_a)
+            self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
     def _delete(self, overlay: Overlay, sql: str) -> Response:
@@ -4176,6 +4203,10 @@ def _clean_error(e: Exception) -> str:
         return f"no such table: {m.group(1).split('.')[-1]}"
     m = re.search(r"UNRESOLVED_ROUTINE[^`]*`([^`]+)`", msg, re.S)
     if m:
+        if m.group(1).upper() == "RAISE":
+            # trigger bodies rewrite RAISE before Spark sees it, so an
+            # unresolved RAISE is by construction outside one
+            return "RAISE() may only be used within a trigger-program"
         return f"no such function: {m.group(1)}"
     m = re.search(r"PARSE_SYNTAX_ERROR\] Syntax error at or near (?:'([^']*)'|(end of input))", msg)
     if m:

@@ -796,6 +796,8 @@ def test_error_strings_sqlite_differential(db):
         "SELECT FROM et",
         "SELECT nosuch_col FROM et",
         "SELECT * FROM missing_table",
+        # r7: RAISE outside a trigger program has its own message
+        "SELECT RAISE(ABORT, 'boom')",
     ):
         try:
             ref.execute(q)

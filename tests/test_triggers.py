@@ -863,6 +863,28 @@ def test_update_from_trigger_firing_differential(fire_pair):
     q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
 
 
+def test_raise_ignore_update_from_differential(pair):
+    # RAISE(IGNORE) in a BEFORE UPDATE trigger gates UPDATE...FROM rows
+    # too: ignored rows keep their pre-statement values and don't count
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INTEGER)",
+        "INSERT INTO t VALUES (1,10),(2,20),(3,30)",
+        "CREATE TABLE s (id INTEGER, nv INTEGER)",
+        "INSERT INTO s VALUES (1, 7), (2, 8), (3, 9)",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER bu BEFORE UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES ('B-'||OLD.id); "
+        "SELECT RAISE(IGNORE) WHERE NEW.v = 8; END",
+        "UPDATE t SET v = s.nv FROM s WHERE t.id = s.id",
+    )
+    q_both(db, ref, "SELECT changes()")
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+
+
 def test_both_timing_interleave_differential(fire_pair):
     """Multi-row statements with BOTH timings fire per-row interleaved
     (B:row1, A:row1, B:row2, ...) like SQLite's sequential loop, for

@@ -98,6 +98,55 @@ def scaled_emb(spark, sf_dir: str, k: int, dim: int = 64):
     return out.repartition(int(os.environ.get("SPARK_GRAFT_CPUS", "32")))
 
 
+def scaled_events(spark, sf_dir: str, k: int):
+    """Replicate events with per-replica user_id/event_id shifts: the
+    per-user interval density stays constant, so an interval join with
+    the right shape grows ~linearly in rows (cross-replica users never
+    join)."""
+    from pyspark.sql import functions as F
+
+    from dust_spark.tables import load_table
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "event_type", "ts"
+    )
+    n = base.count()
+    reps = [
+        base.select(
+            (F.col("event_id") + F.lit(r * n)).alias("event_id"),
+            (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
+            "event_type",
+            "ts",
+        )
+        for r in range(k)
+    ]
+    out = reps[0]
+    for rdf in reps[1:]:
+        out = out.unionByName(rdf)
+    return out
+
+
+def interval_join_case(ops, F, evs):
+    """The c6d shape: error windows x click windows per user via the
+    bucketed-explode equi-join (operators/asof.py:interval_join)."""
+    err = evs.filter(F.col("event_type") == "error").select(
+        F.col("event_id").alias("l_id"),
+        "user_id",
+        F.unix_micros("ts").alias("ls"),
+        (F.unix_micros("ts") + (F.col("event_id") % 7 + 1) * 3600000000).alias("le"),
+    )
+    clk = evs.filter(F.col("event_type") == "click").select(
+        F.col("event_id").alias("r_id"),
+        F.col("user_id").alias("r_user"),
+        F.unix_micros("ts").alias("rs"),
+        (F.unix_micros("ts") + (F.col("event_id") % 5 + 1) * 7200000000).alias("re"),
+    )
+    return ops.interval_join(
+        err, clk, "user_id", "r_user", "ls", "le", "rs", "re",
+        bucket_width=4 * 3600 * 1_000_000,
+    )
+
+
 def main() -> None:
     scales = [1, 4, 16]
     only_ops: list[str] | None = None
@@ -145,6 +194,8 @@ def main() -> None:
     for k in scales:
         docs = scaled_docs(spark, sf_dir, k).persist()
         emb = scaled_emb(spark, sf_dir, k).persist()
+        evs = scaled_events(spark, sf_dir, k).persist()
+        evs.count()
         emb.count()
         rows = docs.count()
         bench = docs.filter(F.col("doc_id") % 50 == 0)
@@ -189,12 +240,16 @@ def main() -> None:
                     emb, k=16 * k, iterations=2, threshold=0.3
                 ),
             ),
+            # r7: interval join — per-user density constant across
+            # replicas, so output pairs (and cost) grow ~linearly
+            ("interval_join", lambda: interval_join_case(ops, F, evs)),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
             results.setdefault(name, {})[k] = run(name, fn)
         docs.unpersist()
         emb.unpersist()
+        evs.unpersist()
 
     print("\n| operator | " + " | ".join(f"{k}x ({k*5000} rows)" for k in scales) + " | growth vs rows |")
     print("|---|" + "---|" * (len(scales) + 1))
