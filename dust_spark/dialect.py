@@ -790,8 +790,25 @@ def parse_insert(sql: str) -> InsertStmt:
     stmt = _parse_insert_body(sql)
     if ctes:
         src = stmt.source_sql.lstrip()
+        if src.upper().startswith("VALUES"):
+            # WITH ... INSERT ... VALUES is legal SQLite, and the CTEs
+            # ARE visible to scalar subqueries inside the rows
+            # (sqlite3-probed). Spark's inline VALUES only takes
+            # foldable expressions, so rewrite each row to a SELECT and
+            # scope the CTEs over the union.
+            rows = split_top_level(src[len("VALUES"):].strip().rstrip(";"))
+            sels = []
+            for r in rows:
+                r = r.strip()
+                if not (r.startswith("(") and r.endswith(")")):
+                    raise ValueError(f'near "{r[:20]}": syntax error')
+                sels.append("SELECT " + r[1:-1])
+            stmt.source_sql = f"{ctes} " + " UNION ALL ".join(sels)
+            return stmt
+        if re.match(r"DEFAULT\s+VALUES", src, re.I):
+            return stmt  # legal SQLite; the CTEs are unreferencable
         if not src.upper().startswith(("SELECT", "WITH")):
-            raise ValueError("unsupported: WITH ... INSERT ... VALUES")
+            raise ValueError("unsupported: WITH ... INSERT ... " + src.split()[0])
         if src.upper().startswith("WITH"):
             # the INSERT body carries its own CTE list (legal SQLite:
             # WITH a AS (...) INSERT INTO t WITH b AS (...) SELECT ...) —

@@ -724,3 +724,157 @@ def quantize_vectors(
             F.col(vec_col), lambda x: F.round(x.cast("double") * F.col("__scale")).cast("int")
         ),
     ).withColumnsRenamed({"__scale": "scale"})
+
+
+def pq_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Product-quantization ANN (Jégou et al. 2011, the FAISS IVF-PQ
+    codebook scheme) with a HARD DuckDB oracle — the 100 TB memory
+    path: vectors compress to ``m`` code ids (m·log2(n_codes) bits),
+    and query scoring reads an m-entry distance table instead of the
+    vector.
+
+    Pipeline (every float step hash-stable, the c3i recipe):
+    1. Split ``dim`` into ``m`` subspaces of dim/m; train one codebook
+       per subspace with portable Lloyd's — init = the n_codes smallest
+       ids' subvectors, DECIMAL(25,12) centroid sums ROUNDed to 6,
+       argmin ties to the lowest code id. ALL subspaces train in the
+       same distributed passes (subspace id is just another grouping
+       column — no per-subspace driver loop over the corpus).
+    2. Encode: final per-(vector, subspace) nearest code — the corpus
+       is now (vid, s, cid), never shipping vectors again.
+    3. ADC: per (query, subspace, code) partial squared-L2 table (a
+       queries×m×n_codes broadcast), summed per (query, vector) with an
+       ORDERED fold over the m subspace entries (array_sort + aggregate
+       — a plain SUM would be float-order-dependent under shuffles).
+    4. Top-k by (ROUND(adist,4), vid) — the rounding absorbs cross-
+       engine last-ulp fold noise, the id tiebreak keeps ranks stable.
+
+    Scale shape: training = O(iterations) narrow passes with an
+    (m·n_codes)-row broadcast; encode is one narrow pass; scoring
+    shuffles only (vid, s, cid)×(qid, s, cid) — the corpus' float
+    payload appears in NO shuffle after encoding. Mirrors the
+    reference's ANN surface re-expressed for Spark (SURVEY.md §2.C C3).
+    """
+    from pyspark.sql import Window as W
+
+    sub = dim // m
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    sub_base = base.select(
+        "vid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "v"
+    ).select("vid", "s", F.slice(F.col("v"), F.col("s") * sub + 1, sub).alias("sv"))
+
+    w0 = W.partitionBy("s").orderBy("vid")
+    cents = (
+        sub_base.withColumn("cid", F.row_number().over(w0))
+        .filter(F.col("cid") <= n_codes)
+        .select("s", "cid", F.col("sv").alias("c"))
+    )
+    dist = F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+    def _assign(cbooks):
+        return (
+            sub_base.join(F.broadcast(cbooks), "s")
+            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+            .groupBy("vid", "s")
+            .agg(F.min("__dc").alias("mm"))
+            .select("vid", "s", F.col("mm.i").alias("cid"))
+        )
+
+    for _ in range(iterations - 1):
+        cents = (
+            _assign(cents)
+            .join(sub_base, ["vid", "s"])
+            .select("s", "cid", F.posexplode("sv").alias("d", "x"))
+            .groupBy("s", "cid", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("mv")
+            )
+            .groupBy("s", "cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "mv"))),
+                    lambda st: st["mv"],
+                ).alias("c")
+            )
+        )
+    # the codebooks are m*n_codes rows — flatten the whole training
+    # lineage here so the encode pass and the query distance table
+    # don't each re-run Lloyd's
+    codebooks = cents.localCheckpoint(eager=True)
+    encode = _assign(codebooks)
+
+    # compressed corpus: one row per vector, codes in subspace order —
+    # the ONLY shuffle the corpus pays after encoding (n×m → n rows of
+    # (vid, m small ints); the float payload is gone)
+    codes = (
+        encode.groupBy("vid")
+        .agg(F.collect_list(F.struct("s", "cid")).alias("__sc"))
+        .select(
+            "vid", F.transform(F.array_sort("__sc"), lambda st: st["cid"]).alias("codes")
+        )
+    )
+    # per-query ADC lookup table tab[s][cid] (m × n_codes doubles)
+    qsub = (
+        queries.select(
+            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .select("qid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "v")
+        .select("qid", "s", F.slice(F.col("v"), F.col("s") * sub + 1, sub).alias("sv"))
+    )
+    qtab = (
+        qsub.join(F.broadcast(codebooks), "s")
+        .select("qid", "s", "cid", dist.alias("pd"))
+        .groupBy("qid", "s")
+        .agg(F.collect_list(F.struct("cid", "pd")).alias("__cp"))
+        .select(
+            "qid", "s", F.transform(F.array_sort("__cp"), lambda st: st["pd"]).alias("row")
+        )
+        .groupBy("qid")
+        .agg(F.collect_list(F.struct("s", "row")).alias("__sr"))
+        .select(
+            "qid", F.transform(F.array_sort("__sr"), lambda st: st["row"]).alias("tab")
+        )
+    )
+    # ADC scan: broadcast the q-row tables across the compressed corpus
+    # (a narrow per-row fold — no per-candidate shuffle, the standard
+    # PQ-flat O(n·q) scan with tiny constants), then one top-k window
+    # over the (qid, vid, adist) triples
+    ad = codes.join(F.broadcast(qtab)).select(
+        "qid",
+        "vid",
+        F.round(
+            F.aggregate(
+                F.zip_with("codes", "tab", lambda cid, row: F.element_at(row, cid)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            ),
+            4,
+        ).alias("adist"),
+    )
+    w2 = W.partitionBy("qid").orderBy("adist", "vid")
+    return (
+        ad.withColumn("rank", F.row_number().over(w2))
+        .filter(F.col("rank") <= k)
+        .select("qid", F.col("vid").alias("nid"), "rank", "adist")
+        .orderBy("qid", "rank")
+    )

@@ -1177,6 +1177,86 @@ def kmeans_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.kmeans_assign_portable(_emb(spark, sf_dir), k=4, iterations=2)
 
 
+# Product-quantization ANN (r7): per-subspace portable k-means
+# codebooks (the c3i decimal recipe with subspace id as one more
+# grouping column), corpus encoded to (vid, s, code), ADC scoring via
+# an ORDERED fold over the m per-subspace partial distances (list(pd
+# ORDER BY s) / array_sort — a bare SUM would be float-order-dependent
+# under shuffles), ranks tie-broken by id on the 4dp-rounded distance.
+_PQ_ANN_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+ss AS (SELECT unnest(range(0, 4)) AS s),
+sub AS (
+  SELECT vid, s, list_slice(v, s*16 + 1, s*16 + 16) AS sv FROM base, ss
+),
+c0 AS (
+  SELECT s, cid, sv AS c FROM (
+    SELECT s, sv, row_number() OVER (PARTITION BY s ORDER BY vid) AS cid FROM sub
+  ) WHERE cid <= 4
+),
+d1 AS (
+  SELECT b.vid, b.s, c.cid,
+         list_sum(list_transform(list_zip(b.sv, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM sub b JOIN c0 c ON b.s = c.s
+),
+a1 AS (
+  SELECT vid, s, cid FROM (
+    SELECT vid, s, cid, row_number() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.s, a1.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.sv[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS mv
+  FROM a1 JOIN sub b USING (vid, s), (SELECT unnest(range(1, 17)) AS i) t
+  GROUP BY a1.s, a1.cid, t.i
+),
+c1 AS (SELECT s, cid, list(mv ORDER BY dim) AS c FROM m1 GROUP BY s, cid),
+d2 AS (
+  SELECT b.vid, b.s, c.cid,
+         list_sum(list_transform(list_zip(b.sv, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM sub b JOIN c1 c ON b.s = c.s
+),
+a2 AS (
+  SELECT vid, s, cid FROM (
+    SELECT vid, s, cid, row_number() OVER (PARTITION BY vid, s ORDER BY d, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+dtab AS (
+  SELECT q.vid AS qid, q.s, c.cid,
+         list_sum(list_transform(list_zip(q.sv, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS pd
+  FROM sub q JOIN c1 c ON q.s = c.s
+  WHERE q.vid <= 5
+),
+ad AS (
+  SELECT d.qid, e.vid,
+         ROUND(list_sum(list(d.pd ORDER BY d.s)), 4) AS adist
+  FROM a2 e JOIN dtab d ON e.s = d.s AND e.cid = d.cid
+  GROUP BY d.qid, e.vid
+),
+ranked AS (
+  SELECT qid, vid AS nid, adist,
+         row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+  FROM ad
+)
+SELECT qid, nid, rank, adist FROM ranked WHERE rank <= 10 ORDER BY qid, rank
+"""
+
+
+@register("c3j_pq_ann", oracle=_PQ_ANN_ORACLE, tags=("tierc", "similarity", "jit"))
+def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN top-10 (m=4 subspaces x 4 codes, 2
+    Lloyd iterations) — the 100 TB ANN memory path (vectors compress to
+    m code ids; scoring reads an m-entry distance table) with every
+    float step hash-stable against the DuckDB replay."""
+    emb = _emb(spark, sf_dir)
+    return ops.pq_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10)
+
+
 # SemDeDup (r7): the k-means CTE chain at k=16, then exact cosine over
 # cluster-co-member pairs — clustering, tie rule and the verify all
 # replay bit-exactly in DuckDB (the c3i recipe feeding the c2i verify).

@@ -333,6 +333,45 @@ def test_embedding_near_dup_finds_planted_pair(spark):
     assert (7, 99) in gotp
 
 
+def test_pq_topk_recovers_blob_structure(spark):
+    """c3j semantics: with well-separated blobs and one codebook
+    centroid per blob, PQ's approximate distances rank same-blob
+    vectors ahead of cross-blob ones; the query itself (distance 0 to
+    its own code) ranks first. Deterministic across runs."""
+    import math
+
+    rows = []
+    for blob in range(4):
+        center = [20.0 * blob + math.sin(d + blob) for d in range(8)]
+        for i in range(10):
+            rows.append(
+                Row(
+                    vec_id=blob + 4 * i + 1,
+                    embedding=[c + 0.01 * ((i * 3 + d) % 4) for d, c in enumerate(center)],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id").isin(1, 2, 3, 4))  # one query per blob
+    out = ops.pq_topk_portable(q, df, k=10, m=2, n_codes=4, iterations=2, dim=8)
+    got = [(r.qid, r.nid, r.rank, r.adist) for r in out.collect()]
+    again = [(r.qid, r.nid, r.rank, r.adist) for r in ops.pq_topk_portable(
+        q, df, k=10, m=2, n_codes=4, iterations=2, dim=8
+    ).collect()]
+    assert got == again  # deterministic replay
+    by_q = {}
+    for qid, nid, rank, adist in got:
+        by_q.setdefault(qid, []).append((rank, nid, adist))
+    assert set(by_q) == {1, 2, 3, 4}
+    for qid, hits in by_q.items():
+        assert len(hits) == 10
+        blob = (qid - 1) % 4
+        # all top-10 are same-blob (blobs are 20 apart, codes resolve them)
+        assert all((nid - 1) % 4 == blob for _, nid, _ in hits), (qid, hits)
+        # the query's own row quantizes to its own codes → distance is
+        # the in-cluster floor; it must appear with rank tie-broken by id
+        assert any(nid == qid for _, nid, _ in hits)
+
+
 def test_asof_join_vs_bruteforce(spark):
     import datetime as dt
 

@@ -1107,6 +1107,28 @@ def test_nested_with_insert(db):
     assert db.query_string_stmt("SELECT v FROM nw ORDER BY v")[0].values == [[3], [4]]
 
 
+def test_with_insert_values_sqlite_differential(db):
+    """WITH ... INSERT ... VALUES (r7 — former loud rejection): legal
+    SQLite, and the CTEs ARE visible to scalar subqueries inside the
+    rows (sqlite3-probed).  Rows rewrite to a CTE-scoped SELECT union.
+    WITH + DEFAULT VALUES is legal too (CTEs unreferencable)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE wv (id INTEGER PRIMARY KEY, v INT DEFAULT 3)",
+        "WITH c AS (SELECT 42 AS v) INSERT INTO wv VALUES (1, (SELECT v FROM c))",
+        "WITH c AS (SELECT 7 AS v) INSERT INTO wv(v) VALUES ((SELECT v FROM c)), (9)",
+        "WITH x AS (SELECT 1) INSERT INTO wv DEFAULT VALUES",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    q = "SELECT id, v FROM wv ORDER BY id"
+    assert db.query_string_stmt(q)[0].values == [list(r) for r in ref.execute(q)]
+
+
 def test_triggers_supported_instead_of_rejected(db):
     """CREATE TRIGGER was a documented exclusion through r6; r7
     implemented it (tests/test_triggers.py is the sqlite3-differential

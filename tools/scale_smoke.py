@@ -243,6 +243,19 @@ def main() -> None:
             # r7: interval join — per-user density constant across
             # replicas, so output pairs (and cost) grow ~linearly
             ("interval_join", lambda: interval_join_case(ops, F, evs)),
+            # r7: PQ ANN — training + encode are O(iterations) narrow
+            # passes; the ADC scan is O(n·q) BY DESIGN (flat PQ), so the
+            # query set stays FIXED (base replica only) to measure the
+            # linear-in-corpus term; q also growing would show the n·q
+            # product, not a flaw
+            (
+                "pq_ann",
+                lambda: ops.pq_topk_portable(
+                    emb.filter((F.col("vec_id") < 5000) & (F.col("vec_id") % 100 == 0)),
+                    emb,
+                    k=10,
+                ),
+            ),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
