@@ -3866,11 +3866,23 @@ class _TypedPass:
         self.toks = toks
         self.int_cols = int_cols
         self.edits: list[tuple[int, int, str]] = []
+        # memoization (r7 fourth wave): scan() retries a chain parse at
+        # EVERY token offset and parse_primary descends nested parens
+        # via type_of_span — without caches that is exponential in
+        # nesting depth (a 4-level json_array() expansion took minutes;
+        # parse results are deterministic per position, so caching is
+        # exact, and cached subspans replay into the caller's list)
+        self._paren: dict[int, int] = {}
+        self._prim: dict[int, tuple | None] = {}
+        self._span: dict[tuple[int, int], int] = {}
 
     # -- primary parsing ---------------------------------------------------
 
     def _match_paren(self, i: int) -> int:
         """toks[i] is '(' → index of matching ')' token (or -1)."""
+        hit = self._paren.get(i)
+        if hit is not None:
+            return hit
         depth = 0
         for j in range(i, len(self.toks)):
             t = self.toks[j][1]
@@ -3879,10 +3891,25 @@ class _TypedPass:
             elif t == ")":
                 depth -= 1
                 if depth == 0:
+                    self._paren[i] = j
                     return j
+        self._paren[i] = -1
         return -1
 
     def parse_primary(self, i: int, subspans: list):
+        """Memoizing wrapper over :meth:`_parse_primary_uncached` —
+        results (and the subspans a parse records) are deterministic
+        per start position."""
+        hit = self._prim.get(i)
+        if hit is None:
+            subs: list = []
+            hit = (self._parse_primary_uncached(i, subs), tuple(subs))
+            self._prim[i] = hit
+        res, subs = hit
+        subspans.extend(subs)
+        return res
+
+    def _parse_primary_uncached(self, i: int, subspans: list):
         """Parse one primary starting at token i.  Returns
         (next_index, storage_class, is_pure_literal) or None.  Balanced
         sub-groups are recorded in ``subspans`` for recursive scanning."""
@@ -3972,6 +3999,15 @@ class _TypedPass:
         return None
 
     def type_of_span(self, lo: int, hi: int) -> int:
+        """Memoizing wrapper — span classes are deterministic."""
+        key = (lo, hi)
+        hit = self._span.get(key)
+        if hit is None:
+            hit = self._type_of_span_uncached(lo, hi)
+            self._span[key] = hit
+        return hit
+
+    def _type_of_span_uncached(self, lo: int, hi: int) -> int:
         """Storage class of the expression in tokens [lo, hi): a chain
         of primaries joined by arithmetic ops.  Anything else → UNKNOWN."""
         subspans: list = []
@@ -4078,10 +4114,15 @@ class _TypedPass:
                 classes.append(cls)
             else:
                 break
+        if len(classes) < 2:
+            # no chain consumed: do NOT scan the subspans here — the
+            # caller's own descent visits them. Scanning in both places
+            # doubled the work per nesting level (2^depth scans: a
+            # 4-deep json_array() expansion took minutes — r7 hang
+            # found by the scalar property machine)
+            return None
         for lo_s, hi_s in subspans:
             self.scan(lo_s, hi_s)
-        if len(classes) < 2:
-            return None
         if slash_toks and all(c == _CLS_INT for c in classes):
             for t in slash_toks:
                 self.edits.append((t[2], t[3], " div "))

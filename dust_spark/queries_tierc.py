@@ -1183,7 +1183,7 @@ def kmeans_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 # an ORDERED fold over the m per-subspace partial distances (list(pd
 # ORDER BY s) / array_sort — a bare SUM would be float-order-dependent
 # under shuffles), ranks tie-broken by id on the 4dp-rounded distance.
-_PQ_ANN_ORACLE = """
+_PQ_CTES = """
 WITH base AS (
   SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
 ),
@@ -1243,8 +1243,12 @@ ranked AS (
          row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
   FROM ad
 )
-SELECT qid, nid, rank, adist FROM ranked WHERE rank <= 10 ORDER BY qid, rank
 """
+
+_PQ_ANN_ORACLE = (
+    _PQ_CTES
+    + "SELECT qid, nid, rank, adist FROM ranked WHERE rank <= 10 ORDER BY qid, rank"
+)
 
 
 @register("c3j_pq_ann", oracle=_PQ_ANN_ORACLE, tags=("tierc", "similarity", "jit"))
@@ -1255,6 +1259,74 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     float step hash-stable against the DuckDB replay."""
     emb = _emb(spark, sf_dir)
     return ops.pq_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10)
+
+
+# PQ recall@10 vs the exact squared-L2 top-10 (r7): both engines
+# re-derive the PQ result AND the exact baseline (self-match included
+# on both sides), so the per-query recall scalar hash-compares exactly
+# — the quality signal for the compression, like c3g is for RP-LSH.
+_PQ_RECALL_ORACLE = (
+    _PQ_CTES.rstrip()
+    + """, exactp AS (
+  SELECT a.vec_id AS qid, b.vec_id AS nid,
+         list_sum(list_transform(
+            list_zip(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM embeddings a JOIN embeddings b ON TRUE
+  WHERE a.vec_id <= 5
+), exactr AS (
+  SELECT qid, nid, row_number() OVER (PARTITION BY qid ORDER BY d, nid) AS rn FROM exactp
+), ann AS (SELECT qid, nid FROM ranked WHERE rank <= 10),
+ex AS (SELECT qid, nid FROM exactr WHERE rn <= 10)
+SELECT e.qid, ROUND(count(a.nid) / 10.0, 4) AS recall
+FROM ex e LEFT JOIN ann a ON a.qid = e.qid AND a.nid = e.nid
+GROUP BY e.qid ORDER BY e.qid"""
+)
+
+
+@register("c3k_pq_recall", oracle=_PQ_RECALL_ORACLE, tags=("tierc", "similarity", "jit"))
+def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ ADC against the exact squared-L2 top-10 — the
+    compression-quality scalar, hash-compared per query (the c3g
+    pattern applied to product quantization)."""
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") <= 5)
+    ann = ops.pq_topk_portable(q, emb, k=10).select("qid", "nid")
+    base = emb.select(
+        F.col("vec_id").alias("nid"), F.col("embedding").cast("array<double>").alias("nv")
+    )
+    qb = q.select(
+        F.col("vec_id").alias("qid"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    d = F.aggregate(
+        F.zip_with("qv", "nv", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    w = W.partitionBy("qid").orderBy("d", "nid")
+    exact = (
+        F.broadcast(qb)
+        .join(base)
+        .select("qid", "nid", d.alias("d"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "nid")
+    )
+    matched = exact.join(ann, ["qid", "nid"], "left_semi").groupBy("qid").agg(
+        F.count("*").alias("__m")
+    )
+    return (
+        exact.select("qid")
+        .distinct()
+        .join(matched, "qid", "left")
+        .select(
+            "qid",
+            F.round(F.coalesce(F.col("__m"), F.lit(0)) / F.lit(10.0), 4).alias("recall"),
+        )
+        .orderBy("qid")
+    )
 
 
 # SemDeDup (r7): the k-means CTE chain at k=16, then exact cosine over

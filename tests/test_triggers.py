@@ -1038,3 +1038,135 @@ def test_recursion_depth_error(pair):
         ref.execute("INSERT INTO x VALUES (1)")
     rs = db.execute_string_stmt("INSERT INTO x VALUES (1)")
     assert rs[0].error == "too many levels of trigger recursion"
+
+
+# ---------------------------------------------------------------------------
+# r7 fourth wave: hypothesis trigger machines — random trigger zoos x
+# random DML sequences, every step differential against sqlite3
+# ---------------------------------------------------------------------------
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_ZOO = [
+    "CREATE TRIGGER tg_ai AFTER INSERT ON t BEGIN "
+    "INSERT INTO log VALUES ('ai-'||NEW.id||'-'||NEW.v); END",
+    "CREATE TRIGGER tg_bu BEFORE UPDATE ON t WHEN OLD.v <> NEW.v BEGIN "
+    "INSERT INTO log VALUES ('bu-'||OLD.id); END",
+    "CREATE TRIGGER tg_au AFTER UPDATE OF v ON t BEGIN "
+    "INSERT INTO log VALUES ('au-'||OLD.v||'-'||NEW.v); END",
+    "CREATE TRIGGER tg_bd BEFORE DELETE ON t BEGIN "
+    "INSERT INTO log VALUES ('bd-'||OLD.id); END",
+    "CREATE TRIGGER tg_ab AFTER INSERT ON t WHEN NEW.v = 7 BEGIN "
+    "SELECT RAISE(ABORT, 'no sevens'); END",
+]
+
+_IGN_ZOO = [
+    "CREATE TRIGGER ig_bi BEFORE INSERT ON t BEGIN "
+    "SELECT RAISE(IGNORE) WHERE NEW.v = 3; "
+    "INSERT INTO log VALUES ('bi-'||NEW.v); END",
+    "CREATE TRIGGER ig_bu BEFORE UPDATE ON t BEGIN "
+    "SELECT RAISE(IGNORE) WHERE NEW.v > 8; "
+    "INSERT INTO log VALUES ('ibu-'||OLD.id); END",
+    "CREATE TRIGGER ig_bd BEFORE DELETE ON t BEGIN "
+    "SELECT RAISE(IGNORE) WHERE OLD.id = 2; END",
+    "CREATE TRIGGER tg_au2 AFTER UPDATE ON t BEGIN "
+    "INSERT INTO log VALUES ('au-'||OLD.id); END",
+]
+
+_V = st.integers(0, 9)
+_ID = st.integers(1, 6)
+
+_FULL_OPS = st.one_of(
+    _V.map(lambda v: f"INSERT INTO t(v) VALUES ({v})"),
+    st.tuples(_V, _V).map(lambda x: f"INSERT INTO t(v) VALUES ({x[0]}), ({x[1]})"),
+    st.tuples(_ID, _V).map(lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]})"),
+    st.tuples(_ID, _V).map(lambda x: f"REPLACE INTO t(id, v) VALUES ({x[0]}, {x[1]})"),
+    st.tuples(_ID, _V).map(
+        lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]}) "
+        f"ON CONFLICT(id) DO UPDATE SET v = v + excluded.v"
+    ),
+    _V.map(lambda v: f"UPDATE t SET v = v + 1 WHERE v < {v}"),
+    _ID.map(lambda i: f"DELETE FROM t WHERE id = {i}"),
+)
+
+# the IGNORE machine keeps to the paths where row-skip is wired (plain
+# INSERT/UPDATE/DELETE — upsert/REPLACE data merges under IGNORE are
+# the documented divergence, so the generator never mixes them)
+_PLAIN_OPS = st.one_of(
+    _V.map(lambda v: f"INSERT INTO t(v) VALUES ({v})"),
+    st.tuples(_V, _V, _V).map(
+        lambda x: f"INSERT INTO t(v) VALUES ({x[0]}), ({x[1]}), ({x[2]})"
+    ),
+    st.tuples(_ID, _V).map(lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]})"),
+    _V.map(lambda v: f"UPDATE t SET v = v + 2 WHERE v <= {v}"),
+    _ID.map(lambda i: f"UPDATE t SET v = v + 1 WHERE id = {i}"),
+    _ID.map(lambda i: f"DELETE FROM t WHERE id = {i}"),
+    _V.map(lambda v: f"DELETE FROM t WHERE v = {v}"),
+)
+
+
+def _drive(spark, trig_sqls, ops, log_order):
+    ref = sqlite3.connect(":memory:")
+    db = DustSession(spark)
+    try:
+        for s in (
+            "CREATE TABLE t (id INTEGER PRIMARY KEY, v INT)",
+            "CREATE TABLE log (m TEXT)",
+            *trig_sqls,
+        ):
+            ref.execute(s)
+            assert db.execute_string_stmt(s)[0].error == ""
+        for op in ops:
+            try:
+                ref.execute(op)
+                werr = None
+            except sqlite3.Error as e:
+                werr = str(e)
+            gerr = db.execute_string_stmt(op)[0].error or None
+            assert gerr == werr, (trig_sqls, ops, op, werr, gerr)
+            for q in (
+                "SELECT id, v FROM t ORDER BY id",
+                f"SELECT m FROM log ORDER BY {log_order}",
+            ) + (("SELECT changes()",) if werr is None else ()):
+                want = [list(r) for r in ref.execute(q).fetchall()]
+                have = [list(r) for r in db.query_string_stmt(q)[0].values]
+                assert have == want, (trig_sqls, ops, op, q, have, want)
+    finally:
+        db.close()
+        ref.close()
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    zoo=st.sets(st.sampled_from(range(len(_ZOO))), min_size=1, max_size=3),
+    ops=st.lists(_FULL_OPS, min_size=3, max_size=8),
+)
+def test_trigger_machine_matches_sqlite(spark, zoo, ops):
+    """Random trigger subsets x random DML incl. REPLACE/upserts: error
+    text, table state, per-row log ORDER (reverse-creation firing,
+    conflict-path replays, RAISE(ABORT) statement atomicity) and
+    changes() all match sqlite3 after every statement."""
+    _drive(spark, [_ZOO[i] for i in sorted(zoo)], ops, log_order="rowid")
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    zoo=st.sets(st.sampled_from(range(len(_IGN_ZOO))), min_size=1, max_size=3),
+    ops=st.lists(_PLAIN_OPS, min_size=3, max_size=8),
+)
+def test_raise_ignore_machine_matches_sqlite(spark, zoo, ops):
+    """Random RAISE(IGNORE) trigger subsets x plain multi-row DML:
+    row-skip (data + changes()) matches sqlite3 exactly; the log
+    compares as content (ORDER BY m) because a may-IGNORE BEFORE
+    trigger plus AFTER triggers logs B1..Bn,A1..An where SQLite
+    interleaves (documented)."""
+    _drive(spark, [_IGN_ZOO[i] for i in sorted(zoo)], ops, log_order="m")
