@@ -132,6 +132,25 @@ _ROUND6_VERIFIED = (
     "b9g_json b11a_tumbling_window"
 ).split()
 
+# Hash-green in CORRECTNESS_r07 (44 names: the r7-new queries
+# b5h/c3j/c3k/c2k/c8c/c6c/c6d/c4n/c7c plus the window filler
+# re-confirmed there):
+_ROUND7_VERIFIED = (
+    "b5h_exclude_frames c3j_pq_ann c3k_pq_recall c2k_semantic_dedup "
+    "c8c_salted_topk c6c_asof_nearest c6d_interval_join c4n_token_rarity "
+    "c7c_gap_fill_locf b11b_distinct_events b11c_sliding_window "
+    "b11d_session_window b11e_stream_stream_join b13a_tpch_q3_shape "
+    "b13b_tpch_q5_shape b13c_tpch_q10_shape b4i_percentile b9h_array_funcs "
+    "b9i_date_arith b9j_regexp_funcs c1a_exact_dedup_count "
+    "c1b_exact_dedup_keepers c2c_ngram_jaccard_pairs c3a_cosine_topk "
+    "c3b_dot_pairs c4a_text_stats c4b_token_count c4c_fingerprint "
+    "c4d_lang_id c4e_quality_scores c5a_media_stats c6a_asof_max_order "
+    "c6b_asof_latest_odate c7a_sessionize c2f_simhash_portable "
+    "c9e_pii_redact c4k_top_domains c7b_hypertable_rollup "
+    "c1d_span_dup_fraction b1a_full_scan b1b_dup_projection "
+    "b1c_expr_projection b2a_eq_filter b2b_empty_result"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -153,6 +172,7 @@ def _prioritized():
         _ROUND4_VERIFIED,
         _ROUND5_VERIFIED,
         _ROUND6_VERIFIED,
+        _ROUND7_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}
