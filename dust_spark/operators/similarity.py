@@ -451,6 +451,68 @@ def _probe_udf(bc, n_probe: int):
     return probes
 
 
+def _portable_lloyd(
+    base: DataFrame, k: int, iterations: int, checkpoint: bool = False
+):
+    """Hash-stable Lloyd loop over a (vid, v) frame. Returns
+    ``(assign, cents)`` where ``assign`` is the final (vid, cid)
+    assignment and ``cents`` the (cid, c) centroids USED for that final
+    assignment (i.e. after ``iterations - 1`` updates) — exactly the c1
+    frame a DuckDB replay probes queries against. ``checkpoint``
+    truncates the centroid lineage before the final assignment for
+    callers that reuse the centroids (IVF query probing)."""
+    from pyspark.sql import Window as W
+
+    cents = (
+        base.orderBy("vid")
+        .limit(k)
+        .select(
+            F.row_number().over(W.orderBy("vid")).alias("cid"),
+            F.col("v").cast("array<double>").alias("c"),
+        )
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+
+    def _assign(c):
+        return (
+            base.join(F.broadcast(c))
+            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+            .groupBy("vid")
+            .agg(F.min("__dc").alias("m"))
+            .select("vid", F.col("m.i").alias("cid"))
+        )
+
+    for _ in range(iterations - 1):
+        cents = (
+            _assign(cents)
+            .join(base, "vid")
+            .select("cid", F.posexplode(F.col("v").cast("array<double>")).alias("d", "x"))
+            .groupBy("cid", "d")
+            .agg(
+                F.round(
+                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                    / F.count("*"),
+                    6,
+                ).alias("m")
+            )
+            .groupBy("cid")
+            .agg(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
+                ).alias("c")
+            )
+        )
+    if checkpoint:
+        cents = cents.localCheckpoint(eager=True)
+    return _assign(cents), cents
+
+
 def kmeans_assign_portable(
     df: DataFrame,
     k: int = 4,
@@ -473,50 +535,8 @@ def kmeans_assign_portable(
     corpus); the update is one explode to (cid, dim, val) + hash-agg.
     O(iterations) passes over the data — the standard distributed
     Lloyd's layout."""
-    from pyspark.sql import Window as W
-
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    cents = (
-        base.orderBy("vid")
-        .limit(k)
-        .select(
-            F.row_number().over(W.orderBy("vid")).alias("cid"),
-            F.col("v").cast("array<double>").alias("c"),
-        )
-    )
-    assign = None
-    for _ in range(iterations):
-        dist = F.aggregate(
-            F.zip_with(
-                "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        assign = (
-            base.join(F.broadcast(cents))
-            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
-            .groupBy("vid")
-            .agg(F.min("__dc").alias("m"))
-            .select("vid", F.col("m.i").alias("cid"))
-        )
-        exploded = (
-            assign.join(base, "vid")
-            .select("cid", F.posexplode(F.col("v").cast("array<double>")).alias("d", "x"))
-            .groupBy("cid", "d")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("m")
-            )
-        )
-        cents = exploded.groupBy("cid").agg(
-            F.transform(
-                F.array_sort(F.collect_list(F.struct("d", "m"))), lambda s: s["m"]
-            ).alias("c")
-        )
+    assign, _ = _portable_lloyd(base, k, iterations)
     return assign.orderBy("vid")
 
 
@@ -765,15 +785,47 @@ def pq_topk_portable(
     payload appears in NO shuffle after encoding. Mirrors the
     reference's ANN surface re-expressed for Spark (SURVEY.md §2.C C3).
     """
-    from pyspark.sql import Window as W
-
-    sub = dim // m
-    base = corpus.select(
-        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    codes, qtab = _pq_encode_and_tabs(
+        queries, corpus, m, n_codes, iterations, dim, id_col, vec_col
     )
-    sub_base = base.select(
-        "vid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "v"
-    ).select("vid", "s", F.slice(F.col("v"), F.col("s") * sub + 1, sub).alias("sv"))
+    # ADC scan: broadcast the q-row tables across the compressed corpus
+    # (a narrow per-row fold — no per-candidate shuffle, the standard
+    # PQ-flat O(n·q) scan with tiny constants), then one top-k window
+    # over the (qid, vid, adist) triples
+    ad = codes.join(F.broadcast(qtab)).select("qid", "vid", _adc_fold().alias("adist"))
+    return _pq_rank(ad, k)
+
+
+def _pq_subspaces(
+    df: DataFrame, m: int, sub: int, id_col: str, vec_col: str, out_id: str
+) -> DataFrame:
+    """(id, s, sv): each vector split into its m dim/m-wide subvectors."""
+    return (
+        df.select(
+            F.col(id_col).alias(out_id), F.col(vec_col).cast("array<double>").alias("v")
+        )
+        .select(out_id, F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "v")
+        .select(out_id, "s", F.slice(F.col("v"), F.col("s") * sub + 1, sub).alias("sv"))
+    )
+
+
+def _pq_dist():
+    """Exact squared-L2 between a subvector and a codeword (Columns are
+    built lazily — module-level Column literals need a live JVM)."""
+    return F.aggregate(
+        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+
+
+def _pq_train_encode(sub_base: DataFrame, n_codes: int, iterations: int):
+    """(codebooks, codes): per-subspace portable-Lloyd codebooks (the
+    c3i decimal recipe with the subspace id as one more grouping
+    column) and the compressed corpus — one row per vector, codes in
+    subspace order, the ONLY shuffle the corpus pays after encoding
+    (n×m → n rows of (vid, m small ints); the float payload is gone)."""
+    from pyspark.sql import Window as W
 
     w0 = W.partitionBy("s").orderBy("vid")
     cents = (
@@ -781,16 +833,11 @@ def pq_topk_portable(
         .filter(F.col("cid") <= n_codes)
         .select("s", "cid", F.col("sv").alias("c"))
     )
-    dist = F.aggregate(
-        F.zip_with("sv", "c", lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda acc, x: acc + x,
-    )
 
     def _assign(cbooks):
         return (
             sub_base.join(F.broadcast(cbooks), "s")
-            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+            .withColumn("__dc", F.struct(_pq_dist().alias("d"), F.col("cid").alias("i")))
             .groupBy("vid", "s")
             .agg(F.min("__dc").alias("mm"))
             .select("vid", "s", F.col("mm.i").alias("cid"))
@@ -821,29 +868,36 @@ def pq_topk_portable(
     # lineage here so the encode pass and the query distance table
     # don't each re-run Lloyd's
     codebooks = cents.localCheckpoint(eager=True)
-    encode = _assign(codebooks)
-
-    # compressed corpus: one row per vector, codes in subspace order —
-    # the ONLY shuffle the corpus pays after encoding (n×m → n rows of
-    # (vid, m small ints); the float payload is gone)
     codes = (
-        encode.groupBy("vid")
+        _assign(codebooks)
+        .groupBy("vid")
         .agg(F.collect_list(F.struct("s", "cid")).alias("__sc"))
         .select(
             "vid", F.transform(F.array_sort("__sc"), lambda st: st["cid"]).alias("codes")
         )
     )
-    # per-query ADC lookup table tab[s][cid] (m × n_codes doubles)
-    qsub = (
-        queries.select(
-            F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
-        )
-        .select("qid", F.explode(F.sequence(F.lit(0), F.lit(m - 1))).alias("s"), "v")
-        .select("qid", "s", F.slice(F.col("v"), F.col("s") * sub + 1, sub).alias("sv"))
-    )
+    return codebooks, codes
+
+
+def _pq_encode_and_tabs(
+    queries: DataFrame,
+    corpus: DataFrame,
+    m: int,
+    n_codes: int,
+    iterations: int,
+    dim: int,
+    id_col: str,
+    vec_col: str,
+):
+    """(codes, qtab): the compressed corpus and the per-query ADC
+    lookup tables tab[s][cid] (m × n_codes doubles per query)."""
+    sub = dim // m
+    sub_base = _pq_subspaces(corpus, m, sub, id_col, vec_col, "vid")
+    codebooks, codes = _pq_train_encode(sub_base, n_codes, iterations)
+    qsub = _pq_subspaces(queries, m, sub, id_col, vec_col, "qid")
     qtab = (
         qsub.join(F.broadcast(codebooks), "s")
-        .select("qid", "s", "cid", dist.alias("pd"))
+        .select("qid", "s", "cid", _pq_dist().alias("pd"))
         .groupBy("qid", "s")
         .agg(F.collect_list(F.struct("cid", "pd")).alias("__cp"))
         .select(
@@ -855,22 +909,27 @@ def pq_topk_portable(
             "qid", F.transform(F.array_sort("__sr"), lambda st: st["row"]).alias("tab")
         )
     )
-    # ADC scan: broadcast the q-row tables across the compressed corpus
-    # (a narrow per-row fold — no per-candidate shuffle, the standard
-    # PQ-flat O(n·q) scan with tiny constants), then one top-k window
-    # over the (qid, vid, adist) triples
-    ad = codes.join(F.broadcast(qtab)).select(
-        "qid",
-        "vid",
-        F.round(
-            F.aggregate(
-                F.zip_with("codes", "tab", lambda cid, row: F.element_at(row, cid)),
-                F.lit(0.0),
-                lambda a, x: a + x,
-            ),
-            4,
-        ).alias("adist"),
+    return codes, qtab
+
+
+def _adc_fold():
+    """Asymmetric-distance sum: look each code up in the query's table
+    and fold in subspace order (zip_with keeps the array order — a
+    shuffled SUM would be float-order-dependent); 4dp ROUND absorbs
+    cross-engine last-ulp noise."""
+    return F.round(
+        F.aggregate(
+            F.zip_with("codes", "tab", lambda cid, row: F.element_at(row, cid)),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        ),
+        4,
     )
+
+
+def _pq_rank(ad: DataFrame, k: int) -> DataFrame:
+    from pyspark.sql import Window as W
+
     w2 = W.partitionBy("qid").orderBy("adist", "vid")
     return (
         ad.withColumn("rank", F.row_number().over(w2))
@@ -878,3 +937,76 @@ def pq_topk_portable(
         .select("qid", F.col("vid").alias("nid"), "rank", "adist")
         .orderBy("qid", "rank")
     )
+
+
+def ivfpq_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    m: int = 4,
+    n_codes: int = 4,
+    iterations: int = 2,
+    dim: int = 64,
+    n_lists: int = 4,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF-PQ ANN (the FAISS IVFPQ composition, Jégou et al. 2011) with
+    a HARD DuckDB oracle — the 100× answer to flat PQ's linear ADC
+    scan: a coarse quantizer (portable Lloyd's on the FULL vectors,
+    :func:`_portable_lloyd`) buckets the corpus into ``n_lists``
+    inverted lists; each query ADC-scores ONLY the vectors in its
+    ``n_probe`` nearest lists. Work per query batch drops from O(n) to
+    ~O(n · n_probe / n_lists), and with n_lists ∝ √n (FAISS practice)
+    the per-query candidate set stays constant as the corpus grows.
+
+    Every float step is hash-stable (the c3i decimal recipe): the
+    coarse assignment/probing tie to the lowest centroid id on exact
+    (dist, cid) order, the PQ codebooks/encode are the c3j chain
+    verbatim, and the gated ADC fold is subspace-ordered with a 4dp
+    ROUND. Output contract matches :func:`pq_topk_portable`
+    (qid, nid, rank, adist).
+
+    Scale shape: coarse train = O(iterations) narrow passes with an
+    n_lists-row broadcast; the probe→list candidate join shuffles only
+    (qid, list_id) × (vid, list_id) int pairs; vectors appear in no
+    shuffle after encoding."""
+    base = corpus.select(
+        F.col(id_col).alias("vid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    ca, ccents = _portable_lloyd(base, n_lists, iterations, checkpoint=True)
+    ca = ca.select("vid", F.col("cid").alias("list_id"))
+    # query probes: rank the final centroids by exact (d, cid) and keep
+    # the n_probe nearest lists per query
+    from pyspark.sql import Window as W
+
+    qbase = queries.select(
+        F.col(id_col).alias("qid"), F.col(vec_col).cast("array<double>").alias("v")
+    )
+    pdist = F.aggregate(
+        F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    wq = W.partitionBy("qid").orderBy("d", "cid")
+    probes = (
+        qbase.join(F.broadcast(ccents))
+        .select("qid", "cid", pdist.alias("d"))
+        .withColumn("__rn", F.row_number().over(wq))
+        .filter(F.col("__rn") <= n_probe)
+        .select("qid", F.col("cid").alias("list_id"))
+    )
+    codes, qtab = _pq_encode_and_tabs(
+        queries, corpus, m, n_codes, iterations, dim, id_col, vec_col
+    )
+    # gate: candidates = corpus rows whose list is probed by the query —
+    # an int-pair equi-join on list_id, then codes by vid and the
+    # broadcast ADC tables by qid
+    cand = probes.join(ca, "list_id").select("qid", "vid")
+    ad = (
+        cand.join(codes, "vid")
+        .join(F.broadcast(qtab), "qid")
+        .select("qid", "vid", _adc_fold().alias("adist"))
+    )
+    return _pq_rank(ad, k)

@@ -1261,6 +1261,90 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.pq_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10)
 
 
+# IVF-PQ ANN (r8): the 100× answer to flat PQ's linear ADC scan — a
+# coarse portable-Lloyd quantizer (the c3i chain on FULL vectors, ka*)
+# buckets the corpus into inverted lists; queries probe their n_probe=2
+# nearest lists (same exact (d, cid) tie rule) and the c3j ADC chain
+# scores ONLY the gated candidates. The PQ middle (ss..dtab) is spliced
+# from _PQ_CTES verbatim so both PQ variants provably share codebooks.
+_IVFPQ_COARSE = """WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+kc0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cid, v AS c
+  FROM (SELECT vid, v FROM base ORDER BY vid LIMIT 4)
+),
+kd1 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, kc0 c
+),
+ka1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM kd1) WHERE rn = 1
+),
+km1 AS (
+  SELECT a.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.v[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ka1 a JOIN base b USING (vid), (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a.cid, t.i
+),
+kc1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM km1 GROUP BY cid),
+kd2 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, kc1 c
+),
+ka2 AS (
+  SELECT vid, cid AS list_id FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM kd2) WHERE rn = 1
+),
+probe AS (
+  SELECT vid AS qid, cid AS list_id FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM kd2 WHERE vid <= 5) WHERE rn <= 2
+),
+ss AS"""
+
+_IVFPQ_ORACLE = (
+    _IVFPQ_COARSE
+    + _PQ_CTES.split("ss AS", 1)[1].rsplit(",\nad AS", 1)[0]
+    + """,
+ad AS (
+  SELECT d.qid, e.vid,
+         ROUND(list_sum(list(d.pd ORDER BY d.s)), 4) AS adist
+  FROM a2 e
+  JOIN ka2 ca ON ca.vid = e.vid
+  JOIN probe p ON p.list_id = ca.list_id
+  JOIN dtab d ON e.s = d.s AND e.cid = d.cid AND d.qid = p.qid
+  GROUP BY d.qid, e.vid
+),
+ranked AS (
+  SELECT qid, vid AS nid, adist,
+         row_number() OVER (PARTITION BY qid ORDER BY adist, vid) AS rank
+  FROM ad
+)
+SELECT qid, nid, rank, adist FROM ranked WHERE rank <= 10 ORDER BY qid, rank"""
+)
+
+
+@register("c3l_ivfpq_ann", oracle=_IVFPQ_ORACLE, tags=("tierc", "similarity", "jit"))
+def ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ ANN top-10 (4 inverted lists x 2 probes over the c3j PQ
+    codebooks) — coarse-quantizer gating drops the ADC scan from O(n)
+    per query batch to the probed lists only, with every float step
+    hash-stable against the DuckDB replay (the r7 VERDICT's 100×-scale
+    fix for flat PQ)."""
+    emb = _emb(spark, sf_dir)
+    return ops.ivfpq_topk_portable(
+        emb.filter(F.col("vec_id") <= 5), emb, k=10, n_lists=4, n_probe=2
+    )
+
+
 # PQ recall@10 vs the exact squared-L2 top-10 (r7): both engines
 # re-derive the PQ result AND the exact baseline (self-match included
 # on both sides), so the per-query recall scalar hash-compares exactly

@@ -1123,6 +1123,26 @@ class DustSession:
             self._fire_triggers(overlay, tdef, trig_b, [p])
             self._fire_triggers(overlay, tdef, trig_a, [p])
 
+    @staticmethod
+    def _scan_order(tdef, pairs: list, *aux: list):
+        """Reorder multi-row UPDATE/DELETE trigger pairs into SQLite's
+        firing order: the table b-tree scan = rowid ASC (sqlite3-probed
+        by the trigger-machine differential — frame/insertion order
+        diverges as soon as an explicit small id is inserted after
+        larger auto ids). ``aux`` lists parallel to ``pairs`` (ords,
+        rids, vrows) are permuted identically. WITHOUT ROWID tables
+        keep frame order (PK-scan order not modeled)."""
+        rc = getattr(tdef, "rowid_column", None)
+        if not rc or not pairs or rc not in pairs[0][0]:
+            return (pairs, *aux) if aux else pairs
+        order = sorted(
+            range(len(pairs)),
+            key=lambda i: (pairs[i][0][rc] is None, pairs[i][0][rc] or 0),
+        )
+        out = [pairs[i] for i in order]
+        outa = tuple([a[i] for i in order] for a in aux)
+        return (out, *outa) if aux else out
+
     def _fire_view_triggers(self, overlay: Overlay, trigs: list, rows: list) -> Response:
         """Fire INSTEAD OF triggers and return the outer statement's
         response: rows_affected is 0 (sqlite3-probed: changes() after
@@ -2735,6 +2755,7 @@ class DustSession:
                     ({c: d[f"__tg_{c}"] for c in tg_cols}, {c: d[c] for c in tg_cols})
                 )
                 ords.append(d["__tg_ord"])
+            pairs, ords = self._scan_order(tdef, pairs, ords)
             may_ign_b = trig_b and self._may_ignore(trig_b)
             if not trig_a or may_ign_b:
                 # BEFORE pre-mutation; when RAISE(IGNORE) may fire, even
@@ -2986,6 +3007,7 @@ class DustSession:
                     )
                 )
                 rids.append(d["__rid"])
+            pairs, rids = self._scan_order(tdef, pairs, rids)
             if not trig_a or (trig_b and self._may_ignore(trig_b)):
                 # BEFORE pre-mutation (see _update_impl: with a
                 # may-RAISE(IGNORE) trigger even when AFTER triggers
@@ -3076,6 +3098,7 @@ class DustSession:
                     .orderBy("__rid")
                     .collect()
                 ]
+                pairs = self._scan_order(st.tdef, pairs)
                 if not trig_a:
                     self._fire_triggers(overlay, st.tdef, trig_b, pairs)
             if self._capture_returning:
@@ -3131,6 +3154,7 @@ class DustSession:
                 ({k: v for k, v in r.asDict().items() if k != "__tg_ord"}, None)
                 for r in vrows
             ]
+            pairs, vrows = self._scan_order(st.tdef, pairs, list(vrows))
             may_ign_b = trig_b and self._may_ignore(trig_b)
             if not trig_a or may_ign_b:
                 # BEFORE pre-mutation; with a may-RAISE(IGNORE) trigger
@@ -3404,10 +3428,10 @@ class DustSession:
                         else:
                             raise DustError("foreign key cascade depth exceeded")
                         if del_b or del_a:
-                            cascaded = [
+                            cascaded = self._scan_order(cst.tdef, [
                                 (r.asDict(), None)
                                 for r in initial.exceptAll(parent_new_df).collect()
-                            ]
+                            ])
                             self._fire_pairs(
                                 overlay, cst.tdef, del_b, del_a, cascaded
                             )
@@ -3417,7 +3441,9 @@ class DustSession:
                         victims = child_df.filter(nn).join(
                             refsel(parent_new_df), on, "left_anti"
                         )
-                        pairs = [(r.asDict(), None) for r in victims.collect()]
+                        pairs = self._scan_order(
+                            cst.tdef, [(r.asDict(), None) for r in victims.collect()]
+                        )
                     keep = child_df.filter(~nn).unionByName(
                         child_df.filter(nn).join(refsel(parent_new_df), on, "left_semi")
                     ).localCheckpoint(eager=True)
@@ -3458,6 +3484,7 @@ class DustSession:
                             old = {c: d[c] for c in fields}
                             new = dict(old, **{c: None for c in fk.columns})
                             pairs.append((old, new))
+                        pairs = self._scan_order(cst.tdef, pairs)
                     cols = []
                     for f_ in cst.tdef.schema.fields:
                         if f_.name in fk.columns:
@@ -3586,6 +3613,7 @@ class DustSession:
                 for j, c in enumerate(fk.columns):
                     old[c] = d[f"__prev{j}"]
                 pairs.append((old, new))
+            pairs = self._scan_order(tdef, pairs)
         new_child = upd.drop("__fkhit", *[f"__prev{j}" for j in range(len(fk.columns))])
         if depth < 32 and child != parent and self._fk_update_action_children(overlay, child):
             fkcols = list(fk.columns)

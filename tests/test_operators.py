@@ -372,6 +372,57 @@ def test_pq_topk_recovers_blob_structure(spark):
         assert any(nid == qid for _, nid, _ in hits)
 
 
+def test_ivfpq_topk_gates_to_probed_lists(spark):
+    """c3l semantics: on the same well-separated blobs, IVF-PQ with one
+    inverted list per blob and n_probe=1 returns exactly the flat-PQ
+    result restricted to the query's own blob (the gate provably
+    discards cross-blob candidates); n_probe = n_lists degenerates to
+    flat PQ. Deterministic across runs."""
+    import math
+
+    rows = []
+    for blob in range(4):
+        center = [20.0 * blob + math.sin(d + blob) for d in range(8)]
+        for i in range(10):
+            rows.append(
+                Row(
+                    vec_id=blob + 4 * i + 1,
+                    embedding=[c + 0.01 * ((i * 3 + d) % 4) for d, c in enumerate(center)],
+                )
+            )
+    df = spark.createDataFrame(rows)
+    q = df.filter(F.col("vec_id").isin(1, 2, 3, 4))
+    kw = dict(k=10, m=2, n_codes=4, iterations=2, dim=8)
+    gated = [
+        (r.qid, r.nid, r.rank, r.adist)
+        for r in ops.ivfpq_topk_portable(q, df, n_lists=4, n_probe=1, **kw).collect()
+    ]
+    again = [
+        (r.qid, r.nid, r.rank, r.adist)
+        for r in ops.ivfpq_topk_portable(q, df, n_lists=4, n_probe=1, **kw).collect()
+    ]
+    assert gated == again  # deterministic replay
+    by_q = {}
+    for qid, nid, rank, adist in gated:
+        by_q.setdefault(qid, []).append((rank, nid))
+    assert set(by_q) == {1, 2, 3, 4}
+    for qid, hits in by_q.items():
+        blob = (qid - 1) % 4
+        # one coarse list per blob + 1 probe → candidates are same-blob only
+        assert 1 <= len(hits) <= 10
+        assert all((nid - 1) % 4 == blob for _, nid in hits), (qid, hits)
+    # probing every list = flat PQ exactly (same codebooks, no gate)
+    flat = [
+        (r.qid, r.nid, r.rank, r.adist)
+        for r in ops.pq_topk_portable(q, df, **kw).collect()
+    ]
+    full = [
+        (r.qid, r.nid, r.rank, r.adist)
+        for r in ops.ivfpq_topk_portable(q, df, n_lists=4, n_probe=4, **kw).collect()
+    ]
+    assert full == flat
+
+
 def test_asof_join_vs_bruteforce(spark):
     import datetime as dt
 
