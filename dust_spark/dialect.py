@@ -761,6 +761,11 @@ class InsertStmt:
     #                            | ("update", target_cols | None, sets)
     #                            | ("update", target, sets, where | None)
     on_conflict: tuple | None = None
+    # the raw WITH prefix when the statement was CTE-prefixed — the
+    # CTEs are folded into source_sql for the row source, but DO UPDATE
+    # SET/WHERE arms ALSO see them (sqlite3-probed, r8), so the upsert
+    # evaluator re-scopes this prefix over its own projections
+    with_sql: str | None = None
 
 
 def strip_returning(sql: str) -> tuple[str, str | None]:
@@ -789,6 +794,7 @@ def parse_insert(sql: str) -> InsertStmt:
         ctes, sql = sp
     stmt = _parse_insert_body(sql)
     if ctes:
+        stmt.with_sql = ctes
         src = stmt.source_sql.lstrip()
         if src.upper().startswith("VALUES"):
             # WITH ... INSERT ... VALUES is legal SQLite, and the CTEs
@@ -3795,6 +3801,13 @@ _TYPED_TOKEN_RE = re.compile(
 # storage classes for the typed passes
 _CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB, _CLS_NULL, _CLS_UNKNOWN = range(6)
 _CLS_RANK = {_CLS_INT: 0, _CLS_REAL: 0, _CLS_TEXT: 1, _CLS_BLOB: 2}
+# text that SQLite's comparison-affinity conversion accepts as numeric
+# (sqlite3-probed r8: whitespace-padded, signed, '5.', '.5', exponent
+# forms convert; 'inf'/'nan'/'0x11'/'1_0'/'5x'/'' do not). \s over-
+# accepts unicode spaces — erring toward "converts" just skips a fold.
+_SQLITE_NUMERIC_TEXT = re.compile(
+    r"^\s*[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?\s*$"
+)
 
 # functions that return INTEGER storage in both engines (pre- and
 # post-rename spellings, since this pass re-runs on rewritten fragments)
@@ -3862,9 +3875,17 @@ class _TypedPass:
     """One rewrite sweep over the token list; collects surgical
     (start, end, replacement) edits against the original text."""
 
-    def __init__(self, toks, int_cols: frozenset):
+    def __init__(self, toks, int_cols, sql: str = ""):
         self.toks = toks
-        self.int_cols = int_cols
+        self.sql = sql
+        # accepted forms: a set of INTEGER column names (legacy), or a
+        # {name: _CLS_*} map carrying every declared-affinity class
+        # (r8 — enables cross-type compare folding on typed columns)
+        if isinstance(int_cols, dict):
+            self.col_classes = dict(int_cols)
+        else:
+            self.col_classes = {n: _CLS_INT for n in int_cols}
+        self.int_cols = {n for n, c in self.col_classes.items() if c == _CLS_INT}
         self.edits: list[tuple[int, int, str]] = []
         # memoization (r7 fourth wave): scan() retries a chain parse at
         # EVERY token offset and parse_primary descends nested parens
@@ -3984,11 +4005,15 @@ class _TypedPass:
                 parts.append(nxt[1].strip('`"').lower())
                 i += 2
             name = ".".join(parts)
-            cls = _CLS_INT if (name in self.int_cols or parts[-1] in self.int_cols) else _CLS_UNKNOWN
+            cls = self.col_classes.get(name, self.col_classes.get(parts[-1], _CLS_UNKNOWN))
+            if sign and cls not in (_CLS_INT, _CLS_REAL):
+                cls = _CLS_UNKNOWN  # unary minus numeric-converts TEXT/BLOB
             return (i + 1, cls, False)
         if kind == "qid":
             name = text.strip('`"').lower()
-            cls = _CLS_INT if name in self.int_cols else _CLS_UNKNOWN
+            cls = self.col_classes.get(name, _CLS_UNKNOWN)
+            if sign and cls not in (_CLS_INT, _CLS_REAL):
+                cls = _CLS_UNKNOWN
             return (i + 1, cls, False)
         if text == "(":
             j = self._match_paren(i)
@@ -4129,15 +4154,30 @@ class _TypedPass:
         return j
 
     def _try_fold_compare(self, i: int, hi: int):
-        """Fold ``<literal> cmp <literal>`` across storage classes to
-        its constant (SQLite never coerces literals; ordering is
-        NUMERIC < TEXT < BLOB)."""
+        """Cross-storage-class comparison rewrites.
+
+        literal vs literal — fold to its constant (SQLite never coerces
+        literals; ordering is NUMERIC < TEXT < BLOB).
+
+        typed column vs literal (r8, SQLite's comparison-affinity rules,
+        datatype3.html §4.2, all sqlite3-probed):
+        - numeric column vs TEXT literal: SQLite applies NUMERIC
+          affinity to the literal; a well-formed numeric text then
+          compares numerically (the engine already does) — only a
+          NON-numeric text folds, to the storage-class constant with
+          NULL propagated from the column.
+        - TEXT column vs INTEGER literal: SQLite applies TEXT affinity
+          to the literal ('0x11' → '17') — rewrite the literal to its
+          canonical text so the engine runs the same text compare
+          (REAL literals are skipped: canonical-form mismatch risk).
+        - any typed column vs BLOB literal: blob outranks everything —
+          fold with NULL propagation."""
         toks = self.toks
         res = self.parse_primary(i, [])
         if res is None:
             return None
         j, lcls, lpure = res
-        if not lpure or j >= hi:
+        if j >= hi:
             return None
         op = toks[j][1]
         if op not in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
@@ -4146,13 +4186,13 @@ class _TypedPass:
         if res is None:
             return None
         k, rcls, rpure = res
-        if not rpure or k > hi:
+        if k > hi:
             return None
         lr = _CLS_RANK.get(lcls)
         rr = _CLS_RANK.get(rcls)
         if lr is None or rr is None or lr == rr:
             return None
-        # guards: the literals must be the WHOLE operands
+        # guards: the compared pair must be the WHOLE operands
         prev = toks[i - 1] if i > 0 else None
         if prev is not None:
             pv = prev[1].lower() if prev[0] == "word" else prev[1]
@@ -4171,7 +4211,51 @@ class _TypedPass:
             val = lr < rr
         else:
             val = lr > rr
-        self.edits.append((toks[i][2], toks[k - 1][3], "TRUE" if val else "FALSE"))
+        if lpure and rpure:
+            self.edits.append((toks[i][2], toks[k - 1][3], "TRUE" if val else "FALSE"))
+            return k
+        if lpure == rpure:
+            return None  # two typed expressions: per-row affinity, not static
+        # exactly one pure literal — the other side is a typed column
+        # (or int-returning expression); spans in token indices
+        if lpure:
+            lit_cls, lit_lo, lit_hi = lcls, i, j
+            col_cls, col_lo, col_hi = rcls, j + 1, k
+        else:
+            lit_cls, lit_lo, lit_hi = rcls, j + 1, k
+            col_cls, col_lo, col_hi = lcls, i, j
+        col_text = self.sql[toks[col_lo][2] : toks[col_hi - 1][3]]
+        if lit_cls == _CLS_BLOB or col_cls == _CLS_BLOB:
+            pass  # blob never affinity-converts: storage-class constant
+        elif col_cls in (_CLS_INT, _CLS_REAL) and lit_cls == _CLS_TEXT:
+            lit_tok = toks[lit_hi - 1]
+            raw = lit_tok[1][1:-1].replace("''", "'")
+            if _SQLITE_NUMERIC_TEXT.match(raw):
+                return None  # converts: the engine's numeric compare agrees
+        elif col_cls == _CLS_TEXT and lit_cls == _CLS_INT:
+            # rewrite the literal (sign tokens included) to its TEXT form
+            ts = toks[lit_lo:lit_hi]
+            sign, idx = 1, 0
+            while idx < len(ts) and ts[idx][1] in ("+", "-"):
+                if ts[idx][1] == "-":
+                    sign = -sign
+                idx += 1
+            if idx != len(ts) - 1 or ts[idx][0] != "num":
+                return None
+            text = ts[idx][1]
+            try:
+                v = int(text, 16) if text.lower().startswith("0x") else int(text)
+            except ValueError:
+                return None
+            self.edits.append((ts[0][2], ts[-1][3], f"'{sign * v}'"))
+            return k
+        else:
+            return None  # TEXT col vs REAL literal etc.: leave alone
+        rep = (
+            f"(CASE WHEN ({col_text}) IS NULL THEN NULL "
+            f"ELSE {'TRUE' if val else 'FALSE'} END)"
+        )
+        self.edits.append((toks[i][2], toks[k - 1][3], rep))
         return k
 
 
@@ -4185,7 +4269,7 @@ def rewrite_typed_ops(sql: str, int_cols: frozenset = frozenset()) -> str:
         toks = _typed_tokenize(sql)
         if toks is None:
             return sql
-        p = _TypedPass(toks, int_cols)
+        p = _TypedPass(toks, int_cols, sql)
         try:
             p.scan(0, len(toks))
         except (ValueError, RecursionError):

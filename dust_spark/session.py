@@ -171,6 +171,10 @@ class DustSession:
         # PRAGMA recursive_triggers=ON lifts the re-entry suppression;
         # the stack depth then caps recursion with SQLite's error
         self._trigger_stack: list[str] = []
+        # SQLITE_MAX_TRIGGER_DEPTH default (r8; was 100 in r7 —
+        # documented divergence now closed). Python recursion headroom
+        # is raised on demand in _fire_triggers as the stack deepens.
+        self._max_trigger_depth = 1000
         self._recursive_triggers = False
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
@@ -1008,12 +1012,20 @@ class DustSession:
                 key = t["name"].lower()
                 if not self._recursive_triggers and key in self._trigger_stack:
                     continue  # re-entry through a cycle: suppressed
-                if len(self._trigger_stack) >= 100:
-                    # PRAGMA recursive_triggers=ON: depth-capped like
-                    # SQLite (whose SQLITE_MAX_TRIGGER_DEPTH is 1000;
-                    # 100 here keeps the Python/statement stack sane —
-                    # same error string, lower ceiling, documented)
+                if len(self._trigger_stack) >= self._max_trigger_depth:
+                    # PRAGMA recursive_triggers=ON: depth-capped at
+                    # SQLite's SQLITE_MAX_TRIGGER_DEPTH (1000) with its
+                    # error string
                     raise DustError("too many levels of trigger recursion")
+                # each trigger level re-enters the statement executor
+                # (~tens of Python frames per level): grow the
+                # interpreter's recursion limit ahead of the stack so a
+                # depth-999 chain never trips RecursionError
+                import sys
+
+                need = (len(self._trigger_stack) + 16) * 60 + 1000
+                if sys.getrecursionlimit() < need:
+                    sys.setrecursionlimit(need)
                 self._trigger_stack.append(key)
                 try:
                     try:
@@ -1122,6 +1134,26 @@ class DustSession:
         for p in pairs:
             self._fire_triggers(overlay, tdef, trig_b, [p])
             self._fire_triggers(overlay, tdef, trig_a, [p])
+
+    def _fire_pairs_ignorable(
+        self, overlay: Overlay, tdef, trig_b: list, trig_a: list, pairs: list
+    ) -> set:
+        """Pre-mutation per-row interleave for may-RAISE(IGNORE) BEFORE
+        + AFTER statements (r8): B(row), then A(row) unless the row was
+        ignored — SQLite's observable log order (B1,A1,B2,A2,...; was
+        B1..Bn,A1..An through r7, documented). The batch data mutation
+        applies afterwards to the surviving rows, so a body reading its
+        own table mid-statement sees pre-statement state where SQLite
+        sees the row-partial image — the same documented own-table-read
+        altitude as the post-mutation interleave in _fire_pairs.
+        Returns the ignored row indices."""
+        ignored: set = set()
+        for i, p in enumerate(pairs):
+            if self._fire_triggers(overlay, tdef, trig_b, [p]):
+                ignored.add(i)
+                continue
+            self._fire_triggers(overlay, tdef, trig_a, [p])
+        return ignored
 
     @staticmethod
     def _scan_order(tdef, pairs: list, *aux: list):
@@ -1925,6 +1957,7 @@ class DustSession:
 
         existing = st.df
         all_rows_pre_replace = new_rows if (has_trig and ins.or_replace) else None
+        replace_prefired = False
         if ins.or_replace:
             # SQLite REPLACE semantics: conflicting existing rows are
             # deleted; within the batch the LAST conflicting row wins
@@ -1932,6 +1965,38 @@ class DustSession:
             if tdef.implicit_rowid and tdef.rowid_column in cols:
                 # explicit rowid on an implicit table conflicts by rowid
                 replace_sets.insert(0, [tdef.rowid_column])
+            if has_trig:
+                rp_b = self._table_triggers(ins.table, "INSERT", "BEFORE")
+                rp_a = self._table_triggers(ins.table, "INSERT", "AFTER")
+                rp_db = rp_da = []
+                if self._recursive_triggers:
+                    rp_db = self._table_triggers(ins.table, "DELETE", "BEFORE")
+                    rp_da = self._table_triggers(ins.table, "DELETE", "AFTER")
+                if (rp_b and self._may_ignore(rp_b)) or (
+                    rp_db and self._may_ignore(rp_db)
+                ):
+                    # may-RAISE(IGNORE) REPLACE: the whole trigger
+                    # replay runs sequentially BEFORE the merge so
+                    # ignored rows can be skipped entirely (r8 — see
+                    # _fire_insert_ignorable)
+                    new_rows = new_rows.localCheckpoint(eager=True)
+                    seq = []
+                    for r in new_rows.orderBy("__rn").collect():
+                        d = r.asDict()
+                        rn_ = d.pop("__rn", None)
+                        auto_ = d.pop("__auto", False)
+                        seq.append((rn_, auto_, d))
+                    ign_rns, id_map = self._fire_insert_ignorable(
+                        overlay, tdef, st, seq, rp_b, rp_a, rp_db, rp_da, replace_sets
+                    )
+                    if ign_rns:
+                        new_rows = new_rows.filter(
+                            ~F.col("__rn").isin(list(ign_rns))
+                        )
+                    new_rows = self._override_rowids(
+                        new_rows, tdef, id_map
+                    ).localCheckpoint(eager=True)
+                    replace_prefired = True
             for colset in replace_sets:
                 w2 = Window.partitionBy(*colset).orderBy(F.col("__rn").desc())
                 new_rows = (
@@ -1961,7 +2026,7 @@ class DustSession:
         trig_b = self._table_triggers(ins.table, "INSERT", "BEFORE")
         trig_a = self._table_triggers(ins.table, "INSERT", "AFTER")
         fired = None
-        if trig_b or trig_a:
+        if (trig_b or trig_a) and not replace_prefired:
             # final row images (defaults, generated, assigned rowids) in
             # insertion order — checkpoint so the collect and the later
             # count/union share one materialization
@@ -2007,7 +2072,34 @@ class DustSession:
                 del_a = self._table_triggers(ins.table, "DELETE", "AFTER")
             may_ign_b = trig_b and self._may_ignore(trig_b)
             pre_b_done = False
-            if trig_b and not (del_b or del_a) and (
+            if (
+                trig_b
+                and trig_a
+                and may_ign_b
+                and not ins.or_replace
+                and not ins.or_ignore
+                and not (del_b or del_a)
+            ):
+                # both timings + may-RAISE(IGNORE): per-row sequential
+                # replay pre-mutation — B/A interleave (was B1..Bn,
+                # A1..An), ignored rows skipped entirely, auto ids
+                # re-simulated over the survivors (r8)
+                seq = []
+                for r in new_rows.orderBy("__rn").collect():
+                    d = r.asDict()
+                    rn_ = d.pop("__rn", None)
+                    auto_ = d.pop("__auto", False)
+                    seq.append((rn_, auto_, d))
+                ign_rns, id_map = self._fire_insert_ignorable(
+                    overlay, tdef, st, seq, trig_b, trig_a, [], [], []
+                )
+                if ign_rns:
+                    new_rows = new_rows.filter(~F.col("__rn").isin(list(ign_rns)))
+                new_rows = self._override_rowids(
+                    new_rows, tdef, id_map
+                ).localCheckpoint(eager=True)
+                fired = None
+            elif trig_b and not (del_b or del_a) and (
                 not trig_a or (may_ign_b and not ins.or_replace)
             ):
                 # single-timing fast path: phase order == SQLite's
@@ -2105,6 +2197,125 @@ class DustSession:
                 self._fire_triggers(overlay, tdef, trig_a, fired)
             self._last_insert_id = last_id  # body inserts must not leak out
         return Response(last_insert_id=last_id, rows_affected=n)
+
+    def _override_rowids(self, new_rows: DataFrame, tdef, id_map: dict) -> DataFrame:
+        """Replace upstream-assigned auto rowids with the sequential
+        replay's simulation (RAISE(IGNORE)d rows burn no ids —
+        sqlite3-probed)."""
+        if not id_map:
+            return new_rows
+        rc = tdef.rowid_column
+        fld = next(f for f in tdef.schema.fields if f.name == rc)
+        mdf = self.spark.createDataFrame(
+            [(int(k), int(v)) for k, v in id_map.items()], "__rn bigint, __newid bigint"
+        )
+        return (
+            new_rows.join(mdf, "__rn", "left")
+            .withColumn(rc, F.coalesce(F.col("__newid").cast(fld.dataType), F.col(rc)))
+            .drop("__newid")
+        )
+
+    def _fire_insert_ignorable(
+        self,
+        overlay: Overlay,
+        tdef,
+        st: TableState,
+        rows: list,
+        trig_b: list,
+        trig_a: list,
+        del_b: list,
+        del_a: list,
+        replace_sets: list,
+    ):
+        """Pre-merge sequential INSERT/REPLACE trigger replay when a
+        BEFORE trigger may RAISE(IGNORE) (r8, all sqlite3-probed):
+
+        - an ignored batch row is skipped ENTIRELY — no insert, no
+          displacement of existing rows, no auto-id burn, no AFTER
+          INSERT (was: ignore consumed, set-based change kept);
+        - BEFORE/AFTER interleave per row (B1,A1,B2,A2 — was
+          B1..Bn,A1..An);
+        - REPLACE under recursive_triggers=ON fires the displaced rows'
+          BD/AD between the row's B and A; a displaced-delete
+          RAISE(IGNORE) leaves the old row in place, so the row's
+          insert hits the UNIQUE constraint — statement error + full
+          rollback, exactly like SQLite.
+
+        ``rows``: ordered (rn, auto, final-image dict) triples. Auto
+        rowids are re-simulated sequentially over the survivors
+        (max(rowid)+1) and returned as {rn: id} for the batch apply.
+        Trigger bodies run pre-mutation (documented own-table-read
+        altitude). Returns (ignored_rns, id_map)."""
+        fields = [f.name for f in tdef.schema.fields]
+        rc = tdef.rowid_column
+        track_victims = bool(replace_sets and (del_b or del_a))
+        cur: dict = {}
+        if track_victims:
+            def keys_of(row: dict):
+                out = []
+                for si, colset in enumerate(replace_sets):
+                    key = tuple(row.get(c) for c in colset)
+                    if all(v is not None for v in key):
+                        out.append((si, key))
+                return out
+
+            batch_keys = {kk for _, _, row in rows for kk in keys_of(row)}
+            cond = None
+            for si, colset in enumerate(replace_sets):
+                for k in {k for s, k in batch_keys if s == si}:
+                    kc = None
+                    for c, v in zip(colset, k):
+                        e = F.col(c).eqNullSafe(F.lit(v))
+                        kc = e if kc is None else (kc & e)
+                    cond = kc if cond is None else (cond | kc)
+            if cond is not None:
+                for r in st.df.filter(cond).collect():
+                    d = {c: r[c] for c in fields}
+                    for kk in keys_of(d):
+                        cur[kk] = d
+        cur_max = st.high_water
+        ignored: set = set()
+        id_map: dict = {}
+        for rn, auto, row in rows:
+            bp = dict(row)
+            if rc and (auto or bp.get(rc) is None):
+                bp[rc] = -1
+            if trig_b and self._fire_triggers(overlay, tdef, trig_b, [(None, bp)]):
+                ignored.add(rn)
+                continue
+            if rc:
+                if auto or row.get(rc) is None:
+                    nid = cur_max + 1
+                    row = dict(row, **{rc: nid})
+                    id_map[rn] = nid
+                    cur_max = nid
+                else:
+                    try:
+                        cur_max = max(cur_max, int(row[rc]))
+                    except (TypeError, ValueError):
+                        pass
+            if track_victims:
+                victims = []
+                for kk in keys_of(row):
+                    v = cur.get(kk)
+                    if v is not None and not any(v is x for x, _ in victims):
+                        victims.append((v, kk[0]))
+                for v, si in victims:
+                    for kk in [k for k, val in cur.items() if val is v]:
+                        cur.pop(kk)
+                    if del_b and self._fire_triggers(overlay, tdef, del_b, [(v, None)]):
+                        cols = ", ".join(
+                            f"{tdef.name}.{'rowid' if c == dialect.HIDDEN_ROWID else c}"
+                            for c in replace_sets[si]
+                        )
+                        raise DustError(f"UNIQUE constraint failed: {cols}")
+                    if del_a:
+                        self._fire_triggers(overlay, tdef, del_a, [(v, None)])
+                for kk in keys_of(row):
+                    cur[kk] = row
+            if trig_a:
+                self._fire_triggers(overlay, tdef, trig_a, [(None, dict(row))])
+        return ignored, id_map
 
     def _fire_replace_triggers(
         self,
@@ -2244,6 +2455,36 @@ class DustSession:
         target = targets[0]
         existing = st.df
         schema_cols = [f.name for f in tdef.schema.fields]
+
+        # may-RAISE(IGNORE) upserts (r8): the whole sequential trigger
+        # replay runs BEFORE the merge — BI-ignored rows are dropped
+        # from the batch entirely (no insert, no DO UPDATE, no auto-id
+        # burn) and the DO UPDATE path applies the replay's exact
+        # per-key final images (BU-ignored/WHERE-gated arms shape them)
+        seq_replay = None
+        if batch_trig_df is not None:
+            tb_ = self._table_triggers(ins.table, "INSERT", "BEFORE")
+            bu_ = (
+                self._table_triggers(
+                    ins.table, "UPDATE", "BEFORE",
+                    assigned=list(dict(ins.on_conflict[2])),
+                )
+                if kind == "update"
+                else []
+            )
+            if (tb_ and self._may_ignore(tb_)) or (bu_ and self._may_ignore(bu_)):
+                seq_replay = self._fire_upsert_triggers(
+                    overlay, tdef, ins, batch_trig_df, targets, kind,
+                    existing, ignorable=True, high_water=st.high_water,
+                )
+                bi_ign_rns, upd_id_map, upd_images, n_arms = seq_replay
+                batch_trig_df = None  # fully fired pre-merge
+                if bi_ign_rns:
+                    new_rows = new_rows.filter(
+                        ~F.col("__rn").isin(list(bi_ign_rns))
+                    )
+                new_rows = self._override_rowids(new_rows, tdef, upd_id_map)
+
         conflict_keys = existing.select(*target).na.drop().distinct()
 
         # rows with NULL in any target column never conflict (SQLite
@@ -2339,23 +2580,73 @@ class DustSession:
                         projs.append(f"`{f.name}`")
                 return projs + extra
 
-            upd_src = lasts.join(conflict_keys, target, "left_semi")
-            exc = upd_src.select(
-                F.lit(1).alias("__exc_m"),
-                *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
-            )
-            cond = None
-            for c in target:
-                eq = existing[c] == exc[f"__exc_{c}"]
-                cond = eq if cond is None else (cond & eq)
+            # WITH-CTE upserts: the CTEs are visible to DO UPDATE
+            # SET/WHERE subqueries too (sqlite3-probed, r8) — evaluate
+            # the projections through spark.sql with the CTE prefix
+            # scoped over a staged view instead of bare selectExpr
+            with_prefix = (ins.with_sql + " ") if ins.with_sql else ""
+
+            def _proj(df: DataFrame, projs: list[str]) -> DataFrame:
+                if not with_prefix:
+                    return df.selectExpr(*projs)
+                df.createOrReplaceTempView("__dust_upsert_stage")
+                return self.spark.sql(
+                    f"{with_prefix}SELECT {', '.join(projs)} FROM __dust_upsert_stage"
+                )
+
+            if seq_replay is not None:
+                # exact sequential images from the pre-merge replay: exc
+                # carries the FINAL row values per conflict key whose DO
+                # UPDATE arm applied ≥1 time (WHERE gating, BU-ignores
+                # and evolving OLDs already baked in), joined on the OLD
+                # key (a SET may move the target column itself). The
+                # verbatim projection also removes the one-fold
+                # divergence for multi-row groups on this path.
+                upd_cond = "__exc_m = 1"
+                sets = {c: f"`__exc_{c}`" for c in schema_cols if c not in tdef.generated}
+                kf = [next(f for f in tdef.schema.fields if f.name == c) for c in target]
+                img_schema = T.StructType(
+                    list(tdef.schema.fields)
+                    + [T.StructField(f"__k{i}", f_.dataType) for i, f_ in enumerate(kf)]
+                )
+                data = [
+                    tuple(d.get(c) for c in schema_cols) + tuple(k)
+                    for k, d in upd_images.items()
+                ]
+                img_df = self.spark.createDataFrame(data, schema=img_schema)
+                exc = img_df.select(
+                    F.lit(1).alias("__exc_m"),
+                    *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+                    *[F.col(f"__k{i}") for i in range(len(target))],
+                )
+                cond = None
+                for i, c in enumerate(target):
+                    eq = existing[c] == exc[f"__k{i}"]
+                    cond = eq if cond is None else (cond & eq)
+            else:
+                upd_src = lasts.join(conflict_keys, target, "left_semi")
+                exc = upd_src.select(
+                    F.lit(1).alias("__exc_m"),
+                    *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+                )
+                cond = None
+                for c in target:
+                    eq = existing[c] == exc[f"__exc_{c}"]
+                    cond = eq if cond is None else (cond & eq)
             joined = existing.join(exc, cond, "left")
             marked = self._apply_generated(
                 tdef,
-                joined.selectExpr(
-                    *_set_projs([f"CASE WHEN {upd_cond} THEN 1 ELSE 0 END AS __upd"])
+                _proj(
+                    joined,
+                    _set_projs([f"CASE WHEN {upd_cond} THEN 1 ELSE 0 END AS __upd"]),
                 ),
             ).localCheckpoint(eager=True)
             n_updated = marked.filter(F.col("__upd") == 1).count()
+            if seq_replay is not None:
+                # SQLite's changes() counts each APPLIED DO UPDATE arm
+                # (sqlite3-probed: two arms on one key = 2) — the replay
+                # counted them exactly
+                n_updated = n_arms
             updated = marked.drop("__upd")
 
             # fresh keys: insert the FIRST batch row, then fold the later
@@ -2371,7 +2662,8 @@ class DustSession:
                 eq = fresh_base[c] == exc_new[f"__exc_{c}"]
                 condf = eq if condf is None else (condf & eq)
             fresh = self._apply_generated(
-                tdef, fresh_base.join(exc_new, condf, "left").selectExpr(*_set_projs(["__rn"]))
+                tdef,
+                _proj(fresh_base.join(exc_new, condf, "left"), _set_projs(["__rn"])),
             )
 
         if self._capture_returning:
@@ -2421,16 +2713,26 @@ class DustSession:
         targets: list,
         kind: str,
         existing: DataFrame,
-    ) -> None:
+        ignorable: bool = False,
+        high_water: int = 0,
+    ):
         """Row-by-row trigger replay for upserts (sqlite3-probed r7):
         every batch row fires BEFORE INSERT (auto rowids read -1);
         a fresh row then fires AFTER INSERT; a conflicting row fires
         BEFORE/AFTER UPDATE under DO UPDATE (gated by the DO UPDATE
         WHERE) and nothing further under DO NOTHING. OLD images evolve
-        across same-key batch rows exactly as SQLite's sequential loop
-        (the set-based data merge keeps its documented one-fold
-        divergence for self-accumulating SETs — the trigger log here is
-        the faithful sequential view)."""
+        across same-key batch rows exactly as SQLite's sequential loop.
+
+        ``ignorable`` (r8): the replay runs BEFORE the data merge so
+        RAISE(IGNORE) decisions shape the data too. Returns
+        (bi_ignored_rns, auto_id_map, images, n_arms) where ``images``
+        maps each existing-row conflict key to its exact sequential
+        final row (the merge applies these verbatim — which also fixes
+        the one-fold divergence on multi-row groups whenever the replay
+        runs) and ``n_arms`` counts applied DO UPDATE arms (SQLite's
+        changes() counts each arm, sqlite3-probed). Non-ignorable mode
+        fires post-merge and returns None (the set-based data merge
+        keeps its documented one-fold divergence there)."""
         fields = [f.name for f in tdef.schema.fields]
         trig_bi = self._table_triggers(ins.table, "INSERT", "BEFORE")
         trig_ai = self._table_triggers(ins.table, "INSERT", "AFTER")
@@ -2451,20 +2753,24 @@ class DustSession:
             if kind == "update"
             else []
         )
+        bi_ign: set = set()
+        id_map: dict = {}
+        images: dict = {}
+        n_arms = 0
         if not (trig_bi or trig_ai or trig_bu or trig_au):
-            return
+            return (bi_ign, id_map, images, n_arms) if ignorable else None
         batch = []
         for r in batch_df.orderBy("__rn").collect():
             d = r.asDict()
-            d.pop("__rn", None)
-            batch.append((d, d.pop("__auto", False)))
+            rn = d.pop("__rn", None)
+            batch.append((d, d.pop("__auto", False), rn))
         # pre-statement rows for the batch's conflict keys, keyed per
         # target constraint (bounded: filters on the batch's own keys)
         cur: dict = {}
         for ti, tgt in enumerate(targets):
             keys = {
                 tuple(d[c] for c in tgt)
-                for d, _ in batch
+                for d, *_ in batch
                 if all(d[c] is not None for c in tgt)
             }
             if not keys:
@@ -2479,16 +2785,31 @@ class DustSession:
             for r in existing.filter(cond).collect():
                 d = r.asDict()
                 cur[(ti, tuple(d[c] for c in tgt))] = {c: d[c] for c in fields}
-        for row, auto in batch:
+        seeded = set(cur)
+        cur_max = int(high_water)
+        for row, auto, rn in batch:
             if trig_bi:
                 bi = dict(row)
                 if tdef.rowid_column and (auto or bi.get(tdef.rowid_column) is None):
                     bi[tdef.rowid_column] = -1
                 if self._fire_triggers(overlay, tdef, trig_bi, [(None, bi)]):
                     # RAISE(IGNORE): the row's later trigger programs
-                    # are abandoned (data merge stays set-based —
-                    # documented divergence, COVERAGE.md)
+                    # are abandoned; in ignorable (pre-merge) mode the
+                    # row is skipped from the data change too (r8)
+                    bi_ign.add(rn)
                     continue
+            if ignorable and tdef.rowid_column:
+                # ignored rows burn no auto ids — simulate sequentially
+                rc_ = tdef.rowid_column
+                if auto or row.get(rc_) is None:
+                    cur_max += 1
+                    row = dict(row, **{rc_: cur_max})
+                    id_map[rn] = cur_max
+                else:
+                    try:
+                        cur_max = max(cur_max, int(row[rc_]))
+                    except (TypeError, ValueError):
+                        pass
             hit = None
             for ti, tgt in enumerate(targets):
                 key = tuple(row[c] for c in tgt)
@@ -2506,10 +2827,12 @@ class DustSession:
             if kind != "update":
                 continue  # DO NOTHING: conflicting row fires BI only
             old = cur[hit]
+            # DO UPDATE arms see the statement's WITH CTEs (r8)
+            wp = (ins.with_sql + " ") if getattr(ins, "with_sql", None) else ""
             if oc_where is not None:
                 pred = self._subst_upsert_expr(oc_where, old, row, ins.table, fields)
                 try:
-                    val = self._sql(f"SELECT ({pred}) AS __t", None).collect()[0][0]
+                    val = self._sql(f"{wp}SELECT ({pred}) AS __t", None).collect()[0][0]
                 except Exception as e:  # noqa: BLE001
                     raise self._convert_raise(e) from e
                 if not _sqlite_truthy(val):
@@ -2526,7 +2849,7 @@ class DustSession:
                 else:
                     projs.append(f"{_sql_literal(old[f.name])} AS `{f.name}`")
             try:
-                nr = self._sql("SELECT " + ", ".join(projs), None).collect()[0]
+                nr = self._sql(wp + "SELECT " + ", ".join(projs), None).collect()[0]
             except Exception as e:  # noqa: BLE001
                 raise self._convert_raise(e) from e
             new = {f.name: nr[f.name] for f in tdef.schema.fields}
@@ -2535,6 +2858,10 @@ class DustSession:
             if trig_au:
                 self._fire_triggers(overlay, tdef, trig_au, [(old, new)])
             cur[hit] = new
+            n_arms += 1
+            if ignorable and hit in seeded:
+                images[hit[1]] = new
+        return (bi_ign, id_map, images, n_arms) if ignorable else None
 
     @staticmethod
     def _subst_upsert_expr(
@@ -2747,6 +3074,7 @@ class DustSession:
         marked = marked.localCheckpoint(eager=True)
         pairs: list = []
         before_fired = False
+        after_fired = False
         if want_pairs:
             ords: list = []
             for r in marked.filter(F.col("__m") == 1).orderBy("__tg_ord").collect():
@@ -2760,10 +3088,17 @@ class DustSession:
             if not trig_a or may_ign_b:
                 # BEFORE pre-mutation; when RAISE(IGNORE) may fire, even
                 # with AFTER triggers present, so ignored rows can be
-                # reverted out of the batch post-image (B-all-then-A log
-                # order for multi-row statements — documented)
+                # reverted out of the batch post-image. With BOTH
+                # timings the B/A interleave runs per row (r8 — SQLite's
+                # observable log order)
                 before_fired = True
-                ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
+                if trig_a:
+                    after_fired = True
+                    ign = self._fire_pairs_ignorable(
+                        overlay, tdef, trig_b, trig_a, pairs
+                    )
+                else:
+                    ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
                 if ign:
                     # RAISE(IGNORE)d rows revert to their OLD image and
                     # don't count toward changes(); their AFTER triggers
@@ -2806,7 +3141,7 @@ class DustSession:
             hw = max(hw, int(mx or 0)) if tdef.autoincrement else int(mx or 0)
         new_st = overlay.catalog.materialize(up.table, TableState(tdef, new_df, hw, st.version + 1))
         overlay.put(up.table, new_st)
-        if pairs:
+        if pairs and not after_fired:
             self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
@@ -2988,6 +3323,7 @@ class DustSession:
         trig_a = self._table_triggers(t, "UPDATE", "AFTER", assigned=list(assigned))
         pairs: list = []
         before_fired = False
+        after_fired = False
         ign_cond = None
         if trig_b or trig_a:
             olds = [F.col(f.name).alias(f"__old_{f.name}") for f in tdef.schema.fields]
@@ -3011,9 +3347,16 @@ class DustSession:
             if not trig_a or (trig_b and self._may_ignore(trig_b)):
                 # BEFORE pre-mutation (see _update_impl: with a
                 # may-RAISE(IGNORE) trigger even when AFTER triggers
-                # exist, so ignored rows revert to their old values)
+                # exist, so ignored rows revert to their old values;
+                # both timings interleave per row — r8)
                 before_fired = True
-                ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
+                if trig_a:
+                    after_fired = True
+                    ign = self._fire_pairs_ignorable(
+                        overlay, tdef, trig_b, trig_a, pairs
+                    )
+                else:
+                    ign = self._fire_triggers(overlay, tdef, trig_b, pairs)
                 if ign:
                     ign_cond = F.col("__rid").isin([rids[i] for i in ign])
                     pairs = [p for i, p in enumerate(pairs) if i not in ign]
@@ -3054,7 +3397,7 @@ class DustSession:
         self._check_constraints(overlay, tdef, new_df, None, full_table=True)
         new_st = overlay.catalog.materialize(t, TableState(tdef, new_df, st.high_water, st.version + 1))
         overlay.put(t, new_st)
-        if pairs:
+        if pairs and not after_fired:
             self._fire_pairs(overlay, tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
@@ -3145,6 +3488,7 @@ class DustSession:
                 self._returning_table = de.table
         pairs = []
         before_fired = False
+        after_fired = False
         if victims_df is not None:
             vdf = victims_df.withColumn(
                 "__tg_ord", F.monotonically_increasing_id()
@@ -3160,9 +3504,16 @@ class DustSession:
                 # BEFORE pre-mutation; with a may-RAISE(IGNORE) trigger
                 # even when AFTER triggers exist, so ignored victims can
                 # be restored to the table (not deleted, not counted,
-                # no AFTER triggers — sqlite3-probed)
+                # no AFTER triggers — sqlite3-probed). Both timings
+                # interleave per row (r8)
                 before_fired = True
-                ign = self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+                if trig_a:
+                    after_fired = True
+                    ign = self._fire_pairs_ignorable(
+                        overlay, st.tdef, trig_b, trig_a, pairs
+                    )
+                else:
+                    ign = self._fire_triggers(overlay, st.tdef, trig_b, pairs)
                 if ign:
                     bad = [vrows[i]["__tg_ord"] for i in ign]
                     keep = vdf.filter(F.col("__tg_ord").isin(bad)).drop("__tg_ord")
@@ -3179,7 +3530,7 @@ class DustSession:
             TableState(st.tdef, new_df, self._post_delete_high_water(st, new_df), st.version + 1),
         )
         overlay.put(de.table, new_st)
-        if pairs:
+        if pairs and not after_fired:
             self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=before_fired)
         return self._ok(n)
 
@@ -3840,34 +4191,57 @@ class DustSession:
             if restore is not None:
                 restore()
 
-    def _int_cols_in_scope(self, sql: str) -> frozenset:
-        """Lowercased INTEGER-affinity column names for the tables the
-        statement references (bare + alias-qualified), feeding the
-        column-aware integer-division rewrite.  A bare name is included
-        only when every in-scope table defining it agrees it is INTEGER
+    def _int_cols_in_scope(self, sql: str) -> dict:
+        """Lowercased column-name → storage-class map (dialect._CLS_*)
+        for the tables the statement references (bare + alias-
+        qualified), feeding the column-aware typed-ops rewrites:
+        integer division on INT columns (r7) and comparison-affinity
+        folds on typed columns (r8). Only declared affinities that pin
+        the ENGINE's storage class are included — an INT/TEXT/REAL-
+        declared column here always holds that class or NULL, which is
+        the provable-runtime-class premise the rewrites need.
+        Typeless, BLOB-declared and STRICT ANY columns are DYNAMIC in
+        SQLite (no coercion) and are excluded. A bare name is included
+        only when every in-scope table defining it agrees on the class
         — an ambiguous reference would error in both engines anyway,
         but stay conservative."""
         try:
             aliases = dialect.parse_from_aliases(sql)
         except Exception:
-            return frozenset()
-        out: set[str] = set()
-        bare_int: dict[str, bool] = {}
+            return {}
+
+        def _aff(decl: str) -> int | None:
+            # SQLite's affinity rules in their documented order
+            # (datatype3.html §3.1); BLOB affinity and STRICT ANY mean
+            # no coercion → dynamic storage class → excluded
+            d = (decl or "").upper()
+            if "INT" in d:
+                return dialect._CLS_INT
+            if "CHAR" in d or "CLOB" in d or "TEXT" in d:
+                return dialect._CLS_TEXT
+            if not d or "BLOB" in d or d == "ANY":
+                return None
+            # REAL/FLOA/DOUB and the NUMERIC bucket both store double
+            # in this engine — REAL class for compare/div purposes
+            return dialect._CLS_REAL
+
+        out: dict[str, int] = {}
+        bare: dict[str, int | None] = {}
         for alias, tname in aliases.items():
             st = self.catalog.tables.get(tname)
             if st is None:
                 continue
             for col, decl in st.tdef.declared_types.items():
-                is_int = "INT" in (decl or "").upper()
+                c = _aff(decl)
                 cl = col.lower()
-                if is_int:
-                    out.add(f"{alias}.{cl}")
-                if cl in bare_int:
-                    bare_int[cl] = bare_int[cl] and is_int
+                if c is not None:
+                    out[f"{alias}.{cl}"] = c
+                if cl in bare:
+                    bare[cl] = bare[cl] if bare[cl] == c else None
                 else:
-                    bare_int[cl] = is_int
-        out.update(c for c, ok in bare_int.items() if ok)
-        return frozenset(out)
+                    bare[cl] = c
+        out.update({c: k for c, k in bare.items() if k is not None})
+        return out
 
     def _rowid_states(self, overlay: "Overlay | None") -> dict[str, TableState]:
         """Current name→state map for rowid resolution: committed tables

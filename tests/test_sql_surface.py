@@ -1129,6 +1129,40 @@ def test_with_insert_values_sqlite_differential(db):
     assert db.query_string_stmt(q)[0].values == [list(r) for r in ref.execute(q)]
 
 
+def test_with_cte_upsert_do_update_arm_sqlite_differential(db):
+    """WITH CTEs are visible to upsert DO UPDATE SET/WHERE arms too
+    (sqlite3-probed — r7's documented micro-gap, closed in r8), on both
+    the set-based merge path and the trigger-replay path (the AFTER
+    UPDATE log must see the CTE-derived NEW image)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INT)",
+        "INSERT INTO t VALUES (1, 10), (2, 20)",
+        "WITH m AS (SELECT 100 AS bonus) "
+        "INSERT INTO t(id, v) VALUES (1, 5), (3, 7) "
+        "ON CONFLICT(id) DO UPDATE SET v = v + excluded.v + (SELECT bonus FROM m) "
+        "WHERE (SELECT bonus FROM m) > 0",
+        "CREATE TABLE log (m TEXT)",
+        "CREATE TRIGGER au AFTER UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES ('au-'||OLD.v||'-'||NEW.v); END",
+        "WITH m AS (SELECT 7 AS b) "
+        "INSERT INTO t(id, v) VALUES (2, 1) "
+        "ON CONFLICT(id) DO UPDATE SET v = excluded.v + (SELECT b FROM m)",
+        # CTE gated OFF by the WHERE arm: row untouched
+        "WITH m AS (SELECT 0 AS b) "
+        "INSERT INTO t(id, v) VALUES (3, 9) "
+        "ON CONFLICT(id) DO UPDATE SET v = 999 WHERE (SELECT b FROM m) > 0",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+    for q in ("SELECT id, v FROM t ORDER BY id", "SELECT m FROM log ORDER BY rowid"):
+        assert db.query_string_stmt(q)[0].values == [list(r) for r in ref.execute(q)], q
+
+
 def test_triggers_supported_instead_of_rejected(db):
     """CREATE TRIGGER was a documented exclusion through r6; r7
     implemented it (tests/test_triggers.py is the sqlite3-differential

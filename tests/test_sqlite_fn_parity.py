@@ -9,9 +9,15 @@ integer division with a TEXT operand ('7'/2=3 in SQLite: the cell's
 runtime storage class decides — provably-INTEGER operands ARE now
 asserted below via dialect.rewrite_typed_ops: literals, INTEGER-affinity
 columns, int-returning functions, all-int arithmetic chains);
-cross-type comparison where an operand is a non-literal text expression
-(s > 5 with s TEXT: SQLite compares storage classes per row; literal
-vs literal IS now asserted — folded by storage-class ordering);
+cross-type comparison where an operand's class is only known at runtime
+(two typed columns of different affinities, or an UNTYPED/BLOB/ANY
+column: SQLite applies comparison affinity per row; literal vs literal
+IS asserted — folded by storage-class ordering — and r8 extends the
+asserted set to declared-affinity COLUMN vs literal:
+numeric column vs non-numeric text folds NULL-propagating, TEXT column
+vs INTEGER literal rewrites the literal to its canonical TEXT form,
+any typed column vs BLOB literal folds —
+test_comparison_affinity_typed_columns);
 abs() of a non-literal text expression (literal text/blob IS asserted:
 numeric-prefix fold); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
@@ -327,6 +333,50 @@ def test_int_affinity_column_division(spark):
         "SELECT a FROM dv WHERE a/2 = 3 ORDER BY a",
         "SELECT sum(a)/count(*) FROM dv",
         "SELECT count(*) FROM dv WHERE 1 < '1'",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    db.close()
+    ref.close()
+
+
+def test_comparison_affinity_typed_columns(spark):
+    """Comparison affinity on declared-affinity columns (r8,
+    datatype3.html §4.2): a numeric column vs a NON-numeric text
+    literal folds to the storage-class constant (NULL-propagating);
+    TEXT column vs INTEGER literal text-compares against the literal's
+    canonical TEXT form ('0x11' → '17'); any typed column vs a BLOB
+    literal folds (blob outranks all). Convertible numeric text
+    ('7', ' 5 ', '1e1') keeps the engine's numeric compare.
+    sqlite3-differential."""
+    db = DustSession(spark)
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE cx (a INT, t TEXT, r REAL)"
+    rows = (
+        "INSERT INTO cx VALUES (7, '7', 7.5), (NULL, NULL, NULL), "
+        "(3, 'abc', 2.0), (-5, '05', -1.5)"
+    )
+    for c in (db.execute_string_stmt, lambda q: ref.execute(q)):
+        c(ddl)
+        c(rows)
+    for q in [
+        "SELECT a, a > 'abc' FROM cx",
+        "SELECT a, a < 'abc' FROM cx",
+        "SELECT a, a = '7' FROM cx",  # converts: numeric compare
+        "SELECT a, a >= ' 5 ' FROM cx",  # whitespace-padded converts
+        "SELECT t, t > 5 FROM cx",  # literal text-compared as '5'
+        "SELECT t, t = 7 FROM cx",
+        "SELECT t, t = 0x11 FROM cx",  # hex literal → '17'
+        "SELECT t, t >= -5 FROM cx",
+        "SELECT r, r < 'x9' FROM cx",
+        "SELECT a, a < x'00' FROM cx",
+        "SELECT t, t < x'00' FROM cx",
+        "SELECT a FROM cx WHERE a > 'abc'",
+        "SELECT a FROM cx WHERE a < 'abc' ORDER BY a",
+        "SELECT t FROM cx WHERE t > 5 ORDER BY t",
+        "SELECT a, 'abc' < a FROM cx",  # literal on the left
+        "SELECT count(*) FROM cx WHERE t <> 99",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]

@@ -178,12 +178,51 @@ def main() -> None:
 
     from dust_spark import operators as ops
 
+    def stage_totals():
+        """(shuffle write records, executor run time ms) summed over all
+        completed stages — the load-insensitive scale metrics (SCALE.md:
+        wall-clock at ≥64× working sets is GC/page-cache noise; shuffle
+        ROWS and task CPU time are properties of the plan+data). The
+        AppStatusStore ingests listener events asynchronously, so drain
+        the bus first."""
+        sc = spark.sparkContext
+        try:
+            sc._jsc.sc().listenerBus().waitUntilEmpty()
+        except Exception:
+            time.sleep(1.0)
+        store = sc._jsc.sc().statusStore()
+        gw = sc._gateway
+        stages = store.stageList(
+            gw.jvm.java.util.ArrayList(), False, False,
+            gw.new_array(gw.jvm.double, 0), gw.jvm.java.util.ArrayList(),
+        )
+        recs = ms = 0
+        for i in range(stages.size()):
+            s = stages.apply(i)
+            recs += s.shuffleWriteRecords()
+            ms += s.executorRunTime()
+        return recs, ms
+
     def run(name, fn):
+        r0, m0 = stage_totals()
         t0 = time.perf_counter()
         fn().write.format("noop").mode("overwrite").save()
         dt = time.perf_counter() - t0
-        print(json.dumps({"op": name, "scale": k, "rows": rows, "sec": round(dt, 2)}), flush=True)
-        return dt
+        r1, m1 = stage_totals()
+        print(
+            json.dumps(
+                {
+                    "op": name,
+                    "scale": k,
+                    "rows": rows,
+                    "sec": round(dt, 2),
+                    "shuffle_rows": r1 - r0,
+                    "cpu_ms": m1 - m0,
+                }
+            ),
+            flush=True,
+        )
+        return (dt, r1 - r0, m1 - m0)
 
     # warm JVM + python workers once
     spark.range(0, int(cpus) * 2, 1, int(cpus)).mapInPandas(
@@ -256,6 +295,20 @@ def main() -> None:
                     k=10,
                 ),
             ),
+            # r8: IVF-PQ — same fixed query set and PQ codebooks, but the
+            # ADC scan is gated to n_probe of n_lists ∝ √n inverted
+            # lists (FAISS practice: holds candidates/query constant),
+            # so the per-query term should grow ~√n instead of n
+            (
+                "ivfpq_ann",
+                lambda: ops.ivfpq_topk_portable(
+                    emb.filter((F.col("vec_id") < 5000) & (F.col("vec_id") % 100 == 0)),
+                    emb,
+                    k=10,
+                    n_lists=max(4, int(8 * k ** 0.5)),
+                    n_probe=2,
+                ),
+            ),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
@@ -264,15 +317,25 @@ def main() -> None:
         emb.unpersist()
         evs.unpersist()
 
-    print("\n| operator | " + " | ".join(f"{k}x ({k*5000} rows)" for k in scales) + " | growth vs rows |")
+    print(
+        "\n| operator | "
+        + " | ".join(f"{k}x ({k*5000} rows)" for k in scales)
+        + " | growth vs rows (time / shuffle rows / cpu) |"
+    )
     print("|---|" + "---|" * (len(scales) + 1))
+    rows_ratio = scales[-1] / scales[0]
     for name, per in results.items():
-        ratio = per[scales[-1]] / per[scales[0]] if per[scales[0]] else float("nan")
-        rows_ratio = scales[-1] / scales[0]
+        lo, hi = per[scales[0]], per[scales[-1]]
+        tr = hi[0] / lo[0] if lo[0] else float("nan")
+        sr = hi[1] / lo[1] if lo[1] else float("nan")
+        cr = hi[2] / lo[2] if lo[2] else float("nan")
         print(
             f"| {name} | "
-            + " | ".join(f"{per[k]:.2f}s" for k in scales)
-            + f" | {ratio:.1f}x time for {rows_ratio}x rows |"
+            + " | ".join(
+                f"{per[k][0]:.2f}s / {per[k][1]:,}sr / {per[k][2]/1000:.1f}cpu-s"
+                for k in scales
+            )
+            + f" | {tr:.1f}x / {sr:.1f}x / {cr:.1f}x for {rows_ratio:.0f}x rows |"
         )
     spark.stop()
 
