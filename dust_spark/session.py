@@ -3434,16 +3434,36 @@ class DustSession:
             ).localCheckpoint(eager=True)
             n = victims.count()
             pairs: list = []
+            before_fired = after_fired = False
             if want_pairs:
-                pairs = [
-                    ({k: v for k, v in r.asDict().items() if k != "__rid"}, None)
-                    for r in rid_df.join(victims, "__rid", "left_semi")
-                    .orderBy("__rid")
-                    .collect()
-                ]
-                pairs = self._scan_order(st.tdef, pairs)
-                if not trig_a:
-                    self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+                vr: list = []
+                for r in (
+                    rid_df.join(victims, "__rid", "left_semi").orderBy("__rid").collect()
+                ):
+                    d = r.asDict()
+                    vr.append(d.pop("__rid"))
+                    pairs.append((d, None))
+                pairs, vr = self._scan_order(st.tdef, pairs, vr)
+                may_ign_b = trig_b and self._may_ignore(trig_b)
+                if not trig_a or may_ign_b:
+                    # RAISE(IGNORE)d victims are restored and not counted
+                    # (r8 — sqlite3-probed: the LIMIT does NOT backfill);
+                    # both timings interleave per row
+                    before_fired = True
+                    if trig_a:
+                        after_fired = True
+                        ign = self._fire_pairs_ignorable(
+                            overlay, st.tdef, trig_b, trig_a, pairs
+                        )
+                    else:
+                        ign = self._fire_triggers(overlay, st.tdef, trig_b, pairs)
+                    if ign:
+                        bad = [vr[i] for i in ign]
+                        victims = victims.filter(
+                            ~F.col("__rid").isin(bad)
+                        ).localCheckpoint(eager=True)
+                        n -= len(ign)
+                        pairs = [p for i, p in enumerate(pairs) if i not in ign]
             if self._capture_returning:
                 self._returning_df = rid_df.join(victims, "__rid", "left_semi").drop("__rid")
                 self._returning_table = de.table
@@ -3456,8 +3476,8 @@ class DustSession:
                 ),
             )
             overlay.put(de.table, new_st)
-            if pairs:
-                self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=not trig_a)
+            if pairs and not after_fired:
+                self._fire_pairs(overlay, st.tdef, trig_b, trig_a, pairs, before_done=before_fired)
             return self._ok(n)
         if de.where is None:
             n = st.df.count()

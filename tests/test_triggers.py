@@ -1261,3 +1261,39 @@ def test_raise_ignore_exotic_paths_sqlite_differential(pair):
     assert gerr == werr == "UNIQUE constraint failed: t.id"
     q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
     q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+
+
+def test_raise_ignore_limit_delete_sqlite_differential(pair):
+    """RAISE(IGNORE) on LIMIT-ed DELETE (r8): the IGNOREd victim is
+    restored and NOT counted, the LIMIT does not backfill a replacement
+    victim, and BEFORE/AFTER interleave per row (all sqlite3-probed)."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INT)",
+        "CREATE TABLE log (m TEXT)",
+        "INSERT INTO t VALUES (1,1),(2,2),(3,3),(4,4)",
+        "CREATE TRIGGER bd BEFORE DELETE ON t BEGIN "
+        "SELECT RAISE(IGNORE) WHERE OLD.id = 1; "
+        "INSERT INTO log VALUES ('bd-'||OLD.id); END",
+        "DELETE FROM t WHERE v > 0 ORDER BY id LIMIT 2",
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT changes()")
+    run_both(
+        db,
+        ref,
+        "DELETE FROM log",
+        "DROP TRIGGER bd",
+        "CREATE TRIGGER bd BEFORE DELETE ON t BEGIN "
+        "SELECT RAISE(IGNORE) WHERE OLD.id = 3; "
+        "INSERT INTO log VALUES ('bd-'||OLD.id); END",
+        "CREATE TRIGGER ad AFTER DELETE ON t BEGIN "
+        "INSERT INTO log VALUES ('ad-'||OLD.id); END",
+        "DELETE FROM t ORDER BY id LIMIT 3",
+    )
+    q_both(db, ref, "SELECT id, v FROM t ORDER BY id")
+    q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+    q_both(db, ref, "SELECT changes()")
