@@ -1368,16 +1368,12 @@ GROUP BY e.qid ORDER BY e.qid"""
 )
 
 
-@register("c3k_pq_recall", oracle=_PQ_RECALL_ORACLE, tags=("tierc", "similarity", "jit"))
-def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Recall@10 of PQ ADC against the exact squared-L2 top-10 — the
-    compression-quality scalar, hash-compared per query (the c3g
-    pattern applied to product quantization)."""
+def _recall_vs_exact(emb: DataFrame, q: DataFrame, ann: DataFrame) -> DataFrame:
+    """Per-query recall@10 of an ANN result against the exact
+    squared-L2 top-10 (self-match included on both sides) — shared by
+    c3k (flat PQ) and c3m (IVF-PQ)."""
     from pyspark.sql import Window as W
 
-    emb = _emb(spark, sf_dir)
-    q = emb.filter(F.col("vec_id") <= 5)
-    ann = ops.pq_topk_portable(q, emb, k=10).select("qid", "nid")
     base = emb.select(
         F.col("vec_id").alias("nid"), F.col("embedding").cast("array<double>").alias("nv")
     )
@@ -1411,6 +1407,40 @@ def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("qid")
     )
+
+
+@register("c3k_pq_recall", oracle=_PQ_RECALL_ORACLE, tags=("tierc", "similarity", "jit"))
+def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of PQ ADC against the exact squared-L2 top-10 — the
+    compression-quality scalar, hash-compared per query (the c3g
+    pattern applied to product quantization)."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") <= 5)
+    ann = ops.pq_topk_portable(q, emb, k=10).select("qid", "nid")
+    return _recall_vs_exact(emb, q, ann)
+
+
+# IVF-PQ recall (r8): the same exact-vs-ANN tail spliced onto the c3l
+# chain — quantifies what the coarse gate costs in recall on the SAME
+# codebooks (c3k measures compression loss alone; c3m = compression +
+# gating loss).
+_IVFPQ_RECALL_ORACLE = (
+    _IVFPQ_ORACLE.rsplit("\nSELECT qid, nid, rank, adist FROM ranked", 1)[0]
+    + _PQ_RECALL_ORACLE[len(_PQ_CTES.rstrip()):]
+)
+
+
+@register("c3m_ivfpq_recall", oracle=_IVFPQ_RECALL_ORACLE, tags=("tierc", "similarity", "jit"))
+def ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of IVF-PQ (2 of 4 lists probed) vs the exact
+    squared-L2 top-10 — the price of the coarse gate on the same PQ
+    codebooks, hash-compared per query against the DuckDB replay."""
+    emb = _emb(spark, sf_dir)
+    q = emb.filter(F.col("vec_id") <= 5)
+    ann = ops.ivfpq_topk_portable(q, emb, k=10, n_lists=4, n_probe=2).select(
+        "qid", "nid"
+    )
+    return _recall_vs_exact(emb, q, ann)
 
 
 # SemDeDup (r7): the k-means CTE chain at k=16, then exact cosine over
