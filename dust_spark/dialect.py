@@ -4214,8 +4214,58 @@ class _TypedPass:
         if lpure and rpure:
             self.edits.append((toks[i][2], toks[k - 1][3], "TRUE" if val else "FALSE"))
             return k
-        if lpure == rpure:
-            return None  # two typed expressions: per-row affinity, not static
+
+        def _is_bare_column(lo: int, hi_: int) -> bool:
+            # affinity belongs to COLUMNS (and CASTs) only — a signed
+            # column or function result carries NO affinity
+            # (sqlite3-probed: -a < t and length(t) > '5' compare by
+            # storage class), so only bare dotted identifiers take the
+            # affinity-aware paths
+            for t_ in toks[lo:hi_]:
+                if t_[0] not in ("word", "qid") and t_[1] != ".":
+                    return False
+            return toks[lo][0] in ("word", "qid")
+
+        if not lpure and not rpure:
+            if {lr, rr} != {0, 1}:
+                return None
+            l_col = _is_bare_column(i, j)
+            r_col = _is_bare_column(j + 1, k)
+            ltext = self.sql[toks[i][2] : toks[j - 1][3]]
+            rtext = self.sql[toks[j + 1][2] : toks[k - 1][3]]
+            if l_col and r_col:
+                # two typed COLUMNS (r8): NUMERIC affinity applies to
+                # the TEXT side PER ROW (datatype3.html §4.2 rule 1,
+                # probed) — well-formed numeric text compares
+                # numerically, the rest by storage class, NULL
+                # propagates
+                tside = ltext if lr == 1 else rtext
+                lnum = f"CAST(({ltext}) AS DOUBLE)" if lr == 1 else f"({ltext})"
+                rnum = f"CAST(({rtext}) AS DOUBLE)" if rr == 1 else f"({rtext})"
+                rep = (
+                    f"(CASE WHEN ({ltext}) IS NULL OR ({rtext}) IS NULL THEN NULL "
+                    f"WHEN regexp_like(({tside}), "
+                    "'^\\\\s*[+-]?([0-9]+(\\\\.[0-9]*)?|\\\\.[0-9]+)([eE][+-]?[0-9]+)?\\\\s*$') "
+                    f"THEN ({lnum} {op} {rnum}) "
+                    f"ELSE {'TRUE' if val else 'FALSE'} END)"
+                )
+                self.edits.append((toks[i][2], toks[k - 1][3], rep))
+                return k
+            # TEXT COLUMN vs a no-affinity INTEGER-class expression:
+            # TEXT affinity applies to the expression — the compare
+            # runs on its rendered text (probed: t > length(t) and
+            # -a < t text-compare str(int) against the column)
+            if lr == 1 and l_col and not r_col and rcls == _CLS_INT:
+                self.edits.append(
+                    (toks[j + 1][2], toks[k - 1][3], f"CAST(({rtext}) AS STRING)")
+                )
+                return k
+            if rr == 1 and r_col and not l_col and lcls == _CLS_INT:
+                self.edits.append(
+                    (toks[i][2], toks[j - 1][3], f"CAST(({ltext}) AS STRING)")
+                )
+                return k
+            return None
         # exactly one pure literal — the other side is a typed column
         # (or int-returning expression); spans in token indices
         if lpure:
@@ -4225,14 +4275,22 @@ class _TypedPass:
             lit_cls, lit_lo, lit_hi = rcls, j + 1, k
             col_cls, col_lo, col_hi = lcls, i, j
         col_text = self.sql[toks[col_lo][2] : toks[col_hi - 1][3]]
+        col_is_col = _is_bare_column(col_lo, col_hi)
         if lit_cls == _CLS_BLOB or col_cls == _CLS_BLOB:
             pass  # blob never affinity-converts: storage-class constant
         elif col_cls in (_CLS_INT, _CLS_REAL) and lit_cls == _CLS_TEXT:
-            lit_tok = toks[lit_hi - 1]
-            raw = lit_tok[1][1:-1].replace("''", "'")
-            if _SQLITE_NUMERIC_TEXT.match(raw):
-                return None  # converts: the engine's numeric compare agrees
-        elif col_cls == _CLS_TEXT and lit_cls == _CLS_INT:
+            if not col_is_col:
+                # no-affinity numeric EXPRESSION vs text literal: SQLite
+                # applies no conversion at all — ALWAYS storage order
+                # (probed: length(t) > '5' is 0 even though '5' is
+                # numeric text)
+                pass
+            else:
+                lit_tok = toks[lit_hi - 1]
+                raw = lit_tok[1][1:-1].replace("''", "'")
+                if _SQLITE_NUMERIC_TEXT.match(raw):
+                    return None  # converts: engine's numeric compare agrees
+        elif col_cls == _CLS_TEXT and lit_cls == _CLS_INT and col_is_col:
             # rewrite the literal (sign tokens included) to its TEXT form
             ts = toks[lit_lo:lit_hi]
             sign, idx = 1, 0

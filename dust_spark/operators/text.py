@@ -570,3 +570,39 @@ def token_rarity(
             ).alias("avg_bits"),
         )
     )
+
+
+def bpe_pair_counts(
+    df: DataFrame, top_n: int = 50, text_col: str = "text"
+) -> DataFrame:
+    """Top merge candidates for one BPE training iteration (Sennrich et
+    al. 2016): adjacent character-pair frequencies over the corpus,
+    weighted by word frequency — the inner loop of byte-pair-encoding
+    tokenizer training, run at corpus scale.
+
+    Shape: tokenize → word hash-agg (the corpus collapses to its
+    vocabulary — at 100 TB the word table is millions of rows, not
+    trillions), then each vocabulary word explodes to its len-1
+    character pairs via substring (no char-array lambdas — see the
+    CLAUDE.md higher-order-function trap) and a second hash-agg with
+    map-side combine sums the weighted counts. Deterministic top-n by
+    (count DESC, pair) through TakeOrderedAndProject.
+    """
+    from dust_spark.functions import tokens
+
+    words = (
+        df.select(F.explode(tokens(text_col)).alias("w"))
+        .groupBy("w")
+        .agg(F.count("*").alias("wc"))
+        .filter(F.length("w") >= 2)
+    )
+    return (
+        words.select(
+            "w", "wc", F.explode(F.sequence(F.lit(1), F.length("w") - 1)).alias("i")
+        )
+        .select(F.expr("substring(w, i, 2)").alias("pair"), "wc")
+        .groupBy("pair")
+        .agg(F.sum("wc").alias("n"))
+        .orderBy(F.desc("n"), "pair")
+        .limit(top_n)
+    )

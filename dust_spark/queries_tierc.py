@@ -1658,6 +1658,27 @@ def line_dedup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "c4p_bpe_pair_counts",
+    oracle=(
+        "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w "
+        "FROM documents WHERE length(trim(text)) > 0), "
+        "words AS (SELECT w, count(*) AS wc FROM tok GROUP BY w), "
+        "pairs AS (SELECT substr(w, g.i, 2) AS pair, wc FROM words, "
+        "LATERAL (SELECT unnest(range(1, length(w))) AS i) g WHERE length(w) >= 2) "
+        "SELECT pair, CAST(SUM(wc) AS BIGINT) AS n FROM pairs GROUP BY pair "
+        "ORDER BY n DESC, pair LIMIT 50"
+    ),
+    tags=("tierc", "text", "agg", "jit"),
+)
+def bpe_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One BPE-training iteration's merge candidates: top-50 adjacent
+    character pairs weighted by word frequency (r8). The corpus
+    collapses to its vocabulary before the pair explode — the key
+    100 TB property of BPE training on a cluster."""
+    return ops.bpe_pair_counts(_docs(spark, sf_dir), top_n=50)
+
+
+@register(
     "c4j_top_terms",
     oracle=(
         "WITH tok AS (SELECT unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term "

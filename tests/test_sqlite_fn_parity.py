@@ -349,7 +349,12 @@ def test_comparison_affinity_typed_columns(spark):
     canonical TEXT form ('0x11' → '17'); any typed column vs a BLOB
     literal folds (blob outranks all). Convertible numeric text
     ('7', ' 5 ', '1e1') keeps the engine's numeric compare.
-    sqlite3-differential."""
+    Second wave: two typed COLUMNS get the per-row NUMERIC-affinity
+    CASE (numeric text compares numerically, junk by storage class);
+    no-affinity INTEGER expressions (length(x), -a) compare by storage
+    class against literals and get TEXT affinity applied against a
+    TEXT column (rendered-int text compare). Chain operands (t > a+1)
+    remain documented. sqlite3-differential."""
     db = DustSession(spark)
     ref = sqlite3.connect(":memory:")
     ddl = "CREATE TABLE cx (a INT, t TEXT, r REAL)"
@@ -377,6 +382,16 @@ def test_comparison_affinity_typed_columns(spark):
         "SELECT t FROM cx WHERE t > 5 ORDER BY t",
         "SELECT a, 'abc' < a FROM cx",  # literal on the left
         "SELECT count(*) FROM cx WHERE t <> 99",
+        # two typed COLUMNS: per-row NUMERIC affinity on the text side
+        "SELECT a, t, a > t FROM cx",
+        "SELECT a, t, a = t FROM cx",
+        "SELECT r, t, r >= t FROM cx",
+        "SELECT a FROM cx WHERE t < a ORDER BY a",
+        # no-affinity INT expressions: storage order vs text literal,
+        # TEXT affinity applied against a TEXT column
+        "SELECT length(t), length(t) > '5' FROM cx",
+        "SELECT a, -a < t FROM cx",
+        "SELECT t, t > length(t) FROM cx",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
