@@ -29,10 +29,18 @@ def asof_join(
     by_right: str,
     value_cols: list[str],
     direction: str = "backward",
+    max_gap=None,
 ) -> DataFrame:
     """For each left row, attach ``value_cols`` from the latest right row
     with ``right_time <= left_time`` (direction='backward') or the
     earliest with ``>=`` ('forward'), matching on the by-key.
+
+    ``max_gap`` (r8): optional tolerance predicate ``(left_time_col,
+    matched_right_time_col) -> Column[bool]`` — a match farther than
+    the tolerance nulls the value columns (kdb/pandas ``merge_asof
+    tolerance`` semantics). The nearest match is tested, never an
+    earlier one: as-of keeps only the closest row per side, so
+    tolerance-filtering it is equivalent to bounding the search window.
 
     Returns all left columns plus the as-of matched value columns.
     """
@@ -70,12 +78,27 @@ def asof_join(
             .rowsBetween(W.unboundedPreceding, 0)
         )
 
+    gap_cols = [F.last("__t2", ignorenulls=True).over(w).alias("__rt")] if max_gap is not None else []
+    if max_gap is not None:
+        both = both.withColumn(
+            "__t2", F.when(F.col("__is_left") == 0, F.col("__t"))
+        )
     matched = both.select(
         "__is_left",
         "__l",
         *[F.last(f"__v_{c}", ignorenulls=True).over(w).alias(c) for c in value_cols],
+        *gap_cols,
     )
-    out = matched.filter(F.col("__is_left") == 1).select(
+    lefts = matched.filter(F.col("__is_left") == 1)
+    if max_gap is not None:
+        keep = F.col("__rt").isNotNull() & max_gap(
+            F.col(f"__l.{left_time}"), F.col("__rt")
+        )
+        return lefts.select(
+            *[F.col(f"__l.{c}").alias(c) for c in lcols],
+            *[F.when(keep, F.col(c)).alias(c) for c in value_cols],
+        )
+    out = lefts.select(
         *[F.col(f"__l.{c}").alias(c) for c in lcols],
         *value_cols,
     )

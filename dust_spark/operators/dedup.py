@@ -905,3 +905,49 @@ def dedup_lines(
         )
         .withColumnRenamed("id", id_col)
     )
+
+
+def boilerplate_lines(
+    df: DataFrame,
+    min_docs: int = 2,
+    ngram_words: int = 5,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    source_col: str = "source",
+) -> DataFrame:
+    """Per-source boilerplate detection (the CCNet/RefinedWeb headers-
+    and-footers pass, word-shingle form): a ``ngram_words``-gram that
+    appears in at least ``min_docs`` DISTINCT documents of the same
+    source is boilerplate (nav bars, cookie banners, license footers —
+    on line-structured corpora pass the line itself as the unit; the
+    fixture corpus is newline-free, so word shingles are the unit).
+    Returns (source, gram, n_docs) for the offending shingles.
+
+    Shape: one explode to (source, doc, gram) then a two-key hash-agg
+    with map-side combine — the gram table is bounded by distinct
+    shingles, and the distinct-doc count shuffles (source, gram, doc)
+    triples once. No joins, no windows; the tokens array is
+    materialized as a real attribute BEFORE the slice lambda (the
+    CLAUDE.md higher-order-function inlining trap).
+    """
+    from dust_spark.functions import tokens
+
+    tok = df.select(
+        source_col, id_col, tokens(text_col).alias("__w")
+    ).filter(F.size("__w") >= ngram_words)
+    grams = tok.select(
+        source_col,
+        id_col,
+        F.explode(F.sequence(F.lit(1), F.size("__w") - (ngram_words - 1))).alias("i"),
+        "__w",
+    ).select(
+        source_col,
+        id_col,
+        F.concat_ws(" ", F.slice(F.col("__w"), F.col("i"), ngram_words)).alias("gram"),
+    )
+    return (
+        grams.groupBy(source_col, "gram")
+        .agg(F.countDistinct(id_col).alias("n_docs"))
+        .filter(F.col("n_docs") >= min_docs)
+        .orderBy(source_col, "gram")
+    )

@@ -64,6 +64,25 @@ def _ngram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 _sig_cache: dict[tuple, object] = {}
 
 
+def _pq_ann_result(spark: SparkSession, sf_dir: str, ivf: bool) -> DataFrame:
+    """Shared (qid, nid, rank, adist) ANN result over the standard
+    query set — c3j/c3k consume the identical flat-PQ top-10 and
+    c3l/c3m the identical IVF-PQ top-10, so each codebook-training
+    chain runs once per session instead of once per query (the recall
+    twin was re-training everything). Persisted, session-owned."""
+    key = (spark, sf_dir, "ivfpq" if ivf else "pq")
+    if key not in _sig_cache:
+        emb = _emb(spark, sf_dir)
+        q = emb.filter(F.col("vec_id") <= 5)
+        df = (
+            ops.ivfpq_topk_portable(q, emb, k=10, n_lists=4, n_probe=2)
+            if ivf
+            else ops.pq_topk_portable(q, emb, k=10)
+        )
+        _sig_cache[key] = df.persist()
+    return _sig_cache[key]
+
+
 def _xx_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Shared xxhash64 MinHash signature table (id, sig) over the
     document corpus — c2a and c2e both consume the identical k=64
@@ -669,6 +688,35 @@ def asof_latest_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "c6e_asof_tolerance",
+    oracle=(
+        "SELECT e.event_id, (SELECT MAX(o_orderdate) FROM orders o "
+        "WHERE o.o_custkey = e.user_id AND o.o_orderdate <= e.ts "
+        "AND o.o_orderdate >= CAST(e.ts AS DATE) - INTERVAL 30 DAY) AS last_odate_30d "
+        "FROM events e WHERE e.event_id <= 50 ORDER BY e.event_id"
+    ),
+    tags=("tierc", "asof"),
+)
+def asof_tolerance_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a 30-day tolerance (r8 — pandas merge_asof
+    ``tolerance`` / kdb wj semantics): the nearest prior order only if
+    within the gap, else NULL. The tolerance filters the matched row
+    post-window, so the plan is the same one-union-shuffle as c6b."""
+    register_views(spark, sf_dir)
+    events = spark.table("events").filter(F.col("event_id") <= 50)
+    orders = spark.table("orders")
+    return (
+        ops.asof_join(
+            events, orders, "ts", "o_orderdate", "user_id", "o_custkey",
+            value_cols=["o_orderdate"], direction="backward",
+            max_gap=lambda lt, rt: F.datediff(lt.cast("date"), rt.cast("date")) <= 30,
+        )
+        .select("event_id", F.col("o_orderdate").alias("last_odate_30d"))
+        .orderBy("event_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # C7 — sessionization (batch form; streaming form in dust_spark.streaming)
 # ---------------------------------------------------------------------------
@@ -1257,8 +1305,7 @@ def pq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     Lloyd iterations) — the 100 TB ANN memory path (vectors compress to
     m code ids; scoring reads an m-entry distance table) with every
     float step hash-stable against the DuckDB replay."""
-    emb = _emb(spark, sf_dir)
-    return ops.pq_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10)
+    return _pq_ann_result(spark, sf_dir, ivf=False)
 
 
 # IVF-PQ ANN (r8): the 100× answer to flat PQ's linear ADC scan — a
@@ -1339,10 +1386,7 @@ def ivfpq_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per query batch to the probed lists only, with every float step
     hash-stable against the DuckDB replay (the r7 VERDICT's 100×-scale
     fix for flat PQ)."""
-    emb = _emb(spark, sf_dir)
-    return ops.ivfpq_topk_portable(
-        emb.filter(F.col("vec_id") <= 5), emb, k=10, n_lists=4, n_probe=2
-    )
+    return _pq_ann_result(spark, sf_dir, ivf=True)
 
 
 # PQ recall@10 vs the exact squared-L2 top-10 (r7): both engines
@@ -1416,7 +1460,7 @@ def pq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     pattern applied to product quantization)."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") <= 5)
-    ann = ops.pq_topk_portable(q, emb, k=10).select("qid", "nid")
+    ann = _pq_ann_result(spark, sf_dir, ivf=False).select("qid", "nid")
     return _recall_vs_exact(emb, q, ann)
 
 
@@ -1437,9 +1481,7 @@ def ivfpq_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     codebooks, hash-compared per query against the DuckDB replay."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") <= 5)
-    ann = ops.ivfpq_topk_portable(q, emb, k=10, n_lists=4, n_probe=2).select(
-        "qid", "nid"
-    )
+    ann = _pq_ann_result(spark, sf_dir, ivf=True).select("qid", "nid")
     return _recall_vs_exact(emb, q, ann)
 
 
@@ -1648,6 +1690,28 @@ WITH lines AS (
 SELECT doc_id, string_agg(line, chr(10) ORDER BY line_no) AS clean_text
 FROM ranked WHERE rn = 1 GROUP BY doc_id ORDER BY doc_id
 """
+
+
+@register(
+    "c1e_boilerplate_lines",
+    oracle=(
+        "WITH tok AS (SELECT source, doc_id, "
+        "regexp_split_to_array(trim(lower(text)), '\\s+') AS w "
+        "FROM documents WHERE length(trim(text)) > 0), "
+        "g AS (SELECT source, doc_id, array_to_string(w[i.i : i.i + 4], ' ') AS gram "
+        "FROM tok, LATERAL (SELECT unnest(range(1, len(w) - 3)) AS i) i "
+        "WHERE len(w) >= 5) "
+        "SELECT source, gram, CAST(count(DISTINCT doc_id) AS BIGINT) AS n_docs "
+        "FROM g GROUP BY source, gram HAVING count(DISTINCT doc_id) >= 2 "
+        "ORDER BY source, gram"
+    ),
+    tags=("tierc", "dedup", "jit"),
+)
+def boilerplate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source boilerplate shingles (r8 — the CCNet headers/footers
+    pass): word 5-grams shared by >= 2 distinct documents of one
+    source; explode + two-key hash-agg, no joins."""
+    return ops.boilerplate_lines(_docs(spark, sf_dir), min_docs=2, ngram_words=5)
 
 
 @register("c1c_line_dedup", oracle=_LINE_DEDUP_ORACLE, tags=("tierc", "dedup"))

@@ -423,6 +423,36 @@ def test_ivfpq_topk_gates_to_probed_lists(spark):
     assert full == flat
 
 
+def test_asof_join_max_gap_vs_bruteforce(spark):
+    """asof_join(max_gap=...) (r8): the nearest prior match nulls out
+    past the tolerance — per-row equal to the brute-force 'latest right
+    within [t - gap, t]' definition."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    gap = dt.timedelta(minutes=30)
+    left = spark.createDataFrame(
+        [Row(k=i % 3, t=t0 + dt.timedelta(minutes=7 * i), lid=i) for i in range(40)]
+    )
+    right = spark.createDataFrame(
+        [Row(k=i % 3, rt=t0 + dt.timedelta(minutes=11 * i), val=100 + i) for i in range(25)]
+    )
+    got = {
+        r.lid: r.val
+        for r in ops.asof_join(
+            left, right, "t", "rt", "k", "k", value_cols=["val"],
+            max_gap=lambda lt, rt: lt.cast("long") - rt.cast("long") <= 1800,
+        ).collect()
+    }
+    for lr in left.collect():
+        cands = [
+            rr for rr in right.collect()
+            if rr.k == lr.k and rr.rt <= lr.t and lr.t - rr.rt <= gap
+        ]
+        want = max(cands, key=lambda rr: rr.rt).val if cands else None
+        assert got[lr.lid] == want, (lr.lid, got[lr.lid], want)
+
+
 def test_asof_join_vs_bruteforce(spark):
     import datetime as dt
 
