@@ -2462,6 +2462,7 @@ class DustSession:
         # burn) and the DO UPDATE path applies the replay's exact
         # per-key final images (BU-ignored/WHERE-gated arms shape them)
         seq_replay = None
+        need_replay = False
         if batch_trig_df is not None:
             tb_ = self._table_triggers(ins.table, "INSERT", "BEFORE")
             bu_ = (
@@ -2472,18 +2473,38 @@ class DustSession:
                 if kind == "update"
                 else []
             )
-            if (tb_ and self._may_ignore(tb_)) or (bu_ and self._may_ignore(bu_)):
-                seq_replay = self._fire_upsert_triggers(
-                    overlay, tdef, ins, batch_trig_df, targets, kind,
-                    existing, ignorable=True, high_water=st.high_water,
+            need_replay = (tb_ and self._may_ignore(tb_)) or (
+                bu_ and self._may_ignore(bu_)
+            )
+        if not need_replay and kind == "update":
+            # multi-row conflict groups (r8): SQLite applies the DO
+            # UPDATE arm per batch row with evolving target values and
+            # counts each arm — run the exact sequential replay for the
+            # data too (closing the documented one-fold divergence)
+            nn = new_rows
+            for c in target:
+                nn = nn.filter(F.col(c).isNotNull())
+            need_replay = (
+                nn.groupBy(*target).count().filter(F.col("count") > 1).limit(1).count()
+                > 0
+            )
+        if need_replay:
+            bdf = (
+                batch_trig_df
+                if batch_trig_df is not None
+                else new_rows.withColumn("__auto", F.lit(False))
+            )
+            seq_replay = self._fire_upsert_triggers(
+                overlay, tdef, ins, bdf, targets, kind,
+                existing, ignorable=True, high_water=st.high_water,
+            )
+            bi_ign_rns, upd_id_map, upd_images, fresh_imgs, n_arms = seq_replay
+            batch_trig_df = None  # fully fired pre-merge
+            if bi_ign_rns:
+                new_rows = new_rows.filter(
+                    ~F.col("__rn").isin(list(bi_ign_rns))
                 )
-                bi_ign_rns, upd_id_map, upd_images, n_arms = seq_replay
-                batch_trig_df = None  # fully fired pre-merge
-                if bi_ign_rns:
-                    new_rows = new_rows.filter(
-                        ~F.col("__rn").isin(list(bi_ign_rns))
-                    )
-                new_rows = self._override_rowids(new_rows, tdef, upd_id_map)
+            new_rows = self._override_rowids(new_rows, tdef, upd_id_map)
 
         conflict_keys = existing.select(*target).na.drop().distinct()
 
@@ -2649,18 +2670,36 @@ class DustSession:
                 n_updated = n_arms
             updated = marked.drop("__upd")
 
-            # fresh keys: insert the FIRST batch row, then fold the later
-            # rows' DO UPDATE (excluded = last row) onto it when the
-            # group has more than one batch row
+            # fresh keys: insert the FIRST batch row, then apply the
+            # later rows' DO UPDATE arms — with a replay, the exact
+            # sequential final image per in-batch group (r8); otherwise
+            # the one-fold with excluded = last row (single-row groups
+            # only reach here without a replay, where both agree)
             fresh_base = firsts.join(conflict_keys, target, "left_anti")
-            exc_new = lasts.filter(F.col("__nk") > 1).select(
-                F.lit(1).alias("__exc_m"),
-                *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
-            )
-            condf = None
-            for c in target:
-                eq = fresh_base[c] == exc_new[f"__exc_{c}"]
-                condf = eq if condf is None else (condf & eq)
+            if seq_replay is not None:
+                fdata = [
+                    tuple(d.get(c) for c in schema_cols) + tuple(k)
+                    for k, d in fresh_imgs.items()
+                ]
+                fimg_df = self.spark.createDataFrame(fdata, schema=img_schema)
+                exc_new = fimg_df.select(
+                    F.lit(1).alias("__exc_m"),
+                    *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+                    *[F.col(f"__k{i}") for i in range(len(target))],
+                )
+                condf = None
+                for i2, c in enumerate(target):
+                    eq = fresh_base[c] == exc_new[f"__k{i2}"]
+                    condf = eq if condf is None else (condf & eq)
+            else:
+                exc_new = lasts.filter(F.col("__nk") > 1).select(
+                    F.lit(1).alias("__exc_m"),
+                    *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
+                )
+                condf = None
+                for c in target:
+                    eq = fresh_base[c] == exc_new[f"__exc_{c}"]
+                    condf = eq if condf is None else (condf & eq)
             fresh = self._apply_generated(
                 tdef,
                 _proj(fresh_base.join(exc_new, condf, "left"), _set_projs(["__rn"])),
@@ -2756,9 +2795,14 @@ class DustSession:
         bi_ign: set = set()
         id_map: dict = {}
         images: dict = {}
+        fresh_images: dict = {}
         n_arms = 0
-        if not (trig_bi or trig_ai or trig_bu or trig_au):
-            return (bi_ign, id_map, images, n_arms) if ignorable else None
+        if not ignorable and not (trig_bi or trig_ai or trig_bu or trig_au):
+            return None
+        # ignorable mode runs even with NO triggers: it doubles as the
+        # exact sequential DATA replay for multi-row conflict groups
+        # (r8 — closes the one-fold divergence and the per-arm
+        # changes() counting on those statements)
         batch = []
         for r in batch_df.orderBy("__rn").collect():
             d = r.asDict()
@@ -2859,9 +2903,12 @@ class DustSession:
                 self._fire_triggers(overlay, tdef, trig_au, [(old, new)])
             cur[hit] = new
             n_arms += 1
-            if ignorable and hit in seeded:
-                images[hit[1]] = new
-        return (bi_ign, id_map, images, n_arms) if ignorable else None
+            if ignorable:
+                if hit in seeded:
+                    images[hit[1]] = new
+                else:
+                    fresh_images[hit[1]] = new
+        return (bi_ign, id_map, images, fresh_images, n_arms) if ignorable else None
 
     @staticmethod
     def _subst_upsert_expr(

@@ -1129,6 +1129,39 @@ def test_with_insert_values_sqlite_differential(db):
     assert db.query_string_stmt(q)[0].values == [list(r) for r in ref.execute(q)]
 
 
+def test_multirow_upsert_sequential_groups_sqlite_differential(db):
+    """Multi-row upserts with same-key conflict groups (r8): SQLite
+    applies the DO UPDATE arm per batch row with EVOLVING target values
+    and counts each arm in changes() — the engine now runs the exact
+    sequential replay for those statements (was: one-fold with
+    excluded = last row, documented). WHERE-gated arms evaluate per row
+    against the evolving image."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE t (id INTEGER PRIMARY KEY, v INT)",
+        "INSERT INTO t VALUES (1, 10)",
+        # existing-key group: both arms apply sequentially (10+1+2)
+        "INSERT INTO t(id,v) VALUES (1,1),(1,2),(5,9) "
+        "ON CONFLICT(id) DO UPDATE SET v=v+excluded.v",
+        # fresh-key group: insert first row then two arms (1+2+3)
+        "INSERT INTO t(id,v) VALUES (6,1),(6,2),(6,3) "
+        "ON CONFLICT(id) DO UPDATE SET v=v+excluded.v",
+        # WHERE gates each arm against the evolving image
+        "INSERT INTO t(id,v) VALUES (1,1),(1,2) "
+        "ON CONFLICT(id) DO UPDATE SET v=v+excluded.v WHERE excluded.v > 1",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+        for q in ("SELECT id, v FROM t ORDER BY id", "SELECT changes()"):
+            want = [list(x) for x in ref.execute(q).fetchall()]
+            have = [list(x) for x in db.query_string_stmt(q)[0].values]
+            assert have == want, (s, q, have, want)
+
+
 def test_with_cte_upsert_do_update_arm_sqlite_differential(db):
     """WITH CTEs are visible to upsert DO UPDATE SET/WHERE arms too
     (sqlite3-probed — r7's documented micro-gap, closed in r8), on both

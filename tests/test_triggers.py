@@ -1111,6 +1111,12 @@ _FULL_OPS = st.one_of(
         lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]}) "
         f"ON CONFLICT(id) DO UPDATE SET v = v + excluded.v"
     ),
+    # same-key conflict group: the r8 sequential replay (evolving
+    # target values, per-arm changes())
+    st.tuples(_ID, _V, _V).map(
+        lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]}), ({x[0]}, {x[2]}) "
+        f"ON CONFLICT(id) DO UPDATE SET v = v + excluded.v"
+    ),
     _V.map(lambda v: f"UPDATE t SET v = v + 1 WHERE v < {v}"),
     _ID.map(lambda i: f"DELETE FROM t WHERE id = {i}"),
 )
@@ -1130,6 +1136,10 @@ _PLAIN_OPS = st.one_of(
     st.tuples(_ID, _V).map(lambda x: f"REPLACE INTO t(id, v) VALUES ({x[0]}, {x[1]})"),
     st.tuples(_ID, _V).map(
         lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]}) "
+        f"ON CONFLICT(id) DO UPDATE SET v = v + excluded.v"
+    ),
+    st.tuples(_ID, _V, _V).map(
+        lambda x: f"INSERT INTO t(id, v) VALUES ({x[0]}, {x[1]}), ({x[0]}, {x[2]}) "
         f"ON CONFLICT(id) DO UPDATE SET v = v + excluded.v"
     ),
     _V.map(lambda v: f"UPDATE t SET v = v + 2 WHERE v <= {v}"),
