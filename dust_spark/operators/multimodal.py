@@ -208,6 +208,49 @@ def sample_frames(df: DataFrame, every_ms: int) -> DataFrame:
     raise NotImplementedError("frame sampling requires ffmpeg; not available in this container")
 
 
+def frame_sample_plan(media: DataFrame, k: int = 4, fps: int = 24) -> DataFrame:
+    """Uniform frame-sampling PLAN for video media (r8): per clip, the
+    ``k`` frame indices a decoder would extract — frame_idx(i) =
+    i·total_frames div k, the standard uniform sampler of video
+    training pipelines. This is the metadata/plumbing half (all-Catalyst
+    explode, integer-exact); the pixel extraction itself is the
+    env-gated ffmpeg stub (:func:`sample_frames`). Duration derives
+    deterministically from the payload size when the meta carries none
+    (synthetic fixtures), so the plan is hash-checkable end-to-end.
+
+    Scale shape: reads meta only (bytes pruned at the scan), one narrow
+    explode to k rows per clip — no shuffle at all until a consumer
+    aggregates."""
+    dur_ms = F.coalesce(
+        F.col("meta.duration_ms"),
+        (F.lit(1000) + (F.col("meta.n_bytes") % 120) * 1000).cast("long"),
+    )
+    # integer DIV throughout — float division would last-ulp-wobble the
+    # truncation cross-engine
+    return (
+        media.select("media_id", dur_ms.alias("duration_ms"))
+        .select(
+            "media_id",
+            "duration_ms",
+            F.greatest(
+                F.expr(f"(duration_ms * {int(fps)}) DIV 1000"), F.lit(1)
+            ).alias("total_frames"),
+        )
+        .select(
+            "media_id",
+            "total_frames",
+            F.explode(F.sequence(F.lit(0), F.lit(k - 1))).alias("frame_no"),
+        )
+        .select(
+            "media_id",
+            "frame_no",
+            F.expr(f"(frame_no * total_frames) DIV {int(k)}").alias("frame_idx"),
+            "total_frames",
+        )
+        .orderBy("media_id", "frame_no")
+    )
+
+
 def media_stats(df: DataFrame) -> DataFrame:
     """Metadata-only aggregate — reads meta/content_hash, prunes bytes
     at the parquet scan (the 100 TB-friendly access path)."""

@@ -603,6 +603,31 @@ def media_stats_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.media_stats(media)
 
 
+@register(
+    "c5c_frame_sample_plan",
+    oracle=(
+        "WITH m AS (SELECT doc_id AS media_id, "
+        "1000 + (strlen(text) % 120) * 1000 AS duration_ms FROM documents), "
+        "t AS (SELECT media_id, "
+        "greatest((duration_ms * 24) // 1000, 1) AS total_frames FROM m), "
+        "f AS (SELECT media_id, total_frames, g.i AS frame_no "
+        "FROM t, LATERAL (SELECT unnest(range(0, 4)) AS i) g) "
+        "SELECT media_id, frame_no, "
+        "CAST((frame_no * total_frames) // 4 AS BIGINT) AS frame_idx, "
+        "CAST(total_frames AS BIGINT) AS total_frames "
+        "FROM f ORDER BY media_id, frame_no"
+    ),
+    tags=("tierc", "multimodal"),
+)
+def frame_sample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uniform frame-sampling plan, k=4 @ 24fps (r8): the Spark-side
+    plumbing half of video frame extraction — per-clip frame indices
+    are integer-exact and hash-checked; the pixel half stays the
+    env-gated ffmpeg stub (COVERAGE C5)."""
+    media = ops.attach_media(_docs(spark, sf_dir), "doc_id", "text", media_type="video")
+    return ops.frame_sample_plan(media, k=4, fps=24)
+
+
 _MEDIA_FEATURES_ORACLE = """
 WITH h AS (
   SELECT doc_id, sha256(text || '0') AS hx, strlen(text) AS nb FROM documents

@@ -1163,14 +1163,27 @@ class DustSession:
         diverges as soon as an explicit small id is inserted after
         larger auto ids). ``aux`` lists parallel to ``pairs`` (ords,
         rids, vrows) are permuted identically. WITHOUT ROWID tables
-        keep frame order (PK-scan order not modeled)."""
+        scan their PK index — PK-tuple order (sqlite3-probed, r8);
+        non-comparable mixed-type keys fall back to frame order."""
         rc = getattr(tdef, "rowid_column", None)
-        if not rc or not pairs or rc not in pairs[0][0]:
+        if not pairs:
             return (pairs, *aux) if aux else pairs
-        order = sorted(
-            range(len(pairs)),
-            key=lambda i: (pairs[i][0][rc] is None, pairs[i][0][rc] or 0),
-        )
+        if rc and rc in pairs[0][0]:
+            order = sorted(
+                range(len(pairs)),
+                key=lambda i: (pairs[i][0][rc] is None, pairs[i][0][rc] or 0),
+            )
+        else:
+            pk = list(getattr(tdef, "primary_key", None) or [])
+            if not pk or any(c not in pairs[0][0] for c in pk):
+                return (pairs, *aux) if aux else pairs
+            try:
+                order = sorted(
+                    range(len(pairs)),
+                    key=lambda i: tuple(pairs[i][0][c] for c in pk),
+                )
+            except TypeError:
+                return (pairs, *aux) if aux else pairs
         out = [pairs[i] for i in order]
         outa = tuple([a[i] for i in order] for a in aux)
         return (out, *outa) if aux else out
