@@ -1047,6 +1047,26 @@ def test_recursion_depth_error(pair):
     db._max_trigger_depth = 1000
 
 
+def test_without_rowid_trigger_scan_order(pair):
+    """WITHOUT ROWID tables fire multi-row UPDATE/DELETE triggers in PK
+    index order (sqlite3-probed, r8) — not insertion order."""
+    db, ref = pair
+    run_both(
+        db,
+        ref,
+        "CREATE TABLE t (k TEXT PRIMARY KEY, v INT) WITHOUT ROWID",
+        "CREATE TABLE log (m TEXT)",
+        "INSERT INTO t VALUES ('m',1),('a',2),('z',3),('b',4)",
+        "CREATE TRIGGER bu BEFORE UPDATE ON t BEGIN "
+        "INSERT INTO log VALUES ('bu-'||OLD.k); END",
+        "UPDATE t SET v = v + 1",
+        "CREATE TRIGGER bd BEFORE DELETE ON t BEGIN "
+        "INSERT INTO log VALUES ('bd-'||OLD.k); END",
+        "DELETE FROM t",
+    )
+    q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
+
+
 def test_recursion_past_old_cap_completes(pair):
     """A WHEN-bounded recursive trigger chain 120 levels deep (past the
     r7 cap of 100, under SQLite's 1000) completes with identical table
