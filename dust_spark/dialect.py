@@ -1211,13 +1211,32 @@ _FN_RENAME_RE = re.compile(r"\b(" + "|".join(_FN_RENAMES) + r")\s*\(", re.I)
 _DEC_LITERAL_RE = re.compile(r"(?<![\w.$])(\d+\.\d*|\.\d+)(?![\w.])")
 
 
+_EXP_LITERAL_RE = re.compile(
+    r"(?<![\w.$])((?:\d+(?:\.\d*)?|\.\d+)[eE][+-]?\d+)(?![\w.])"
+)
+
+
 def _double_literals(seg: str) -> str:
     """``0.1`` parses as DECIMAL(1,1) in Spark (exact arithmetic:
     0.1+0.2 = 0.3); SQLite stores REAL literals as doubles
     (0.1+0.2 = 0.30000000000000004). Suffix every decimal literal with
     ``D`` so arithmetic/typing match (r6 differential finding).
-    Exponent forms (1e5) are already doubles in both engines."""
-    return _DEC_LITERAL_RE.sub(r"\1D", seg)
+    Exponent forms (1e5) are already doubles in both engines — EXCEPT
+    out-of-range ones: SQLite parses ``1e999`` as REAL +Inf while
+    Spark's parser rejects it, so overflowing exponent literals rewrite
+    to double('Infinity') (r8; the leading sign stays outside and
+    negates it, exactly like SQLite)."""
+
+    def _exp(m: re.Match) -> str:
+        try:
+            v = float(m.group(1))
+        except (ValueError, OverflowError):
+            return m.group(1)
+        if v == float("inf"):
+            return "double('Infinity')"
+        return m.group(1)
+
+    return _DEC_LITERAL_RE.sub(r"\1D", _EXP_LITERAL_RE.sub(_exp, seg))
 
 
 def dquote_idents_to_backticks(sql: str) -> str:

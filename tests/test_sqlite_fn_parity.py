@@ -19,7 +19,7 @@ vs INTEGER literal rewrites the literal to its canonical TEXT form,
 any typed column vs BLOB literal folds —
 test_comparison_affinity_typed_columns);
 abs() of a non-literal text expression (literal text/blob IS asserted:
-numeric-prefix fold); integer truthiness in
+numeric-prefix fold); 1e999-style overflow literals now parse to REAL +Inf and compare/typeof correctly (r8) — raw Inf CELLS ride the JSON wire as NULL, faithful to the reference's serde_json serialization (no Infinity in JSON); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
 literals (SQLite literal, Spark escape); printf('%f', <decimal
 literal>); quote(<number>) quotes the text form; glob patterns with a
@@ -308,6 +308,18 @@ CASES = [
     "SELECT abs(' 12')",
     "SELECT abs('1e2')",
     "SELECT abs('-')",  # signed zero survives SQLite's x<0 test
+    # overflow exponent literals parse to REAL +Inf like SQLite (r8;
+    # Spark's parser rejects 1e999 → rewritten to double('Infinity')).
+    # Raw Inf CELLS ride the JSON wire as NULL — reference-faithful:
+    # serde_json has no Infinity (db.rs serializes f64 through
+    # serde_json) — so the asserted cases keep Inf out of the output.
+    "SELECT 1e999 = 1e999",
+    "SELECT typeof(1e999)",
+    "SELECT typeof(-1E999)",
+    "SELECT 1e999 > 1e308",
+    "SELECT -1e999 < 0",
+    "SELECT CASE WHEN 1e999 > 0 THEN 'p' ELSE 'n' END",
+    "SELECT 1.0 / 1e999",
 ]
 
 
