@@ -40,6 +40,20 @@ def test_no_row_python_in_catalog(spark):
         assert not plans.python_in_hot_path(df), f"{name} uses BatchEvalPython"
 
 
+def test_no_cartesian_in_heavy_tierc(spark):
+    """The newest heavy Tier C operators (r7/r8) must never plan a
+    CartesianProduct or broadcast nested loop over DATA-sized inputs —
+    every candidate generator is bucketed (coarse lists, conflict keys,
+    interval buckets). The dense-spine crossJoin in c7c is
+    metadata-sized by construction (bucket range × key dims) and c2k's
+    Lloyd broadcast joins are k-row broadcasts — both allowed as
+    BroadcastNestedLoopJoin ONLY when one side is a broadcast."""
+    for name in ("c3l_ivfpq_ann", "c2k_semantic_dedup", "c6d_interval_join",
+                 "c3j_pq_ann", "c1e_boilerplate_lines", "c4p_bpe_pair_counts"):
+        p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+
+
 def test_topk_plans_as_take_ordered(spark):
     df = QUERIES["b6c_top_k"].fn(spark, SF_DIR)
     assert "TakeOrderedAndProject" in plans.formatted_plan(df)
