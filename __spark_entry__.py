@@ -151,6 +151,25 @@ _ROUND7_VERIFIED = (
     "b1c_expr_projection b2a_eq_filter b2b_empty_result"
 ).split()
 
+# Hash-green in CORRECTNESS_r08 (44 names: the r8-new queries
+# c5c/c6e/c3l/c3m/c1e/c4p plus the window filler re-confirmed there):
+_ROUND8_VERIFIED = (
+    "c5c_frame_sample_plan c6e_asof_tolerance c3l_ivfpq_ann "
+    "c3m_ivfpq_recall c1e_boilerplate_lines c4p_bpe_pair_counts "
+    "b2c_range_in_ts b2d_like_or_not b2e_null_pred b3a_inner_join "
+    "b3b_left_join b3c_full_join b3d_cross_join b3e_semi_join "
+    "b3f_anti_join b3g_theta_join b4j_grouping_sets b5f_range_frame "
+    "b9f_cast b9k_string_funcs2 c3f_ann_portable c3g_ann_recall "
+    "c4f_rolling_fingerprint c5b_media_features c4g_tf_idf "
+    "c8a_salted_agg c9a_clean_text c9b_chunk_documents "
+    "c9c_train_val_test_split c9f_shard_assign c9g_stratified_sample "
+    "c10a_decontaminate c10b_cluster_dedup c3e_vector_quantize "
+    "c8b_salted_join c9d_pack_sequences b12a_pandas_udaf "
+    "c4h_corpus_stats c4i_repetition_score c1c_line_dedup "
+    "c4j_top_terms c2h_dedup_against_corpus c2g_minhash_portable_pairs "
+    "c4l_nfc_normalize"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -173,6 +192,7 @@ def _prioritized():
         _ROUND5_VERIFIED,
         _ROUND6_VERIFIED,
         _ROUND7_VERIFIED,
+        _ROUND8_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}
