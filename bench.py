@@ -98,21 +98,22 @@ def main() -> None:
     warm_shared_fixtures(spark, sf_dir)
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
 
-    # Two passes per query: pass 1 is COLD (charges per-query persisted
-    # index builds + plan compilation), pass 2 is WARM (reuses persists,
-    # codegen caches, shuffle files). Round-over-round comparability
-    # comes from the warm number — the r7 driver record showed single
-    # cold runs swing 2-10x with box contention, which would mask a real
-    # regression. The headline p50 is over the warm pass.
+    # Two timed runs per query, BACK-TO-BACK: run 1 is COLD (charges
+    # per-query persisted index builds + plan compilation), run 2 is
+    # WARM (reuses persists + codegen caches). Adjacency matters: the r8
+    # protocol ran the warm pass after the ENTIRE cold catalog, by which
+    # point every Tier C persisted index crowded unified memory and the
+    # frame queries paid it (b5g 10.8s warm vs 0.78s cold — a
+    # measurement bug, r8 verdict What's-wrong #1). Back-to-back, cold
+    # and warm see the SAME storage state, so warm <= cold + noise and
+    # the warm number is the trustworthy round-over-round comparator.
     cold: dict[str, float] = {}
     timings: dict[str, float] = {}
     errors: dict[str, str] = {}
-    for dest in (cold, timings):
-        for name in sorted(qs):
-            if name in errors:
-                continue
-            use_codegen = not interpret_small_input(qs[name], sf_dir)
-            spark.conf.set("spark.sql.codegen.wholeStage", str(use_codegen).lower())
+    for name in sorted(qs):
+        use_codegen = not interpret_small_input(qs[name], sf_dir)
+        spark.conf.set("spark.sql.codegen.wholeStage", str(use_codegen).lower())
+        for dest in (cold, timings):
             t0 = time.perf_counter()
             try:
                 df = qs[name].fn(spark, sf_dir)
@@ -120,6 +121,7 @@ def main() -> None:
                 dest[name] = round(time.perf_counter() - t0, 4)
             except Exception as e:  # keep the bench line parseable on failure
                 errors[name] = str(e).splitlines()[0][:200]
+                break
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
 
     vals = sorted(timings.values())

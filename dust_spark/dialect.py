@@ -3872,6 +3872,28 @@ def _num_is_int(text: str) -> bool:
     return bool(re.fullmatch(r"\d+|0[xX][0-9A-Fa-f]+", text))
 
 
+def _real_literal(v: float) -> str:
+    out = repr(v)
+    if "e" not in out and "." not in out and "inf" not in out.lower():
+        out += ".0"
+    return f"CAST({out} AS DOUBLE)"
+
+
+def _sqlite_arith_text_static(raw: str):
+    """(int_formed, int_sql, real_sql) for a TEXT literal under SQLite's
+    arithmetic NUMERIC conversion (sqlite3-probed r9: longest numeric
+    prefix — '7abc'/2=3, ''/2=0, 'inf'/2=0, '7.5x'/2=3.75, '5.'/2=2.5;
+    an integer-formed prefix that doesn't fit int64 converts REAL)."""
+    t = raw.lstrip(" \t\r\n\f\v")
+    m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
+    if not m:
+        return (True, "0", _real_literal(0.0))
+    p = m.group(0)
+    if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
+        return (True, str(int(p)), _real_literal(float(int(p))))
+    return (False, None, _real_literal(_sqlite_text_to_real(raw)))
+
+
 def _sqlite_text_to_real(s: str) -> float:
     """SQLite's text→REAL conversion: longest numeric prefix (optional
     sign, digits, '.', exponent only when digit-followed), junk → 0.0,
@@ -4115,6 +4137,11 @@ class _TypedPass:
                 self.edits.append((t[2], toks[i + 3][3], out))
                 i += 4
                 continue
+            # TEXT-operand division → runtime NUMERIC-affinity CASE (r9)
+            tdiv = self._try_text_division(i, hi)
+            if tdiv is not None:
+                i = tdiv
+                continue
             # multiplicative chain with provable-INT members → div
             chain = self._try_chain(i, hi)
             if chain is not None:
@@ -4132,6 +4159,119 @@ class _TypedPass:
                     i = j + 1
                     continue
             i += 1
+
+    _TEXT_DIV_PREFIX = (
+        "regexp_extract(CAST(({m}) AS STRING), "
+        "'^\\\\s*([+-]?([0-9]+([.][0-9]*)?([eE][+-]?[0-9]+)?|[.][0-9]+))', 1)"
+    )
+
+    def _try_text_division(self, i: int, hi: int):
+        """2-member division with a TEXT operand (r9, flipping the
+        docstring-listed 'runtime-typed int division' divergence):
+        SQLite arithmetic applies NUMERIC affinity to TEXT cells — the
+        longest numeric prefix converts, an integer-formed prefix (or
+        no prefix at all = 0) keeps INTEGER and two INTEGER operands
+        divide integrally ('7'/2 = 3, '7abc'/2 = 3, ''/2 = 0,
+        '7.5x'/2 = 3.75, all sqlite3-probed).
+
+        TEXT literals resolve statically — a static all-int pair folds
+        straight to ``div`` (full parity incl. typeof). A TEXT-affinity
+        COLUMN member gets the runtime prefix CASE; its mixed branches
+        coerce to DOUBLE, so VALUE parity holds (3.0 == 3 on both the
+        sqlite3 differential and the wire's numeric compare) while
+        per-cell result typing (typeof) stays a documented divergence.
+        Scope: members must be bare columns / literals / signed
+        numbers classed INT, REAL or TEXT; longer chains, other
+        operators (+,-,*,% value-converge through REAL already except
+        prefix-junk inputs) and concat-adjacent positions are left
+        untouched."""
+        toks = self.toks
+        prev = toks[i - 1] if i > 0 else None
+        if prev is not None:
+            pv = prev[1].lower() if prev[0] == "word" else prev[1]
+            # a tighter/equal-precedence chain to the left owns L
+            # (`3 * t / 2` binds (3*t)/2; `a || t / 2` binds (a||t)/2)
+            if pv in ("*", "/", "%", "div", "||", "."):
+                return None
+        # leave a leading sign run OUTSIDE the rewrite: whether the
+        # first sign is unary ((-t)/2) or binary (1 + t/2), rewriting
+        # only t/2 is value-identical — truncating division commutes
+        # with negation (-(a div b) == (-a) div b), and the real path
+        # trivially. (parse_primary would otherwise consume the sign
+        # and degrade TEXT to UNKNOWN.)
+        base = i
+        while base < hi and toks[base][1] in ("+", "-"):
+            base += 1
+        if base >= hi:
+            return None
+        i = base
+        subs_l: list = []
+        res = self.parse_primary(i, subs_l)
+        if res is None:
+            return None
+        j, lcls, lpure = res
+        if j >= hi or toks[j][1] != "/":
+            return None
+        subs_r: list = []
+        res = self.parse_primary(j + 1, subs_r)
+        if res is None:
+            return None
+        k, rcls, rpure = res
+        if k > hi:
+            return None
+        nxt = toks[k] if k < len(toks) else None
+        if nxt is not None:
+            nv = nxt[1].lower() if nxt[0] == "word" else nxt[1]
+            if nv in ("*", "/", "%", "div", "||"):
+                return None
+        if _CLS_TEXT not in (lcls, rcls):
+            return None
+        if not {lcls, rcls} <= {_CLS_INT, _CLS_REAL, _CLS_TEXT}:
+            return None
+        if subs_l or subs_r:
+            # parenthesized/call members: their interiors would embed
+            # verbatim and skip their own rewrites — leave to descent
+            return None
+        frags = []
+        for lo_t, hi_t, cls, pure in ((i, j, lcls, lpure), (j + 1, k, rcls, rpure)):
+            m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]
+            if cls == _CLS_TEXT and pure:
+                raw = toks[lo_t][1][1:-1].replace("''", "'")
+                frags.append(_sqlite_arith_text_static(raw))
+            elif cls == _CLS_TEXT:
+                p = self._TEXT_DIV_PREFIX.format(m=m)
+                f = (
+                    f"(({m}) IS NOT NULL AND ({p} = '' OR "
+                    f"(({p}) NOT RLIKE '[.eE]' "
+                    f"AND try_cast({p} AS BIGINT) IS NOT NULL)))"
+                )
+                iv = f"coalesce(try_cast({p} AS BIGINT), CAST(0 AS BIGINT))"
+                rv = (
+                    f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                    f"ELSE coalesce(try_cast({p} AS DOUBLE), "
+                    f"CAST(0.0 AS DOUBLE)) END"
+                )
+                frags.append((f, iv, rv))
+            elif cls == _CLS_INT:
+                frags.append((True, f"({m})", f"CAST(({m}) AS DOUBLE)"))
+            else:
+                frags.append((False, None, f"({m})"))
+        (fl, il, rl), (fr, ir, rr) = frags
+        if fl is False or fr is False:
+            repl = f"({rl} / {rr})"
+        else:
+            conds = [c for c in (fl, fr) if c is not True]
+            int_expr = f"({il} div {ir})"
+            if not conds:
+                repl = int_expr
+            else:
+                repl = (
+                    f"(CASE WHEN {' AND '.join(conds)} "
+                    f"THEN CAST({int_expr} AS DOUBLE) "
+                    f"ELSE ({rl} / {rr}) END)"
+                )
+        self.edits.append((toks[i][2], toks[k - 1][3], repl))
+        return k
 
     def _try_chain(self, i: int, hi: int):
         """Try to parse a multiplicative chain starting at token i; when

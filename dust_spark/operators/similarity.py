@@ -132,6 +132,25 @@ def _planes(dim: int, n_planes: int, seed: int = 42) -> np.ndarray:
     return rng.standard_normal((n_planes, dim))
 
 
+def _cap_buckets(tagged: DataFrame, max_bucket: int, cols=("t", "bucket")) -> DataFrame:
+    """Bucket-population skew guard (r9 — the dedup.py ``max_bucket``
+    recipe, closing the last uncapped B² candidate generators): drop LSH
+    buckets with more than ``max_bucket`` members BEFORE any bucket
+    join. The count-over-window rides the same (t, bucket) hash
+    partitioning the join shuffles on, so the guard costs no extra
+    shuffle. Clustered real embeddings (the norm, unlike the uniform
+    fixture) concentrate into hot buckets at scale; dropping them trades
+    recall on the densest neighborhoods for bounded candidate volume —
+    identical posture to the MinHash family's guard (dedup.py:223)."""
+    from pyspark.sql import Window as W
+
+    return (
+        tagged.withColumn("__bc", F.count("*").over(W.partitionBy(*cols)))
+        .filter(F.col("__bc") <= max_bucket)
+        .drop("__bc")
+    )
+
+
 def rp_lsh_topk(
     queries: DataFrame,
     corpus: DataFrame,
@@ -142,6 +161,7 @@ def rp_lsh_topk(
     n_tables: int = 8,
     bits_per_table: int = 12,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """Approximate top-k via random-hyperplane LSH.
 
@@ -152,7 +172,9 @@ def rp_lsh_topk(
 
     Tuning: P(same bucket) = (1 − θ/π)^bits per table; 8 tables × 12
     bits keeps recall ≈ 0.9 for cos ≥ 0.8 neighborhoods while cutting
-    candidate volume by ~2^12 per table at uniform load.
+    candidate volume by ~2^12 per table at uniform load. ``max_bucket``
+    caps corpus-side bucket population (clustered corpora make hot
+    buckets): per-bucket candidates bound to |q_bucket| × max_bucket.
     """
     from pyspark.sql import Window as W
 
@@ -169,7 +191,7 @@ def rp_lsh_topk(
         )
 
     qb = with_buckets(queries, "q")
-    cb = with_buckets(corpus, "n")
+    cb = _cap_buckets(with_buckets(corpus, "n"), max_bucket)
     # Candidate dedup on the id PAIR only — the bucket join and the
     # distinct shuffle never carry embedding arrays (at dim=1024 the
     # vectors would dominate shuffle bytes ~32×). Vectors are re-joined
@@ -293,6 +315,31 @@ def rp_lsh_topk_portable(
     )
 
 
+def portable_bucket_index(
+    base: DataFrame, dim: int, n_tables: int, bits_per_table: int
+) -> DataFrame:
+    """(id, v) → the (id, t, bucket) RP-LSH index on deterministic
+    portable hyperplanes — shared by :func:`embedding_near_dup_portable`
+    and the bucket-cap scale smoke (tools/cluster_cap_smoke.py), so the
+    measured candidate histograms use EXACTLY the operator's buckets."""
+    planes = portable_planes(dim, n_tables * bits_per_table)
+    tables = []
+    for t in range(n_tables):
+        word = F.lit(0).cast("long")
+        for b in range(bits_per_table):
+            plane = F.array(*[F.lit(x) for x in planes[t * bits_per_table + b]])
+            dot = vec_dot(F.col("v"), plane)
+            word = word.bitwiseOR(
+                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        tables.append(F.struct(F.lit(t).alias("t"), word.alias("bucket")))
+    return base.select("id", F.explode(F.array(*tables)).alias("tb")).select(
+        "id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
+    )
+
+
 def embedding_near_dup_portable(
     df: DataFrame,
     threshold: float = 0.3,
@@ -301,6 +348,7 @@ def embedding_near_dup_portable(
     dim: int = 64,
     n_tables: int = 4,
     bits_per_table: int = 10,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """:func:`embedding_near_dup` on deterministic portable hyperplanes —
     the hard-oracled twin of c2d (whose np.random planes cannot be
@@ -318,25 +366,9 @@ def embedding_near_dup_portable(
     n_tables x bits plane dots over the corpus (measured ~1.4s of a 5s
     query at sf0.1).
     """
-    planes = portable_planes(dim, n_tables * bits_per_table)
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tables = []
-    for t in range(n_tables):
-        word = F.lit(0).cast("long")
-        for b in range(bits_per_table):
-            plane = F.array(*[F.lit(x) for x in planes[t * bits_per_table + b]])
-            dot = vec_dot(F.col("v"), plane)
-            word = word.bitwiseOR(
-                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        tables.append(F.struct(F.lit(t).alias("t"), word.alias("bucket")))
-    tagged = (
-        base.select("id", F.explode(F.array(*tables)).alias("tb"))
-        .select("id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket"))
-        .persist()
-    )
+    tagged = portable_bucket_index(base, dim, n_tables, bits_per_table).persist()
+    tagged = _cap_buckets(tagged, max_bucket)
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
         a.join(b, ["t", "bucket"])
@@ -362,6 +394,7 @@ def embedding_near_dup(
     n_tables: int = 8,
     bits_per_table: int = 12,
     seed: int = 42,
+    max_bucket: int = 10_000,
 ) -> DataFrame:
     """All pairs (id_a < id_b) with cosine >= threshold, via RP-LSH
     candidate buckets + exact verification. Near-dup semantics of
@@ -384,6 +417,7 @@ def embedding_near_dup(
         .select("id", "t", F.xxhash64("t", "sig").alias("bucket"))
         .persist()
     )
+    tagged = _cap_buckets(tagged, max_bucket)
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
         a.join(b, ["t", "bucket"])

@@ -157,3 +157,89 @@ def salted_topk(
         survivors.withColumn("rank", F.row_number().over(w2))
         .filter(F.col("rank") <= k)
     )
+
+
+def distributed_rank(
+    df: DataFrame,
+    part_col: str,
+    order_col: str,
+    n_slices: int | None = None,
+) -> DataFrame:
+    """rank / percent_rank / cume_dist over a LOW-CARDINALITY window
+    partition without single-tasking it (r9, verdict task #7).
+
+    ``PARTITION BY status ORDER BY price`` with 3 distinct statuses
+    sorts a third of the table in ONE task at scale — the b5f/b5h
+    shape. This is the scale-safe two-phase construction (the
+    pack_sequences recipe):
+
+      1. ``repartitionByRange(n_slices, part, order)`` — the range
+         partitioner gives each task a contiguous (part, order) slice
+         of ~n/n_slices rows; identical keys never straddle slices, so
+         tie groups stay intact.
+      2. per-slice local rank via a window on (slice id, part) — each
+         task sorts only its own slice.
+      3. collect the per-(slice, part) COUNTS only (n_slices × K tiny
+         rows), turn them into broadcast prefix offsets, and add:
+         global rank = prefix + local rank.
+
+    percent_rank = (rank-1)/(n-1) and cume_dist = (rank-1+ties)/n
+    derive from the same offsets (ties counted per (slice, part,
+    order) — safe because equal keys share a slice). The slice tagging
+    is pinned with an eager localCheckpoint: the counts job and the
+    output would otherwise re-evaluate the range partitioning with a
+    fresh sample RNG and disagree on slice ids (the
+    _with_insertion_index lesson).
+
+    Output: input columns + ``rk`` (long), ``pr``, ``cd`` (double).
+    NULL order keys follow Spark's NULLS FIRST ascending default —
+    pass a pre-filtered frame if NULL semantics matter."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import types as T
+
+    spark = df.sparkSession
+    if n_slices is None:
+        n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = (
+        df.repartitionByRange(n_slices, F.col(part_col), F.col(order_col))
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = tagged.groupBy("__pid", part_col).count().collect()
+    totals: dict = {}
+    for r in sorted(counts, key=lambda r: (r["__pid"],)):
+        totals.setdefault(r[part_col], []).append((r["__pid"], int(r["count"])))
+    offs = []
+    part_field = next(f for f in df.schema.fields if f.name == part_col)
+    for part, lst in totals.items():
+        n_part = sum(c for _, c in lst)
+        acc = 0
+        for pid, c in lst:
+            offs.append((int(pid), part, acc, n_part))
+            acc += c
+    schema = T.StructType(
+        [
+            T.StructField("__pid", T.IntegerType()),
+            T.StructField(part_col, part_field.dataType),
+            T.StructField("__off", T.LongType()),
+            T.StructField("__n", T.LongType()),
+        ]
+    )
+    offs_df = spark.createDataFrame(offs, schema)
+    lw = W.partitionBy("__pid", part_col).orderBy(order_col)
+    tw = W.partitionBy("__pid", part_col, order_col)
+    local = tagged.withColumn("__lrk", F.rank().over(lw)).withColumn(
+        "__ties", F.count("*").over(tw)
+    )
+    rk = (F.col("__off") + F.col("__lrk")).cast("long")
+    pr = F.when(
+        F.col("__n") > 1, (rk - F.lit(1)) / (F.col("__n") - F.lit(1))
+    ).otherwise(F.lit(0.0))
+    cd = (rk - F.lit(1) + F.col("__ties")) / F.col("__n")
+    return (
+        local.join(F.broadcast(offs_df), ["__pid", part_col])
+        .withColumn("rk", rk)
+        .withColumn("pr", pr.cast("double"))
+        .withColumn("cd", cd.cast("double"))
+        .drop("__pid", "__lrk", "__ties", "__off", "__n")
+    )

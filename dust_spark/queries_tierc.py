@@ -24,6 +24,25 @@ from dust_spark.tables import register_views, spread
 _input_cache: dict[tuple, DataFrame] = {}
 
 
+def _evict_stopped_sessions(*caches: dict) -> None:
+    """Drop cache entries owned by stopped SparkSessions (r8 ADVICE):
+    a long pytest/driver run creates many sessions, and keeping handles
+    keyed on dead ones pins the session objects (their persisted
+    storage dies with the session; the leak is the Python-side pin).
+    Keys are (spark, ...) tuples, so a WeakKeyDictionary can't carry
+    them — an O(len) sweep on access is cheap (a handful of entries)."""
+    for cache in caches:
+        dead = []
+        for k in cache:
+            try:
+                if k[0].sparkContext._jsc is None:
+                    dead.append(k)
+            except Exception:  # noqa: BLE001 — any probe failure = dead
+                dead.append(k)
+        for k in dead:
+            cache.pop(k, None)
+
+
 def _cached_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """documents/embeddings are dimension-sized (500–5k rows at test
     SFs); cache the spread scan once per session so the ~20 Tier C
@@ -34,6 +53,7 @@ def _cached_input(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     # stopped session is garbage-collected
     key = (spark, sf_dir, name)
     if key not in _input_cache:
+        _evict_stopped_sessions(_input_cache, _pairs_cache, _sig_cache)
         register_views(spark, sf_dir)
         _input_cache[key] = spread(spark.table(name)).persist()
     return _input_cache[key]
@@ -2278,6 +2298,44 @@ def salted_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return out.select("event_type", "event_id", "value", "rank").orderBy(
         "event_type", "rank"
     )
+
+
+# Distributed rank (r9, verdict task #7): percent_rank/cume_dist over a
+# LOW-CARDINALITY partition key (o_orderstatus: 3 values) single-tasks a
+# third of the table at scale — the b5f/b5h shape. The operator's
+# two-phase construction (range partition → per-slice local rank →
+# broadcast prefix offsets) must equal the plain window, which the
+# oracle checks.
+_DIST_RANK_ORACLE = """
+SELECT o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       ROUND(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pr,
+       ROUND(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY o_orderstatus ORDER BY o_totalprice)
+ORDER BY o_orderkey
+"""
+
+
+@register("c8d_distributed_rank", oracle=_DIST_RANK_ORACLE, tags=("tierc", "skew"))
+def distributed_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scale-safe rank/percent_rank/cume_dist over a 3-value partition
+    key: each task sorts only its ~n/n_slices range slice; global ranks
+    come from broadcast per-(slice, key) prefix counts (the
+    pack_sequences recipe). No task ever sorts 1/||keys|| of the
+    table."""
+    from dust_spark.tables import load_table
+
+    o = load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderstatus", "o_totalprice"
+    )
+    out = ops.distributed_rank(o, "o_orderstatus", "o_totalprice")
+    return out.select(
+        "o_orderkey",
+        F.col("rk"),
+        F.round(F.col("pr"), 4).alias("pr"),
+        F.round(F.col("cd"), 4).alias("cd"),
+    ).orderBy("o_orderkey")
 
 
 # Nearest as-of (r7): both-directions nearest with the operator's

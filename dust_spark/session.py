@@ -35,6 +35,7 @@ from __future__ import annotations
 import json
 import os
 import re
+import uuid
 from contextlib import contextmanager
 from typing import Any
 
@@ -1916,9 +1917,13 @@ class DustSession:
                         )
                     )
 
-        if has_trig:
+        if has_trig or (values_src and ins.on_conflict is not None and tdef.rowid_column):
             # SQLite's BEFORE INSERT NEW.<rowid> is -1 for rows whose
-            # rowid is auto-assigned (sqlite3-probed); remember which
+            # rowid is auto-assigned (sqlite3-probed); remember which.
+            # VALUES upserts on rowid tables need the marker too: auto
+            # ids must not burn on conflicting rows (sqlite allocates
+            # only on successful insert — r8 ADVICE), which the upsert
+            # replay simulates from this flag
             new_rows = new_rows.withColumn(
                 "__auto",
                 F.col(tdef.rowid_column).isNull()
@@ -2228,6 +2233,22 @@ class DustSession:
             .drop("__newid")
         )
 
+    def _replay_fresh_frame(self, tdef, schema_cols: list, fresh_rows: dict) -> DataFrame:
+        """Materialize the upsert replay's exact insert set (rn -> final
+        image) as the merge's `fresh` frame, `__rn` included so the
+        downstream last_insert_rowid stats keep their batch-order
+        tiebreak. Generated columns recompute from the base columns."""
+        frn_schema = T.StructType(
+            list(tdef.schema.fields) + [T.StructField("__rn", T.LongType())]
+        )
+        fdata = [
+            tuple(d.get(c) for c in schema_cols) + (int(rn),)
+            for rn, d in fresh_rows.items()
+        ]
+        return self._apply_generated(
+            tdef, self.spark.createDataFrame(fdata, schema=frn_schema)
+        )
+
     def _fire_insert_ignorable(
         self,
         overlay: Overlay,
@@ -2501,6 +2522,39 @@ class DustSession:
                 nn.groupBy(*target).count().filter(F.col("count") > 1).limit(1).count()
                 > 0
             )
+        if not need_replay and tdef.rowid_column and batch_trig_df is not None:
+            # auto rowids must not burn on conflicting rows (sqlite
+            # allocates max+1 only on successful insert — r8 ADVICE);
+            # exactness needs the sequential replay whenever an auto row
+            # can meet a conflict. VALUES batches only (__auto marker
+            # present) — bulk INSERT...SELECT keeps the documented
+            # monotone approximation.
+            if batch_trig_df.filter(F.col("__auto")).limit(1).count() > 0:
+                conflict_any = False
+                for tgt in targets:
+                    if (
+                        new_rows.na.drop(subset=tgt)
+                        .join(existing.select(*tgt).na.drop(), tgt, "left_semi")
+                        .limit(1)
+                        .count()
+                        > 0
+                    ):
+                        conflict_any = True
+                        break
+                if not conflict_any and kind == "nothing":
+                    for tgt in targets:
+                        nn2 = new_rows.na.drop(subset=tgt)
+                        if (
+                            nn2.groupBy(*tgt)
+                            .count()
+                            .filter(F.col("count") > 1)
+                            .limit(1)
+                            .count()
+                            > 0
+                        ):
+                            conflict_any = True
+                            break
+                need_replay = conflict_any
         if need_replay:
             bdf = (
                 batch_trig_df
@@ -2511,7 +2565,7 @@ class DustSession:
                 overlay, tdef, ins, bdf, targets, kind,
                 existing, ignorable=True, high_water=st.high_water,
             )
-            bi_ign_rns, upd_id_map, upd_images, fresh_imgs, n_arms = seq_replay
+            bi_ign_rns, upd_id_map, upd_images, replay_fresh, n_arms = seq_replay
             batch_trig_df = None  # fully fired pre-merge
             if bi_ign_rns:
                 new_rows = new_rows.filter(
@@ -2528,7 +2582,14 @@ class DustSession:
             cnd = F.col(c).isNull()
             null_target = cnd if null_target is None else (null_target | cnd)
 
-        if kind == "nothing":
+        if kind == "nothing" and seq_replay is not None:
+            # the replay is the exact sequential insert set (r9): use
+            # its final images directly (also covers the documented
+            # targetless multi-constraint interleave when a replay ran)
+            fresh = self._replay_fresh_frame(tdef, schema_cols, replay_fresh)
+            updated = existing
+            n_updated = 0
+        elif kind == "nothing":
             fresh = new_rows
             for tgt in targets:
                 nt = None
@@ -2684,27 +2745,17 @@ class DustSession:
             updated = marked.drop("__upd")
 
             # fresh keys: insert the FIRST batch row, then apply the
-            # later rows' DO UPDATE arms — with a replay, the exact
-            # sequential final image per in-batch group (r8); otherwise
-            # the one-fold with excluded = last row (single-row groups
-            # only reach here without a replay, where both agree)
-            fresh_base = firsts.join(conflict_keys, target, "left_anti")
+            # later rows' DO UPDATE arms. With a replay, the replay IS
+            # the exact insert set — including rows whose conflict slot
+            # was VACATED by a key-moving arm (r9, sqlite3-probed) —
+            # with final per-row images after all in-batch arms.
+            # Otherwise the one-fold with excluded = last row
+            # (single-row groups only reach here without a replay,
+            # where both agree).
             if seq_replay is not None:
-                fdata = [
-                    tuple(d.get(c) for c in schema_cols) + tuple(k)
-                    for k, d in fresh_imgs.items()
-                ]
-                fimg_df = self.spark.createDataFrame(fdata, schema=img_schema)
-                exc_new = fimg_df.select(
-                    F.lit(1).alias("__exc_m"),
-                    *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
-                    *[F.col(f"__k{i}") for i in range(len(target))],
-                )
-                condf = None
-                for i2, c in enumerate(target):
-                    eq = fresh_base[c] == exc_new[f"__k{i2}"]
-                    condf = eq if condf is None else (condf & eq)
+                fresh = self._replay_fresh_frame(tdef, schema_cols, replay_fresh)
             else:
+                fresh_base = firsts.join(conflict_keys, target, "left_anti")
                 exc_new = lasts.filter(F.col("__nk") > 1).select(
                     F.lit(1).alias("__exc_m"),
                     *[F.col(c).alias(f"__exc_{c}") for c in schema_cols],
@@ -2713,10 +2764,10 @@ class DustSession:
                 for c in target:
                     eq = fresh_base[c] == exc_new[f"__exc_{c}"]
                     condf = eq if condf is None else (condf & eq)
-            fresh = self._apply_generated(
-                tdef,
-                _proj(fresh_base.join(exc_new, condf, "left"), _set_projs(["__rn"])),
-            )
+                fresh = self._apply_generated(
+                    tdef,
+                    _proj(fresh_base.join(exc_new, condf, "left"), _set_projs(["__rn"])),
+                )
 
         if self._capture_returning:
             fresh = fresh.localCheckpoint(eager=True)  # reused below
@@ -2777,15 +2828,45 @@ class DustSession:
 
         ``ignorable`` (r8): the replay runs BEFORE the data merge so
         RAISE(IGNORE) decisions shape the data too. Returns
-        (bi_ignored_rns, auto_id_map, images, n_arms) where ``images``
-        maps each existing-row conflict key to its exact sequential
-        final row (the merge applies these verbatim — which also fixes
-        the one-fold divergence on multi-row groups whenever the replay
-        runs) and ``n_arms`` counts applied DO UPDATE arms (SQLite's
-        changes() counts each arm, sqlite3-probed). Non-ignorable mode
-        fires post-merge and returns None (the set-based data merge
-        keeps its documented one-fold divergence there)."""
+        (bi_ignored_rns, auto_id_map, images, fresh_rows, n_arms) where
+        ``images`` maps each existing row's SEED conflict key to its
+        exact sequential final row (the merge applies these verbatim —
+        which also fixes the one-fold divergence on multi-row groups
+        whenever the replay runs), ``fresh_rows`` maps __rn -> final
+        image for every row the replay actually inserted (the merge
+        materializes these directly — covering key-vacating DO UPDATE
+        arms, r9), and ``n_arms`` counts applied DO UPDATE arms
+        (SQLite's changes() counts each arm, sqlite3-probed).
+        Non-ignorable mode fires post-merge and returns None (the
+        set-based data merge keeps its documented one-fold divergence
+        there)."""
         fields = [f.name for f in tdef.schema.fields]
+
+        # collated key columns (r9): the replay's conflict matching is a
+        # Python dict lookup — normalize key values the way the column's
+        # Spark collation compares (NOCASE/UTF8_LCASE → lower, RTRIM →
+        # rstrip(' ')), else 'kEy' misses the seeded 'Key' even though
+        # the engine's own joins match them. The merge joins re-compare
+        # normalized literals through the collated columns, so
+        # normalized seed keys still join correctly.
+        def _norm_fn(c: str):
+            f = next((x for x in tdef.schema.fields if x.name == c), None)
+            if f is not None and isinstance(f.dataType, T.StringType):
+                ds = str(f.dataType)
+                if "LCASE" in ds:
+                    return lambda v: v.lower() if isinstance(v, str) else v
+                if "RTRIM" in ds:
+                    return lambda v: v.rstrip(" ") if isinstance(v, str) else v
+            return None
+
+        norm_fns = [[_norm_fn(c) for c in tgt] for tgt in targets]
+
+        def norm_key(ti: int, vals) -> tuple:
+            return tuple(
+                fn(v) if fn is not None else v
+                for fn, v in zip(norm_fns[ti], vals)
+            )
+
         trig_bi = self._table_triggers(ins.table, "INSERT", "BEFORE")
         trig_ai = self._table_triggers(ins.table, "INSERT", "AFTER")
         sets = dict(ins.on_conflict[2]) if kind == "update" else {}
@@ -2808,7 +2889,10 @@ class DustSession:
         bi_ign: set = set()
         id_map: dict = {}
         images: dict = {}
-        fresh_images: dict = {}
+        # rn -> final image of every row the replay actually INSERTED
+        # (kept current through later in-batch arms) — the merge builds
+        # the fresh frame from this verbatim (r9)
+        fresh_rows: dict = {}
         n_arms = 0
         if not ignorable and not (trig_bi or trig_ai or trig_bu or trig_au):
             return None
@@ -2841,8 +2925,12 @@ class DustSession:
                 cond = kc if cond is None else (cond | kc)
             for r in existing.filter(cond).collect():
                 d = r.asDict()
-                cur[(ti, tuple(d[c] for c in tgt))] = {c: d[c] for c in fields}
-        seeded = set(cur)
+                k = norm_key(ti, (d[c] for c in tgt))
+                # origin tags where an arm's final image must land: a
+                # seeded entry updates the existing row (merge joins on
+                # the SEED key even after a key-moving arm), a fresh one
+                # updates the in-batch inserted row (by __rn)
+                cur[(ti, k)] = ({c: d[c] for c in fields}, ("seed", k))
         cur_max = int(high_water)
         for row, auto, rn in batch:
             if trig_bi:
@@ -2855,35 +2943,49 @@ class DustSession:
                     # row is skipped from the data change too (r8)
                     bi_ign.add(rn)
                     continue
+            auto_pending = False
             if ignorable and tdef.rowid_column:
-                # ignored rows burn no auto ids — simulate sequentially
+                # sqlite allocates max+1 only on SUCCESSFUL insert (r8
+                # ADVICE: a conflicting DO UPDATE/DO NOTHING row burns
+                # no auto id) — but the excluded pseudo-row still SEES
+                # the would-be id (sqlite3-probed: excluded.id reads
+                # max+1 while the next actual insert gets the same id).
+                # Fill it in; advance cur_max only on insert below.
                 rc_ = tdef.rowid_column
                 if auto or row.get(rc_) is None:
-                    cur_max += 1
-                    row = dict(row, **{rc_: cur_max})
-                    id_map[rn] = cur_max
-                else:
-                    try:
-                        cur_max = max(cur_max, int(row[rc_]))
-                    except (TypeError, ValueError):
-                        pass
+                    row = dict(row, **{rc_: cur_max + 1})
+                    auto_pending = True
             hit = None
             for ti, tgt in enumerate(targets):
-                key = tuple(row[c] for c in tgt)
+                key = norm_key(ti, (row[c] for c in tgt))
                 if all(v is not None for v in key) and (ti, key) in cur:
                     hit = (ti, key)
                     break
             if hit is None:
+                if ignorable and tdef.rowid_column:
+                    rc_ = tdef.rowid_column
+                    if auto_pending:
+                        cur_max += 1
+                        id_map[rn] = cur_max
+                    else:
+                        # explicit ids raise the b-tree max only when
+                        # the row actually lands
+                        try:
+                            cur_max = max(cur_max, int(row[rc_]))
+                        except (TypeError, ValueError):
+                            pass
                 if trig_ai:
                     self._fire_triggers(overlay, tdef, trig_ai, [(None, dict(row))])
+                if ignorable:
+                    fresh_rows[rn] = dict(row)
                 for ti, tgt in enumerate(targets):
-                    key = tuple(row[c] for c in tgt)
+                    key = norm_key(ti, (row[c] for c in tgt))
                     if all(v is not None for v in key):
-                        cur[(ti, key)] = dict(row)
+                        cur[(ti, key)] = (dict(row), ("fresh", rn))
                 continue
             if kind != "update":
                 continue  # DO NOTHING: conflicting row fires BI only
-            old = cur[hit]
+            old, origin = cur[hit]
             # DO UPDATE arms see the statement's WITH CTEs (r8)
             wp = (ins.with_sql + " ") if getattr(ins, "with_sql", None) else ""
             if oc_where is not None:
@@ -2914,14 +3016,39 @@ class DustSession:
                 continue  # RAISE(IGNORE): no AU, sequential view keeps OLD
             if trig_au:
                 self._fire_triggers(overlay, tdef, trig_au, [(old, new)])
-            cur[hit] = new
+            # conflict-key moves (r9, sqlite3-probed): an arm that moves
+            # the target key VACATES the old slot — a later same-key
+            # batch row inserts fresh — and claims the new one; moving
+            # onto an occupied key is a UNIQUE error + full statement
+            # rollback (trigger effects included)
+            tgt_h = targets[hit[0]]
+            newkey = norm_key(hit[0], (new.get(c) for c in tgt_h))
+            if newkey != hit[1]:
+                cur.pop(hit)
+                if all(v is not None for v in newkey):
+                    if (hit[0], newkey) in cur:
+                        cols = ", ".join(
+                            f"{tdef.name}."
+                            f"{'rowid' if c == dialect.HIDDEN_ROWID else c}"
+                            for c in tgt_h
+                        )
+                        raise DustError(f"UNIQUE constraint failed: {cols}")
+                    cur[(hit[0], newkey)] = (new, origin)
+            else:
+                cur[hit] = (new, origin)
+            if ignorable and tdef.rowid_column:
+                # an arm that moves the rowid raises the b-tree max
+                try:
+                    cur_max = max(cur_max, int(new[tdef.rowid_column]))
+                except (TypeError, ValueError):
+                    pass
             n_arms += 1
             if ignorable:
-                if hit in seeded:
-                    images[hit[1]] = new
+                if origin[0] == "seed":
+                    images[origin[1]] = new
                 else:
-                    fresh_images[hit[1]] = new
-        return (bi_ign, id_map, images, fresh_images, n_arms) if ignorable else None
+                    fresh_rows[origin[1]] = new
+        return (bi_ign, id_map, images, fresh_rows, n_arms) if ignorable else None
 
     @staticmethod
     def _subst_upsert_expr(
@@ -2930,32 +3057,71 @@ class DustSession:
         """DO UPDATE SET/WHERE expression with row context folded to
         literals: excluded.x → the incoming row's value, table-qualified
         or bare column references → the (evolving) target row's value.
-        Bare references skip function-call positions."""
+        Bare references skip function-call positions.
+
+        Spliced literals enter the text as opaque placeholders restored
+        in ONE final pass, never re-scanned by later substitutions — the
+        old splice-in-place version let the bare-column pass see the X
+        prefix of an injected X'..' blob literal as a column named 'x'
+        and corrupted it (r8 ADVICE regression: any blob/dynamic column
+        whose name matches a literal prefix). String extraction up front
+        also fuses source-text blob literals (X'..') with their string
+        into one unmatchable token, so originals are safe too."""
         low = {c.lower(): c for c in fields}
+        nonce = uuid.uuid4().hex[:12]
+        held: list[str] = []
 
-        def seg_sub(seg: str) -> str:
-            seg = re.sub(
-                r"\bexcluded\s*\.\s*(\w+)",
-                lambda m: _sql_literal(exc.get(low.get(m.group(1).lower(), m.group(1)))),
-                seg,
-                flags=re.I,
-            )
-            seg = re.sub(
-                rf"\b{re.escape(table)}\s*\.\s*(\w+)",
-                lambda m: _sql_literal(old.get(low.get(m.group(1).lower(), m.group(1)))),
-                seg,
-                flags=re.I,
-            )
+        def hold(text: str) -> str:
+            held.append(text)
+            return f"__dustph{nonce}x{len(held) - 1}__"
 
-            def bare(m):
+        # 1. pull string literals / double-quoted identifiers out
+        buf: list[str] = []
+        cur: list[str] = []
+        in_str: str | None = None
+        for ch in expr:
+            if in_str:
+                cur.append(ch)
+                if ch == in_str:
+                    buf.append(hold("".join(cur)))
+                    cur = []
+                    in_str = None
+            elif ch in ("'", '"'):
+                in_str = ch
+                cur.append(ch)
+            else:
+                buf.append(ch)
+        if cur:  # unterminated string: keep verbatim, opaque
+            buf.append(hold("".join(cur)))
+        text = "".join(buf)
+
+        def ref_sub(row: dict):
+            def sub(m):
                 name = m.group(1)
-                if name.lower() in low:
-                    return _sql_literal(old[low[name.lower()]])
-                return name
+                if name.startswith(f"__dustph{nonce}"):
+                    return m.group(0)  # quoted ref after the dot: leave
+                return hold(_sql_literal(row.get(low.get(name.lower(), name))))
 
-            return re.sub(r"(?<![\w.\"'`])([A-Za-z_]\w*)\b(?!\s*\()(?!\s*\.)", bare, seg)
+            return sub
 
-        return dialect._map_outside_strings(expr, seg_sub)
+        text = re.sub(r"\bexcluded\s*\.\s*(\w+)", ref_sub(exc), text, flags=re.I)
+        text = re.sub(
+            rf"\b{re.escape(table)}\s*\.\s*(\w+)", ref_sub(old), text, flags=re.I
+        )
+
+        def bare(m):
+            name = m.group(1)
+            if name.lower() in low:
+                return hold(_sql_literal(old[low[name.lower()]]))
+            return name
+
+        text = re.sub(
+            r"(?<![\w.\"'`])([A-Za-z_]\w*)\b(?!\s*\()(?!\s*\.)", bare, text
+        )
+        # single-pass restore: replacements are never re-scanned
+        return re.sub(
+            rf"__dustph{nonce}x(\d+)__", lambda m: held[int(m.group(1))], text
+        )
 
     def _with_insertion_index(self, src: DataFrame) -> DataFrame:
         """Add ``__rn`` = 1..n in insertion order, in parallel: tag rows

@@ -1221,3 +1221,34 @@ def test_salted_topk_equals_plain_topk(spark):
         .collect()
     }
     assert got == want
+
+
+def test_distributed_rank_equals_plain_window(spark):
+    """r9 (verdict task #7): the two-phase range-partition + broadcast-
+    prefix rank must equal the plain low-cardinality window exactly —
+    rank ties intact across slice boundaries (equal keys never straddle
+    a range slice), percent_rank n==1 → 0.0, cume_dist tie groups share
+    the last member's position."""
+    import random
+
+    random.seed(11)
+    rows = [
+        Row(k=["a", "b", "c"][i % 3], i=i, v=float(random.randint(0, 40)))
+        for i in range(600)
+    ] + [Row(k="solo", i=9999, v=1.0)]  # single-row partition: pr = 0.0
+    df = spark.createDataFrame(rows)
+    got = {
+        r.i: (r.rk, round(r.pr, 10), round(r.cd, 10))
+        for r in ops.distributed_rank(df, "k", "v", n_slices=7).collect()
+    }
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("v")
+    want = {
+        r.i: (r.rk, round(r.pr, 10), round(r.cd, 10))
+        for r in df.withColumn("rk", F.rank().over(w).cast("long"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .collect()
+    }
+    assert got == want

@@ -1162,6 +1162,120 @@ def test_multirow_upsert_sequential_groups_sqlite_differential(db):
             assert have == want, (s, q, have, want)
 
 
+def test_upsert_replay_blob_literal_substitution(db):
+    """r8 ADVICE (high) regression: _subst_upsert_expr spliced literals
+    in place, so the bare-column pass saw the X prefix of an injected
+    X'..' blob literal as a column named 'x' and corrupted it
+    (INVALID_TYPED_LITERAL, all rows lost). Spliced literals now enter
+    as opaque placeholders restored in one final pass. Typeless columns
+    store as blob here, so only rows_affected/shape is compared (the
+    wire hex representation is a documented engine convention)."""
+    db.execute_string_stmt("CREATE TABLE bl (id INTEGER PRIMARY KEY, u UNIQUE, x)")
+    r = db.execute_string_stmt(
+        "INSERT INTO bl(u,x) VALUES ('c',1),('c',2),('d',3) "
+        "ON CONFLICT(u) DO UPDATE SET x=excluded.x"
+    )
+    assert r[0].error == "" and r[0].rows_affected == 3
+    rows = db.query_string_stmt("SELECT id FROM bl ORDER BY id")[0].values
+    assert rows == [[1], [2]]
+    # source-text blob literal in the arm + bare/table-qualified refs
+    # splicing blob OLD values, with a string literal full of column
+    # names that must stay untouched
+    for s in (
+        "INSERT INTO bl(u,x) VALUES ('c',5),('c',6) ON CONFLICT(u) DO UPDATE SET x=X'ab'",
+        "INSERT INTO bl(u,x) VALUES ('c',7),('c',8) "
+        "ON CONFLICT(u) DO UPDATE SET x = x WHERE 'x u id' <> ''",
+        "INSERT INTO bl(u,x) VALUES ('d',9),('d',10) ON CONFLICT(u) DO UPDATE SET x = bl.x",
+    ):
+        r = db.execute_string_stmt(s)
+        assert r[0].error == "", (s, r[0].error)
+
+
+def test_upsert_auto_id_burn_sqlite_differential(db):
+    """r8 ADVICE (low): sqlite allocates an auto rowid only on
+    SUCCESSFUL insert — a conflicting DO UPDATE/DO NOTHING row must not
+    burn one (probe: after (7,'c') exists, ('c',1),('c',2),('d',3)
+    gives d id=8, not 10), while excluded.rowid still SEES the would-be
+    id (excluded.id reads max+1 and the next insert gets the same id).
+    Explicit ids raise the max only when the row actually lands."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE ab (id INTEGER PRIMARY KEY, u TEXT UNIQUE, x INT)",
+        "INSERT INTO ab(id,u,x) VALUES (7,'c',0)",
+        "INSERT INTO ab(u,x) VALUES ('c',1),('c',2),('d',3) "
+        "ON CONFLICT(u) DO UPDATE SET x=excluded.x",
+        "INSERT INTO ab(u,x) VALUES ('c',1) ON CONFLICT(u) DO UPDATE SET x=excluded.id",
+        "INSERT INTO ab(u,x) VALUES ('e',0)",
+        "INSERT INTO ab(u,x) VALUES ('c',9),('f',1) ON CONFLICT(u) DO NOTHING",
+        "INSERT INTO ab(id,u,x) VALUES (99,'c',5) ON CONFLICT(u) DO UPDATE SET x=excluded.x",
+        "INSERT INTO ab(u,x) VALUES ('g',0)",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+        for q in (
+            "SELECT id,u,x FROM ab ORDER BY id",
+            "SELECT changes()",
+            "SELECT last_insert_rowid()",
+        ):
+            want = [list(x) for x in ref.execute(q).fetchall()]
+            have = [list(x) for x in db.query_string_stmt(q)[0].values]
+            assert have == want, (s, q, have, want)
+
+
+def test_upsert_conflict_key_move_sqlite_differential(db):
+    """r8's last documented upsert divergence, closed in r9: a DO
+    UPDATE arm that MOVES the conflict-target key VACATES the old slot
+    (a later same-key batch row inserts fresh); moving onto an occupied
+    key is 'UNIQUE constraint failed: t.u' with full statement
+    rollback. The replay tracks per-image origins and the merge builds
+    the fresh frame from the replay's exact insert set."""
+    import sqlite3
+
+    def run(stmts):
+        ref = sqlite3.connect(":memory:")
+        for s in stmts:
+            try:
+                ref.execute(s)
+                werr = None
+            except sqlite3.Error as e:
+                werr = str(e)
+            gerr = db.execute_string_stmt(s)[0].error or None
+            assert (gerr is None) == (werr is None), (s, werr, gerr)
+            if werr is not None:
+                assert gerr == werr, (s, werr, gerr)
+            qs = ["SELECT id,u,v FROM t ORDER BY id"]
+            if werr is None and s.upper().startswith("INSERT"):
+                qs += ["SELECT changes()", "SELECT last_insert_rowid()"]
+            for q in qs:
+                want = [list(r) for r in ref.execute(q).fetchall()]
+                have = [list(r) for r in db.query_string_stmt(q)[0].values]
+                assert have == want, (s, q, have, want)
+        db.execute_string_stmt("DROP TABLE t")
+
+    mk = "CREATE TABLE t (id INTEGER PRIMARY KEY, u TEXT UNIQUE, v INT)"
+    # vacate: later same-key row inserts fresh
+    run([mk, "INSERT INTO t VALUES (1,'a',10)",
+         "INSERT INTO t(u,v) VALUES ('a',1),('a',2) "
+         "ON CONFLICT(u) DO UPDATE SET u=u||'x', v=excluded.v"])
+    # collision: arm moves key onto an occupied one -> UNIQUE + rollback
+    run([mk, "INSERT INTO t VALUES (1,'a',10),(2,'b',20)",
+         "INSERT INTO t(u,v) VALUES ('a',1),('z',5) "
+         "ON CONFLICT(u) DO UPDATE SET u='b'"])
+    # 3-row chain: second inserts fresh at the vacated key, third's arm
+    # then collides with the first move -> error
+    run([mk, "INSERT INTO t VALUES (1,'a',10)",
+         "INSERT INTO t(u,v) VALUES ('a',1),('a',2),('a',3) "
+         "ON CONFLICT(u) DO UPDATE SET u=u||'x', v=excluded.v"])
+    # vacate within a FRESH in-batch group (no pre-existing row)
+    run([mk,
+         "INSERT INTO t(u,v) VALUES ('q',1),('q',2),('q',3) "
+         "ON CONFLICT(u) DO UPDATE SET u=u||'y', v=excluded.v"])
+
+
 def test_with_cte_upsert_do_update_arm_sqlite_differential(db):
     """WITH CTEs are visible to upsert DO UPDATE SET/WHERE arms too
     (sqlite3-probed — r7's documented micro-gap, closed in r8), on both

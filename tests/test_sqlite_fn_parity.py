@@ -5,10 +5,15 @@ for the function dialect (dialect.rewrite_sqlite_fns + SQLITE_FN_DDL).
 
 Known, documented divergences (not asserted — all stem from SQLite's
 dynamic typing, which no static-typed engine can reproduce textually):
-integer division with a TEXT operand ('7'/2=3 in SQLite: the cell's
-runtime storage class decides — provably-INTEGER operands ARE now
-asserted below via dialect.rewrite_typed_ops: literals, INTEGER-affinity
-columns, int-returning functions, all-int arithmetic chains);
+integer division with a TEXT operand is VALUE-asserted as of r9
+(dialect._try_text_division: SQLite's arithmetic NUMERIC-prefix
+conversion — '7'/2=3, '7abc'/2=3, ''/2=0, '7.5x'/2=3.75 — folds
+statically for literals and becomes a runtime CASE for TEXT-affinity
+columns; the runtime path's mixed branches coerce to DOUBLE, so the
+remaining divergence is per-cell result TYPING only: typeof via a
+column is 'double'-shaped, and wire formatting shows 3.0 — numeric
+equality holds; longer mixed chains and +,-,*,% prefix-junk inputs
+keep the old behavior);
 cross-type comparison where an operand's class is only known at runtime
 (two typed columns of different affinities, or an UNTYPED/BLOB/ANY
 column: SQLite applies comparison affinity per row; literal vs literal
@@ -345,6 +350,58 @@ def test_int_affinity_column_division(spark):
         "SELECT a FROM dv WHERE a/2 = 3 ORDER BY a",
         "SELECT sum(a)/count(*) FROM dv",
         "SELECT count(*) FROM dv WHERE 1 < '1'",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    db.close()
+    ref.close()
+
+
+def test_text_operand_division(spark):
+    """r9: SQLite arithmetic applies NUMERIC affinity to TEXT operands
+    per cell — longest numeric prefix; an integer-formed prefix (or no
+    prefix = 0) keeps INTEGER and both-int operands divide integrally.
+    Literals fold statically; TEXT-affinity columns take the runtime
+    prefix CASE (values compare numerically equal — the remaining
+    per-cell result-TYPING divergence is documented in the module
+    docstring). All sqlite3-differential."""
+    db = DustSession(spark)
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE td (s TEXT, a INTEGER, r REAL)"
+    rows = (
+        "INSERT INTO td VALUES ('7',2,2.0), ('7.5x',4,0.5), ('abc',3,1.0), "
+        "(NULL,5,2.5), ('  12 ',6,4.0), ('9e1',7,3.0), ('-8',9,1.5)"
+    )
+    for c in (db.execute_string_stmt, lambda q: ref.execute(q)):
+        c(ddl)
+        c(rows)
+    for q in [
+        # literal folds (first rewrite pass, no column classes needed)
+        "SELECT '7'/2",
+        "SELECT '7abc'/2",
+        "SELECT ' 8 '/2",
+        "SELECT '7.5xyz'/2",
+        "SELECT ''/2",
+        "SELECT '7e1'/2",
+        "SELECT '.5'/2",
+        "SELECT 2/'4'",
+        "SELECT '-7'/2",
+        "SELECT '0x11'/2",
+        "SELECT 'abc'/2",
+        "SELECT '9'/'2'",
+        "SELECT 'inf'/2",
+        "SELECT '5.'/2",
+        "SELECT '7'/0",
+        "SELECT -'7'/2",
+        # runtime TEXT-column cases (session's affinity-aware sweep)
+        "SELECT s/2 FROM td ORDER BY a",
+        "SELECT a/s FROM td ORDER BY a",
+        "SELECT s/s FROM td ORDER BY a",
+        "SELECT s/r FROM td ORDER BY a",
+        "SELECT 1 + s/2 FROM td ORDER BY a",
+        "SELECT a - s/2 FROM td ORDER BY a",
+        "SELECT a FROM td WHERE s/a > 1 ORDER BY a",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]

@@ -1169,9 +1169,33 @@ _PLAIN_OPS = st.one_of(
 )
 
 
+def _dump_machine_failure(detail: dict) -> None:
+    """CLAUDE.md watch item (r8 verdict task #5): hypothesis prunes a
+    passing replay, so an in-suite-only flake leaves no trace. Append
+    every failing example (incl. shrink iterations) to a JSONL artifact
+    the moment it fails, BEFORE any replay can prune it."""
+    import json
+    import os
+    import time
+
+    path = os.path.join(
+        os.path.dirname(__file__), "artifacts", "trigger_machine_failures.jsonl"
+    )
+    os.makedirs(os.path.dirname(path), exist_ok=True)
+    detail = dict(
+        detail,
+        ts=time.strftime("%Y-%m-%dT%H:%M:%S"),
+        pid=os.getpid(),
+        hashseed=os.environ.get("PYTHONHASHSEED"),
+    )
+    with open(path, "a") as fh:
+        fh.write(json.dumps(detail, default=repr) + "\n")
+
+
 def _drive(spark, trig_sqls, ops, log_order):
     ref = sqlite3.connect(":memory:")
     db = DustSession(spark)
+    done: list = []
     try:
         for s in (
             "CREATE TABLE t (id INTEGER PRIMARY KEY, v INT)",
@@ -1187,6 +1211,11 @@ def _drive(spark, trig_sqls, ops, log_order):
             except sqlite3.Error as e:
                 werr = str(e)
             gerr = db.execute_string_stmt(op)[0].error or None
+            if gerr != werr:
+                _dump_machine_failure(
+                    {"trig_sqls": trig_sqls, "ops": ops, "done": done, "op": op,
+                     "kind": "error-mismatch", "want": werr, "have": gerr}
+                )
             assert gerr == werr, (trig_sqls, ops, op, werr, gerr)
             for q in (
                 "SELECT id, v FROM t ORDER BY id",
@@ -1194,7 +1223,14 @@ def _drive(spark, trig_sqls, ops, log_order):
             ) + (("SELECT changes()",) if werr is None else ()):
                 want = [list(r) for r in ref.execute(q).fetchall()]
                 have = [list(r) for r in db.query_string_stmt(q)[0].values]
+                if have != want:
+                    _dump_machine_failure(
+                        {"trig_sqls": trig_sqls, "ops": ops, "done": done,
+                         "op": op, "kind": "state-mismatch", "query": q,
+                         "want": want, "have": have}
+                    )
                 assert have == want, (trig_sqls, ops, op, q, have, want)
+            done.append(op)
     finally:
         db.close()
         ref.close()
