@@ -951,3 +951,53 @@ def boilerplate_lines(
         .filter(F.col("n_docs") >= min_docs)
         .orderBy(source_col, "gram")
     )
+
+
+def containment_scores(
+    df: DataFrame,
+    ref: DataFrame,
+    text_col: str = "text",
+    ref_text_col: str = "text",
+    ngram_words: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-document n-gram CONTAINMENT against a reference corpus —
+    the asymmetric cousin of Jaccard (Broder): |grams(d) ∩ grams(R)| /
+    |grams(d)|. Where :func:`decontaminate` is the binary any-overlap
+    filter, this scores partial contamination / quotation density, the
+    signal used to THRESHOLD near-benchmark training text instead of
+    dropping on a single shared gram.
+
+    Scale shape mirrors decontaminate: the reference collapses to a
+    distinct gram-hash set (grams hash to 8-byte keys — raw text never
+    shuffles), documents explode to distinct (id, gram-hash) pairs, and
+    one left join + per-id aggregation computes the matched fraction.
+    Output: (id, n_grams, matched, containment) for every document with
+    at least one gram.
+    """
+    ref_grams = (
+        ref.select(tokens(ref_text_col).alias("__tok"))
+        .select(F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(F.xxhash64("__g").alias("__gh"))
+        .distinct()
+        .withColumn("__hit", F.lit(1))
+    )
+    doc_grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    return (
+        doc_grams.join(ref_grams, "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("matched"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("containment"),
+        )
+    )

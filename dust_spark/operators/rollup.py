@@ -107,3 +107,95 @@ def gap_fill_locf(
         .withColumn("filled", F.col("avg_value").isNull().cast("long"))
         .withColumn("avg_value", F.last("avg_value", ignorenulls=True).over(w))
     )
+
+
+def funnel_counts(
+    events: DataFrame,
+    steps: tuple = ("view", "click", "purchase"),
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Ordered-sequence funnel: per user, the earliest time each step
+    completes STRICTLY AFTER the previous step's completion (classic
+    product-analytics funnel; SQL-standard chained-min construction, so
+    any engine replays it exactly). Output: one row per funnel stage
+    (1-based) with the number of users whose furthest completion is >=
+    that stage.
+
+    Scale shape: len(steps) chained aggregations, every one shuffling
+    on the SAME user key — Spark reuses the hash partitioning, so the
+    chain costs one real exchange of (user, ts) pairs, never event
+    payloads. No window over a global ordering anywhere.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    base = events.select(F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e"))
+    cur = base.filter(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("t1"))
+    reached = [cur]
+    for i, step in enumerate(steps[1:], start=2):
+        nxt = (
+            base.filter(F.col("e") == step)
+            .join(reached[-1].select("u", F.col(f"t{i-1}")), "u")
+            .filter(F.col("t") > F.col(f"t{i-1}"))
+            .groupBy("u")
+            .agg(F.min("t").alias(f"t{i}"))
+        )
+        reached.append(nxt)
+    rows = None
+    for i, r in enumerate(reached, start=1):
+        row = r.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.count("*").alias("users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows
+
+
+def ewma_smooth(
+    events: DataFrame,
+    ts_col: str = "ts",
+    key_col: str = "event_type",
+    value_col: str = "value",
+    bucket_s: int = 3600,
+    lags: int = 8,
+) -> DataFrame:
+    """Exponentially-weighted moving average (alpha = 1/2) over hourly
+    bucket averages, truncated at ``lags`` observations and renormalized
+    over the lags actually present.
+
+    Hash-stable across engines by construction (the c3i decimal
+    recipe): bucket averages are DECIMAL sums with one double division,
+    and the EWMA weights 2^-(k+1) are EXACT binary fractions — the
+    weighted numerator/denominator are sums of exactly-representable
+    doubles in a FIXED lag order (not a data-order-dependent float
+    reduction), so Spark and DuckDB produce identical bits before the
+    final ROUND. Lag semantics: previous OBSERVED buckets per key, not
+    previous wall-clock hours (compose with gap_fill_locf for a dense
+    spine).
+    """
+    from pyspark.sql import Window as W
+
+    keyed = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(F.unix_micros(F.col(ts_col)) / (bucket_s * 1_000_000)) * bucket_s)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).cast("decimal(25,6)").alias("v"),
+    )
+    avgs = keyed.groupBy("k", "bucket_s").agg(
+        (F.sum("v").cast("double") / F.count("*")).alias("avg_v")
+    )
+    w = W.partitionBy("k").orderBy("bucket_s")
+    num = F.lit(0.0)
+    den = F.lit(0.0)
+    for kk in range(lags):
+        wt = 2.0 ** -(kk + 1)  # exact binary fraction
+        lv = F.lag("avg_v", kk).over(w)
+        num = num + F.when(lv.isNotNull(), lv * F.lit(wt)).otherwise(F.lit(0.0))
+        den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
+    return avgs.select(
+        F.col("k"),
+        "bucket_s",
+        F.round(F.col("avg_v"), 4).alias("avg_v"),
+        F.round(num / den, 4).alias("ewma"),
+    )

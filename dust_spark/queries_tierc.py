@@ -2562,3 +2562,129 @@ def span_dup_fraction_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     distinct 8-grams shared with any other document (the fixed-gram
     approximation of suffix-array substring dedup)."""
     return ops.span_dup_fraction(_docs(spark, sf_dir)).orderBy("doc_id")
+
+
+# ---------------------------------------------------------------------------
+# Round 9 additions: containment scoring, funnel analytics, EWMA smoothing
+# ---------------------------------------------------------------------------
+
+# n-gram containment vs a reference corpus (Broder's asymmetric measure):
+# every 10th document plays the reference; every other document scores
+# |grams(d) ∩ grams(R)| / |grams(d)|. The engine joins on 8-byte gram
+# hashes (raw text never shuffles); the oracle joins on gram strings —
+# distinct-count identical absent 64-bit collisions, like c2c/c10a.
+_CONTAINMENT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS g
+  FROM tok
+), ref AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 10 = 0
+)
+SELECT g2.doc_id, count(*) AS n_grams,
+       CAST(SUM(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS matched,
+       ROUND(CAST(SUM(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS containment
+FROM grams g2 LEFT JOIN ref ON g2.g = ref.g
+WHERE g2.doc_id % 10 <> 0
+GROUP BY g2.doc_id
+ORDER BY g2.doc_id
+"""
+
+
+@register("c2l_containment_scores", oracle=_CONTAINMENT_ORACLE, tags=("tierc", "dedup", "jit"))
+def containment_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric n-gram containment of each training document against
+    a reference corpus — the thresholdable generalization of c10a's
+    binary decontamination (score quotation density instead of dropping
+    on one shared gram)."""
+    docs = _docs(spark, sf_dir)
+    ref = docs.filter(F.col("doc_id") % 10 == 0)
+    out = ops.containment_scores(docs.filter(F.col("doc_id") % 10 != 0), ref)
+    return out.select(
+        "doc_id", "n_grams", F.col("matched").cast("long").alias("matched"), "containment"
+    ).orderBy("doc_id")
+
+
+# Ordered funnel (view -> click -> purchase): chained strictly-after
+# minima per user, then users-reaching-stage counts. SQL-standard
+# construction — the oracle is the identical chain.
+_FUNNEL_ORACLE = """
+WITH base AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS e FROM events
+), s1 AS (
+  SELECT u, min(t) AS t1 FROM base WHERE e = 'view' GROUP BY u
+), s2 AS (
+  SELECT b.u, min(b.t) AS t2 FROM base b JOIN s1 USING (u)
+  WHERE b.e = 'click' AND b.t > s1.t1 GROUP BY b.u
+), s3 AS (
+  SELECT b.u, min(b.t) AS t3 FROM base b JOIN s2 USING (u)
+  WHERE b.e = 'purchase' AND b.t > s2.t2 GROUP BY b.u
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, count(*) AS users FROM s1
+  UNION ALL SELECT 2, count(*) FROM s2
+  UNION ALL SELECT 3, count(*) FROM s3
+) ORDER BY stage
+"""
+
+
+@register("c6f_event_funnel", oracle=_FUNNEL_ORACLE, tags=("tierc", "asof"))
+def event_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user ordered funnel completion counts (view -> click ->
+    purchase, strictly-after chaining): every stage shuffles on the
+    same user key, so the chain re-uses one hash partitioning and never
+    moves event payloads."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.funnel_counts(ev).orderBy("stage")
+
+
+# EWMA (alpha = 1/2, 8 observed lags, renormalized) over hourly bucket
+# averages. Hash-stable: decimal bucket sums, weights are exact binary
+# fractions, and the numerator/denominator fold in a FIXED lag order —
+# identical bits in Spark and DuckDB before the final ROUND.
+_EWMA_ORACLE = """
+WITH keyed AS (
+  SELECT event_type AS k,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         CAST(value AS DECIMAL(25,6)) AS v
+  FROM events
+), avgs AS (
+  SELECT k, bucket_s, CAST(SUM(v) AS DOUBLE) / COUNT(*) AS avg_v
+  FROM keyed GROUP BY k, bucket_s
+), lagged AS (
+  SELECT k, bucket_s, avg_v,
+         lag(avg_v, 0) OVER (PARTITION BY k ORDER BY bucket_s) AS l0,
+         lag(avg_v, 1) OVER (PARTITION BY k ORDER BY bucket_s) AS l1,
+         lag(avg_v, 2) OVER (PARTITION BY k ORDER BY bucket_s) AS l2,
+         lag(avg_v, 3) OVER (PARTITION BY k ORDER BY bucket_s) AS l3,
+         lag(avg_v, 4) OVER (PARTITION BY k ORDER BY bucket_s) AS l4,
+         lag(avg_v, 5) OVER (PARTITION BY k ORDER BY bucket_s) AS l5,
+         lag(avg_v, 6) OVER (PARTITION BY k ORDER BY bucket_s) AS l6,
+         lag(avg_v, 7) OVER (PARTITION BY k ORDER BY bucket_s) AS l7
+  FROM avgs
+)
+SELECT k, bucket_s, ROUND(avg_v, 4) AS avg_v,
+       ROUND((CASE WHEN l0 IS NOT NULL THEN l0 * CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l1 IS NOT NULL THEN l1 * CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l2 IS NOT NULL THEN l2 * CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l3 IS NOT NULL THEN l3 * CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l4 IS NOT NULL THEN l4 * CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l5 IS NOT NULL THEN l5 * CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l6 IS NOT NULL THEN l6 * CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l7 IS NOT NULL THEN l7 * CAST(0.00390625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END)
+             / (CASE WHEN l0 IS NOT NULL THEN CAST(0.5 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l1 IS NOT NULL THEN CAST(0.25 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l2 IS NOT NULL THEN CAST(0.125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l3 IS NOT NULL THEN CAST(0.0625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l4 IS NOT NULL THEN CAST(0.03125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l5 IS NOT NULL THEN CAST(0.015625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l6 IS NOT NULL THEN CAST(0.0078125 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END + CASE WHEN l7 IS NOT NULL THEN CAST(0.00390625 AS DOUBLE) ELSE CAST(0.0 AS DOUBLE) END), 4) AS ewma
+FROM lagged ORDER BY k, bucket_s
+"""
+
+
+@register("c7d_ewma_smooth", oracle=_EWMA_ORACLE, tags=("tierc", "rollup"))
+def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Truncated-EWMA smoothing of the hourly event-value series — the
+    monitoring-style rollup companion to c7b/c7c, built entirely from
+    exact binary weights so the float fold replays bit-for-bit in
+    DuckDB."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.ewma_smooth(ev).orderBy("k", "bucket_s")

@@ -1252,3 +1252,66 @@ def test_distributed_rank_equals_plain_window(spark):
         .collect()
     }
     assert got == want
+
+
+def test_containment_scores_planted(spark):
+    """Asymmetric containment (r9): a doc quoting half its grams from
+    the reference scores ~0.5; an untouched doc scores 0."""
+    ref = spark.createDataFrame([Row(doc_id=100, text="alpha beta gamma delta epsilon")])
+    docs = spark.createDataFrame(
+        [
+            # grams: 'alpha beta gamma', 'beta gamma delta' (both in ref),
+            # 'gamma delta zz', 'delta zz ww' (not in ref)
+            Row(doc_id=1, text="alpha beta gamma delta zz ww"),
+            Row(doc_id=2, text="one two three four"),
+        ]
+    )
+    got = {r.doc_id: (r.n_grams, r.matched, r.containment)
+           for r in ops.containment_scores(docs, ref).collect()}
+    assert got[1] == (4, 2, 0.5)
+    assert got[2] == (2, 0, 0.0)
+
+
+def test_funnel_counts_strict_order(spark):
+    """Funnel steps chain strictly-after: a purchase BEFORE the click
+    doesn't count; a user missing the first step counts nowhere."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, e, s):
+        return Row(user_id=u, event_type=e, ts=t0 + dt.timedelta(seconds=s), value=1.0)
+
+    df = spark.createDataFrame(
+        [
+            ev(1, "view", 0), ev(1, "click", 10), ev(1, "purchase", 20),  # full funnel
+            ev(2, "view", 0), ev(2, "purchase", 5), ev(2, "click", 10),   # purchase too early
+            ev(3, "click", 0), ev(3, "purchase", 5),                       # no view
+            ev(4, "view", 0),                                              # view only
+        ]
+    )
+    got = {r.stage: r.users for r in ops.funnel_counts(df).collect()}
+    assert got == {1: 3, 2: 2, 3: 1}
+
+
+def test_ewma_smooth_exact_weights(spark):
+    """EWMA with alpha=1/2: single-observation keys equal their own
+    average; two observations give (0.5*cur + 0.25*prev)/0.75."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+    df = spark.createDataFrame(
+        [
+            Row(event_type="a", ts=t0, value=4.0),
+            Row(event_type="a", ts=t0 + dt.timedelta(hours=1), value=8.0),
+            Row(event_type="b", ts=t0, value=6.0),
+        ]
+    )
+    got = {(r.k, r.bucket_s): (r.avg_v, r.ewma) for r in ops.ewma_smooth(df).collect()}
+    vals = sorted(got.items())
+    (k1, b1), (a1, e1) = vals[0]
+    (k2, b2), (a2, e2) = vals[1]
+    assert (a1, e1) == (4.0, 4.0)
+    # (0.5*8 + 0.25*4) / 0.75 = 6.6667
+    assert (a2, e2) == (8.0, 6.6667)
+    assert got[[kk for kk in got if kk[0] == "b"][0]] == (6.0, 6.0)
