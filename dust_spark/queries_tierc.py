@@ -2688,3 +2688,75 @@ def ewma_smooth_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     ev = load_table(spark, sf_dir, "events")
     return ops.ewma_smooth(ev).orderBy("k", "bucket_s")
+
+
+# Keep-k-per-duplicate-cluster downsampling (r9): the generalization of
+# c10b's keep-one — retain the k=2 smallest doc_ids of every transitive
+# near-dup cluster (singletons are their own cluster). Re-uses the c10b
+# recursive-closure oracle verbatim, so both queries provably share one
+# cluster definition.
+_KEEPK_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n, LEAST(n, MIN(m)) AS root FROM reach GROUP BY n
+), lab AS (
+  SELECT d.doc_id, COALESCE(c.root, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+)
+SELECT doc_id, cluster, rk FROM (
+  SELECT doc_id, cluster,
+         CAST(row_number() OVER (PARTITION BY cluster ORDER BY doc_id) AS BIGINT) AS rk
+  FROM lab
+) WHERE rk <= 2
+ORDER BY doc_id
+"""
+
+
+@register("c9j_keep_k_per_cluster", oracle=_KEEPK_ORACLE, tags=("tierc", "dedup", "sampling", "jit"))
+def keep_k_per_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup-aware downsampling: connected components over the exact
+    Jaccard pair graph (the shared c2c fixture), then keep the 2
+    smallest doc_ids per cluster — the 'retain a few exemplars per
+    duplicate family' policy between c10b's keep-one and no dedup at
+    all. Components are min-id labels from the size-gated hybrid CC."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    pairs = _ngram_pairs(spark, sf_dir)
+    comp = ops.connected_components(pairs)
+    lab = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        docs.doc_id, F.coalesce(comp.component, docs.doc_id).alias("cluster")
+    )
+    w = W.partitionBy("cluster").orderBy("doc_id")
+    return (
+        lab.withColumn("rk", F.row_number().over(w).cast("long"))
+        .filter(F.col("rk") <= 2)
+        .select("doc_id", "cluster", "rk")
+        .orderBy("doc_id")
+    )

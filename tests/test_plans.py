@@ -187,3 +187,30 @@ def test_broadcast_size_gates(spark):
         )
     finally:
         spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+
+
+def test_distributed_rank_no_low_card_sort(spark):
+    """c8d (r9): the whole point is that NO window partitions on the
+    3-value status key alone — every Window in the plan includes the
+    slice id, and the offsets join is a broadcast."""
+    df = QUERIES["c8d_distributed_rank"].fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    import re
+
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "__pid" in spec, f"window partitions without the slice id: {spec}"
+    assert "BroadcastExchange" in p  # the prefix-offsets join
+
+
+def test_new_r9_tierc_no_cartesian(spark):
+    """r9 additions keep the no-CartesianProduct discipline: c2l joins
+    gram hashes, c6f chains user-key aggs, c9j rides the c2c pair
+    fixture, c7d is one bucket agg + lag windows."""
+    for name in (
+        "c2l_containment_scores",
+        "c6f_event_funnel",
+        "c7d_ewma_smooth",
+        "c9j_keep_k_per_cluster",
+    ):
+        p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"

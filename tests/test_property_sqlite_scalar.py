@@ -4,8 +4,10 @@ rewritten function families (dialect.rewrite_sqlite_fns) and DustSession
 must agree with an in-process sqlite3 byte-for-byte.
 
 The generator stays inside the documented parity envelope (see
-test_sqlite_fn_parity): no integer division, no cross-type comparisons,
-no empty replace() search strings. The r6 parity wave WIDENED the
+test_sqlite_fn_parity): no cross-type comparisons, no empty replace()
+search strings. r9 ADDED literal division incl. TEXT operands (the
+NUMERIC-prefix conversion is statically folded, so the result types
+match exactly). The r6 parity wave WIDENED the
 envelope: month/year date steps (overflow now normalizes like SQLite),
 zero/negative substr offsets and negative lengths, astral-plane char()
 codepoints, decimal-literal REAL arithmetic, printf argument coercion,
@@ -120,7 +122,20 @@ def json_exprs(draw, depth: int = 1):
 
 @st.composite
 def scalar_exprs(draw):
-    kind = draw(st.integers(0, 9))
+    kind = draw(st.integers(0, 10))
+    if kind == 10:
+        # TEXT-operand division (r9): SQLite's arithmetic NUMERIC-prefix
+        # conversion, statically folded for literals by
+        # dialect._try_text_division — type-exact, so the str() compare
+        # below holds for both int and real paths
+        lt = draw(st.sampled_from([
+            "'7'", "'007'", "' 8 '", "'7abc'", "'7.5x'", "''", "'abc'",
+            "'-3'", "'+5'", "'9e1'", "'.5'", "'5.'", "'0x11'", "'inf'",
+        ]))
+        rt = draw(st.sampled_from(["2", "3", "-2", "0", "'4'", "'2.0'"]))
+        if draw(st.booleans()):
+            lt, rt = rt, lt
+        return f"{lt} / {rt}"
     if kind == 0:
         return draw(str_exprs())
     if kind == 1:
