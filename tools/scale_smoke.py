@@ -299,6 +299,29 @@ def main() -> None:
             # ADC scan is gated to n_probe of n_lists ∝ √n inverted
             # lists (FAISS practice: holds candidates/query constant),
             # so the per-query term should grow ~√n instead of n
+            # r9: containment scoring — reference fixed (every 50th base
+            # doc), corpus grows; cost should track the doc gram explode
+            # ~linearly
+            (
+                "containment",
+                lambda: ops.containment_scores(
+                    docs, docs.filter(F.col("doc_id") % 50 == 0)
+                ),
+            ),
+            # r9: the DISTRIBUTED connected-components path (pointer
+            # jumping), forced past the local union-find gate with a
+            # synthetic chain graph (chains of 100 nodes → ~7 jump
+            # rounds regardless of n — shuffle rows should grow
+            # ~linearly in edges with a constant round factor)
+            (
+                "cc_pointer_jumping",
+                lambda: ops.connected_components(
+                    spark.range(k * 25_000)
+                    .select(F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b"))
+                    .filter((F.col("id_a") + 1) % 100 != 0),
+                    local_threshold=0,
+                ),
+            ),
             (
                 "ivfpq_ann",
                 lambda: ops.ivfpq_topk_portable(
