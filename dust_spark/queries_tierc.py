@@ -2760,3 +2760,114 @@ def keep_k_per_cluster_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "cluster", "rk")
         .orderBy("doc_id")
     )
+
+
+# End-to-end prep pipeline (r9): clean → quality-filter → exact-dedup →
+# decontaminate → chunk as ONE Spark DAG — the composition a real
+# pretraining pipeline runs, demonstrating the operators chain without
+# materialization boundaries. The oracle stitches the individual stage
+# oracles (c9a/c4m/c1b/c10a/c9b) into one CTE chain, so the composite
+# is exactly as hash-checked as its parts.
+_PIPELINE_ORACLE = """
+WITH cleaned AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(regexp_replace(regexp_replace(
+           text, '[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]', '', 'g'),
+           'https?://\\S+', '<URL>', 'g'),
+           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+           '\\s+', ' ', 'g')) AS clean
+  FROM documents
+), tokq AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(clean)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(clean)), '\\s+') END AS w
+  FROM cleaned
+), m AS (
+  SELECT doc_id, len(w) AS n_words,
+         ROUND(list_sum(list_transform(w, t -> length(t)))::DOUBLE
+               / greatest(len(w), 1), 4) AS mean_wlen,
+         ROUND(len(list_distinct(w))::DOUBLE / greatest(len(w), 1), 4) AS distinct_ratio,
+         len(list_filter(w, t -> t IN ('a','the','and','of','to'))) AS n_stop
+  FROM tokq
+), kept AS (
+  SELECT c.doc_id, c.clean FROM cleaned c JOIN m USING (doc_id)
+  WHERE m.n_words >= 30 AND m.n_words <= 80
+    AND m.mean_wlen >= 3.5 AND m.mean_wlen <= 5.5
+    AND m.distinct_ratio >= 0.5 AND m.n_stop >= 2
+), dedup AS (
+  SELECT doc_id, clean FROM (
+    SELECT doc_id, clean,
+           row_number() OVER (PARTITION BY clean ORDER BY doc_id) AS rn
+    FROM kept) WHERE rn = 1
+), bw AS (
+  SELECT CASE WHEN length(trim(clean)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(clean)), '\\s+') END AS w
+  FROM cleaned WHERE doc_id % 50 = 0
+), bgrams AS (
+  SELECT DISTINCT unnest(
+    CASE WHEN len(w) >= 8
+         THEN list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         ELSE [] END) AS g
+  FROM bw
+), dw AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(clean)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(clean)), '\\s+') END AS w
+  FROM dedup
+), dgrams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 8
+         THEN list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         ELSE [] END)) AS g
+  FROM dw
+), bad AS (
+  SELECT DISTINCT doc_id FROM dgrams JOIN bgrams USING (g)
+), final AS (
+  SELECT doc_id, clean FROM dedup WHERE doc_id NOT IN (SELECT doc_id FROM bad)
+), tok2 AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(clean)) = 0 THEN 0
+              ELSE len(regexp_split_to_array(trim(clean), '\\s+')) END AS n_tok
+  FROM final
+), ch AS (
+  SELECT doc_id, n_tok,
+         greatest(CAST(ceil((n_tok - 128) / 96.0) AS BIGINT) + 1, 1) AS n_chunks
+  FROM tok2
+)
+SELECT doc_id, n_chunks,
+       CAST(list_sum(list_transform(range(0, n_chunks), i -> least(128, n_tok - i * 96))) AS BIGINT)
+         AS total_tokens
+FROM ch ORDER BY doc_id
+"""
+
+
+@register("c9k_prep_pipeline", oracle=_PIPELINE_ORACLE, tags=("tierc", "text", "jit"))
+def prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The full pretraining prep chain as one lazy DAG: clean_text →
+    quality_filter (Gopher rules on the CLEANED text) → exact_dedup →
+    decontaminate (benchmark = every 50th cleaned doc) →
+    chunk_documents, reported as per-doc chunk counts. One shuffle per
+    stage that needs one (dedup hash, gram join); cleaning, quality and
+    chunking stay narrow."""
+    docs = _docs(spark, sf_dir)
+    cleaned = ops.clean_text(docs).select("doc_id", "clean")
+    q = ops.quality_filter(cleaned, text_col="clean")
+    kept = cleaned.join(q.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    deduped = ops.exact_dedup(kept, text_col="clean")
+    bench = cleaned.filter(F.col("doc_id") % 50 == 0)
+    final = ops.decontaminate(
+        deduped, bench, text_col="clean", benchmark_text_col="clean"
+    )
+    chunks = ops.chunk_documents(final, chunk_tokens=128, stride=96, text_col="clean")
+    return (
+        chunks.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_chunks"),
+            F.sum("n_chunk_tokens").alias("total_tokens"),
+        )
+        .orderBy("doc_id")
+    )
