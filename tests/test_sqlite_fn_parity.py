@@ -406,6 +406,27 @@ def test_text_operand_division(spark):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
         assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    # fragment re-runs: the rewrite must be idempotent through stored
+    # CHECK expressions and trigger bodies (both re-rewrite at eval/fire)
+    frag_stmts = [
+        "CREATE TABLE td2 (s TEXT, n INT, CHECK (n > '1'/2))",
+        "CREATE TABLE lg (m INT)",
+        "CREATE TRIGGER tr2 AFTER INSERT ON td2 BEGIN INSERT INTO lg VALUES (NEW.s/2); END",
+        "INSERT INTO td2 VALUES ('7',1),('9x',2),('abc',3)",
+        "INSERT INTO td2 VALUES ('5',0)",  # CHECK 0 > 0 fails
+    ]
+    for s2 in frag_stmts:
+        try:
+            ref.execute(s2)
+            werr = None
+        except sqlite3.Error as e:
+            werr = str(e)
+        gerr = db.execute_string_stmt(s2)[0].error or None
+        assert (gerr is None) == (werr is None), (s2, werr, gerr)
+    for q in ["SELECT s, n FROM td2 ORDER BY n", "SELECT m FROM lg ORDER BY rowid"]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
     db.close()
     ref.close()
 
