@@ -4137,8 +4137,10 @@ class _TypedPass:
                 self.edits.append((t[2], toks[i + 3][3], out))
                 i += 4
                 continue
-            # TEXT-operand division → runtime NUMERIC-affinity CASE (r9)
-            tdiv = self._try_text_division(i, hi)
+            # TEXT/REAL-operand arithmetic → SQLite NUMERIC-affinity
+            # rewrites (r9): prefix-converted division, int64-truncated %,
+            # prefix-converted + - *
+            tdiv = self._try_text_arith(i, hi)
             if tdiv is not None:
                 i = tdiv
                 continue
@@ -4165,52 +4167,67 @@ class _TypedPass:
         "'^\\\\s*([+-]?([0-9]+([.][0-9]*)?([eE][+-]?[0-9]+)?|[.][0-9]+))', 1)"
     )
 
-    def _try_text_division(self, i: int, hi: int):
-        """2-member division with a TEXT operand (r9, flipping the
-        docstring-listed 'runtime-typed int division' divergence):
-        SQLite arithmetic applies NUMERIC affinity to TEXT cells — the
-        longest numeric prefix converts, an integer-formed prefix (or
-        no prefix at all = 0) keeps INTEGER and two INTEGER operands
-        divide integrally ('7'/2 = 3, '7abc'/2 = 3, ''/2 = 0,
-        '7.5x'/2 = 3.75, all sqlite3-probed).
+    def _try_text_arith(self, i: int, hi: int):
+        """2-member arithmetic under SQLite's dynamic NUMERIC-affinity
+        rules (r9, flipping the docstring-listed 'runtime-typed int
+        division' divergence and the % operand-truncation one):
 
-        TEXT literals resolve statically — a static all-int pair folds
-        straight to ``div`` (full parity incl. typeof). A TEXT-affinity
-        COLUMN member gets the runtime prefix CASE; its mixed branches
-        coerce to DOUBLE, so VALUE parity holds (3.0 == 3 on both the
-        sqlite3 differential and the wire's numeric compare) while
-        per-cell result typing (typeof) stays a documented divergence.
-        Scope: members must be bare columns / literals / signed
-        numbers classed INT, REAL or TEXT; longer chains, other
-        operators (+,-,*,% value-converge through REAL already except
-        prefix-junk inputs) and concat-adjacent positions are left
-        untouched."""
+        - TEXT operands convert by longest numeric prefix ('7abc' -> 7,
+          '' -> 0, '7.5x' -> 7.5, all sqlite3-probed); an integer-formed
+          prefix keeps INTEGER.
+        - '/': two INTEGER operands divide integrally ('7'/2 = 3).
+          Static pairs fold to ``div`` (full typeof parity); a TEXT
+          COLUMN member gets the runtime prefix CASE whose mixed
+          branches coerce to DOUBLE — VALUE parity, per-cell result
+          typing documented.
+        - '%': SQLite truncates BOTH operands to int64 ('7'%'2.5'=1.0,
+          7.5%2=1.0 — NOT fmod), so REAL members rewrite too; result
+          typed DOUBLE unless both members are statically INTEGER.
+        - '+','-','*': int and double VALUES coincide, so TEXT members
+          just prefix-convert (static pairs keep exact INTEGER typing).
+
+        Scope: members must be bare columns / literals / signed numbers
+        classed INT, REAL or TEXT; longer chains and concat-adjacent
+        positions are left untouched. A leading sign run stays outside
+        the rewrite for the multiplicative family (negation commutes
+        with trunc div/mod and *); additive matches require no sign
+        and no +/- to the left (float reassociation is not safe)."""
         toks = self.toks
         prev = toks[i - 1] if i > 0 else None
+        pv = None
         if prev is not None:
             pv = prev[1].lower() if prev[0] == "word" else prev[1]
             # a tighter/equal-precedence chain to the left owns L
             # (`3 * t / 2` binds (3*t)/2; `a || t / 2` binds (a||t)/2)
             if pv in ("*", "/", "%", "div", "||", "."):
                 return None
-        # leave a leading sign run OUTSIDE the rewrite: whether the
-        # first sign is unary ((-t)/2) or binary (1 + t/2), rewriting
-        # only t/2 is value-identical — truncating division commutes
-        # with negation (-(a div b) == (-a) div b), and the real path
-        # trivially. (parse_primary would otherwise consume the sign
-        # and degrade TEXT to UNKNOWN.)
+        # leave a leading sign run OUTSIDE the rewrite: for the
+        # MULTIPLICATIVE family, whether the first sign is unary
+        # ((-t)/2) or binary (1 + t/2), rewriting only t<op>2 is
+        # value-identical — trunc division/mod and multiplication all
+        # commute with negation. Additive ops do NOT (-(s+1) ≠ (-s)+1),
+        # so a sign-skipped match is restricted to * / % below.
         base = i
         while base < hi and toks[base][1] in ("+", "-"):
             base += 1
         if base >= hi:
             return None
+        skipped_sign = base != i
         i = base
         subs_l: list = []
         res = self.parse_primary(i, subs_l)
         if res is None:
             return None
         j, lcls, lpure = res
-        if j >= hi or toks[j][1] != "/":
+        if j >= hi:
+            return None
+        op = toks[j][1]
+        if op in ("+", "-"):
+            # additive: no sign skip, and a +/- to the LEFT owns L
+            # (`a - s + 1` binds (a-s)+1)
+            if skipped_sign or pv in ("+", "-"):
+                return None
+        elif op not in ("*", "/", "%"):
             return None
         subs_r: list = []
         res = self.parse_primary(j + 1, subs_r)
@@ -4224,7 +4241,13 @@ class _TypedPass:
             nv = nxt[1].lower() if nxt[0] == "word" else nxt[1]
             if nv in ("*", "/", "%", "div", "||"):
                 return None
-        if _CLS_TEXT not in (lcls, rcls):
+        if op == "%":
+            # SQLite's % truncates BOTH operands to int64 (probed:
+            # '7'%'2.5'=1.0, 7.5%2=1.0) — a REAL member needs the
+            # rewrite even with no TEXT member; all-INT is native
+            if _CLS_TEXT not in (lcls, rcls) and _CLS_REAL not in (lcls, rcls):
+                return None
+        elif _CLS_TEXT not in (lcls, rcls):
             return None
         if not {lcls, rcls} <= {_CLS_INT, _CLS_REAL, _CLS_TEXT}:
             return None
@@ -4237,7 +4260,13 @@ class _TypedPass:
             m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]
             if cls == _CLS_TEXT and pure:
                 raw = toks[lo_t][1][1:-1].replace("''", "'")
-                frags.append(_sqlite_arith_text_static(raw))
+                f, iv, rv = _sqlite_arith_text_static(raw)
+                # % truncates TEXT by the INTEGER-prefix parse, which
+                # differs from trunc(numeric prefix) for exponent text
+                # ('9e1' % 2 reads 9, not 90 — sqlite3-probed)
+                mm = re.match(r"\s*([+-]?\d+)", raw)
+                modi = mm.group(1).lstrip("+") if mm else "0"
+                frags.append((f, iv, rv, str(int(modi))))
             elif cls == _CLS_TEXT:
                 p = self._TEXT_DIV_PREFIX.format(m=m)
                 f = (
@@ -4251,25 +4280,46 @@ class _TypedPass:
                     f"ELSE coalesce(try_cast({p} AS DOUBLE), "
                     f"CAST(0.0 AS DOUBLE)) END"
                 )
-                frags.append((f, iv, rv))
-            elif cls == _CLS_INT:
-                frags.append((True, f"({m})", f"CAST(({m}) AS DOUBLE)"))
-            else:
-                frags.append((False, None, f"({m})"))
-        (fl, il, rl), (fr, ir, rr) = frags
-        if fl is False or fr is False:
-            repl = f"({rl} / {rr})"
-        else:
-            conds = [c for c in (fl, fr) if c is not True]
-            int_expr = f"({il} div {ir})"
-            if not conds:
-                repl = int_expr
-            else:
-                repl = (
-                    f"(CASE WHEN {' AND '.join(conds)} "
-                    f"THEN CAST({int_expr} AS DOUBLE) "
-                    f"ELSE ({rl} / {rr}) END)"
+                modi = (
+                    f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS BIGINT) "
+                    f"ELSE coalesce(try_cast(regexp_extract(CAST(({m}) AS STRING), "
+                    f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), CAST(0 AS BIGINT)) END"
                 )
+                frags.append((f, iv, rv, modi))
+            elif cls == _CLS_INT:
+                frags.append((True, f"({m})", f"CAST(({m}) AS DOUBLE)", f"({m})"))
+            else:
+                frags.append((False, None, f"({m})", f"CAST(({m}) AS BIGINT)"))
+        (fl, il, rl, ml), (fr, ir, rr, mr) = frags
+        if op == "/":
+            if fl is False or fr is False:
+                repl = f"({rl} / {rr})"
+            else:
+                conds = [c for c in (fl, fr) if c is not True]
+                int_expr = f"({il} div {ir})"
+                if not conds:
+                    repl = int_expr
+                else:
+                    repl = (
+                        f"(CASE WHEN {' AND '.join(conds)} "
+                        f"THEN CAST({int_expr} AS DOUBLE) "
+                        f"ELSE ({rl} / {rr}) END)"
+                    )
+        elif op == "%":
+            # both operands int64-truncate (sqlite3-probed: TEXT by the
+            # INTEGER-prefix parse, REAL toward zero); result REAL
+            # whenever any operand's class was/may be REAL — a
+            # statically-all-int pair keeps INTEGER typing
+            core = f"({ml} % {mr})"
+            if fl is True and fr is True:
+                repl = core
+            else:
+                repl = f"CAST({core} AS DOUBLE)"
+        else:  # + - * : int/double VALUES coincide — no runtime CASE
+            if fl is True and fr is True:
+                repl = f"({il} {op} {ir})"
+            else:
+                repl = f"({rl} {op} {rr})"
         self.edits.append((toks[i][2], toks[k - 1][3], repl))
         return k
 

@@ -132,10 +132,11 @@ def scalar_exprs(draw):
             "'7'", "'007'", "' 8 '", "'7abc'", "'7.5x'", "''", "'abc'",
             "'-3'", "'+5'", "'9e1'", "'.5'", "'5.'", "'0x11'", "'inf'",
         ]))
-        rt = draw(st.sampled_from(["2", "3", "-2", "0", "'4'", "'2.0'"]))
+        rt = draw(st.sampled_from(["2", "3", "-2", "0", "'4'", "'2.0'", "2.5", "7.5"]))
         if draw(st.booleans()):
             lt, rt = rt, lt
-        return f"{lt} / {rt}"
+        op = draw(st.sampled_from(["/", "%", "+", "-", "*"]))
+        return f"{lt} {op} {rt}"
     if kind == 0:
         return draw(str_exprs())
     if kind == 1:

@@ -12,8 +12,10 @@ statically for literals and becomes a runtime CASE for TEXT-affinity
 columns; the runtime path's mixed branches coerce to DOUBLE, so the
 remaining divergence is per-cell result TYPING only: typeof via a
 column is 'double'-shaped, and wire formatting shows 3.0 — numeric
-equality holds; longer mixed chains and +,-,*,% prefix-junk inputs
-keep the old behavior);
+equality holds; the r9 second wave extends the same machinery to %
+— BOTH operands int64-truncate, TEXT by the INTEGER-prefix parse,
+REAL toward zero, never fmod — and to + - * TEXT prefix conversion;
+longer mixed chains keep the old behavior);
 cross-type comparison where an operand's class is only known at runtime
 (two typed columns of different affinities, or an UNTYPED/BLOB/ANY
 column: SQLite applies comparison affinity per row; literal vs literal
@@ -402,6 +404,32 @@ def test_text_operand_division(spark):
         "SELECT 1 + s/2 FROM td ORDER BY a",
         "SELECT a - s/2 FROM td ORDER BY a",
         "SELECT a FROM td WHERE s/a > 1 ORDER BY a",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    # r9 second wave — the other arithmetic operators under the same
+    # dynamic rules: % truncates BOTH operands to int64 (TEXT by the
+    # INTEGER-prefix parse — '9e1' reads 9 not 90; REAL toward zero;
+    # NOT fmod), + - * prefix-convert TEXT members (values coincide
+    # between int and double paths)
+    for q in [
+        "SELECT '7'%'2.5'",
+        "SELECT 7.5 % 2",
+        "SELECT '9e1'%2",
+        "SELECT '12x'%5",
+        "SELECT '7'%0",
+        "SELECT '7abc'+1",
+        "SELECT ''-1",
+        "SELECT '2.5x'*2",
+        "SELECT s % 2 FROM td ORDER BY a",
+        "SELECT r % a FROM td ORDER BY a",
+        "SELECT a % 2.5 FROM td ORDER BY a",
+        "SELECT s + 1 FROM td ORDER BY a",
+        "SELECT s * a FROM td ORDER BY a",
+        "SELECT a - s FROM td ORDER BY a",
+        "SELECT s % s FROM td ORDER BY a",
+        "SELECT a FROM td WHERE s + 1 > 8 ORDER BY a",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
