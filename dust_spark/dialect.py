@@ -4144,15 +4144,19 @@ class _TypedPass:
             if tdiv is not None:
                 i = tdiv
                 continue
+            # cross-type comparison folding BEFORE the chain pass —
+            # _try_chain would otherwise consume a left-hand arithmetic
+            # chain (`a*2 = '2x'`) and the comparison would never fold
+            # (r9; _parse_operand bails on / % div chains, which fall
+            # through to _try_chain unchanged)
+            fold = self._try_fold_compare(i, hi)
+            if fold is not None:
+                i = fold
+                continue
             # multiplicative chain with provable-INT members → div
             chain = self._try_chain(i, hi)
             if chain is not None:
                 i = chain
-                continue
-            # literal cross-type comparison folding
-            fold = self._try_fold_compare(i, hi)
-            if fold is not None:
-                i = fold
                 continue
             if t[1] == "(":
                 j = self._match_paren(i)
@@ -4201,19 +4205,31 @@ class _TypedPass:
             # (`3 * t / 2` binds (3*t)/2; `a || t / 2` binds (a||t)/2)
             if pv in ("*", "/", "%", "div", "||", "."):
                 return None
-        # leave a leading sign run OUTSIDE the rewrite: for the
-        # MULTIPLICATIVE family, whether the first sign is unary
-        # ((-t)/2) or binary (1 + t/2), rewriting only t<op>2 is
-        # value-identical — trunc division/mod and multiplication all
-        # commute with negation. Additive ops do NOT (-(s+1) ≠ (-s)+1),
-        # so a sign-skipped match is restricted to * / % below.
-        base = i
-        while base < hi and toks[base][1] in ("+", "-"):
-            base += 1
-        if base >= hi:
-            return None
-        skipped_sign = base != i
-        i = base
+        # Leading sign handling. A sign run may be INSIDE the match
+        # (parse_primary consumes it: `-2 + '7'` folds to 5 INTEGER)
+        # only when it is provably UNARY — prev is an expression
+        # opener, never a value-ending token (`1 - 2 + '7'` must not
+        # re-bind). Otherwise the MULTIPLICATIVE family retries with
+        # the sign run left OUTSIDE the span (negation commutes with
+        # trunc div/mod and *); additive ops cannot (-(s+1) ≠ (-s)+1).
+        has_sign = toks[i][1] in ("+", "-")
+        sign_unary_ok = prev is None or pv in (
+            "(", ",", ";", "=", "==", "<", ">", "<=", ">=", "<>", "!=",
+        ) or pv in _SAFE_BEFORE_WORDS
+        if not has_sign or sign_unary_ok:
+            got = self._arith_attempt(i, hi, pv, allow_additive=True)
+            if got is not None:
+                return got
+        if has_sign:
+            base = i
+            while base < hi and toks[base][1] in ("+", "-"):
+                base += 1
+            if base < hi:
+                return self._arith_attempt(base, hi, pv, allow_additive=False)
+        return None
+
+    def _arith_attempt(self, i: int, hi: int, pv, allow_additive: bool):
+        toks = self.toks
         subs_l: list = []
         res = self.parse_primary(i, subs_l)
         if res is None:
@@ -4223,9 +4239,9 @@ class _TypedPass:
             return None
         op = toks[j][1]
         if op in ("+", "-"):
-            # additive: no sign skip, and a +/- to the LEFT owns L
-            # (`a - s + 1` binds (a-s)+1)
-            if skipped_sign or pv in ("+", "-"):
+            # additive: a +/- to the LEFT owns L (`a - s + 1` binds
+            # (a-s)+1)
+            if not allow_additive or pv in ("+", "-"):
                 return None
         elif op not in ("*", "/", "%"):
             return None
@@ -4362,6 +4378,43 @@ class _TypedPass:
                 self.edits.append((t[2], t[3], " div "))
         return j
 
+    def _parse_operand(self, i: int, hi: int):
+        """One comparison operand: a chain of primaries joined by
+        + - * (classed by the type_of_span combination rules — all-INT
+        → INT, INT/REAL mix → REAL). '/', '%', 'div' and '||' bail
+        (dynamic result class / different type family). Extends the
+        r8 single-primary operands to provably-typed chains (r9:
+        t > a+1, a*2+1 < 'x' — sqlite3-probed: the chain carries NO
+        affinity, so the storage-class rules apply to its class)."""
+        subs: list = []
+        res = self.parse_primary(i, subs)
+        if res is None:
+            return None
+        j, cls, pure = res
+        classes = [cls]
+        while j < hi:
+            t = self.toks[j]
+            opv = t[1].lower() if t[0] == "word" else t[1]
+            if opv in ("+", "-", "*"):
+                res = self.parse_primary(j + 1, subs)
+                if res is None:
+                    return None
+                j, c2, p2 = res
+                classes.append(c2)
+                pure = pure and p2
+            elif opv in ("/", "%", "div", "||"):
+                return None
+            else:
+                break
+        if len(classes) > 1:
+            if all(c == _CLS_INT for c in classes):
+                cls = _CLS_INT
+            elif all(c in (_CLS_INT, _CLS_REAL) for c in classes):
+                cls = _CLS_REAL
+            else:
+                return None
+        return (j, cls, pure)
+
     def _try_fold_compare(self, i: int, hi: int):
         """Cross-storage-class comparison rewrites.
 
@@ -4382,7 +4435,7 @@ class _TypedPass:
         - any typed column vs BLOB literal: blob outranks everything —
           fold with NULL propagation."""
         toks = self.toks
-        res = self.parse_primary(i, [])
+        res = self._parse_operand(i, hi)
         if res is None:
             return None
         j, lcls, lpure = res
@@ -4391,7 +4444,7 @@ class _TypedPass:
         op = toks[j][1]
         if op not in ("=", "==", "!=", "<>", "<", "<=", ">", ">="):
             return None
-        res = self.parse_primary(j + 1, [])
+        res = self._parse_operand(j + 1, hi)
         if res is None:
             return None
         k, rcls, rpure = res

@@ -854,3 +854,38 @@ def test_window_fn_matches_sqlite(window_tables, q):
     want = [list(r) for r in ref.execute(q).fetchall()]
     got = [list(r) for r in db.query_string_stmt(q)[0].values]
     assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
+
+
+def test_comparison_affinity_chain_operands(spark):
+    """r9 third wave: comparison operands may be provably-typed
+    ARITHMETIC CHAINS (+ - * over INT/REAL members) — a chain carries
+    NO affinity (sqlite3-probed), so a TEXT column renders the INT
+    chain to text (t > a+1 compares strings) and a TEXT literal folds
+    by storage class against any numeric chain (a*2 = '2x' is 0, not
+    NULL). / % div chains stay conservative (dynamic result class)."""
+    db = DustSession(spark)
+    ref = sqlite3.connect(":memory:")
+    for s in (
+        "CREATE TABLE z (t TEXT, a INT, r REAL)",
+        "INSERT INTO z VALUES ('5',9,1.5),('abc',1,2.5),('100',50,0.5),"
+        "(NULL,3,1.0),('42',-7,2.0)",
+    ):
+        ref.execute(s)
+        assert db.execute_string_stmt(s)[0].error == ""
+    for q in [
+        "SELECT t, a, t > a+1 FROM z ORDER BY a",
+        "SELECT a+1 > '5x' FROM z ORDER BY a",
+        "SELECT a+1 < 'x' FROM z ORDER BY a",
+        "SELECT a*2 = '2x' FROM z ORDER BY a",
+        "SELECT t > a*2+1 FROM z ORDER BY a",
+        "SELECT 1+2 < '0'",
+        "SELECT r+1 > 'x' FROM z ORDER BY a",
+        "SELECT a FROM z WHERE t >= a+1 ORDER BY a",
+        "SELECT a*2-1 <> 'q' FROM z ORDER BY a",
+        "SELECT CASE WHEN t > a+1 THEN 'y' ELSE 'n' END FROM z ORDER BY a",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    db.close()
+    ref.close()
