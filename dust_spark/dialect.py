@@ -4395,14 +4395,18 @@ class _TypedPass:
         while j < hi:
             t = self.toks[j]
             opv = t[1].lower() if t[0] == "word" else t[1]
-            if opv in ("+", "-", "*"):
+            if opv in ("+", "-", "*", "/", "%", "div"):
+                # / and % class like + - * under SQLite's rules
+                # (typeof probed r9: a/2 and a%2 are INTEGER, r/2 and
+                # r%2 REAL — int division stays int, % int-truncates
+                # but keeps a REAL result class for REAL operands)
                 res = self.parse_primary(j + 1, subs)
                 if res is None:
                     return None
                 j, c2, p2 = res
                 classes.append(c2)
                 pure = pure and p2
-            elif opv in ("/", "%", "div", "||"):
+            elif opv == "||":
                 return None
             else:
                 break

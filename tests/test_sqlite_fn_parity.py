@@ -883,6 +883,13 @@ def test_comparison_affinity_chain_operands(spark):
         "SELECT a FROM z WHERE t >= a+1 ORDER BY a",
         "SELECT a*2-1 <> 'q' FROM z ORDER BY a",
         "SELECT CASE WHEN t > a+1 THEN 'y' ELSE 'n' END FROM z ORDER BY a",
+        # / and % chains class too (typeof probed: a/2 INTEGER, r/2 REAL)
+        "SELECT 99/3 = '33'",
+        "SELECT a/2 = '3' FROM z ORDER BY a",
+        "SELECT t > a/2 FROM z ORDER BY a",
+        "SELECT a%2 < 'x' FROM z ORDER BY a",
+        "SELECT '7'/2 = '3x'",
+        "SELECT a FROM z WHERE t < a/2 ORDER BY a",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
