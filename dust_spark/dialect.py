@@ -4075,7 +4075,10 @@ class _TypedPass:
 
     def _type_of_span_uncached(self, lo: int, hi: int) -> int:
         """Storage class of the expression in tokens [lo, hi): a chain
-        of primaries joined by arithmetic ops.  Anything else → UNKNOWN."""
+        of primaries joined by arithmetic ops, or a pure ||-chain
+        (concat is always TEXT in SQLite — r9, lets a parenthesized
+        wrapped chain take the arithmetic prefix conversion).
+        Anything else → UNKNOWN."""
         subspans: list = []
         res = self.parse_primary(lo, subspans)
         if res is None:
@@ -4086,7 +4089,7 @@ class _TypedPass:
         while i < hi:
             t = self.toks[i]
             op = t[1].lower() if t[0] == "word" else t[1]
-            if op in _MUL_OPS or op in _ADD_OPS or op == "div":
+            if op in _MUL_OPS or op in _ADD_OPS or op in ("div", "||"):
                 ops.append(op)
                 res = self.parse_primary(i + 1, subspans)
                 if res is None or res[0] > hi:
@@ -4099,6 +4102,8 @@ class _TypedPass:
             return _CLS_UNKNOWN
         if len(classes) == 1:
             return classes[0]
+        if "||" in ops:
+            return _CLS_TEXT if all(o == "||" for o in ops) else _CLS_UNKNOWN
         if "/" in ops:
             return _CLS_UNKNOWN  # untyped division — a later sweep may fix
         if all(c == _CLS_INT for c in classes):
@@ -4137,6 +4142,14 @@ class _TypedPass:
                 self.edits.append((t[2], toks[i + 3][3], out))
                 i += 4
                 continue
+            # || PRECEDENCE (r9, sqlite3-probed): SQLite binds || tighter
+            # than ALL arithmetic ('a' || '7' * 2 = ('a'||'7')*2 = 0);
+            # Spark binds * first. Parenthesize a ||-chain whenever an
+            # arithmetic op is adjacent — parens are neutral otherwise.
+            cw = self._try_concat_wrap(i, hi)
+            if cw is not None:
+                i = cw
+                continue
             # TEXT/REAL-operand arithmetic → SQLite NUMERIC-affinity
             # rewrites (r9): prefix-converted division, int64-truncated %,
             # prefix-converted + - *
@@ -4153,6 +4166,45 @@ class _TypedPass:
             if fold is not None:
                 i = fold
                 continue
+            # static TEXT literal in an ARITHMETIC position → its
+            # NUMERIC-prefix literal (r9 fourth wave: closes 3+-member
+            # STATIC chains — '7'/2/2=1, 1+'2'+'3'=6, '10'%'4'%'3'=2;
+            # SQLite converts operands independently, so the
+            # replacement is exact and the chain/% machinery finishes
+            # the job on the next fixpoint pass). Unary '+' is a NO-OP
+            # that keeps TEXT class (probed: +'7' < 2 is 0), so a '+'
+            # to the left counts only when provably binary; '||'
+            # neighbors keep the string (concat binds tighter).
+            if t[0] == "str":
+                pvv = nvv = None
+                if i > 0:
+                    p_ = toks[i - 1]
+                    pvv = p_[1].lower() if p_[0] == "word" else p_[1]
+                if i + 1 < len(toks):
+                    n_ = toks[i + 1]
+                    nvv = n_[1].lower() if n_[0] == "word" else n_[1]
+                prev_arith = pvv in ("-", "*", "/", "%", "div") or (
+                    pvv == "+"
+                    and i >= 2
+                    and (
+                        toks[i - 2][0] in ("num", "str", "blob", "qid")
+                        or toks[i - 2][1] == ")"
+                    )
+                )
+                # '->' / '->>' tokenize as '-','>'(,'>') — a '-' that
+                # starts a JSON arrow is NOT arithmetic (r9 regression:
+                # '{"a":5}' ->> 'a' converted the json literal to 0)
+                next_arith = nvv in ("+", "-", "*", "/", "%", "div") and not (
+                    nvv == "-"
+                    and i + 2 < len(toks)
+                    and toks[i + 2][1] in (">", ">>")
+                )
+                if (prev_arith or next_arith) and pvv != "||" and nvv != "||":
+                    raw = t[1][1:-1].replace("''", "'")
+                    f_, isql, rsql = _sqlite_arith_text_static(raw)
+                    self.edits.append((t[2], t[3], isql if f_ is True else rsql))
+                    i += 1
+                    continue
             # multiplicative chain with provable-INT members → div
             chain = self._try_chain(i, hi)
             if chain is not None:
@@ -4170,6 +4222,59 @@ class _TypedPass:
         "regexp_extract(CAST(({m}) AS STRING), "
         "'^\\\\s*([+-]?([0-9]+([.][0-9]*)?([eE][+-]?[0-9]+)?|[.][0-9]+))', 1)"
     )
+
+    _ARITH_OPS = ("+", "-", "*", "/", "%", "div")
+
+    def _try_concat_wrap(self, i: int, hi: int):
+        """Parenthesize a maximal ``P1 || P2 || ...`` chain when an
+        arithmetic operator sits directly on either side — forcing
+        SQLite's precedence (|| binds tighter than + - * / %,
+        sqlite3-probed) onto Spark's parse (which binds * / % first).
+        Wrapping is a pure grouping change, so it is safe even when
+        the neighbor's sign is unary."""
+        toks = self.toks
+        prev = toks[i - 1] if i > 0 else None
+        pv = None
+        if prev is not None:
+            pv = prev[1].lower() if prev[0] == "word" else prev[1]
+            if pv in ("||", "."):
+                return None  # mid-chain / qualified name
+            if pv in ("+", "-") and not (
+                i >= 2
+                and (
+                    toks[i - 2][0] in ("num", "str", "blob", "qid")
+                    or toks[i - 2][1] == ")"
+                )
+            ):
+                # UNARY sign to the left: the sign is part of the
+                # chain's first member ((-1)||'x') or of a member
+                # mid-chain ('bi-'||-1||...) — the sign-position visit
+                # owns the parse; wrapping from here would swallow or
+                # regroup the sign (the r9 trigger-log regression)
+                return None
+        res = self.parse_primary(i, [])
+        if res is None:
+            return None
+        j, _cls, _pure = res
+        if j >= hi or toks[j][1] != "||":
+            return None
+        end = j
+        while end < hi and toks[end][1] == "||":
+            res = self.parse_primary(end + 1, [])
+            if res is None:
+                return None
+            end = res[0]
+        nv = None
+        if end < len(toks):
+            n_ = toks[end]
+            nv = n_[1].lower() if n_[0] == "word" else n_[1]
+        if pv in self._ARITH_OPS or nv in self._ARITH_OPS:
+            span = self.sql[toks[i][2] : toks[end - 1][3]]
+            self.edits.append((toks[i][2], toks[end - 1][3], f"({span})"))
+            # interior rewrites of the embedded span happen on the next
+            # fixpoint pass over the wrapped text
+            return end
+        return None  # no wrap: let scan descend into the chain normally
 
     def _try_text_arith(self, i: int, hi: int):
         """2-member arithmetic under SQLite's dynamic NUMERIC-affinity
@@ -4267,10 +4372,10 @@ class _TypedPass:
             return None
         if not {lcls, rcls} <= {_CLS_INT, _CLS_REAL, _CLS_TEXT}:
             return None
-        if subs_l or subs_r:
-            # parenthesized/call members: their interiors would embed
-            # verbatim and skip their own rewrites — leave to descent
-            return None
+        # parenthesized/call members embed verbatim; their interiors
+        # get re-scanned on the next fixpoint pass over the replacement
+        # text (r9 fourth wave — needed for wrapped ||-chains and CAST
+        # members to take the prefix conversion)
         frags = []
         for lo_t, hi_t, cls, pure in ((i, j, lcls, lpure), (j + 1, k, rcls, rpure)):
             m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]

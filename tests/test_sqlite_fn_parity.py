@@ -890,6 +890,23 @@ def test_comparison_affinity_chain_operands(spark):
         "SELECT a%2 < 'x' FROM z ORDER BY a",
         "SELECT '7'/2 = '3x'",
         "SELECT a FROM z WHERE t < a/2 ORDER BY a",
+        # || binds tighter than arithmetic in SQLite (r9 fourth wave:
+        # ||-chains adjacent to arithmetic get parenthesized AND the
+        # concat result, classed TEXT, takes the prefix conversion)
+        "SELECT 'a' || '7' * 2",
+        "SELECT 'a' || '7' + 2",
+        "SELECT 2 + 'a' || '7'",
+        "SELECT t || 'x' || '1' * 2 FROM z ORDER BY a",
+        "SELECT ('12'||'0') / 2",
+        "SELECT CAST('9' AS TEXT) + 1",
+        # static 3+-member chains: literals convert independently
+        "SELECT '7'/2/2",
+        "SELECT 1+'2'+'3'",
+        "SELECT '10'%'4'%'3'",
+        "SELECT '7.5x'*2*2",
+        "SELECT -'7'",
+        "SELECT -'abc'",
+        "SELECT +'7' < 2",
     ]:
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
