@@ -170,6 +170,23 @@ _ROUND8_VERIFIED = (
     "c4l_nfc_normalize"
 ).split()
 
+# Hash-green in CORRECTNESS_r09 (44 names: the r9-new queries
+# c8d/c2l/c6f/c7d/c9j/c9k plus the window filler re-confirmed there):
+_ROUND9_VERIFIED = (
+    "c8d_distributed_rank c2l_containment_scores c6f_event_funnel "
+    "c7d_ewma_smooth c9j_keep_k_per_cluster c9k_prep_pipeline "
+    "c4m_quality_filter b3h_self_join b3i_star_join b3j_using_join "
+    "b4a_groupby_aggs b4b_count_distinct b4c_having b4d_global_agg "
+    "b4e_rollup b4f_conditional_agg b4g_distinct b4h_cube "
+    "b5a_row_number_rank b5b_lag_lead b5c_first_value b5d_running_sum "
+    "b5e_ntile_dense_rank b5g_window_filter b6a_order_by "
+    "b6b_multi_key_order b6c_top_k b6d_limit_offset b7a_union_all "
+    "b7b_union_distinct b7c_intersect b7d_except b8a_scalar_subquery "
+    "b8b_in_subquery b8c_derived_table b8d_cte b8f_recursive_cte "
+    "b8e_correlated_scalar b9a_string_funcs b9b_math_funcs "
+    "b9c_date_extract b9d_date_trunc b9e_case_coalesce b9g_json"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -193,6 +210,7 @@ def _prioritized():
         _ROUND6_VERIFIED,
         _ROUND7_VERIFIED,
         _ROUND8_VERIFIED,
+        _ROUND9_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}

@@ -2502,8 +2502,12 @@ def rewrite_sqlite_fns(sql: str) -> str:
     # static-typing rewrites first, on the raw SQLite-dialect text
     # (integer division, literal cross-type compare folding, string
     # abs() — idempotent, so fragment re-runs are safe); the session
-    # adds a second, column-affinity-aware sweep at the _sql entry
-    sql = rewrite_typed_ops(sql)
+    # adds a second, column-affinity-aware sweep at the _sql entry.
+    # arrows=True: on this raw text '->' is always a JSON arrow (SQLite
+    # has no lambdas) — the arithmetic passes may treat an arrow chain
+    # as a TEXT-class primary; the second sweep runs on rewritten Spark
+    # text where '->' is a lambda and must keep arrows off
+    sql = rewrite_typed_ops(sql, arrows=True)
     out, i, in_str = [], 0, None
     while i < len(sql):
         ch = sql[i]
@@ -3916,9 +3920,18 @@ class _TypedPass:
     """One rewrite sweep over the token list; collects surgical
     (start, end, replacement) edits against the original text."""
 
-    def __init__(self, toks, int_cols, sql: str = ""):
+    def __init__(self, toks, int_cols, sql: str = "", arrows: bool = False):
         self.toks = toks
         self.sql = sql
+        # arrows=True: the pass runs on RAW SQLite-dialect text (before
+        # _rewrite_json_arrows), where '->' / '->>' is ALWAYS a JSON
+        # arrow — parse_primary may consume an arrow-postfix chain as a
+        # single TEXT-class primary so the arithmetic machinery applies
+        # SQLite's numeric-prefix conversion to the extracted value
+        # (sqlite3-probed: '{"a":7}'->>'a' / 2 = 3). The session's
+        # second sweep runs on REWRITTEN Spark text where '->' is a
+        # lambda — arrow consumption must stay off there.
+        self.arrows = arrows
         # accepted forms: a set of INTEGER column names (legacy), or a
         # {name: _CLS_*} map carrying every declared-affinity class
         # (r8 — enables cross-type compare folding on typed columns)
@@ -3939,6 +3952,25 @@ class _TypedPass:
         self._span: dict[tuple[int, int], int] = {}
 
     # -- primary parsing ---------------------------------------------------
+
+    def _after_arrow(self, i: int) -> bool:
+        """True when toks[i] sits directly after a JSON ``->`` / ``->>``
+        arrow (tokenized ``-``,``>`` / ``-``,``>>``, always adjacent in
+        source — SQLite rejects ``- >>``).  Such a token is the arrow's
+        RHS path operand, NOT an arithmetic operand; every arithmetic
+        pass must leave it alone (r10, the left-operand twin of the r9
+        string-BEFORE-arrow exclusion: ``data ->> 'price' * 2`` folded
+        the path to its numeric prefix 0)."""
+        toks = self.toks
+        if i < 2:
+            return False
+        p = toks[i - 1]
+        if p[1] == ">>":
+            d = toks[i - 2]
+            return d[1] == "-" and d[3] == p[2]
+        if p[1] == ">" and toks[i - 2][1] == "-" and toks[i - 2][3] == p[2]:
+            return True
+        return False
 
     def _match_paren(self, i: int) -> int:
         """toks[i] is '(' → index of matching ')' token (or -1)."""
@@ -3965,10 +3997,40 @@ class _TypedPass:
         hit = self._prim.get(i)
         if hit is None:
             subs: list = []
-            hit = (self._parse_primary_uncached(i, subs), tuple(subs))
+            res0 = self._parse_primary_uncached(i, subs)
+            if (
+                self.arrows
+                and res0 is not None
+                and self.toks[i][1] not in ("+", "-")  # unary sign owns it
+            ):
+                res0 = self._consume_arrows(res0)
+            hit = (res0, tuple(subs))
             self._prim[i] = hit
         res, subs = hit
         subspans.extend(subs)
+        return res
+
+    def _consume_arrows(self, res):
+        """Extend a parsed primary across JSON ``->`` / ``->>`` postfix
+        steps with literal RHS paths (the only form the arrow rewrite
+        handles).  The result is the arrow EXTRACTION — dynamic in
+        SQLite, TEXT-shaped on our wire — so it classes TEXT, letting
+        ``j ->> 'a' * 2`` take the runtime numeric-prefix conversion."""
+        j, cls, pure = res
+        toks = self.toks
+        n = len(toks)
+        changed = False
+        while (
+            j + 2 < n
+            and toks[j][1] == "-"
+            and toks[j + 1][1] in (">", ">>")
+            and toks[j][3] == toks[j + 1][2]  # adjacent: a real arrow
+            and toks[j + 2][0] in ("str", "num")
+        ):
+            j += 3
+            changed = True
+        if changed:
+            return (j, _CLS_TEXT, False)
         return res
 
     def _parse_primary_uncached(self, i: int, subspans: list):
@@ -4199,7 +4261,12 @@ class _TypedPass:
                     and i + 2 < len(toks)
                     and toks[i + 2][1] in (">", ">>")
                 )
-                if (prev_arith or next_arith) and pvv != "||" and nvv != "||":
+                if (
+                    (prev_arith or next_arith)
+                    and pvv != "||"
+                    and nvv != "||"
+                    and not self._after_arrow(i)
+                ):
                     raw = t[1][1:-1].replace("''", "'")
                     f_, isql, rsql = _sqlite_arith_text_static(raw)
                     self.edits.append((t[2], t[3], isql if f_ is True else rsql))
@@ -4233,6 +4300,8 @@ class _TypedPass:
         Wrapping is a pure grouping change, so it is safe even when
         the neighbor's sign is unary."""
         toks = self.toks
+        if self._after_arrow(i):
+            return None  # JSON arrow RHS — the arrow owns this token
         prev = toks[i - 1] if i > 0 else None
         pv = None
         if prev is not None:
@@ -4302,6 +4371,8 @@ class _TypedPass:
         with trunc div/mod and *); additive matches require no sign
         and no +/- to the left (float reassociation is not safe)."""
         toks = self.toks
+        if self._after_arrow(i):
+            return None  # JSON arrow RHS — the arrow owns this token
         prev = toks[i - 1] if i > 0 else None
         pv = None
         if prev is not None:
@@ -4449,6 +4520,11 @@ class _TypedPass:
         every member is provably INTEGER, rewrite its '/' ops to div.
         Returns the index after the chain when one (with >= 2 members)
         was parsed, else None."""
+        if self._after_arrow(i):
+            # JSON arrow RHS: the chain's real left operand is the arrow
+            # RESULT (unknown class), not the path literal — classing it
+            # from the literal would mis-rewrite `data -> 2 / 4` to div
+            return None
         subspans: list = []
         res = self.parse_primary(i, subspans)
         if res is None:
@@ -4688,17 +4764,25 @@ class _TypedPass:
         return k
 
 
-def rewrite_typed_ops(sql: str, int_cols: frozenset = frozenset()) -> str:
+def rewrite_typed_ops(
+    sql: str, int_cols: frozenset = frozenset(), arrows: bool = False
+) -> str:
     """Apply the static-typing rewrites (docstring at section head).
     ``int_cols`` optionally carries lowercased INTEGER-affinity column
     names (bare and alias-qualified) so column division types too.
-    Unparseable text returns unchanged; runs to a small fixpoint so
-    parenthesized integer divisions type outer chains on later sweeps."""
-    for _ in range(3):
+    Unparseable text returns unchanged; runs to a fixpoint so
+    parenthesized integer divisions type outer chains on later sweeps.
+    The r9 rewrites intentionally spread one expression across passes
+    (concat-wrap, then arithmetic rewrite, then interior re-scan of
+    embedded members), so the safety cap must exceed the deepest such
+    cascade — 10 covers several nesting levels (a ||-chain inside a
+    CAST member inside another chain needs 4+); the no-edit early
+    return keeps the common case at one pass."""
+    for _ in range(10):
         toks = _typed_tokenize(sql)
         if toks is None:
             return sql
-        p = _TypedPass(toks, int_cols, sql)
+        p = _TypedPass(toks, int_cols, sql, arrows=arrows)
         try:
             p.scan(0, len(toks))
         except (ValueError, RecursionError):

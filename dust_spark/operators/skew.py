@@ -193,7 +193,10 @@ def distributed_rank(
 
     Output: input columns + ``rk`` (long), ``pr``, ``cd`` (double).
     NULL order keys follow Spark's NULLS FIRST ascending default —
-    pass a pre-filtered frame if NULL semantics matter."""
+    pass a pre-filtered frame if NULL semantics matter. NULL PARTITION
+    keys rank as their own group, exactly like a plain window (r10:
+    the offsets join is null-safe — a plain inner join silently
+    dropped the NULL partition)."""
     from pyspark.sql import Window as W
     from pyspark.sql import types as T
 
@@ -225,7 +228,11 @@ def distributed_rank(
             T.StructField("__n", T.LongType()),
         ]
     )
-    offs_df = spark.createDataFrame(offs, schema)
+    offs_df = (
+        spark.createDataFrame(offs, schema)
+        .withColumnRenamed("__pid", "__opid")
+        .withColumnRenamed(part_col, "__opart")
+    )
     lw = W.partitionBy("__pid", part_col).orderBy(order_col)
     tw = W.partitionBy("__pid", part_col, order_col)
     local = tagged.withColumn("__lrk", F.rank().over(lw)).withColumn(
@@ -236,10 +243,15 @@ def distributed_rank(
         F.col("__n") > 1, (rk - F.lit(1)) / (F.col("__n") - F.lit(1))
     ).otherwise(F.lit(0.0))
     cd = (rk - F.lit(1) + F.col("__ties")) / F.col("__n")
+    # eqNullSafe on the partition key: a NULL partition must pick up its
+    # offsets like any other group (plain window semantics)
+    on = (F.col("__pid") == F.col("__opid")) & F.col(part_col).eqNullSafe(
+        F.col("__opart")
+    )
     return (
-        local.join(F.broadcast(offs_df), ["__pid", part_col])
+        local.join(F.broadcast(offs_df), on)
         .withColumn("rk", rk)
         .withColumn("pr", pr.cast("double"))
         .withColumn("cd", cd.cast("double"))
-        .drop("__pid", "__lrk", "__ties", "__off", "__n")
+        .drop("__pid", "__opid", "__opart", "__lrk", "__ties", "__off", "__n")
     )

@@ -252,9 +252,15 @@ WITH planes AS (
                   THEN (1::BIGINT << (p.j % 10)) ELSE 0 END)::BIGINT AS bucket
   FROM embeddings e, planes p
   GROUP BY e.vec_id, p.j // 10
+), vbc AS (
+  -- the engine applies the max_bucket=10000 skew cap (_cap_buckets)
+  -- BEFORE the self-join; model it here or the oracle diverges the
+  -- moment any LSH bucket exceeds 10k members (r10, ADVICE item)
+  SELECT vec_id, tbl, bucket FROM vb
+  QUALIFY COUNT(*) OVER (PARTITION BY tbl, bucket) <= 10000
 ), cand AS (
   SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
-  FROM vb a JOIN vb b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
+  FROM vbc a JOIN vbc b ON a.tbl = b.tbl AND a.bucket = b.bucket AND a.vec_id < b.vec_id
 ), scored AS (
   SELECT c.id_a, c.id_b,
          ROUND(list_cosine_similarity(CAST(ea.embedding AS DOUBLE[]),

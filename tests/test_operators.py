@@ -1254,6 +1254,29 @@ def test_distributed_rank_equals_plain_window(spark):
     assert got == want
 
 
+def test_distributed_rank_null_partition_key(spark):
+    """r10 (ADVICE): NULL partition keys must rank as their own group
+    like a plain window — the offsets join is null-safe; a plain inner
+    join on the key silently dropped every NULL-keyed row."""
+    rows = [Row(k=None if i % 4 == 0 else ["a", "b"][i % 2], i=i, v=float(i % 13))
+            for i in range(200)]
+    df = spark.createDataFrame(rows, "k string, i long, v double")
+    res = ops.distributed_rank(df, "k", "v", n_slices=5)
+    got = {r.i: (r.k, r.rk, round(r.pr, 10), round(r.cd, 10)) for r in res.collect()}
+    assert len(got) == 200  # no rows dropped
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("v")
+    want = {
+        r.i: (r.k, r.rk, round(r.pr, 10), round(r.cd, 10))
+        for r in df.withColumn("rk", F.rank().over(w).cast("long"))
+        .withColumn("pr", F.percent_rank().over(w))
+        .withColumn("cd", F.cume_dist().over(w))
+        .collect()
+    }
+    assert got == want
+
+
 def test_containment_scores_planted(spark):
     """Asymmetric containment (r9): a doc quoting half its grams from
     the reference scores ~0.5; an untouched doc scores 0."""

@@ -712,6 +712,45 @@ JSON_MUTATE_CASES = [
 ]
 
 
+# JSON arrow composed with arithmetic (r10, the ADVICE-flagged shape):
+# the r9 TEXT-arithmetic folds treated a path literal on the RHS of
+# -> / ->> as an arithmetic operand and folded it to its numeric prefix
+# ("SELECT data ->> 'price' * 2" became data ->> (0 * 2)).  Fixed by
+# _TypedPass._after_arrow guards + arrow-postfix primaries: the arrow
+# chain now classes as one TEXT member, so SQLite's numeric-prefix
+# conversion applies to the EXTRACTED value.  Values are asserted
+# numerically — the int-FORM (10 vs 10.0) is the documented per-cell
+# dynamic-typing divergence (module docstring).
+ARROW_ARITH_CASES = [
+    "SELECT '{\"price\":5}' ->> 'price' * 2",
+    "SELECT '{\"price\":5}' -> 'price' * 2",
+    "SELECT '{\"a\":2.5}' ->> 'a' + 1",
+    "SELECT '{\"a\":7}' ->> 'a' / 2",
+    "SELECT '{\"a\":7}' ->> 'a' % 3",
+    "SELECT '[10,20]' -> 1 / 2",
+    "SELECT '[10,20]' ->> 1 - 5",
+    "SELECT '{\"p\":\"x\"}' ->> 'p' || 'y' * 2",
+    "SELECT 2 * '{\"price\":5}' ->> 'price'",
+    "SELECT '{\"a\":{\"b\":3}}' -> 'a' ->> 'b' * 4",
+    "SELECT '{\"a\":\"7abc\"}' ->> 'a' * 3",
+    "SELECT '{\"a\":\"\"}' ->> 'a' + 1",
+    "SELECT '{\"a\":[1,2]}' -> 'a' ->> 0 * 6",
+]
+
+
+@pytest.mark.parametrize("q", ARROW_ARITH_CASES)
+def test_json_arrow_arithmetic_matches_sqlite(db, ref, q):
+    want = ref.execute(q).fetchone()[0]
+    rs = db.query_string_stmt(q)
+    got = rs[0].values[0][0] if rs and rs[0].values else None
+    if want is None:
+        assert got is None, f"{q}: spark={got!r} sqlite=None"
+    else:
+        assert got is not None and float(got) == float(want), (
+            f"{q}: spark={got!r} sqlite={want!r}"
+        )
+
+
 @pytest.mark.parametrize("q", JSON_MUTATE_CASES)
 def test_json_mutation_matches_sqlite(db, ref, q):
     want = ref.execute(q).fetchone()[0]
