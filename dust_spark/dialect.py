@@ -4404,114 +4404,220 @@ class _TypedPass:
                 return self._arith_attempt(base, hi, pv, allow_additive=False)
         return None
 
+    def _leaf_frag(self, lo_t: int, hi_t: int, cls: int, pure: bool):
+        """(int_cond, int_expr, real_expr, int64_expr) for the member in
+        tokens [lo_t, hi_t) under SQLite's dynamic NUMERIC-affinity
+        conversion.  int_cond is True/False when statically known, else
+        a SQL boolean; int_expr is only valid under the condition;
+        real_expr is always valid; int64_expr is the ``%``-operand form
+        (TEXT converts by the INTEGER-prefix parse — '9e1' % 2 reads 9,
+        not 90; numerics truncate toward zero — all sqlite3-probed).
+        Parenthesized/call members embed verbatim; their interiors get
+        re-scanned on the next fixpoint pass over the replacement text
+        (r9 fourth wave — needed for wrapped ||-chains and CAST members
+        to take the prefix conversion)."""
+        toks = self.toks
+        m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]
+        if cls == _CLS_TEXT and pure:
+            raw = toks[lo_t][1][1:-1].replace("''", "'")
+            f, iv, rv = _sqlite_arith_text_static(raw)
+            mm = re.match(r"\s*([+-]?\d+)", raw)
+            modi = mm.group(1).lstrip("+") if mm else "0"
+            return (f, iv, rv, str(int(modi)))
+        if cls == _CLS_TEXT:
+            p = self._TEXT_DIV_PREFIX.format(m=m)
+            f = (
+                f"(({m}) IS NOT NULL AND ({p} = '' OR "
+                f"(({p}) NOT RLIKE '[.eE]' "
+                f"AND try_cast({p} AS BIGINT) IS NOT NULL)))"
+            )
+            iv = f"coalesce(try_cast({p} AS BIGINT), CAST(0 AS BIGINT))"
+            rv = (
+                f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS DOUBLE) "
+                f"ELSE coalesce(try_cast({p} AS DOUBLE), "
+                f"CAST(0.0 AS DOUBLE)) END"
+            )
+            modi = (
+                f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS BIGINT) "
+                f"ELSE coalesce(try_cast(regexp_extract(CAST(({m}) AS STRING), "
+                f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), CAST(0 AS BIGINT)) END"
+            )
+            return (f, iv, rv, modi)
+        if cls == _CLS_INT:
+            return (True, f"({m})", f"CAST(({m}) AS DOUBLE)", f"({m})")
+        return (False, None, f"({m})", f"CAST(({m}) AS BIGINT)")
+
+    @staticmethod
+    def _f_and(a, b):
+        if a is False or b is False:
+            return False
+        if a is True:
+            return b
+        if b is True:
+            return a
+        return f"({a} AND {b})"
+
+    @classmethod
+    def _frag_op(cls, op: str, L, R):
+        """Compose two member frags under one SQLite arithmetic op,
+        yielding the RESULT's frag — this is what lets chains propagate
+        int-formedness left-associatively ('9x'/2/2 must be
+        (9 div 2) div 2 = 2, not 4.0/2 = 2.0; r10, closing the
+        runtime 3+-member chain divergence).  Rules (sqlite3-probed):
+        INT op INT stays INT ('/' divides integrally); any REAL member
+        makes the result REAL; '%' int64-truncates BOTH operands and is
+        REAL unless both were INT; a composed result is NUMERIC, so a
+        later '%' truncates its VALUE toward zero (the INTEGER-prefix
+        parse applies to TEXT STORAGE leaves only)."""
+        fl, il, rl, ml = L
+        fr, ir, rr, mr = R
+        f = cls._f_and(fl, fr)
+        if op == "%":
+            iv = f"({ml} % {mr})"
+            # the % value is always integral — its REAL repr is exact
+            return (f, iv, f"CAST({iv} AS DOUBLE)", iv)
+        if op == "/":
+            iv = None if f is False else f"({il} div {ir})"
+            rcomp = f"({rl} / {rr})"
+        else:  # + - * : int/double VALUES coincide — no runtime CASE
+            iv = None if f is False else f"({il} {op} {ir})"
+            rcomp = f"({rl} {op} {rr})"
+        if f is True:
+            rv = f"CAST({iv} AS DOUBLE)" if op == "/" else rcomp
+        elif f is False:
+            rv = rcomp
+        elif op == "/":
+            rv = f"(CASE WHEN {f} THEN CAST({iv} AS DOUBLE) ELSE {rcomp} END)"
+        else:
+            rv = rcomp  # + - * values coincide int/double
+        if f is True:
+            mv = iv
+        elif f is False:
+            mv = f"CAST({rcomp} AS BIGINT)"
+        else:
+            mv = f"(CASE WHEN {f} THEN {iv} ELSE CAST({rcomp} AS BIGINT) END)"
+        return (f, iv, rv, mv)
+
+    def _compile_mul(self, i: int, hi: int, state: dict):
+        """Parse a multiplicative chain (primaries joined by * / %)
+        starting at token i into a composed frag.  Returns
+        (next_index, frag, n_members) or None.  '||' bails: concat
+        binds tighter than arithmetic (the wrap pass owns it).  'div'
+        is our own integer-division marker (an earlier _try_chain sweep
+        rewrites all-INT '/' — 'tx + 1/2' reaches the affinity-aware
+        sweep as 'tx + 1 div 2') and composes exactly like '/' on
+        INT-class members."""
+        toks = self.toks
+        res = self._compile_member(i, hi, state)
+        if res is None:
+            return None
+        j, frag, n = res
+        while j < hi:
+            t = toks[j]
+            op = t[1].lower() if t[0] == "word" else t[1]
+            if op == "||":
+                return None
+            if op == "div":
+                op = "/"
+            elif op not in ("*", "/", "%"):
+                break
+            res = self._compile_member(j + 1, hi, state)
+            if res is None:
+                return None
+            k, f2, n2 = res
+            if op == "%" and not (frag[0] is True and f2[0] is True):
+                state["modreal"] = True
+            frag = self._frag_op(op, frag, f2)
+            n += n2
+            j = k
+        return (j, frag, n)
+
+    def _compile_member(self, i: int, hi: int, state: dict):
+        """One chain member → (next_index, frag, n_members).  A
+        parenthesized group whose interior is itself a compilable
+        arithmetic chain compiles RECURSIVELY — '(tx+1)/2' must
+        integer-divide when tx+1 is int-formed at runtime; classing the
+        paren verbatim loses the interior's int-formedness.  (The outer
+        chain's edit covers the paren span, so the interior's own
+        scan-time edit is suppressed by the overlap pruning.)  Anything
+        else (calls, CASE, row values, ||-chains) falls back to a
+        verbatim leaf classed by parse_primary."""
+        toks = self.toks
+        if i >= hi or i >= len(toks):
+            return None
+        if toks[i][1] == "(":
+            j = self._match_paren(i)
+            if 0 < j < hi:
+                inner_state: dict = {}
+                inner = self._compile_add(i + 1, j, inner_state, True)
+                if inner is not None and inner[0] == j:
+                    state.update(inner_state)
+                    return (j + 1, inner[1], inner[2])
+        res = self.parse_primary(i, [])
+        if res is None:
+            return None
+        j, cls, pure = res
+        if j > hi or cls not in (_CLS_INT, _CLS_REAL, _CLS_TEXT):
+            return None
+        if cls == _CLS_TEXT:
+            state["text"] = True
+        return (j, self._leaf_frag(i, j, cls, pure), 1)
+
+    def _compile_add(self, i: int, hi: int, state: dict, allow_additive: bool):
+        """Parse an additive chain of multiplicative chains.  With
+        allow_additive=False (sign-outside retry, or a +/- to the left
+        that owns the first member) the parse stops before any
+        top-level + or - — float addition does not reassociate."""
+        res = self._compile_mul(i, hi, state)
+        if res is None:
+            return None
+        j, frag, n = res
+        toks = self.toks
+        while allow_additive and j < hi:
+            t = toks[j]
+            op = t[1].lower() if t[0] == "word" else t[1]
+            if op == "||":
+                return None
+            if op not in ("+", "-"):
+                break
+            res = self._compile_mul(j + 1, hi, state)
+            if res is None:
+                return None
+            j2, frag2, n2 = res
+            frag = self._frag_op(op, frag, frag2)
+            n += n2
+            j = j2
+        return (j, frag, n)
+
     def _arith_attempt(self, i: int, hi: int, pv, allow_additive: bool):
         toks = self.toks
-        subs_l: list = []
-        res = self.parse_primary(i, subs_l)
+        state: dict = {}
+        res = self._compile_add(
+            i, hi, state, allow_additive and pv not in ("+", "-")
+        )
         if res is None:
             return None
-        j, lcls, lpure = res
-        if j >= hi:
+        k, frag, n = res
+        # n > 6: expression size grows multiplicatively with chain depth
+        # (each level embeds the previous frag several times) — longer
+        # chains stay untouched, documented
+        if n < 2 or n > 6:
             return None
-        op = toks[j][1]
-        if op in ("+", "-"):
-            # additive: a +/- to the LEFT owns L (`a - s + 1` binds
-            # (a-s)+1)
-            if not allow_additive or pv in ("+", "-"):
-                return None
-        elif op not in ("*", "/", "%"):
-            return None
-        subs_r: list = []
-        res = self.parse_primary(j + 1, subs_r)
-        if res is None:
-            return None
-        k, rcls, rpure = res
-        if k > hi:
+        # only emit when a conversion is actually needed: a TEXT member
+        # anywhere, or a '%' whose operands aren't both statically INT
+        # (all-INT '/' chains belong to _try_chain's div rewrite)
+        if not (state.get("text") or state.get("modreal")):
             return None
         nxt = toks[k] if k < len(toks) else None
         if nxt is not None:
             nv = nxt[1].lower() if nxt[0] == "word" else nxt[1]
+            # a tighter/equal op to the right owns the last member; a
+            # remaining +/- is legal only on the sign-outside retry
+            # (additive consumption was off)
             if nv in ("*", "/", "%", "div", "||"):
                 return None
-        if op == "%":
-            # SQLite's % truncates BOTH operands to int64 (probed:
-            # '7'%'2.5'=1.0, 7.5%2=1.0) — a REAL member needs the
-            # rewrite even with no TEXT member; all-INT is native
-            if _CLS_TEXT not in (lcls, rcls) and _CLS_REAL not in (lcls, rcls):
-                return None
-        elif _CLS_TEXT not in (lcls, rcls):
-            return None
-        if not {lcls, rcls} <= {_CLS_INT, _CLS_REAL, _CLS_TEXT}:
-            return None
-        # parenthesized/call members embed verbatim; their interiors
-        # get re-scanned on the next fixpoint pass over the replacement
-        # text (r9 fourth wave — needed for wrapped ||-chains and CAST
-        # members to take the prefix conversion)
-        frags = []
-        for lo_t, hi_t, cls, pure in ((i, j, lcls, lpure), (j + 1, k, rcls, rpure)):
-            m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]
-            if cls == _CLS_TEXT and pure:
-                raw = toks[lo_t][1][1:-1].replace("''", "'")
-                f, iv, rv = _sqlite_arith_text_static(raw)
-                # % truncates TEXT by the INTEGER-prefix parse, which
-                # differs from trunc(numeric prefix) for exponent text
-                # ('9e1' % 2 reads 9, not 90 — sqlite3-probed)
-                mm = re.match(r"\s*([+-]?\d+)", raw)
-                modi = mm.group(1).lstrip("+") if mm else "0"
-                frags.append((f, iv, rv, str(int(modi))))
-            elif cls == _CLS_TEXT:
-                p = self._TEXT_DIV_PREFIX.format(m=m)
-                f = (
-                    f"(({m}) IS NOT NULL AND ({p} = '' OR "
-                    f"(({p}) NOT RLIKE '[.eE]' "
-                    f"AND try_cast({p} AS BIGINT) IS NOT NULL)))"
-                )
-                iv = f"coalesce(try_cast({p} AS BIGINT), CAST(0 AS BIGINT))"
-                rv = (
-                    f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS DOUBLE) "
-                    f"ELSE coalesce(try_cast({p} AS DOUBLE), "
-                    f"CAST(0.0 AS DOUBLE)) END"
-                )
-                modi = (
-                    f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS BIGINT) "
-                    f"ELSE coalesce(try_cast(regexp_extract(CAST(({m}) AS STRING), "
-                    f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), CAST(0 AS BIGINT)) END"
-                )
-                frags.append((f, iv, rv, modi))
-            elif cls == _CLS_INT:
-                frags.append((True, f"({m})", f"CAST(({m}) AS DOUBLE)", f"({m})"))
-            else:
-                frags.append((False, None, f"({m})", f"CAST(({m}) AS BIGINT)"))
-        (fl, il, rl, ml), (fr, ir, rr, mr) = frags
-        if op == "/":
-            if fl is False or fr is False:
-                repl = f"({rl} / {rr})"
-            else:
-                conds = [c for c in (fl, fr) if c is not True]
-                int_expr = f"({il} div {ir})"
-                if not conds:
-                    repl = int_expr
-                else:
-                    repl = (
-                        f"(CASE WHEN {' AND '.join(conds)} "
-                        f"THEN CAST({int_expr} AS DOUBLE) "
-                        f"ELSE ({rl} / {rr}) END)"
-                    )
-        elif op == "%":
-            # both operands int64-truncate (sqlite3-probed: TEXT by the
-            # INTEGER-prefix parse, REAL toward zero); result REAL
-            # whenever any operand's class was/may be REAL — a
-            # statically-all-int pair keeps INTEGER typing
-            core = f"({ml} % {mr})"
-            if fl is True and fr is True:
-                repl = core
-            else:
-                repl = f"CAST({core} AS DOUBLE)"
-        else:  # + - * : int/double VALUES coincide — no runtime CASE
-            if fl is True and fr is True:
-                repl = f"({il} {op} {ir})"
-            else:
-                repl = f"({rl} {op} {rr})"
+        f, iv, rv, _ = frag
+        repl = iv if f is True else rv
         self.edits.append((toks[i][2], toks[k - 1][3], repl))
         return k
 

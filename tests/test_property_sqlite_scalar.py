@@ -7,7 +7,9 @@ The generator stays inside the documented parity envelope (see
 test_sqlite_fn_parity): no cross-type comparisons, no empty replace()
 search strings. r9 ADDED literal division incl. TEXT operands (the
 NUMERIC-prefix conversion is statically folded, so the result types
-match exactly). The r6 parity wave WIDENED the
+match exactly); r10 widened that to 2–4-member mixed-precedence chains
+with optional parenthesized prefixes (the frag compiler). The r6
+parity wave WIDENED the
 envelope: month/year date steps (overflow now normalizes like SQLite),
 zero/negative substr offsets and negative lengths, astral-plane char()
 codepoints, decimal-literal REAL arithmetic, printf argument coercion,
@@ -124,19 +126,31 @@ def json_exprs(draw, depth: int = 1):
 def scalar_exprs(draw):
     kind = draw(st.integers(0, 10))
     if kind == 10:
-        # TEXT-operand division (r9): SQLite's arithmetic NUMERIC-prefix
-        # conversion, statically folded for literals by
-        # dialect._try_text_division — type-exact, so the str() compare
-        # below holds for both int and real paths
-        lt = draw(st.sampled_from([
+        # TEXT-operand arithmetic (r9 pairs, r10 CHAINS): SQLite's
+        # NUMERIC-prefix conversion, statically folded for literals by
+        # the dialect frag compiler — type-exact (the composed
+        # int-formed condition stays a static bool for pure literals),
+        # so the str() compare below holds for both int and real paths.
+        # 2–4 members, mixed precedence, optional parenthesized prefix.
+        pool = st.sampled_from([
             "'7'", "'007'", "' 8 '", "'7abc'", "'7.5x'", "''", "'abc'",
             "'-3'", "'+5'", "'9e1'", "'.5'", "'5.'", "'0x11'", "'inf'",
-        ]))
-        rt = draw(st.sampled_from(["2", "3", "-2", "0", "'4'", "'2.0'", "2.5", "7.5"]))
-        if draw(st.booleans()):
-            lt, rt = rt, lt
-        op = draw(st.sampled_from(["/", "%", "+", "-", "*"]))
-        return f"{lt} {op} {rt}"
+            "2", "3", "-2", "0", "'4'", "'2.0'", "2.5", "7.5",
+        ])
+        members = draw(st.lists(pool, min_size=2, max_size=4))
+        ops = [
+            draw(st.sampled_from(["/", "%", "+", "-", "*"]))
+            for _ in range(len(members) - 1)
+        ]
+        if len(members) >= 3 and draw(st.booleans()):
+            expr = f"({members[0]} {ops[0]} {members[1]})"
+            rest = zip(ops[1:], members[2:])
+        else:
+            expr = members[0]
+            rest = zip(ops, members[1:])
+        for op, m in rest:
+            expr += f" {op} {m}"
+        return expr
     if kind == 0:
         return draw(str_exprs())
     if kind == 1:

@@ -15,7 +15,10 @@ column is 'double'-shaped, and wire formatting shows 3.0 — numeric
 equality holds; the r9 second wave extends the same machinery to %
 — BOTH operands int64-truncate, TEXT by the INTEGER-prefix parse,
 REAL toward zero, never fmod — and to + - * TEXT prefix conversion;
-longer mixed chains keep the old behavior);
+r10 extends the machinery to 3+-member CHAINS with full precedence,
+left-assoc int-formedness propagation and parenthesized sub-chains —
+test_text_arith_chains; chains longer than 6 members stay untouched,
+expression-size cap);
 cross-type comparison where an operand's class is only known at runtime
 (two typed columns of different affinities, or an UNTYPED/BLOB/ANY
 column: SQLite applies comparison affinity per row; literal vs literal
@@ -455,6 +458,46 @@ def test_text_operand_division(spark):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(v) for v in db.query_string_stmt(q)[0].values]
         assert got == want, (q, got, want)
+    db.close()
+    ref.close()
+
+
+def test_text_arith_chains(spark):
+    """r10 (verdict #1): 3+-member arithmetic chains with runtime TEXT
+    column members — the frag compiler (_compile_add/_compile_mul)
+    propagates int-formedness left-associatively, so '9x'/2/2 = 2 via
+    two integer divisions (not 4.0/2), parenthesized sub-chains keep
+    their interior int-formedness ((tx+1)/2 integer-divides when tx+1
+    is int-formed), and mixed precedence binds like SQLite
+    (tx + 1/2 adds the integer 0). All sqlite3-differential; values
+    asserted numerically (int-FORM stays the documented per-cell
+    typing divergence)."""
+    db = DustSession(spark)
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE tc (id INTEGER PRIMARY KEY, tx TEXT, r REAL, i INTEGER)"
+    ins = (
+        "INSERT INTO tc VALUES (1,'7',2.5,9), (2,'7abc',0.5,-7), "
+        "(3,'',7.5,4), (4,'9e1',-2.5,0), (5,'  -3.5x',100.0,15), "
+        "(6,NULL,NULL,NULL), (7,'0x11',3.0,2), (8,'12.',0.0,1)"
+    )
+    for c in (db.execute_string_stmt, lambda q: ref.execute(q)):
+        c(ddl)
+        c(ins)
+    for e in [
+        "tx/2/2", "tx+1+1", "tx*2*2", "tx-1-1", "tx%3%2",
+        "tx/2+1", "tx+1/2", "tx*2+tx", "tx/2/2/2",
+        "r%2/2", "tx%r%2", "i/tx/2", "1+tx+1", "tx/i/2",
+        "tx*2-1+3", "2*tx/4", "tx/2*3", "i%tx+1", "r/tx+i",
+        "tx+tx+tx", "tx/2 - tx/3", "tx + i/2", "tx + i%2*3",
+        "i + tx/2 - 1", "tx % 2 + r", "-tx/2/2", "- tx / 2 + 1",
+        "(tx+1)/2", "(tx||'2')/2/2", "i/2/tx", "(tx*2)%(i+1)",
+        "((tx+1)/2)/2", "(tx+1)*(tx-1)", "(r+tx)/2", "3*(tx+1)/2",
+        "(tx)/(2)", "tx/(1+1)",
+    ]:
+        q = f"SELECT id, {e} AS v FROM tc ORDER BY id"
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
     db.close()
     ref.close()
 
