@@ -10,6 +10,7 @@ evaluation stays inside Catalyst (SURVEY.md §4.2 "custom needed" rows).
 
 from __future__ import annotations
 
+import math
 import re
 from dataclasses import dataclass, field
 
@@ -4204,6 +4205,26 @@ class _TypedPass:
                 self.edits.append((t[2], toks[i + 3][3], out))
                 i += 4
                 continue
+            # a decimal integral literal OUTSIDE int64 is REAL in SQLite
+            # (typeof(9223372036854775808) = 'real'); Spark parses it as
+            # DECIMAL(19,0) whose arithmetic then diverges from REAL.
+            # Fold to the double literal. NOT when signed: SQLite parses
+            # the full signed literal (-9223372036854775808 is INTEGER,
+            # sqlite3-probed), and the chain fold handles signed members.
+            if (
+                t[0] == "num"
+                and t[1][-1] not in "dD"
+                and not t[1].lower().startswith("0x")
+                and _num_is_int(t[1])
+                and int(t[1]) >= 2**63
+                and not self._after_arrow(i)
+                and (i == 0 or toks[i - 1][1] not in ("+", "-", "."))
+            ):
+                self.edits.append(
+                    (t[2], t[3], self._render_val(("r", float(int(t[1])), None)))
+                )
+                i += 1
+                continue
             # || PRECEDENCE (r9, sqlite3-probed): SQLite binds || tighter
             # than ALL arithmetic ('a' || '7' * 2 = ('a'||'7')*2 = 0);
             # Spark binds * first. Parenthesize a ||-chain whenever an
@@ -4447,6 +4468,157 @@ class _TypedPass:
             return (True, f"({m})", f"CAST(({m}) AS DOUBLE)", f"({m})")
         return (False, None, f"({m})", f"CAST(({m}) AS BIGINT)")
 
+    # -- static chain evaluation (r10: integer-overflow promotion) --------
+
+    @staticmethod
+    def _trunc64(x):
+        """SQLite CAST(... AS INTEGER): truncate toward zero, SATURATE
+        at the int64 bounds (sqlite3-probed: 1e30 % 3 = 1.0 via the
+        saturated 9223372036854775807; inf saturates too)."""
+        if isinstance(x, float):
+            if math.isnan(x):
+                return 0
+            if x >= 2**63:
+                return 2**63 - 1
+            if x <= -(2**63):
+                return -(2**63)
+            x = int(x)
+        if x >= 2**63:
+            return 2**63 - 1
+        if x < -(2**63):
+            return -(2**63)
+        return x
+
+    def _leaf_val(self, lo_t: int, hi_t: int, cls: int, pure: bool):
+        """Exact static value of a pure-literal member:
+        (kind 'i'|'r'|'n', number, int64-%-operand) or None when not
+        statically evaluable.  Implements SQLite's literal rules:
+        hex is 64-bit two's complement, a decimal integral literal
+        outside int64 parses REAL, TEXT converts by numeric prefix
+        (INTEGER-prefix parse for the % operand).  D-suffixed numbers
+        are our own DOUBLE markers from a previous pass — skipped so
+        re-runs on rewritten fragments stay idempotent."""
+        if not pure:
+            return None
+        toks = self.toks
+        sign, k = 1, lo_t
+        while toks[k][1] in ("+", "-"):
+            if toks[k][1] == "-":
+                sign = -sign
+            k += 1
+        if k != hi_t - 1:
+            return None
+        kind, text = toks[k][0], toks[k][1]
+        if kind == "num":
+            if text[-1] in "dD" and not text.lower().startswith("0x"):
+                return None
+            if text.lower().startswith("0x"):
+                v = int(text, 16)
+                if v >= 2**64:
+                    return None  # SQLite: 'hex literal too big' — leave
+                if v >= 2**63:
+                    v -= 2**64
+                v *= sign
+                return ("i", v, v)
+            if _num_is_int(text):
+                v = int(text) * sign
+                if -(2**63) <= v < 2**63:
+                    return ("i", v, v)
+                x = float(v)
+                return ("r", x, self._trunc64(x))
+            x = float(text) * sign
+            return ("r", x, self._trunc64(x))
+        if kind == "str" and sign == 1:
+            raw = text[1:-1].replace("''", "'")
+            t = raw.lstrip(" \t\r\n\f\v")
+            m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
+            mm = re.match(r"\s*([+-]?\d+)", raw)
+            modi = int(mm.group(1)) if mm else 0
+            if m:
+                p = m.group(0)
+                if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
+                    return ("i", int(p), modi)
+            x = _sqlite_text_to_real(raw)
+            return ("r", x, modi)
+        return None
+
+    @classmethod
+    def _val_op(cls, op: str, va, vb):
+        """SQLite's arithmetic on two static values — INT arithmetic
+        that overflows int64 PROMOTES to the REAL computed from the
+        original operands (sqlite3-probed: 9223372036854775807 + 1 =
+        9.223372036854776e+18 = float(a) + float(b); INT_MIN / -1
+        promotes; INT_MIN % -1 = 0 INTEGER); x/0 and x/0.0 are NULL;
+        non-finite REAL results (inf-inf, inf/inf) are NULL like every
+        math domain error, but inf itself survives (1e999 probes
+        'real' inf)."""
+        if va is None or vb is None:
+            return None
+        ka, a, _ma = va
+        kb, b, _mb = vb
+        if ka == "n" or kb == "n":
+            return ("n", None, None)
+        both_int = ka == "i" and kb == "i"
+        if op == "%":
+            ma, mb = va[2], vb[2]
+            if mb == 0:
+                return ("n", None, None)
+            q = abs(ma) // abs(mb)
+            if (ma < 0) != (mb < 0):
+                q = -q
+            r = ma - mb * q
+            if both_int:
+                return ("i", r, r)
+            return ("r", float(r), cls._trunc64(float(r)))
+        if op == "/":
+            if both_int:
+                if b == 0:
+                    return ("n", None, None)
+                q = abs(a) // abs(b)
+                if (a < 0) != (b < 0):
+                    q = -q
+                if -(2**63) <= q < 2**63:
+                    return ("i", q, q)
+                x = float(a) / float(b)
+                return ("r", x, cls._trunc64(x))
+            if float(b) == 0.0:
+                return ("n", None, None)
+            x = float(a) / float(b)
+            if math.isnan(x):
+                return ("n", None, None)
+            return ("r", x, cls._trunc64(x))
+        if both_int:
+            r = a + b if op == "+" else a - b if op == "-" else a * b
+            if -(2**63) <= r < 2**63:
+                return ("i", r, r)
+            x = (
+                float(a) + float(b)
+                if op == "+"
+                else float(a) - float(b) if op == "-" else float(a) * float(b)
+            )
+            return ("r", x, cls._trunc64(x))
+        fa, fb = float(a), float(b)
+        x = fa + fb if op == "+" else fa - fb if op == "-" else fa * fb
+        if math.isnan(x):
+            return ("n", None, None)
+        return ("r", x, cls._trunc64(x))
+
+    @staticmethod
+    def _render_val(val) -> str:
+        """Fold a static value to (parenthesized) SQL — parens keep a
+        folded integer from turning into a positional ORDER BY ref."""
+        k, v, _ = val
+        if k == "n":
+            return "(NULL)"
+        if k == "i":
+            return f"({v})"
+        if math.isinf(v):
+            return "(double('Infinity'))" if v > 0 else "(double('-Infinity'))"
+        out = repr(v)
+        if "e" not in out and "E" not in out and "." not in out:
+            out += ".0"
+        return f"(CAST({out} AS DOUBLE))"
+
     @staticmethod
     def _f_and(a, b):
         if a is False or b is False:
@@ -4511,7 +4683,7 @@ class _TypedPass:
         res = self._compile_member(i, hi, state)
         if res is None:
             return None
-        j, frag, n = res
+        j, frag, n, val = res
         while j < hi:
             t = toks[j]
             op = t[1].lower() if t[0] == "word" else t[1]
@@ -4524,13 +4696,14 @@ class _TypedPass:
             res = self._compile_member(j + 1, hi, state)
             if res is None:
                 return None
-            k, f2, n2 = res
+            k, f2, n2, v2 = res
             if op == "%" and not (frag[0] is True and f2[0] is True):
                 state["modreal"] = True
+            val = self._val_op(op, val, v2)
             frag = self._frag_op(op, frag, f2)
             n += n2
             j = k
-        return (j, frag, n)
+        return (j, frag, n, val)
 
     def _compile_member(self, i: int, hi: int, state: dict):
         """One chain member → (next_index, frag, n_members).  A
@@ -4552,7 +4725,7 @@ class _TypedPass:
                 inner = self._compile_add(i + 1, j, inner_state, True)
                 if inner is not None and inner[0] == j:
                     state.update(inner_state)
-                    return (j + 1, inner[1], inner[2])
+                    return (j + 1, inner[1], inner[2], inner[3])
         res = self.parse_primary(i, [])
         if res is None:
             return None
@@ -4561,7 +4734,12 @@ class _TypedPass:
             return None
         if cls == _CLS_TEXT:
             state["text"] = True
-        return (j, self._leaf_frag(i, j, cls, pure), 1)
+        return (
+            j,
+            self._leaf_frag(i, j, cls, pure),
+            1,
+            self._leaf_val(i, j, cls, pure),
+        )
 
     def _compile_add(self, i: int, hi: int, state: dict, allow_additive: bool):
         """Parse an additive chain of multiplicative chains.  With
@@ -4571,7 +4749,7 @@ class _TypedPass:
         res = self._compile_mul(i, hi, state)
         if res is None:
             return None
-        j, frag, n = res
+        j, frag, n, val = res
         toks = self.toks
         while allow_additive and j < hi:
             t = toks[j]
@@ -4583,11 +4761,12 @@ class _TypedPass:
             res = self._compile_mul(j + 1, hi, state)
             if res is None:
                 return None
-            j2, frag2, n2 = res
+            j2, frag2, n2, v2 = res
+            val = self._val_op(op, val, v2)
             frag = self._frag_op(op, frag, frag2)
             n += n2
             j = j2
-        return (j, frag, n)
+        return (j, frag, n, val)
 
     def _arith_attempt(self, i: int, hi: int, pv, allow_additive: bool):
         toks = self.toks
@@ -4597,16 +4776,12 @@ class _TypedPass:
         )
         if res is None:
             return None
-        k, frag, n = res
+        k, frag, n, val = res
         # n > 6: expression size grows multiplicatively with chain depth
         # (each level embeds the previous frag several times) — longer
-        # chains stay untouched, documented
-        if n < 2 or n > 6:
-            return None
-        # only emit when a conversion is actually needed: a TEXT member
-        # anywhere, or a '%' whose operands aren't both statically INT
-        # (all-INT '/' chains belong to _try_chain's div rewrite)
-        if not (state.get("text") or state.get("modreal")):
+        # chains stay untouched, documented.  Statically-valued chains
+        # fold to a literal instead, so the cap doesn't apply there.
+        if n < 2:
             return None
         nxt = toks[k] if k < len(toks) else None
         if nxt is not None:
@@ -4616,6 +4791,17 @@ class _TypedPass:
             # (additive consumption was off)
             if nv in ("*", "/", "%", "div", "||"):
                 return None
+        if val is not None:
+            # whole chain is static: fold to SQLite's exact value —
+            # this is where int64-overflow PROMOTION lands
+            # (9223372036854775807 + 1 folds to the REAL literal)
+            self.edits.append((toks[i][2], toks[k - 1][3], self._render_val(val)))
+            return k
+        # only emit the runtime rewrite when a conversion is actually
+        # needed: a TEXT member anywhere, or a '%' whose operands aren't
+        # both statically INT (all-INT '/' chains belong to _try_chain)
+        if n > 6 or not (state.get("text") or state.get("modreal")):
+            return None
         f, iv, rv, _ = frag
         repl = iv if f is True else rv
         self.edits.append((toks[i][2], toks[k - 1][3], repl))

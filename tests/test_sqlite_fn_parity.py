@@ -29,7 +29,7 @@ vs INTEGER literal rewrites the literal to its canonical TEXT form,
 any typed column vs BLOB literal folds —
 test_comparison_affinity_typed_columns);
 abs() of a non-literal text expression (literal text/blob IS asserted:
-numeric-prefix fold); 1e999-style overflow literals now parse to REAL +Inf and compare/typeof correctly (r8) — raw Inf CELLS ride the JSON wire as NULL, faithful to the reference's serde_json serialization (no Infinity in JSON); integer truthiness in
+numeric-prefix fold); 1e999-style overflow literals now parse to REAL +Inf and compare/typeof correctly (r8) — raw Inf CELLS ride the JSON wire as NULL, faithful to the reference's serde_json serialization (no Infinity in JSON); int64-overflow promotion is ASSERTED for static chains as of r10 (pure-literal arithmetic folds to SQLite's exact value — overflow computes the REAL of the original operands, out-of-range literals parse REAL, hex is two's complement); RUNTIME column overflow still wraps (Spark BIGINT, no per-cell check — documented); integer truthiness in
 boolean contexts (NOT 0, 1 AND 0, CASE WHEN 1); backslashes in string
 literals (SQLite literal, Spark escape); printf('%f', <decimal
 literal>); quote(<number>) quotes the text form; glob patterns with a
@@ -106,6 +106,24 @@ CASES = [
     "SELECT 0.1 + 0.2",
     "SELECT typeof(0.5)",
     "SELECT 7.0/2",
+    # integer-overflow promotion (r10): int64 overflow computes the REAL
+    # of the original operands; an out-of-range integral literal parses
+    # REAL; INT_MIN / -1 promotes, INT_MIN % -1 is 0 INTEGER
+    "SELECT 9223372036854775807 + 1",
+    "SELECT typeof(9223372036854775807 + 1)",
+    "SELECT 3037000500 * 3037000500",
+    "SELECT 9223372036854775807 * 2",
+    "SELECT -9223372036854775807 - 5",
+    "SELECT (-9223372036854775807 - 1) / -1",
+    "SELECT (-9223372036854775807 - 1) % -1",
+    "SELECT 9223372036854775808",
+    "SELECT typeof(9223372036854775808)",
+    "SELECT '9223372036854775807' + 1",
+    "SELECT 9223372036854775806 + 1",
+    "SELECT 4611686018427387904 * 2",
+    "SELECT 9223372036854775807 + 1 - 1",
+    "SELECT 0xFFFFFFFFFFFFFFFF + 0",
+    "SELECT 1e999 % 3",
     # 'julianday' first-modifier + localtime/utc no-ops on a UTC host
     "SELECT datetime(2460325.0, 'julianday')",
     "SELECT date(2460310.5, 'julianday', '+1 month')",
