@@ -1001,3 +1001,41 @@ def containment_scores(
             ).alias("containment"),
         )
     )
+
+
+def ngram_novelty(
+    df: DataFrame,
+    text_col: str = "text",
+    ngram_words: int = 3,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Temporal n-gram NOVELTY: the fraction of a document's distinct
+    word n-grams whose FIRST corpus occurrence (minimum id over the
+    ascending-id ingestion order) is this document — the curation
+    signal for "how much genuinely new text does this doc add", the
+    set-level complement of containment/duplication scoring.
+
+    Scale shape: grams hash to 8-byte keys (raw text never shuffles),
+    one groupBy(min id) over the gram hashes builds the first-seen map,
+    one join back + per-doc aggregation scores every document. Both
+    shuffles key on the gram hash; no self-join, no window over a
+    global order. Output: (id, n_grams, novel, novelty) for every
+    document with at least one gram.
+    """
+    doc_grams = (
+        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+    first = doc_grams.groupBy("__gh").agg(F.min(id_col).alias("__first"))
+    novel = F.sum(F.when(F.col("__first") == F.col(id_col), 1).otherwise(0))
+    return (
+        doc_grams.join(first, "__gh")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            novel.alias("novel"),
+            F.round(novel.cast("double") / F.count("*"), 4).alias("novelty"),
+        )
+    )

@@ -199,3 +199,49 @@ def ewma_smooth(
         F.round(F.col("avg_v"), 4).alias("avg_v"),
         F.round(num / den, 4).alias("ewma"),
     )
+
+
+def resample_ohlc(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+    id_col: str = "event_id",
+) -> DataFrame:
+    """Time-series downsampling to OHLC candles: per (key, bucket) the
+    first value (open), max (high), min (low), last value (close) and
+    the observation count — the classic hypertable/financial resample.
+
+    Hash-stable across engines by construction: open/close are PICKED
+    values (row_number over the total order (ts, id) — the id tiebreak
+    makes duplicate timestamps deterministic), high/low are exact
+    comparisons, and no float accumulation happens anywhere.
+
+    Scale shape: the two row_number windows and the groupBy all
+    partition on the SAME (key, bucket) pair, so the whole resample
+    costs ONE hash exchange of (key, bucket, ts, value, id) tuples;
+    partition count is per (key, bucket), never a global sort.
+    """
+    from pyspark.sql import Window as W
+
+    t = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(t / (bucket_s * 1_000_000)) * bucket_s).cast("long").alias("bucket_s"),
+        t.alias("__t"),
+        F.col(value_col).alias("v"),
+        F.col(id_col).alias("__eid"),
+    )
+    wa = W.partitionBy("k", "bucket_s").orderBy("__t", "__eid")
+    wd = W.partitionBy("k", "bucket_s").orderBy(F.col("__t").desc(), F.col("__eid").desc())
+    rr = base.withColumn("__ra", F.row_number().over(wa)).withColumn(
+        "__rd", F.row_number().over(wd)
+    )
+    return rr.groupBy("k", "bucket_s").agg(
+        F.max(F.when(F.col("__ra") == 1, F.col("v"))).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max(F.when(F.col("__rd") == 1, F.col("v"))).alias("close"),
+        F.count("*").alias("n"),
+    )

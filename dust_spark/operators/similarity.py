@@ -321,21 +321,48 @@ def portable_bucket_index(
     """(id, v) → the (id, t, bucket) RP-LSH index on deterministic
     portable hyperplanes — shared by :func:`embedding_near_dup_portable`
     and the bucket-cap scale smoke (tools/cluster_cap_smoke.py), so the
-    measured candidate histograms use EXACTLY the operator's buckets."""
+    measured candidate histograms use EXACTLY the operator's buckets.
+
+    r10: the planes ride in as broadcast DATA (one crossJoined row of
+    array<array<double>>) instead of 2560 literal expression nodes —
+    the old 40 per-plane HOF chains cost ~8 s of Catalyst analysis +
+    interpretation PER RUN at sf0.1 (2000 rows; the work was never
+    data-bound). One transform computes all 40 dots with the exact
+    same left-fold accumulation (vec_dot), so bucket words — and the
+    DuckDB oracle hashes — are bit-identical. The dots array is
+    materialized as a real attribute column before the per-table
+    zip_with/aggregate touch it (the CollapseProject rule)."""
     planes = portable_planes(dim, n_tables * bits_per_table)
+    spark = base.sparkSession
+    pl_df = spark.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "__planes: array<array<double>>",
+    )
+    dotted = (
+        base.crossJoin(F.broadcast(pl_df))
+        .select(
+            "id",
+            F.transform(
+                F.col("__planes"), lambda p: vec_dot(F.col("v"), p)
+            ).alias("__dots"),
+        )
+    )
+    masks = F.array(
+        *[F.lit(1 << b).cast("long") for b in range(bits_per_table)]
+    )
     tables = []
     for t in range(n_tables):
-        word = F.lit(0).cast("long")
-        for b in range(bits_per_table):
-            plane = F.array(*[F.lit(x) for x in planes[t * bits_per_table + b]])
-            dot = vec_dot(F.col("v"), plane)
-            word = word.bitwiseOR(
-                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
+        word = F.aggregate(
+            F.zip_with(
+                F.slice(F.col("__dots"), t * bits_per_table + 1, bits_per_table),
+                masks,
+                lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
         tables.append(F.struct(F.lit(t).alias("t"), word.alias("bucket")))
-    return base.select("id", F.explode(F.array(*tables)).alias("tb")).select(
+    return dotted.select("id", F.explode(F.array(*tables)).alias("tb")).select(
         "id", F.col("tb.t").alias("t"), F.col("tb.bucket").alias("bucket")
     )
 
@@ -360,15 +387,20 @@ def embedding_near_dup_portable(
     Scale posture matches c2d: the bucket table carries (id, t, bucket)
     only — vectors never enter the candidate shuffle; pairs dedup on the
     id key and vectors re-join by id for verification. O(n·tables) index
-    size, no crossJoin anywhere. The index is persisted before the
-    self-join (24 bytes x n x tables — ~100 GB per 1B vectors, standard
-    build-once LSH practice); without it both join sides re-run the
-    n_tables x bits plane dots over the corpus (measured ~1.4s of a 5s
-    query at sf0.1).
+    size, no crossJoin anywhere (24 bytes per index row — ~100 GB per 1B
+    vectors, standard build-once LSH practice). r10 perf wave
+    (interleaved A/B at sf0.1: warm 5.4 s → ~2 s, hash unchanged): the
+    index persists AFTER the bucket cap so the count-over-window runs
+    once instead of once per self-join side; per-vector norms are
+    computed once in the vectors frame (cos = dot/(na·nb),
+    bit-identical arithmetic) so verify runs ONE fold per candidate
+    pair instead of three; planes ride as broadcast data (see
+    portable_bucket_index).
     """
     base = df.select(F.col(id_col).alias("id"), F.col(vec_col).alias("v"))
-    tagged = portable_bucket_index(base, dim, n_tables, bits_per_table).persist()
-    tagged = _cap_buckets(tagged, max_bucket)
+    tagged = _cap_buckets(
+        portable_bucket_index(base, dim, n_tables, bits_per_table), max_bucket
+    ).persist()
     a, b = tagged.alias("a"), tagged.alias("b")
     pairs = (
         a.join(b, ["t", "bucket"])
@@ -376,10 +408,30 @@ def embedding_near_dup_portable(
         .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
         .distinct()
     )
+    vecs = base.select("id", "v", vec_norm(F.col("v")).alias("nrm"))
     return (
-        pairs.join(base.select(F.col("id").alias("id_a"), F.col("v").alias("va")), "id_a")
-        .join(base.select(F.col("id").alias("id_b"), F.col("v").alias("vb")), "id_b")
-        .withColumn("cos", F.round(cosine(F.col("va"), F.col("vb")), 4))
+        pairs.join(
+            vecs.select(
+                F.col("id").alias("id_a"),
+                F.col("v").alias("va"),
+                F.col("nrm").alias("na"),
+            ),
+            "id_a",
+        )
+        .join(
+            vecs.select(
+                F.col("id").alias("id_b"),
+                F.col("v").alias("vb"),
+                F.col("nrm").alias("nb"),
+            ),
+            "id_b",
+        )
+        .withColumn(
+            "cos",
+            F.round(
+                vec_dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")), 4
+            ),
+        )
         .filter(F.col("cos") >= threshold)
         .select("id_a", "id_b", (F.col("cos") + F.lit(0.0)).alias("cos"))
     )
@@ -1044,3 +1096,99 @@ def ivfpq_topk_portable(
         .select("qid", "vid", _adc_fold().alias("adist"))
     )
     return _pq_rank(ad, k)
+
+
+def mips_topk_portable(
+    queries: DataFrame,
+    corpus: DataFrame,
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    dim: int = 64,
+    nbits: int = 8,
+) -> DataFrame:
+    """Maximum-inner-product search (MIPS) via the norm-augmentation
+    reduction (Shrivastava & Li / Bachrach et al.): append
+    sqrt(M² − |v|²) to every corpus vector (all augmented norms become
+    M) and 0.0 to every query — cosine ORDER over the augmented space
+    equals dot-product order over the originals, so the c3f portable
+    multiprobe LSH machinery runs unchanged on dim+1. Scoring uses the
+    augmented dot directly: the query's extra component is 0, so it IS
+    the original inner product.
+
+    Hash-stable across engines: M² is the max of squared norms folded
+    in the same left-assoc order as DuckDB's list_sum; sqrt is
+    IEEE-correctly-rounded in both; planes are the deterministic
+    portable generator at dim+1. Scale shape matches c3f — corpus
+    bucket index carries (id, bucket) only, query probes broadcast,
+    vectors re-join by id for the exact-dot re-rank.
+    """
+    from pyspark.sql import Window as W
+
+    def sq_norm(v):
+        return F.aggregate(
+            v, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
+        )
+
+    m2 = corpus.agg(F.max(sq_norm(F.col(vec_col)))).collect()[0][0]
+
+    def augmented(df_, extra):
+        return df_.select(
+            F.col(id_col).alias("id"),
+            F.concat(
+                F.transform(F.col(vec_col), lambda x: x.cast("double")),
+                F.array(extra),
+            ).alias("v"),
+        )
+
+    c_aug = augmented(corpus, F.sqrt(F.lit(float(m2)) - sq_norm(F.col(vec_col))))
+    q_aug = augmented(queries, F.lit(0.0))
+
+    planes = portable_planes(dim + 1, nbits)
+
+    def bucket_col(v):
+        word = F.lit(0).cast("long")
+        for j in range(nbits):
+            plane = F.array(*[F.lit(x) for x in planes[j]])
+            dot = vec_dot(v, plane)
+            word = word.bitwiseOR(
+                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
+                    F.lit(0).cast("long")
+                )
+            )
+        return word
+
+    cb = c_aug.select(F.col("id").alias("nid"), bucket_col(F.col("v")).alias("bucket"))
+    qb = q_aug.select(F.col("id").alias("qid"), bucket_col(F.col("v")).alias("qbucket"))
+    probes = qb.select(
+        "qid",
+        F.explode(
+            F.array(
+                F.col("qbucket"),
+                *[
+                    F.col("qbucket").bitwiseXOR(F.lit(1 << j).cast("long"))
+                    for j in range(nbits)
+                ],
+            )
+        ).alias("bucket"),
+    )
+    cand = (
+        F.broadcast(probes)
+        .join(cb, "bucket")
+        .filter(F.col("qid") != F.col("nid"))
+        .select("qid", "nid")
+        .distinct()
+    )
+    w = W.partitionBy("qid").orderBy(F.col("__dot").desc(), F.col("nid"))
+    return (
+        cand.join(
+            F.broadcast(q_aug.select(F.col("id").alias("qid"), F.col("v").alias("qv"))),
+            "qid",
+        )
+        .join(c_aug.select(F.col("id").alias("nid"), F.col("v").alias("nv")), "nid")
+        .withColumn("__dot", vec_dot(F.col("qv"), F.col("nv")))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= k)
+        .select("qid", "nid", (F.round("__dot", 4) + F.lit(0.0)).alias("dot"))
+        .orderBy("qid", "nid")
+    )

@@ -2877,3 +2877,198 @@ def prep_pipeline_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# OHLC resample (r10): picked values (row_number over the (ts, event_id)
+# total order) + exact min/max — no float accumulation anywhere, so the
+# candles hash identically across engines with no DECIMAL machinery.
+_OHLC_ORACLE = """
+WITH base AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch_us(ts) / 3600000000) * 3600 AS BIGINT) AS bucket_s,
+         epoch_us(ts) AS t, value AS v, event_id AS eid
+  FROM events
+), rr AS (
+  SELECT *,
+    row_number() OVER (PARTITION BY k, bucket_s ORDER BY t, eid) AS ra,
+    row_number() OVER (PARTITION BY k, bucket_s ORDER BY t DESC, eid DESC) AS rd
+  FROM base
+)
+SELECT k, bucket_s,
+       MAX(CASE WHEN ra = 1 THEN v END) AS open,
+       MAX(v) AS high, MIN(v) AS low,
+       MAX(CASE WHEN rd = 1 THEN v END) AS close,
+       count(*) AS n
+FROM rr GROUP BY k, bucket_s
+ORDER BY k, bucket_s
+"""
+
+
+@register("c7e_resample_ohlc", oracle=_OHLC_ORACLE, tags=("tierc", "rollup"))
+def resample_ohlc_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly OHLC candles per user — the classic hypertable/financial
+    downsample. Both row_number windows and the groupBy partition on
+    the same (key, bucket) pair: one hash exchange for the whole
+    resample."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.resample_ohlc(ev).orderBy("k", "bucket_s")
+
+
+# n-gram novelty (r10): first-occurrence attribution over the ascending
+# doc_id ingestion order. The engine joins on 8-byte gram hashes; the
+# oracle joins on the gram strings — identical result set.
+_NOVELTY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS g
+  FROM tok
+), first_seen AS (
+  SELECT g, MIN(doc_id) AS first_doc FROM grams GROUP BY g
+)
+SELECT gr.doc_id, count(*) AS n_grams,
+       CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS novel,
+       ROUND(CAST(SUM(CASE WHEN fs.first_doc = gr.doc_id THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*), 4) AS novelty
+FROM grams gr JOIN first_seen fs ON gr.g = fs.g
+GROUP BY gr.doc_id
+ORDER BY gr.doc_id
+"""
+
+
+@register("c4q_ngram_novelty", oracle=_NOVELTY_ORACLE, tags=("tierc", "text", "jit"))
+def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document share of corpus-first n-grams (novelty scoring for
+    curation): one gram-hash groupBy builds the first-seen map, one
+    join back scores every doc."""
+    return ops.ngram_novelty(_docs(spark, sf_dir)).select(
+        "doc_id", "n_grams", F.col("novel").cast("long").alias("novel"), "novelty"
+    ).orderBy("doc_id")
+
+
+# MIPS via norm augmentation (r10): all corpus vectors pad to norm M
+# with sqrt(M^2 - |v|^2), queries pad with 0 — cosine order over the
+# augmented space == inner-product order over the originals, and the
+# augmented dot IS the original dot. Planes are the dim+1 portable
+# generator; M^2 is the max of squared norms folded in list_sum order.
+_MIPS_ORACLE = """
+WITH n2 AS (
+  SELECT vec_id, CAST(embedding AS DOUBLE[]) AS ev,
+         list_sum(list_transform(CAST(embedding AS DOUBLE[]), x -> x * x)) AS s
+  FROM embeddings
+), m2 AS (SELECT MAX(s) AS v FROM n2),
+augc AS (
+  SELECT vec_id, list_append(ev, sqrt((SELECT v FROM m2) - s)) AS av FROM n2
+), augq AS (
+  SELECT vec_id, list_append(ev, 0.0) AS av FROM n2 WHERE vec_id % 100 = 0
+), planes AS (
+  SELECT j, list_transform(range(0, 65), t ->
+    (((j*65 + t + 1) * 2654435761) % 2147483647)::DOUBLE / 2147483647.0 - 0.5) AS d
+  FROM (SELECT unnest(range(0, 8)) AS j)
+), cbk AS (
+  SELECT a.vec_id AS nid,
+         SUM(CASE WHEN list_sum(list_transform(list_zip(a.av, p.d), x -> x[1] * x[2])) >= 0
+                  THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS bucket
+  FROM augc a, planes p GROUP BY a.vec_id
+), qbk AS (
+  SELECT q.vec_id AS qid,
+         SUM(CASE WHEN list_sum(list_transform(list_zip(q.av, p.d), x -> x[1] * x[2])) >= 0
+                  THEN (1::BIGINT << p.j) ELSE 0 END)::BIGINT AS qbucket
+  FROM augq q, planes p GROUP BY q.vec_id
+), probes AS (
+  SELECT qid, unnest(list_prepend(qbucket,
+    list_transform(range(0, 8), j -> xor(qbucket, 1::BIGINT << j)))) AS bucket
+  FROM qbk
+), cand AS (
+  SELECT DISTINCT p.qid, c.nid FROM probes p JOIN cbk c ON c.bucket = p.bucket
+  WHERE c.nid <> p.qid
+), scored AS (
+  SELECT c.qid, c.nid,
+         list_sum(list_transform(list_zip(q.av, n.av), x -> x[1] * x[2])) AS d
+  FROM cand c JOIN augq q ON q.vec_id = c.qid JOIN augc n ON n.vec_id = c.nid
+), ranked AS (
+  SELECT qid, nid, d, row_number() OVER (PARTITION BY qid ORDER BY d DESC, nid) AS rn
+  FROM scored
+)
+SELECT qid, nid, ROUND(d, 4) + 0.0 AS dot FROM ranked WHERE rn <= 10 ORDER BY qid, nid
+"""
+
+
+@register("c3n_mips_topk", oracle=_MIPS_ORACLE, tags=("tierc", "similarity", "jit"))
+def mips_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate maximum-inner-product top-k via the norm-augmentation
+    reduction to cosine LSH — the recommendation-retrieval shape (dot
+    scores, not cosine), hard-oracled through the dim+1 portable
+    planes."""
+    emb = _emb(spark, sf_dir)
+    return ops.mips_topk_portable(emb.filter(F.col("vec_id") % 100 == 0), emb, k=10)
+
+
+# Corpus card (r10): per-source dataset summary — docs, whitespace
+# tokens, Gopher-keep share, exact-duplicate share. Counts and picked
+# values only (the two ROUNDs divide exact BIGINTs), so it hashes.
+_CORPUS_CARD_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(lower(text)), '\\s+') END AS w,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE regexp_split_to_array(trim(text), '\\s+') END AS wr,
+         text
+  FROM documents
+), m AS (
+  SELECT doc_id, source, len(wr) AS n_tokens, text,
+         len(w) AS n_words,
+         ROUND(list_sum(list_transform(w, t -> length(t)))::DOUBLE
+               / greatest(len(w), 1), 4) AS mean_wlen,
+         ROUND(len(list_distinct(w))::DOUBLE / greatest(len(w), 1), 4) AS distinct_ratio,
+         len(list_filter(w, t -> t IN ('a','the','and','of','to'))) AS n_stop
+  FROM tok
+), k AS (
+  SELECT *,
+    CAST(n_words >= 30 AND n_words <= 80 AND mean_wlen >= 3.5 AND mean_wlen <= 5.5
+         AND distinct_ratio >= 0.5 AND n_stop >= 2 AS BIGINT) AS keep
+  FROM m
+)
+SELECT source,
+       count(*) AS n_docs,
+       CAST(SUM(n_tokens) AS BIGINT) AS n_tokens,
+       CAST(SUM(keep) AS BIGINT) AS n_keep,
+       ROUND(CAST(SUM(keep) AS DOUBLE) / count(*), 4) AS keep_share,
+       CAST(count(*) - count(DISTINCT text) AS BIGINT) AS n_dup_rows,
+       ROUND(CAST(count(*) - count(DISTINCT text) AS DOUBLE) / count(*), 4) AS dup_share
+FROM k GROUP BY source ORDER BY source
+"""
+
+
+@register("c9l_corpus_card", oracle=_CORPUS_CARD_ORACLE, tags=("tierc", "text"))
+def corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source dataset card: doc/token counts, Gopher-keep share and
+    exact-duplicate share — the summary a curation pipeline publishes
+    with every shard drop. Composes token_count + quality_filter +
+    a distinct-count; every aggregate keys on source (one exchange)."""
+    docs = _docs(spark, sf_dir)
+    toks = ops.token_count(docs)
+    qual = ops.quality_filter(docs).select("doc_id", "keep")
+    base = toks.join(qual, "doc_id").select("doc_id", "source", "text", "n_tokens", "keep")
+    return (
+        base.groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("n_tokens"),
+            F.sum("keep").cast("long").alias("n_keep"),
+            F.round(F.sum("keep").cast("double") / F.count("*"), 4).alias("keep_share"),
+            (F.count("*") - F.countDistinct("text")).cast("long").alias("n_dup_rows"),
+            F.round(
+                (F.count("*") - F.countDistinct("text")).cast("double") / F.count("*"),
+                4,
+            ).alias("dup_share"),
+        )
+        .orderBy("source")
+    )

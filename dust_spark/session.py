@@ -176,6 +176,12 @@ class DustSession:
         # documented divergence now closed). Python recursion headroom
         # is raised on demand in _fire_triggers as the stack deepens.
         self._max_trigger_depth = 1000
+        # INSERT...SELECT sources at or below this row count get the
+        # exact sequential rowid/upsert semantics of a VALUES batch
+        # (r10); larger sources keep the parallel monotone auto-id
+        # approximation — same philosophy as the 100k-edge union-find
+        # gate in graph.py
+        self._SEQ_EXACT_ROWS = 10_000
         self._recursive_triggers = False
         self._attached: dict[str, Catalog] = {}
         self._last_insert_id = 0
@@ -1853,6 +1859,16 @@ class DustSession:
             # monotonically_increasing_id without funnelling the batch
             # through one task
             src = self._with_insertion_index(src)
+        # exact sequential rowid/upsert semantics apply to VALUES batches
+        # and to SMALL SELECT sources (r10, closing the last documented
+        # rowid approximation): below the gate the source behaves exactly
+        # like a literal batch — sequential auto-id closed form, no burn
+        # on conflicting upsert rows via the replay. Above it, bulk
+        # INSERT...SELECT keeps the parallel monotone approximation (a
+        # sequential replay would collect billions of rows).
+        exact_seq = values_src or (
+            getattr(self, "_last_insertion_count", 0) <= self._SEQ_EXACT_ROWS
+        )
 
         projected = []
         for f in tdef.schema.fields:
@@ -1917,7 +1933,7 @@ class DustSession:
                         )
                     )
 
-        if has_trig or (values_src and ins.on_conflict is not None and tdef.rowid_column):
+        if has_trig or (exact_seq and ins.on_conflict is not None and tdef.rowid_column):
             # SQLite's BEFORE INSERT NEW.<rowid> is -1 for rows whose
             # rowid is auto-assigned (sqlite3-probed); remember which.
             # VALUES upserts on rowid tables need the marker too: auto
@@ -1933,11 +1949,12 @@ class DustSession:
         if tdef.rowid_column is not None:
             f = next(fl for fl in tdef.schema.fields if fl.name == tdef.rowid_column)
             c = F.col(tdef.rowid_column)
-            if not values_src:
-                # bulk INSERT...SELECT keeps the parallel partition-
-                # offset assignment (a sequential scan would serialize
-                # billions of rows through one task); explicit/auto
-                # mixing there takes the monotone approximation
+            if not exact_seq:
+                # bulk INSERT...SELECT above the gate keeps the parallel
+                # partition-offset assignment (a sequential scan would
+                # serialize billions of rows through one task);
+                # explicit/auto mixing there takes the monotone
+                # approximation
                 c = F.coalesce(c, F.lit(st.high_water) + F.col("__rn"))
             else:
                 # SQLite auto-rowid is SEQUENTIAL: each NULL id takes
@@ -2526,9 +2543,10 @@ class DustSession:
             # auto rowids must not burn on conflicting rows (sqlite
             # allocates max+1 only on successful insert — r8 ADVICE);
             # exactness needs the sequential replay whenever an auto row
-            # can meet a conflict. VALUES batches only (__auto marker
-            # present) — bulk INSERT...SELECT keeps the documented
-            # monotone approximation.
+            # can meet a conflict. VALUES batches and gate-small SELECT
+            # sources (__auto marker present, r10) — bulk INSERT...SELECT
+            # above _SEQ_EXACT_ROWS keeps the documented monotone
+            # approximation.
             if batch_trig_df.filter(F.col("__auto")).limit(1).count() > 0:
                 conflict_any = False
                 for tgt in targets:
@@ -3152,6 +3170,7 @@ class DustSession:
         schema = T.StructType(
             [T.StructField("__pid", T.IntegerType()), T.StructField("__off", T.LongType())]
         )
+        self._last_insertion_count = acc
         if not offsets:
             return src.withColumn("__rn", F.lit(1).cast("long"))  # empty source
         off_df = self.spark.createDataFrame(offsets, schema)

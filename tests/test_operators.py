@@ -1338,3 +1338,91 @@ def test_ewma_smooth_exact_weights(spark):
     # (0.5*8 + 0.25*4) / 0.75 = 6.6667
     assert (a2, e2) == (8.0, 6.6667)
     assert got[[kk for kk in got if kk[0] == "b"][0]] == (6.0, 6.0)
+
+
+def test_ngram_novelty_planted(spark):
+    """r10: the first doc owns all its grams (novelty 1.0); an exact
+    re-paste later owns none (0.0); a doc sharing half its grams with
+    an earlier one scores 0.5."""
+    docs = spark.createDataFrame(
+        [
+            Row(doc_id=1, text="alpha beta gamma delta"),   # grams: abg, bgd
+            Row(doc_id=2, text="alpha beta gamma delta"),   # same grams -> 0.0
+            # grams: 'beta gamma delta' (seen in doc 1), 'gamma delta zz' (new)
+            Row(doc_id=3, text="beta gamma delta zz"),
+        ]
+    )
+    got = {r.doc_id: (r.n_grams, r.novel, r.novelty)
+           for r in ops.ngram_novelty(docs).collect()}
+    assert got[1] == (2, 2, 1.0)
+    assert got[2] == (2, 0, 0.0)
+    assert got[3] == (2, 1, 0.5)
+
+
+def test_resample_ohlc_planted(spark):
+    """r10: open/close follow the (ts, event_id) total order — the id
+    tiebreak decides equal timestamps; high/low are exact; buckets are
+    hour-aligned epochs."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1, 10, 0, 0)
+
+    def ev(eid, u, s, v):
+        return Row(event_id=eid, user_id=u, ts=t0 + dt.timedelta(seconds=s), value=v)
+
+    df = spark.createDataFrame(
+        [
+            ev(1, 7, 10, 5.0),
+            ev(2, 7, 10, 9.0),   # same ts as eid=1: open must be eid=1's 5.0
+            ev(3, 7, 200, 1.0),
+            ev(4, 7, 3599, 7.0),  # close of hour bucket
+            ev(5, 7, 3600, 2.0),  # next bucket
+            ev(6, 8, 50, 4.0),    # other user
+        ]
+    )
+    got = {(r.k, r.bucket_s): (r.open, r.high, r.low, r.close, r.n)
+           for r in ops.resample_ohlc(df).collect()}
+    base = int(t0.replace(tzinfo=dt.timezone.utc).timestamp())
+    assert got[(7, base)] == (5.0, 9.0, 1.0, 7.0, 4)
+    assert got[(7, base + 3600)] == (2.0, 2.0, 2.0, 2.0, 1)
+    assert got[(8, base)] == (4.0, 4.0, 4.0, 4.0, 1)
+
+
+def test_mips_topk_recovers_exact_argmax(spark):
+    """r10: MIPS via norm augmentation — the candidate generation runs
+    on augmented cosine buckets, but scoring and ordering are the exact
+    INNER PRODUCT: for a planted corpus where one vector dominates the
+    dot with every query, that vector must rank first whenever it
+    appears among the candidates; scores must equal brute-force dots."""
+    import random
+
+    random.seed(31)
+    dim = 16
+    rows = [Row(vec_id=i, embedding=[random.uniform(-1, 1) for _ in range(dim)])
+            for i in range(60)]
+    # a large-norm vector aligned with +1 direction dominates inner
+    # products even where cosine would prefer a closer unit vector
+    rows.append(Row(vec_id=999, embedding=[5.0] * dim))
+    corpus = spark.createDataFrame(rows)
+    queries = corpus.filter(F.col("vec_id") < 3)
+    got = ops.mips_topk_portable(queries, corpus, k=5, dim=dim, nbits=4).collect()
+    by_q = {}
+    for r in got:
+        by_q.setdefault(r.qid, []).append(r)
+    exact = {v.vec_id: v.embedding for v in corpus.collect()}
+
+    def dot(a, b):
+        return sum(x * y for x, y in zip(a, b))
+
+    for qid, lst in by_q.items():
+        # scores match brute force (output is (qid, nid)-ordered; the
+        # top-k SELECTION is by dot desc with nid tiebreak)
+        for r in lst:
+            assert abs(r.dot - round(dot(exact[qid], exact[r.nid]), 4)) < 1e-9
+        nids = {r.nid for r in lst}
+        others = [n for n in nids if n != 999]
+        if 999 in nids and others:  # dominator among candidates ranks first
+            top = max(lst, key=lambda r: r.dot)
+            q = exact[qid]
+            if dot(q, exact[999]) > max(dot(q, exact[n]) for n in others):
+                assert top.nid == 999

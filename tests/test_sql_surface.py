@@ -1226,6 +1226,55 @@ def test_upsert_auto_id_burn_sqlite_differential(db):
             assert have == want, (s, q, have, want)
 
 
+def test_upsert_auto_id_burn_select_source_sqlite_differential(db):
+    """r10 (verdict #5): the exact no-burn auto-rowid semantics extend
+    from VALUES batches to INSERT...SELECT sources below the
+    _SEQ_EXACT_ROWS gate — conflicting upsert rows drawn FROM a table
+    must not burn ids either, and the whole per-row sequence (changes,
+    last_insert_rowid, evolving DO UPDATE images, in-batch same-key
+    groups) matches sqlite3. Bulk sources above the gate keep the
+    documented monotone approximation."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    stmts = [
+        "CREATE TABLE sab (id INTEGER PRIMARY KEY, u TEXT UNIQUE, x INT)",
+        "CREATE TABLE ssrc (u TEXT, x INT)",
+        "INSERT INTO sab(id,u,x) VALUES (7,'c',0)",
+        "INSERT INTO ssrc VALUES ('c',1),('c',2),('d',3)",
+        # conflicting rows from a SELECT source: 'd' must get id 8
+        # (WHERE true: SQLite's upsert-after-SELECT parser ambiguity)
+        "INSERT INTO sab(u,x) SELECT u,x FROM ssrc WHERE true "
+        "ON CONFLICT(u) DO UPDATE SET x=excluded.x",
+        "INSERT INTO sab(u,x) VALUES ('e',0)",
+        # DO NOTHING from a SELECT source with an ORDER BY
+        "DELETE FROM ssrc",
+        "INSERT INTO ssrc VALUES ('c',9),('f',1)",
+        "INSERT INTO sab(u,x) SELECT u,x FROM ssrc ORDER BY x "
+        "ON CONFLICT(u) DO NOTHING",
+        "INSERT INTO sab(u,x) VALUES ('g',0)",
+        # excluded.id still sees the would-be id through a SELECT source
+        "INSERT INTO sab(u,x) SELECT 'c', 1 WHERE true "
+        "ON CONFLICT(u) DO UPDATE SET x=excluded.id",
+        "INSERT INTO sab(u,x) VALUES ('h',0)",
+    ]
+    for s in stmts:
+        ref.execute(s)
+        r = db.execute_string_stmt(s)[0]
+        assert r.error == "", (s, r.error)
+        for q in (
+            "SELECT id,u,x FROM sab ORDER BY id",
+            "SELECT changes()",
+            "SELECT last_insert_rowid()",
+        ):
+            want = [list(x) for x in ref.execute(q).fetchall()]
+            have = [list(x) for x in db.query_string_stmt(q)[0].values]
+            assert have == want, (s, q, have, want)
+    db.execute_string_stmt("DROP TABLE sab")
+    db.execute_string_stmt("DROP TABLE ssrc")
+    ref.close()
+
+
 def test_upsert_conflict_key_move_sqlite_differential(db):
     """r8's last documented upsert divergence, closed in r9: a DO
     UPDATE arm that MOVES the conflict-target key VACATES the old slot

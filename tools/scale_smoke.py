@@ -147,6 +147,24 @@ def interval_join_case(ops, F, evs):
     )
 
 
+def prep_pipeline_case(ops, F, docs):
+    """The c9k shape: clean → quality → exact-dedup → decontaminate →
+    chunk as one lazy DAG (no final global sort — the smoke measures the
+    pipeline's scale shape, one shuffle per stage that needs one)."""
+    cleaned = ops.clean_text(docs).select("doc_id", "clean")
+    q = ops.quality_filter(cleaned, text_col="clean")
+    kept = cleaned.join(q.filter(F.col("keep") == 1).select("doc_id"), "doc_id")
+    deduped = ops.exact_dedup(kept, text_col="clean")
+    bench = cleaned.filter(F.col("doc_id") % 50 == 0)
+    final = ops.decontaminate(
+        deduped, bench, text_col="clean", benchmark_text_col="clean"
+    )
+    chunks = ops.chunk_documents(final, chunk_tokens=128, stride=96, text_col="clean")
+    return chunks.groupBy("doc_id").agg(
+        F.count("*").alias("n_chunks"), F.sum("n_chunk_tokens").alias("total_tokens")
+    )
+
+
 def main() -> None:
     scales = [1, 4, 16]
     only_ops: list[str] | None = None
@@ -299,6 +317,14 @@ def main() -> None:
             # ADC scan is gated to n_probe of n_lists ∝ √n inverted
             # lists (FAISS practice: holds candidates/query constant),
             # so the per-query term should grow ~√n instead of n
+            # r10: the c9k end-to-end prep pipeline (clean → quality →
+            # dedup → decontaminate → chunk): benchmark set grows with
+            # the corpus like the query does; stages are narrow or
+            # one-shuffle, so the chain should grow ~linearly
+            ("prep_pipeline", lambda: prep_pipeline_case(ops, F, docs)),
+            # r10: the c6f funnel — len(steps) chained aggs all shuffling
+            # on the SAME user key (one real exchange); linear in events
+            ("event_funnel", lambda: ops.funnel_counts(evs)),
             # r9: containment scoring — reference fixed (every 50th base
             # doc), corpus grows; cost should track the doc gram explode
             # ~linearly
