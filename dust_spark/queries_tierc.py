@@ -3072,3 +3072,112 @@ def corpus_card_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Rolling z-score (r10): the c7d fixed-lag-fold recipe extended to a
+# second moment — mean and sum-of-squares fold over an explicit 8-lag
+# chain in fixed order, so both engines hit ROUND with identical bits.
+_ZSCORE_ORACLE = """
+WITH keyed AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         CAST(value AS DECIMAL(25,6)) AS v
+  FROM events
+), avgs AS (
+  SELECT k, bucket_s, CAST(SUM(v) AS DOUBLE) / count(*) AS avg_v
+  FROM keyed GROUP BY k, bucket_s
+), lagged AS (
+  SELECT k, bucket_s, avg_v,
+    """ + ",\n    ".join(
+        f"lag(avg_v, {kk}) OVER (PARTITION BY k ORDER BY bucket_s) AS l{kk}"
+        for kk in range(8)
+    ) + """
+  FROM avgs
+), folded AS (
+  SELECT k, bucket_s, avg_v,
+    """ + (
+        "0.0" + "".join(f" + (CASE WHEN l{kk} IS NOT NULL THEN l{kk} ELSE 0.0 END)" for kk in range(8))
+    ) + """ AS s1,
+    """ + (
+        "0.0" + "".join(f" + (CASE WHEN l{kk} IS NOT NULL THEN l{kk} * l{kk} ELSE 0.0 END)" for kk in range(8))
+    ) + """ AS s2,
+    """ + (
+        "0" + "".join(f" + (CASE WHEN l{kk} IS NOT NULL THEN 1 ELSE 0 END)" for kk in range(8))
+    ) + """ AS n
+  FROM lagged
+)
+SELECT k, bucket_s, ROUND(avg_v, 4) AS avg_v, CAST(n AS BIGINT) AS n_obs,
+  CASE WHEN n >= 3 AND sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+       THEN ROUND((avg_v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+       ELSE NULL END AS z
+FROM folded ORDER BY k, bucket_s
+"""
+
+
+@register("c7f_rolling_zscore", oracle=_ZSCORE_ORACLE, tags=("tierc", "rollup"))
+def rolling_zscore_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling z-score anomaly signal over hourly per-user bucket
+    averages (trailing 8 observed buckets) — metric-stream anomaly
+    detection with bit-stable cross-engine float math (the c7d EWMA
+    fixed-fold recipe, extended to the second moment)."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    return ops.rolling_zscore(ev).orderBy("k", "bucket_s")
+
+
+# Contamination report (r10): the per-source rollup of c2l containment —
+# how much of each source's text quotes the benchmark set.
+_CONTAM_REPORT_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, source, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS g
+  FROM tok
+), ref AS (
+  SELECT DISTINCT g FROM grams WHERE doc_id % 50 = 0
+), per_doc AS (
+  SELECT g2.doc_id,
+         CAST(SUM(CASE WHEN ref.g IS NOT NULL THEN 1 ELSE 0 END) > 0 AS BIGINT) AS contaminated
+  FROM grams g2 LEFT JOIN ref ON g2.g = ref.g
+  WHERE g2.doc_id % 50 <> 0
+  GROUP BY g2.doc_id
+)
+SELECT t.source,
+       count(*) AS n_docs,
+       CAST(SUM(p.contaminated) AS BIGINT) AS n_contaminated,
+       ROUND(CAST(SUM(p.contaminated) AS DOUBLE) / count(*), 4) AS contaminated_share
+FROM per_doc p JOIN tok t USING (doc_id)
+GROUP BY t.source ORDER BY t.source
+"""
+
+
+@register("c9m_contamination_report", oracle=_CONTAM_REPORT_ORACLE, tags=("tierc", "text", "jit"))
+def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source benchmark-contamination share — the audit table a
+    decontamination pass publishes. Composes containment_scores
+    (gram-hash join) with a source rollup; both aggregations key on
+    already-shuffled keys."""
+    docs = _docs(spark, sf_dir)
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    scored = ops.containment_scores(docs.filter(F.col("doc_id") % 50 != 0), bench)
+    flagged = scored.select(
+        "doc_id", (F.col("matched") > 0).cast("long").alias("contaminated")
+    )
+    src = docs.select("doc_id", "source").filter(F.length(F.trim("text")) > 0)
+    return (
+        flagged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("contaminated").cast("long").alias("n_contaminated"),
+            F.round(F.sum("contaminated").cast("double") / F.count("*"), 4).alias(
+                "contaminated_share"
+            ),
+        )
+        .orderBy("source")
+    )
