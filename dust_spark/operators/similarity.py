@@ -260,28 +260,41 @@ def rp_lsh_topk_portable(
     standard trick to recover recall lost to a single table without
     duplicating the corpus index). Candidates come from an equi-join on
     the 8-byte bucket key (query side broadcast); vectors never enter
-    the probe shuffle. Pure Catalyst: the plane literals constant-fold,
-    so at this bit count the plan stays small (the np.random variant
-    keeps the Arrow GEMM path for big plane counts).
+    the probe shuffle. Pure Catalyst; the planes ride as broadcast DATA
+    (r10, the c2i lesson: per-plane literal HOF chains cost Catalyst
+    analysis per run, never data) — one transform computes all dots
+    with the exact vec_dot fold, so buckets and the DuckDB oracle
+    hashes are bit-identical.
     """
     from pyspark.sql import Window as W
 
     planes = portable_planes(dim, nbits)
+    pl_df = corpus.sparkSession.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "__planes: array<array<double>>",
+    )
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
 
-    def bucket_col(v):
-        word = F.lit(0).cast("long")
-        for j in range(nbits):
-            plane = F.array(*[F.lit(x) for x in planes[j]])
-            dot = vec_dot(v, plane)
-            word = word.bitwiseOR(
-                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        return word
+    def with_bucket(df_, idname, bname):
+        dotted = df_.crossJoin(F.broadcast(pl_df)).select(
+            F.col(id_col).alias(idname),
+            F.transform(
+                F.col("__planes"), lambda p: vec_dot(F.col(vec_col), p)
+            ).alias("__dots"),
+        )
+        word = F.aggregate(
+            F.zip_with(
+                F.col("__dots"),
+                masks,
+                lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        return dotted.select(idname, word.alias(bname))
 
-    cb = corpus.select(F.col(id_col).alias("nid"), bucket_col(F.col(vec_col)).alias("bucket"))
-    qb = queries.select(F.col(id_col).alias("qid"), bucket_col(F.col(vec_col)).alias("qbucket"))
+    cb = with_bucket(corpus, "nid", "bucket")
+    qb = with_bucket(queries, "qid", "qbucket")
     probes = qb.select(
         "qid",
         F.explode(
@@ -301,13 +314,25 @@ def rp_lsh_topk_portable(
         .select("qid", "nid")
         .distinct()
     )
-    q = queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-    c = corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
+    q = queries.select(
+        F.col(id_col).alias("qid"),
+        F.col(vec_col).alias("qv"),
+        vec_norm(F.col(vec_col)).alias("__qn"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("nid"),
+        F.col(vec_col).alias("nv"),
+        vec_norm(F.col(vec_col)).alias("__nn"),
+    )
     w = W.partitionBy("qid").orderBy(F.col("__cos").desc(), F.col("nid"))
     return (
         cand.join(F.broadcast(q), "qid")
         .join(c, "nid")
-        .withColumn("__cos", cosine(F.col("qv"), F.col("nv")))
+        # dot/(qn·nn) — same arithmetic as cosine(), norms computed once
+        # per vector instead of once per candidate pair (r10)
+        .withColumn(
+            "__cos", vec_dot(F.col("qv"), F.col("nv")) / (F.col("__qn") * F.col("__nn"))
+        )
         .withColumn("__rn", F.row_number().over(w))
         .filter(F.col("__rn") <= k)
         .select("qid", "nid", F.round("__cos", 4).alias("cos"))
@@ -1145,21 +1170,32 @@ def mips_topk_portable(
     q_aug = augmented(queries, F.lit(0.0))
 
     planes = portable_planes(dim + 1, nbits)
+    pl_df = corpus.sparkSession.createDataFrame(
+        [([[float(x) for x in p] for p in planes],)],
+        "__planes: array<array<double>>",
+    )
+    masks = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
 
-    def bucket_col(v):
-        word = F.lit(0).cast("long")
-        for j in range(nbits):
-            plane = F.array(*[F.lit(x) for x in planes[j]])
-            dot = vec_dot(v, plane)
-            word = word.bitwiseOR(
-                F.when(dot >= 0, F.shiftleft(F.lit(1).cast("long"), j)).otherwise(
-                    F.lit(0).cast("long")
-                )
-            )
-        return word
+    def with_bucket(df_, idname, bname):
+        dotted = df_.crossJoin(F.broadcast(pl_df)).select(
+            F.col("id").alias(idname),
+            F.transform(F.col("__planes"), lambda p: vec_dot(F.col("v"), p)).alias(
+                "__dots"
+            ),
+        )
+        word = F.aggregate(
+            F.zip_with(
+                F.col("__dots"),
+                masks,
+                lambda d, m: F.when(d >= 0, m).otherwise(F.lit(0).cast("long")),
+            ),
+            F.lit(0).cast("long"),
+            lambda s, x: s + x,
+        )
+        return dotted.select(idname, word.alias(bname))
 
-    cb = c_aug.select(F.col("id").alias("nid"), bucket_col(F.col("v")).alias("bucket"))
-    qb = q_aug.select(F.col("id").alias("qid"), bucket_col(F.col("v")).alias("qbucket"))
+    cb = with_bucket(c_aug, "nid", "bucket")
+    qb = with_bucket(q_aug, "qid", "qbucket")
     probes = qb.select(
         "qid",
         F.explode(

@@ -197,3 +197,30 @@ def run_stream_to_memory(stream_df: DataFrame, name: str, output_mode: str = "ap
 
 def load_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer")
+
+
+def ohlc_stream(events: DataFrame, bucket_s: int = 3600, watermark: str = "10 minutes") -> DataFrame:
+    """Streaming twin of :func:`dust_spark.operators.resample_ohlc`
+    (r10): the batch operator picks open/close via row_number over the
+    (ts, event_id) total order — not streamable — but ``min_by`` /
+    ``max_by`` on the same (ts, id) struct key pick the IDENTICAL
+    values inside a stateful groupBy, so stream == batch row-for-row.
+    Integer group keys (complete-mode aggregation, like the hypertable
+    rollup twin); state per (key, bucket) is one candle, not events.
+    """
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    t = F.unix_micros(F.col("ts"))
+    base = src.select(
+        F.col("user_id").alias("k"),
+        (F.floor(t / (bucket_s * 1_000_000)) * bucket_s).cast("long").alias("bucket_s"),
+        t.alias("__t"),
+        F.col("value").alias("v"),
+        F.col("event_id").alias("__eid"),
+    )
+    return base.groupBy("k", "bucket_s").agg(
+        F.min_by("v", F.struct("__t", "__eid")).alias("open"),
+        F.max("v").alias("high"),
+        F.min("v").alias("low"),
+        F.max_by("v", F.struct("__t", "__eid")).alias("close"),
+        F.count("*").alias("n"),
+    )

@@ -362,3 +362,32 @@ def test_hypertable_rollup_stream_parity(spark):
         assert got == want and len(got) > 0
     finally:
         q.stop()
+
+
+def test_ohlc_stream_parity(spark):
+    """r10: the streaming OHLC twin (min_by/max_by picks on the
+    (ts, event_id) struct) must equal the batch resample_ohlc
+    (row_number picks) row-for-row — same candles, both pick
+    disciplines resolve equal timestamps by the id tiebreak."""
+    from dust_spark.operators import resample_ohlc
+    from dust_spark.streaming.windows import ohlc_stream
+
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        ohlc_stream(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("ohlc_stream")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = spark.table("ohlc_stream").orderBy("k", "bucket_s").collect()
+        want = resample_ohlc(events_b).orderBy("k", "bucket_s").collect()
+        assert got == want and len(got) > 0
+        # batch-mode evaluation of the streaming formulation agrees too
+        got_b = ohlc_stream(events_b).orderBy("k", "bucket_s").collect()
+        assert got_b == want
+    finally:
+        q.stop()
