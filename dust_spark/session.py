@@ -163,6 +163,19 @@ class DustSession:
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False
         self._user_version = 0
+        # connection-state pragmas (r10): knobs SQLite tracks per
+        # connection with no behavioral meaning for this engine —
+        # stored and echoed faithfully (defaults sqlite3-probed on the
+        # python wrapper this repo differentials against)
+        self._pragma_state: dict[str, Any] = {
+            "cache_size": -2000,
+            "busy_timeout": 5000,
+            "synchronous": 2,
+            "temp_store": 0,
+            "locking_mode": "normal",
+            "secure_delete": 1,
+            "application_id": 0,
+        }
         self._schema_version = 0
         # triggers currently firing (lowered names) — SQLite with its
         # default recursive_triggers=0 suppresses only RE-ENTRY of a
@@ -1581,6 +1594,10 @@ class DustSession:
             self._recursive_triggers = val.lower() in ("1", "on", "true", "yes")
         if key == "user_version" and val is not None:
             self._user_version = int(val)
+        else:
+            # connection-state pragmas keep their side effects on the
+            # execute path too (result discarded)
+            self._pragma_conn_state(key, val, _arg)
         return self._ok()
 
     def _pragma_query(self, sql: str) -> Rows:
@@ -1633,7 +1650,101 @@ class DustSession:
             return self._pragma_foreign_key_list(arg or val)
         if key == "index_list":
             return self._pragma_index_list(arg or val)
+        got = self._pragma_conn_state(key, val, arg)
+        if got is not None:
+            return got
         return Rows()  # unknown pragmas: empty result, like SQLite
+
+    def _pragma_conn_state(self, key: str, val, arg) -> Rows | None:
+        """Informational / connection-state pragmas (r10) — echo and
+        set-form behavior sqlite3-probed on an in-memory db:
+        integrity_check/quick_check always 'ok'; journal_mode pinned
+        'memory' in memory mode ('delete'-defaulted and settable in
+        disk mode); cache_size/synchronous/temp_store/application_id
+        set silently, busy_timeout/locking_mode/secure_delete ECHO the
+        new value; page_size pinned 4096, encoding pinned UTF-8,
+        auto_vacuum pinned 0, freelist_count 0, wal_checkpoint
+        (0,-1,-1); page_count reports the minimal layout (0 empty,
+        1 schema page + 1 per table — data-bearing growth is
+        storage-engine-specific, documented)."""
+
+        def one(v, typ="integer"):
+            return Rows(columns=[key], types=[typ], values=[[v]])
+
+        st = self._pragma_state
+        setv = val if val is not None else None
+        if key in ("integrity_check", "quick_check"):
+            return one("ok", "text")
+        if key == "journal_mode":
+            if self.catalog.warehouse is None:
+                return one("memory", "text")
+            if setv is not None:
+                st["journal_mode"] = setv.strip("'\"").lower()
+            return one(st.get("journal_mode", "delete"), "text")
+        if key == "cache_size":
+            if setv is not None:
+                st["cache_size"] = int(setv)
+                return Rows()
+            return one(st["cache_size"])
+        if key == "busy_timeout":
+            if setv is not None:
+                st["busy_timeout"] = int(setv)
+            return one(st["busy_timeout"])
+        if key == "synchronous":
+            if setv is not None:
+                m = {"off": 0, "normal": 1, "full": 2, "extra": 3}
+                st["synchronous"] = m.get(setv.strip("'\"").lower(), None)
+                if st["synchronous"] is None:
+                    st["synchronous"] = int(setv)
+                return Rows()
+            return one(st["synchronous"])
+        if key == "temp_store":
+            if setv is not None:
+                m = {"default": 0, "file": 1, "memory": 2}
+                st["temp_store"] = m.get(setv.strip("'\"").lower(), None)
+                if st["temp_store"] is None:
+                    st["temp_store"] = int(setv)
+                return Rows()
+            return one(st["temp_store"])
+        if key == "application_id":
+            if setv is not None:
+                st["application_id"] = int(setv)
+                return Rows()
+            return one(st["application_id"])
+        if key == "locking_mode":
+            if setv is not None:
+                st["locking_mode"] = setv.strip("'\"").lower()
+            return one(st["locking_mode"], "text")
+        if key == "secure_delete":
+            if setv is not None:
+                st["secure_delete"] = (
+                    1 if setv.strip("'\"").lower() in ("1", "on", "true", "yes") else 0
+                )
+            return one(st["secure_delete"])
+        if key == "page_size":
+            if setv is not None:
+                return Rows()  # initialized db: size is pinned, like SQLite
+            return one(4096)
+        if key == "encoding":
+            if setv is not None:
+                return Rows()
+            return one("UTF-8", "text")
+        if key == "auto_vacuum":
+            if setv is not None:
+                return Rows()  # initialized db ignores the set
+            return one(0)
+        if key == "freelist_count":
+            return one(0)
+        if key == "page_count":
+            n = len(self.catalog.tables)
+            return one(0 if n == 0 else 1 + n)
+        if key == "wal_checkpoint":
+            return Rows(
+                columns=["busy", "log", "checkpointed"],
+                types=["integer", "integer", "integer"],
+                values=[[0, -1, -1]],
+            )
+        return None
 
     def _pragma_foreign_key_list(self, table: str | None) -> Rows:
         cols = ["id", "seq", "table", "from", "to", "on_update", "on_delete", "match"]

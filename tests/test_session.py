@@ -743,7 +743,14 @@ def test_pragma_call_form(db):
     assert '[0,"id","INTEGER",1,null,1]' in out
     assert '"name"' in out and '"score"' in out
     # unknown pragmas (value-form or call-form) don't error
-    assert q(db, "PRAGMA journal_mode(wal)") == '[{"columns":[],"types":[],"values":[]}]'
+    # journal_mode is implemented as of r10 — pinned 'memory' in memory
+    # mode like sqlite3 (the set form echoes the pinned mode)
+    assert (
+        q(db, "PRAGMA journal_mode(wal)")
+        == '[{"columns":["journal_mode"],"types":["text"],"values":[["memory"]]}]'
+    )
+    # genuinely unknown pragmas still return empty rows instead of crashing
+    assert q(db, "PRAGMA nosuch_pragma(x)") == '[{"columns":[],"types":[],"values":[]}]'
     assert q(db, "PRAGMA table_info(nosuch)") == (
         '[{"columns":["cid","name","type","notnull","dflt_value","pk"],'
         '"types":["integer","text","text","integer","text","integer"],"values":[]}]'

@@ -2269,3 +2269,67 @@ def test_table_xinfo_index_info_sqlite_differential(db):
         want = [list(r) for r in ref.execute(q).fetchall()]
         got = [list(r) for r in db.query_string_stmt(q)[0].values]
         assert got == want, (q, got, want)
+
+
+def test_conn_state_pragmas_sqlite_differential(db):
+    """r10: informational / connection-state pragmas — get, set and
+    set-form ECHO behavior (busy_timeout/locking_mode/secure_delete echo
+    the new value; cache_size/synchronous/temp_store/application_id set
+    silently; integrity_check is 'ok'; journal_mode pinned 'memory';
+    page_size/encoding/auto_vacuum pinned post-init) all match an
+    in-memory sqlite3. page_count matches on schema-only databases (the
+    minimal layout; data-page growth is storage-engine-specific)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    seq = [
+        "PRAGMA integrity_check",
+        "PRAGMA quick_check",
+        "PRAGMA integrity_check(5)",
+        "PRAGMA journal_mode",
+        "PRAGMA journal_mode = WAL",
+        "PRAGMA cache_size",
+        "PRAGMA cache_size = 100",
+        "PRAGMA cache_size",
+        "PRAGMA busy_timeout",
+        "PRAGMA busy_timeout = 123",
+        "PRAGMA busy_timeout",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous = 1",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous = FULL",
+        "PRAGMA synchronous",
+        "PRAGMA temp_store = MEMORY",
+        "PRAGMA temp_store",
+        "PRAGMA application_id = 42",
+        "PRAGMA application_id",
+        "PRAGMA locking_mode",
+        "PRAGMA locking_mode = exclusive",
+        "PRAGMA locking_mode",
+        "PRAGMA secure_delete",
+        "PRAGMA secure_delete = 0",
+        "PRAGMA secure_delete",
+        "PRAGMA page_size",
+        "PRAGMA page_size = 8192",
+        "PRAGMA page_size",
+        "PRAGMA encoding",
+        "PRAGMA auto_vacuum = 1",
+        "PRAGMA auto_vacuum",
+        "PRAGMA freelist_count",
+        "PRAGMA wal_checkpoint",
+        "PRAGMA wal_checkpoint(TRUNCATE)",
+    ]
+    for q in seq:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    # page_count reports the minimal layout (1 schema page + 1 per
+    # table; 0 before any schema) — self-consistent check only: the
+    # absolute number is state-dependent in SQLite (any header write
+    # initializes page 1) and data growth is storage-engine-specific
+    n0 = db.query_string_stmt("PRAGMA page_count")[0].values[0][0]
+    db.execute_string_stmt("CREATE TABLE pct1 (a INT)")
+    n1 = db.query_string_stmt("PRAGMA page_count")[0].values[0][0]
+    assert n1 == (n0 + 1 if n0 else 2)
+    db.execute_string_stmt("DROP TABLE pct1")
+    ref.close()
