@@ -4534,10 +4534,13 @@ class _TypedPass:
             m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
             mm = re.match(r"\s*([+-]?\d+)", raw)
             modi = int(mm.group(1)) if mm else 0
-            if m:
-                p = m.group(0)
-                if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
-                    return ("i", int(p), modi)
+            if not m:
+                # no numeric prefix at all ('', 'abc', 'inf'): INTEGER 0
+                # (_sqlite_arith_text_static agrees — ''/2 = 0 int)
+                return ("i", 0, 0)
+            p = m.group(0)
+            if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
+                return ("i", int(p), modi)
             x = _sqlite_text_to_real(raw)
             return ("r", x, modi)
         return None

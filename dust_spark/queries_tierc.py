@@ -3181,3 +3181,94 @@ def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+# Heavy-hitter diagnostics (r10): the skew-detection companion to the
+# c8 mitigation family — exact counts and shares, TakeOrdered top-k.
+_HEAVY_HITTERS_ORACLE = """
+WITH c AS (
+  SELECT user_id AS k, count(*) AS n FROM events GROUP BY user_id
+), t AS (SELECT SUM(n) AS total FROM c)
+SELECT k, n, ROUND(CAST(n AS DOUBLE) / (SELECT total FROM t), 6) AS share
+FROM c ORDER BY n DESC, k LIMIT 20
+"""
+
+
+@register("c8e_heavy_hitters", oracle=_HEAVY_HITTERS_ORACLE, tags=("tierc", "skew"))
+def heavy_hitters_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-20 heaviest keys with their traffic share — the diagnostic a
+    pipeline runs BEFORE choosing a c8 mitigation (salting, two-phase
+    agg). One hash agg + a broadcast scalar total + TakeOrdered; the
+    full count table never sorts globally."""
+    from dust_spark.tables import load_table
+
+    ev = load_table(spark, sf_dir, "events")
+    counts = ev.groupBy(F.col("user_id").alias("k")).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select(
+            "k",
+            "n",
+            F.round(F.col("n").cast("double") / F.col("__total"), 6).alias("share"),
+        )
+        .orderBy(F.col("n").desc(), "k")
+        .limit(20)
+    )
+
+
+# Modality storage budget (r10): per (modality, source) item counts,
+# raw bytes, and the bytes exact-dedup would reclaim — the capacity-
+# planning table for a multimodal corpus. Counts/sums of exact BIGINTs.
+_MODALITY_BUDGET_ORACLE = """
+WITH m AS (
+  SELECT doc_id, source,
+         ['audio','image','video'][CAST(doc_id % 3 AS INT) + 1] AS media_type,
+         strlen(text) AS n_bytes, sha256(text) AS h
+  FROM documents
+), per_hash AS (
+  SELECT media_type, source, h, MIN(n_bytes) AS hb, count(*) AS dup_n
+  FROM m GROUP BY media_type, source, h
+)
+SELECT media_type, source,
+       CAST(SUM(dup_n) AS BIGINT) AS n_items,
+       CAST(SUM(hb * dup_n) AS BIGINT) AS total_bytes,
+       CAST(count(*) AS BIGINT) AS distinct_content,
+       CAST(SUM(hb * (dup_n - 1)) AS BIGINT) AS dedup_reclaim_bytes
+FROM per_hash GROUP BY media_type, source
+ORDER BY media_type, source
+"""
+
+
+@register("c5d_modality_budget", oracle=_MODALITY_BUDGET_ORACLE, tags=("tierc", "multimodal"))
+def modality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per (modality, source) storage budget with exact-dedup reclaim —
+    bytes group on the content hash (payloads never shuffle; at real
+    scale the hash+length ride the metadata columns while the binary
+    stays pruned at the scan)."""
+    docs = _docs(spark, sf_dir)
+    mt = F.element_at(
+        F.array(F.lit("audio"), F.lit("image"), F.lit("video")),
+        (F.col("doc_id") % 3 + 1).cast("int"),
+    )
+    m = docs.select(
+        "source",
+        mt.alias("media_type"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"),
+    )
+    per_hash = m.groupBy("media_type", "source", "h").agg(
+        F.min("n_bytes").alias("hb"), F.count("*").alias("dup_n")
+    )
+    return (
+        per_hash.groupBy("media_type", "source")
+        .agg(
+            F.sum("dup_n").cast("long").alias("n_items"),
+            F.sum(F.col("hb") * F.col("dup_n")).cast("long").alias("total_bytes"),
+            F.count("*").cast("long").alias("distinct_content"),
+            F.sum(F.col("hb") * (F.col("dup_n") - 1))
+            .cast("long")
+            .alias("dedup_reclaim_bytes"),
+        )
+        .orderBy("media_type", "source")
+    )
