@@ -214,3 +214,36 @@ def test_new_r9_tierc_no_cartesian(spark):
     ):
         p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+
+
+def test_new_r10_tierc_plan_shapes(spark):
+    """r10 additions keep the catalog plan discipline: no
+    CartesianProduct or row-at-a-time Python anywhere; BNLJ only as
+    the ONE-ROW broadcast planes frame (the c7c/c2k metadata-broadcast
+    allowance — c3n crossJoins the single planes row); c8e top-k plans
+    as TakeOrderedAndProject (never a global sort of the count table);
+    c7e's windows and groupBy all partition on the (key, bucket) pair."""
+    import re
+
+    for name in (
+        "c7e_resample_ohlc",
+        "c7f_rolling_zscore",
+        "c4q_ngram_novelty",
+        "c3n_mips_topk",
+        "c9l_corpus_card",
+        "c9m_contamination_report",
+        "c8e_heavy_hitters",
+        "c5d_modality_budget",
+    ):
+        p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+        # one-row broadcast BNLJs allowed: c3n crossJoins the planes
+        # row, c8e the scalar total
+        if name not in ("c3n_mips_topk", "c8e_heavy_hitters"):
+            assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a BNLJ"
+        assert "BatchEvalPython" not in p, f"{name} has row-at-a-time Python"
+    p = plans.formatted_plan(QUERIES["c8e_heavy_hitters"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    p = plans.formatted_plan(QUERIES["c7e_resample_ohlc"].fn(spark, SF_DIR))
+    for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
+        assert "k#" in spec and "bucket_s#" in spec, spec
