@@ -3878,10 +3878,19 @@ def _num_is_int(text: str) -> bool:
 
 
 def _real_literal(v: float) -> str:
+    """Exact DOUBLE literal in the D-suffix form. NOT ``CAST(x AS
+    DOUBLE)``: 'DOUBLE' is a SQLite REAL type name, so the CAST-affinity
+    layer wraps that form in the junk-string-prefix CASE — harmless for
+    values but OPAQUE to the second typed sweep, which then can't
+    compose the folded member with a runtime TEXT column ('9e1' / tx
+    lost the column's prefix conversion — r10, found by the column-chain
+    hypothesis machine)."""
+    if math.isinf(v):
+        return "double('Infinity')" if v > 0 else "double('-Infinity')"
     out = repr(v)
-    if "e" not in out and "." not in out and "inf" not in out.lower():
+    if "e" not in out and "." not in out:
         out += ".0"
-    return f"CAST({out} AS DOUBLE)"
+    return f"{out}D"
 
 
 def _sqlite_arith_text_static(raw: str):
@@ -4615,12 +4624,7 @@ class _TypedPass:
             return "(NULL)"
         if k == "i":
             return f"({v})"
-        if math.isinf(v):
-            return "(double('Infinity'))" if v > 0 else "(double('-Infinity'))"
-        out = repr(v)
-        if "e" not in out and "E" not in out and "." not in out:
-            out += ".0"
-        return f"(CAST({out} AS DOUBLE))"
+        return f"({_real_literal(v)})"
 
     @staticmethod
     def _f_and(a, b):

@@ -227,3 +227,68 @@ def test_scalar_expr_matches_sqlite(db, ref, expr):
     rs = db.query_string_stmt(q)
     got = rs[0].values[0][0] if rs and rs[0].values else None
     assert str(got) == str(want), f"{q}: spark={got!r} sqlite={want!r}"
+
+
+# ---------------------------------------------------------------------------
+# r10: COLUMN arithmetic chains — the frag compiler's runtime paths.
+# The scalar machine above only generates literals (static folds); this
+# one drives random 2–4-member chains over TEXT/REAL/INTEGER COLUMNS
+# (plus literals and a parenthesized prefix) through a fixture table and
+# compares every row against sqlite3. Python == makes 3.0 equal 3, so
+# the documented per-cell int-FORM divergence doesn't trip it while any
+# VALUE divergence does.
+# ---------------------------------------------------------------------------
+
+_CHAIN_ROWS = [
+    (1, "7", 2.5, 9), (2, "7abc", 0.5, -7), (3, "", 7.5, 4),
+    (4, "9e1", -2.5, 0), (5, "  -3.5x", 100.0, 15), (6, None, None, None),
+    (7, "0x11", 3.0, 2), (8, "12.", 0.0, 1),
+]
+
+
+@pytest.fixture(scope="module")
+def chain_tables(db, ref):
+    ddl = "CREATE TABLE ch (id INTEGER PRIMARY KEY, tx TEXT, r REAL, i INTEGER)"
+    ref.execute(ddl)
+    ref.executemany("INSERT INTO ch VALUES (?,?,?,?)", _CHAIN_ROWS)
+    db.execute_string_stmt(ddl)
+    for rw in _CHAIN_ROWS:
+        vals = ",".join(
+            "NULL" if v is None else (f"'{v}'" if isinstance(v, str) else repr(v))
+            for v in rw
+        )
+        db.execute_string_stmt(f"INSERT INTO ch VALUES ({vals})")
+    yield
+    db.execute_string_stmt("DROP TABLE ch")
+
+
+@st.composite
+def column_chain_exprs(draw):
+    pool = st.sampled_from(
+        ["tx", "r", "i", "2", "3", "-2", "0", "'4'", "2.5", "'7x'", "''", "'9e1'"]
+    )
+    n = draw(st.integers(2, 4))
+    members = [draw(pool) for _ in range(n)]
+    ops_ = [draw(st.sampled_from(["/", "%", "+", "-", "*"])) for _ in range(n - 1)]
+    if n >= 3 and draw(st.booleans()):
+        expr = f"({members[0]} {ops_[0]} {members[1]})"
+        rest = zip(ops_[1:], members[2:])
+    else:
+        expr = members[0]
+        rest = zip(ops_, members[1:])
+    for op, m in rest:
+        expr += f" {op} {m}"
+    return expr
+
+
+@settings(
+    max_examples=120,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=column_chain_exprs())
+def test_column_chain_matches_sqlite(db, ref, chain_tables, expr):
+    q = f"SELECT id, {expr} AS v FROM ch ORDER BY id"
+    want = [list(rw) for rw in ref.execute(q).fetchall()]
+    got = [list(v) for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
