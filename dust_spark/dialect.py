@@ -4295,6 +4295,13 @@ class _TypedPass:
                     (prev_arith or next_arith)
                     and pvv != "||"
                     and nvv != "||"
+                    # NEVER fold a % operand: the INTEGER-prefix parse
+                    # ('9e1' % x reads 9) differs from the numeric-prefix
+                    # value (90) this fold bakes in — the chain compiler
+                    # owns % members with the correct modi (r10, found by
+                    # the column-chain machine on '9e1' % tx)
+                    and pvv != "%"
+                    and nvv != "%"
                     and not self._after_arrow(i)
                 ):
                     raw = t[1][1:-1].replace("''", "'")
@@ -4706,6 +4713,14 @@ class _TypedPass:
             k, f2, n2, v2 = res
             if op == "%" and not (frag[0] is True and f2[0] is True):
                 state["modreal"] = True
+            if op == "/" and self._f_and(frag[0], f2[0]) is not False:
+                # integer division may apply at this step — if the WHOLE
+                # chain doesn't stay statically INT (where _try_chain's
+                # div rewrite handles it natively), the compiler must
+                # emit or the int steps run as float division
+                # (i / i / r lost the first int division — r10, found
+                # by the column-chain hypothesis machine)
+                state["intdiv"] = True
             val = self._val_op(op, val, v2)
             frag = self._frag_op(op, frag, f2)
             n += n2
@@ -4805,9 +4820,16 @@ class _TypedPass:
             self.edits.append((toks[i][2], toks[k - 1][3], self._render_val(val)))
             return k
         # only emit the runtime rewrite when a conversion is actually
-        # needed: a TEXT member anywhere, or a '%' whose operands aren't
-        # both statically INT (all-INT '/' chains belong to _try_chain)
-        if n > 6 or not (state.get("text") or state.get("modreal")):
+        # needed: a TEXT member anywhere, a '%' whose operands aren't
+        # both statically INT, or an int-division step inside a chain
+        # that doesn't stay statically INT end-to-end (the all-INT
+        # case belongs to _try_chain's native div rewrite)
+        needs = (
+            state.get("text")
+            or state.get("modreal")
+            or (state.get("intdiv") and frag[0] is not True)
+        )
+        if n > 6 or not needs:
             return None
         f, iv, rv, _ = frag
         repl = iv if f is True else rv
