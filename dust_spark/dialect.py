@@ -4455,6 +4455,15 @@ class _TypedPass:
         to take the prefix conversion)."""
         toks = self.toks
         m = self.sql[toks[lo_t][2] : toks[hi_t - 1][3]]
+        if cls == _CLS_BLOB and pure:
+            # blob literals convert like TEXT of their raw bytes
+            # (sqlite3-probed r10: X'37' / 2 = 3, X'3137' % 5 = 2,
+            # X'FF' + 1 = 1 — the byte string's numeric prefix)
+            raw = bytes.fromhex(toks[lo_t][1][2:-1]).decode("latin-1")
+            f, iv, rv = _sqlite_arith_text_static(raw)
+            mm = re.match(r"\s*([+-]?\d+)", raw)
+            modi = mm.group(1).lstrip("+") if mm else "0"
+            return (f, iv, rv, str(int(modi)))
         if cls == _CLS_TEXT and pure:
             raw = toks[lo_t][1][1:-1].replace("''", "'")
             f, iv, rv = _sqlite_arith_text_static(raw)
@@ -4752,9 +4761,11 @@ class _TypedPass:
         if res is None:
             return None
         j, cls, pure = res
-        if j > hi or cls not in (_CLS_INT, _CLS_REAL, _CLS_TEXT):
+        if j > hi or cls not in (_CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB):
             return None
-        if cls == _CLS_TEXT:
+        if cls == _CLS_BLOB and not pure:
+            return None  # runtime blob columns stay unhandled
+        if cls in (_CLS_TEXT, _CLS_BLOB):
             state["text"] = True
         return (
             j,

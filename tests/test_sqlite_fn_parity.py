@@ -124,6 +124,11 @@ CASES = [
     "SELECT 9223372036854775807 + 1 - 1",
     "SELECT 0xFFFFFFFFFFFFFFFF + 0",
     "SELECT 1e999 % 3",
+    # blob literals convert like TEXT of their raw bytes (r10)
+    "SELECT X'37' / 2",
+    "SELECT X'3137' % 5",
+    "SELECT X'FF' + 1",
+    "SELECT X'FF' + 1.5",
     # 'julianday' first-modifier + localtime/utc no-ops on a UTC host
     "SELECT datetime(2460325.0, 'julianday')",
     "SELECT date(2460310.5, 'julianday', '+1 month')",
