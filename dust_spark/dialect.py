@@ -4074,6 +4074,17 @@ class _TypedPass:
                 return (i + 1, _CLS_INT, False)
             if wl in ("case", "select", "exists", "interval"):
                 return None
+            if wl in _SAFE_BEFORE_WORDS or wl in (
+                "in", "like", "between", "values", "set", "glob",
+                "from", "group", "order", "limit", "offset", "as",
+            ):
+                # SQL keywords are NEVER primaries — 'WHERE (cond)'
+                # otherwise parses as a FUNCTION CALL named WHERE,
+                # letting _try_chain swallow the parenthesized condition
+                # before the chain compiler sees it (r10, found by the
+                # truthiness machine: (tx / tx) % X'3137' only got its
+                # inner rewrite)
+                return None
             if wl == "cast" and i + 1 < n and toks[i + 1][1] == "(":
                 j = self._match_paren(i + 1)
                 if j < 0:
@@ -4637,7 +4648,11 @@ class _TypedPass:
         folded integer from turning into a positional ORDER BY ref."""
         k, v, _ = val
         if k == "n":
-            return "(NULL)"
+            # bare NULL: never positional, and parenthesized (NULL) hits
+            # a Spark 4 parser quirk in WHERE position (UNRESOLVED_COLUMN
+            # /ASSIGNMENT_ARITY instead of FILTER_NOT_BOOLEAN, so the
+            # truthiness retry never fires — r10 truthiness machine find)
+            return "NULL"
         if k == "i":
             return f"({v})"
         return f"({_real_literal(v)})"

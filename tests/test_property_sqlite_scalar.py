@@ -293,3 +293,19 @@ def test_column_chain_matches_sqlite(db, ref, chain_tables, expr):
     want = [list(rw) for rw in ref.execute(q).fetchall()]
     got = [list(v) for v in db.query_string_stmt(q)[0].values]
     assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=column_chain_exprs())
+def test_column_chain_truthiness_matches_sqlite(db, ref, chain_tables, expr):
+    """The same chains as WHERE predicates — SQLite's integer
+    truthiness over the chain VALUE (nonzero keeps the row, NULL
+    drops it) composed with the wrap_where_truthy retry layer."""
+    q = f"SELECT id FROM ch WHERE {expr} ORDER BY id"
+    want = [r[0] for r in ref.execute(q).fetchall()]
+    got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
