@@ -3838,8 +3838,15 @@ _SQLITE_NUMERIC_TEXT = re.compile(
 _INT_RESULT_FNS = {
     "length", "char_length", "octet_length", "instr", "locate",
     "unicode", "ascii", "count", "changes", "total_changes",
-    "last_insert_rowid",
+    "last_insert_rowid", "bigint",
 }
+
+# cast-function forms the typed rewrites emit (r10): the plain
+# CAST(x AS DOUBLE/BIGINT) spellings get wrapped by the SQLite
+# CAST-affinity layer ('DOUBLE'/'BIGINT' are SQLite type names) and
+# become opaque to later sweeps — double()/bigint() pass through and
+# class as REAL/INT so emitted frags stay composable
+_REAL_RESULT_FNS = {"double"}
 
 _MUL_OPS = {"*", "/", "%"}
 _ADD_OPS = {"+", "-"}
@@ -4120,7 +4127,12 @@ class _TypedPass:
                 if j < 0:
                     return None
                 subspans.append((i + 2, j))
-                cls = _CLS_INT if wl in _INT_RESULT_FNS else _CLS_UNKNOWN
+                if wl in _INT_RESULT_FNS:
+                    cls = _CLS_INT
+                elif wl in _REAL_RESULT_FNS:
+                    cls = _CLS_REAL
+                else:
+                    cls = _CLS_UNKNOWN
                 return (j + 1, cls, False)
             # plain (possibly dotted) identifier
             parts = [wl]
@@ -4488,21 +4500,20 @@ class _TypedPass:
                 f"(({p}) NOT RLIKE '[.eE]' "
                 f"AND try_cast({p} AS BIGINT) IS NOT NULL)))"
             )
-            iv = f"coalesce(try_cast({p} AS BIGINT), CAST(0 AS BIGINT))"
+            iv = f"coalesce(try_cast({p} AS BIGINT), bigint(0))"
             rv = (
-                f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS DOUBLE) "
-                f"ELSE coalesce(try_cast({p} AS DOUBLE), "
-                f"CAST(0.0 AS DOUBLE)) END"
+                f"CASE WHEN ({m}) IS NULL THEN double(NULL) "
+                f"ELSE coalesce(try_cast({p} AS DOUBLE), 0.0D) END"
             )
             modi = (
-                f"CASE WHEN ({m}) IS NULL THEN CAST(NULL AS BIGINT) "
+                f"CASE WHEN ({m}) IS NULL THEN bigint(NULL) "
                 f"ELSE coalesce(try_cast(regexp_extract(CAST(({m}) AS STRING), "
-                f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), CAST(0 AS BIGINT)) END"
+                f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), bigint(0)) END"
             )
             return (f, iv, rv, modi)
         if cls == _CLS_INT:
-            return (True, f"({m})", f"CAST(({m}) AS DOUBLE)", f"({m})")
-        return (False, None, f"({m})", f"CAST(({m}) AS BIGINT)")
+            return (True, f"({m})", f"double(({m}))", f"({m})")
+        return (False, None, f"({m})", f"bigint(({m}))")
 
     # -- static chain evaluation (r10: integer-overflow promotion) --------
 
@@ -4564,6 +4575,18 @@ class _TypedPass:
                 return ("r", x, self._trunc64(x))
             x = float(text) * sign
             return ("r", x, self._trunc64(x))
+        if kind == "blob" and sign == 1:
+            raw = bytes.fromhex(text[2:-1]).decode("latin-1")
+            t = raw.lstrip(" \t\r\n\f\v")
+            m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
+            mm = re.match(r"\s*([+-]?\d+)", raw)
+            modi = int(mm.group(1)) if mm else 0
+            if not m:
+                return ("i", 0, 0)
+            p = m.group(0)
+            if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
+                return ("i", int(p), modi)
+            return ("r", _sqlite_text_to_real(raw), modi)
         if kind == "str" and sign == 1:
             raw = text[1:-1].replace("''", "'")
             t = raw.lstrip(" \t\r\n\f\v")
@@ -4685,7 +4708,7 @@ class _TypedPass:
         if op == "%":
             iv = f"({ml} % {mr})"
             # the % value is always integral — its REAL repr is exact
-            return (f, iv, f"CAST({iv} AS DOUBLE)", iv)
+            return (f, iv, f"double({iv})", iv)
         if op == "/":
             iv = None if f is False else f"({il} div {ir})"
             rcomp = f"({rl} / {rr})"
@@ -4693,19 +4716,19 @@ class _TypedPass:
             iv = None if f is False else f"({il} {op} {ir})"
             rcomp = f"({rl} {op} {rr})"
         if f is True:
-            rv = f"CAST({iv} AS DOUBLE)" if op == "/" else rcomp
+            rv = f"double({iv})" if op == "/" else rcomp
         elif f is False:
             rv = rcomp
         elif op == "/":
-            rv = f"(CASE WHEN {f} THEN CAST({iv} AS DOUBLE) ELSE {rcomp} END)"
+            rv = f"(CASE WHEN {f} THEN double({iv}) ELSE {rcomp} END)"
         else:
             rv = rcomp  # + - * values coincide int/double
         if f is True:
             mv = iv
         elif f is False:
-            mv = f"CAST({rcomp} AS BIGINT)"
+            mv = f"bigint({rcomp})"
         else:
-            mv = f"(CASE WHEN {f} THEN {iv} ELSE CAST({rcomp} AS BIGINT) END)"
+            mv = f"(CASE WHEN {f} THEN {iv} ELSE bigint({rcomp}) END)"
         return (f, iv, rv, mv)
 
     def _compile_mul(self, i: int, hi: int, state: dict):
@@ -4776,8 +4799,21 @@ class _TypedPass:
         if res is None:
             return None
         j, cls, pure = res
-        if j > hi or cls not in (_CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB):
+        if j > hi or cls not in (
+            _CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB, _CLS_NULL,
+        ):
             return None
+        if cls == _CLS_NULL:
+            # a NULL member poisons the whole chain in SQLite; the frag
+            # keeps every path NULL-propagating (an earlier pass's own
+            # NULL fold must stay composable — (2/0) / tx / X'37' hit
+            # Spark's DOUBLE/BINARY mismatch natively; r10 machine find)
+            return (
+                j,
+                (False, None, "double(NULL)", "bigint(NULL)"),
+                1,
+                ("n", None, None),
+            )
         if cls == _CLS_BLOB and not pure:
             return None  # runtime blob columns stay unhandled
         if cls in (_CLS_TEXT, _CLS_BLOB):

@@ -266,7 +266,7 @@ def chain_tables(db, ref):
 def column_chain_exprs(draw):
     pool = st.sampled_from(
         ["tx", "r", "i", "2", "3", "-2", "0", "'4'", "2.5", "'7x'", "''", "'9e1'",
-         "X'37'", "X'FF'", "X'3137'"]
+         "X'37'", "X'FF'", "X'3137'", "NULL"]
     )
     n = draw(st.integers(2, 4))
     members = [draw(pool) for _ in range(n)]
