@@ -187,6 +187,27 @@ _ROUND9_VERIFIED = (
     "b9c_date_extract b9d_date_trunc b9e_case_coalesce b9g_json"
 ).split()
 
+# Hash-green in CORRECTNESS_r10 (44 names: the r10-new queries
+# c7e/c4q/c3n/c9l/c7f/c9m/c8e/c5d plus the window filler re-confirmed
+# there):
+_ROUND10_VERIFIED = (
+    "c7e_resample_ohlc c4q_ngram_novelty c3n_mips_topk c9l_corpus_card "
+    "c7f_rolling_zscore c9m_contamination_report c8e_heavy_hitters "
+    "c5d_modality_budget b11a_tumbling_window "
+    "c2i_embedding_near_dup_portable c9h_cap_per_source "
+    "c9i_token_budget_mix c10c_domain_rank c3i_kmeans_portable "
+    "c2j_minhash_estimate_portable b1a_full_scan b1b_dup_projection "
+    "b1c_expr_projection b2a_eq_filter b2b_empty_result "
+    "b5h_exclude_frames b11b_distinct_events b11c_sliding_window "
+    "b11d_session_window b11e_stream_stream_join b13a_tpch_q3_shape "
+    "b13b_tpch_q5_shape b13c_tpch_q10_shape b4i_percentile "
+    "b9h_array_funcs b9i_date_arith b9j_regexp_funcs "
+    "c1a_exact_dedup_count c1b_exact_dedup_keepers "
+    "c2c_ngram_jaccard_pairs c3a_cosine_topk c3b_dot_pairs "
+    "c4a_text_stats c4b_token_count c4c_fingerprint c4d_lang_id "
+    "c4e_quality_scores c5a_media_stats c6a_asof_max_order"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -211,6 +232,7 @@ def _prioritized():
         _ROUND7_VERIFIED,
         _ROUND8_VERIFIED,
         _ROUND9_VERIFIED,
+        _ROUND10_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}

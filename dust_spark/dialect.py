@@ -741,7 +741,10 @@ _DROP_RE = re.compile(
 
 _PRAGMA_RE = re.compile(
     r"^\s*PRAGMA\s+(?P<key>\w+)\s*"
-    r"(?:=\s*(?P<val>\w+)|\(\s*(?P<arg>[^)]*?)\s*\))?\s*;?\s*$",
+    # = value accepts quoted strings ('500', "wal"), signed numbers
+    # (-5), and decimals (12.7) — all sqlite3-accepted set forms (r11)
+    r"(?:=\s*(?P<val>'(?:[^']|'')*'|\"(?:[^\"]|\"\")*\"|[-+]?[\w.]+)"
+    r"|\(\s*(?P<arg>[^)]*?)\s*\))?\s*;?\s*$",
     re.S | re.I,
 )
 
@@ -4485,14 +4488,16 @@ class _TypedPass:
             raw = bytes.fromhex(toks[lo_t][1][2:-1]).decode("latin-1")
             f, iv, rv = _sqlite_arith_text_static(raw)
             mm = re.match(r"\s*([+-]?\d+)", raw)
-            modi = mm.group(1).lstrip("+") if mm else "0"
-            return (f, iv, rv, str(int(modi)))
+            modi = self._trunc64(int(mm.group(1))) if mm else 0
+            return (f, iv, rv, str(modi))
         if cls == _CLS_TEXT and pure:
             raw = toks[lo_t][1][1:-1].replace("''", "'")
             f, iv, rv = _sqlite_arith_text_static(raw)
             mm = re.match(r"\s*([+-]?\d+)", raw)
-            modi = mm.group(1).lstrip("+") if mm else "0"
-            return (f, iv, rv, str(int(modi)))
+            # INTEGER-prefix parse SATURATES past int64 (sqlite3-probed
+            # r11: '99999999999999999999' % 7 = 0.0 via INT64_MAX)
+            modi = self._trunc64(int(mm.group(1))) if mm else 0
+            return (f, iv, rv, str(modi))
         if cls == _CLS_TEXT:
             p = self._TEXT_DIV_PREFIX.format(m=m)
             f = (
@@ -4505,10 +4510,19 @@ class _TypedPass:
                 f"CASE WHEN ({m}) IS NULL THEN double(NULL) "
                 f"ELSE coalesce(try_cast({p} AS DOUBLE), 0.0D) END"
             )
+            # runtime INTEGER-prefix parse; a non-empty all-digit prefix
+            # that overflows int64 SATURATES to the signed bound
+            # (sqlite3-probed r11: '9223372036854775808' % 10 = 7.0)
+            pfx = (
+                f"regexp_extract(CAST(({m}) AS STRING), "
+                f"'^\\\\s*([+-]?[0-9]+)', 1)"
+            )
             modi = (
                 f"CASE WHEN ({m}) IS NULL THEN bigint(NULL) "
-                f"ELSE coalesce(try_cast(regexp_extract(CAST(({m}) AS STRING), "
-                f"'^\\\\s*([+-]?[0-9]+)', 1) AS BIGINT), bigint(0)) END"
+                f"ELSE coalesce(try_cast({pfx} AS BIGINT), "
+                f"CASE WHEN {pfx} = '' THEN bigint(0) "
+                f"WHEN {pfx} LIKE '-%' THEN cast('-9223372036854775808' AS BIGINT) "
+                f"ELSE bigint(9223372036854775807) END) END"
             )
             return (f, iv, rv, modi)
         if cls == _CLS_INT:
@@ -4580,7 +4594,7 @@ class _TypedPass:
             t = raw.lstrip(" \t\r\n\f\v")
             m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
             mm = re.match(r"\s*([+-]?\d+)", raw)
-            modi = int(mm.group(1)) if mm else 0
+            modi = self._trunc64(int(mm.group(1))) if mm else 0
             if not m:
                 return ("i", 0, 0)
             p = m.group(0)
@@ -4592,7 +4606,8 @@ class _TypedPass:
             t = raw.lstrip(" \t\r\n\f\v")
             m = re.match(r"[+-]?(\d+(\.\d*)?|\.\d+)([eE][+-]?\d+)?", t)
             mm = re.match(r"\s*([+-]?\d+)", raw)
-            modi = int(mm.group(1)) if mm else 0
+            # prefix saturates at the int64 bounds (ADVICE r10)
+            modi = self._trunc64(int(mm.group(1))) if mm else 0
             if not m:
                 # no numeric prefix at all ('', 'abc', 'inf'): INTEGER 0
                 # (_sqlite_arith_text_static agrees — ''/2 = 0 int)

@@ -298,8 +298,12 @@ def rolling_zscore(
     mean = s1 / n
     var = s2 / n - mean * mean
     std = F.sqrt(var)
+    # gate on var > 0, not std > 0: float cancellation can push var
+    # slightly NEGATIVE (8 identical trailing averages), and sqrt(neg)
+    # is NaN, which Spark/DuckDB order ABOVE 0 — std > 0 would emit
+    # NaN z instead of the documented NULL (r10 ADVICE)
     z = F.when(
-        (n >= 3) & (std > 0), F.round((F.col("avg_v") - mean) / std, 4)
+        (n >= 3) & (var > 0), F.round((F.col("avg_v") - mean) / std, 4)
     ).otherwise(F.lit(None).cast("double"))
     return avgs.select(
         "k",

@@ -1156,6 +1156,8 @@ def mips_topk_portable(
         )
 
     m2 = corpus.agg(F.max(sq_norm(F.col(vec_col)))).collect()[0][0]
+    if m2 is None:
+        m2 = 0.0  # empty corpus: keep the plan valid, result is empty anyway
 
     def augmented(df_, extra):
         return df_.select(

@@ -2344,6 +2344,49 @@ def distributed_rank_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("o_orderkey")
 
 
+# Distributed rank with a NULL partition (r11, verdict task #4): c8d's
+# fixture key is never NULL, so the r10 eqNullSafe offsets-join fix was
+# untested by the hard gate. Deriving the key through nullif() sends
+# roughly half the table through the NULL partition in BOTH engines —
+# a plain inner offsets join would silently drop every one of those
+# rows, so the row count itself guards the fix.
+_DIST_RANK_NULLS_ORACLE = """
+SELECT o_orderkey,
+       CAST(rank() OVER w AS BIGINT) AS rk,
+       ROUND(CAST(percent_rank() OVER w AS DOUBLE), 4) AS pr,
+       ROUND(CAST(cume_dist() OVER w AS DOUBLE), 4) AS cd
+FROM orders
+WINDOW w AS (PARTITION BY nullif(o_orderstatus, 'F') ORDER BY o_totalprice)
+ORDER BY o_orderkey
+"""
+
+
+@register(
+    "c8f_distributed_rank_nulls",
+    oracle=_DIST_RANK_NULLS_ORACLE,
+    tags=("tierc", "skew"),
+)
+def distributed_rank_nulls_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """c8d over a partition key with a large NULL group
+    (nullif(o_orderstatus, 'F')): NULL partitions rank as their own
+    group exactly like a plain window — exercises the null-safe
+    broadcast offsets join (skew.py eqNullSafe)."""
+    from dust_spark.tables import load_table
+
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_orderstatus", "o_totalprice")
+        .withColumn("status_n", F.expr("nullif(o_orderstatus, 'F')"))
+    )
+    out = ops.distributed_rank(o, "status_n", "o_totalprice")
+    return out.select(
+        "o_orderkey",
+        F.col("rk"),
+        F.round(F.col("pr"), 4).alias("pr"),
+        F.round(F.col("cd"), 4).alias("cd"),
+    ).orderBy("o_orderkey")
+
+
 # Nearest as-of (r7): both-directions nearest with the operator's
 # exact tie rules (backward side: latest time then largest id; forward
 # side: earliest then smallest; cross-side tie -> backward). The oracle
@@ -3107,7 +3150,7 @@ WITH keyed AS (
   FROM lagged
 )
 SELECT k, bucket_s, ROUND(avg_v, 4) AS avg_v, CAST(n AS BIGINT) AS n_obs,
-  CASE WHEN n >= 3 AND sqrt(s2 / n - (s1 / n) * (s1 / n)) > 0
+  CASE WHEN n >= 3 AND (s2 / n - (s1 / n) * (s1 / n)) > 0
        THEN ROUND((avg_v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
        ELSE NULL END AS z
 FROM folded ORDER BY k, bucket_s

@@ -1588,12 +1588,13 @@ class DustSession:
             key, val, _arg = dialect.parse_pragma(sql)
         except ValueError as e:
             raise DustError(str(e)) from e
-        if key == "foreign_keys" and val is not None:
-            self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
-        if key == "recursive_triggers" and val is not None:
-            self._recursive_triggers = val.lower() in ("1", "on", "true", "yes")
-        if key == "user_version" and val is not None:
-            self._user_version = int(val)
+        setv = val if val is not None else _arg
+        if key == "foreign_keys" and setv is not None:
+            self._fk_enabled = bool(self._pragma_bool(self._pragma_unq(setv)))
+        if key == "recursive_triggers" and setv is not None:
+            self._recursive_triggers = bool(self._pragma_bool(self._pragma_unq(setv)))
+        if key == "user_version" and setv is not None:
+            self._user_version = self._pragma_atoi(self._pragma_unq(setv))
         else:
             # connection-state pragmas keep their side effects on the
             # execute path too (result discarded)
@@ -1605,14 +1606,15 @@ class DustSession:
             key, val, arg = dialect.parse_pragma(sql)
         except ValueError as e:
             raise DustError(str(e)) from e
+        setv = val if val is not None else arg
         if key == "foreign_keys":
-            if val is not None:
-                self._fk_enabled = val.lower() in ("1", "on", "true", "yes")
+            if setv is not None:
+                self._fk_enabled = bool(self._pragma_bool(self._pragma_unq(setv)))
                 return Rows()
             return Rows(columns=["foreign_keys"], types=["integer"], values=[[1 if self._fk_enabled else 0]])
         if key == "recursive_triggers":
-            if val is not None:
-                self._recursive_triggers = val.lower() in ("1", "on", "true", "yes")
+            if setv is not None:
+                self._recursive_triggers = bool(self._pragma_bool(self._pragma_unq(setv)))
                 return Rows()
             return Rows(
                 columns=["recursive_triggers"],
@@ -1622,8 +1624,8 @@ class DustSession:
         if key == "user_version":
             # settable per-connection schema cookie (PRAGMA user_version
             # = N); reads return the stored int, 0 initially like SQLite
-            if val is not None:
-                self._user_version = int(val)
+            if setv is not None:
+                self._user_version = self._pragma_atoi(self._pragma_unq(setv))
                 return Rows()
             return Rows(columns=["user_version"], types=["integer"], values=[[self._user_version]])
         if key == "schema_version":
@@ -1655,71 +1657,132 @@ class DustSession:
             return got
         return Rows()  # unknown pragmas: empty result, like SQLite
 
+    @staticmethod
+    def _pragma_unq(s) -> str:
+        """Strip one layer of ''/"" quoting off a pragma value."""
+        s = str(s).strip()
+        if len(s) >= 2 and s[0] == s[-1] and s[0] in "'\"":
+            s = s[1:-1].replace(s[0] * 2, s[0])
+        return s
+
+    @staticmethod
+    def _pragma_atoi(s: str) -> int:
+        """sqlite3Atoi: optional sign + digit prefix, NO whitespace
+        skip (sqlite3-probed r11: busy_timeout='  77 ' reads 0,
+        cache_size='12.7' reads 12, user_version='7y' reads 7)."""
+        m = re.match(r"[+-]?\d+", s)
+        return int(m.group(0)) if m else 0
+
+    @classmethod
+    def _pragma_bool(cls, s: str) -> int:
+        """sqlite3GetBoolean: digit-leading → atoi != 0, else the name
+        table (on/true/yes → 1), else 0."""
+        t = s.lower()
+        if t in ("on", "true", "yes"):
+            return 1
+        if re.match(r"[+-]?\d", t):
+            return 1 if cls._pragma_atoi(t) != 0 else 0
+        return 0
+
     def _pragma_conn_state(self, key: str, val, arg) -> Rows | None:
-        """Informational / connection-state pragmas (r10) — echo and
-        set-form behavior sqlite3-probed on an in-memory db:
-        integrity_check/quick_check always 'ok'; journal_mode pinned
-        'memory' in memory mode ('delete'-defaulted and settable in
-        disk mode); cache_size/synchronous/temp_store/application_id
-        set silently, busy_timeout/locking_mode/secure_delete ECHO the
-        new value; page_size pinned 4096, encoding pinned UTF-8,
-        auto_vacuum pinned 0, freelist_count 0, wal_checkpoint
-        (0,-1,-1); page_count reports the minimal layout (0 empty,
-        1 schema page + 1 per table — data-bearing growth is
-        storage-engine-specific, documented)."""
+        """Informational / connection-state pragmas (r10; set-form
+        parsing tightened r11 per ADVICE) — echo and set behavior
+        sqlite3-probed on an in-memory db:
+        - call form PRAGMA k(v) == assignment PRAGMA k=v (arg is the
+          set value when val is absent);
+        - quoted values accepted everywhere; integer values parse by
+          the no-whitespace-skip sign+digit prefix (_pragma_atoi);
+        - integrity_check/quick_check always 'ok';
+        - journal_mode pinned 'memory' in memory mode; in disk mode
+          only the six valid modes set, anything else echoes the
+          stored mode;
+        - synchronous follows getSafetyLevel: names off/full/extra
+          (normal = no-match default 1), digit-leading atoi, then
+          stored = ((v+1)&7 or 1) and reads echo stored-1 (probed:
+          =7 reads 0, =99 reads 3, =5 reads 5, =-1 reads 1);
+        - temp_store keys off the FIRST char '0'-'2' else
+          default/file/memory else 0 (probed: =2.9 reads 2, =9
+          reads 0);
+        - busy_timeout clamps negatives to 0 and ECHOES;
+        - locking_mode: invalid values echo the stored mode; the
+          exclusive→normal transition echoes 'exclusive' once (the
+          lock is held until released) while storing 'normal';
+        - secure_delete: 'fast' → 2, else boolean, ECHOES;
+        - cache_size/application_id set silently via atoi;
+        - page_size pinned 4096, encoding pinned UTF-8, auto_vacuum
+          pinned 0, freelist_count 0, wal_checkpoint (0,-1,-1);
+          page_count reports the minimal layout (0 empty, 1 schema
+          page + 1 per table — data-bearing growth is
+          storage-engine-specific, documented)."""
 
         def one(v, typ="integer"):
             return Rows(columns=[key], types=[typ], values=[[v]])
 
         st = self._pragma_state
-        setv = val if val is not None else None
+        raw = val if val is not None else arg
+        setv = self._pragma_unq(raw) if raw is not None else None
         if key in ("integrity_check", "quick_check"):
             return one("ok", "text")
         if key == "journal_mode":
             if self.catalog.warehouse is None:
                 return one("memory", "text")
-            if setv is not None:
-                st["journal_mode"] = setv.strip("'\"").lower()
+            if setv is not None and setv.lower() in (
+                "delete", "truncate", "persist", "memory", "wal", "off",
+            ):
+                st["journal_mode"] = setv.lower()
             return one(st.get("journal_mode", "delete"), "text")
         if key == "cache_size":
             if setv is not None:
-                st["cache_size"] = int(setv)
+                st["cache_size"] = self._pragma_atoi(setv)
                 return Rows()
             return one(st["cache_size"])
         if key == "busy_timeout":
             if setv is not None:
-                st["busy_timeout"] = int(setv)
+                st["busy_timeout"] = max(0, self._pragma_atoi(setv))
             return one(st["busy_timeout"])
         if key == "synchronous":
             if setv is not None:
-                m = {"off": 0, "normal": 1, "full": 2, "extra": 3}
-                st["synchronous"] = m.get(setv.strip("'\"").lower(), None)
-                if st["synchronous"] is None:
-                    st["synchronous"] = int(setv)
+                m = {"off": 0, "false": 0, "on": 1, "yes": 1, "true": 1,
+                     "full": 2, "extra": 3}
+                t = setv.lower()
+                if t in m:
+                    v = m[t]
+                elif re.match(r"\d", t):
+                    v = self._pragma_atoi(t)
+                else:
+                    v = 1  # getSafetyLevel default ('normal' included)
+                st["synchronous"] = (((v + 1) & 7) or 1) - 1
                 return Rows()
             return one(st["synchronous"])
         if key == "temp_store":
             if setv is not None:
-                m = {"default": 0, "file": 1, "memory": 2}
-                st["temp_store"] = m.get(setv.strip("'\"").lower(), None)
-                if st["temp_store"] is None:
-                    st["temp_store"] = int(setv)
+                if setv[:1] in ("0", "1", "2"):
+                    st["temp_store"] = int(setv[0])
+                else:
+                    m = {"default": 0, "file": 1, "memory": 2}
+                    st["temp_store"] = m.get(setv.lower(), 0)
                 return Rows()
             return one(st["temp_store"])
         if key == "application_id":
             if setv is not None:
-                st["application_id"] = int(setv)
+                st["application_id"] = self._pragma_atoi(setv)
                 return Rows()
             return one(st["application_id"])
         if key == "locking_mode":
             if setv is not None:
-                st["locking_mode"] = setv.strip("'\"").lower()
+                new = setv.lower()
+                if new in ("normal", "exclusive"):
+                    old = st["locking_mode"]
+                    st["locking_mode"] = new
+                    echo = "exclusive" if "exclusive" in (old, new) else "normal"
+                    return one(echo, "text")
             return one(st["locking_mode"], "text")
         if key == "secure_delete":
             if setv is not None:
-                st["secure_delete"] = (
-                    1 if setv.strip("'\"").lower() in ("1", "on", "true", "yes") else 0
-                )
+                if setv.lower() == "fast":
+                    st["secure_delete"] = 2
+                else:
+                    st["secure_delete"] = self._pragma_bool(setv)
             return one(st["secure_delete"])
         if key == "page_size":
             if setv is not None:

@@ -243,6 +243,10 @@ _CHAIN_ROWS = [
     (1, "7", 2.5, 9), (2, "7abc", 0.5, -7), (3, "", 7.5, 4),
     (4, "9e1", -2.5, 0), (5, "  -3.5x", 100.0, 15), (6, None, None, None),
     (7, "0x11", 3.0, 2), (8, "12.", 0.0, 1),
+    # >int64 digit prefix: %-operand parse saturates to INT64_MAX/MIN
+    # (r11 ADVICE fix — runtime modi expression must saturate too)
+    (9, "99999999999999999999", 1.0, 3),
+    (10, "-99999999999999999999z", -1.0, 5),
 ]
 
 
@@ -266,7 +270,7 @@ def chain_tables(db, ref):
 def column_chain_exprs(draw):
     pool = st.sampled_from(
         ["tx", "r", "i", "2", "3", "-2", "0", "'4'", "2.5", "'7x'", "''", "'9e1'",
-         "X'37'", "X'FF'", "X'3137'", "NULL"]
+         "X'37'", "X'FF'", "X'3137'", "NULL", "'9223372036854775808'"]
     )
     n = draw(st.integers(2, 4))
     members = [draw(pool) for _ in range(n)]

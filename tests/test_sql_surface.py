@@ -2318,6 +2318,85 @@ def test_conn_state_pragmas_sqlite_differential(db):
         "PRAGMA freelist_count",
         "PRAGMA wal_checkpoint",
         "PRAGMA wal_checkpoint(TRUNCATE)",
+        # r11 (ADVICE): call-form sets == assignment; quoted values
+        # accepted; integer values parse by the no-whitespace-skip
+        # sign+digit prefix; invalid journal/locking modes echo the
+        # stored mode; synchronous follows getSafetyLevel's
+        # ((v+1)&7 or 1) mask; temp_store keys off the first char;
+        # secure_delete knows 'fast'; busy_timeout clamps negatives
+        "PRAGMA busy_timeout(456)",
+        "PRAGMA busy_timeout",
+        "PRAGMA cache_size(250)",
+        "PRAGMA cache_size",
+        "PRAGMA cache_size='500'",
+        "PRAGMA cache_size",
+        "PRAGMA cache_size='abc'",
+        "PRAGMA cache_size",
+        "PRAGMA cache_size=12.7",
+        "PRAGMA cache_size",
+        "PRAGMA busy_timeout='9x'",
+        "PRAGMA busy_timeout",
+        "PRAGMA busy_timeout=-5",
+        "PRAGMA busy_timeout",
+        "PRAGMA journal_mode=bogus",
+        "PRAGMA journal_mode",
+        "PRAGMA locking_mode=bogus",
+        "PRAGMA locking_mode",
+        "PRAGMA locking_mode(normal)",
+        "PRAGMA locking_mode",
+        "PRAGMA locking_mode=bogus",
+        "PRAGMA synchronous(2)",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous='extra'",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous=99",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous=7",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous=5",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous=-1",
+        "PRAGMA synchronous",
+        "PRAGMA synchronous='2x'",
+        "PRAGMA synchronous",
+        "PRAGMA temp_store(1)",
+        "PRAGMA temp_store",
+        "PRAGMA temp_store=2.9",
+        "PRAGMA temp_store",
+        "PRAGMA temp_store=9",
+        "PRAGMA temp_store",
+        "PRAGMA temp_store='junk'",
+        "PRAGMA temp_store",
+        "PRAGMA application_id(7)",
+        "PRAGMA application_id",
+        "PRAGMA application_id='abc'",
+        "PRAGMA application_id",
+        "PRAGMA application_id=4.9",
+        "PRAGMA application_id",
+        "PRAGMA secure_delete(1)",
+        "PRAGMA secure_delete",
+        "PRAGMA secure_delete='fast'",
+        "PRAGMA secure_delete",
+        "PRAGMA secure_delete='abc'",
+        "PRAGMA secure_delete",
+        "PRAGMA user_version(5)",
+        "PRAGMA user_version",
+        "PRAGMA user_version='7y'",
+        "PRAGMA user_version",
+        "PRAGMA user_version='abc'",
+        "PRAGMA user_version",
+        "PRAGMA user_version=-3",
+        "PRAGMA user_version",
+        "PRAGMA foreign_keys(ON)",
+        "PRAGMA foreign_keys",
+        "PRAGMA foreign_keys='2'",
+        "PRAGMA foreign_keys",
+        "PRAGMA foreign_keys=0",
+        "PRAGMA foreign_keys",
+        "PRAGMA recursive_triggers(1)",
+        "PRAGMA recursive_triggers",
+        "PRAGMA recursive_triggers=off",
+        "PRAGMA recursive_triggers",
     ]
     for q in seq:
         want = [list(r) for r in ref.execute(q).fetchall()]

@@ -124,6 +124,16 @@ CASES = [
     "SELECT 9223372036854775807 + 1 - 1",
     "SELECT 0xFFFFFFFFFFFFFFFF + 0",
     "SELECT 1e999 % 3",
+    # %-operand INTEGER-prefix parse SATURATES past int64 (r11 ADVICE):
+    # '99999999999999999999' reads INT64_MAX (divisible by 7 → 0.0 REAL)
+    "SELECT '99999999999999999999' % 7",
+    "SELECT typeof('99999999999999999999' % 7)",
+    "SELECT '-99999999999999999999' % 7",
+    "SELECT '9223372036854775808' % 10",
+    "SELECT '-9223372036854775809' % 10",
+    "SELECT 7 % '99999999999999999999'",
+    "SELECT X'39393939393939393939393939393939393939393939' % 7",
+    "SELECT '  +99999999999999999999xyz' % 7",
     # blob literals convert like TEXT of their raw bytes (r10)
     "SELECT X'37' / 2",
     "SELECT X'3137' % 5",
