@@ -1117,6 +1117,329 @@ def parse_pragma(sql: str) -> tuple[str, str | None, str | None]:
 
 
 # --------------------------------------------------------------------------
+# Static compound SELECTs (r11, verdict task #5): SQLite's per-row
+# dynamic typing makes `SELECT 1 UNION SELECT '1'` return TWO rows
+# (integer 1 and text '1' have different storage classes) where Spark
+# coerces the arms to one type and dedups to one — the single
+# row-count-level dialect divergence. For compounds whose every arm is
+# a pure-literal SELECT we evaluate the whole statement statically with
+# SQLite's exact semantics (probed r11):
+#   - UNION dedups by (storage class, exact value) — 1 == 1.0 but
+#     1 != '1'; the LAST duplicate's representative survives
+#     (1 UNION 1.0 -> 1.0? no: insert REPLACES, so last wins);
+#     output sorted NULL < numeric < text < blob, numerics by exact
+#     value, text by codepoint, blob by bytes
+#   - UNION ALL concatenates in arm order
+#   - INTERSECT keeps the LEFT side's (deduped) representatives whose
+#     key appears on the right; EXCEPT removes right keys; both emit
+#     sorted output; chains fold LEFT-ASSOCIATIVE
+#   - ORDER BY accepts ordinals and first-arm aliases; out-of-range
+#     ordinals and unknown terms raise SQLite's exact error strings
+#   - LIMIT n [OFFSET m] / LIMIT m, n; negative limit = unlimited
+# Anything not expressible here (table refs, expressions, COLLATE,
+# bare aliases) returns None and takes the normal Spark path.
+# --------------------------------------------------------------------------
+
+_COMPOUND_WORD_RE = re.compile(r"[A-Za-z_][A-Za-z_0-9]*|\S", re.S)
+
+
+def _ordinal(n: int) -> str:
+    """SQLite's %r format: 1st 2nd 3rd 4th ... 11th 12th 13th 21st."""
+    if 10 <= n % 100 <= 13:
+        return f"{n}th"
+    return f"{n}{ {1: 'st', 2: 'nd', 3: 'rd'}.get(n % 10, 'th') }"
+
+
+def _compound_cell_key(v):
+    """SQLite comparison key for one cell: storage-class rank, then the
+    in-class value (int/float compare EXACTLY in Python, matching
+    sqlite3IntFloatCompare)."""
+    if v is None:
+        return (0, 0)
+    if isinstance(v, bool):
+        return (1, int(v))
+    if isinstance(v, (int, float)):
+        return (1, v)
+    if isinstance(v, str):
+        return (2, v)
+    return (3, bytes(v))
+
+
+def _compound_row_key(row):
+    return tuple(_compound_cell_key(v) for v in row)
+
+
+_COMPOUND_LIT_RE = re.compile(
+    r"""^(?P<sign>(?:[-+]\s*)*)
+        (?P<lit>NULL\b|TRUE\b|FALSE\b
+          |X'(?:[0-9A-Fa-f][0-9A-Fa-f])*'
+          |'(?:[^']|'')*'
+          |0[xX][0-9A-Fa-f]+
+          |(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)
+        (?P<alias>\s+AS\s+(?P<aname>[A-Za-z_][A-Za-z_0-9]*))?\s*$""",
+    re.X | re.I | re.S,
+)
+
+
+def _parse_compound_item(text: str):
+    """One select-list item → (value, column_name) or None."""
+    t = text.strip()
+    m = _COMPOUND_LIT_RE.match(t)
+    if not m:
+        return None
+    lit = m.group("lit")
+    sign = -1 if m.group("sign").count("-") % 2 else 1
+    lu = lit.upper()
+    if lu == "NULL":
+        v = None
+    elif lu in ("TRUE", "FALSE"):
+        v = 1 if lu == "TRUE" else 0
+        v *= sign
+    elif lu.startswith("X'"):
+        if m.group("sign"):
+            return None  # -X'..' is a sqlite type error; leave to Spark path
+        v = bytes.fromhex(lit[2:-1])
+    elif lit.startswith("'"):
+        if m.group("sign"):
+            return None
+        v = lit[1:-1].replace("''", "'")
+    elif lu.startswith("0X"):
+        iv = int(lit, 16)
+        if iv >= 2**64:
+            raise ValueError(f"hex literal too big: {lit}")
+        if iv >= 2**63:
+            iv -= 2**64
+        v = iv * sign
+    elif re.fullmatch(r"\d+", lit):
+        iv = int(lit) * sign
+        v = iv if -(2**63) <= iv < 2**63 else float(lit) * sign
+    else:
+        v = float(lit) * sign
+    name = m.group("aname")
+    if name is None:
+        # SQLite names an unaliased expression by its source text
+        name = t
+    return (v, name)
+
+
+def _split_compound(sql: str):
+    """Split a statement into ([(op, arm_sql), ...], tail) at top-level
+    compound operators; op of the first arm is None. ``tail`` is the
+    trailing ORDER BY/LIMIT text (possibly empty). Returns None if the
+    statement has no top-level compound op or contains constructs we
+    don't model (comments, semicolons mid-text)."""
+    if "--" in sql or "/*" in sql:
+        return None
+    arms: list[tuple[str | None, str]] = []
+    tail = ""
+    depth = 0
+    i, n = 0, len(sql)
+    seg_start, cur_op = 0, None
+    while i < n:
+        ch = sql[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if sql[j] == "'":
+                    if j + 1 < n and sql[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == '"' or ch == "`":
+            j = sql.find(ch, i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "[":
+            j = sql.find("]", i + 1)
+            i = n if j < 0 else j + 1
+            continue
+        if ch == "(":
+            depth += 1
+            i += 1
+            continue
+        if ch == ")":
+            depth -= 1
+            i += 1
+            continue
+        if depth == 0 and ch.isalpha():
+            m = re.match(r"[A-Za-z_][A-Za-z_0-9]*", sql[i:])
+            w = m.group(0).upper()
+            if w in ("UNION", "INTERSECT", "EXCEPT"):
+                arms.append((cur_op, sql[seg_start:i]))
+                cur_op = w
+                i += len(w)
+                if w == "UNION":
+                    m2 = re.match(r"\s+ALL\b", sql[i:], re.I)
+                    if m2:
+                        cur_op = "UNION ALL"
+                        i += m2.end()
+                seg_start = i
+                continue
+            if w == "ORDER" and re.match(r"ORDER\s+BY\b", sql[i:], re.I):
+                arms.append((cur_op, sql[seg_start:i]))
+                tail = sql[i:]
+                return (arms, tail) if len(arms) >= 2 else None
+            if w == "LIMIT":
+                arms.append((cur_op, sql[seg_start:i]))
+                tail = sql[i:]
+                return (arms, tail) if len(arms) >= 2 else None
+            i += len(m.group(0))
+            continue
+        if ch == ";":
+            if sql[i:].strip() != ";":
+                return None
+            n = i
+            break
+        i += 1
+    arms.append((cur_op, sql[seg_start:n]))
+    return (arms, tail) if len(arms) >= 2 else None
+
+
+def _split_top_commas(s: str) -> list[str]:
+    out, depth, start = [], 0, 0
+    i, n = 0, len(s)
+    while i < n:
+        ch = s[i]
+        if ch == "'":
+            j = i + 1
+            while j < n:
+                if s[j] == "'":
+                    if j + 1 < n and s[j + 1] == "'":
+                        j += 2
+                        continue
+                    break
+                j += 1
+            i = j + 1
+            continue
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+        elif ch == "," and depth == 0:
+            out.append(s[start:i])
+            start = i + 1
+        i += 1
+    out.append(s[start:])
+    return out
+
+
+def try_static_compound(sql: str):
+    """Evaluate an all-literal compound SELECT with SQLite's exact
+    per-row dynamic-typing semantics. Returns (columns, rows) with raw
+    Python cell values (None/int/float/str/bytes), or None when the
+    statement isn't a fully-literal compound (normal Spark path).
+    Raises ValueError carrying SQLite's exact error strings for
+    column-count mismatches and bad ORDER BY terms."""
+    if not re.match(r"^\s*SELECT\b", sql, re.I):
+        return None
+    split = _split_compound(sql)
+    if split is None:
+        return None
+    arms, tail = split
+    parsed_arms = []
+    for op, arm in arms:
+        m = re.match(r"^\s*SELECT\s+(?:DISTINCT\s+|ALL\s+)?(.*?)\s*$", arm, re.S | re.I)
+        if not m:
+            return None
+        items = []
+        for item in _split_top_commas(m.group(1)):
+            got = _parse_compound_item(item)
+            if got is None:
+                return None
+            items.append(got)
+        if not items:
+            return None
+        parsed_arms.append((op, items))
+    ncols = len(parsed_arms[0][1])
+    names = [nm for _, nm in parsed_arms[0][1]]
+    # left-assoc fold; `rows` is a list (dups allowed until a set op)
+    rows: list[list] = [[v for v, _ in parsed_arms[0][1]]]
+    for op, items in parsed_arms[1:]:
+        if len(items) != ncols:
+            raise ValueError(
+                f"SELECTs to the left and right of {op} do not have "
+                "the same number of result columns"
+            )
+        row = [v for v, _ in items]
+        if op == "UNION ALL":
+            rows.append(row)
+            continue
+        # dedup the accumulated left side, last occurrence winning
+        dd: dict = {}
+        for r in rows:
+            dd[_compound_row_key(r)] = r
+        k = _compound_row_key(row)
+        if op == "UNION":
+            dd[k] = row
+        elif op == "INTERSECT":
+            dd = {k: dd[k]} if k in dd else {}
+        else:  # EXCEPT
+            dd.pop(k, None)
+        rows = [dd[key] for key in sorted(dd)]
+    # trailing ORDER BY / LIMIT
+    tail = tail.strip().rstrip(";").strip()
+    order_terms: list[tuple[int, bool]] = []
+    limit = None
+    offset = 0
+    if tail:
+        m = re.match(r"^ORDER\s+BY\s+(.*?)(?:\s+(LIMIT\s+.*))?$", tail, re.S | re.I)
+        lm = None
+        if m:
+            terms_txt, lim_txt = m.group(1), m.group(2)
+        else:
+            terms_txt, lim_txt = None, tail
+        if terms_txt is not None:
+            lname = {nm.lower(): i for i, nm in reversed(list(enumerate(names)))}
+            for ti, term in enumerate(_split_top_commas(terms_txt), start=1):
+                t = term.strip()
+                md = re.match(r"^(.*?)\s+(ASC|DESC)$", t, re.S | re.I)
+                desc = False
+                if md:
+                    t, desc = md.group(1).strip(), md.group(2).upper() == "DESC"
+                if re.fullmatch(r"\d+", t):
+                    iv = int(t)
+                    if not (1 <= iv <= ncols):
+                        raise ValueError(
+                            f"{_ordinal(ti)} ORDER BY term out of range - "
+                            f"should be between 1 and {ncols}"
+                        )
+                    order_terms.append((iv - 1, desc))
+                elif re.fullmatch(r"[A-Za-z_][A-Za-z_0-9]*", t) and t.lower() in lname:
+                    order_terms.append((lname[t.lower()], desc))
+                else:
+                    raise ValueError(
+                        f"{_ordinal(ti)} ORDER BY term does not match any "
+                        "column in the result set"
+                    )
+        if lim_txt:
+            lm = re.match(
+                r"^LIMIT\s+([-+]?\d+)"
+                r"(?:\s+OFFSET\s+([-+]?\d+)|\s*,\s*([-+]?\d+))?\s*$",
+                lim_txt.strip(),
+                re.I,
+            )
+            if not lm:
+                return None
+            a = int(lm.group(1))
+            if lm.group(3) is not None:
+                # LIMIT off, cnt (MySQL form)
+                offset, limit = a, int(lm.group(3))
+            else:
+                limit = a
+                offset = int(lm.group(2)) if lm.group(2) is not None else 0
+    for idx, desc in reversed(order_terms):
+        rows.sort(key=lambda r: _compound_cell_key(r[idx]), reverse=desc)
+    if offset > 0:
+        rows = rows[offset:]
+    if limit is not None and limit >= 0:
+        rows = rows[:limit]
+    return (names, rows)
+
+
+# --------------------------------------------------------------------------
 # SQLite function-name dialect (SURVEY.md §4.2 'custom needed' row):
 # expression-macro SQL UDFs (JVM-evaluated, zero Python cost) + a
 # token-level rename for the few cases where only the name differs.
@@ -3936,6 +4259,12 @@ def _sqlite_text_to_real(s: str) -> float:
     return val
 
 
+# Runtime-conversion chains longer than this stay on Spark semantics
+# (documented in COVERAGE.md B9). Frag size is linear in +,-,* steps
+# but doubles per '/'/'%' step, so the cap bounds worst-case SQL size.
+_CHAIN_MEMBER_CAP = 6
+
+
 class _TypedPass:
     """One rewrite sweep over the token list; collects surgical
     (start, end, replacement) edits against the original text."""
@@ -4876,10 +5205,11 @@ class _TypedPass:
         if res is None:
             return None
         k, frag, n, val = res
-        # n > 6: expression size grows multiplicatively with chain depth
-        # (each level embeds the previous frag several times) — longer
-        # chains stay untouched, documented.  Statically-valued chains
-        # fold to a literal instead, so the cap doesn't apply there.
+        # n > _CHAIN_MEMBER_CAP: expression size grows multiplicatively
+        # with chain depth at '/' and '%' steps (each level embeds the
+        # previous frag several times) — longer chains stay untouched,
+        # documented.  Statically-valued chains fold to a literal
+        # instead, so the cap doesn't apply there.
         if n < 2:
             return None
         nxt = toks[k] if k < len(toks) else None
@@ -4906,7 +5236,7 @@ class _TypedPass:
             or state.get("modreal")
             or (state.get("intdiv") and frag[0] is not True)
         )
-        if n > 6 or not needs:
+        if n > _CHAIN_MEMBER_CAP or not needs:
             return None
         f, iv, rv, _ = frag
         repl = iv if f is True else rv

@@ -207,3 +207,105 @@ def weighted_interleave(
         )
         out = part if out is None else out.unionByName(part)
     return out
+
+
+def dsir_resample(
+    docs: DataFrame,
+    target_pred: Column,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 512,
+    k: int = 100,
+) -> DataFrame:
+    """DSIR-style data selection via importance resampling (Xie et al.
+    2023, "Data Selection for Language Models via Importance
+    Resampling" — public): hashed n-gram (unigram + bigram) feature
+    counts estimate a target-vs-raw bucket log-ratio; each raw doc's
+    importance weight is the sum of its gram buckets' ratios; the keep
+    decision is deterministic Gumbel-top-k on a portable per-doc
+    uniform. The standard selection pass between quality filtering
+    (c4m) and mixing (c9i/c9g).
+
+    Hash-stable across engines by the established recipes:
+    - gram buckets use the portable char-Horner hash (replayable in
+      DuckDB), so both engines agree on every count;
+    - the only transcendental outputs (the per-bucket ln ratio and the
+      per-doc Gumbel term) are ROUNDed to 6 decimals the moment they
+      are computed, then all accumulation is exact DECIMAL in any
+      order — the c3i/c7d discipline;
+    - the Gumbel uniform is ((id+1)*2654435761 mod (2^31-1) + 1)/2^31,
+      an exact power-of-two division strictly inside (0, 1).
+
+    Scale shape: tokenize/gram/hash is fully narrow; one hash-agg on
+    bucket (<= n_buckets rows out); the ratio table broadcasts to the
+    gram stream (never the reverse); one hash-agg on doc id; top-k is
+    TakeOrdered — no global sort, no all-pairs anything.
+    """
+    from dust_spark.functions import PORTABLE_HASH_MOD, portable_char_hash, tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        target_pred.alias("is_t"),
+        tokens(text_col).alias("__tok"),
+    )
+    # __tok is a materialized attribute before any lambda touches it
+    # (the CollapseProject rule — an inlined tokens() re-runs the regex
+    # split per element inside the bigram transform)
+    bigrams = F.when(
+        F.size("__tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tok") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__tok"), i), F.element_at(F.col("__tok"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    grams = base.select(
+        "id", "is_t", F.explode(F.concat(F.col("__tok"), bigrams)).alias("g")
+    )
+    hb = grams.select(
+        "id",
+        "is_t",
+        F.pmod(portable_char_hash(F.col("g")), F.lit(n_buckets)).alias("b"),
+    )
+    # collapse occurrences to per-(doc, bucket) counts ONCE and persist:
+    # both consumers (the bucket profile and the per-doc weights) read
+    # this small frame (<= n_docs x n_buckets rows), so the expensive
+    # narrow gram-hash pipeline runs a single time
+    per = hb.groupBy("id", "is_t", "b").agg(F.count("*").alias("c")).persist()
+    cnt = per.groupBy("b").agg(
+        F.sum(F.when(F.col("is_t"), F.col("c")).otherwise(F.lit(0))).alias("t"),
+        F.sum(F.when(F.col("is_t"), F.lit(0)).otherwise(F.col("c"))).alias("r"),
+    )
+    tot = cnt.agg(F.sum("t").alias("tt"), F.sum("r").alias("rr"))
+    nb = F.lit(float(n_buckets))
+    lam = cnt.crossJoin(F.broadcast(tot)).select(
+        "b",
+        F.round(
+            F.log((F.col("t") + F.lit(1.0)) / (F.col("tt") + nb))
+            - F.log((F.col("r") + F.lit(1.0)) / (F.col("rr") + nb)),
+            6,
+        )
+        .cast("decimal(18,6)")
+        .alias("lam"),
+    )
+    wts = (
+        per.filter(~F.col("is_t"))
+        .join(F.broadcast(lam), "b")
+        .groupBy("id")
+        .agg(F.sum(F.col("lam") * F.col("c")).alias("w"))
+    )
+    h = F.pmod((F.col("id") + F.lit(1)) * F.lit(2654435761), F.lit(PORTABLE_HASH_MOD))
+    u = (h + F.lit(1)) / F.lit(2147483648.0)
+    gum = F.round(-F.log(-F.log(u)), 6).cast("decimal(18,6)")
+    sc = wts.select("id", "w", (F.col("w") + gum).alias("score"))
+    return (
+        sc.orderBy(F.col("score").desc(), "id")
+        .limit(k)
+        .select(
+            F.col("id").alias(id_col),
+            F.col("w").cast("double").alias("weight"),
+            F.col("score").cast("double").alias("score"),
+        )
+        .orderBy(F.col("score").desc(), id_col)
+    )

@@ -3226,6 +3226,122 @@ def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Tokenizer fertility / bytes-per-token audit (r11, verdict task #7):
+# the tokenizer dimension corpus cards (c9l) lacked — per (source,
+# lang) byte, whitespace-token and BPE-ish-token volumes with the two
+# ratios tokenizer teams watch (fertility = bpe/ws tokens,
+# bytes-per-token = utf8 bytes / bpe tokens). One hash-agg,
+# metadata-sized output; integer sums + one final ROUND per ratio.
+_FERTILITY_ORACLE = """
+WITH t AS (
+  SELECT source, lang, strlen(text) AS by,
+    CASE WHEN length(trim(text)) = 0 THEN 0
+         ELSE len(regexp_split_to_array(trim(text), '\\s+')) END AS ws,
+    len(regexp_extract_all(text,
+      '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS bpe
+  FROM documents
+)
+SELECT source, lang, count(*) AS n_docs,
+  CAST(SUM(by) AS BIGINT) AS n_bytes,
+  CAST(SUM(ws) AS BIGINT) AS n_ws_tokens,
+  CAST(SUM(bpe) AS BIGINT) AS n_bpe_tokens,
+  CASE WHEN SUM(ws) > 0
+       THEN ROUND(CAST(SUM(bpe) AS DOUBLE) / SUM(ws), 4) END AS fertility,
+  CASE WHEN SUM(bpe) > 0
+       THEN ROUND(CAST(SUM(by) AS DOUBLE) / SUM(bpe), 4) END AS bytes_per_token
+FROM t GROUP BY source, lang ORDER BY source, lang
+"""
+
+
+@register("c4r_tokenizer_fertility", oracle=_FERTILITY_ORACLE, tags=("tierc", "text"))
+def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility audit per (source, lang): how many BPE-ish
+    pieces a whitespace token splits into and how many utf8 bytes each
+    piece carries — the per-language tokenizer-efficiency table a
+    corpus card publishes."""
+    docs = ops.bpe_ish_token_count(ops.token_count(_docs(spark, sf_dir)))
+    g = docs.groupBy("source", "lang").agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).cast("long").alias("n_bytes"),
+        F.sum("n_tokens").cast("long").alias("n_ws_tokens"),
+        F.sum("n_bpe_tokens").cast("long").alias("n_bpe_tokens"),
+    )
+    return g.select(
+        "source",
+        "lang",
+        "n_docs",
+        "n_bytes",
+        "n_ws_tokens",
+        "n_bpe_tokens",
+        F.when(
+            F.col("n_ws_tokens") > 0,
+            F.round(F.col("n_bpe_tokens").cast("double") / F.col("n_ws_tokens"), 4),
+        ).alias("fertility"),
+        F.when(
+            F.col("n_bpe_tokens") > 0,
+            F.round(F.col("n_bytes").cast("double") / F.col("n_bpe_tokens"), 4),
+        ).alias("bytes_per_token"),
+    ).orderBy("source", "lang")
+
+
+# DSIR importance resampling (r11, verdict task #6): hashed-ngram
+# target-vs-raw log-ratio weights + deterministic Gumbel-top-k keep
+# (Xie et al. 2023). DuckDB replays the portable gram hashing, the
+# integer bucket counts, the ROUND-then-DECIMAL ratio/weight
+# accumulation, and the portable Gumbel uniform exactly.
+_DSIR_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, doc_id % 10 = 0 AS is_t,
+         regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, is_t,
+         unnest(list_concat(w,
+           CASE WHEN len(w) >= 2
+                THEN list_transform(range(1, len(w)), i -> w[i] || ' ' || w[i+1])
+                ELSE [] END)) AS g
+  FROM tok
+), hb AS (
+  SELECT doc_id, is_t,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(g)+1), i -> ascii(g[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) % 512 AS b
+  FROM grams
+), cnt AS (
+  SELECT b, SUM(CASE WHEN is_t THEN 1 ELSE 0 END) AS t,
+            SUM(CASE WHEN is_t THEN 0 ELSE 1 END) AS r
+  FROM hb GROUP BY b
+), tot AS (SELECT SUM(t) AS tt, SUM(r) AS rr FROM cnt),
+lam AS (
+  SELECT b, CAST(ROUND(ln((t + 1.0)/(tt + 512.0))
+                     - ln((r + 1.0)/(rr + 512.0)), 6) AS DECIMAL(18,6)) AS lam
+  FROM cnt, tot
+), wts AS (
+  SELECT doc_id, SUM(lam) AS w
+  FROM hb JOIN lam USING (b) WHERE NOT is_t GROUP BY doc_id
+), sc AS (
+  SELECT doc_id, w,
+         w + CAST(ROUND(-ln(-ln(
+               (((doc_id + 1) * 2654435761) % 2147483647 + 1) / 2147483648.0
+             )), 6) AS DECIMAL(18,6)) AS score
+  FROM wts
+)
+SELECT doc_id, CAST(w AS DOUBLE) AS weight, CAST(score AS DOUBLE) AS score
+FROM sc ORDER BY score DESC, doc_id LIMIT 100
+"""
+
+
+@register("c9n_dsir_resample", oracle=_DSIR_ORACLE, tags=("tierc", "sampling"))
+def dsir_resample_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR data selection: target docs (doc_id % 10 = 0) define the
+    feature distribution; every raw doc scores a hashed-bigram
+    importance weight and the top-100 survive a deterministic
+    Gumbel-top-k — the standard selection pass between quality
+    filtering (c4m) and mixing (c9i/c9g)."""
+    docs = _docs(spark, sf_dir)
+    return ops.dsir_resample(docs, F.col("doc_id") % 10 == 0, k=100)
+
+
 # Heavy-hitter diagnostics (r10): the skew-detection companion to the
 # c8 mitigation family — exact counts and shares, TakeOrdered top-k.
 _HEAVY_HITTERS_ORACLE = """

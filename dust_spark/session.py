@@ -521,10 +521,59 @@ class DustSession:
                 else:
                     results.append(Rows())
             else:
+                # all-literal compound SELECTs evaluate statically with
+                # SQLite's per-row dynamic typing (r11 — the one shape
+                # where Spark's static column types change the ROW
+                # COUNT: SELECT 1 UNION SELECT '1' is two rows)
+                bound = (
+                    bind_params(stmt.sql, list(stmt.parameters))
+                    if stmt.parameters
+                    else stmt.sql
+                )
+                try:
+                    sc = dialect.try_static_compound(bound)
+                except ValueError as e:
+                    raise DustError(str(e)) from e
+                if sc is not None:
+                    results.append(self._rows_from_python(*sc))
+                    continue
                 df = self._sql(stmt.sql, stmt.parameters)
                 renamed = self._sqlite_column_names(stmt.sql, df)
                 results.append(rows_from_dataframe(renamed if renamed is not None else df))
         return results
+
+    @staticmethod
+    def _rows_from_python(names: list[str], vrows: list[list]) -> Rows:
+        """Rows from raw Python cells (the static-compound path): wire
+        types from each column's first non-NULL storage class, like the
+        reference's first-row sniffing (db/src/db.rs:245-257) extended
+        past an all-NULL first row."""
+        from dust_spark.model import DataType, _json_value
+
+        if not vrows:
+            return Rows()
+        types = []
+        for ci in range(len(names)):
+            t = DataType.NULL
+            for r in vrows:
+                v = r[ci]
+                if v is None:
+                    continue
+                if isinstance(v, bool) or isinstance(v, int):
+                    t = DataType.INTEGER
+                elif isinstance(v, float):
+                    t = DataType.REAL
+                elif isinstance(v, str):
+                    t = DataType.TEXT
+                else:
+                    t = DataType.BLOB
+                break
+            types.append(t)
+        return Rows(
+            columns=list(names),
+            types=types,
+            values=[[_json_value(v) for v in r] for r in vrows],
+        )
 
     def execute_string_stmt(self, sql: str, parameters: list[Any] | None = None) -> list[Response]:
         return self.execute(Request.single(sql, parameters))

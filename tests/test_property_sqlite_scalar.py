@@ -313,3 +313,61 @@ def test_column_chain_truthiness_matches_sqlite(db, ref, chain_tables, expr):
     want = [r[0] for r in ref.execute(q).fetchall()]
     got = [v[0] for v in db.query_string_stmt(q)[0].values]
     assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+# ---------------------------------------------------------------------------
+# r11: all-literal compound SELECTs — the static evaluator
+# (dialect.try_static_compound) against sqlite3. Pure Python, no Spark:
+# random arms × ops × ORDER BY × LIMIT/OFFSET, typed row compare
+# (1 vs 1.0 vs '1' forms all distinct).
+# ---------------------------------------------------------------------------
+
+_COMPOUND_LITS = [
+    "1", "'1'", "1.0", "NULL", "X'00'", "'a'", "2", "-3", "0x10",
+    "1e2", "''", "9223372036854775807", "100", "true", "X'61'", "+2",
+]
+
+
+@st.composite
+def compound_stmts(draw):
+    ncols = draw(st.integers(1, 2))
+    narms = draw(st.integers(2, 4))
+    arms = [
+        "SELECT " + ", ".join(draw(st.sampled_from(_COMPOUND_LITS)) for _ in range(ncols))
+        for _ in range(narms)
+    ]
+    ops_ = [
+        draw(st.sampled_from(["UNION", "UNION ALL", "INTERSECT", "EXCEPT"]))
+        for _ in range(narms - 1)
+    ]
+    out = arms[0]
+    for op, arm in zip(ops_, arms[1:]):
+        out += f" {op} {arm}"
+    if draw(st.booleans()):
+        terms = []
+        for _ in range(draw(st.integers(1, 2))):
+            t = str(draw(st.integers(1, ncols)))
+            sfx = draw(st.sampled_from(["", " ASC", " DESC"]))
+            terms.append(t + sfx)
+        out += " ORDER BY " + ", ".join(terms)
+    if draw(st.booleans()):
+        out += f" LIMIT {draw(st.integers(-1, 4))}"
+        if draw(st.booleans()):
+            out += f" OFFSET {draw(st.integers(0, 3))}"
+    return out
+
+
+@settings(max_examples=300, deadline=None)
+@given(stmt=compound_stmts())
+def test_static_compound_matches_sqlite(stmt):
+    import sqlite3
+
+    from dust_spark.dialect import try_static_compound
+
+    ref = sqlite3.connect(":memory:")
+    want = [tuple(r) for r in ref.execute(stmt).fetchall()]
+    got = try_static_compound(stmt)
+    assert got is not None, stmt
+    typed = lambda rows: [[(type(v).__name__, v) for v in r] for r in rows]
+    assert typed(got[1]) == typed(want), f"{stmt}: got={got[1]!r} want={want!r}"
+    ref.close()

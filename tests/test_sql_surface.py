@@ -22,6 +22,89 @@ def db(spark):
     s.close()
 
 
+def test_static_compound_selects_sqlite_differential(db):
+    """r11 (verdict task #5): all-literal compound SELECTs evaluate
+    statically with SQLite's per-row dynamic typing — closing the one
+    row-count-level dialect divergence (SELECT 1 UNION SELECT '1' is
+    TWO rows: integer 1 and text '1' have different storage classes).
+    Values, ordering (NULL < numeric < text < blob), dedup
+    representative (last wins; INTERSECT keeps the left side's),
+    ORDER BY ordinal/alias, LIMIT/OFFSET, and the exact error strings
+    all match an in-memory sqlite3."""
+    import sqlite3
+
+    from dust_spark.session import DustError
+
+    ref = sqlite3.connect(":memory:")
+    cases = [
+        "SELECT 1 UNION SELECT '1'",
+        "SELECT '1' UNION SELECT 1",
+        "SELECT 1 UNION SELECT 1.0",
+        "SELECT 1.0 UNION SELECT 1",
+        "SELECT 1 UNION ALL SELECT '1'",
+        "SELECT 1 UNION ALL SELECT 1.0 UNION SELECT 2",
+        "SELECT 'a' UNION SELECT 1 UNION SELECT NULL UNION SELECT X'00'",
+        "SELECT 1, 'x' UNION SELECT '1', 'x'",
+        "SELECT 1 AS a UNION SELECT '1'",
+        "SELECT 1 EXCEPT SELECT '1'",
+        "SELECT 1 INTERSECT SELECT '1'",
+        "SELECT 1 UNION SELECT '1' ORDER BY 1 DESC",
+        "SELECT 1.5 UNION SELECT 'abc' UNION SELECT -2",
+        "SELECT NULL UNION SELECT NULL",
+        "SELECT 'A' UNION SELECT 'a'",
+        "SELECT 9223372036854775807 UNION SELECT 9223372036854775807.0",
+        "SELECT 2 UNION SELECT 1 UNION ALL SELECT 0",
+        "SELECT 1 UNION ALL SELECT 1.0 INTERSECT SELECT 1",
+        "SELECT 1.0 UNION ALL SELECT 1 INTERSECT SELECT 1",
+        "SELECT 5 INTERSECT SELECT 5 UNION ALL SELECT 7",
+        "SELECT 1 UNION SELECT '1' LIMIT 10 OFFSET 5",
+        "SELECT -0x10 UNION SELECT 1",
+        "SELECT 1e2 UNION SELECT 100",
+        "SELECT '' UNION SELECT X'' UNION SELECT 0",
+        "SELECT 1 AS a UNION SELECT '1' ORDER BY a DESC",
+        "SELECT 1 UNION SELECT 2 UNION SELECT 3 LIMIT 2 OFFSET 1",
+        "SELECT 1 UNION SELECT 2 LIMIT 1, 1",
+        "SELECT true UNION SELECT 1",
+        "SELECT 1 AS x, 2 AS y UNION SELECT '1', 2 ORDER BY y, x",
+        "SELECT 1 UNION SELECT '1' LIMIT -1",
+        "SELECT 'b' UNION SELECT 'B' UNION ALL SELECT 'a' ORDER BY 1 DESC LIMIT 2",
+    ]
+
+    def norm(rows):
+        # typed compare: 1 == 1.0 in Python, but the representative's
+        # FORM is part of the contract here. Blobs ride the wire as
+        # base16 TEXT (the engine's documented blob encoding), so
+        # sqlite3 bytes normalize to ('str', hex).
+        return [
+            [
+                ("str", v.hex()) if isinstance(v, bytes) else (type(v).__name__, v)
+                for v in r
+            ]
+            for r in rows
+        ]
+
+    for q in cases:
+        want = norm(ref.execute(q).fetchall())
+        got = norm(db.query_string_stmt(q)[0].values)
+        assert got == want, (q, got, want)
+    for q in [
+        "SELECT 1, 2 UNION SELECT 3",
+        "SELECT 1, 2 UNION ALL SELECT 3",
+        "SELECT 1, 2 INTERSECT SELECT 3",
+        "SELECT 1 UNION SELECT '1' ORDER BY 2",
+        "SELECT 1 UNION SELECT 2 ORDER BY '1'",
+    ]:
+        try:
+            ref.execute(q)
+            raise AssertionError(f"sqlite accepted {q}")
+        except sqlite3.OperationalError as e:
+            want_err = str(e)
+        with pytest.raises(DustError) as ei:
+            db.query_string_stmt(q)
+        assert str(ei.value) == want_err, q
+    ref.close()
+
+
 def test_blob_roundtrip(db):
     """BinaryType round-trip — fixes the reference's Blob→Null TODO
     (db/src/db.rs:268-269): blobs come back as base16 text."""
