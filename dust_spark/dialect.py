@@ -4260,9 +4260,11 @@ def _sqlite_text_to_real(s: str) -> float:
 
 
 # Runtime-conversion chains longer than this stay on Spark semantics
-# (documented in COVERAGE.md B9). Frag size is linear in +,-,* steps
-# but doubles per '/'/'%' step, so the cap bounds worst-case SQL size.
-_CHAIN_MEMBER_CAP = 6
+# (documented in COVERAGE.md B9). Frag size grows ~quadratically with
+# '/' steps (measured r11: an all-division 10-member TEXT chain emits
+# a 32 KB expression in 0.05 s — fine for Catalyst), so 10 is safe;
+# the cap exists to bound pathological machine-generated SQL.
+_CHAIN_MEMBER_CAP = 10
 
 
 class _TypedPass:

@@ -309,3 +309,60 @@ def dsir_resample(
         )
         .orderBy(F.col("score").desc(), id_col)
     )
+
+
+def length_bucket_batches(
+    docs: DataFrame,
+    tokens_per_batch: int = 4096,
+    bucket_edges: tuple[int, ...] = (64, 128, 256, 512, 1_000_000),
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Length-bucketed batch packing audit for training prep: each doc
+    lands in the smallest length bucket that fits it, docs within a
+    bucket batch up in deterministic id order at the bucket's fixed
+    rows-per-batch (tokens_per_batch div edge — every row pads to the
+    bucket edge), and the output reports per-batch padding efficiency
+    (real tokens / padded tokens). The standard fixed-shape batching
+    scheme for sequence models; the efficiency table is what a pipeline
+    tunes bucket edges against.
+
+    Scale shape: the within-bucket ordering uses the two-phase
+    distributed rank (skew.distributed_rank) — a plain window on the
+    handful of bucket keys would single-task ~n/len(edges) rows at
+    scale (the b5f smell); the final per-batch rollup keys on
+    (bucket, batch) — high cardinality, one hash exchange.
+    """
+    from dust_spark.operators.skew import distributed_rank
+    from dust_spark.functions import tokens
+
+    edges = sorted(bucket_edges)
+    toks = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"),
+        F.size(tokens(text_col, lowercase=False)).cast("long").alias("n_tok"),
+    )
+    edge = F.lit(edges[-1]).cast("long")
+    for e in reversed(edges[:-1]):
+        edge = F.when(F.col("n_tok") <= e, F.lit(e).cast("long")).otherwise(edge)
+    bucketed = toks.withColumn("edge", edge)
+    ranked = distributed_rank(bucketed, "edge", "id")
+    rows_per = F.greatest(
+        F.lit(1).cast("long"), (F.lit(tokens_per_batch) / F.col("edge")).cast("long")
+    )
+    per_batch = (
+        ranked.withColumn("batch_id", ((F.col("rk") - 1) / rows_per).cast("long"))
+        .groupBy("edge", "batch_id")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum("n_tok").cast("long").alias("real_tokens"),
+        )
+    )
+    padded = F.col("n_docs") * F.col("edge")
+    return per_batch.select(
+        "edge",
+        "batch_id",
+        "n_docs",
+        "real_tokens",
+        padded.alias("padded_tokens"),
+        F.round(F.col("real_tokens").cast("double") / padded, 4).alias("efficiency"),
+    ).orderBy("edge", "batch_id")

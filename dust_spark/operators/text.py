@@ -606,3 +606,89 @@ def bpe_pair_counts(
         .orderBy(F.desc("n"), "pair")
         .limit(top_n)
     )
+
+
+def bm25_topk(
+    df: DataFrame,
+    query_terms: list[str] | None = None,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k: int = 20,
+    k1: float = 1.2,
+    b: float = 0.75,
+    skip_top: int = 20,
+    n_query_terms: int = 5,
+) -> DataFrame:
+    """BM25 top-k retrieval (Robertson/Sparck Jones, public): score every
+    document against a query term set with the Okapi BM25 formula
+    idf(t) * tf*(k1+1) / (tf + k1*(1 - b + b*dl/avgdl)) and keep the
+    top ``k``. When ``query_terms`` is None the query derives
+    deterministically from the corpus itself: the ``n_query_terms``
+    terms ranked ``skip_top+1 .. skip_top+n`` by document frequency
+    (ties alphabetical) — mid-frequency terms, past the stopword head.
+
+    Hash-stable across engines: the only transcendental (the idf ln) is
+    ROUNDed to 6 decimals and cast DECIMAL immediately; the tf/length
+    normalization is pure IEEE arithmetic on integers and one exact
+    bigint/bigint double (avgdl), identical bits in Spark and DuckDB;
+    per-doc accumulation over query terms is exact DECIMAL; one final
+    ROUND(4).
+
+    Scale shape: explode -> two hash-aggs (doc-term tf; term df) like
+    tf_idf; the query-term table is <= n_query_terms rows (TakeOrdered
+    over the vocabulary, never a global sort of the corpus) and
+    BROADCASTS into the scoring join; doc stats ride a one-row
+    broadcast; the final top-k is TakeOrdered.
+    """
+    from pyspark.sql import Window as W
+
+    tok = df.select(
+        F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("term")
+    )
+    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf"))
+    dl = tok.groupBy("doc_id_").agg(F.count("*").alias("dl"))
+    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id_").alias("df"))
+    stats = dl.agg(
+        F.count("*").alias("n_docs"),
+        (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),
+    )
+    if query_terms is None:
+        head = dfreq.orderBy(F.col("df").desc(), "term").limit(skip_top + n_query_terms)
+        qt = (
+            head.withColumn(
+                "__rn", F.row_number().over(W.orderBy(F.col("df").desc(), "term"))
+            )
+            .filter(F.col("__rn") > skip_top)
+            .select("term", "df")
+        )
+    else:
+        qt = dfreq.filter(F.col("term").isin(list(query_terms)))
+    scored = (
+        tf.join(F.broadcast(qt), "term")
+        .join(dl, "doc_id_")
+        .crossJoin(F.broadcast(stats))
+    )
+    idf = F.round(
+        F.log(
+            F.lit(1.0)
+            + (F.col("n_docs") - F.col("df") + F.lit(0.5)) / (F.col("df") + F.lit(0.5))
+        ),
+        6,
+    ).cast("decimal(18,6)")
+    norm = (F.col("tf") * F.lit(k1 + 1.0)) / (
+        F.col("tf")
+        + F.lit(k1) * (F.lit(1.0 - b) + F.lit(b) * F.col("dl") / F.col("avgdl"))
+    )
+    contrib = F.round(idf.cast("double") * norm, 6).cast("decimal(18,6)")
+    per_doc = (
+        scored.select(F.col("doc_id_").alias(id_col), contrib.alias("c"))
+        .groupBy(id_col)
+        .agg(F.count("*").cast("long").alias("n_hit"), F.sum("c").alias("s"))
+    )
+    return (
+        per_doc.select(
+            id_col, "n_hit", F.round(F.col("s").cast("double"), 4).alias("score")
+        )
+        .orderBy(F.col("score").desc(), id_col)
+        .limit(k)
+    )

@@ -3284,6 +3284,96 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+# Length-bucketed batch packing (r11): fixed-shape training batches —
+# docs land in the smallest length bucket that fits, batch up in id
+# order at tokens_per_batch div edge rows per batch, and the audit
+# reports per-batch padding efficiency. Within-bucket ordering uses
+# the scale-safe distributed rank (a plain window on 5 bucket keys is
+# the b5f single-task smell); the oracle's plain row_number must agree.
+_LENGTH_BUCKET_ORACLE = """
+WITH toks AS (
+  SELECT doc_id AS id,
+         len(regexp_split_to_array(trim(text), '\\s+')) AS n_tok
+  FROM documents WHERE length(trim(text)) > 0
+), b AS (
+  SELECT id, n_tok,
+    CASE WHEN n_tok <= 64 THEN 64 WHEN n_tok <= 128 THEN 128
+         WHEN n_tok <= 256 THEN 256 WHEN n_tok <= 512 THEN 512
+         ELSE 1000000 END AS edge
+  FROM toks
+), r AS (
+  SELECT id, n_tok, edge,
+         row_number() OVER (PARTITION BY edge ORDER BY id) AS rk,
+         greatest(1, CAST(floor(4096.0 / edge) AS BIGINT)) AS rows_per
+  FROM b
+), pb AS (
+  SELECT edge, CAST(floor((rk - 1.0) / rows_per) AS BIGINT) AS batch_id,
+         count(*) AS n_docs, SUM(n_tok) AS real_tokens
+  FROM r GROUP BY edge, batch_id
+)
+SELECT CAST(edge AS BIGINT) AS edge, batch_id,
+       CAST(n_docs AS BIGINT) AS n_docs,
+       CAST(real_tokens AS BIGINT) AS real_tokens,
+       CAST(n_docs * edge AS BIGINT) AS padded_tokens,
+       ROUND(CAST(real_tokens AS DOUBLE) / (n_docs * edge), 4) AS efficiency
+FROM pb ORDER BY edge, batch_id
+"""
+
+
+@register("c9o_length_bucket_batches", oracle=_LENGTH_BUCKET_ORACLE, tags=("tierc", "sampling"))
+def length_bucket_batches_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed fixed-shape batching audit: per-batch doc count,
+    real vs padded token volume and padding efficiency — what a
+    training pipeline tunes bucket edges against."""
+    return ops.length_bucket_batches(_docs(spark, sf_dir), tokens_per_batch=4096)
+
+
+# BM25 top-k retrieval (r11): Okapi BM25 over the corpus with a
+# deterministic mid-frequency query (df-ranks 21-25, past the stopword
+# head). The idf ln ROUNDs to DECIMAL immediately; the tf/length
+# normalization is pure IEEE arithmetic identical in both engines;
+# per-doc accumulation is exact DECIMAL (the c9n discipline).
+_BM25_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS term
+  FROM documents WHERE length(trim(text)) > 0
+), tf AS (
+  SELECT doc_id, term, count(*) AS tf FROM tok GROUP BY 1, 2
+), dl AS (
+  SELECT doc_id, count(*) AS dl FROM tok GROUP BY 1
+), dfreq AS (
+  SELECT term, count(DISTINCT doc_id) AS df FROM tok GROUP BY 1
+), stats AS (
+  SELECT count(*) AS n_docs, CAST(SUM(dl) AS DOUBLE) / count(*) AS avgdl FROM dl
+), qt AS (
+  SELECT term, df FROM (
+    SELECT term, df, row_number() OVER (ORDER BY df DESC, term) AS rn FROM dfreq
+  ) WHERE rn > 20 AND rn <= 25
+), sc AS (
+  SELECT tf.doc_id,
+    CAST(ROUND(
+      CAST(CAST(ROUND(ln(1.0 + (stats.n_docs - qt.df + 0.5) / (qt.df + 0.5)), 6)
+           AS DECIMAL(18,6)) AS DOUBLE)
+      * (tf.tf * (1.2 + 1.0))
+      / (tf.tf + 1.2 * ((1.0 - 0.75) + 0.75 * dl.dl / stats.avgdl)),
+      6) AS DECIMAL(18,6)) AS c
+  FROM tf JOIN qt USING (term) JOIN dl USING (doc_id), stats
+)
+SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit,
+       ROUND(CAST(SUM(c) AS DOUBLE), 4) AS score
+FROM sc GROUP BY doc_id ORDER BY score DESC, doc_id LIMIT 20
+"""
+
+
+@register("c4s_bm25_topk", oracle=_BM25_ORACLE, tags=("tierc", "text"))
+def bm25_topk_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-20 retrieval against a deterministic mid-frequency
+    query term set — the classic relevance-scoring pass (tf_idf's
+    retrieval-side complement). Query-term table broadcasts; final
+    top-k is TakeOrdered."""
+    return ops.bm25_topk(_docs(spark, sf_dir), k=20)
+
+
 # DSIR importance resampling (r11, verdict task #6): hashed-ngram
 # target-vs-raw log-ratio weights + deterministic Gumbel-top-k keep
 # (Xie et al. 2023). DuckDB replays the portable gram hashing, the

@@ -272,7 +272,9 @@ def column_chain_exprs(draw):
         ["tx", "r", "i", "2", "3", "-2", "0", "'4'", "2.5", "'7x'", "''", "'9e1'",
          "X'37'", "X'FF'", "X'3137'", "NULL", "'9223372036854775808'"]
     )
-    n = draw(st.integers(2, 4))
+    # 2-4 members cover precedence/sign shapes densely; the tail up to
+    # 8 exercises the raised chain-member cap (r11: was 6, now 10)
+    n = draw(st.integers(2, 8))
     members = [draw(pool) for _ in range(n)]
     ops_ = [draw(st.sampled_from(["/", "%", "+", "-", "*"])) for _ in range(n - 1)]
     if n >= 3 and draw(st.booleans()):

@@ -108,7 +108,7 @@ def scaled_events(spark, sf_dir: str, k: int):
     from dust_spark.tables import load_table
 
     base = load_table(spark, sf_dir, "events").select(
-        "event_id", "user_id", "event_type", "ts"
+        "event_id", "user_id", "event_type", "ts", "value"
     )
     n = base.count()
     reps = [
@@ -117,6 +117,7 @@ def scaled_events(spark, sf_dir: str, k: int):
             (F.col("user_id") + F.lit(r * 10_000_000)).alias("user_id"),
             "event_type",
             "ts",
+            "value",
         )
         for r in range(k)
     ]
@@ -162,6 +163,80 @@ def prep_pipeline_case(ops, F, docs):
     chunks = ops.chunk_documents(final, chunk_tokens=128, stride=96, text_col="clean")
     return chunks.groupBy("doc_id").agg(
         F.count("*").alias("n_chunks"), F.sum("n_chunk_tokens").alias("total_tokens")
+    )
+
+
+def contamination_report_case(ops, F, docs):
+    """The c9m shape: containment scoring + per-source rollup (source
+    synthesized as doc_id % 20 — the real column doesn't survive the
+    replica transform)."""
+    bench = docs.filter(F.col("doc_id") % 50 == 0)
+    scored = ops.containment_scores(docs.filter(F.col("doc_id") % 50 != 0), bench)
+    flagged = scored.select(
+        "doc_id", (F.col("matched") > 0).cast("long").alias("contaminated")
+    )
+    src = docs.select("doc_id", (F.col("doc_id") % 20).alias("source"))
+    return (
+        flagged.join(src, "doc_id")
+        .groupBy("source")
+        .agg(F.count("*").alias("n_docs"), F.sum("contaminated").alias("n_contaminated"))
+    )
+
+
+def modality_budget_case(ops, F, docs):
+    """The c5d shape: bytes group on the content hash, two hash-aggs."""
+    m = docs.select(
+        (F.col("doc_id") % 20).alias("source"),
+        (F.col("doc_id") % 3).alias("media_type"),
+        F.length(F.col("text").cast("binary")).cast("long").alias("n_bytes"),
+        F.sha2(F.col("text").cast("binary"), 256).alias("h"),
+    )
+    per_hash = m.groupBy("media_type", "source", "h").agg(
+        F.min("n_bytes").alias("hb"), F.count("*").alias("dup_n")
+    )
+    return per_hash.groupBy("media_type", "source").agg(
+        F.sum("dup_n").alias("n_items"),
+        F.sum(F.col("hb") * F.col("dup_n")).alias("total_bytes"),
+        F.count("*").alias("distinct_content"),
+    )
+
+
+def corpus_card_case(ops, F, docs):
+    """The c9l shape: token_count + quality_filter + distinct-count,
+    every aggregate keyed on the synthesized source."""
+    toks = ops.token_count(docs)
+    qual = ops.quality_filter(docs).select("doc_id", "keep")
+    base = toks.join(qual, "doc_id").select(
+        (F.col("doc_id") % 20).alias("source"), "text", "n_tokens", "keep"
+    )
+    return base.groupBy("source").agg(
+        F.count("*").alias("n_docs"),
+        F.sum("n_tokens").alias("n_tokens"),
+        F.sum("keep").alias("n_keep"),
+        (F.count("*") - F.countDistinct("text")).alias("n_dup_rows"),
+    )
+
+
+def fertility_case(ops, F, docs):
+    """The c4r shape: one hash-agg of byte/ws-token/bpe-token sums."""
+    d = ops.bpe_ish_token_count(ops.token_count(docs))
+    return d.groupBy((F.col("doc_id") % 20).alias("source")).agg(
+        F.count("*").alias("n_docs"),
+        F.sum(F.octet_length("text")).alias("n_bytes"),
+        F.sum("n_tokens").alias("n_ws"),
+        F.sum("n_bpe_tokens").alias("n_bpe"),
+    )
+
+
+def heavy_hitters_case(F, evs):
+    """The c8e shape: hash agg + broadcast scalar total + TakeOrdered."""
+    counts = evs.groupBy(F.col("user_id").alias("kk")).agg(F.count("*").alias("n"))
+    total = counts.agg(F.sum("n").alias("__total"))
+    return (
+        counts.crossJoin(F.broadcast(total))
+        .select("kk", "n", (F.col("n").cast("double") / F.col("__total")).alias("share"))
+        .orderBy(F.col("n").desc(), "kk")
+        .limit(20)
     )
 
 
@@ -357,6 +432,37 @@ def main() -> None:
                     n_lists=max(4, int(8 * k ** 0.5)),
                     n_probe=2,
                 ),
+            ),
+            # r11 sweep of the r10-new operators (VERDICT r10 task #2):
+            # c7e/c7f — one hash exchange on (user, bucket) then
+            # windows on a high-cardinality key: should be ~linear
+            ("resample_ohlc", lambda: ops.resample_ohlc(evs)),
+            ("rolling_zscore", lambda: ops.rolling_zscore(evs)),
+            # c4q — first-seen join on 8-byte gram hashes; the map and
+            # the score join both ~linear in gram volume
+            ("ngram_novelty", lambda: ops.ngram_novelty(docs)),
+            # c3n — fixed query set vs a growing corpus, like pq_ann:
+            # flat MIPS scoring is O(n·q) by design, so the linear-in-n
+            # term is the thing to verify (plus the corpus-max norm agg)
+            (
+                "mips_topk",
+                lambda: ops.mips_topk_portable(
+                    emb.filter((F.col("vec_id") < 5000) & (F.col("vec_id") % 100 == 0)),
+                    emb,
+                    k=10,
+                ),
+            ),
+            ("heavy_hitters", lambda: heavy_hitters_case(F, evs)),
+            ("contamination_report", lambda: contamination_report_case(ops, F, docs)),
+            ("modality_budget", lambda: modality_budget_case(ops, F, docs)),
+            ("corpus_card", lambda: corpus_card_case(ops, F, docs)),
+            ("tokenizer_fertility", lambda: fertility_case(ops, F, docs)),
+            # r11: DSIR — gram hashing collapses to a persisted
+            # per-(doc,bucket) frame; the ratio table broadcasts, so
+            # cost should track the gram volume ~linearly
+            (
+                "dsir_resample",
+                lambda: ops.dsir_resample(docs, F.col("doc_id") % 10 == 0, k=100),
             ),
         ]:
             if only_ops is not None and name not in only_ops:
