@@ -1355,30 +1355,12 @@ def try_static_compound(sql: str):
         parsed_arms.append((op, items))
     ncols = len(parsed_arms[0][1])
     names = [nm for _, nm in parsed_arms[0][1]]
-    # left-assoc fold; `rows` is a list (dups allowed until a set op)
-    rows: list[list] = [[v for v, _ in parsed_arms[0][1]]]
     for op, items in parsed_arms[1:]:
         if len(items) != ncols:
             raise ValueError(
                 f"SELECTs to the left and right of {op} do not have "
                 "the same number of result columns"
             )
-        row = [v for v, _ in items]
-        if op == "UNION ALL":
-            rows.append(row)
-            continue
-        # dedup the accumulated left side, last occurrence winning
-        dd: dict = {}
-        for r in rows:
-            dd[_compound_row_key(r)] = r
-        k = _compound_row_key(row)
-        if op == "UNION":
-            dd[k] = row
-        elif op == "INTERSECT":
-            dd = {k: dd[k]} if k in dd else {}
-        else:  # EXCEPT
-            dd.pop(k, None)
-        rows = [dd[key] for key in sorted(dd)]
     # trailing ORDER BY / LIMIT
     tail = tail.strip().rstrip(";").strip()
     order_terms: list[tuple[int, bool]] = []
@@ -1430,8 +1412,125 @@ def try_static_compound(sql: str):
             else:
                 limit = a
                 offset = int(lm.group(2)) if lm.group(2) is not None else 0
-    for idx, desc in reversed(order_terms):
-        rows.sort(key=lambda r: _compound_cell_key(r[idx]), reverse=desc)
+    arm_vals = [[v for v, _ in items] for _, items in parsed_arms]
+    ops_seq = [op for op, _ in parsed_arms[1:]]
+    if order_terms:
+        # ORDER BY compounds take SQLite's multiSelectOrderBy MERGE
+        # plan (probed r11 — DIFFERENT representatives than the
+        # ephemeral-b-tree plan!): each stage merges two key-sorted
+        # streams; stage key = the global ORDER BY terms, AUGMENTED
+        # with every missing result column (ASC) iff this stage or any
+        # stage OUTSIDE it (to its right in the left-assoc chain)
+        # dedups — the augmentation edits the shared ORDER BY list,
+        # which pushes left but never right. UNION emits the smaller
+        # side (skipping A on equal, so B's copy survives); INTERSECT
+        # emits A's copy on equal; EXCEPT emits A-only rows; a
+        # per-stage previous-row register suppresses equal consecutive
+        # outputs (so within a drained stream the FIRST of an equal
+        # run survives). UNION ALL merges with ties A-first and no
+        # suppression.
+        in_order = {t[0] for t in order_terms}
+        missing = [(i, False) for i in range(ncols) if i not in in_order]
+        dedup_right = [False] * len(ops_seq)
+        seen_dedup = False
+        for i in range(len(ops_seq) - 1, -1, -1):
+            seen_dedup = seen_dedup or ops_seq[i] != "UNION ALL"
+            dedup_right[i] = seen_dedup
+
+        def kcmp(key, r1, r2):
+            for idx, desc in key:
+                k1 = _compound_cell_key(r1[idx])
+                k2 = _compound_cell_key(r2[idx])
+                if k1 < k2:
+                    return 1 if desc else -1
+                if k1 > k2:
+                    return -1 if desc else 1
+            return 0
+
+        stream = [arm_vals[0]]
+        for si, (op, row_b) in enumerate(zip(ops_seq, arm_vals[1:])):
+            key = order_terms + (missing if dedup_right[si] else [])
+            A, B = stream, [row_b]
+            out: list[list] = []
+            prev: list | None = None
+
+            def emit(r):
+                nonlocal prev
+                if prev is not None and kcmp(key, prev, r) == 0:
+                    return
+                out.append(r)
+                prev = r
+
+            i = j = 0
+            if op == "UNION ALL":
+                while i < len(A) and j < len(B):
+                    if kcmp(key, A[i], B[j]) <= 0:
+                        out.append(A[i])
+                        i += 1
+                    else:
+                        out.append(B[j])
+                        j += 1
+                out.extend(A[i:])
+                out.extend(B[j:])
+            elif op == "UNION":
+                while i < len(A) and j < len(B):
+                    c = kcmp(key, A[i], B[j])
+                    if c == 0:
+                        i += 1
+                    elif c < 0:
+                        emit(A[i])
+                        i += 1
+                    else:
+                        emit(B[j])
+                        j += 1
+                for r in A[i:]:
+                    emit(r)
+                for r in B[j:]:
+                    emit(r)
+            elif op == "INTERSECT":
+                while i < len(A) and j < len(B):
+                    c = kcmp(key, A[i], B[j])
+                    if c == 0:
+                        emit(A[i])
+                        i += 1
+                    elif c < 0:
+                        i += 1
+                    else:
+                        j += 1
+            else:  # EXCEPT
+                while i < len(A) and j < len(B):
+                    c = kcmp(key, A[i], B[j])
+                    if c == 0:
+                        i += 1
+                    elif c < 0:
+                        emit(A[i])
+                        i += 1
+                    else:
+                        j += 1
+                for r in A[i:]:
+                    emit(r)
+            stream = out
+        rows = stream
+    else:
+        # no ORDER BY: the ephemeral-b-tree plan — left-assoc fold,
+        # UNION insert REPLACES (last duplicate's representative
+        # survives), sorted output
+        rows = [arm_vals[0]]
+        for op, row in zip(ops_seq, arm_vals[1:]):
+            if op == "UNION ALL":
+                rows.append(row)
+                continue
+            dd: dict = {}
+            for r in rows:
+                dd[_compound_row_key(r)] = r
+            k = _compound_row_key(row)
+            if op == "UNION":
+                dd[k] = row
+            elif op == "INTERSECT":
+                dd = {k: dd[k]} if k in dd else {}
+            else:  # EXCEPT
+                dd.pop(k, None)
+            rows = [dd[key] for key in sorted(dd)]
     if offset > 0:
         rows = rows[offset:]
     if limit is not None and limit >= 0:
@@ -4739,6 +4838,25 @@ class _TypedPass:
             return end
         return None  # no wrap: let scan descend into the chain normally
 
+    _CHAIN_PAREN_KEYWORDS = _SAFE_BEFORE_WORDS | {
+        "in", "like", "between", "values", "glob", "from", "group",
+        "order", "limit", "offset", "as", "is", "asc", "desc", "union",
+        "intersect", "except", "end", "escape", "collate", "set",
+    }
+
+    def _paren_owned_by_call(self, i: int) -> bool:
+        """True when toks[i] is a '(' that is a FUNCTION CALL's argument
+        list (an identifier word directly before it): a chain must not
+        start there — it would consume the argument group plus trailing
+        operators, splicing its replacement INSIDE the call (r11
+        order-by machine find: pass 2 over `tx + bigint(1) + 2` folded
+        `(1) + 2` to bigint(3), leaving `bigintbigint(3)`)."""
+        toks = self.toks
+        if i <= 0 or toks[i][1] != "(":
+            return False
+        p = toks[i - 1]
+        return p[0] == "word" and p[1].lower() not in self._CHAIN_PAREN_KEYWORDS
+
     def _try_text_arith(self, i: int, hi: int):
         """2-member arithmetic under SQLite's dynamic NUMERIC-affinity
         rules (r9, flipping the docstring-listed 'runtime-typed int
@@ -4767,6 +4885,8 @@ class _TypedPass:
         toks = self.toks
         if self._after_arrow(i):
             return None  # JSON arrow RHS — the arrow owns this token
+        if self._paren_owned_by_call(i):
+            return None  # function-call argument list — the call owns it
         prev = toks[i - 1] if i > 0 else None
         pv = None
         if prev is not None:
@@ -5011,6 +5131,45 @@ class _TypedPass:
             return ("n", None, None)
         return ("r", x, cls._trunc64(x))
 
+    _POSITIONAL_STOP = frozenset(
+        "select from where having limit offset union intersect except "
+        "when then else case end on and or not in between as over "
+        "values set returning".split()
+    )
+
+    def _in_positional_clause(self, i: int) -> bool:
+        """True when token ``i`` starts a top-level item of an ORDER BY
+        or GROUP BY clause. Spark resolves integer literals there as
+        POSITIONAL references even through parentheses, while SQLite
+        ordinals are bare-literal-only — so static INT folds rendered
+        in these clauses must use the bigint(N) cast form. Backward
+        scan: transparent through ')('-balanced groups and bare parens,
+        stopped by a function call's '(' (word immediately before) or
+        any clause keyword."""
+        toks = self.toks
+        depth = 0
+        j = i - 1
+        while j >= 0:
+            k, v = toks[j][0], toks[j][1]
+            lv = v.lower() if k == "word" else v
+            if v == ")":
+                depth += 1
+            elif v == "(":
+                if depth > 0:
+                    depth -= 1
+                elif j > 0 and toks[j - 1][0] == "word" and toks[j - 1][1].lower() not in (
+                    "in", "values", "on", "and", "or", "not", "when", "then", "else",
+                ):
+                    return False  # function-call argument: never positional
+                # bare grouping parens are transparent (Spark strips them)
+            elif depth == 0 and k == "word":
+                if lv == "by" and j > 0 and toks[j - 1][1].lower() in ("order", "group"):
+                    return True
+                if lv in self._POSITIONAL_STOP:
+                    return False
+            j -= 1
+        return False
+
     @staticmethod
     def _render_val(val) -> str:
         """Fold a static value to (parenthesized) SQL — parens keep a
@@ -5226,7 +5385,15 @@ class _TypedPass:
             # whole chain is static: fold to SQLite's exact value —
             # this is where int64-overflow PROMOTION lands
             # (9223372036854775807 + 1 folds to the REAL literal)
-            self.edits.append((toks[i][2], toks[k - 1][3], self._render_val(val)))
+            rendered = self._render_val(val)
+            if val[0] == "i" and self._in_positional_clause(i):
+                # Spark resolves integer literals in ORDER BY/GROUP BY
+                # POSITIONALLY even when parenthesized (the parser
+                # strips parens — r11 order-by machine find: 2/2 folded
+                # to (1) silently sorted by column 1). The cast-call
+                # form is never positional.
+                rendered = f"bigint({val[1]})"
+            self.edits.append((toks[i][2], toks[k - 1][3], rendered))
             return k
         # only emit the runtime rewrite when a conversion is actually
         # needed: a TEXT member anywhere, a '%' whose operands aren't
@@ -5255,6 +5422,8 @@ class _TypedPass:
             # RESULT (unknown class), not the path literal — classing it
             # from the literal would mis-rewrite `data -> 2 / 4` to div
             return None
+        if self._paren_owned_by_call(i):
+            return None  # function-call argument list — the call owns it
         subspans: list = []
         res = self.parse_primary(i, subspans)
         if res is None:

@@ -296,12 +296,15 @@ def rolling_zscore(
         s2 = s2 + F.when(lv.isNotNull(), lv * lv).otherwise(F.lit(0.0))
         n = n + F.when(lv.isNotNull(), F.lit(1)).otherwise(F.lit(0))
     mean = s1 / n
-    var = s2 / n - mean * mean
+    # float cancellation on (sumsq/n - mean^2) can land EITHER side of
+    # zero for a constant series: slightly negative makes sqrt() NaN
+    # (which Spark/DuckDB order ABOVE 0 — the r10 ADVICE find), while
+    # slightly positive makes a spurious huge-denominator z. ROUND the
+    # variance at 12 dp before the gate (the fixed-resolution recipe):
+    # true constants land exactly 0 → NULL; any real variance of
+    # bucket-scale values is orders of magnitude above 1e-12.
+    var = F.round(s2 / n - mean * mean, 12)
     std = F.sqrt(var)
-    # gate on var > 0, not std > 0: float cancellation can push var
-    # slightly NEGATIVE (8 identical trailing averages), and sqrt(neg)
-    # is NaN, which Spark/DuckDB order ABOVE 0 — std > 0 would emit
-    # NaN z instead of the documented NULL (r10 ADVICE)
     z = F.when(
         (n >= 3) & (var > 0), F.round((F.col("avg_v") - mean) / std, 4)
     ).otherwise(F.lit(None).cast("double"))

@@ -1230,3 +1230,60 @@ def mips_topk_portable(
         .select("qid", "nid", (F.round("__dot", 4) + F.lit(0.0)).alias("dot"))
         .orderBy("qid", "nid")
     )
+
+
+def diversity_keep(
+    df: DataFrame,
+    k_clusters: int = 8,
+    iterations: int = 2,
+    keep_per_cluster: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Diversity-preserving sampling: cluster the corpus with the
+    hash-stable portable k-means and keep the ``keep_per_cluster``
+    vectors FARTHEST from their centroid — the anti-redundancy
+    complement of SemDeDup (which removes the closest pairs): what
+    survives is the spread of each mode, not its dense core. The
+    standard cheap stand-in for facility-location / k-center coreset
+    selection in data-curation pipelines.
+
+    Hash-stable: assignment and distance reuse the c3i decimal-centroid
+    recipe; the exposed distance ROUNDs at 6 dp (in-order list folds
+    are bit-identical cross-engine — the c3a/c2i precedent); the
+    per-cluster rank orders by (rounded dist DESC, id).
+
+    Scale posture: centroids broadcast (k rows); one narrow distance
+    pass; the per-cluster window is NOT the b5f smell when k_clusters
+    grows with the corpus (SemDeDup practice, k ∝ n keeps per-cluster
+    occupancy constant — exactly how c2k is smoked in SCALE.md).
+    """
+    from pyspark.sql import Window as W
+
+    base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
+    _, cents = _portable_lloyd(base, k_clusters, iterations)
+    dist = F.aggregate(
+        F.zip_with(
+            "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+        ),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    m = (
+        base.join(F.broadcast(cents))
+        .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+        .groupBy("vid")
+        .agg(F.min("__dc").alias("m"))
+    )
+    a = m.select(
+        "vid",
+        F.col("m.i").cast("long").alias("cid"),
+        F.round(F.col("m.d"), 6).alias("dist"),
+    )
+    w = W.partitionBy("cid").orderBy(F.col("dist").desc(), "vid")
+    return (
+        a.withColumn("rn", F.row_number().over(w).cast("long"))
+        .filter(F.col("rn") <= keep_per_cluster)
+        .select(F.col("vid").alias(id_col), "cid", "dist", "rn")
+        .orderBy("cid", "rn")
+    )

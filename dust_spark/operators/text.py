@@ -692,3 +692,70 @@ def bm25_topk(
         .orderBy(F.col("score").desc(), id_col)
         .limit(k)
     )
+
+
+def model_quality_score(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    n_buckets: int = 256,
+) -> DataFrame:
+    """fasttext-style model-based quality scoring (Joulin et al. 2016
+    bag-of-hashed-ngrams linear classifier — the filter stage most LLM
+    pipelines run between heuristic rules and training): each doc's
+    hashed unigram-bucket counts dot a weight vector, the logit maps
+    through a sigmoid, and keep = logit >= 0. Weights here are the
+    deterministic portable pseudo-family
+    w_b = ((b+1)*2654435761 mod (2^31-1)) / (2^31-1) - 0.5) / 16 —
+    a real deployment swaps in trained weights as a broadcast table;
+    the Spark-side plumbing (hash → count → broadcast dot → sigmoid)
+    is exactly what trained weights would ride.
+
+    Hash-stable: bucket counts are integers on the portable char-Horner
+    hash; each weight ROUNDs to 9 dp DECIMAL (the only inexact step is
+    one division chain of exact doubles, identical bits cross-engine);
+    the logit accumulates count x weight in exact DECIMAL; keep tests
+    the exact DECIMAL logit sign; only the display probability touches
+    exp(), ROUNDed at 4 dp.
+
+    Scale shape: tokenize/hash narrow; one hash-agg to (doc, bucket)
+    counts; the <= n_buckets weight table broadcasts; one hash-agg to
+    the doc logit. No shuffle carries text.
+    """
+    from dust_spark.functions import PORTABLE_HASH_MOD, portable_char_hash, tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tok")
+    )
+    grams = base.select("id", F.explode("__tok").alias("g"))
+    hb = grams.select(
+        "id", F.pmod(portable_char_hash(F.col("g")), F.lit(n_buckets)).alias("b")
+    )
+    per = hb.groupBy("id", "b").agg(F.count("*").alias("c"))
+    spark = docs.sparkSession
+    wdf = spark.range(n_buckets).select(
+        F.col("id").alias("b"),
+        F.round(
+            (
+                F.pmod((F.col("id") + 1) * F.lit(2654435761), F.lit(PORTABLE_HASH_MOD))
+                / F.lit(float(PORTABLE_HASH_MOD))
+                - F.lit(0.5)
+            )
+            / F.lit(16.0),
+            9,
+        )
+        .cast("decimal(12,9)")
+        .alias("w"),
+    )
+    logits = (
+        per.join(F.broadcast(wdf), "b")
+        .groupBy("id")
+        .agg(F.sum(F.col("c") * F.col("w")).alias("z"))
+    )
+    zd = F.col("z").cast("double")
+    return logits.select(
+        F.col("id").alias(id_col),
+        F.round(zd, 6).alias("logit"),
+        F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 4).alias("prob"),
+        (F.col("z") >= 0).cast("long").alias("keep"),
+    ).orderBy(id_col)

@@ -3150,8 +3150,9 @@ WITH keyed AS (
   FROM lagged
 )
 SELECT k, bucket_s, ROUND(avg_v, 4) AS avg_v, CAST(n AS BIGINT) AS n_obs,
-  CASE WHEN n >= 3 AND (s2 / n - (s1 / n) * (s1 / n)) > 0
-       THEN ROUND((avg_v - s1 / n) / sqrt(s2 / n - (s1 / n) * (s1 / n)), 4)
+  CASE WHEN n >= 3 AND ROUND(s2 / n - (s1 / n) * (s1 / n), 12) > 0
+       THEN ROUND((avg_v - s1 / n)
+                  / sqrt(ROUND(s2 / n - (s1 / n) * (s1 / n), 12)), 4)
        ELSE NULL END AS z
 FROM folded ORDER BY k, bucket_s
 """
@@ -3282,6 +3283,110 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("n_bytes").cast("double") / F.col("n_bpe_tokens"), 4),
         ).alias("bytes_per_token"),
     ).orderBy("source", "lang")
+
+
+# Diversity-preserving sampling (r11): portable k-means clusters, keep
+# the k FARTHEST vectors per cluster — SemDeDup's complement (keep the
+# spread, drop the dense core). The oracle replays the full c3i Lloyd
+# loop at k=8 and exposes the final-assignment distance (in-order list
+# folds are bit-identical — the c3a/c2i precedent).
+_DIVERSITY_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cid, v AS c
+  FROM (SELECT vid, v FROM base ORDER BY vid LIMIT 8)
+),
+d1 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, c0 c
+),
+a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.v[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a1 JOIN base b USING (vid), (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a1.cid, t.i
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+d2 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, c1 c
+),
+a2 AS (
+  SELECT vid, cid, d FROM (
+    SELECT vid, cid, d, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM d2) WHERE rn = 1
+),
+r AS (
+  SELECT vid, CAST(cid AS BIGINT) AS cid, ROUND(d, 6) AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY cid ORDER BY ROUND(d, 6) DESC, vid) AS BIGINT) AS rn
+  FROM a2
+)
+SELECT vid AS vec_id, cid, dist, rn
+FROM r WHERE rn <= 10 ORDER BY cid, rn
+"""
+
+
+@register("c9p_diversity_keep", oracle=_DIVERSITY_ORACLE, tags=("tierc", "similarity", "sampling"))
+def diversity_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Keep the 10 most centroid-distant vectors per portable-kmeans
+    cluster — diversity-preserving curation (the cheap coreset stand-in
+    between dedup and mixing)."""
+    return ops.diversity_keep(_emb(spark, sf_dir), k_clusters=8, iterations=2)
+
+
+# Model-based quality scoring (r11): fasttext-style hashed-bag linear
+# classifier (deterministic portable pseudo-weights standing in for a
+# trained table — the plumbing is identical). Bucket counts integer,
+# weights ROUND(9)->DECIMAL, logit exact DECIMAL, keep = exact sign;
+# only the display prob touches exp() (ROUND 4).
+_MODEL_QUALITY_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS g
+  FROM documents WHERE length(trim(text)) > 0
+), hb AS (
+  SELECT doc_id,
+         list_reduce(list_prepend(0::BIGINT,
+           list_transform(range(1, length(g)+1), i -> ascii(g[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) % 256 AS b
+  FROM tok
+), per AS (
+  SELECT doc_id, b, count(*) AS c FROM hb GROUP BY doc_id, b
+), w AS (
+  SELECT b, CAST(ROUND(
+      ((((b + 1) * 2654435761) % 2147483647) / 2147483647.0 - 0.5) / 16,
+      9) AS DECIMAL(12,9)) AS w
+  FROM (SELECT unnest(range(0, 256)) AS b)
+), lg AS (
+  SELECT doc_id, SUM(c * w) AS z FROM per JOIN w USING (b) GROUP BY doc_id
+)
+SELECT doc_id,
+       ROUND(CAST(z AS DOUBLE), 6) AS logit,
+       ROUND(1.0 / (1.0 + exp(-CAST(z AS DOUBLE))), 4) AS prob,
+       CAST(z >= 0 AS BIGINT) AS keep
+FROM lg ORDER BY doc_id
+"""
+
+
+@register("c4t_model_quality", oracle=_MODEL_QUALITY_ORACLE, tags=("tierc", "text"))
+def model_quality_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based quality filter: hashed-bag linear classifier logit +
+    sigmoid probability + keep flag per doc — the standard
+    classifier-filter stage between heuristic rules (c4m) and
+    training; swap the pseudo-weight table for a trained one and the
+    plan is unchanged."""
+    return ops.model_quality_score(_docs(spark, sf_dir))
 
 
 # Length-bucketed batch packing (r11): fixed-shape training batches —

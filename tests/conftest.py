@@ -26,7 +26,12 @@ def spark():
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
-        .config("spark.driver.memory", "8g")
+        # 12g: the suite shares ONE JVM across ~900 tests; at 8g the
+        # r11 run died of heap exhaustion between test_sql_surface and
+        # test_streaming (ConnectionRefused cascade from a dead
+        # gateway) — the 2-8-member chain machines alone compile
+        # hundreds of multi-KB codegen classes
+        .config("spark.driver.memory", "12g")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

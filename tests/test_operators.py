@@ -1426,3 +1426,35 @@ def test_mips_topk_recovers_exact_argmax(spark):
             q = exact[qid]
             if dot(q, exact[999]) > max(dot(q, exact[n]) for n in others):
                 assert top.nid == 999
+
+
+def test_mips_topk_empty_corpus(spark):
+    """r11 ADVICE: an empty corpus must return an empty frame, not
+    TypeError from the eager max-norm scalar being NULL."""
+    from pyspark.sql import Row
+
+    corpus = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    queries = spark.createDataFrame(
+        [Row(vec_id=1, embedding=[1.0] * 8)], "vec_id long, embedding array<double>"
+    )
+    assert ops.mips_topk_portable(queries, corpus, k=3, dim=8, nbits=4).count() == 0
+
+
+def test_rolling_zscore_constant_series_emits_null(spark):
+    """r11 ADVICE: 8+ identical trailing bucket averages can push the
+    textbook variance slightly negative via float cancellation —
+    sqrt(neg) is NaN, and NaN orders ABOVE 0 in Spark, so the z gate
+    must test var > 0, not std > 0. A constant series must emit NULL z
+    everywhere."""
+    import datetime as dt
+
+    from pyspark.sql import Row
+
+    base = dt.datetime(2024, 1, 1)
+    rows = [
+        Row(user_id=1, ts=base + dt.timedelta(hours=h), value=0.1)
+        for h in range(12)
+    ]
+    out = ops.rolling_zscore(spark.createDataFrame(rows)).collect()
+    assert len(out) == 12
+    assert all(r.z is None for r in out)

@@ -247,3 +247,34 @@ def test_new_r10_tierc_plan_shapes(spark):
     p = plans.formatted_plan(QUERIES["c7e_resample_ohlc"].fn(spark, SF_DIR))
     for spec in re.findall(r"windowspecdefinition\(([^)]*)\)", p):
         assert "k#" in spec and "bucket_s#" in spec, spec
+
+
+def test_new_r11_tierc_plan_shapes(spark):
+    """r11 additions keep the catalog plan discipline: no
+    CartesianProduct or row-at-a-time Python; BNLJ only as a one-row
+    metadata broadcast (c9n's totals row, c4s's corpus-stats row);
+    c4s/c9n's small side tables (query terms, bucket ratios) ride
+    BroadcastExchange into the scoring joins; the c4s/c8f/c9o top-k or
+    rank machinery never global-sorts the corpus."""
+    for name in (
+        "c8f_distributed_rank_nulls",
+        "c9n_dsir_resample",
+        "c4r_tokenizer_fertility",
+        "c4s_bm25_topk",
+        "c9o_length_bucket_batches",
+        "c4t_model_quality",
+        "c9p_diversity_keep",
+    ):
+        p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
+        assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
+        # one-row / k-row metadata broadcasts allowed: c9n's totals row,
+        # c4s's corpus-stats row, c9p's centroid frame
+        if name not in ("c9n_dsir_resample", "c4s_bm25_topk", "c9p_diversity_keep"):
+            assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a BNLJ"
+        assert "BatchEvalPython" not in p, f"{name} has row-at-a-time Python"
+    p = plans.formatted_plan(QUERIES["c4s_bm25_topk"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p  # final top-k, no global sort
+    assert "BroadcastExchange" in p  # query-term table broadcasts
+    p = plans.formatted_plan(QUERIES["c9n_dsir_resample"].fn(spark, SF_DIR))
+    assert "TakeOrderedAndProject" in p
+    assert "BroadcastExchange" in p  # lambda ratio table broadcasts

@@ -318,6 +318,48 @@ def test_column_chain_truthiness_matches_sqlite(db, ref, chain_tables, expr):
 
 
 # ---------------------------------------------------------------------------
+# r11: the same chains in ORDER BY and GROUP BY position — the rewrite
+# machinery must behave identically when the expression shapes a sort
+# key or a grouping key (folded integers must keep their parens so they
+# never turn positional; cross-type group keys compare numerically in
+# both engines). id is always the final tiebreak so row order is
+# deterministic on both sides.
+# ---------------------------------------------------------------------------
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=column_chain_exprs(), desc=st.booleans())
+def test_chain_in_order_by_matches_sqlite(db, ref, chain_tables, expr, desc):
+    d = " DESC" if desc else ""
+    q = f"SELECT id FROM ch ORDER BY {expr}{d}, id"
+    want = [r[0] for r in ref.execute(q).fetchall()]
+    got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(expr=column_chain_exprs())
+def test_chain_in_group_by_matches_sqlite(db, ref, chain_tables, expr):
+    """GROUP BY the chain VALUE: SQLite groups int/real numerically
+    (1 and 1.0 share a group) and our chains emit numeric-or-NULL in
+    both engines, so group counts must agree. Python == makes 3.0
+    equal 3 in the key compare, mirroring the documented int-FORM
+    allowance."""
+    q = f"SELECT {expr} AS g, count(*) AS n FROM ch GROUP BY g ORDER BY g, n"
+    want = [list(rw) for rw in ref.execute(q).fetchall()]
+    got = [list(v) for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+# ---------------------------------------------------------------------------
 # r11: all-literal compound SELECTs — the static evaluator
 # (dialect.try_static_compound) against sqlite3. Pure Python, no Spark:
 # random arms × ops × ORDER BY × LIMIT/OFFSET, typed row compare

@@ -68,6 +68,23 @@ def test_static_compound_selects_sqlite_differential(db):
         "SELECT 1 AS x, 2 AS y UNION SELECT '1', 2 ORDER BY y, x",
         "SELECT 1 UNION SELECT '1' LIMIT -1",
         "SELECT 'b' UNION SELECT 'B' UNION ALL SELECT 'a' ORDER BY 1 DESC LIMIT 2",
+        # r11 machine find: ORDER BY compounds take SQLite's MERGE plan
+        # with DIFFERENT representatives than the b-tree plan (first-of-
+        # equal-run in a drained stream survives; B's copy survives an
+        # A==B skip; INTERSECT emits A's copy) — all probed
+        "SELECT 1e2 UNION ALL SELECT 100 UNION SELECT 1 UNION SELECT 1 ORDER BY 1",
+        "SELECT 1e2 UNION ALL SELECT 100 UNION SELECT 1 ORDER BY 1",
+        "SELECT 1e2 UNION ALL SELECT 100 UNION SELECT 1 ORDER BY 1 DESC",
+        "SELECT 1.0 UNION ALL SELECT 1 INTERSECT SELECT 1 ORDER BY 1",
+        "SELECT 1.0 INTERSECT SELECT 1 ORDER BY 1",
+        "SELECT 1 EXCEPT SELECT 1.0 ORDER BY 1",
+        "SELECT 1.0 UNION ALL SELECT 1 EXCEPT SELECT 2 ORDER BY 1",
+        "SELECT 2 UNION ALL SELECT 1 UNION ALL SELECT 1.0 UNION SELECT 3 ORDER BY 1",
+        "SELECT 1, 'b' UNION ALL SELECT 1, 'a' UNION SELECT 2, 'c' ORDER BY 1",
+        "SELECT 1, 'b' UNION ALL SELECT 1, 'a' ORDER BY 1",
+        "SELECT 1, 'b' UNION ALL SELECT 1, 'a' UNION ALL SELECT 2, 'c' ORDER BY 1",
+        "SELECT 1.0, 'b' UNION ALL SELECT 1, 'a' UNION SELECT 1, 'b' ORDER BY 1",
+        "SELECT 2, 'x' UNION SELECT 1, 'y' UNION ALL SELECT 1, 'k' ORDER BY 1",
     ]
 
     def norm(rows):
@@ -2494,4 +2511,33 @@ def test_conn_state_pragmas_sqlite_differential(db):
     n1 = db.query_string_stmt("PRAGMA page_count")[0].values[0][0]
     assert n1 == (n0 + 1 if n0 else 2)
     db.execute_string_stmt("DROP TABLE pct1")
+    ref.close()
+
+
+def test_static_fold_in_order_by_not_positional(db):
+    """r11 order-by machine find: Spark resolves integer literals in
+    ORDER BY/GROUP BY positionally EVEN THROUGH PARENS, so a chain that
+    folds statically there (2/2 -> 1) must render as bigint(N), never
+    (N) — SQLite treats only a BARE integer as an ordinal, an
+    expression is a constant sort key."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE obp (id INTEGER PRIMARY KEY, v INTEGER)"
+    ref.execute(ddl)
+    db.execute_string_stmt(ddl)
+    for i, v in [(1, 5), (2, 3), (3, 9)]:
+        ref.execute(f"INSERT INTO obp VALUES ({i}, {v})")
+        db.execute_string_stmt(f"INSERT INTO obp VALUES ({i}, {v})")
+    for q in [
+        "SELECT id FROM obp ORDER BY 2 / 2 DESC, id",
+        "SELECT id FROM obp ORDER BY 1 + 1 DESC, id",
+        "SELECT id, v FROM obp ORDER BY (2 / 2), v",
+        "SELECT v, count(*) AS n FROM obp GROUP BY v, 1 + 1 ORDER BY v",
+        "SELECT v, id FROM obp ORDER BY 2, v",  # bare ordinal stays positional
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    db.execute_string_stmt("DROP TABLE obp")
     ref.close()

@@ -464,6 +464,32 @@ def main() -> None:
                 "dsir_resample",
                 lambda: ops.dsir_resample(docs, F.col("doc_id") % 10 == 0, k=100),
             ),
+            # r11 second wave: BM25 (tf/df aggs + broadcast query
+            # terms), length-bucket batching (distributed rank inside),
+            # model quality (hashed-bag dot on a broadcast weight
+            # table), diversity keep (k ∝ n like semantic_dedup), and
+            # the NULL-partition distributed rank
+            ("bm25_topk", lambda: ops.bm25_topk(docs, k=20)),
+            ("length_buckets", lambda: ops.length_bucket_batches(docs)),
+            ("model_quality", lambda: ops.model_quality_score(docs)),
+            (
+                "diversity_keep",
+                lambda: ops.diversity_keep(emb, k_clusters=8 * k, iterations=2),
+            ),
+            (
+                "rank_null_partition",
+                lambda: ops.distributed_rank(
+                    evs.select(
+                        "event_id",
+                        "value",
+                        F.when(F.col("user_id") % 3 == 0, None)
+                        .otherwise(F.col("user_id") % 3)
+                        .alias("st"),
+                    ),
+                    "st",
+                    "value",
+                ),
+            ),
         ]:
             if only_ops is not None and name not in only_ops:
                 continue
