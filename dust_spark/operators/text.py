@@ -759,3 +759,88 @@ def model_quality_score(
         F.round(F.lit(1.0) / (F.lit(1.0) + F.exp(-zd)), 4).alias("prob"),
         (F.col("z") >= 0).cast("long").alias("keep"),
     ).orderBy(id_col)
+
+
+def bigram_logprob(
+    docs: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    k_smooth: float = 0.5,
+) -> DataFrame:
+    """Bigram language-model scoring (the KenLM-style perplexity filter
+    of an LLM pipeline, self-trained on the corpus): per doc the mean
+    add-k-smoothed bigram log-probability
+    ln((c(w1,w2)+k) / (c(w1)+k*V)) — low scores flag gibberish /
+    boilerplate / wrong-language text. A real deployment swaps the
+    self-trained count tables for a reference model's; the plumbing
+    (count, join by hash, DECIMAL-fold) is identical.
+
+    Hash-stable: bigrams key on the portable char-Horner hash in BOTH
+    engines (hash collisions merge identically); the only
+    transcendental (ln) ROUNDs to 6 dp DECIMAL once per DISTINCT
+    bigram; per-doc accumulation is count x rounded-logprob in exact
+    DECIMAL with one final ROUND(4).
+
+    Scale shape: bigram/unigram counts are hash-aggs on 8-byte keys
+    (raw text never shuffles past the first projection); the per-doc
+    score joins (doc,bigram-hash) counts to the logprob table on the
+    hash key; V and the global totals ride a one-row broadcast.
+    """
+    from dust_spark.functions import portable_char_hash, tokens
+
+    base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
+        F.col(id_col).alias("id"), tokens(text_col).alias("__tok")
+    )
+    pairs = F.when(
+        F.size("__tok") >= 2,
+        F.transform(
+            F.sequence(F.lit(1), F.size("__tok") - 1),
+            lambda i: F.concat_ws(
+                " ", F.element_at(F.col("__tok"), i), F.element_at(F.col("__tok"), i + 1)
+            ),
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+    bi = base.select("id", F.explode(pairs).alias("g")).select(
+        "id",
+        portable_char_hash(F.col("g")).alias("bh"),
+        portable_char_hash(F.split(F.col("g"), " ").getItem(0)).alias("uh"),
+    )
+    uni = base.select(F.explode("__tok").alias("w")).select(
+        portable_char_hash(F.col("w")).alias("uh")
+    )
+    uni_cnt = uni.groupBy("uh").agg(F.count("*").alias("c1"))
+    vocab = uni_cnt.agg(F.count("*").alias("v"))
+    bi_cnt = bi.groupBy("bh", "uh").agg(F.count("*").alias("c12"))
+    lp = (
+        bi_cnt.join(uni_cnt, "uh")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "bh",
+            "uh",
+            F.round(
+                F.log(
+                    (F.col("c12") + F.lit(k_smooth))
+                    / (F.col("c1") + F.lit(k_smooth) * F.col("v"))
+                ),
+                6,
+            )
+            .cast("decimal(18,6)")
+            .alias("lp"),
+        )
+    )
+    # join on BOTH hash components: a bh collision across pairs with
+    # different first words would otherwise fan the lp join out
+    per = bi.groupBy("id", "bh", "uh").agg(F.count("*").alias("c"))
+    scored = (
+        per.join(lp, ["bh", "uh"])
+        .groupBy("id")
+        .agg(
+            F.sum("c").cast("long").alias("n_bigrams"),
+            F.sum(F.col("c") * F.col("lp")).alias("s"),
+        )
+    )
+    return scored.select(
+        F.col("id").alias(id_col),
+        "n_bigrams",
+        F.round(F.col("s").cast("double") / F.col("n_bigrams"), 4).alias("avg_logprob"),
+    ).orderBy(id_col)

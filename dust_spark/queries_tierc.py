@@ -3285,6 +3285,63 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+# Bigram LM scoring (r11): KenLM-style perplexity filtering,
+# self-trained add-k bigram model. DuckDB replays the portable pair/
+# unigram hashing (collisions merge identically), the smoothed-logprob
+# ROUND(6)->DECIMAL, and the count x logprob DECIMAL fold.
+_BIGRAM_LP_ORACLE = """
+WITH tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w
+  FROM documents WHERE length(trim(text)) > 0
+), bi0 AS (
+  SELECT doc_id, unnest(
+    CASE WHEN len(w) >= 2
+         THEN list_transform(range(1, len(w)), i -> [w[i], w[i] || ' ' || w[i+1]])
+         ELSE [] END) AS p
+  FROM tok
+), bi AS (
+  SELECT doc_id,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, length(p[2])+1), i -> ascii(p[2][i])::BIGINT)),
+      (a, c) -> (a*31 + c) % 2147483647) AS bh,
+    list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, length(p[1])+1), i -> ascii(p[1][i])::BIGINT)),
+      (a, c) -> (a*31 + c) % 2147483647) AS uh
+  FROM bi0
+), uni AS (
+  SELECT list_reduce(list_prepend(0::BIGINT,
+      list_transform(range(1, length(t.u)+1), i -> ascii(t.u[i])::BIGINT)),
+      (a, c) -> (a*31 + c) % 2147483647) AS uh
+  FROM (SELECT unnest(w) AS u FROM tok) t
+), uni_cnt AS (
+  SELECT uh, count(*) AS c1 FROM uni GROUP BY uh
+), vocab AS (SELECT count(*) AS v FROM uni_cnt),
+bi_cnt AS (
+  SELECT bh, uh, count(*) AS c12 FROM bi GROUP BY bh, uh
+), lp AS (
+  SELECT bh, uh,
+    CAST(ROUND(ln((c12 + 0.5) / (c1 + 0.5 * v)), 6) AS DECIMAL(18,6)) AS lp
+  FROM bi_cnt JOIN uni_cnt USING (uh), vocab
+), per AS (
+  SELECT doc_id, bh, uh, count(*) AS c FROM bi GROUP BY doc_id, bh, uh
+), sc AS (
+  SELECT doc_id, SUM(c) AS n_bigrams, SUM(c * lp) AS s
+  FROM per JOIN lp USING (bh, uh) GROUP BY doc_id
+)
+SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+       ROUND(CAST(s AS DOUBLE) / n_bigrams, 4) AS avg_logprob
+FROM sc ORDER BY doc_id
+"""
+
+
+@register("c4u_bigram_logprob", oracle=_BIGRAM_LP_ORACLE, tags=("tierc", "text"))
+def bigram_logprob_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc mean bigram log-probability under a self-trained add-k
+    model — the KenLM-style perplexity filter between heuristics and
+    model-based scoring; low scores flag gibberish and boilerplate."""
+    return ops.bigram_logprob(_docs(spark, sf_dir))
+
+
 # Diversity-preserving sampling (r11): portable k-means clusters, keep
 # the k FARTHEST vectors per cluster — SemDeDup's complement (keep the
 # spread, drop the dense core). The oracle replays the full c3i Lloyd

@@ -264,12 +264,16 @@ def test_new_r11_tierc_plan_shapes(spark):
         "c9o_length_bucket_batches",
         "c4t_model_quality",
         "c9p_diversity_keep",
+        "c4u_bigram_logprob",
     ):
         p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
         # one-row / k-row metadata broadcasts allowed: c9n's totals row,
-        # c4s's corpus-stats row, c9p's centroid frame
-        if name not in ("c9n_dsir_resample", "c4s_bm25_topk", "c9p_diversity_keep"):
+        # c4s's corpus-stats row, c9p's centroid frame, c4u's vocab row
+        if name not in (
+            "c9n_dsir_resample", "c4s_bm25_topk", "c9p_diversity_keep",
+            "c4u_bigram_logprob",
+        ):
             assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a BNLJ"
         assert "BatchEvalPython" not in p, f"{name} has row-at-a-time Python"
     p = plans.formatted_plan(QUERIES["c4s_bm25_topk"].fn(spark, SF_DIR))
