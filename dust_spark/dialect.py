@@ -1175,19 +1175,67 @@ _COMPOUND_LIT_RE = re.compile(
           |X'(?:[0-9A-Fa-f][0-9A-Fa-f])*'
           |'(?:[^']|'')*'
           |0[xX][0-9A-Fa-f]+
-          |(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?)
+          |(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][+-]?\d+)?[dD]?)
         (?P<alias>\s+AS\s+(?P<aname>[A-Za-z_][A-Za-z_0-9]*))?\s*$""",
     re.X | re.I | re.S,
 )
 
+_COMPOUND_ALIAS_RE = re.compile(
+    r"^(?P<expr>.*?)\s+AS\s+(?P<aname>[A-Za-z_][A-Za-z_0-9]*)\s*$", re.I | re.S
+)
 
-def _parse_compound_item(text: str):
-    """One select-list item → (value, column_name) or None."""
+
+def _parens_balanced(s: str) -> bool:
+    depth = 0
+    for ch in s:
+        if ch == "(":
+            depth += 1
+        elif ch == ")":
+            depth -= 1
+            if depth < 0:
+                return False
+    return depth == 0
+
+
+def _parse_compound_item(text: str, _folded: bool = False):
+    """One select-list item → (value, column_name) or None. Items that
+    are not bare literals get ONE static-fold retry: literal arithmetic
+    (``1+1``, ``'3'+0``, ``2/2``) folds through the typed-ops chain
+    compiler to a literal — so SQLite's per-row typing extends to
+    constant-expression arms (``SELECT 1+1 UNION SELECT '2'`` is two
+    rows). Unaliased expression items keep their SOURCE text as the
+    column name (sqlite3-probed)."""
     t = text.strip()
     m = _COMPOUND_LIT_RE.match(t)
     if not m:
-        return None
+        if _folded:
+            return None
+        am = _COMPOUND_ALIAS_RE.match(t)
+        expr = am.group("expr").strip() if am else t
+        try:
+            folded = rewrite_typed_ops("SELECT " + expr)[7:].strip()
+        except Exception:
+            return None
+        while (
+            folded.startswith("(")
+            and folded.endswith(")")
+            and _parens_balanced(folded[1:-1])
+        ):
+            folded = folded[1:-1].strip()
+        got = _parse_compound_item(folded, _folded=True)
+        if got is None:
+            return None
+        v, _ = got
+        return (v, am.group("aname") if am else t)
     lit = m.group("lit")
+    if (
+        lit[-1:] in "dD"
+        and (lit[0].isdigit() or lit[0] == ".")
+        and not lit.upper().startswith("0X")
+    ):
+        # D-suffixed numbers are the fold renderer's DOUBLE markers
+        sign = -1 if m.group("sign").count("-") % 2 else 1
+        return (float(lit[:-1]) * sign, m.group("aname") or t)
     sign = -1 if m.group("sign").count("-") % 2 else 1
     lu = lit.upper()
     if lu == "NULL":

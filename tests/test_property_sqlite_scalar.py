@@ -369,6 +369,9 @@ def test_chain_in_group_by_matches_sqlite(db, ref, chain_tables, expr):
 _COMPOUND_LITS = [
     "1", "'1'", "1.0", "NULL", "X'00'", "'a'", "2", "-3", "0x10",
     "1e2", "''", "9223372036854775807", "100", "true", "X'61'", "+2",
+    # constant-expression arms fold through the chain compiler (r11)
+    "1+1", "2/2", "'3'+0", "2*3", "1e2-1", "'9e1' % 2", "X'37' / 2",
+    "5%3",
 ]
 
 

@@ -85,6 +85,14 @@ def test_static_compound_selects_sqlite_differential(db):
         "SELECT 1, 'b' UNION ALL SELECT 1, 'a' UNION ALL SELECT 2, 'c' ORDER BY 1",
         "SELECT 1.0, 'b' UNION ALL SELECT 1, 'a' UNION SELECT 1, 'b' ORDER BY 1",
         "SELECT 2, 'x' UNION SELECT 1, 'y' UNION ALL SELECT 1, 'k' ORDER BY 1",
+        # r11: constant-expression arms fold through the chain compiler
+        # before the literal parse, so per-row typing covers them too
+        "SELECT 1+1 UNION SELECT '2'",
+        "SELECT 2/2 UNION SELECT 1.0",
+        "SELECT '3'+0 UNION SELECT 3",
+        "SELECT '9e1' % 2 UNION SELECT 9 ORDER BY 1",
+        "SELECT 1+1 AS a UNION SELECT '2' ORDER BY a",
+        "SELECT 2*3, 'x' UNION SELECT 6, 'x'",
     ]
 
     def norm(rows):
