@@ -366,3 +366,57 @@ def length_bucket_batches(
         padded.alias("padded_tokens"),
         F.round(F.col("real_tokens").cast("double") / padded, 4).alias("efficiency"),
     ).orderBy("edge", "batch_id")
+
+
+def temperature_mix(
+    df: DataFrame,
+    budget_permille: int = 200,
+    source_col: str = "source",
+    key: str = "doc_id",
+    seed: int = 42,
+) -> DataFrame:
+    """Temperature-scaled source mixing at alpha = 0.5: each source's
+    target share of the kept budget is proportional to sqrt(n_s) — the
+    standard multinomial-with-temperature flattening (the mBERT/XLM-R
+    alpha-sampling recipe, public) that upweights small sources without
+    letting crawl giants dominate. ``budget_permille`` is the overall
+    keep budget in 1/1000ths of the corpus.
+
+    Fully deterministic and cross-engine exact: sqrt is IEEE
+    correctly-rounded in both engines, ROUND(sqrt(n)*1e6) pins it to an
+    int64, and every sum/division after that is exact integer
+    arithmetic (budget B = (N*permille) div 1000, per-source target =
+    (B*ss) div S). The kept rows are each source's hash-priority head
+    (the c9h portable-bucket machinery), so reprocessing never
+    reshuffles the selection.
+
+    Scale shape: one count agg (sources ≪ corpus), a broadcast target
+    table, one window partitioned by source — per-source occupancy is
+    whatever the corpus has; compose with hash_sample for pathological
+    single-source skew, like cap_per_stratum documents.
+    """
+    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    ss = counts.select(
+        source_col,
+        "n",
+        F.round(F.sqrt(F.col("n")) * F.lit(1000000.0), 0).cast("long").alias("ss"),
+    )
+    tot = ss.agg(F.sum("ss").alias("s_tot"), F.sum("n").alias("n_tot"))
+    tgt = (
+        ss.crossJoin(F.broadcast(tot))
+        .withColumn(
+            "tgt",
+            F.expr(f"((n_tot * {int(budget_permille)}) div 1000) * ss div s_tot"),
+        )
+        .select(source_col, "tgt")
+    )
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy(source_col).orderBy("__b", key)
+    return (
+        df.join(F.broadcast(tgt), source_col)
+        .withColumn("__b", _bucket(F.col(key), seed, "portable"))
+        .withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") <= F.col("tgt"))
+        .drop("__b", "__rn", "tgt")
+    )

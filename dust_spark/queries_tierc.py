@@ -3285,6 +3285,74 @@ def tokenizer_fertility_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("source", "lang")
 
 
+# Temperature-scaled source mixing (r11): alpha=0.5 multinomial
+# flattening — targets from exact integer arithmetic over
+# ROUND(sqrt(n)*1e6), hash-priority heads per source; the audit groups
+# the actual selection back per source.
+_TEMP_MIX_ORACLE = (
+    _PORTABLE_SRC_BUCKET_CTE
+    + """, cnt AS (
+  SELECT source, count(*) AS n,
+         CAST(ROUND(sqrt(count(*)) * 1000000, 0) AS BIGINT) AS ss
+  FROM documents GROUP BY source
+), tot AS (SELECT SUM(ss) AS s_tot, SUM(n) AS n_tot FROM cnt),
+tgt AS (
+  SELECT source, n, ((n_tot * 200) // 1000) * ss // s_tot AS tgt
+  FROM cnt, tot
+), r AS (
+  SELECT b.doc_id, b.source,
+         row_number() OVER (PARTITION BY b.source ORDER BY bk, doc_id) AS rn
+  FROM b
+), kept AS (
+  SELECT r.source, count(*) AS kept
+  FROM r JOIN tgt USING (source) WHERE rn <= tgt GROUP BY r.source
+), tk AS (SELECT SUM(kept) AS k_tot FROM kept)
+SELECT t.source, CAST(t.n AS BIGINT) AS n_docs, CAST(t.tgt AS BIGINT) AS tgt,
+       CAST(coalesce(k.kept, 0) AS BIGINT) AS kept,
+       ROUND(CAST(coalesce(k.kept, 0) AS DOUBLE) / (SELECT k_tot FROM tk), 4)
+         AS share_after
+FROM tgt t LEFT JOIN kept k USING (source)
+ORDER BY t.source"""
+)
+
+
+@register("c9q_temperature_mix", oracle=_TEMP_MIX_ORACLE, tags=("tierc", "sampling"))
+def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) source mixing audit: per-source
+    corpus size, sqrt-share target and actually-kept counts under a
+    20% budget — the flattening pass between per-source caps (c9h) and
+    budget mixing (c9i)."""
+    docs = _docs(spark, sf_dir)
+    kept = ops.temperature_mix(docs, budget_permille=200).groupBy("source").agg(
+        F.count("*").alias("kept")
+    )
+    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    ss = counts.select(
+        "source",
+        "n_docs",
+        F.round(F.sqrt(F.col("n_docs")) * F.lit(1000000.0), 0).cast("long").alias("ss"),
+    )
+    tot = ss.agg(F.sum("ss").alias("s_tot"), F.sum("n_docs").alias("n_tot"))
+    tgt = ss.crossJoin(F.broadcast(tot)).withColumn(
+        "tgt", F.expr("((n_tot * 200) div 1000) * ss div s_tot")
+    )
+    ktot = kept.agg(F.sum("kept").alias("k_tot"))
+    return (
+        tgt.join(kept, "source", "left")
+        .crossJoin(F.broadcast(ktot))
+        .select(
+            "source",
+            F.col("n_docs").cast("long").alias("n_docs"),
+            F.col("tgt").cast("long").alias("tgt"),
+            F.coalesce(F.col("kept"), F.lit(0)).cast("long").alias("kept"),
+            F.round(
+                F.coalesce(F.col("kept"), F.lit(0)).cast("double") / F.col("k_tot"), 4
+            ).alias("share_after"),
+        )
+        .orderBy("source")
+    )
+
+
 # Bigram LM scoring (r11): KenLM-style perplexity filtering,
 # self-trained add-k bigram model. DuckDB replays the portable pair/
 # unigram hashing (collisions merge identically), the smoothed-logprob

@@ -265,6 +265,7 @@ def test_new_r11_tierc_plan_shapes(spark):
         "c4t_model_quality",
         "c9p_diversity_keep",
         "c4u_bigram_logprob",
+        "c9q_temperature_mix",
     ):
         p = plans.formatted_plan(QUERIES[name].fn(spark, SF_DIR))
         assert "CartesianProduct" not in p, f"{name} plans a CartesianProduct"
@@ -272,7 +273,7 @@ def test_new_r11_tierc_plan_shapes(spark):
         # c4s's corpus-stats row, c9p's centroid frame, c4u's vocab row
         if name not in (
             "c9n_dsir_resample", "c4s_bm25_topk", "c9p_diversity_keep",
-            "c4u_bigram_logprob",
+            "c4u_bigram_logprob", "c9q_temperature_mix",
         ):
             assert "BroadcastNestedLoopJoin" not in p, f"{name} plans a BNLJ"
         assert "BatchEvalPython" not in p, f"{name} has row-at-a-time Python"

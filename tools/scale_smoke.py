@@ -476,6 +476,17 @@ def main() -> None:
                 "diversity_keep",
                 lambda: ops.diversity_keep(emb, k_clusters=8 * k, iterations=2),
             ),
+            # r11 third wave: bigram LM (two hash joins on 8-byte gram
+            # keys) and temperature mixing (count agg + broadcast
+            # targets + per-source window)
+            ("bigram_logprob", lambda: ops.bigram_logprob(docs)),
+            (
+                "temperature_mix",
+                lambda: ops.temperature_mix(
+                    docs.select("doc_id", (F.col("doc_id") % 20).alias("source")),
+                    budget_permille=200,
+                ),
+            ),
             (
                 "rank_null_partition",
                 lambda: ops.distributed_rank(
