@@ -2832,15 +2832,27 @@ _CLAUSE_END_RE = re.compile(
 )
 
 
-def wrap_where_truthy(sql: str) -> str | None:
+_HAVING_ONLY_RE = re.compile(r"\b(HAVING)\b", re.I)
+
+
+def wrap_where_truthy(sql: str, only_having: bool = False) -> str | None:
     """Wrap every WHERE/HAVING clause body in :func:`truthy_sql` —
     SQLite accepts any value there ('SELECT 1 WHERE 2'); Spark demands
-    boolean. Used only as a RETRY after FILTER_NOT_BOOLEAN, so SQL
-    Spark already accepts never pays the wrap. Returns None when no
-    clause was found."""
-    pre = _wrap_case_when_truthy(sql)
-    changed = pre != sql
-    sql = pre
+    boolean. Used as a RETRY after FILTER_NOT_BOOLEAN, so SQL Spark
+    already accepts never pays the wrap — EXCEPT HAVING, which is also
+    wrapped PROACTIVELY (``only_having=True``): Spark silently coerces
+    a STRING having-condition to boolean (CAST semantics — '7abc'
+    becomes NULL) instead of erroring, so the retry can never fire
+    there (r11 HAVING battery: ``HAVING max(tx)`` returned no rows).
+    Returns None when no clause was found."""
+    if only_having:
+        changed = False
+        clause_re = _HAVING_ONLY_RE
+    else:
+        pre = _wrap_case_when_truthy(sql)
+        changed = pre != sql
+        sql = pre
+        clause_re = _WHERE_HAVING_RE
     out, i, n, in_str, depth = [], 0, len(sql), None, 0
     while i < n:
         ch = sql[i]
@@ -2859,7 +2871,7 @@ def wrap_where_truthy(sql: str) -> str | None:
             depth += 1
         elif ch == ")":
             depth -= 1
-        m = _WHERE_HAVING_RE.match(sql, i)
+        m = clause_re.match(sql, i)
         if not m:
             out.append(ch)
             i += 1
@@ -4610,8 +4622,30 @@ class _TypedPass:
                 subspans.append((i + 2, j))
                 if wl in _INT_RESULT_FNS:
                     cls = _CLS_INT
-                elif wl in _REAL_RESULT_FNS:
+                elif wl in _REAL_RESULT_FNS or wl in ("avg", "total"):
+                    # avg()/total() always return REAL (SQLite docs)
                     cls = _CLS_REAL
+                elif wl in ("min", "max", "sum"):
+                    # aggregate class follows the (single) argument:
+                    # min/max of a TEXT column is TEXT, sum of INT is
+                    # INT, sum of REAL is REAL (r11 HAVING battery —
+                    # without this, HAVING max(tx) / 2 never takes the
+                    # prefix conversion). Multi-arg scalar min/max are
+                    # dynamic — class only when no top-level comma.
+                    depth2, single = 0, True
+                    for k2 in range(i + 2, j):
+                        t2 = toks[k2][1]
+                        if t2 == "(":
+                            depth2 += 1
+                        elif t2 == ")":
+                            depth2 -= 1
+                        elif t2 == "," and depth2 == 0:
+                            single = False
+                            break
+                    acls = self.type_of_span(i + 2, j) if single else _CLS_UNKNOWN
+                    if wl == "sum" and acls not in (_CLS_INT, _CLS_REAL):
+                        acls = _CLS_UNKNOWN  # sum over TEXT is content-typed
+                    cls = acls
                 else:
                     cls = _CLS_UNKNOWN
                 return (j + 1, cls, False)

@@ -4632,6 +4632,14 @@ class DustSession:
                     "(SQLite GROUPS/EXCLUDE frames)"
                 )
         sql, restore = self._resolve_read_rowid(sql, self._explicit_tx)
+        if re.search(r"\bHAVING\b", sql, re.I):
+            # PROACTIVE truthiness wrap for HAVING only (r11): Spark
+            # silently CAST-coerces a string having-condition to
+            # boolean ('7abc' -> NULL) instead of raising, so the
+            # FILTER_NOT_BOOLEAN retry below can never fire there
+            alt = dialect.wrap_where_truthy(sql, only_having=True)
+            if alt is not None:
+                sql = alt
         if params:
             sql, params = dialect.normalize_numbered_params(sql, params)
 

@@ -2549,3 +2549,53 @@ def test_static_fold_in_order_by_not_positional(db):
         assert got == want, (q, got, want)
     db.execute_string_stmt("DROP TABLE obp")
     ref.close()
+
+
+def test_having_truthiness_sqlite_differential(db):
+    """r11 HAVING battery: HAVING bodies wrap PROACTIVELY (Spark
+    silently CAST-coerces a string having-condition to boolean instead
+    of raising, so the FILTER_NOT_BOOLEAN retry can never fire), and
+    aggregate calls carry their argument's storage class (min/max of a
+    TEXT column is TEXT, sum of INT/REAL follows the arg, avg/total
+    are REAL) so chains and cross-type compares over aggregates take
+    the dialect rewrites."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    ddl = "CREATE TABLE hv (id INTEGER PRIMARY KEY, g INTEGER, tx TEXT, v REAL)"
+    rows = [(1, 1, "7", 2.5), (2, 1, "7abc", 0.5), (3, 2, "", 7.5),
+            (4, 2, "9e1", -2.5), (5, 3, "  -3.5x", 100.0), (6, 3, None, None),
+            (7, 1, "0x11", 3.0), (8, 2, "12.", 0.0)]
+    ref.execute(ddl)
+    ref.executemany("INSERT INTO hv VALUES (?,?,?,?)", rows)
+    db.execute_string_stmt(ddl)
+    for rw in rows:
+        vals = ",".join(
+            "NULL" if x is None else (f"'{x}'" if isinstance(x, str) else repr(x))
+            for x in rw
+        )
+        db.execute_string_stmt(f"INSERT INTO hv VALUES ({vals})")
+    for q in [
+        "SELECT g, count(*) AS n FROM hv GROUP BY g HAVING count(*) ORDER BY g",
+        "SELECT g, count(*) AS n FROM hv GROUP BY g HAVING count(*) - 3 ORDER BY g",
+        "SELECT g, count(*) AS n FROM hv GROUP BY g HAVING n - 2 ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING max(tx) ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING sum(v) > '2' ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING min(tx) / 2 ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING 2 / 2 ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING count(*) % 2 ORDER BY g",
+        "SELECT g, group_concat(tx) AS t FROM hv GROUP BY g HAVING t LIKE '%7%' ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING avg(v) ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING max(tx) + 1 ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING NOT (count(*) - 3) ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING count(*) > 2 AND max(tx) ORDER BY g",
+        "SELECT g FROM hv GROUP BY g HAVING count(*) = 3 ORDER BY g",
+        "SELECT g, max(tx) / 2 AS d FROM hv GROUP BY g ORDER BY g",
+        "SELECT g, sum(v) % 2 AS m FROM hv GROUP BY g ORDER BY g",
+        "SELECT min(tx) + 1 AS s FROM hv",
+    ]:
+        want = [list(r) for r in ref.execute(q).fetchall()]
+        got = [list(r) for r in db.query_string_stmt(q)[0].values]
+        assert got == want, (q, got, want)
+    db.execute_string_stmt("DROP TABLE hv")
+    ref.close()
