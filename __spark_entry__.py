@@ -208,6 +208,26 @@ _ROUND10_VERIFIED = (
     "c4e_quality_scores c5a_media_stats c6a_asof_max_order"
 ).split()
 
+# Hash-green in CORRECTNESS_r11 (44 names: the r11-new queries
+# c8f/c4r/c9q/c4u/c9p/c4t/c9o/c4s/c9n plus the rotation filler
+# re-confirmed there):
+_ROUND11_VERIFIED = (
+    "c8f_distributed_rank_nulls c4r_tokenizer_fertility "
+    "c9q_temperature_mix c4u_bigram_logprob c9p_diversity_keep "
+    "c4t_model_quality c9o_length_bucket_batches c4s_bm25_topk "
+    "c9n_dsir_resample c6b_asof_latest_odate c7a_sessionize c3j_pq_ann "
+    "c3k_pq_recall c2k_semantic_dedup c2f_simhash_portable c9e_pii_redact "
+    "c4k_top_domains c7b_hypertable_rollup c8c_salted_topk "
+    "c6c_asof_nearest c6d_interval_join c4n_token_rarity "
+    "c7c_gap_fill_locf c1d_span_dup_fraction b2c_range_in_ts "
+    "b2d_like_or_not b2e_null_pred b3a_inner_join b3b_left_join "
+    "b3c_full_join b3d_cross_join b3e_semi_join b3f_anti_join "
+    "b3g_theta_join b4j_grouping_sets b5f_range_frame b9f_cast "
+    "b9k_string_funcs2 c3f_ann_portable c3g_ann_recall "
+    "c4f_rolling_fingerprint c5c_frame_sample_plan c5b_media_features "
+    "c6e_asof_tolerance"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -233,6 +253,7 @@ def _prioritized():
         _ROUND8_VERIFIED,
         _ROUND9_VERIFIED,
         _ROUND10_VERIFIED,
+        _ROUND11_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}

@@ -1232,6 +1232,101 @@ def mips_topk_portable(
     )
 
 
+def _gated_argmin(base: DataFrame, cents: DataFrame, n_coarse: int, n_probe: int = 2):
+    """Hierarchical nearest-centroid assignment (r12, verdict #3 — the
+    c9p scale gate): instead of comparing every vector against all k
+    fine centroids (O(n·k) — quadratic when k ∝ n, the SemDeDup
+    convention), cluster the k CENTROIDS themselves into ``n_coarse``
+    coarse groups (portable Lloyd over k tiny rows), route each vector
+    to its ``n_probe`` nearest coarse centroids (O(n·n_coarse), fully
+    narrow — the coarse table rides in as ONE broadcast array row),
+    and argmin only over the fine centroids in the probed groups
+    (O(n·n_probe·k/n_coarse)). At n_coarse = √k the per-row cost drops
+    from k to ~√k·(1+n_probe) — the c3l IVF list-gating shape applied
+    to assignment.
+
+    Deterministic end-to-end (ties to the lowest id via (d, id) struct
+    ordering; centroid folds in array order), so a DuckDB oracle can
+    replay it exactly — c9r_diversity_keep_gated does. Probes are
+    restricted to coarse groups that actually received fine centroids
+    in the final coarse assignment, so no vector can lose all its
+    probes. Returns (vid, cid, d) with d the RAW squared-L2 distance
+    to the chosen fine centroid.
+    """
+    _d = lambda v, c: F.aggregate(  # noqa: E731 — exact in-order fold
+        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
+        F.lit(0.0),
+        lambda s, x: s + x,
+    )
+    cbase = cents.select(
+        F.col("cid").alias("vid"), F.col("c").cast("array<double>").alias("v")
+    )
+    cassign, gcents = _portable_lloyd(cbase, n_coarse, 2)
+    cmap = cassign.select(F.col("vid").alias("fcid"), F.col("cid").alias("gid"))
+    # fine lists per coarse group: ≤ n_coarse tiny rows, array-sorted by
+    # cid so every fold order is pinned
+    fineg = (
+        cents.join(cmap, cents["cid"] == cmap["fcid"])
+        .groupBy("gid")
+        .agg(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("cid"), F.col("c").cast("array<double>").alias("c")
+                    )
+                )
+            ).alias("fl")
+        )
+    )
+    # coarse centroids as ONE broadcast array row, restricted to
+    # non-empty groups; the probe pass is narrow (no shuffle)
+    ne = fineg.select(F.col("gid").alias("__negid"))
+    garr = (
+        gcents.join(F.broadcast(ne), gcents["cid"] == ne["__negid"])
+        .select(F.col("cid").alias("gid"), F.col("c").cast("array<double>").alias("c"))
+        .agg(F.array_sort(F.collect_list(F.struct("gid", "c"))).alias("ga"))
+    )
+    vbase = base.select("vid", F.col("v").cast("array<double>").alias("v"))
+    probed = (
+        vbase.crossJoin(F.broadcast(garr))
+        .withColumn(
+            "pg",
+            F.slice(
+                F.array_sort(
+                    F.transform(
+                        "ga",
+                        lambda s: F.struct(
+                            _d(F.col("v"), s["c"]).alias("d"), s["gid"].alias("gid")
+                        ),
+                    )
+                ),
+                1,
+                n_probe,
+            ),
+        )
+        .select("vid", "v", F.explode(F.col("pg.gid")).alias("gid"))
+    )
+    best = (
+        probed.join(F.broadcast(fineg), "gid")
+        .withColumn(
+            "b",
+            F.array_min(
+                F.transform(
+                    "fl",
+                    lambda s: F.struct(
+                        _d(F.col("v"), s["c"]).alias("d"), s["cid"].alias("i")
+                    ),
+                )
+            ),
+        )
+        # vectors leave before the only shuffle: (vid, struct) rows only
+        .select("vid", "b")
+        .groupBy("vid")
+        .agg(F.min("b").alias("m"))
+    )
+    return best.select("vid", F.col("m.i").alias("cid"), F.col("m.d").alias("d"))
+
+
 def diversity_keep(
     df: DataFrame,
     k_clusters: int = 8,
@@ -1239,6 +1334,9 @@ def diversity_keep(
     keep_per_cluster: int = 10,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
+    coarse_gate: int | None = 64,
+    n_probe: int = 2,
+    train_sample: int | None = None,
 ) -> DataFrame:
     """Diversity-preserving sampling: cluster the corpus with the
     hash-stable portable k-means and keep the ``keep_per_cluster``
@@ -1257,29 +1355,52 @@ def diversity_keep(
     pass; the per-cluster window is NOT the b5f smell when k_clusters
     grows with the corpus (SemDeDup practice, k ∝ n keeps per-cluster
     occupancy constant — exactly how c2k is smoked in SCALE.md).
+
+    Scale GATE (r12): k ∝ n makes the flat argmin O(n·k) = O(n²)
+    assignment CPU — the one super-linear curve in SCALE.md r11. When
+    ``k_clusters > coarse_gate`` the final assignment routes through
+    :func:`_gated_argmin` (coarse-cluster the centroids into √k groups,
+    probe ``n_probe``, argmin in-list only: per-row cost √k·(1+n_probe)
+    instead of k), and training optionally runs on a deterministic
+    bounded sample (``train_sample`` lowest-id vectors — the FAISS
+    quantizer-training practice, similarity.py IVF precedent) so the
+    Lloyd iterations stop scaling with n·k too. Both paths are
+    hash-stable; c9p (k=8, under the gate) is byte-identical to r11,
+    c9r oracles the gated path end-to-end.
     """
     from pyspark.sql import Window as W
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
-    _, cents = _portable_lloyd(base, k_clusters, iterations)
-    dist = F.aggregate(
-        F.zip_with(
-            "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-        ),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    m = (
-        base.join(F.broadcast(cents))
-        .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
-        .groupBy("vid")
-        .agg(F.min("__dc").alias("m"))
-    )
-    a = m.select(
-        "vid",
-        F.col("m.i").cast("long").alias("cid"),
-        F.round(F.col("m.d"), 6).alias("dist"),
-    )
+    tbase = base.orderBy("vid").limit(train_sample) if train_sample else base
+    _, cents = _portable_lloyd(tbase, k_clusters, iterations)
+    if coarse_gate is not None and k_clusters > coarse_gate:
+        from math import isqrt
+
+        a = _gated_argmin(base, cents, max(2, isqrt(k_clusters)), n_probe)
+        a = a.select(
+            "vid",
+            F.col("cid").cast("long").alias("cid"),
+            F.round(F.col("d"), 6).alias("dist"),
+        )
+    else:
+        dist = F.aggregate(
+            F.zip_with(
+                "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+            ),
+            F.lit(0.0),
+            lambda s, x: s + x,
+        )
+        m = (
+            base.join(F.broadcast(cents))
+            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
+            .groupBy("vid")
+            .agg(F.min("__dc").alias("m"))
+        )
+        a = m.select(
+            "vid",
+            F.col("m.i").cast("long").alias("cid"),
+            F.round(F.col("m.d"), 6).alias("dist"),
+        )
     w = W.partitionBy("cid").orderBy(F.col("dist").desc(), "vid")
     return (
         a.withColumn("rn", F.row_number().over(w).cast("long"))

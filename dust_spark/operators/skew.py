@@ -255,3 +255,110 @@ def distributed_rank(
         .withColumn("cd", cd.cast("double"))
         .drop("__pid", "__opid", "__opart", "__lrk", "__ties", "__off", "__n")
     )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_cols: list[str],
+    n_slices: int | None = None,
+) -> tuple[DataFrame, int]:
+    """``ROW_NUMBER() OVER (ORDER BY ...)`` — a GLOBAL order — without
+    the single-task sort (r12; the b5e de-weak).
+
+    A no-PARTITION-BY ranking window plans ``Exchange SinglePartition``:
+    ONE task sorts the whole table at 100 TB. Decomposition (the
+    :func:`distributed_rank` recipe minus the partition key):
+
+      1. ``repartitionByRange`` over the order columns — each task owns
+         a contiguous global slice of ~n/n_slices rows,
+      2. per-slice local ``row_number`` (task-local sort),
+      3. per-slice COUNTS only (n_slices tiny rows) collected into
+         broadcast prefix offsets; global rn = prefix + local rn.
+
+    The caller must pass a TIE-FREE order (append a unique key):
+    duplicate keys may straddle a slice boundary and would receive
+    sampler-dependent numbers. The slice tagging is pinned with an
+    eager localCheckpoint so the counts job and the output agree on
+    slice ids (the distributed_rank lesson). Returns
+    ``(df + rn [long], total_count)`` — the total rides along free
+    from the counts pass.
+    """
+    from pyspark.sql import Window as W
+
+    spark = df.sparkSession
+    if n_slices is None:
+        n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    tagged = (
+        df.repartitionByRange(n_slices, *[F.col(c) for c in order_cols])
+        .withColumn("__pid", F.spark_partition_id())
+        .localCheckpoint(eager=True)
+    )
+    counts = sorted(
+        tagged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
+    )
+    offs, acc = [], 0
+    for r in counts:
+        offs.append((int(r["__pid"]), acc))
+        acc += int(r["count"])
+    offs_df = spark.createDataFrame(offs, "__opid INT, __off BIGINT")
+    lw = W.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    out = (
+        tagged.withColumn("__lrn", F.row_number().over(lw))
+        .join(F.broadcast(offs_df), F.col("__pid") == F.col("__opid"))
+        .withColumn("rn", (F.col("__off") + F.col("__lrn")).cast("long"))
+        .drop("__pid", "__opid", "__off", "__lrn")
+    )
+    return out, acc
+
+
+def ntile_from_rn(rn: Column, n_total: int, k: int) -> Column:
+    """``NTILE(k)`` from a global row number: the first ``n % k``
+    buckets carry ``n // k + 1`` rows (SQL standard / SQLite
+    ntileValueFunc). Pure integer arithmetic over the
+    :func:`global_row_number` output — no window, no shuffle. The
+    ``div`` operator keeps it integer-exact at any n (no double
+    rounding near bucket boundaries)."""
+    base, rem = divmod(n_total, k)
+    cut = rem * (base + 1)
+    r0 = rn - F.lit(1)
+
+    # integer-exact floor division: (a - a % d) / d — a - a%d is an
+    # exact multiple, so the IEEE division is exact
+    def _idiv(a: Column, d: int) -> Column:
+        return ((a - F.pmod(a, F.lit(d))) / F.lit(d)).cast("bigint")
+
+    if base == 0:
+        return rn.cast("bigint")
+    return (
+        F.when(rn <= F.lit(cut), _idiv(r0, base + 1) + F.lit(1))
+        .otherwise(F.lit(rem) + _idiv(r0 - F.lit(cut), base) + F.lit(1))
+        .cast("bigint")
+    )
+
+
+def broadcast_dense_rank(df: DataFrame, col: str, out: str = "dr") -> DataFrame:
+    """``DENSE_RANK() OVER (ORDER BY col)`` for a LOW-CARDINALITY key
+    without any window: dense rank depends only on the key's distinct
+    values, so collect them (bounded by the low-cardinality contract —
+    the distributed_rank posture), rank them driver-side, and
+    broadcast-join the tiny rank table back. NULLs rank first (Spark
+    ASC default); callers with NULL keys get the plain-window
+    semantics via the null-safe join."""
+    spark = df.sparkSession
+    vals = [r[0] for r in df.select(col).distinct().collect()]
+    vals.sort(key=lambda v: (v is not None, v))
+    field = next(f for f in df.schema.fields if f.name == col)
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("__dval", field.dataType),
+            T.StructField(out, T.LongType()),
+        ]
+    )
+    ranks = spark.createDataFrame(
+        [(v, i + 1) for i, v in enumerate(vals)], schema
+    )
+    return df.join(
+        F.broadcast(ranks), F.col(col).eqNullSafe(F.col("__dval"))
+    ).drop("__dval")

@@ -352,11 +352,8 @@ sql_query(
     tags=("window",),
 )
 
-sql_query(
+@register(
     "b5e_ntile_dense_rank",
-    "SELECT o_orderkey, CAST(NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS BIGINT) AS q4, "
-    "CAST(DENSE_RANK() OVER (ORDER BY o_orderpriority) AS BIGINT) AS dr "
-    "FROM orders ORDER BY o_orderkey",
     oracle=(
         "SELECT o_orderkey, NTILE(4) OVER (ORDER BY o_totalprice, o_orderkey) AS q4, "
         "DENSE_RANK() OVER (ORDER BY o_orderpriority) AS dr "
@@ -364,6 +361,43 @@ sql_query(
     ),
     tags=("window",),
 )
+def b5e_ntile_dense_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global-order ranking windows WITHOUT the single-task sort (r12,
+    verdict #4). ``NTILE(4) OVER (ORDER BY ...)`` with no PARTITION BY
+    plans ``Exchange SinglePartition`` — one task sorts the whole table
+    at 100 TB. Scale-safe decomposition, value-identical to the window
+    forms (oracled against DuckDB's native NTILE/DENSE_RANK):
+
+    - NTILE: :func:`global_row_number` (range-partition + per-slice
+      row_number + broadcast prefix offsets; the (price, orderkey)
+      order is tie-free) then :func:`ntile_from_rn` pure arithmetic —
+      the first n%4 buckets carry one extra row, integer-exact.
+    - DENSE_RANK over a low-cardinality key depends only on the
+      distinct values: :func:`broadcast_dense_rank` ranks the ~5
+      priorities driver-side and broadcast-joins them back.
+    """
+    from pyspark.sql import functions as F
+
+    from dust_spark.operators.skew import (
+        broadcast_dense_rank,
+        global_row_number,
+        ntile_from_rn,
+    )
+
+    register_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey", "o_totalprice", "o_orderpriority"
+    )
+    numbered, n = global_row_number(o, ["o_totalprice", "o_orderkey"])
+    return (
+        broadcast_dense_rank(numbered, "o_orderpriority", out="dr")
+        .select(
+            "o_orderkey",
+            ntile_from_rn(F.col("rn"), n, 4).alias("q4"),
+            "dr",
+        )
+        .orderBy("o_orderkey")
+    )
 
 sql_query(
     "b5f_range_frame",

@@ -3471,6 +3471,132 @@ def diversity_keep_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ops.diversity_keep(_emb(spark, sf_dir), k_clusters=8, iterations=2)
 
 
+# Gated diversity keep (r12, verdict #3): the same operator with the
+# hierarchical-assignment scale gate FORCED on (k=16 > coarse_gate=8 →
+# √k=4 coarse groups, 2 probes). The oracle replays the whole two-level
+# pipeline: fine Lloyd (16 clusters, 2 iterations), coarse Lloyd over
+# the 16 fine centroids (4 groups, 2 iterations), vector→coarse top-2
+# probe, in-list fine argmin, per-cluster keep-5 — every argmin ties on
+# (d, id), every centroid ROUND(6), every fold in array order, so the
+# DuckDB replay is bit-exact.
+_DIVERSITY_GATED_ORACLE = """
+WITH base AS (
+  SELECT vec_id AS vid, CAST(embedding AS DOUBLE[]) AS v FROM embeddings
+),
+c0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cid, v AS c
+  FROM (SELECT vid, v FROM base ORDER BY vid LIMIT 16)
+),
+d1 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b, c0 c
+),
+a1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM d1) WHERE rn = 1
+),
+m1 AS (
+  SELECT a1.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.v[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM a1 JOIN base b USING (vid), (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY a1.cid, t.i
+),
+c1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM m1 GROUP BY cid),
+gb AS (SELECT cid AS vid, c AS v FROM c1),
+g0 AS (
+  SELECT row_number() OVER (ORDER BY vid) AS cid, v AS c
+  FROM (SELECT vid, v FROM gb ORDER BY vid LIMIT 4)
+),
+gd1 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM gb b, g0 c
+),
+ga1 AS (
+  SELECT vid, cid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM gd1) WHERE rn = 1
+),
+gm1 AS (
+  SELECT ga1.cid, t.i AS dim,
+         ROUND(CAST(SUM(CAST(b.v[t.i] AS DECIMAL(25,12))) AS DOUBLE) / COUNT(*), 6) AS m
+  FROM ga1 JOIN gb b USING (vid), (SELECT unnest(range(1, 65)) AS i) t
+  GROUP BY ga1.cid, t.i
+),
+gc1 AS (SELECT cid, list(m ORDER BY dim) AS c FROM gm1 GROUP BY cid),
+gd2 AS (
+  SELECT b.vid, c.cid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM gb b, gc1 c
+),
+ga2 AS (
+  SELECT vid AS fcid, cid AS gid FROM (
+    SELECT vid, cid, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM gd2) WHERE rn = 1
+),
+pd AS (
+  SELECT b.vid, c.cid AS gid,
+         list_sum(list_transform(list_zip(b.v, c.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM base b,
+       (SELECT g.* FROM gc1 g WHERE g.cid IN (SELECT DISTINCT gid FROM ga2)) c
+),
+pr AS (
+  SELECT vid, gid FROM (
+    SELECT vid, gid, row_number() OVER (PARTITION BY vid ORDER BY d, gid) AS rn
+    FROM pd) WHERE rn <= 2
+),
+fd AS (
+  SELECT p.vid, f.fcid AS cid,
+         list_sum(list_transform(list_zip(b.v, c1.c),
+            x -> (x[1] - x[2]) * (x[1] - x[2]))) AS d
+  FROM pr p
+  JOIN ga2 f ON p.gid = f.gid
+  JOIN c1 ON c1.cid = f.fcid
+  JOIN base b ON b.vid = p.vid
+),
+a2 AS (
+  SELECT vid, cid, d FROM (
+    SELECT vid, cid, d, row_number() OVER (PARTITION BY vid ORDER BY d, cid) AS rn
+    FROM fd) WHERE rn = 1
+),
+r AS (
+  SELECT vid, CAST(cid AS BIGINT) AS cid, ROUND(d, 6) AS dist,
+         CAST(row_number() OVER (
+           PARTITION BY cid ORDER BY ROUND(d, 6) DESC, vid) AS BIGINT) AS rn
+  FROM a2
+)
+SELECT vid AS vec_id, cid, dist, rn
+FROM r WHERE rn <= 5 ORDER BY cid, rn
+"""
+
+
+@register(
+    "c9r_diversity_keep_gated",
+    oracle=_DIVERSITY_GATED_ORACLE,
+    tags=("tierc", "similarity", "sampling"),
+)
+def diversity_keep_gated_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """diversity_keep with the hierarchical-assignment scale gate forced
+    on: vectors probe 2 of 4 coarse groups and argmin only over in-list
+    fine centroids — per-row assignment cost √k·(1+probes) instead of k
+    (the O(n·k) fix the r11 verdict asked for). Hard-oracled: the DuckDB
+    replay runs the full two-level pipeline."""
+    return ops.diversity_keep(
+        _emb(spark, sf_dir),
+        k_clusters=16,
+        iterations=2,
+        keep_per_cluster=5,
+        coarse_gate=8,
+        n_probe=2,
+    )
+
+
 # Model-based quality scoring (r11): fasttext-style hashed-bag linear
 # classifier (deterministic portable pseudo-weights standing in for a
 # trained table — the plumbing is identical). Bucket counts integer,

@@ -1458,3 +1458,90 @@ def test_rolling_zscore_constant_series_emits_null(spark):
     out = ops.rolling_zscore(spark.createDataFrame(rows)).collect()
     assert len(out) == 12
     assert all(r.z is None for r in out)
+
+
+# ---------------------------------------------------------------------------
+# r12: global-order window decomposition (the b5e de-weak) + the
+# diversity-keep hierarchical assignment gate
+# ---------------------------------------------------------------------------
+
+
+def test_global_row_number_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from dust_spark.operators.skew import global_row_number
+
+    df = spark.range(0, 997).select(
+        ((F.col("id") * 37) % 1000).alias("a"), F.col("id").alias("k")
+    )
+    out, n = global_row_number(df, ["a", "k"], n_slices=8)
+    assert n == 997
+    want = df.withColumn(
+        "rn", F.row_number().over(W.orderBy("a", "k")).cast("long")
+    )
+    assert out.join(want, ["a", "k", "rn"]).count() == 997
+
+
+def test_ntile_from_rn_matches_window_ntile(spark):
+    from pyspark.sql import Window as W
+
+    from dust_spark.operators.skew import global_row_number, ntile_from_rn
+
+    for n_rows, k in [(997, 4), (12, 5), (3, 7), (1000, 10)]:
+        df = spark.range(0, n_rows).select(
+            ((F.col("id") * 13) % 4096).alias("a"), F.col("id").alias("kk")
+        )
+        out, n = global_row_number(df, ["a", "kk"], n_slices=6)
+        got = out.select("a", "kk", ntile_from_rn(F.col("rn"), n, k).alias("q"))
+        want = df.select(
+            "a", "kk", F.ntile(k).over(W.orderBy("a", "kk")).cast("bigint").alias("q")
+        )
+        assert got.join(want, ["a", "kk", "q"]).count() == n_rows, (n_rows, k)
+
+
+def test_broadcast_dense_rank_matches_window(spark):
+    from pyspark.sql import Window as W
+
+    from dust_spark.operators.skew import broadcast_dense_rank
+
+    df = spark.range(0, 500).select(
+        (F.col("id") % 7).cast("string").alias("g"), F.col("id").alias("k")
+    )
+    got = broadcast_dense_rank(df, "g", out="dr")
+    want = df.withColumn("dr", F.dense_rank().over(W.orderBy("g")).cast("long"))
+    assert got.join(want, ["g", "k", "dr"]).count() == 500
+
+
+def test_gated_argmin_probe_all_equals_flat(spark):
+    """With n_probe == n_coarse (probe every coarse group) the gated
+    assignment must EQUAL the flat argmin exactly — the gate only
+    prunes, it never rescores."""
+    from dust_spark.operators.similarity import _gated_argmin, _portable_lloyd
+
+    emb = (
+        spark.range(0, 120)
+        .select(
+            F.col("id").alias("vid"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(8)),
+                lambda j: ((F.col("id") * 7 + j * 13) % 17).cast("double") / 17.0,
+            ).alias("v"),
+        )
+    )
+    _, cents = _portable_lloyd(emb, 12, 2)
+    flat = (
+        emb.join(F.broadcast(cents))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        .groupBy("vid")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vid", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+    gated = _gated_argmin(emb, cents, n_coarse=3, n_probe=3)
+    assert gated.join(flat, ["vid", "cid", "d"]).count() == 120

@@ -283,3 +283,16 @@ def test_new_r11_tierc_plan_shapes(spark):
     p = plans.formatted_plan(QUERIES["c9n_dsir_resample"].fn(spark, SF_DIR))
     assert "TakeOrderedAndProject" in p
     assert "BroadcastExchange" in p  # lambda ratio table broadcasts
+
+
+def test_b5e_no_single_partition_window(spark):
+    """r12 (verdict #4): the global-order ranking query must NOT plan
+    the single-task window sort — NTILE decomposes through
+    global_row_number (range partition + broadcast prefix offsets) and
+    DENSE_RANK through the broadcast rank table. The only remaining
+    global exchange is the final presentation ORDER BY, which is range
+    partitioning, not SinglePartition."""
+    df = QUERIES["b5e_ntile_dense_rank"].fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "Exchange SinglePartition" not in p, p
+    assert "BroadcastExchange" in p  # offsets + dense-rank tables

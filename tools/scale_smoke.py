@@ -472,9 +472,41 @@ def main() -> None:
             ("bm25_topk", lambda: ops.bm25_topk(docs, k=20)),
             ("length_buckets", lambda: ops.length_bucket_batches(docs)),
             ("model_quality", lambda: ops.model_quality_score(docs)),
+            # flat assignment pinned (coarse_gate=None): the documented
+            # O(n·k) = O(n²) curve the r12 gate exists to fix
             (
                 "diversity_keep",
-                lambda: ops.diversity_keep(emb, k_clusters=8 * k, iterations=2),
+                lambda: ops.diversity_keep(
+                    emb, k_clusters=8 * k, iterations=2, coarse_gate=None
+                ),
+            ),
+            # r12 scale gate, k ∝ n: hierarchical assignment through √k
+            # coarse lists (per-row cost √k·(1+probes) instead of k →
+            # n^1.5 total) + bounded training sample (training ∝ n, not
+            # n²). The verdict-#3 fix, measured against the flat curve.
+            (
+                "diversity_keep_gated",
+                lambda: ops.diversity_keep(
+                    emb,
+                    k_clusters=8 * k,
+                    iterations=2,
+                    coarse_gate=0,
+                    train_sample=4096,
+                ),
+            ),
+            # the cap-k alternative: cluster count FIXED, keep budget
+            # scaled instead — strictly linear CPU in n (the ≤linear
+            # smoke the verdict asks for)
+            (
+                "diversity_keep_capk",
+                lambda: ops.diversity_keep(
+                    emb,
+                    k_clusters=64,
+                    iterations=2,
+                    keep_per_cluster=10 * k,
+                    coarse_gate=None,
+                    train_sample=4096,
+                ),
             ),
             # r11 third wave: bigram LM (two hash joins on 8-byte gram
             # keys) and temperature mixing (count agg + broadcast
