@@ -1410,6 +1410,26 @@ def try_static_compound(sql: str):
                 "the same number of result columns"
             )
     # trailing ORDER BY / LIMIT
+    got_tail = parse_compound_tail(tail, names, ncols)
+    if got_tail is None:
+        return None
+    order_terms, limit, offset = got_tail
+    arm_vals = [[[v for v, _ in items]] for _, items in parsed_arms]
+    ops_seq = [op for op, _ in parsed_arms[1:]]
+    rows = combine_compound_rows(arm_vals, ops_seq, order_terms, ncols)
+    if offset > 0:
+        rows = rows[offset:]
+    if limit is not None and limit >= 0:
+        rows = rows[:limit]
+    return (names, rows)
+
+
+def parse_compound_tail(tail: str, names: list[str], ncols: int):
+    """Parse a compound's trailing ``ORDER BY ... LIMIT ... OFFSET``
+    text into (order_terms, limit, offset) with SQLite's exact error
+    strings for bad ordinals/aliases; None when the tail has a shape
+    this model doesn't cover (expression order terms, non-integer
+    limits)."""
     tail = tail.strip().rstrip(";").strip()
     order_terms: list[tuple[int, bool]] = []
     limit = None
@@ -1460,8 +1480,21 @@ def try_static_compound(sql: str):
             else:
                 limit = a
                 offset = int(lm.group(2)) if lm.group(2) is not None else 0
-    arm_vals = [[v for v, _ in items] for _, items in parsed_arms]
-    ops_seq = [op for op, _ in parsed_arms[1:]]
+    return (order_terms, limit, offset)
+
+
+def combine_compound_rows(
+    arm_rows: list[list[list]],
+    ops_seq: list[str],
+    order_terms: list[tuple[int, bool]],
+    ncols: int,
+) -> list[list]:
+    """SQLite's compound-combination semantics over MULTI-ROW arms
+    (r12 generalization of the r11 single-literal-row machinery; the
+    multi-row representative rules probed identical — in-arm duplicates
+    take the b-tree last-wins / merge first-of-sorted-run rules like
+    cross-arm ones, and merge-plan arms sort stably by the stage key).
+    ``arm_rows[i]`` is arm i's rows in its scan order."""
     if order_terms:
         # ORDER BY compounds take SQLite's multiSelectOrderBy MERGE
         # plan (probed r11 — DIFFERENT representatives than the
@@ -1495,10 +1528,21 @@ def try_static_compound(sql: str):
                     return -1 if desc else 1
             return 0
 
-        stream = [arm_vals[0]]
-        for si, (op, row_b) in enumerate(zip(ops_seq, arm_vals[1:])):
+        def ksort(key, rows_):
+            # each stage sorts its input stream by the stage key
+            # (STABLE — ties keep scan order, which picks the
+            # first-of-equal-run representative, probed)
+            import functools
+
+            return sorted(rows_, key=functools.cmp_to_key(
+                lambda a, b: kcmp(key, a, b)
+            ))
+
+        key0 = order_terms + (missing if (dedup_right[0] if ops_seq else False) else [])
+        stream = ksort(key0, arm_rows[0])
+        for si, (op, rows_b) in enumerate(zip(ops_seq, arm_rows[1:])):
             key = order_terms + (missing if dedup_right[si] else [])
-            A, B = stream, [row_b]
+            A, B = stream, ksort(key, rows_b)
             out: list[list] = []
             prev: list | None = None
 
@@ -1562,28 +1606,26 @@ def try_static_compound(sql: str):
     else:
         # no ORDER BY: the ephemeral-b-tree plan — left-assoc fold,
         # UNION insert REPLACES (last duplicate's representative
-        # survives), sorted output
-        rows = [arm_vals[0]]
-        for op, row in zip(ops_seq, arm_vals[1:]):
+        # survives, in-arm duplicates included — probed), sorted output
+        rows = list(arm_rows[0])
+        for op, rows_b in zip(ops_seq, arm_rows[1:]):
             if op == "UNION ALL":
-                rows.append(row)
+                rows.extend(rows_b)
                 continue
             dd: dict = {}
             for r in rows:
                 dd[_compound_row_key(r)] = r
-            k = _compound_row_key(row)
             if op == "UNION":
-                dd[k] = row
+                for r in rows_b:
+                    dd[_compound_row_key(r)] = r
             elif op == "INTERSECT":
-                dd = {k: dd[k]} if k in dd else {}
+                bkeys = {_compound_row_key(r) for r in rows_b}
+                dd = {k_: v for k_, v in dd.items() if k_ in bkeys}
             else:  # EXCEPT
-                dd.pop(k, None)
+                for r in rows_b:
+                    dd.pop(_compound_row_key(r), None)
             rows = [dd[key] for key in sorted(dd)]
-    if offset > 0:
-        rows = rows[offset:]
-    if limit is not None and limit >= 0:
-        rows = rows[:limit]
-    return (names, rows)
+    return rows
 
 
 # --------------------------------------------------------------------------
@@ -1780,6 +1822,188 @@ def escape_raw_literals(sql: str) -> str:
                 in_str = True
         i += 1
     return "".join(out)
+
+
+# --------------------------------------------------------------------------
+# LIMIT / OFFSET expressions (r12, verdict #5 — new machine position).
+# SQLite evaluates the LIMIT/OFFSET expression once, then applies
+# OP_MustBeInt: INTEGER passes; REAL converts iff exactly integral and
+# int64-representable; TEXT must FULLY parse as a number (sqlite3AtoF —
+# whitespace trimmed, no hex, no 'inf') and then convert the same way;
+# NULL/BLOB/non-integral anything → 'datatype mismatch'. Negative LIMIT
+# = unlimited, negative OFFSET = 0 (both probed). Spark instead demands
+# a foldable integral literal (INVALID_LIMIT_LIKE_EXPRESSION), so every
+# static expression is evaluated here and replaced by its integer;
+# non-static expressions (parameters, scalar subqueries) pass through.
+# --------------------------------------------------------------------------
+
+_LIMIT_NUM_TEXT_RE = re.compile(
+    r"^[ \t\r\n\f\v]*[-+]?(?:\d+(?:\.\d*)?|\.\d+)(?:[eE][-+]?\d+)?[ \t\r\n\f\v]*$"
+)
+
+
+def _sqlite_limit_int(v) -> int:
+    """OP_MustBeInt over a Python cell value; raises
+    ValueError('datatype mismatch') exactly where SQLite does."""
+    if isinstance(v, bool):
+        return int(v)
+    if isinstance(v, int):
+        if -(2**63) <= v < 2**63:
+            return v
+        raise ValueError("datatype mismatch")
+    if isinstance(v, float):
+        if v == v and -(2**63) <= v < 2**63 and float(int(v)) == v:
+            return int(v)
+        raise ValueError("datatype mismatch")
+    if isinstance(v, str):
+        if not _LIMIT_NUM_TEXT_RE.match(v):
+            raise ValueError("datatype mismatch")
+        s = v.strip()
+        if re.fullmatch(r"[-+]?\d+", s):
+            iv = int(s)
+            if -(2**63) <= iv < 2**63:
+                return iv
+            # SQLite: integer text past int64 converts to REAL first
+            return _sqlite_limit_int(float(s))
+        return _sqlite_limit_int(float(s))
+    raise ValueError("datatype mismatch")  # NULL / blob
+
+
+def _limit_expr_value(text: str):
+    """Static value of a LIMIT/OFFSET expression via the compound-item
+    folder (literals + constant arithmetic chains), or None when the
+    expression isn't statically evaluable (column ref, ?, subquery)."""
+    t = text.strip()
+    if not t or "?" in t:
+        return None
+    got = _parse_compound_item(t)
+    if got is None:
+        return None
+    return _sqlite_limit_int(got[0])
+
+
+_LIMIT_KW_RE = re.compile(r"\bLIMIT\b", re.I)
+_OFFSET_KW_RE = re.compile(r"^OFFSET\b", re.I)
+
+
+def rewrite_limit_offset(sql: str) -> str:
+    """Normalize every statically-evaluable LIMIT/OFFSET expression to
+    its SQLite integer (raising 'datatype mismatch' where SQLite does):
+    ``LIMIT '2'`` → ``LIMIT 2``, ``LIMIT '9e1' % 4`` → ``LIMIT 1``,
+    ``LIMIT 2.5`` → error. The MySQL comma form normalizes to
+    LIMIT/OFFSET when both parts are static. Unlimited renders as
+    ``LIMIT -1`` (stripped later by the negative-LIMIT rule); negative
+    OFFSET renders 0. Applied ONCE at the read-path entry (like
+    escape_raw_literals — fragments re-entering rewrite_sqlite_fns
+    must not re-run it, though the output is idempotent anyway)."""
+    if not _LIMIT_KW_RE.search(sql):
+        return sql
+
+    def _expr_end(s: str, j: int, allow_comma: bool):
+        """End of a limit expression starting at j: the first top-level
+        ',' (comma form), 'OFFSET', ';', or a ')' that closes an
+        enclosing scope. Returns (end, stop) with stop in
+        {'comma', 'offset', 'end'}."""
+        depth, in_str, i, n = 0, None, j, len(s)
+        while i < n:
+            ch = s[i]
+            if in_str:
+                if ch == in_str:
+                    if in_str == "'" and i + 1 < n and s[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_str = None
+            elif ch in ("'", '"', "`"):
+                in_str = ch
+            elif ch == "(":
+                depth += 1
+            elif ch == ")":
+                if depth == 0:
+                    return i, "end"
+                depth -= 1
+            elif depth == 0:
+                if ch == ";":
+                    return i, "end"
+                if ch == "," and allow_comma:
+                    return i, "comma"
+                if ch in "Oo" and not (i > 0 and (s[i - 1].isalnum() or s[i - 1] == "_")):
+                    if _OFFSET_KW_RE.match(s[i : i + 6]) and not (
+                        i + 6 < n and (s[i + 6].isalnum() or s[i + 6] == "_")
+                    ):
+                        return i, "offset"
+            i += 1
+        return n, "end"
+
+    out, pos, n = [], 0, len(sql)
+    while True:
+        m = None
+        # find the next LIMIT keyword outside quoted regions
+        i, in_str = pos, None
+        while i < n:
+            ch = sql[i]
+            if in_str:
+                if ch == in_str:
+                    if in_str == "'" and i + 1 < n and sql[i + 1] == "'":
+                        i += 2
+                        continue
+                    in_str = None
+            elif ch in ("'", '"', "`"):
+                in_str = ch
+            elif ch in "Ll" and not (i > 0 and (sql[i - 1].isalnum() or sql[i - 1] == "_")):
+                if re.match(r"LIMIT\b", sql[i:], re.I):
+                    m = i
+                    break
+            i += 1
+        if m is None:
+            out.append(sql[pos:])
+            return "".join(out)
+        j = m + 5
+        e1_end, stop = _expr_end(sql, j, allow_comma=True)
+        e1 = sql[j:e1_end]
+        if stop == "comma":
+            # MySQL form: LIMIT offset, count — the COUNT is the limit,
+            # and a ZERO limit short-circuits before the offset is ever
+            # evaluated (probed: LIMIT 'abc', 0 returns [] with no
+            # error), so evaluate the count first
+            e2_end, _ = _expr_end(sql, e1_end + 1, allow_comma=False)
+            e2 = sql[e1_end + 1 : e2_end]
+            lim_v = _limit_expr_value(e2)
+            if lim_v == 0:
+                out.append(sql[pos:m] + "LIMIT 0 ")
+                pos = e2_end
+                continue
+            off_v = _limit_expr_value(e1)
+            if off_v is None or lim_v is None:
+                out.append(sql[pos:e2_end])
+                pos = e2_end
+                continue
+            lim_txt = str(lim_v) if -(2**31) < lim_v <= 2**31 - 1 else "-1"
+            off_txt = str(max(0, min(off_v, 2**31 - 1)))
+            out.append(sql[pos:m] + f"LIMIT {lim_txt} OFFSET {off_txt} ")
+            pos = e2_end
+            continue
+        lim_v = _limit_expr_value(e1)
+        if lim_v is not None:
+            lim_txt = str(lim_v) if -(2**31) < lim_v <= 2**31 - 1 else "-1"
+            out.append(sql[pos:m] + f"LIMIT {lim_txt} ")
+            pos = e1_end
+        else:
+            out.append(sql[pos:e1_end])
+            pos = e1_end
+        if stop == "offset":
+            j2 = e1_end + 6
+            e2_end, _ = _expr_end(sql, j2, allow_comma=False)
+            if lim_v == 0:
+                # LIMIT 0 short-circuits: the offset expression is
+                # never evaluated, so a 'datatype mismatch' there must
+                # NOT surface (probed) — drop the clause entirely
+                pos = e2_end
+                continue
+            off_v = _limit_expr_value(sql[j2:e2_end])
+            if off_v is not None:
+                off_txt = str(max(0, min(off_v, 2**31 - 1)))
+                out.append(f"OFFSET {off_txt} ")
+                pos = e2_end
 
 
 _AGG_CALL_RE = re.compile(
@@ -4347,6 +4571,210 @@ _SAFE_AFTER_WORDS = {
 }
 
 
+# --------------------------------------------------------------------------
+# IN-list member affinity (r12, verdict #5). SQLite applies the LHS's
+# comparison affinity to EVERY member of an IN list, exactly as it does
+# to the RHS of '=' (datatype3.html §4.2; probed r12: i IN ('9', 0.0)
+# matches i=9 and i=0, tx IN (7) matches tx='7', id IN (1.0,'2',X'33')
+# mixes freely). Spark instead least-common-types the whole list and
+# errors outright on BLOB mixes. Expanding a literal-member list into an
+# OR chain of equalities hands each member to the existing
+# comparison-affinity machinery (_try_fold_compare + the chain frags) —
+# identical three-valued semantics (x IN (a,b) ≡ x=a OR x=b, NOT IN ≡
+# NOT(...)). Subquery forms, table forms (IN t), empty lists and
+# nondeterministic LHS (random()) pass through untouched. When the
+# left neighbor of the operand is a same-precedence operator
+# (= IS LIKE BETWEEN IN ...), SQLite binds LEFT ((x = y) IN (...)) —
+# those shapes pass through rather than risk a wrong extent.
+# --------------------------------------------------------------------------
+
+_IN_STOP_WORDS = {
+    "select", "where", "and", "or", "not", "when", "then", "else", "on",
+    "having", "by", "case", "set", "from", "join", "between", "like",
+    "escape", "limit", "offset", "union", "intersect", "except", "values",
+    "group", "order", "distinct", "all", "as", "is", "in", "end", "exists",
+    "collate", "asc", "desc", "glob", "match", "regexp", "cross", "inner",
+    "left", "right", "full", "natural", "using", "returning",
+}
+_IN_LHS_BAIL_PREV = {
+    "=", "==", "!=", "<>", "<", "<=", ">", ">=", "<<", ">>", "&", "|",
+    "is", "like", "glob", "match", "regexp", "between", "in", "escape",
+    "isnull", "notnull",
+}
+_IN_UNARY_OPENERS = _SAFE_BEFORE_WORDS | {"in", "like", "between", "is", "escape"}
+
+
+def _in_prim_start(toks, i: int):
+    """Start token index of one primary ending at exclusive ``i``
+    (paren group with optional call head, literal, or dotted
+    identifier chain); None when toks[i-1] can't end a primary."""
+    if i <= 0:
+        return None
+    t = toks[i - 1]
+    if t[1] == ")":
+        depth, j = 0, i
+        while j > 0:
+            j -= 1
+            if toks[j][1] == ")":
+                depth += 1
+            elif toks[j][1] == "(":
+                depth -= 1
+                if depth == 0:
+                    break
+        if depth != 0:
+            return None
+        if (
+            j > 0
+            and toks[j - 1][0] in ("word", "qid")
+            and not (toks[j - 1][0] == "word" and toks[j - 1][1].lower() in _IN_STOP_WORDS)
+        ):
+            j -= 1
+        start = j
+    elif t[0] in ("num", "str", "blob", "qid") or (
+        t[0] == "word" and t[1].lower() not in _IN_STOP_WORDS
+    ):
+        start = i - 1
+    else:
+        return None
+    while start >= 2 and toks[start - 1][1] == "." and toks[start - 2][0] in ("word", "qid"):
+        start -= 2
+    return start
+
+
+def _in_lhs_start(toks, end: int):
+    """Token index where an IN operand starts: primaries joined by
+    binary + - * / % div || with unary-sign runs resolved by the
+    value-ending-token rule (the r9 leading-sign discipline). None
+    when no valid operand ends at ``end``."""
+    start = _in_prim_start(toks, end)
+    if start is None:
+        return None
+    while start > 0:
+        p = toks[start - 1]
+        pv = p[1].lower() if p[0] == "word" else p[1]
+        if pv in ("*", "/", "%", "div", "||"):
+            s2 = _in_prim_start(toks, start - 1)
+            if s2 is None:
+                return None
+            start = s2
+        elif pv in ("+", "-"):
+            r = start - 1
+            while r > 0 and toks[r - 1][1] in ("+", "-"):
+                r -= 1
+            if r == 0:
+                return r
+            before = toks[r - 1]
+            bv = before[1].lower() if before[0] == "word" else before[1]
+            value_ending = (
+                before[0] in ("num", "str", "blob", "qid")
+                or bv == ")"
+                or (before[0] == "word" and bv not in _IN_UNARY_OPENERS)
+            )
+            if value_ending:
+                # leftmost sign is a binary op — absorb it + the
+                # primary that ends right before it (exclusive r)
+                s2 = _in_prim_start(toks, r)
+                if s2 is None:
+                    return None
+                start = s2
+            else:
+                return r  # all signs unary: they belong to the operand
+        else:
+            break
+    return start
+
+
+def _expand_in_lists(sql: str) -> str:
+    """Expand ``lhs [NOT] IN (m1, m2, ...)`` with literal/expression
+    members into the equivalent OR chain (see block comment above).
+    Runs to fixpoint so nested IN lists inside members expand too."""
+    for _ in range(5):
+        if not re.search(r"\bIN\s*\(", sql, re.I):
+            return sql
+        toks = _typed_tokenize(sql)
+        if toks is None:
+            return sql
+        n = len(toks)
+        edits: list[tuple[int, int, str]] = []
+        claimed: list[tuple[int, int]] = []
+        for idx in range(n):
+            t = toks[idx]
+            if t[0] != "word" or t[1].lower() != "in":
+                continue
+            if idx + 1 >= n or toks[idx + 1][1] != "(":
+                continue
+            depth, close = 0, None
+            for j in range(idx + 1, n):
+                v = toks[j][1]
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+            if close is None or close == idx + 2:
+                continue
+            bad = False
+            members: list[tuple[int, int]] = []
+            depth, mstart = 0, idx + 2
+            for j in range(idx + 2, close):
+                k, v = toks[j][0], toks[j][1]
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    depth -= 1
+                elif depth == 0 and v == ",":
+                    if j == mstart:
+                        bad = True
+                        break
+                    members.append((mstart, j))
+                    mstart = j + 1
+                elif k == "word" and v.lower() in ("select", "with", "values"):
+                    bad = True
+                    break
+            if bad or mstart >= close:
+                continue
+            members.append((mstart, close))
+            neg = (
+                idx > 0
+                and toks[idx - 1][0] == "word"
+                and toks[idx - 1][1].lower() == "not"
+            )
+            lhs_end = idx - 1 if neg else idx
+            lo = _in_lhs_start(toks, lhs_end)
+            if lo is None:
+                continue
+            prev = toks[lo - 1] if lo > 0 else None
+            if prev is not None:
+                pv = prev[1].lower() if prev[0] == "word" else prev[1]
+                if pv in _IN_LHS_BAIL_PREV:
+                    continue  # SQLite binds the operator chain left
+            s0, e0 = toks[lo][2], toks[close][3]
+            if any(not (e0 <= cs or s0 >= ce) for cs, ce in claimed):
+                continue  # inside an outer expansion this round
+            lhs_text = sql[toks[lo][2] : toks[lhs_end - 1][3]]
+            if re.search(r"\brandom", lhs_text, re.I):
+                continue  # must evaluate exactly once
+            # NO paren wrapping: both operands use only tighter-than-'='
+            # operators by construction (the extent grammar), and parens
+            # would hide bare columns / arithmetic chains from the
+            # affinity and chain rewrites (the I4 find)
+            parts = []
+            for ms, me in members:
+                mtext = sql[toks[ms][2] : toks[me - 1][3]]
+                parts.append(f"{lhs_text} = {mtext}")
+            ors = " OR ".join(parts)
+            rep = f"(NOT ({ors}))" if neg else f"({ors})"
+            edits.append((s0, e0, rep))
+            claimed.append((s0, e0))
+        if not edits:
+            return sql
+        for s, e, r in sorted(edits, reverse=True):
+            sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def _typed_tokenize(sql: str):
     """Token list [(kind, text, start, end)] with whitespace dropped, or
     None when the text contains something this pass must not touch
@@ -4398,6 +4826,97 @@ def _sqlite_arith_text_static(raw: str):
     if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
         return (True, str(int(p)), _real_literal(float(int(p))))
     return (False, None, _real_literal(_sqlite_text_to_real(raw)))
+
+
+def _sqlite_real_to_text(v: float) -> str:
+    """SQLite 3.40's %!.15g REAL→TEXT rendering, emulated bit-for-bit
+    INCLUDING its extended-precision digit pipeline (printf.c:
+    LONGDOUBLE_TYPE normalization loops, the arRound double rounder,
+    et_getdigit's 16-digit cap, rtz stripping with the '!' flag's
+    '.0' floor). glibc's correctly-rounded %.15g disagrees with that
+    pipeline in the LAST digit for near-half mantissas
+    (7.290279102206975e+159 → sqlite '…697', glibc '…698' — found by
+    the hypothesis renderer battery), so this follows the C code, not
+    libc. numpy.longdouble is the x87 80-bit type the C build uses.
+    Verified over the full float range (incl. subnormals) by
+    test_real_text_rendering_matches_sqlite."""
+    import numpy as np
+
+    ld = np.longdouble
+    neg = v < 0.0
+    rv = ld(-v if neg else v)
+    precision = 14  # %.15g: etGENERIC decrements once
+    ar = (5e-01, 5e-02, 5e-03, 5e-04, 5e-05, 5e-06, 5e-07, 5e-08, 5e-09, 5e-10)
+    idx = precision
+    rounder = ar[idx % 10]
+    while idx >= 10:
+        rounder *= 1.0e-10  # double arithmetic, like the C rounder
+        idx -= 10
+    exp = 0
+    if rv > 0:
+        scale = ld(1.0)
+        while rv >= ld(1e100) * scale and exp <= 350:
+            scale *= ld(1e100)
+            exp += 100
+        while rv >= ld(1e10) * scale and exp <= 350:
+            scale *= ld(1e10)
+            exp += 10
+        while rv >= ld(10.0) * scale and exp <= 350:
+            scale *= ld(10.0)
+            exp += 1
+        rv = rv / scale
+        while rv < ld(1e-8):
+            rv *= ld(1e8)
+            exp -= 8
+        while rv < ld(1.0):
+            rv *= ld(10.0)
+            exp -= 1
+        if exp > 350:
+            return "-Inf" if neg else "Inf"
+    rv = rv + ld(rounder)
+    if rv >= ld(10.0):
+        rv *= ld(0.1)
+        exp += 1
+    if exp < -4 or exp > precision:
+        is_exp = True
+    else:
+        is_exp = False
+        precision = precision - exp
+    e2 = 0 if is_exp else exp
+    nsd = 16
+
+    def _digit():
+        nonlocal rv, nsd
+        if nsd <= 0:
+            return "0"
+        nsd -= 1
+        d = int(rv)
+        rv = (rv - ld(d)) * ld(10.0)
+        return chr(d + 48)
+
+    out = ["-"] if neg else []
+    if e2 < 0:
+        out.append("0")
+    else:
+        for _ in range(e2 + 1):
+            out.append(_digit())
+    out.append(".")
+    e2 += 1
+    while e2 < 0:
+        out.append("0")
+        precision -= 1
+        e2 += 1
+    while precision > 0:
+        out.append(_digit())
+        precision -= 1
+    s = "".join(out).rstrip("0")
+    if s.endswith("."):
+        s += "0"
+    if is_exp:
+        sign = "+" if exp >= 0 else "-"
+        es = abs(exp)
+        s += f"e{sign}{es:02d}" if es < 100 else f"e{sign}{es}"
+    return s
 
 
 def _sqlite_text_to_real(s: str) -> float:
@@ -4780,21 +5299,21 @@ class _TypedPass:
             if cw is not None:
                 i = cw
                 continue
+            # cross-type comparison folding BEFORE the text-arith and
+            # chain passes — either would otherwise consume a left-hand
+            # arithmetic chain (`a*2 = '2x'`, `tx+1 = '1'`) and the
+            # comparison would never fold (r9 for _try_chain; r12 for
+            # _try_text_arith once mixed chains classed as numeric)
+            fold = self._try_fold_compare(i, hi)
+            if fold is not None:
+                i = fold
+                continue
             # TEXT/REAL-operand arithmetic → SQLite NUMERIC-affinity
             # rewrites (r9): prefix-converted division, int64-truncated %,
             # prefix-converted + - *
             tdiv = self._try_text_arith(i, hi)
             if tdiv is not None:
                 i = tdiv
-                continue
-            # cross-type comparison folding BEFORE the chain pass —
-            # _try_chain would otherwise consume a left-hand arithmetic
-            # chain (`a*2 = '2x'`) and the comparison would never fold
-            # (r9; _parse_operand bails on / % div chains, which fall
-            # through to _try_chain unchanged)
-            fold = self._try_fold_compare(i, hi)
-            if fold is not None:
-                i = fold
                 continue
             # static TEXT literal in an ARITHMETIC position → its
             # NUMERIC-prefix literal (r9 fourth wave: closes 3+-member
@@ -5554,6 +6073,7 @@ class _TypedPass:
             return None
         j, cls, pure = res
         classes = [cls]
+        members = [(i, j, cls, pure)]
         while j < hi:
             t = self.toks[j]
             opv = t[1].lower() if t[0] == "word" else t[1]
@@ -5565,6 +6085,7 @@ class _TypedPass:
                 res = self.parse_primary(j + 1, subs)
                 if res is None:
                     return None
+                members.append((j + 1, res[0], res[1], res[2]))
                 j, c2, p2 = res
                 classes.append(c2)
                 pure = pure and p2
@@ -5577,9 +6098,20 @@ class _TypedPass:
                 cls = _CLS_INT
             elif all(c in (_CLS_INT, _CLS_REAL) for c in classes):
                 cls = _CLS_REAL
+            elif all(
+                c in (_CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB) for c in classes
+            ):
+                # arithmetic numeric-converts TEXT/BLOB members, so a
+                # mixed chain is always numeric-or-NULL (storage rank
+                # 0); the INT/REAL split is runtime-dynamic but no
+                # rank-sensitive consumer needs it (r12 — tx+1 = '1'
+                # must storage-class fold). NULL-class members bail
+                # (a pure chain containing NULL is NULL, not a
+                # foldable constant).
+                cls = _CLS_REAL
             else:
                 return None
-        return (j, cls, pure)
+        return (j, cls, pure, members)
 
     def _try_fold_compare(self, i: int, hi: int):
         """Cross-storage-class comparison rewrites.
@@ -5604,7 +6136,7 @@ class _TypedPass:
         res = self._parse_operand(i, hi)
         if res is None:
             return None
-        j, lcls, lpure = res
+        j, lcls, lpure, lmem = res
         if j >= hi:
             return None
         op = toks[j][1]
@@ -5613,7 +6145,7 @@ class _TypedPass:
         res = self._parse_operand(j + 1, hi)
         if res is None:
             return None
-        k, rcls, rpure = res
+        k, rcls, rpure, rmem = res
         if k > hi:
             return None
         lr = _CLS_RANK.get(lcls)
@@ -5717,9 +6249,27 @@ class _TypedPass:
                 lit_tok = toks[lit_hi - 1]
                 raw = lit_tok[1][1:-1].replace("''", "'")
                 if _SQLITE_NUMERIC_TEXT.match(raw):
-                    return None  # converts: engine's numeric compare agrees
-        elif col_cls == _CLS_TEXT and lit_cls == _CLS_INT and col_is_col:
-            # rewrite the literal (sign tokens included) to its TEXT form
+                    # NUMERIC affinity converts the text — but NOT by
+                    # Spark's implicit cast to the column type, which
+                    # NULLs real-formed text against an INTEGER column
+                    # ('9e1' → bigint NULL; i NOT IN ('9e1') dropped
+                    # every row — r12 machine find). Rewrite to the
+                    # converted numeric literal: int-formed-and-fits →
+                    # INTEGER, else the exact REAL (incl. inf overflow).
+                    s_ = raw.strip()
+                    if re.fullmatch(r"[+-]?\d+", s_) and -(2**63) <= int(s_) < 2**63:
+                        num = str(int(s_))
+                    else:
+                        num = _real_literal(float(s_))
+                    self.edits.append((toks[lit_lo][2], toks[lit_hi - 1][3], num))
+                    return k
+        elif col_cls == _CLS_TEXT and lit_cls in (_CLS_INT, _CLS_REAL) and col_is_col:
+            # rewrite the literal (sign tokens included) to its TEXT
+            # form — INT via str(int), REAL via SQLite's exact %!.15g
+            # rendering (r12: the 'canonical-form mismatch risk' that
+            # used to skip REAL literals is closed by
+            # _sqlite_real_to_text; tx NOT IN (0.0) was the machine
+            # find — the member must compare as text '0.0')
             ts = toks[lit_lo:lit_hi]
             sign, idx = 1, 0
             while idx < len(ts) and ts[idx][1] in ("+", "-"):
@@ -5729,18 +6279,43 @@ class _TypedPass:
             if idx != len(ts) - 1 or ts[idx][0] != "num":
                 return None
             text = ts[idx][1]
-            try:
-                v = int(text, 16) if text.lower().startswith("0x") else int(text)
-            except ValueError:
-                return None
-            self.edits.append((ts[0][2], ts[-1][3], f"'{sign * v}'"))
+            if lit_cls == _CLS_INT:
+                try:
+                    v = int(text, 16) if text.lower().startswith("0x") else int(text)
+                except ValueError:
+                    return None
+                rep_lit = f"'{sign * v}'"
+            else:
+                t2 = text[:-1] if text[-1] in "dD" else text
+                try:
+                    fv = float(t2) * sign
+                except ValueError:
+                    return None
+                if math.isinf(fv) or fv != fv:
+                    return None  # overflow literals: documented divergence
+                rep_lit = "'" + _sqlite_real_to_text(fv) + "'"
+            self.edits.append((ts[0][2], ts[-1][3], rep_lit))
             return k
         else:
             return None  # TEXT col vs REAL literal etc.: leave alone
-        rep = (
-            f"(CASE WHEN ({col_text}) IS NULL THEN NULL "
-            f"ELSE {'TRUE' if val else 'FALSE'} END)"
-        )
+        # NULL guard on the impure MEMBERS, not the chain text: SQLite
+        # arithmetic is NULL iff some member is NULL (junk text converts
+        # to 0), while Spark would NULL the whole chain on junk — so
+        # `tx*2 >= 'a'` must guard (tx) IS NULL, never (tx*2) IS NULL
+        # (r12). For a bare column the guard degenerates to the old
+        # (col) IS NULL form.
+        col_mem = rmem if lpure else lmem
+        srcs = [
+            self.sql[toks[s][2] : toks[e - 1][3]]
+            for (s, e, _c, p_) in col_mem
+            if not p_
+        ]
+        const = "TRUE" if val else "FALSE"
+        if srcs:
+            cond = " OR ".join(f"({t_}) IS NULL" for t_ in srcs)
+            rep = f"(CASE WHEN {cond} THEN NULL ELSE {const} END)"
+        else:
+            rep = const
         self.edits.append((toks[i][2], toks[k - 1][3], rep))
         return k
 

@@ -315,3 +315,46 @@ def rolling_zscore(
         n.alias("n_obs"),
         z.alias("z"),
     )
+
+
+def rolling_median(
+    events: DataFrame,
+    window_rows: int = 10,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Exact rolling median over the trailing ``window_rows + 1``
+    observations per key (r12) — the robust-center complement of the
+    c7f rolling z-score (MAD-style anomaly pipelines start here).
+
+    Exactness contract: the frame is a ROWS window over the
+    deterministic (ts, value) order — the value tiebreak makes frames
+    with duplicate timestamps well-defined (equal-key ties swap only
+    equal values, so the frame MULTISET, and with it the median, is
+    unique). The even-count median interpolates (a+b)/2 — one IEEE add
+    and halving, bit-identical in Spark and DuckDB, so the exposed
+    ROUND(6) is belt-and-braces rather than load-bearing.
+
+    100 TB posture: ONE hash exchange on the high-cardinality key;
+    each partition sorts locally (not the b5f global-window smell);
+    the median is a bounded O(frame log frame) JVM-side sort per row.
+    """
+    from pyspark.sql import Window as W
+
+    base = events.select(
+        F.col(key_col).alias("k"),
+        F.unix_micros(F.col(ts_col)).alias("ts_us"),
+        F.col(value_col).cast("double").alias("v"),
+    )
+    w = W.partitionBy("k").orderBy("ts_us", "v").rowsBetween(-window_rows, 0)
+    # Spark's median/percentile aggregates reject window FRAMES
+    # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median
+    # is the exact array form: sort the bounded frame, pick/interpolate
+    # the middle — O(frame log frame) JVM-side, frame ≤ window_rows+1
+    arr = F.array_sort(F.collect_list("v").over(w))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return base.withColumn("med", F.round(med, 6)).orderBy("k", "ts_us", "v")

@@ -3877,3 +3877,172 @@ def modality_budget_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("media_type", "source")
     )
+
+
+# ---------------------------------------------------------------------------
+# r12: split leakage (train→eval contamination rate) and rolling median
+# ---------------------------------------------------------------------------
+
+# Train/val/test leakage report: label every document with the portable
+# hash split (the c9c bucket), build the train split's exact 8-gram set,
+# and report what fraction of each held-out split shares at least one
+# gram with train — the go/no-go leakage number a split design is judged
+# by. The oracle replays the bucket (char-Horner, Knuth scramble) and
+# the gram definition (c10a's) verbatim; the Spark side semi-joins
+# 8-byte gram hashes (c10a's collision posture — text never shuffles).
+_LEAKAGE_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_prepend(42::BIGINT,
+           list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+             i -> ascii(CAST(doc_id AS VARCHAR)[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) * 2654435761) % 2147483647 % 1000000 AS bk
+  FROM documents
+), lab AS (
+  SELECT doc_id, CASE WHEN bk < 800000 THEN 'train'
+                      WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM b
+), tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), grams AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 8
+         THEN list_transform(range(1, len(w) - 6),
+              i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2] || ' ' || w[i+3] || ' ' ||
+                   w[i+4] || ' ' || w[i+5] || ' ' || w[i+6] || ' ' || w[i+7])
+         ELSE [] END)) AS g
+  FROM tok
+), tr AS (
+  SELECT DISTINCT g FROM grams JOIN lab USING (doc_id) WHERE split = 'train'
+), leaked AS (
+  SELECT DISTINCT grams.doc_id FROM grams
+  JOIN lab USING (doc_id) JOIN tr USING (g)
+  WHERE lab.split <> 'train'
+)
+SELECT split, CAST(count(*) AS BIGINT) AS n_docs,
+       CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM leaked)
+                THEN 1 ELSE 0 END) AS BIGINT) AS n_leaked,
+       ROUND(CAST(sum(CASE WHEN doc_id IN (SELECT doc_id FROM leaked)
+                      THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 6) AS leak_rate
+FROM lab WHERE split <> 'train'
+GROUP BY split ORDER BY split
+"""
+
+
+@register("c9s_split_leakage", oracle=_LEAKAGE_ORACLE, tags=("tierc", "sampling", "dedup"))
+def split_leakage_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-split eval-contamination rate: fraction of val/test docs
+    sharing any exact 8-gram with the train split (portable hash
+    split). Scale shape: one gram explode + an 8-byte-key semi-join +
+    a per-split hash agg — document text never shuffles."""
+    from dust_spark.functions import tokens, word_shingles
+
+    docs = _docs(spark, sf_dir)
+    lab = ops.train_val_test_split(docs, hash_fn="portable")
+    grams = (
+        lab.select("doc_id", "split", tokens("text").alias("__tok"))
+        .select(
+            "doc_id", "split",
+            F.explode(word_shingles(F.col("__tok"), 8)).alias("__g"),
+        )
+        .select("doc_id", "split", F.xxhash64("__g").alias("__gh"))
+    )
+    tr = grams.filter(F.col("split") == "train").select("__gh").distinct()
+    leaked = (
+        grams.filter(F.col("split") != "train")
+        .join(tr, "__gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__l", F.lit(1))
+    )
+    return (
+        lab.filter(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(
+            F.count("*").cast("long").alias("n_docs"),
+            F.sum(F.coalesce(F.col("__l"), F.lit(0))).cast("long").alias("n_leaked"),
+        )
+        .withColumn(
+            "leak_rate", F.round(F.col("n_leaked") / F.col("n_docs"), 6)
+        )
+        .orderBy("split")
+    )
+
+
+_ROLLING_MEDIAN_ORACLE = """
+SELECT user_id AS k, epoch_us(ts) AS ts_us, CAST(value AS DOUBLE) AS v,
+       ROUND(median(CAST(value AS DOUBLE)) OVER (
+         PARTITION BY user_id ORDER BY epoch_us(ts), CAST(value AS DOUBLE)
+         ROWS BETWEEN 10 PRECEDING AND CURRENT ROW), 6) AS med
+FROM events ORDER BY k, ts_us, v
+"""
+
+
+@register("c7g_rolling_median", oracle=_ROLLING_MEDIAN_ORACLE, tags=("tierc", "rollup"))
+def rolling_median_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact trailing-11 rolling median per user (robust-center
+    smoothing; the MAD-pipeline primitive). The (ts, value) frame
+    order makes duplicate-timestamp frames well-defined; even-count
+    medians interpolate (a+b)/2 identically in both engines."""
+    from dust_spark.tables import load_table
+
+    return ops.rolling_median(load_table(spark, sf_dir, "events"), window_rows=10)
+
+
+# Tokenizer vocabulary coverage (r12): build the top-500 corpus
+# vocabulary (count DESC, word ASC — fully deterministic) and report
+# each source's out-of-vocabulary token rate — the number a tokenizer /
+# vocab choice is evaluated by before training. Pure integer counting +
+# one ROUND'd int/int division; the vocab rides back as a broadcast.
+_OOV_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), vocab AS (
+  SELECT w FROM (
+    SELECT w, count(*) AS c FROM tok GROUP BY w
+  ) QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 500
+)
+SELECT source,
+       CAST(count(*) AS BIGINT) AS n_tokens,
+       CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS BIGINT) AS n_oov,
+       ROUND(CAST(sum(CASE WHEN w IN (SELECT w FROM vocab) THEN 0 ELSE 1 END) AS DOUBLE)
+             / count(*), 6) AS oov_rate
+FROM tok GROUP BY source ORDER BY source
+"""
+
+
+@register("c4v_oov_rate", oracle=_OOV_ORACLE, tags=("tierc", "text"))
+def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source out-of-vocabulary rate against the deterministic
+    top-500 corpus vocabulary. Scale shape: token hash-agg for the
+    vocab (map-side combine), TakeOrdered top-500, broadcast back —
+    the corpus tokens shuffle once for the per-source agg."""
+    from dust_spark.functions import tokens
+
+    docs = _docs(spark, sf_dir)
+    tok = (
+        docs.select("source", tokens("text").alias("__tok"))
+        .select("source", F.explode("__tok").alias("w"))
+    )
+    vocab = (
+        tok.groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(500)
+        .select("w", F.lit(1).alias("__iv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").cast("long").alias("n_tokens"),
+            F.sum(F.when(F.col("__iv").isNull(), 1).otherwise(0))
+            .cast("long")
+            .alias("n_oov"),
+        )
+        .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
+        .orderBy("source")
+    )

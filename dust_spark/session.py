@@ -142,7 +142,16 @@ class DustSession:
         spark: SparkSession | None = None,
         warehouse: str | None = None,
         deterministic_guard: bool = False,
+        mixed_unions: bool = False,
     ):
+        # mixed_unions (r12, off by default): route top-level compound
+        # SELECTs over TABLE columns whose arm types differ through the
+        # SQLite per-row combination machinery (dialect.
+        # combine_compound_rows) instead of Spark's unified-type set
+        # ops — closes the one remaining row-count-level documented
+        # divergence (COVERAGE.md B9) at the cost of driver-side
+        # combination (bounded by the OLTP write-surface contract).
+        self.mixed_unions = mixed_unions
         if warehouse:
             warehouse = self._resolve_dsn(warehouse)
         self.spark = spark or _default_session()
@@ -531,16 +540,96 @@ class DustSession:
                     else stmt.sql
                 )
                 try:
+                    # normalize static LIMIT/OFFSET expressions first so
+                    # the static evaluator's int-only tail parser (and
+                    # its error semantics) see SQLite's converted value
+                    bound = dialect.rewrite_limit_offset(bound)
                     sc = dialect.try_static_compound(bound)
                 except ValueError as e:
                     raise DustError(str(e)) from e
                 if sc is not None:
                     results.append(self._rows_from_python(*sc))
                     continue
+                if self.mixed_unions:
+                    try:
+                        mc = self._mixed_compound(bound)
+                    except ValueError as e:
+                        raise DustError(str(e)) from e
+                    if mc is not None:
+                        results.append(self._rows_from_python(*mc))
+                        continue
                 df = self._sql(stmt.sql, stmt.parameters)
                 renamed = self._sqlite_column_names(stmt.sql, df)
                 results.append(rows_from_dataframe(renamed if renamed is not None else df))
         return results
+
+    def _mixed_compound(self, sql: str):
+        """Flag-gated (``mixed_unions``, r12 — the COVERAGE.md B9
+        mixed-type UNION item): SQLite per-row dynamic typing for
+        compound SELECTs over TABLE columns. When the arms' Spark
+        column types DISAGREE, each arm evaluates separately and the
+        results combine driver-side with the SAME probed machinery the
+        static-literal evaluator uses (dialect.combine_compound_rows,
+        generalized to multi-row arms) — per-row storage classes
+        survive, TEXT∪BLOB arms work, dedup keys are (class, value).
+        Returns (names, rows) or None to fall back to the Spark path
+        (same-type arms — where Spark's native set ops are already
+        exact — non-SELECT arms, unmodeled tails). Representative
+        choice on duplicate keys follows each arm's collected row
+        order: the rowid scan order for the simple single-table arms
+        this targets; plan-dependent arm orders (joins, aggregates)
+        are approximate there — documented. Cost: one Spark job per
+        arm plus a driver-side merge, bounded by the OLTP
+        write-surface contract."""
+        got = dialect._split_compound(sql)
+        if got is None:
+            return None
+        arms, tail = got
+        if any(not re.match(r"\s*SELECT\b", a, re.I) for _, a in arms):
+            return None
+        dfs = [self._sql(a, None) for _, a in arms]
+        ncols = len(dfs[0].schema.fields)
+        for (op, _), df in zip(arms[1:], dfs[1:]):
+            if len(df.schema.fields) != ncols:
+                raise DustError(
+                    f"SELECTs to the left and right of {op} do not have "
+                    "the same number of result columns"
+                )
+        sigs = [
+            tuple(f.dataType.simpleString() for f in df.schema.fields) for df in dfs
+        ]
+        if all(s == sigs[0] for s in sigs):
+            return None  # type-homogeneous: the Spark set ops are exact
+        named = self._sqlite_column_names(arms[0][1], dfs[0])
+        names = [f.name for f in (named if named is not None else dfs[0]).schema.fields]
+        got_tail = dialect.parse_compound_tail(tail, names, ncols)
+        if got_tail is None:
+            return None
+        order_terms, limit, offset = got_tail
+        import decimal as _dec
+
+        def _cell(v):
+            # keep RAW storage classes for the (class, value) dedup and
+            # ordering keys — the wire conversion (blob→hex text,
+            # _json_value) happens downstream in _rows_from_python
+            if isinstance(v, bool):
+                return int(v)
+            if isinstance(v, bytearray):
+                return bytes(v)
+            if isinstance(v, _dec.Decimal):
+                return float(v)
+            return v
+
+        arm_rows = [
+            [[_cell(v) for v in row] for row in df.collect()] for df in dfs
+        ]
+        ops_seq = [op for op, _ in arms[1:]]
+        rows = dialect.combine_compound_rows(arm_rows, ops_seq, order_terms, ncols)
+        if offset > 0:
+            rows = rows[offset:]
+        if limit is not None and limit >= 0:
+            rows = rows[:limit]
+        return (names, rows)
 
     @staticmethod
     def _rows_from_python(names: list[str], vrows: list[list]) -> Rows:
@@ -4553,7 +4642,19 @@ class DustSession:
         # SQLite's EXPLAIN QUERY PLAN prefix maps to plain EXPLAIN (the
         # plan text is engine-specific by nature in both systems)
         sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN", sql, flags=re.I)
-        sql = dialect.rewrite_sqlite_fns(dialect.escape_raw_literals(sql))
+        sql = dialect.escape_raw_literals(sql)
+        # LIMIT/OFFSET expressions evaluate statically with SQLite's
+        # OP_MustBeInt conversion (r12); runs ONCE at entry, before the
+        # fragment-level rewrite layers
+        try:
+            sql = dialect.rewrite_limit_offset(sql)
+        except ValueError as e:
+            raise DustError(str(e)) from e
+        sql = dialect.rewrite_sqlite_fns(sql)
+        # IN-list member affinity (r12): literal-member lists expand to
+        # OR chains BEFORE the affinity-aware sweep so each member takes
+        # the LHS's comparison-affinity rewrites exactly like '='
+        sql = dialect._expand_in_lists(sql)
         # second typed-ops sweep, now column-affinity-aware: INTEGER
         # columns of the tables in scope make x/2 integer division,
         # exactly as their LongType storage implies

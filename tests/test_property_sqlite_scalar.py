@@ -418,3 +418,174 @@ def test_static_compound_matches_sqlite(stmt):
     typed = lambda rows: [[(type(v).__name__, v) for v in r] for r in rows]
     assert typed(got[1]) == typed(want), f"{stmt}: got={got[1]!r} want={want!r}"
     ref.close()
+
+
+# ---------------------------------------------------------------------------
+# r12: LIMIT/OFFSET expression position + IN-list member affinity — the
+# two clause positions the r11 verdict asked to probe next. LIMIT
+# applies OP_MustBeInt (full numeric text conversion, integral REAL
+# converts, everything else 'datatype mismatch'); IN applies the LHS's
+# comparison affinity to EVERY member, exactly like '='.
+# ---------------------------------------------------------------------------
+
+_LIMIT_CASES = [
+    "SELECT id FROM ch ORDER BY id LIMIT '2'",
+    "SELECT id FROM ch ORDER BY id LIMIT 2.0",
+    "SELECT id FROM ch ORDER BY id LIMIT 2.5",
+    "SELECT id FROM ch ORDER BY id LIMIT '2abc'",
+    "SELECT id FROM ch ORDER BY id LIMIT NULL",
+    "SELECT id FROM ch ORDER BY id LIMIT '9e1' % 4",
+    "SELECT id FROM ch ORDER BY id LIMIT 1+1",
+    "SELECT id FROM ch ORDER BY id LIMIT ' 2 '",
+    "SELECT id FROM ch ORDER BY id LIMIT '2e1'",
+    "SELECT id FROM ch ORDER BY id LIMIT '+2'",
+    "SELECT id FROM ch ORDER BY id LIMIT '-0'",
+    "SELECT id FROM ch ORDER BY id LIMIT X'32'",
+    "SELECT id FROM ch ORDER BY id LIMIT '0x2'",
+    "SELECT id FROM ch ORDER BY id LIMIT 9e99",
+    "SELECT id FROM ch ORDER BY id LIMIT '9223372036854775808'",
+    "SELECT id FROM ch ORDER BY id LIMIT 9223372036854775807",
+    "SELECT id FROM ch ORDER BY id LIMIT 2 OFFSET '1'",
+    "SELECT id FROM ch ORDER BY id LIMIT 2 OFFSET 1.5",
+    "SELECT id FROM ch ORDER BY id LIMIT 2 OFFSET -3",
+    "SELECT id FROM ch ORDER BY id LIMIT -1 OFFSET 2",
+    "SELECT id FROM ch ORDER BY id LIMIT '1', '2'",
+    "SELECT id FROM ch ORDER BY id LIMIT 2 OFFSET '2.0'",
+]
+
+
+def test_limit_offset_matches_sqlite(db, ref, chain_tables):
+    for q in _LIMIT_CASES:
+        try:
+            want = [list(rw) for rw in ref.execute(q).fetchall()]
+        except Exception as e:
+            want = f"ERR {e}"
+        try:
+            got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        except Exception as e:
+            got = f"ERR {e}"
+        if isinstance(want, str):
+            assert isinstance(got, str) and "datatype mismatch" in got, (
+                f"{q}: spark={got!r} sqlite={want!r}"
+            )
+        else:
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+_IN_CASES = [
+    "SELECT id FROM ch WHERE i IN ('9', 0.0, '15') ORDER BY id",
+    "SELECT id FROM ch WHERE tx IN (7, '9e1') ORDER BY id",
+    "SELECT id FROM ch WHERE r IN ('2.5', 3, '1e2') ORDER BY id",
+    "SELECT id FROM ch WHERE tx+1 IN (8, '1') ORDER BY id",
+    "SELECT id FROM ch WHERE id IN (1.0, '2', 3.5, X'33') ORDER BY id",
+    "SELECT id FROM ch WHERE tx NOT IN (7, '9e1') ORDER BY id",
+    "SELECT id FROM ch WHERE -i IN (7, '-15') ORDER BY id",
+    "SELECT id FROM ch WHERE i % 2 IN (1, '0') ORDER BY id",
+    "SELECT id FROM ch WHERE tx || 'z' IN ('7z', 7) ORDER BY id",
+    "SELECT id, CASE WHEN i IN (9, '4') THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id FROM ch WHERE i IN (9) AND tx IN ('7', 12) ORDER BY id",
+    "SELECT id FROM ch WHERE (i IN (9, 4)) IN (1) ORDER BY id",
+    "SELECT id FROM ch WHERE i IN (4+5, 16-1) ORDER BY id",
+    "SELECT count(*) AS n FROM ch WHERE NULL IN (1, 2)",
+    "SELECT id FROM ch WHERE CASE WHEN tx IN ('') THEN 1 ELSE 0 END = 1 ORDER BY id",
+    "SELECT id FROM ch WHERE id NOT IN (2, '3', 5.0) ORDER BY id",
+    # CASE base-operand position (affinity of the base applies to the
+    # WHEN exprs — was already green, pinned so it stays that way)
+    "SELECT id, CASE tx WHEN 7 THEN 'm7' WHEN '' THEN 'me' ELSE 'x' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE i WHEN '9' THEN 'm9' WHEN 0.0 THEN 'm0' ELSE 'x' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE r WHEN 3 THEN 'm3' WHEN '0.5' THEN 'mh' ELSE 'x' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx/2 WHEN 3 THEN 'a' WHEN '3' THEN 'b' ELSE 'x' END AS c FROM ch ORDER BY id",
+    # r12 chain-vs-literal storage folds (the E2/E3 finds): a mixed
+    # arithmetic chain is numeric-or-NULL, so vs a TEXT literal it
+    # compares by storage class with MEMBER-level NULL propagation
+    "SELECT id FROM ch WHERE tx+1 = '1' ORDER BY id",
+    "SELECT id FROM ch WHERE tx*2 >= 'a' ORDER BY id",
+    "SELECT id FROM ch WHERE tx/2 = '3' ORDER BY id",
+    "SELECT id FROM ch WHERE tx+1 = X'33' ORDER BY id",
+]
+
+
+def test_in_list_affinity_matches_sqlite(db, ref, chain_tables):
+    for q in _IN_CASES:
+        want = [list(rw) for rw in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@st.composite
+def in_member_exprs(draw):
+    pool = st.sampled_from(
+        ["2", "-2", "0.0", "'4'", "2.5", "'7x'", "''", "'9e1'", "X'37'",
+         "NULL", "'  -3.5x'", "9", "'0x11'", "1.0", "'12.'"]
+    )
+    return [draw(pool) for _ in range(draw(st.integers(1, 4)))]
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lhs=st.sampled_from(["tx", "r", "i", "id", "tx+1", "i%3", "-i", "r*2", "i+r"]),
+    members=in_member_exprs(),
+    neg=st.booleans(),
+)
+def test_in_list_machine_matches_sqlite(db, ref, chain_tables, lhs, members, neg):
+    """Random LHS (typed columns + arithmetic chains) × random literal
+    members × [NOT] IN — every row compared against sqlite3."""
+    op = "NOT IN" if neg else "IN"
+    q = f"SELECT id FROM ch WHERE {lhs} {op} ({', '.join(members)}) ORDER BY id"
+    want = [r[0] for r in ref.execute(q).fetchall()]
+    got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=60,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lim=st.sampled_from(
+        ["'2'", "2.0", "2.5", "'2abc'", "NULL", "1+1", "'9e1' % 4", "3", "-2",
+         "' 3 '", "'2e1'", "X'32'", "2.0 + 1", "'1' * 3", "0", "'-1'"]
+    ),
+    off=st.one_of(
+        st.none(),
+        st.sampled_from(["'1'", "1.0", "2", "-1", "'abc'", "0", "1.5"]),
+    ),
+)
+def test_limit_machine_matches_sqlite(db, ref, chain_tables, lim, off):
+    """Random static LIMIT/OFFSET expressions — result rows or the
+    'datatype mismatch' error must match sqlite3."""
+    q = f"SELECT id FROM ch ORDER BY id LIMIT {lim}"
+    if off is not None:
+        q += f" OFFSET {off}"
+    try:
+        want = [r[0] for r in ref.execute(q).fetchall()]
+    except Exception as e:
+        want = f"ERR {e}"
+    try:
+        got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    except Exception as e:
+        got = f"ERR {e}"
+    if isinstance(want, str):
+        assert isinstance(got, str) and "datatype mismatch" in got, (
+            f"{q}: spark={got!r} sqlite={want!r}"
+        )
+    else:
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(max_examples=250, deadline=None,
+          suppress_health_check=[HealthCheck.function_scoped_fixture])
+@given(v=st.floats(allow_nan=False, allow_infinity=False))
+def test_real_text_rendering_matches_sqlite(ref, v):
+    """_sqlite_real_to_text == SQLite's CAST(real AS TEXT) bit-for-bit
+    (the %!.15g emulation the TEXT-affinity REAL-literal rewrite rides
+    on)."""
+    from dust_spark.dialect import _sqlite_real_to_text
+
+    want = ref.execute("SELECT CAST(? AS TEXT)", (v,)).fetchone()[0]
+    assert _sqlite_real_to_text(v) == want, repr(v)

@@ -2599,3 +2599,66 @@ def test_having_truthiness_sqlite_differential(db):
         assert got == want, (q, got, want)
     db.execute_string_stmt("DROP TABLE hv")
     ref.close()
+
+
+def test_mixed_union_table_columns_sqlite_differential(spark):
+    """r12 (verdict #6): the mixed_unions flag routes compounds over
+    TABLE columns with disagreeing arm types through the per-row
+    combination machinery — per-row storage classes, (class, value)
+    dedup keys, TEXT∪BLOB arms, ORDER BY merge plan — all compared
+    against sqlite3. Flag OFF keeps the Spark path (documented
+    divergence unchanged)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark, mixed_unions=True)
+    try:
+        for ddl in (
+            "CREATE TABLE ma (v INTEGER)",
+            "CREATE TABLE mb (v TEXT)",
+            "CREATE TABLE mc (v REAL)",
+            "CREATE TABLE md (v BLOB)",
+        ):
+            ref.execute(ddl)
+            s.execute_string_stmt(ddl)
+        for stmt in (
+            "INSERT INTO ma VALUES (1), (2), (3)",
+            "INSERT INTO mb VALUES ('1'), ('x'), ('2')",
+            "INSERT INTO mc VALUES (1.0), (2.5)",
+            "INSERT INTO md VALUES (X'31'), (X'FF')",
+        ):
+            ref.execute(stmt)
+            s.execute_string_stmt(stmt)
+        cases = [
+            # row-count-level divergence class: int arm ∪ text arm
+            "SELECT v FROM ma UNION SELECT v FROM mb",
+            "SELECT v FROM ma UNION ALL SELECT v FROM mb",
+            "SELECT v FROM ma INTERSECT SELECT v FROM mb",
+            "SELECT v FROM ma EXCEPT SELECT v FROM mc",
+            "SELECT v FROM ma UNION SELECT v FROM mc",
+            # TEXT ∪ BLOB: Spark has no common type at all
+            "SELECT v FROM mb UNION SELECT v FROM md",
+            "SELECT v FROM ma UNION SELECT v FROM md ORDER BY v",
+            "SELECT v FROM ma UNION SELECT v FROM mb ORDER BY v DESC LIMIT 3",
+            "SELECT v FROM ma UNION SELECT v FROM mb ORDER BY 1 LIMIT 2 OFFSET 1",
+            "SELECT v FROM mc UNION SELECT v FROM ma UNION ALL SELECT v FROM mb",
+            "SELECT v AS w FROM ma UNION SELECT v FROM mb ORDER BY w",
+        ]
+        for q in cases:
+            # blob cells wire as base16 text (the repo's fix for the
+            # reference's Blob→Null TODO) — render sqlite's bytes the
+            # same way; classes/order are compared via position
+            want = [
+                v.hex() if isinstance(v, bytes) else v
+                for v in (r[0] for r in ref.execute(q).fetchall())
+            ]
+            got = [r[0] for r in s.query_string_stmt(q)[0].values]
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+        # same-type arms stay on the Spark path (the fallback contract)
+        q = "SELECT v FROM ma UNION SELECT v+10 FROM ma ORDER BY v"
+        want = [r[0] for r in ref.execute(q).fetchall()]
+        got = [r[0] for r in s.query_string_stmt(q)[0].values]
+        assert got == want
+    finally:
+        s.close()
+        ref.close()
