@@ -4684,6 +4684,160 @@ def _in_lhs_start(toks, end: int):
     return start
 
 
+def _fwd_operand_end(toks, i: int):
+    """Exclusive end token index of one operand starting at ``i``
+    (forward mirror of :func:`_in_lhs_start`: primaries joined by
+    tight ops, unary signs allowed after operators). None when toks[i]
+    can't start a primary."""
+    n = len(toks)
+
+    def prim_end(j):
+        while j < n and toks[j][1] in ("+", "-"):
+            j += 1
+        if j >= n:
+            return None
+        t = toks[j]
+        if t[1] == "(":
+            depth = 0
+            while j < n:
+                if toks[j][1] == "(":
+                    depth += 1
+                elif toks[j][1] == ")":
+                    depth -= 1
+                    if depth == 0:
+                        return j + 1
+                j += 1
+            return None
+        if t[0] in ("num", "str", "blob", "qid") or (
+            t[0] == "word" and t[1].lower() not in _IN_STOP_WORDS
+        ):
+            k = j + 1
+            if t[0] == "word" and k < n and toks[k][1] == "(":
+                depth = 0
+                while k < n:
+                    if toks[k][1] == "(":
+                        depth += 1
+                    elif toks[k][1] == ")":
+                        depth -= 1
+                        if depth == 0:
+                            return k + 1
+                    k += 1
+                return None
+            while k + 1 < n and toks[k][1] == "." and toks[k + 1][0] in ("word", "qid"):
+                k += 2
+            return k
+        return None
+
+    e = prim_end(i)
+    if e is None:
+        return None
+    while e < n:
+        t = toks[e]
+        v = t[1].lower() if t[0] == "word" else t[1]
+        if v in ("*", "/", "%", "div", "||", "+", "-"):
+            e2 = prim_end(e + 1)
+            if e2 is None:
+                return e
+            e = e2
+        else:
+            break
+    return e
+
+
+_FRAME_BOUND_WORDS = {"preceding", "following", "unbounded", "row"}
+
+
+def _expand_between(sql: str) -> str:
+    """``x [NOT] BETWEEN a AND b`` → ``(x >= a AND x <= b)`` (r12, the
+    BETWEEN clause position): SQLite defines BETWEEN as exactly that
+    conjunction INCLUDING the §4.2 comparison-affinity rules per bound
+    (probed: tx BETWEEN 0 AND 99 text-compares '0'..'99';
+    i+1 BETWEEN '1' AND '10' is storage-FALSE; blob bounds rank above
+    text), so expanding hands each bound to the existing machinery.
+    Window-frame BETWEEN (ROWS/RANGE/GROUPS ... PRECEDING/FOLLOWING)
+    is guarded out; nondeterministic LHS (random) and same-precedence
+    left neighbors bail like the IN expansion."""
+    for _ in range(5):
+        if not re.search(r"\bBETWEEN\b", sql, re.I):
+            return sql
+        toks = _typed_tokenize(sql)
+        if toks is None:
+            return sql
+        n = len(toks)
+        edits: list[tuple[int, int, str]] = []
+        claimed: list[tuple[int, int]] = []
+        for idx in range(n):
+            t = toks[idx]
+            if t[0] != "word" or t[1].lower() != "between":
+                continue
+            if (
+                idx > 0
+                and toks[idx - 1][0] == "word"
+                and toks[idx - 1][1].lower() in ("rows", "range", "groups")
+            ):
+                continue  # window frame clause
+            neg = (
+                idx > 0
+                and toks[idx - 1][0] == "word"
+                and toks[idx - 1][1].lower() == "not"
+            )
+            lhs_end = idx - 1 if neg else idx
+            lo = _in_lhs_start(toks, lhs_end)
+            if lo is None:
+                continue
+            prev = toks[lo - 1] if lo > 0 else None
+            if prev is not None:
+                pv = prev[1].lower() if prev[0] == "word" else prev[1]
+                if pv in _IN_LHS_BAIL_PREV:
+                    continue
+            # lower bound runs to BETWEEN's own AND at depth 0
+            j, depth, and_i = idx + 1, 0, None
+            while j < n:
+                v = toks[j][1]
+                if v == "(":
+                    depth += 1
+                elif v == ")":
+                    if depth == 0:
+                        break
+                    depth -= 1
+                elif depth == 0 and toks[j][0] == "word":
+                    w = toks[j][1].lower()
+                    if w == "and":
+                        and_i = j
+                        break
+                    if w in _FRAME_BOUND_WORDS:
+                        break  # frame bound that slipped the prefix guard
+                j += 1
+            if and_i is None or and_i == idx + 1:
+                continue
+            up_lo = and_i + 1
+            up_hi = _fwd_operand_end(toks, up_lo)
+            if up_hi is None:
+                continue
+            if any(
+                tt[0] == "word" and tt[1].lower() in _FRAME_BOUND_WORDS
+                for tt in toks[idx + 1 : up_hi]
+            ):
+                continue
+            lhs_text = sql[toks[lo][2] : toks[lhs_end - 1][3]]
+            if re.search(r"\brandom", lhs_text, re.I):
+                continue
+            s0, e0 = toks[lo][2], toks[up_hi - 1][3]
+            if any(not (e0 <= cs or s0 >= ce) for cs, ce in claimed):
+                continue
+            lot = sql[toks[idx + 1][2] : toks[and_i - 1][3]]
+            upt = sql[toks[up_lo][2] : toks[up_hi - 1][3]]
+            body = f"{lhs_text} >= {lot} AND {lhs_text} <= {upt}"
+            rep = f"(NOT ({body}))" if neg else f"({body})"
+            edits.append((s0, e0, rep))
+            claimed.append((s0, e0))
+        if not edits:
+            return sql
+        for s, e, r in sorted(edits, reverse=True):
+            sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def _expand_in_lists(sql: str) -> str:
     """Expand ``lhs [NOT] IN (m1, m2, ...)`` with literal/expression
     members into the equivalent OR chain (see block comment above).

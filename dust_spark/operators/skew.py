@@ -288,8 +288,11 @@ def global_row_number(
     spark = df.sparkSession
     if n_slices is None:
         n_slices = int(spark.conf.get("spark.sql.shuffle.partitions", "32"))
+    # strings or Column sort specs (F.col(c).desc() for descending
+    # global orders — the b5a RANK() OVER (ORDER BY price DESC) shape)
+    cols = [F.col(c) if isinstance(c, str) else c for c in order_cols]
     tagged = (
-        df.repartitionByRange(n_slices, *[F.col(c) for c in order_cols])
+        df.repartitionByRange(n_slices, *cols)
         .withColumn("__pid", F.spark_partition_id())
         .localCheckpoint(eager=True)
     )
@@ -301,7 +304,7 @@ def global_row_number(
         offs.append((int(r["__pid"]), acc))
         acc += int(r["count"])
     offs_df = spark.createDataFrame(offs, "__opid INT, __off BIGINT")
-    lw = W.partitionBy("__pid").orderBy(*[F.col(c) for c in order_cols])
+    lw = W.partitionBy("__pid").orderBy(*cols)
     out = (
         tagged.withColumn("__lrn", F.row_number().over(lw))
         .join(F.broadcast(offs_df), F.col("__pid") == F.col("__opid"))

@@ -313,11 +313,8 @@ sql_query(
 # Spark side casts.
 # ---------------------------------------------------------------------------
 
-sql_query(
+@register(
     "b5a_row_number_rank",
-    "SELECT o_orderkey, CAST(ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS BIGINT) AS rn, "
-    "CAST(RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS BIGINT) AS rk "
-    "FROM orders ORDER BY o_orderkey",
     oracle=(
         "SELECT o_orderkey, ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey) AS rn, "
         "RANK() OVER (ORDER BY o_totalprice DESC, o_orderkey) AS rk "
@@ -325,6 +322,32 @@ sql_query(
     ),
     tags=("window",),
 )
+def b5a_row_number_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key ROW_NUMBER (partitioned window — scale-safe as-is) +
+    GLOBAL RANK decomposed through global_row_number (r12 — the b5e
+    treatment applied to b5a's no-PARTITION-BY rank; the (price DESC,
+    orderkey) order is tie-free so rank == row_number). Plan-asserted
+    free of a data-sized Exchange SinglePartition."""
+    from pyspark.sql import Window as W
+    from pyspark.sql import functions as F
+
+    from dust_spark.operators.skew import global_row_number
+
+    register_views(spark, sf_dir)
+    o = spark.table("orders").select(
+        "o_orderkey", "o_custkey", "o_orderdate", "o_totalprice"
+    )
+    ranked, _ = global_row_number(
+        o, [F.col("o_totalprice").desc(), F.col("o_orderkey")]
+    )
+    ranked = ranked.withColumnRenamed("rn", "rk")
+    w = W.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    return (
+        ranked.withColumn("rn", F.row_number().over(w).cast("bigint"))
+        .select("o_orderkey", "rn", F.col("rk").cast("bigint").alias("rk"))
+        .orderBy("o_orderkey")
+    )
+
 
 sql_query(
     "b5b_lag_lead",

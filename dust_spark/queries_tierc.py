@@ -4046,3 +4046,218 @@ def oov_rate_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("oov_rate", F.round(F.col("n_oov") / F.col("n_tokens"), 6))
         .orderBy("source")
     )
+
+
+# Canonical keeper per duplicate family (r12): inside each near-dup
+# cluster (the shared c2c exact-Jaccard graph) keep the LONGEST
+# document (tie: lowest doc_id) — the "canonical representative"
+# policy real dedup pipelines apply before dropping the rest. Only
+# real families (≥2 members) report. Oracle = the c10b recursive
+# closure + an argmax over n_chars.
+_CANONICAL_ORACLE = """
+WITH RECURSIVE tok AS (
+  SELECT doc_id, regexp_split_to_array(trim(lower(text)), '\\s+') AS w FROM documents
+  WHERE length(trim(text)) > 0
+), sh AS (
+  SELECT doc_id, unnest(list_distinct(
+    CASE WHEN len(w) >= 3
+         THEN list_transform(range(1, len(w) - 1), i -> w[i] || ' ' || w[i+1] || ' ' || w[i+2])
+         ELSE [] END)) AS shingle
+  FROM tok
+), sizes AS (
+  SELECT doc_id, count(*) AS sz FROM sh GROUP BY doc_id
+), inter AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, count(*) AS inter
+  FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+), pairs AS (
+  SELECT id_a, id_b FROM inter
+  JOIN sizes sa ON sa.doc_id = id_a
+  JOIN sizes sb ON sb.doc_id = id_b
+  WHERE ROUND(inter / (sa.sz + sb.sz - inter), 4) >= 0.2
+), edges AS (
+  SELECT id_a AS u, id_b AS v FROM pairs
+  UNION SELECT id_b, id_a FROM pairs
+), reach(n, m) AS (
+  SELECT u, v FROM edges
+  UNION
+  SELECT r.n, e.v FROM reach r JOIN edges e ON r.m = e.u
+), comp AS (
+  SELECT n, LEAST(n, MIN(m)) AS root FROM reach GROUP BY n
+), lab AS (
+  SELECT d.doc_id, d.n_chars, COALESCE(c.root, d.doc_id) AS cluster
+  FROM documents d LEFT JOIN comp c ON c.n = d.doc_id
+), fam AS (
+  SELECT cluster, CAST(count(*) AS BIGINT) AS n_members,
+         CAST(max(n_chars) AS BIGINT) AS max_chars
+  FROM lab GROUP BY cluster HAVING count(*) >= 2
+)
+SELECT f.cluster, k.keeper, f.n_members, f.max_chars
+FROM fam f JOIN (
+  SELECT cluster, doc_id AS keeper FROM (
+    SELECT cluster, doc_id,
+           row_number() OVER (PARTITION BY cluster
+                              ORDER BY n_chars DESC, doc_id) AS rk
+    FROM lab) WHERE rk = 1
+) k USING (cluster)
+ORDER BY cluster
+"""
+
+
+@register("c1f_canonical_keepers", oracle=_CANONICAL_ORACLE, tags=("tierc", "dedup", "jit"))
+def canonical_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per duplicate-family canonical representative: longest document
+    (tie: lowest id) in each ≥2-member near-dup cluster. Rides the
+    shared c2c pair fixture + hybrid CC; the per-cluster argmax is a
+    window over min-id cluster labels."""
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    pairs = _ngram_pairs(spark, sf_dir)
+    comp = ops.connected_components(pairs)
+    lab = docs.join(comp, docs.doc_id == comp.node, "left").select(
+        docs.doc_id,
+        docs.n_chars,
+        F.coalesce(comp.component, docs.doc_id).alias("cluster"),
+    )
+    w = W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "doc_id")
+    fam = (
+        lab.groupBy("cluster")
+        .agg(
+            F.count("*").cast("long").alias("n_members"),
+            F.max("n_chars").cast("long").alias("max_chars"),
+        )
+        .filter(F.col("n_members") >= 2)
+    )
+    keepers = (
+        lab.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select("cluster", F.col("doc_id").alias("keeper"))
+    )
+    return (
+        fam.join(keepers, "cluster")
+        .select("cluster", "keeper", "n_members", "max_chars")
+        .orderBy("cluster")
+    )
+
+
+# Split distributional drift (r12): smoothed KL(held-out ‖ train) over
+# the deterministic top-200 corpus vocabulary — the check that a
+# hash-split didn't skew token distributions. Hash-stable by the c4u
+# recipe: KL decomposes to an INTEGER-weighted sum of ln's of INTEGERS
+# ((cv+1)·[L(cv+1) − L(ct+1)] with L = ROUND(ln·,9)→DECIMAL, exact
+# DECIMAL accumulation) plus two ROUND'd total-mass logs; only the
+# final division + ROUND(6) touches floats.
+_SPLIT_KL_ORACLE = """
+WITH b AS (
+  SELECT doc_id,
+         (list_reduce(list_prepend(42::BIGINT,
+           list_transform(range(1, length(CAST(doc_id AS VARCHAR))+1),
+             i -> ascii(CAST(doc_id AS VARCHAR)[i])::BIGINT)),
+           (a, c) -> (a*31 + c) % 2147483647) * 2654435761) % 2147483647 % 1000000 AS bk
+  FROM documents
+), lab AS (
+  SELECT doc_id, CASE WHEN bk < 800000 THEN 'train'
+                      WHEN bk < 900000 THEN 'val' ELSE 'test' END AS split
+  FROM b
+), tok AS (
+  SELECT l.split, unnest(regexp_split_to_array(trim(lower(d.text)), '\\s+')) AS w
+  FROM documents d JOIN lab l USING (doc_id)
+  WHERE length(trim(d.text)) > 0
+), vocab AS (
+  SELECT w FROM (SELECT w, count(*) AS c FROM tok GROUP BY w)
+  QUALIFY row_number() OVER (ORDER BY c DESC, w) <= 200
+), grid AS (
+  SELECT s.split, v.w
+  FROM (VALUES ('train'), ('val'), ('test')) s(split), vocab v
+), cnts AS (
+  SELECT g.split, g.w, COALESCE(t.c, 0) AS c
+  FROM grid g LEFT JOIN (
+    SELECT split, w, count(*) AS c FROM tok JOIN vocab USING (w)
+    GROUP BY split, w
+  ) t ON t.split = g.split AND t.w = g.w
+), tot AS (
+  SELECT split, SUM(c) AS tt FROM cnts GROUP BY split
+), tr AS (SELECT w, c AS ct FROM cnts WHERE split = 'train'),
+s AS (
+  SELECT h.split,
+         SUM(CAST(h.c + 1 AS BIGINT)
+             * (CAST(ROUND(ln(h.c + 1), 9) AS DECIMAL(28,9))
+                - CAST(ROUND(ln(tr.ct + 1), 9) AS DECIMAL(28,9)))) AS sacc
+  FROM cnts h JOIN tr USING (w) WHERE h.split <> 'train'
+  GROUP BY h.split
+)
+SELECT s.split,
+       CAST(ht.tt AS BIGINT) AS n_vocab_tokens,
+       ROUND(CAST(s.sacc AS DOUBLE) / (ht.tt + 200)
+             + ROUND(ln(tt.tt + 200), 9) - ROUND(ln(ht.tt + 200), 9), 6) AS kl_nats
+FROM s
+JOIN tot ht ON ht.split = s.split
+JOIN tot tt ON tt.split = 'train'
+ORDER BY s.split
+"""
+
+
+@register("c9t_split_kl", oracle=_SPLIT_KL_ORACLE, tags=("tierc", "sampling", "text"))
+def split_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Laplace-smoothed KL(held-out ‖ train) of unigram distributions
+    over the top-200 vocabulary, one row per held-out split."""
+    from dust_spark.functions import tokens
+
+    docs = _docs(spark, sf_dir)
+    lab = ops.train_val_test_split(docs, hash_fn="portable")
+    tok = (
+        lab.select("split", tokens("text").alias("__tok"))
+        .select("split", F.explode("__tok").alias("w"))
+    )
+    vocab = (
+        tok.groupBy("w")
+        .count()
+        .orderBy(F.col("count").desc(), "w")
+        .limit(200)
+        .select("w")
+    )
+    splits = spark.createDataFrame([("train",), ("val",), ("test",)], "split string")
+    grid = vocab.crossJoin(splits)
+    cnts_obs = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("split", "w")
+        .agg(F.count("*").alias("c0"))
+    )
+    cnts = grid.join(cnts_obs, ["split", "w"], "left").select(
+        "split", "w", F.coalesce(F.col("c0"), F.lit(0)).alias("c")
+    )
+    tot = cnts.groupBy("split").agg(F.sum("c").alias("tt"))
+    tr = cnts.filter(F.col("split") == "train").select(
+        "w", F.col("c").alias("ct")
+    )
+    ln9 = lambda x: F.round(F.log(x), 9).cast("decimal(28,9)")  # noqa: E731
+    s = (
+        cnts.filter(F.col("split") != "train")
+        .join(tr, "w")
+        .withColumn(
+            "term",
+            (F.col("c") + 1).cast("bigint")
+            * (ln9(F.col("c") + 1) - ln9(F.col("ct") + 1)),
+        )
+        .groupBy("split")
+        .agg(F.sum("term").alias("sacc"))
+    )
+    ttrain = tot.filter(F.col("split") == "train").select(
+        F.col("tt").alias("t_train")
+    )
+    return (
+        s.join(tot, "split")
+        .crossJoin(F.broadcast(ttrain))
+        .select(
+            "split",
+            F.col("tt").cast("long").alias("n_vocab_tokens"),
+            F.round(
+                F.col("sacc").cast("double") / (F.col("tt") + 200)
+                + F.round(F.log(F.col("t_train") + 200), 9)
+                - F.round(F.log(F.col("tt") + 200), 9),
+                6,
+            ).alias("kl_nats"),
+        )
+        .orderBy("split")
+    )

@@ -4651,9 +4651,11 @@ class DustSession:
         except ValueError as e:
             raise DustError(str(e)) from e
         sql = dialect.rewrite_sqlite_fns(sql)
-        # IN-list member affinity (r12): literal-member lists expand to
-        # OR chains BEFORE the affinity-aware sweep so each member takes
-        # the LHS's comparison-affinity rewrites exactly like '='
+        # IN-list member / BETWEEN bound affinity (r12): both expand to
+        # plain comparisons BEFORE the affinity-aware sweep so each
+        # member/bound takes the comparison-affinity rewrites exactly
+        # like '=' (window-frame BETWEEN guarded out)
+        sql = dialect._expand_between(sql)
         sql = dialect._expand_in_lists(sql)
         # second typed-ops sweep, now column-affinity-aware: INTEGER
         # columns of the tables in scope make x/2 integer division,

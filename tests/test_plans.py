@@ -296,3 +296,11 @@ def test_b5e_no_single_partition_window(spark):
     p = plans.formatted_plan(df)
     assert "Exchange SinglePartition" not in p, p
     assert "BroadcastExchange" in p  # offsets + dense-rank tables
+
+
+def test_b5a_no_single_partition_window(spark):
+    """r12: b5a's global RANK decomposes like b5e — no data-sized
+    single-partition window sort remains."""
+    df = QUERIES["b5a_row_number_rank"].fn(spark, SF_DIR)
+    p = plans.formatted_plan(df)
+    assert "Exchange SinglePartition" not in p, p

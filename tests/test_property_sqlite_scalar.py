@@ -589,3 +589,53 @@ def test_real_text_rendering_matches_sqlite(ref, v):
 
     want = ref.execute("SELECT CAST(? AS TEXT)", (v,)).fetchone()[0]
     assert _sqlite_real_to_text(v) == want, repr(v)
+
+
+# ---------------------------------------------------------------------------
+# r12 second wave: BETWEEN operand position — SQLite defines
+# x BETWEEN a AND b as x>=a AND x<=b INCLUDING the comparison-affinity
+# rules per bound; window-frame BETWEEN must pass through untouched.
+# ---------------------------------------------------------------------------
+
+_BETWEEN_CASES = [
+    "SELECT id FROM ch WHERE i BETWEEN '0' AND '9' ORDER BY id",
+    "SELECT id FROM ch WHERE tx BETWEEN 0 AND 99 ORDER BY id",
+    "SELECT id FROM ch WHERE r BETWEEN '0.4' AND 3 ORDER BY id",
+    "SELECT id FROM ch WHERE i NOT BETWEEN '0' AND '9e1' ORDER BY id",
+    "SELECT id FROM ch WHERE tx BETWEEN '0' AND X'00' ORDER BY id",
+    "SELECT id FROM ch WHERE i+1 BETWEEN '1' AND '10' ORDER BY id",
+    "SELECT id FROM ch WHERE tx BETWEEN 12 AND 13 ORDER BY id",
+    "SELECT id, i BETWEEN 0.5 AND '9e1' AS b FROM ch ORDER BY id",
+    "SELECT id FROM ch WHERE i BETWEEN 1 AND 2+7 AND tx = '7' ORDER BY id",
+    "SELECT id FROM ch WHERE CASE WHEN i BETWEEN 0 AND 9 THEN 1 ELSE 0 END = 1 ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(r) OVER (PARTITION BY i ORDER BY r RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id FROM ch WHERE -i BETWEEN '1' AND 8 ORDER BY id",
+    "SELECT id FROM ch WHERE i BETWEEN -7 AND abs(-4) ORDER BY id",
+]
+
+
+def test_between_affinity_matches_sqlite(db, ref, chain_tables):
+    for q in _BETWEEN_CASES:
+        want = [list(rw) for rw in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lhs=st.sampled_from(["tx", "r", "i", "id", "tx+1", "i%3", "-i", "r*2"]),
+    lo_=st.sampled_from(["0", "'0'", "-2", "0.5", "''", "'1'", "X'30'", "NULL", "'0.4'"]),
+    hi_=st.sampled_from(["9", "'9'", "99", "'9e1'", "2.5", "'zz'", "X'39'", "NULL", "8+1"]),
+    neg=st.booleans(),
+)
+def test_between_machine_matches_sqlite(db, ref, chain_tables, lhs, lo_, hi_, neg):
+    op = "NOT BETWEEN" if neg else "BETWEEN"
+    q = f"SELECT id FROM ch WHERE {lhs} {op} {lo_} AND {hi_} ORDER BY id"
+    want = [r[0] for r in ref.execute(q).fetchall()]
+    got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
