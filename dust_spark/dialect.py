@@ -4884,7 +4884,19 @@ def _expand_in_lists(sql: str) -> str:
                         break
                     members.append((mstart, j))
                     mstart = j + 1
-                elif k == "word" and v.lower() in ("select", "with", "values"):
+                elif k == "word" and v.lower() not in ("null", "true", "false", "div"):
+                    # members must be LITERAL-valued (literals, signs,
+                    # literal arithmetic, parameters): SQLite's IN
+                    # applies ONLY the LHS affinity to each member,
+                    # while the expanded '=' would apply the full
+                    # bidirectional §4.2 rule — for a COLUMN member
+                    # with its own affinity the two disagree (probed
+                    # r12: tx IN (i) does NOT numeric-convert tx, but
+                    # tx = i does). Column/call members stay on the
+                    # Spark path (documented edge).
+                    bad = True
+                    break
+                elif k == "qid":
                     bad = True
                     break
             if bad or mstart >= close:

@@ -639,3 +639,42 @@ def test_between_machine_matches_sqlite(db, ref, chain_tables, lhs, lo_, hi_, ne
     want = [r[0] for r in ref.execute(q).fetchall()]
     got = [v[0] for v in db.query_string_stmt(q)[0].values]
     assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+def test_on_clause_affinity_matches_sqlite(db, ref, spark):
+    """r12 probe pinned: JOIN ON conditions route through the same
+    comparison-affinity machinery (two-typed-column CASE, chain
+    operands, BETWEEN expansion). IN with a COLUMN member stays on the
+    Spark path — SQLite applies ONLY the LHS affinity there (probed:
+    tx IN (i) does not numeric-convert, tx = i does), which the
+    OR-expansion would get wrong; the literal-member gate keeps it
+    out (documented edge in COVERAGE.md B9)."""
+    for ddl in (
+        "CREATE TABLE oa (a INTEGER PRIMARY KEY, tx TEXT)",
+        "CREATE TABLE ob (b INTEGER PRIMARY KEY, i INTEGER, r REAL)",
+    ):
+        ref.execute(ddl)
+        db.execute_string_stmt(ddl)
+    try:
+        for s in (
+            "INSERT INTO oa VALUES (1,'7'),(2,'9e1'),(3,''),(4,'0x11'),(5,'90')",
+            "INSERT INTO ob VALUES (1,7,7.0),(2,90,90.0),(3,0,0.0),(4,17,2.5)",
+        ):
+            ref.execute(s)
+            db.execute_string_stmt(s)
+        for q in (
+            "SELECT a, b FROM oa JOIN ob ON oa.tx = ob.i ORDER BY a, b",
+            "SELECT a, b FROM oa JOIN ob ON tx = r ORDER BY a, b",
+            "SELECT a, b FROM oa LEFT JOIN ob ON tx = i ORDER BY a, b",
+            "SELECT a, b FROM oa JOIN ob ON tx+0 = i ORDER BY a, b",
+            "SELECT a, b FROM oa JOIN ob ON oa.a = ob.r ORDER BY a, b",
+            "SELECT a, b FROM oa JOIN ob ON tx BETWEEN i AND i+10 ORDER BY a, b",
+            "SELECT a, b FROM oa JOIN ob ON tx IN (90, '90') ORDER BY a, b",
+        ):
+            want = [list(rw) for rw in ref.execute(q).fetchall()]
+            got = [list(v) for v in db.query_string_stmt(q)[0].values]
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    finally:
+        for t in ("oa", "ob"):
+            ref.execute(f"DROP TABLE {t}")
+            db.execute_string_stmt(f"DROP TABLE {t}")

@@ -240,6 +240,70 @@ def heavy_hitters_case(F, evs):
     )
 
 
+
+
+def split_leakage_case(ops, F, docs):
+    # r12 c9s shape: split labels + 8-gram hashes; train grams
+    # semi-join the held-out gram stream — one explode + one
+    # 8-byte-key shuffle, text never rides a shuffle
+    from dust_spark.functions import tokens, word_shingles
+
+    lab = ops.train_val_test_split(docs, hash_fn="xxhash64")
+    grams = (
+        lab.select("doc_id", "split", tokens("text").alias("__tok"))
+        .select("doc_id", "split", F.explode(word_shingles(F.col("__tok"), 8)).alias("g"))
+        .select("doc_id", "split", F.xxhash64("g").alias("gh"))
+    )
+    tr = grams.filter(F.col("split") == "train").select("gh").distinct()
+    leaked = (
+        grams.filter(F.col("split") != "train")
+        .join(tr, "gh", "left_semi")
+        .select("doc_id")
+        .distinct()
+        .withColumn("__l", F.lit(1))
+    )
+    return (
+        lab.filter(F.col("split") != "train")
+        .join(leaked, "doc_id", "left")
+        .groupBy("split")
+        .agg(F.count("*").alias("n"), F.sum(F.coalesce(F.col("__l"), F.lit(0))).alias("k"))
+    )
+
+
+def oov_case(ops, F, docs):
+    # r12 c4v shape: vocab agg (map-side combine) + TakeOrdered 500 +
+    # broadcast back over the token stream
+    from dust_spark.functions import tokens
+
+    tok = (
+        docs.select((F.col("doc_id") % 20).alias("source"), tokens("text").alias("t"))
+        .select("source", F.explode("t").alias("w"))
+    )
+    vocab = (
+        tok.groupBy("w").count().orderBy(F.col("count").desc(), "w").limit(500)
+        .select("w", F.lit(1).alias("iv"))
+    )
+    return (
+        tok.join(F.broadcast(vocab), "w", "left")
+        .groupBy("source")
+        .agg(
+            F.count("*").alias("n"),
+            F.sum(F.when(F.col("iv").isNull(), 1).otherwise(0)).alias("oov"),
+        )
+    )
+
+
+def global_rank_case(F, evs):
+    # r12 b5a/b5e shape: range partition + per-slice row_number +
+    # broadcast prefix offsets — the no-single-task global rank
+    from dust_spark.operators.skew import global_row_number
+
+    out, _ = global_row_number(
+        evs.select("event_id", "value"), [F.col("value").desc(), F.col("event_id")]
+    )
+    return out
+
+
 def main() -> None:
     scales = [1, 4, 16]
     only_ops: list[str] | None = None
@@ -472,6 +536,11 @@ def main() -> None:
             ("bm25_topk", lambda: ops.bm25_topk(docs, k=20)),
             ("length_buckets", lambda: ops.length_bucket_batches(docs)),
             ("model_quality", lambda: ops.model_quality_score(docs)),
+            # r12 additions: leakage/oov/global-rank/rolling-median
+            ("split_leakage", lambda: split_leakage_case(ops, F, docs)),
+            ("oov_rate", lambda: oov_case(ops, F, docs)),
+            ("rolling_median", lambda: ops.rolling_median(evs)),
+            ("global_rank", lambda: global_rank_case(F, evs)),
             # flat assignment pinned (coarse_gate=None): the documented
             # O(n·k) = O(n²) curve the r12 gate exists to fix
             (
