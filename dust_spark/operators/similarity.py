@@ -1261,7 +1261,10 @@ def _gated_argmin(base: DataFrame, cents: DataFrame, n_coarse: int, n_probe: int
     cbase = cents.select(
         F.col("cid").alias("vid"), F.col("c").cast("array<double>").alias("v")
     )
-    cassign, gcents = _portable_lloyd(cbase, n_coarse, 2)
+    # checkpoint=True pins the coarse centroids (k rows) before their
+    # two consumers (final coarse assignment + the probe table)
+    cassign, gcents = _portable_lloyd(cbase, n_coarse, 2, checkpoint=True)
+    cassign = cassign.localCheckpoint(eager=True)
     cmap = cassign.select(F.col("vid").alias("fcid"), F.col("cid").alias("gid"))
     # fine lists per coarse group: ≤ n_coarse tiny rows, array-sorted by
     # cid so every fold order is pinned
@@ -1376,6 +1379,11 @@ def diversity_keep(
     if coarse_gate is not None and k_clusters > coarse_gate:
         from math import isqrt
 
+        # the trained-centroid frame fans into FOUR consumers in the
+        # gated path (coarse training, coarse assignment, fine lists,
+        # probe table) — pin the k-row result once or the whole corpus
+        # Lloyd re-plans/re-runs per branch (r12: c9r 4.9 s → ~2 s)
+        cents = cents.localCheckpoint(eager=True)
         a = _gated_argmin(base, cents, max(2, isqrt(k_clusters)), n_probe)
         a = a.select(
             "vid",

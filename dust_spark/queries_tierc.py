@@ -4261,3 +4261,89 @@ def split_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("split")
     )
+
+
+# First/last-touch attribution (r12): for every order, the user's
+# first and last click at-or-before the order date — the marketing-
+# attribution shape of the as-of family. Spark side is the c6c
+# single-union-shuffle two-window plan (orders and clicks ride ONE
+# hash exchange on the user key); the oracle is the all-pairs
+# row_number formulation and must agree exactly (ties: latest click =
+# max (ts, event_id), first = min).
+_ATTRIBUTION_ORACLE = """
+WITH o AS (
+  SELECT o_orderkey, o_custkey,
+         epoch_us(CAST(o_orderdate AS TIMESTAMP)) AS ot
+  FROM orders
+), c AS (
+  SELECT user_id, event_id, epoch_us(ts) AS et
+  FROM events WHERE event_type = 'click'
+), j AS (
+  SELECT o.o_orderkey, c.event_id, c.et
+  FROM o JOIN c ON c.user_id = o.o_custkey AND c.et <= o.ot
+), l AS (
+  SELECT o_orderkey, event_id FROM (
+    SELECT o_orderkey, event_id,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY et DESC, event_id DESC) AS rn
+    FROM j) WHERE rn = 1
+), f AS (
+  SELECT o_orderkey, event_id FROM (
+    SELECT o_orderkey, event_id,
+           row_number() OVER (PARTITION BY o_orderkey
+                              ORDER BY et, event_id) AS rn
+    FROM j) WHERE rn = 1
+)
+SELECT o.o_orderkey, l.event_id AS last_click, f.event_id AS first_click
+FROM o LEFT JOIN l USING (o_orderkey) LEFT JOIN f USING (o_orderkey)
+ORDER BY o.o_orderkey
+"""
+
+
+@register("c6h_touch_attribution", oracle=_ATTRIBUTION_ORACLE, tags=("tierc", "asof"))
+def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last-touch click attribution per order via the union +
+    two-window as-of plan — one shuffle, no all-pairs join."""
+    from pyspark.sql import Window as W
+
+    register_views(spark, sf_dir)
+    clicks = (
+        spark.table("events")
+        .filter(F.col("event_type") == "click")
+        .select(
+            F.col("user_id").alias("k"),
+            F.unix_micros("ts").alias("t"),
+            F.col("event_id").alias("eid"),
+        )
+        .withColumn("okey", F.lit(None).cast("long"))
+        .withColumn("tag", F.lit(0))
+    )
+    ords = spark.table("orders").select(
+        F.col("o_custkey").alias("k"),
+        F.unix_micros(F.to_timestamp("o_orderdate")).alias("t"),
+        F.lit(None).cast("long").alias("eid"),
+        F.col("o_orderkey").alias("okey"),
+        F.lit(1).alias("tag"),
+    )
+    un = clicks.unionByName(ords)
+    # same-timestamp clicks precede the order row (tag breaks the tie),
+    # so '<=' semantics hold; eid orders equal-time clicks so the LAST
+    # non-null eid is the max (t, eid) click
+    w = (
+        W.partitionBy("k")
+        .orderBy("t", "tag", "eid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    first_struct = F.min(
+        F.when(F.col("tag") == 0, F.struct("t", "eid"))
+    ).over(w)
+    out = (
+        un.withColumn("last_click", F.last("eid", ignorenulls=True).over(w))
+        .withColumn("first_click", first_struct["eid"])
+        .filter(F.col("tag") == 1)
+        .select(
+            F.col("okey").alias("o_orderkey"), "last_click", "first_click"
+        )
+        .orderBy("o_orderkey")
+    )
+    return out
