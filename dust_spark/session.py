@@ -3529,6 +3529,7 @@ class DustSession:
     def _update_impl(self, overlay: Overlay, st: TableState, up) -> Response:
         tdef = st.tdef
         where = dialect.resolve_rowid(up.where or "TRUE", tdef)
+        where = self._dml_condition(where, tdef)
         real = {f.name for f in tdef.schema.fields if f.name != dialect.HIDDEN_ROWID}
         assigned = {}
         for c, e in dict(up.sets).items():
@@ -3977,7 +3978,12 @@ class DustSession:
         want_pairs = bool(trig_b or trig_a)
         if de.where is not None:
             de = de.__class__(
-                de.table, dialect.resolve_rowid(de.where, st.tdef), de.with_sql, de.tail
+                de.table,
+                self._dml_condition(
+                    dialect.resolve_rowid(de.where, st.tdef), st.tdef
+                ),
+                de.with_sql,
+                de.tail,
             )
         if de.tail is not None:
             # SQLITE_ENABLE_UPDATE_DELETE_LIMIT: delete only the ORDER
@@ -4789,6 +4795,39 @@ class DustSession:
         finally:
             if restore is not None:
                 restore()
+
+    @staticmethod
+    def _tdef_class_map(tdef) -> dict:
+        """Lowercased column → dialect._CLS_* map from one table's
+        declared types (the _int_cols_in_scope affinity rules, single
+        table — feeds the DML-condition sweep)."""
+        out: dict[str, int] = {}
+        for col, decl in tdef.declared_types.items():
+            d = (decl or "").upper()
+            if "INT" in d:
+                c = dialect._CLS_INT
+            elif "CHAR" in d or "CLOB" in d or "TEXT" in d:
+                c = dialect._CLS_TEXT
+            elif not d or "BLOB" in d or d == "ANY":
+                continue  # dynamic storage class: no provable rewrites
+            else:
+                c = dialect._CLS_REAL
+            out[col.lower()] = c
+        return out
+
+    def _dml_condition(self, cond: str, tdef) -> str:
+        """DML WHERE strings take the same IN/BETWEEN expansions and the
+        column-affinity typed sweep as the read path (r12: the
+        statement-level sweep in _apply runs class-less, so
+        `UPDATE ... WHERE tx BETWEEN 0 AND 99` and
+        `DELETE ... WHERE i IN ('9', 0.0)` silently kept Spark
+        coercions — sqlite3-probed divergences)."""
+        try:
+            cond = dialect._expand_between(cond)
+            cond = dialect._expand_in_lists(cond)
+            return dialect.rewrite_typed_ops(cond, self._tdef_class_map(tdef))
+        except Exception:
+            return cond
 
     def _int_cols_in_scope(self, sql: str) -> dict:
         """Lowercased column-name → storage-class map (dialect._CLS_*)

@@ -2662,3 +2662,52 @@ def test_mixed_union_table_columns_sqlite_differential(spark):
     finally:
         s.close()
         ref.close()
+
+
+def test_dml_where_affinity_sqlite_differential(spark):
+    """r12: UPDATE/DELETE WHERE strings take the same IN/BETWEEN
+    expansions and column-affinity sweep as the read path
+    (session._dml_condition) — probed divergences E2/E5: BETWEEN over
+    a TEXT column and IN-member affinity silently kept Spark coercions
+    in the DML path."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        def fresh():
+            for ex in (ref.execute, s.execute_string_stmt):
+                try:
+                    ex("DROP TABLE dw")
+                except Exception:
+                    pass
+                ex("CREATE TABLE dw (id INTEGER PRIMARY KEY, tx TEXT, r REAL, i INTEGER)")
+                for vals in (
+                    "(1,'7',2.5,9)", "(2,'7abc',0.5,-7)", "(3,'',7.5,4)",
+                    "(4,'9e1',-2.5,0)", "(6,NULL,NULL,NULL)",
+                ):
+                    ex(f"INSERT INTO dw VALUES {vals}")
+
+        for q in (
+            "UPDATE dw SET r = 1.5 WHERE i NOT IN ('9e1')",
+            "UPDATE dw SET r = 2.5 WHERE tx BETWEEN 0 AND 99",
+            "DELETE FROM dw WHERE tx+1 = '1'",
+            "UPDATE dw SET i = 5 WHERE tx IN (7, '9e1')",
+            "DELETE FROM dw WHERE i IN ('9', 0.0)",
+            "UPDATE dw SET r = 9 WHERE tx NOT BETWEEN '0' AND X'00'",
+            "DELETE FROM dw WHERE i+1 BETWEEN '1' AND '10'",
+            "UPDATE dw SET i = 1 WHERE tx IN (7) AND r BETWEEN 0 AND 3",
+            "DELETE FROM dw WHERE id IN (1.0, '2', 3.5)",
+            "UPDATE dw SET r = 0 WHERE i NOT BETWEEN -7 AND '4'",
+        ):
+            fresh()
+            ref.execute(q)
+            want = [list(rw) for rw in ref.execute("SELECT * FROM dw ORDER BY id").fetchall()]
+            s.execute_string_stmt(q)
+            got = [list(v) for v in s.query_string_stmt("SELECT * FROM dw ORDER BY id")[0].values]
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+        ref.execute("DROP TABLE dw")
+        s.execute_string_stmt("DROP TABLE dw")
+    finally:
+        s.close()
+        ref.close()
