@@ -2215,10 +2215,7 @@ class DustSession:
                 if c_ != tdef.rowid_column:  # auto-assigned below
                     new_rows = new_rows.filter(F.col(c_).isNotNull())
             for _lbl, expr in tdef.checks:
-                cond = dialect.rewrite_sqlite_fns(expr)
-                new_rows = new_rows.filter(
-                    F.expr(f"coalesce(try_cast(({cond}) AS BOOLEAN), true)")
-                )
+                new_rows = new_rows.filter(F.expr(self._check_pass_sql(expr, tdef)))
             if ins.on_conflict is None:
                 # non-rowid uniqueness: first batch row wins, rows
                 # clashing with existing data drop (NULL keys exempt —
@@ -3742,10 +3739,7 @@ class DustSession:
                 if c in assigned:
                     viol = viol | (upd & F.col(c).isNull())
             for _lbl, expr in tdef.checks:
-                cond = dialect.rewrite_sqlite_fns(expr)
-                viol = viol | (
-                    upd & ~F.expr(f"coalesce(try_cast(({cond}) AS BOOLEAN), true)")
-                )
+                viol = viol | (upd & ~F.expr(self._check_pass_sql(expr, tdef)))
             for colset in tdef.unique:
                 nullk = None
                 for c in colset:
@@ -4596,10 +4590,7 @@ class DustSession:
         # SQLite rule: a row passes when the expression is TRUE or NULL —
         # only FALSE/0 fails; error label = constraint name or expr text.
         for label, expr in tdef.checks:
-            cond = dialect.rewrite_sqlite_fns(expr)
-            viol = new_rows.filter(
-                F.expr(f"NOT coalesce(try_cast(({cond}) AS BOOLEAN), true)")
-            )
+            viol = new_rows.filter(F.expr(f"NOT {self._check_pass_sql(expr, tdef)}"))
             if viol.limit(1).count() > 0:
                 raise DustError(f"CHECK constraint failed: {label}")
 
@@ -4814,6 +4805,15 @@ class DustSession:
                 c = dialect._CLS_REAL
             out[col.lower()] = c
         return out
+
+    def _check_pass_sql(self, expr: str, tdef) -> str:
+        """CHECK pass-predicate for one constraint expression (r12):
+        the same IN/BETWEEN expansions + affinity sweep as DML WHERE,
+        then SQLite TRUTHINESS (numeric-prefix — CHECK('abc') always
+        FAILS where the old try_cast-to-BOOLEAN silently passed), with
+        NULL passing per SQLite's rule."""
+        cond = self._dml_condition(dialect.rewrite_sqlite_fns(expr), tdef)
+        return f"coalesce({dialect.truthy_expr(cond)}, true)"
 
     def _dml_condition(self, cond: str, tdef) -> str:
         """DML WHERE strings take the same IN/BETWEEN expansions and the

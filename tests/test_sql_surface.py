@@ -2711,3 +2711,49 @@ def test_dml_where_affinity_sqlite_differential(spark):
     finally:
         s.close()
         ref.close()
+
+
+def test_check_affinity_truthiness_sqlite_differential(spark):
+    """r12: CHECK expressions take the DML-condition sweep (IN/BETWEEN
+    affinity) AND SQLite truthiness (numeric-prefix — CHECK('abc')
+    always fails; the old try_cast-to-BOOLEAN silently passed junk
+    text). NULL still passes."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        cases = [
+            ("CREATE TABLE k1 (i INTEGER CHECK (i IN ('1','2')))",
+             ["INSERT INTO k1 VALUES (1)", "INSERT INTO k1 VALUES (3)"]),
+            ("CREATE TABLE k2 (tx TEXT CHECK (tx BETWEEN 0 AND 99))",
+             ["INSERT INTO k2 VALUES ('7abc')", "INSERT INTO k2 VALUES ('zz')"]),
+            ("CREATE TABLE k3 (x INTEGER CHECK ('abc'))", ["INSERT INTO k3 VALUES (1)"]),
+            ("CREATE TABLE k4 (x INTEGER CHECK ('1x'))", ["INSERT INTO k4 VALUES (1)"]),
+            ("CREATE TABLE k5 (tx TEXT CHECK (tx IN (7, '9e1')))",
+             ["INSERT INTO k5 VALUES ('7')", "INSERT INTO k5 VALUES ('90')"]),
+            ("CREATE TABLE k6 (i INTEGER CHECK (i NOT IN ('9e1')))",
+             ["INSERT INTO k6 VALUES (9)", "INSERT INTO k6 VALUES (90)"]),
+            ("CREATE TABLE k8 (i INTEGER CHECK (i+1 IN ('1', 10)))",
+             ["INSERT INTO k8 VALUES (0)", "INSERT INTO k8 VALUES (9)"]),
+            ("CREATE TABLE k9 (i INTEGER CHECK (i < 5 AND 'x'))", ["INSERT INTO k9 VALUES (1)"]),
+            ("CREATE TABLE k10 (i INTEGER CHECK (i < 5 OR '2x'))", ["INSERT INTO k10 VALUES (9)"]),
+            ("CREATE TABLE k11 (i INTEGER CHECK (NULL))", ["INSERT INTO k11 VALUES (1)"]),
+            ("CREATE TABLE k12 (i INTEGER, CHECK (i BETWEEN '1' AND '9'))",
+             ["INSERT INTO k12 VALUES (5)", "INSERT INTO k12 VALUES (10)"]),
+        ]
+        for ddl, inserts in cases:
+            ref.execute(ddl)
+            s.execute_string_stmt(ddl)
+            for ins in inserts:
+                try:
+                    ref.execute(ins)
+                    want_ok = True
+                except Exception:
+                    want_ok = False
+                resp = s.execute_string_stmt(ins)
+                got_ok = not resp[0].error
+                assert got_ok == want_ok, f"{ins}: engine_ok={got_ok} sqlite_ok={want_ok} err={resp[0].error}"
+    finally:
+        s.close()
+        ref.close()
