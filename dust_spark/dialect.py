@@ -3416,6 +3416,20 @@ def _map_outside_strings(sql: str, fn) -> str:
 
 
 _NEG_LIMIT_RE = re.compile(r"\bLIMIT\s+-\d+\b", re.I)
+# SQLite hex literals are int64 two's complement (0xFFFFFFFFFFFFFFFF =
+# -1); Spark has no 0x form at all (r12: bare hex in VALUES/SELECT
+# resolved as a column name). Normalize to the decimal integer — the
+# typed-ops sweep already ran, so chain semantics saw the hex form
+# where they needed it; >16-digit literals stay (SQLite's 'hex literal
+# too big' error shape surfaces downstream).
+_HEX_LIT_RE = re.compile(r"\b0[xX][0-9A-Fa-f]{1,16}(?![0-9A-Za-z_])")
+
+
+def _hex_to_int(m: re.Match) -> str:
+    v = int(m.group(0), 16)
+    if v >= 2**63:
+        v -= 2**64
+    return str(v)
 # SQLite window frames: EXCLUDE NO OTHERS is the default (a no-op) —
 # strip it; real GROUPS/EXCLUDE frames have no Spark equivalent and are
 # rejected loudly in the session read path
@@ -3489,6 +3503,7 @@ def _rewrite_operators(sql: str) -> str:
         seg = _IS_NOT_RE.sub("IS DISTINCT FROM", seg)
         seg = _IS_RE.sub("IS NOT DISTINCT FROM", seg)
         seg = _NEG_LIMIT_RE.sub("", seg)  # SQLite: negative LIMIT = unlimited
+        seg = _HEX_LIT_RE.sub(_hex_to_int, seg)  # 0x11 → 17 (two's complement)
         seg = _EXCLUDE_NOOP_RE.sub("", seg)  # default frame exclusion = no-op
         seg = _COLLATE_NOCASE_RE.sub("COLLATE UTF8_LCASE", seg)
         seg = _COLLATE_BINARY_RE.sub("COLLATE UTF8_BINARY", seg)

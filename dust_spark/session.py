@@ -2183,11 +2183,20 @@ class DustSession:
         )
 
         projected = []
+        src_types = {fl.name: fl.dataType for fl in src.schema.fields}
         for f in tdef.schema.fields:
             if f.name in cols:
-                c = F.col(f.name).cast(f.dataType)
+                c = self._affine_cast(
+                    F.col(f.name), src_types.get(f.name), f.dataType
+                )
             elif f.name in tdef.defaults:
-                c = F.expr(tdef.defaults[f.name]).cast(f.dataType)
+                d_expr = F.expr(tdef.defaults[f.name])
+                if re.fullmatch(r"\s*[-+]?\d+\s*", tdef.defaults[f.name]):
+                    c = d_expr.cast(f.dataType)  # integer literal: exact
+                else:
+                    from pyspark.sql import types as _T
+
+                    c = self._affine_cast(d_expr, _T.StringType(), f.dataType)
             else:
                 c = F.lit(None).cast(f.dataType)
             projected.append(c.alias(f.name))
@@ -3705,9 +3714,25 @@ class DustSession:
         values — applied after every insert projection and update
         post-image (sequential, so a generated column may reference an
         earlier one, like SQLite)."""
+        from pyspark.sql import types as T
+
         for g, expr in tdef.generated.items():
             dtype = next(f.dataType for f in tdef.schema.fields if f.name == g)
-            df = df.withColumn(g, F.expr(dialect.rewrite_sqlite_fns(expr)).cast(dtype))
+            # the generated expression takes the DML-condition sweep
+            # (IN/BETWEEN expansion + column affinity — r12: flag AS
+            # (tx IN (7, '9e1')) used to DATATYPE_MISMATCH at insert);
+            # boolean results store 0/1 like SQLite, and the value then
+            # takes the write-affinity cast
+            cond = self._dml_condition(dialect.rewrite_sqlite_fns(expr), tdef)
+            val = F.expr(cond)
+            try:
+                rtype = df.select(val.alias("__g")).schema[0].dataType
+            except Exception:
+                rtype = None
+            if isinstance(rtype, T.BooleanType):
+                val = val.cast("long")
+                rtype = T.LongType()
+            df = df.withColumn(g, self._affine_cast(val, rtype, dtype))
         return df
 
     def _update_resolve_conflicts(
@@ -4805,6 +4830,37 @@ class DustSession:
                 c = dialect._CLS_REAL
             out[col.lower()] = c
         return out
+
+    @staticmethod
+    def _affine_cast(c, src_type, data_type):
+        """SQLite INTEGER-affinity write conversion (r12): numeric TEXT
+        converts through REAL and stores INTEGER only when lossless —
+        '9e1' stores 90 where the plain Spark cast NULLed it, and '2.5'
+        / 2.5 store NULL rather than a silently TRUNCATED 2 (SQLite
+        would keep them REAL under flexible typing, which a typed
+        BIGINT column cannot hold — documented divergence class).
+        Integral sources keep the plain cast (a double round-trip
+        would corrupt int64 values past 2^53); non-integer targets
+        keep the plain cast (string→double/any→string already match)."""
+        from pyspark.sql import types as T
+
+        if not isinstance(data_type, (T.LongType, T.IntegerType, T.ShortType)):
+            return c.cast(data_type)
+        if isinstance(
+            src_type,
+            (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType),
+        ):
+            return c.cast(data_type)
+        dbl = c.cast("double")
+        lossless = (
+            dbl.isNotNull()
+            & (dbl == F.floor(dbl))
+            & (dbl >= F.lit(-9.223372036854776e18))
+            & (dbl < F.lit(9.223372036854776e18))
+        )
+        return F.when(lossless, dbl.cast(data_type)).otherwise(
+            F.lit(None).cast(data_type)
+        )
 
     def _check_pass_sql(self, expr: str, tdef) -> str:
         """CHECK pass-predicate for one constraint expression (r12):

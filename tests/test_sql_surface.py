@@ -2757,3 +2757,65 @@ def test_check_affinity_truthiness_sqlite_differential(spark):
     finally:
         s.close()
         ref.close()
+
+
+def test_write_affinity_sqlite_differential(spark):
+    """r12: INSERT write affinity — numeric TEXT converts through REAL
+    and stores INTEGER when lossless ('9e1' → 90; plain cast NULLed
+    it); non-lossless values store NULL rather than a silently
+    truncated integer (SQLite keeps them REAL under flexible typing —
+    the documented typed-storage divergence); int64 values stay exact
+    (no double round-trip); bare 0x hex literals parse with two's
+    complement. DEFAULT expressions take the same conversion."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        ddl = "CREATE TABLE wa (i INTEGER, r REAL, t TEXT)"
+        ref.execute(ddl)
+        s.execute_string_stmt(ddl)
+        sel = "SELECT i, typeof(i), r, typeof(r), t, typeof(t) FROM wa"
+        for ins in (
+            "INSERT INTO wa VALUES ('9e1', '2.5', 42)",
+            "INSERT INTO wa VALUES ('90', ' 3 ', 0x11)",
+            "INSERT INTO wa VALUES (2.0, 5, 2.5)",
+            "INSERT INTO wa VALUES ('12.', '1e2', 99)",
+            "INSERT INTO wa VALUES (9007199254740993, 1, 'a')",
+            "INSERT INTO wa VALUES (9223372036854775807, 1, 'b')",
+            "INSERT INTO wa(i) VALUES (NULL)",
+        ):
+            ref.execute("DELETE FROM wa")
+            s.execute_string_stmt("DELETE FROM wa")
+            ref.execute(ins)
+            want = [list(rw) for rw in ref.execute(sel).fetchall()]
+            resp = s.execute_string_stmt(ins)
+            assert not resp[0].error, f"{ins}: {resp[0].error}"
+            got = [list(v) for v in s.query_string_stmt(sel)[0].values]
+            assert got == want, f"{ins}: spark={got!r} sqlite={want!r}"
+        for ddl2, ins2, sel2 in (
+            ("CREATE TABLE wd (i INTEGER DEFAULT '9e1', j INTEGER)",
+             "INSERT INTO wd(j) VALUES (1)", "SELECT i, typeof(i) FROM wd"),
+            ("CREATE TABLE wg (i INTEGER, v INTEGER AS (i * 2))",
+             "INSERT INTO wg(i) VALUES (3)", "SELECT i, v FROM wg"),
+            ("CREATE TABLE wg2 (t TEXT, u TEXT AS (upper(t)))",
+             "INSERT INTO wg2(t) VALUES ('ab')", "SELECT t, u FROM wg2"),
+            # typed generated column with an affinity-needing expression
+            # (used to DATATYPE_MISMATCH at insert — r12)
+            ("CREATE TABLE wg3 (tx TEXT, flag INTEGER AS (tx IN (7, '9e1')))",
+             "INSERT INTO wg3(tx) VALUES ('7'), ('90'), ('x')",
+             "SELECT tx, flag FROM wg3 ORDER BY tx"),
+            ("CREATE TABLE wg4 (i INTEGER, v INTEGER AS (i + '1x'))",
+             "INSERT INTO wg4(i) VALUES (1), (5)", "SELECT i, v FROM wg4 ORDER BY i"),
+        ):
+            ref.execute(ddl2)
+            s.execute_string_stmt(ddl2)
+            ref.execute(ins2)
+            resp = s.execute_string_stmt(ins2)
+            assert not resp[0].error, f"{ins2}: {resp[0].error}"
+            want = [list(rw) for rw in ref.execute(sel2).fetchall()]
+            got = [list(v) for v in s.query_string_stmt(sel2)[0].values]
+            assert got == want, f"{sel2}: spark={got!r} sqlite={want!r}"
+    finally:
+        s.close()
+        ref.close()
