@@ -3597,8 +3597,14 @@ class DustSession:
         projs = []
         for f in tdef.schema.fields:
             if f.name in assigned:
+                # the affine conversion wraps the SET expression INSIDE
+                # the branch: wrapping the whole CASE would let Spark
+                # type-unify the THEN/ELSE pair (string + bigint →
+                # DOUBLE) and corrupt int64 values on UNassigned rows
+                # through the double round-trip (r12 probe)
+                conv = self._affine_cast_sql(assigned[f.name], f.dataType)
                 projs.append(
-                    f"CAST((CASE WHEN ({where}) THEN ({assigned[f.name]}) ELSE `{f.name}` END) "
+                    f"CAST((CASE WHEN ({where}) THEN {conv} ELSE `{f.name}` END) "
                     f"AS {f.dataType.simpleString()}) AS `{f.name}`"
                 )
             else:
@@ -4860,6 +4866,28 @@ class DustSession:
         )
         return F.when(lossless, dbl.cast(data_type)).otherwise(
             F.lit(None).cast(data_type)
+        )
+
+    @staticmethod
+    def _affine_cast_sql(e: str, data_type) -> str:
+        """SQL-string form of :meth:`_affine_cast` for the UPDATE SET
+        projection (r12): exact integral values pass through (the
+        string round-trip check keeps int64 exactness — no double
+        detour), numeric text/reals convert through REAL when lossless
+        ('9e1' → 90), everything else stores NULL."""
+        from pyspark.sql import types as T
+
+        ds = data_type.simpleString()
+        if not isinstance(data_type, (T.LongType, T.IntegerType, T.ShortType)):
+            return f"CAST(({e}) AS {ds})"
+        d = f"try_cast(({e}) AS DOUBLE)"
+        b = f"try_cast(({e}) AS BIGINT)"
+        return (
+            f"(CASE WHEN {b} IS NOT NULL AND CAST({b} AS STRING) = CAST(({e}) AS STRING) "
+            f"THEN CAST({b} AS {ds}) "
+            f"WHEN {d} IS NOT NULL AND {d} = FLOOR({d}) "
+            f"AND {d} >= -9.223372036854776E18 AND {d} < 9.223372036854776E18 "
+            f"THEN CAST({d} AS {ds}) ELSE CAST(NULL AS {ds}) END)"
         )
 
     def _check_pass_sql(self, expr: str, tdef) -> str:

@@ -2819,3 +2819,42 @@ def test_write_affinity_sqlite_differential(spark):
     finally:
         s.close()
         ref.close()
+
+
+def test_update_set_write_affinity_sqlite_differential(spark):
+    """r12: UPDATE SET values take the write-affinity conversion via
+    _affine_cast_sql — '9e1' stores 90; the conversion wraps the SET
+    expression INSIDE the update CASE branch (wrapping the whole CASE
+    let Spark unify string+bigint to DOUBLE and corrupted int64 values
+    on UNassigned rows — the probe's nastiest find)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        ddl = "CREATE TABLE us (k INTEGER PRIMARY KEY, i INTEGER, t TEXT)"
+        ref.execute(ddl)
+        s.execute_string_stmt(ddl)
+        seed = "INSERT INTO us VALUES (1, 5, 'x'), (2, 9007199254740993, 'y')"
+        ref.execute(seed)
+        s.execute_string_stmt(seed)
+        sel = "SELECT k, i, typeof(i), t FROM us ORDER BY k"
+        for q in (
+            "UPDATE us SET i = '9e1' WHERE k = 1",
+            "UPDATE us SET i = 2.0 WHERE k = 1",
+            "UPDATE us SET t = 77 WHERE k = 1",
+            "UPDATE us SET i = t WHERE k = 1",
+            "UPDATE us SET i = i + 1 WHERE k = 2",
+            "UPDATE us SET i = 9223372036854775807 WHERE k = 1",
+            "UPDATE us SET i = ' 42 ' WHERE k = 1",
+            "UPDATE us SET i = NULL WHERE k = 1",
+        ):
+            ref.execute(q)
+            want = [list(rw) for rw in ref.execute(sel).fetchall()]
+            r = s.execute_string_stmt(q)
+            assert not r[0].error, f"{q}: {r[0].error}"
+            got = [list(v) for v in s.query_string_stmt(sel)[0].values]
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    finally:
+        s.close()
+        ref.close()
