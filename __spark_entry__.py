@@ -228,6 +228,25 @@ _ROUND11_VERIFIED = (
     "c6e_asof_tolerance"
 ).split()
 
+# Hash-green in CORRECTNESS_r12 (44 names: the r12-new queries
+# c9r/c9s/c7g/c4v/c1f/c9t/c6h plus the rotation filler re-confirmed
+# there):
+_ROUND12_VERIFIED = (
+    "c9r_diversity_keep_gated c9s_split_leakage c7g_rolling_median "
+    "c4v_oov_rate c1f_canonical_keepers c9t_split_kl "
+    "c6h_touch_attribution c4g_tf_idf c8a_salted_agg c9a_clean_text "
+    "c9b_chunk_documents c9c_train_val_test_split c9f_shard_assign "
+    "c9g_stratified_sample c10a_decontaminate c10b_cluster_dedup "
+    "c3l_ivfpq_ann c3m_ivfpq_recall c3e_vector_quantize c8b_salted_join "
+    "c9d_pack_sequences b12a_pandas_udaf c4h_corpus_stats "
+    "c4i_repetition_score c1e_boilerplate_lines c1c_line_dedup "
+    "c4p_bpe_pair_counts c4j_top_terms c2h_dedup_against_corpus "
+    "c2g_minhash_portable_pairs c4l_nfc_normalize b3h_self_join "
+    "b3i_star_join b3j_using_join b4a_groupby_aggs b4b_count_distinct "
+    "b4c_having b4d_global_agg b4e_rollup b4f_conditional_agg "
+    "b4g_distinct b4h_cube b5a_row_number_rank b5b_lag_lead"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -254,6 +273,7 @@ def _prioritized():
         _ROUND9_VERIFIED,
         _ROUND10_VERIFIED,
         _ROUND11_VERIFIED,
+        _ROUND12_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}

@@ -4617,6 +4617,7 @@ _IN_LHS_BAIL_PREV = {
     "isnull", "notnull",
 }
 _IN_UNARY_OPENERS = _SAFE_BEFORE_WORDS | {"in", "like", "between", "is", "escape"}
+_IN_EXPAND_MEMBER_CAP = 50
 
 
 def _in_prim_start(toks, i: int):
@@ -4805,8 +4806,13 @@ def _expand_between(sql: str) -> str:
                 pv = prev[1].lower() if prev[0] == "word" else prev[1]
                 if pv in _IN_LHS_BAIL_PREV:
                     continue
-            # lower bound runs to BETWEEN's own AND at depth 0
-            j, depth, and_i = idx + 1, 0, None
+            # lower bound runs to BETWEEN's own AND at depth 0 — where
+            # depth counts BOTH parens and CASE...END spans (r13 ADVICE:
+            # an unparenthesized CASE lower bound carries its own ANDs,
+            # e.g. CASE WHEN 1 AND 1 THEN 0 ELSE 9 END; treating CASE
+            # like an opening paren keeps them out of the scan while the
+            # verbatim text slice still yields a valid expansion)
+            j, depth, case_depth, and_i = idx + 1, 0, 0, None
             while j < n:
                 v = toks[j][1]
                 if v == "(":
@@ -4815,13 +4821,18 @@ def _expand_between(sql: str) -> str:
                     if depth == 0:
                         break
                     depth -= 1
-                elif depth == 0 and toks[j][0] == "word":
+                elif toks[j][0] == "word":
                     w = toks[j][1].lower()
-                    if w == "and":
-                        and_i = j
-                        break
-                    if w in _FRAME_BOUND_WORDS:
-                        break  # frame bound that slipped the prefix guard
+                    if w == "case":
+                        case_depth += 1
+                    elif w == "end" and case_depth > 0:
+                        case_depth -= 1
+                    elif depth == 0 and case_depth == 0:
+                        if w == "and":
+                            and_i = j
+                            break
+                        if w in _FRAME_BOUND_WORDS:
+                            break  # frame bound that slipped the prefix guard
                 j += 1
             if and_i is None or and_i == idx + 1:
                 continue
@@ -4917,6 +4928,15 @@ def _expand_in_lists(sql: str) -> str:
             if bad or mstart >= close:
                 continue
             members.append((mstart, close))
+            if len(members) > _IN_EXPAND_MEMBER_CAP:
+                # A hundreds-member literal list (routine in generated
+                # SQL) would expand into an equally large OR chain,
+                # defeating Catalyst's InSet conversion and datasource
+                # In pushdown (r13 ADVICE). Past the cap the list stays
+                # on the Spark IN path — same policy as the chain
+                # compiler's _CHAIN_MEMBER_CAP (documented edge: member
+                # affinity conversion is skipped for oversize lists).
+                continue
             neg = (
                 idx > 0
                 and toks[idx - 1][0] == "word"
@@ -5007,6 +5027,27 @@ def _sqlite_arith_text_static(raw: str):
     if re.fullmatch(r"[+-]?\d+", p) and -(2**63) <= int(p) < 2**63:
         return (True, str(int(p)), _real_literal(float(int(p))))
     return (False, None, _real_literal(_sqlite_text_to_real(raw)))
+
+
+_X87_LONGDOUBLE = None
+
+
+def _x87_longdouble_ok() -> bool:
+    """True when numpy.longdouble is the x87 80-bit extended type
+    (nmant == 63) that _sqlite_real_to_text's digit pipeline was
+    verified bit-for-bit against. On aarch64 (IEEE quad) or
+    longdouble==double platforms the last digit can shift, so the
+    REAL-literal→TEXT comparison rewrite falls back to skipping —
+    the prior conservative behavior (r13 ADVICE)."""
+    global _X87_LONGDOUBLE
+    if _X87_LONGDOUBLE is None:
+        try:
+            import numpy as np
+
+            _X87_LONGDOUBLE = int(np.finfo(np.longdouble).nmant) == 63
+        except Exception:
+            _X87_LONGDOUBLE = False
+    return _X87_LONGDOUBLE
 
 
 def _sqlite_real_to_text(v: float) -> str:
@@ -6474,6 +6515,8 @@ class _TypedPass:
                     return None
                 if math.isinf(fv) or fv != fv:
                     return None  # overflow literals: documented divergence
+                if not _x87_longdouble_ok():
+                    return None  # non-x87 longdouble: skip the rewrite
                 rep_lit = "'" + _sqlite_real_to_text(fv) + "'"
             self.edits.append((ts[0][2], ts[-1][3], rep_lit))
             return k

@@ -4847,7 +4847,13 @@ class DustSession:
         BIGINT column cannot hold — documented divergence class).
         Integral sources keep the plain cast (a double round-trip
         would corrupt int64 values past 2^53); non-integer targets
-        keep the plain cast (string→double/any→string already match)."""
+        keep the plain cast (string→double/any→string already match).
+        r13 (ADVICE): integer-formed TEXT takes the same exact-int64
+        first branch as :meth:`_affine_cast_sql` — the string
+        round-trip check catches '9007199254740993' (which the double
+        detour silently rounded to …992) and '9223372036854775807'
+        (which it NULLed), exactly like SQLite's sqlite3Atoi64 path;
+        scale-0 decimals join the integral bypass."""
         from pyspark.sql import types as T
 
         if not isinstance(data_type, (T.LongType, T.IntegerType, T.ShortType)):
@@ -4855,8 +4861,15 @@ class DustSession:
         if isinstance(
             src_type,
             (T.LongType, T.IntegerType, T.ShortType, T.ByteType, T.BooleanType),
-        ):
+        ) or (isinstance(src_type, T.DecimalType) and src_type.scale == 0):
             return c.cast(data_type)
+        big = c.cast("bigint")
+        canon = F.regexp_replace(
+            F.regexp_replace(F.trim(c.cast("string")), r"^\+", ""),
+            r"^(-?)0+(?=[0-9])",
+            r"$1",
+        )
+        exact = big.isNotNull() & (big.cast("string") == canon)
         dbl = c.cast("double")
         lossless = (
             dbl.isNotNull()
@@ -4864,8 +4877,10 @@ class DustSession:
             & (dbl >= F.lit(-9.223372036854776e18))
             & (dbl < F.lit(9.223372036854776e18))
         )
-        return F.when(lossless, dbl.cast(data_type)).otherwise(
-            F.lit(None).cast(data_type)
+        return (
+            F.when(exact, big.cast(data_type))
+            .when(lossless, dbl.cast(data_type))
+            .otherwise(F.lit(None).cast(data_type))
         )
 
     @staticmethod
@@ -4882,8 +4897,12 @@ class DustSession:
             return f"CAST(({e}) AS {ds})"
         d = f"try_cast(({e}) AS DOUBLE)"
         b = f"try_cast(({e}) AS BIGINT)"
+        canon = (
+            f"regexp_replace(regexp_replace(trim(CAST(({e}) AS STRING)), "
+            f"'^\\\\+', ''), '^(-?)0+(?=[0-9])', '$1')"
+        )
         return (
-            f"(CASE WHEN {b} IS NOT NULL AND CAST({b} AS STRING) = CAST(({e}) AS STRING) "
+            f"(CASE WHEN {b} IS NOT NULL AND CAST({b} AS STRING) = {canon} "
             f"THEN CAST({b} AS {ds}) "
             f"WHEN {d} IS NOT NULL AND {d} = FLOOR({d}) "
             f"AND {d} >= -9.223372036854776E18 AND {d} < 9.223372036854776E18 "

@@ -612,7 +612,34 @@ _BETWEEN_CASES = [
     "SELECT id, sum(r) OVER (PARTITION BY i ORDER BY r RANGE BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
     "SELECT id FROM ch WHERE -i BETWEEN '1' AND 8 ORDER BY id",
     "SELECT id FROM ch WHERE i BETWEEN -7 AND abs(-4) ORDER BY id",
+    # r13 ADVICE: an unparenthesized CASE lower bound carries its own
+    # ANDs — the scan must skip CASE...END spans, not grab the first
+    # depth-0 AND (this exact statement used to rewrite to malformed
+    # SQL and error)
+    "SELECT 1 AS x WHERE 5 BETWEEN CASE WHEN 1 AND 1 THEN 0 ELSE 9 END AND 10",
+    "SELECT id FROM ch WHERE i BETWEEN CASE WHEN i > -100 AND i < 100 "
+    "THEN '0' ELSE -1 END AND '9' ORDER BY id",
+    "SELECT id FROM ch WHERE i BETWEEN CASE WHEN CASE WHEN 1 AND 1 THEN 1 "
+    "ELSE 0 END AND 1 THEN 0 ELSE 5 END AND 9 ORDER BY id",
+    # CASE upper bound: the operand-extent scan bails (stop word), the
+    # BETWEEN stays on the Spark path — result must still match for
+    # same-typed operands
+    "SELECT id FROM ch WHERE i BETWEEN 0 AND CASE WHEN 1 AND 1 THEN 9 "
+    "ELSE 0 END ORDER BY id",
 ]
+
+
+def test_in_list_expansion_caps_large_lists():
+    """r13 ADVICE: literal IN lists past _IN_EXPAND_MEMBER_CAP stay on
+    the Spark IN path (InSet + datasource pushdown) instead of
+    expanding into a giant OR chain."""
+    from dust_spark.dialect import _IN_EXPAND_MEMBER_CAP, _expand_in_lists
+
+    big = ", ".join(str(i) for i in range(_IN_EXPAND_MEMBER_CAP + 10))
+    q = f"SELECT 1 WHERE 5 IN ({big})"
+    assert _expand_in_lists(q) == q
+    small = "SELECT 1 WHERE 5 IN (1, 2)"
+    assert _expand_in_lists(small) != small
 
 
 def test_between_affinity_matches_sqlite(db, ref, chain_tables):

@@ -2783,6 +2783,13 @@ def test_write_affinity_sqlite_differential(spark):
             "INSERT INTO wa VALUES ('12.', '1e2', 99)",
             "INSERT INTO wa VALUES (9007199254740993, 1, 'a')",
             "INSERT INTO wa VALUES (9223372036854775807, 1, 'b')",
+            # r13 ADVICE: integer-formed TEXT must take the exact-int64
+            # branch (the double detour stored …992 / NULL here)
+            "INSERT INTO wa VALUES ('9007199254740993', 1, 'c')",
+            "INSERT INTO wa VALUES ('9223372036854775807', 1, 'd')",
+            "INSERT INTO wa VALUES ('-9223372036854775808', 1, 'e')",
+            "INSERT INTO wa VALUES (' +9007199254740993 ', 1, 'f')",
+            "INSERT INTO wa VALUES ('009007199254740993', 1, 'g')",
             "INSERT INTO wa(i) VALUES (NULL)",
         ):
             ref.execute("DELETE FROM wa")
@@ -2846,6 +2853,8 @@ def test_update_set_write_affinity_sqlite_differential(spark):
             "UPDATE us SET i = t WHERE k = 1",
             "UPDATE us SET i = i + 1 WHERE k = 2",
             "UPDATE us SET i = 9223372036854775807 WHERE k = 1",
+            "UPDATE us SET i = '9007199254740993' WHERE k = 1",
+            "UPDATE us SET i = ' +9223372036854775807 ' WHERE k = 1",
             "UPDATE us SET i = ' 42 ' WHERE k = 1",
             "UPDATE us SET i = NULL WHERE k = 1",
         ):
