@@ -1886,6 +1886,166 @@ _LIMIT_KW_RE = re.compile(r"\bLIMIT\b", re.I)
 _OFFSET_KW_RE = re.compile(r"^OFFSET\b", re.I)
 
 
+# --------------------------------------------------------------------------
+# Window frame bounds (r13 — the clause-position sweep's next stop).
+# SQLite statically evaluates ROWS/GROUPS frame offsets with the
+# OP_MustBeInt family PLUS a non-negativity rule: INTEGER ≥ 0 passes,
+# integral REAL converts ('2.0'/2.0 → 2), fully-numeric TEXT converts
+# (' 2 ', '9e1'), everything else — NULL, blob, negative, non-integral,
+# past int64, identifiers, function calls (abs(-2) is rejected!) —
+# errors 'frame starting|ending offset must be a non-negative integer'.
+# RANGE offsets take any non-negative NUMBER ('2.5', '1e1', 9e99) with
+# the same strict full-parse and the message '... non-negative number'.
+# The starting offset is validated first (probed: both bad → starting
+# message). Spark instead demands foldable integer literals, so static
+# expressions are evaluated here and replaced; '?' parameters pass
+# through (they substitute to literals upstream).
+# --------------------------------------------------------------------------
+
+_FRAME_MODE_RE = re.compile(r"\b(ROWS|RANGE|GROUPS)\b", re.I)
+
+
+def _frame_bound_value(text: str, mode: str, which: str):
+    """Rendered literal for one frame bound expression, or None to
+    leave it untouched ('?' parameters, UNBOUNDED/CURRENT keywords).
+    Raises ValueError with SQLite's exact message otherwise."""
+    t = text.strip()
+    low = re.sub(r"\s+", " ", t.lower())
+    if low in ("unbounded", "current row") or "?" in t:
+        return None
+    integer_mode = mode in ("rows", "groups")
+    err = ValueError(
+        f"frame {which} offset must be a non-negative "
+        + ("integer" if integer_mode else "number")
+    )
+    got = _parse_compound_item(t)
+    if got is None:
+        raise err  # identifiers/calls/subqueries: SQLite rejects statically
+    v = got[0]
+    if isinstance(v, bool):
+        v = int(v)
+    if isinstance(v, str):
+        if not _LIMIT_NUM_TEXT_RE.match(v):
+            raise err
+        s = v.strip()
+        v = int(s) if re.fullmatch(r"[-+]?\d+", s) else float(s)
+        if isinstance(v, int) and not -(2**63) <= v < 2**63:
+            v = float(v)
+    if isinstance(v, int):
+        if 0 <= v < 2**63:
+            return str(v)
+        raise err
+    if isinstance(v, float):
+        if not (v >= 0.0):  # NaN and negatives
+            raise err
+        if integer_mode:
+            if v < 2**63 and float(int(v)) == v:
+                return str(int(v))
+            raise err
+        if v == float("inf"):
+            # overflow text like '1e999': SQLite's inf offset covers the
+            # whole preceding/following key range — max-double is
+            # practically equivalent and Spark-parsable
+            return "1.7976931348623157e308"
+        return str(int(v)) if v < 2**63 and float(int(v)) == v else repr(v)
+    raise err  # NULL / blob
+
+
+def rewrite_frame_bounds(sql: str) -> str:
+    """Normalize statically-evaluable window-frame offsets to SQLite's
+    converted value (``ROWS BETWEEN '2' PRECEDING AND 1+1 FOLLOWING`` →
+    ``ROWS BETWEEN 2 PRECEDING AND 2 FOLLOWING``), raising SQLite's
+    frame-offset errors where it does. Runs at the read-path entry,
+    before the GROUPS/EXCLUDE frame rewrites so they see normalized
+    integer bounds."""
+    if not _FRAME_MODE_RE.search(sql):
+        return sql
+    toks = _typed_tokenize(sql)
+    if toks is None:
+        return sql
+    n = len(toks)
+
+    def _scan_bound(j):
+        """(end_idx, span_lo, span_hi) where toks[end_idx] is the
+        depth-0 PRECEDING/FOLLOWING terminator and [span_lo, span_hi)
+        is the bound expression; None when this isn't a frame spec.
+        CURRENT ROW arms (no terminator keyword) return an empty span
+        ending at ROW."""
+        if (
+            j + 1 < n
+            and toks[j][0] == "word"
+            and toks[j][1].lower() == "current"
+            and toks[j + 1][0] == "word"
+            and toks[j + 1][1].lower() == "row"
+        ):
+            return (j + 1, j, j)  # empty span: nothing to validate
+        depth, k = 0, j
+        while k < n:
+            t = toks[k]
+            v = t[1]
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                if depth == 0:
+                    return None
+                depth -= 1
+            elif depth == 0 and t[0] == "word":
+                w = v.lower()
+                if w in ("preceding", "following"):
+                    return (k, j, k) if k > j else None
+                if w in (
+                    "select", "from", "where", "order", "group", "limit",
+                    "and", "or", "over", "partition", "exclude", "window",
+                ) and not (w == "and" and False):
+                    return None
+            elif depth == 0 and v in (",", ";"):
+                return None
+            k += 1
+        return None
+
+    edits: list[tuple[int, int, str]] = []
+    for idx in range(n):
+        t = toks[idx]
+        if t[0] != "word" or t[1].lower() not in ("rows", "range", "groups"):
+            continue
+        mode = t[1].lower()
+        j = idx + 1
+        if j >= n:
+            continue
+        spans = []
+        if toks[j][0] == "word" and toks[j][1].lower() == "between":
+            got1 = _scan_bound(j + 1)
+            if got1 is None:
+                continue
+            k1, lo1, hi1 = got1
+            if not (
+                k1 + 1 < n
+                and toks[k1 + 1][0] == "word"
+                and toks[k1 + 1][1].lower() == "and"
+            ):
+                continue
+            got2 = _scan_bound(k1 + 2)
+            if got2 is None:
+                continue
+            _, lo2, hi2 = got2
+            spans = [("starting", lo1, hi1), ("ending", lo2, hi2)]
+        else:
+            got1 = _scan_bound(j)
+            if got1 is None or toks[got1[0]][1].lower() != "preceding":
+                continue
+            spans = [("starting", got1[1], got1[2])]
+        for which, lo, hi in spans:
+            if hi <= lo:
+                continue  # CURRENT ROW arm
+            text = sql[toks[lo][2] : toks[hi - 1][3]]
+            rep = _frame_bound_value(text, mode, which)
+            if rep is not None and rep != text.strip():
+                edits.append((toks[lo][2], toks[hi - 1][3], rep))
+    for s, e, r in sorted(edits, reverse=True):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def rewrite_limit_offset(sql: str) -> str:
     """Normalize every statically-evaluable LIMIT/OFFSET expression to
     its SQLite integer (raising 'datatype mismatch' where SQLite does):
@@ -4864,10 +5024,85 @@ def _expand_between(sql: str) -> str:
     return sql
 
 
-def _expand_in_lists(sql: str) -> str:
+def _is_dotted_ident(toks, lo: int, hi: int) -> str | None:
+    """Lowercased dotted-name text when toks[lo:hi] is exactly a bare
+    dotted identifier chain (word . word ...), else None. Quoted
+    identifiers and keywords are excluded — affinity belongs to bare
+    dotted identifiers only (r9 probe)."""
+    span = toks[lo:hi]
+    if not span or len(span) % 2 == 0:
+        return None
+    for k, tt in enumerate(span):
+        if k % 2 == 0:
+            if tt[0] != "word" or tt[1].lower() in _IN_STOP_WORDS or (
+                # literal words are literal-valued members, never columns
+                len(span) == 1
+                and tt[1].lower() in ("null", "true", "false")
+            ):
+                return None
+        elif tt[1] != ".":
+            return None
+    return "".join(tt[1] for tt in span).lower()
+
+
+def _cls_of_ident(name: str, cls_map) -> int | None:
+    c = cls_map.get(name)
+    if c is None and "." in name:
+        c = cls_map.get(name.rsplit(".", 1)[1])
+    return c
+
+
+# SQL-literal regex for int-formed text ('\\s' in the statement text →
+# \s after Spark's literal parse, matching session.py's canon pattern)
+_INT_FORM_RE = r"'^\\s*[+-]?[0-9]+\\s*$'"
+
+
+def _lhs_affinity_eq(lhs: str, lcls: int, m: str, mcls: int) -> str | None:
+    """One ``lhs = member`` comparison under SQLite's IN-operator rule
+    (datatype3.html §4.1, probed r12: the ephemeral RHS index applies
+    ONLY the LHS affinity to each member value — ``tx IN (i)`` does
+    not numeric-convert tx, unlike ``tx = i``). Emitted pre-converted
+    and fully parenthesized so the later typed sweep leaves it alone
+    (literal members stay on the '=' expansion, where bidirectional
+    §4.2 coincides because literals carry no affinity). None = this
+    member pair needs a runtime %!.15g REAL→TEXT rendering Spark
+    doesn't have (TEXT lhs, REAL member) — caller bails the list."""
+    if lcls == _CLS_TEXT:
+        if mcls == _CLS_TEXT:
+            return f"(({lhs}) = ({m}))"
+        if mcls == _CLS_INT:
+            # TEXT affinity renders the integer value as its decimal
+            # text — CAST int→STRING matches SQLite exactly
+            return f"(({lhs}) = CAST(({m}) AS STRING))"
+        return None  # REAL member: %!.15g rendering unavailable
+    # numeric-affinity lhs (INT/REAL storage class or NULL)
+    if mcls in (_CLS_INT, _CLS_REAL):
+        # numeric affinity leaves numeric values alone; SQLite compares
+        # int vs real by exact value, Spark promotes — identical below
+        # 2^53 (the documented cross-class compare exactness edge)
+        return f"(({lhs}) = ({m}))"
+    # TEXT member: numeric affinity converts a fully-numeric text to
+    # INTEGER when int-formed-and-fits, else REAL; junk stays TEXT and
+    # can never equal the numeric lhs (FALSE, not NULL — SQLite's
+    # cross-class compare), with NULL propagation on either side
+    big = f"try_cast(({m}) AS BIGINT)"
+    dbl = f"try_cast(({m}) AS DOUBLE)"
+    return (
+        f"(CASE WHEN ({lhs}) IS NULL OR ({m}) IS NULL THEN CAST(NULL AS BOOLEAN) "
+        f"WHEN ({m}) RLIKE {_INT_FORM_RE} AND {big} IS NOT NULL THEN ({lhs}) = {big} "
+        f"WHEN {dbl} IS NOT NULL THEN ({lhs}) = {dbl} "
+        f"ELSE FALSE END)"
+    )
+
+
+def _expand_in_lists(sql: str, cls_map=None) -> str:
     """Expand ``lhs [NOT] IN (m1, m2, ...)`` with literal/expression
     members into the equivalent OR chain (see block comment above).
-    Runs to fixpoint so nested IN lists inside members expand too."""
+    Runs to fixpoint so nested IN lists inside members expand too.
+    r13: with a column storage-class map, bare-column members expand
+    too — under the LHS-affinity-only rule (:func:`_lhs_affinity_eq`),
+    closing the ``tx IN (i)`` documented edge. Expression/call members
+    still keep the whole list on the Spark path."""
     for _ in range(5):
         if not re.search(r"\bIN\s*\(", sql, re.I):
             return sql
@@ -4899,7 +5134,7 @@ def _expand_in_lists(sql: str) -> str:
             members: list[tuple[int, int]] = []
             depth, mstart = 0, idx + 2
             for j in range(idx + 2, close):
-                k, v = toks[j][0], toks[j][1]
+                v = toks[j][1]
                 if v == "(":
                     depth += 1
                 elif v == ")":
@@ -4910,21 +5145,6 @@ def _expand_in_lists(sql: str) -> str:
                         break
                     members.append((mstart, j))
                     mstart = j + 1
-                elif k == "word" and v.lower() not in ("null", "true", "false", "div"):
-                    # members must be LITERAL-valued (literals, signs,
-                    # literal arithmetic, parameters): SQLite's IN
-                    # applies ONLY the LHS affinity to each member,
-                    # while the expanded '=' would apply the full
-                    # bidirectional §4.2 rule — for a COLUMN member
-                    # with its own affinity the two disagree (probed
-                    # r12: tx IN (i) does NOT numeric-convert tx, but
-                    # tx = i does). Column/call members stay on the
-                    # Spark path (documented edge).
-                    bad = True
-                    break
-                elif k == "qid":
-                    bad = True
-                    break
             if bad or mstart >= close:
                 continue
             members.append((mstart, close))
@@ -4937,6 +5157,40 @@ def _expand_in_lists(sql: str) -> str:
                 # compiler's _CHAIN_MEMBER_CAP (documented edge: member
                 # affinity conversion is skipped for oversize lists).
                 continue
+            # Classify members: 'lit' = literal-valued (literals, signs,
+            # literal arithmetic, parameters) → expand to '=' (for a
+            # no-affinity member the bidirectional §4.2 rule coincides
+            # with SQLite's LHS-affinity-only IN rule); ('col', cls) =
+            # bare dotted identifier with a known storage class → r13
+            # pre-converted LHS-affinity comparison. Anything else
+            # (calls, qids, expression members, unknown columns) keeps
+            # the WHOLE list on the Spark path.
+            kinds: list[tuple[str, int | None]] = []
+            for ms, me in members:
+                ident = _is_dotted_ident(toks, ms, me)
+                if ident is not None and cls_map:
+                    mc = _cls_of_ident(ident, cls_map)
+                    if mc is None:
+                        bad = True
+                        break
+                    kinds.append(("col", mc))
+                    continue
+                lit_ok = True
+                for tt in toks[ms:me]:
+                    if tt[0] == "qid" or (
+                        tt[0] == "word"
+                        and tt[1].lower()
+                        not in ("null", "true", "false", "div")
+                    ):
+                        lit_ok = False
+                        break
+                if not lit_ok:
+                    bad = True
+                    break
+                kinds.append(("lit", None))
+            if bad:
+                continue
+            has_col = any(kd[0] == "col" for kd in kinds)
             neg = (
                 idx > 0
                 and toks[idx - 1][0] == "word"
@@ -4957,14 +5211,38 @@ def _expand_in_lists(sql: str) -> str:
             lhs_text = sql[toks[lo][2] : toks[lhs_end - 1][3]]
             if re.search(r"\brandom", lhs_text, re.I):
                 continue  # must evaluate exactly once
-            # NO paren wrapping: both operands use only tighter-than-'='
-            # operators by construction (the extent grammar), and parens
-            # would hide bare columns / arithmetic chains from the
-            # affinity and chain rewrites (the I4 find)
+            lcls = None
+            if has_col:
+                # column members need the LHS's affinity, which only a
+                # bare classed column carries (a chain/expression LHS
+                # applies NO conversion — that shape stays on the Spark
+                # path, documented)
+                lident = _is_dotted_ident(toks, lo, lhs_end)
+                lcls = _cls_of_ident(lident, cls_map) if lident else None
+                if lcls is None:
+                    continue
+                if lcls == _CLS_TEXT and any(
+                    kd == ("col", _CLS_REAL) for kd in kinds
+                ):
+                    continue  # needs runtime %!.15g REAL→TEXT rendering
+            # NO paren wrapping on the 'lit' arms: both operands use only
+            # tighter-than-'=' operators by construction (the extent
+            # grammar), and parens would hide bare columns / arithmetic
+            # chains from the affinity and chain rewrites (the I4 find).
+            # 'col' arms are pre-converted and wrapped on purpose.
             parts = []
-            for ms, me in members:
+            for (ms, me), kd in zip(members, kinds):
                 mtext = sql[toks[ms][2] : toks[me - 1][3]]
-                parts.append(f"{lhs_text} = {mtext}")
+                if kd[0] == "col":
+                    eq = _lhs_affinity_eq(lhs_text, lcls, mtext, kd[1])
+                    if eq is None:
+                        parts = None
+                        break
+                    parts.append(eq)
+                else:
+                    parts.append(f"{lhs_text} = {mtext}")
+            if parts is None:
+                continue
             ors = " OR ".join(parts)
             rep = f"(NOT ({ors}))" if neg else f"({ors})"
             edits.append((s0, e0, rep))

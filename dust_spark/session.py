@@ -142,15 +142,21 @@ class DustSession:
         spark: SparkSession | None = None,
         warehouse: str | None = None,
         deterministic_guard: bool = False,
-        mixed_unions: bool = False,
+        mixed_unions: bool = True,
     ):
-        # mixed_unions (r12, off by default): route top-level compound
-        # SELECTs over TABLE columns whose arm types differ through the
-        # SQLite per-row combination machinery (dialect.
-        # combine_compound_rows) instead of Spark's unified-type set
-        # ops — closes the one remaining row-count-level documented
-        # divergence (COVERAGE.md B9) at the cost of driver-side
-        # combination (bounded by the OLTP write-surface contract).
+        # mixed_unions (r12; DEFAULT-ON since r13 behind a row-count
+        # gate): route top-level compound SELECTs over TABLE columns
+        # whose arm types differ through the SQLite per-row combination
+        # machinery (dialect.combine_compound_rows) instead of Spark's
+        # unified-type set ops — closes the one remaining
+        # row-count-level documented divergence (COVERAGE.md B9).
+        # Cost profile measured for default-on: type-HOMOGENEOUS arms
+        # (the overwhelmingly common case) bail on a schema-signature
+        # check — per-arm ANALYSIS only, zero Spark jobs; heterogeneous
+        # arms collect driver-side bounded by _SEQ_EXACT_ROWS per arm
+        # (limit-pushed, so an oversized arm short-circuits its scan
+        # and the whole compound falls back to the Spark-native path —
+        # the scale trap is structurally impossible).
         self.mixed_unions = mixed_unions
         if warehouse:
             warehouse = self._resolve_dsn(warehouse)
@@ -620,9 +626,17 @@ class DustSession:
                 return float(v)
             return v
 
-        arm_rows = [
-            [[_cell(v) for v in row] for row in df.collect()] for df in dfs
-        ]
+        # r13 size gate (mixed_unions is default-on now): bound the
+        # driver-side collect per arm; an arm past _SEQ_EXACT_ROWS rows
+        # falls back to the Spark-native path (limit pushdown keeps the
+        # probe cheap — the oversized scan short-circuits)
+        cap = self._SEQ_EXACT_ROWS
+        arm_rows = []
+        for df in dfs:
+            rws = df.limit(cap + 1).collect()
+            if len(rws) > cap:
+                return None
+            arm_rows.append([[_cell(v) for v in row] for row in rws])
         ops_seq = [op for op, _ in arms[1:]]
         rows = dialect.combine_compound_rows(arm_rows, ops_seq, order_terms, ncols)
         if offset > 0:
@@ -4667,6 +4681,22 @@ class DustSession:
     # ------------------------------------------------------------------
 
     def _sql(self, sql: str, params: list[Any] | None) -> DataFrame:
+        # SCALE SCOPE (r13, by design): this SQL surface is the
+        # SQLite-parity OLTP path — the reference serializes every
+        # statement behind a global mutex (http/src/service.rs:140)
+        # against SQLite-sized tables. A no-PARTITION-BY ranking window
+        # (RANK()/ROW_NUMBER()/NTILE() OVER (ORDER BY ...)) issued here
+        # plans Spark's Exchange SinglePartition, which is the correct
+        # trade at OLTP scale and a trap at analytics scale. The
+        # scale-safe decompositions live in dust_spark.skew
+        # (global_row_number / distributed_rank / broadcast_dense_rank)
+        # and are what the analytics catalog uses (queries.py b5a/b5e);
+        # they are NOT auto-routed from SQL because the right
+        # decomposition depends on key cardinality (broadcast ranks
+        # need low-cardinality keys; range-partition ranks pay two
+        # passes), which this layer cannot know without stats. See
+        # COVERAGE.md "Global windows in user SQL".
+        #
         # SQLite's EXPLAIN QUERY PLAN prefix maps to plain EXPLAIN (the
         # plan text is engine-specific by nature in both systems)
         sql = re.sub(r"^(\s*)EXPLAIN\s+QUERY\s+PLAN\b", r"\1EXPLAIN", sql, flags=re.I)
@@ -4676,6 +4706,10 @@ class DustSession:
         # fragment-level rewrite layers
         try:
             sql = dialect.rewrite_limit_offset(sql)
+            # window-frame offsets evaluate statically with SQLite's
+            # non-negative-integer/number rule (r13) — before the
+            # GROUPS/EXCLUDE rewrites so they see normalized bounds
+            sql = dialect.rewrite_frame_bounds(sql)
         except ValueError as e:
             raise DustError(str(e)) from e
         sql = dialect.rewrite_sqlite_fns(sql)
@@ -4683,12 +4717,15 @@ class DustSession:
         # plain comparisons BEFORE the affinity-aware sweep so each
         # member/bound takes the comparison-affinity rewrites exactly
         # like '=' (window-frame BETWEEN guarded out)
+        cls_map = self._int_cols_in_scope(sql)
         sql = dialect._expand_between(sql)
-        sql = dialect._expand_in_lists(sql)
+        # r13: the class map lets bare-column members expand too, under
+        # the LHS-affinity-only IN rule (closes the tx IN (i) edge)
+        sql = dialect._expand_in_lists(sql, cls_map)
         # second typed-ops sweep, now column-affinity-aware: INTEGER
         # columns of the tables in scope make x/2 integer division,
         # exactly as their LongType storage implies
-        sql = dialect.rewrite_typed_ops(sql, self._int_cols_in_scope(sql))
+        sql = dialect.rewrite_typed_ops(sql, cls_map)
         sql = dialect.rewrite_attached_names(sql, self._attached_prefixes())
         # last_insert_rowid() is connection state in SQLite — inline the
         # session's current value as a literal (string-literal aware,
@@ -4926,9 +4963,10 @@ class DustSession:
         `DELETE ... WHERE i IN ('9', 0.0)` silently kept Spark
         coercions — sqlite3-probed divergences)."""
         try:
+            cmap = self._tdef_class_map(tdef)
             cond = dialect._expand_between(cond)
-            cond = dialect._expand_in_lists(cond)
-            return dialect.rewrite_typed_ops(cond, self._tdef_class_map(tdef))
+            cond = dialect._expand_in_lists(cond, cmap)
+            return dialect.rewrite_typed_ops(cond, cmap)
         except Exception:
             return cond
 

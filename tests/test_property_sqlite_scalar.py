@@ -502,6 +502,25 @@ _IN_CASES = [
     "SELECT id FROM ch WHERE tx*2 >= 'a' ORDER BY id",
     "SELECT id FROM ch WHERE tx/2 = '3' ORDER BY id",
     "SELECT id FROM ch WHERE tx+1 = X'33' ORDER BY id",
+    # r13: COLUMN members take the LHS-affinity-only rule (datatype3
+    # §4.1 — the ephemeral RHS index converts member values with the
+    # LHS affinity only; tx IN (i) must NOT numeric-convert tx)
+    "SELECT id FROM ch WHERE tx IN (i) ORDER BY id",
+    "SELECT id FROM ch WHERE i IN (tx) ORDER BY id",
+    "SELECT id FROM ch WHERE r IN (i) ORDER BY id",
+    "SELECT id FROM ch WHERE r IN (tx) ORDER BY id",
+    "SELECT id FROM ch WHERE id IN (i) ORDER BY id",
+    "SELECT id FROM ch WHERE i IN (tx, '9', 4) ORDER BY id",
+    "SELECT id FROM ch WHERE tx NOT IN (i) ORDER BY id",
+    "SELECT id FROM ch WHERE i NOT IN (tx, 9) ORDER BY id",
+    "SELECT id FROM ch WHERE ch.i IN (ch.tx) ORDER BY id",
+    "SELECT id FROM ch WHERE tx IN (i, '7') ORDER BY id",
+    "SELECT count(*) AS n FROM ch WHERE i IN (r, tx)",
+    # NULL members must classify as literals, not unknown columns (the
+    # r13 machine find: a NULL member bailed the whole list to Spark's
+    # IN, which type-errors on mixed STRING/VOID/BINARY members)
+    "SELECT id FROM ch WHERE tx IN (NULL, X'37', '7x') ORDER BY id",
+    "SELECT id FROM ch WHERE i IN (NULL, tx, 4) ORDER BY id",
 ]
 
 
@@ -534,6 +553,40 @@ def in_member_exprs(draw):
 def test_in_list_machine_matches_sqlite(db, ref, chain_tables, lhs, members, neg):
     """Random LHS (typed columns + arithmetic chains) × random literal
     members × [NOT] IN — every row compared against sqlite3."""
+    op = "NOT IN" if neg else "IN"
+    q = f"SELECT id FROM ch WHERE {lhs} {op} ({', '.join(members)}) ORDER BY id"
+    want = [r[0] for r in ref.execute(q).fetchall()]
+    got = [v[0] for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=80,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    lhs=st.sampled_from(["tx", "r", "i", "id", "ch.tx", "ch.i"]),
+    members=st.lists(
+        st.sampled_from(
+            ["i", "tx", "id", "r", "ch.i", "2", "'4'", "0.0", "'9e1'",
+             "NULL", "'7x'", "9", "''"]
+        ),
+        min_size=1,
+        max_size=3,
+    ),
+    neg=st.booleans(),
+)
+def test_in_column_member_machine_matches_sqlite(
+    db, ref, chain_tables, lhs, members, neg
+):
+    """r13: column members mixed with literals under the
+    LHS-affinity-only IN rule, every row vs sqlite3. The one
+    deliberately-excluded pair — TEXT lhs with a REAL column member,
+    which needs a runtime %!.15g REAL→TEXT rendering — stays on the
+    Spark path and is skipped here (documented edge)."""
+    if lhs.endswith("tx") and "r" in members:
+        return
     op = "NOT IN" if neg else "IN"
     q = f"SELECT id FROM ch WHERE {lhs} {op} ({', '.join(members)}) ORDER BY id"
     want = [r[0] for r in ref.execute(q).fetchall()]
@@ -666,6 +719,99 @@ def test_between_machine_matches_sqlite(db, ref, chain_tables, lhs, lo_, hi_, ne
     want = [r[0] for r in ref.execute(q).fetchall()]
     got = [v[0] for v in db.query_string_stmt(q)[0].values]
     assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+# ---------------------------------------------------------------------------
+# r13: window-frame bound position (the clause-position sweep's next
+# stop after WHERE/SELECT/ORDER/GROUP/HAVING/LIMIT/IN/BETWEEN/ON/DML/
+# CHECK). SQLite statically converts ROWS/GROUPS offsets with the
+# OP_MustBeInt family plus non-negativity ('2.0' → 2, abs(-2) REJECTED)
+# and RANGE offsets as non-negative numbers; starting validates first.
+# ---------------------------------------------------------------------------
+
+_FRAME_CASES = [
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN '1' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 2.0 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN ' 2 ' PRECEDING AND '1' FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 1+1 PRECEDING AND '1'+1 FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN '9e1' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS '2' PRECEDING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN CURRENT ROW AND '2' FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY r RANGE BETWEEN '2.5' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY r RANGE BETWEEN '1e1' PRECEDING AND 2.5 FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY i GROUPS BETWEEN '1' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    # error shapes — starting offset validates first
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 'abc' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN NULL PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN -1 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 2.5 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 1 PRECEDING AND 'x' FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 'x' PRECEDING AND 'y' FOLLOWING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN X'31' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS 2.5 PRECEDING) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN 9223372036854775808 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY r RANGE BETWEEN 'abc' PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY r RANGE BETWEEN -0.5 PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+    "SELECT id, sum(i) OVER (ORDER BY id ROWS BETWEEN abs(2) PRECEDING AND CURRENT ROW) AS s FROM ch ORDER BY id",
+]
+
+
+def test_frame_bounds_match_sqlite(db, ref, chain_tables):
+    for q in _FRAME_CASES:
+        try:
+            want = [list(rw) for rw in ref.execute(q).fetchall()]
+        except Exception as e:
+            want = f"ERR {e}"
+        try:
+            got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        except Exception as e:
+            got = f"ERR {e}"
+        if isinstance(want, str):
+            assert isinstance(got, str) and "offset must be a non-negative" in got, (
+                f"{q}: spark={got!r} sqlite={want!r}"
+            )
+            assert want.split("ERR ")[1] in got, f"{q}: spark={got!r} sqlite={want!r}"
+        else:
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    mode=st.sampled_from(["ROWS", "GROUPS", "RANGE"]),
+    lo_=st.sampled_from(
+        ["UNBOUNDED", "'1'", "2.0", "1+1", "' 2 '", "0", "'abc'", "NULL",
+         "-1", "2.5", "'2.5'", "X'31'", "'9e1'", "1", "3"]
+    ),
+    hi_=st.sampled_from(
+        ["CURRENT ROW", "'1'", "1.0", "'0'", "2", "'y'", "-2", "1.5", "'2e1'"]
+    ),
+)
+def test_frame_bound_machine_matches_sqlite(db, ref, chain_tables, mode, lo_, hi_):
+    key = "r" if mode == "RANGE" else "id"
+    lo_txt = "UNBOUNDED PRECEDING" if lo_ == "UNBOUNDED" else f"{lo_} PRECEDING"
+    hi_txt = hi_ if hi_ == "CURRENT ROW" else f"{hi_} FOLLOWING"
+    q = (
+        f"SELECT id, sum(i) OVER (ORDER BY {key} {mode} BETWEEN {lo_txt} "
+        f"AND {hi_txt}) AS s FROM ch ORDER BY id"
+    )
+    try:
+        want = [list(rw) for rw in ref.execute(q).fetchall()]
+    except Exception as e:
+        want = f"ERR {e}"
+    try:
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+    except Exception as e:
+        got = f"ERR {e}"
+    if isinstance(want, str):
+        assert isinstance(got, str) and want.split("ERR ")[1] in got, (
+            f"{q}: spark={got!r} sqlite={want!r}"
+        )
+    else:
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
 
 
 def test_on_clause_affinity_matches_sqlite(db, ref, spark):

@@ -2664,6 +2664,41 @@ def test_mixed_union_table_columns_sqlite_differential(spark):
         ref.close()
 
 
+def test_mixed_union_default_on_with_size_gate(spark):
+    """r13: mixed_unions is default-ON behind a per-arm row-count gate
+    (_SEQ_EXACT_ROWS): small heterogeneous compounds get SQLite's
+    per-row typing through a plain DustSession(), an arm past the gate
+    falls back to the Spark-native unified-type path (limit-pushed
+    probe, no error)."""
+    import sqlite3
+
+    ref = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        assert s.mixed_unions
+        for ddl in ("CREATE TABLE ga (v INTEGER)", "CREATE TABLE gb (v TEXT)"):
+            ref.execute(ddl)
+            s.execute_string_stmt(ddl)
+        for stmt in (
+            "INSERT INTO ga VALUES (1), (2), (3)",
+            "INSERT INTO gb VALUES ('1'), ('x')",
+        ):
+            ref.execute(stmt)
+            s.execute_string_stmt(stmt)
+        q = "SELECT v FROM ga UNION SELECT v FROM gb"
+        want = sorted(str(r[0]) for r in ref.execute(q).fetchall())
+        got = sorted(str(r[0]) for r in s.query_string_stmt(q)[0].values)
+        assert got == want == ["1", "1", "2", "3", "x"], got
+        # shrink the gate: the 3-row arm now exceeds it → Spark-native
+        # unified typing ('1' int and '1' text merge), no error
+        s._SEQ_EXACT_ROWS = 2
+        got2 = sorted(str(r[0]) for r in s.query_string_stmt(q)[0].values)
+        assert got2 == ["1", "2", "3", "x"], got2
+    finally:
+        s.close()
+        ref.close()
+
+
 def test_dml_where_affinity_sqlite_differential(spark):
     """r12: UPDATE/DELETE WHERE strings take the same IN/BETWEEN
     expansions and column-affinity sweep as the read path
