@@ -5095,6 +5095,122 @@ def _lhs_affinity_eq(lhs: str, lcls: int, m: str, mcls: int) -> str | None:
     )
 
 
+_CASE_BAIL_WORDS = {
+    "and", "or", "not", "in", "between", "like", "glob", "match",
+    "regexp", "is", "isnull", "notnull", "escape", "collate", "select",
+    "case", "random", "randomblob",
+}
+_CASE_BAIL_OPS = {"=", "==", "!=", "<>", "<", "<=", ">", ">="}
+
+
+def rewrite_simple_case(sql: str) -> str:
+    """``CASE base WHEN w THEN …`` → ``CASE WHEN base = w THEN …``
+    (r13, the CASE-operand clause position): SQLite defines the simple
+    CASE as successive ``base = w`` comparisons INCLUDING the §4.2
+    affinity rules, so desugaring routes each WHEN operand through the
+    existing comparison machinery — ``CASE i+1 WHEN '10'`` must NOT
+    match (chain base carries no affinity; Spark's native CASE coerces
+    the text and matched — the r13 probe find). Bails per-CASE when the
+    base or a WHEN operand carries depth-0 logic/comparison tokens
+    (precedence would need parens, which hide operands from the
+    affinity sweeps), nested CASE in the base, subqueries, parameters,
+    or random() (the base must be duplicable). THEN/ELSE arms are left
+    verbatim."""
+    if not re.search(r"\bCASE\b", sql, re.I):
+        return sql
+    toks = _typed_tokenize(sql)
+    if toks is None:
+        return sql
+    n = len(toks)
+
+    def _span_ok(lo, hi, is_base):
+        depth = 0
+        for k in range(lo, hi):
+            t = toks[k]
+            v = t[1]
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+            elif t[0] == "word":
+                w = v.lower()
+                if w in _CASE_BAIL_WORDS and (depth == 0 or w in (
+                    "select", "case", "random", "randomblob"
+                )):
+                    return False
+            elif depth == 0 and v in _CASE_BAIL_OPS:
+                return False
+            if "?" in v:
+                return False
+        return hi > lo
+
+    edits: list[tuple[int, int, str]] = []
+    for idx in range(n):
+        t = toks[idx]
+        if t[0] != "word" or t[1].lower() != "case":
+            continue
+        # walk this CASE at its own nesting level
+        j, depth, case_depth = idx + 1, 0, 0
+        base_lo, base_hi = idx + 1, None
+        whens: list[int] = []  # WHEN-operand start token indices
+        thens: list[int] = []  # matching THEN token indices
+        pending_when = None
+        ok = True
+        while j < n:
+            tt = toks[j]
+            v = tt[1]
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                if depth == 0:
+                    ok = False
+                    break
+                depth -= 1
+            elif tt[0] == "word" and depth == 0:
+                w = v.lower()
+                if w == "case":
+                    case_depth += 1
+                elif w == "end":
+                    if case_depth == 0:
+                        break
+                    case_depth -= 1
+                elif case_depth == 0:
+                    if w == "when":
+                        if base_hi is None:
+                            base_hi = j
+                        if pending_when is not None:
+                            ok = False
+                            break
+                        pending_when = j + 1
+                    elif w == "then":
+                        if pending_when is None:
+                            ok = False
+                            break
+                        whens.append(pending_when)
+                        thens.append(j)
+                        pending_when = None
+            j += 1
+        if not ok or j >= n or base_hi is None or base_hi == idx + 1:
+            continue  # searched CASE (no base) or unterminated
+        if not _span_ok(base_lo, base_hi, True):
+            continue
+        if not all(_span_ok(w_, t_, False) for w_, t_ in zip(whens, thens)):
+            continue
+        base_text = sql[toks[base_lo][2] : toks[base_hi - 1][3]]
+        # delete the base …
+        edits.append((toks[base_lo][2], toks[base_hi][2], ""))
+        # … and prefix every WHEN operand with "base = " (both sides
+        # bare so the affinity/chain rewrites still see them)
+        for w_ in whens:
+            p = toks[w_][2]
+            edits.append((p, p, f"{base_text} = "))
+    if not edits:
+        return sql
+    for s, e, r in sorted(edits, reverse=True):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
 def _expand_in_lists(sql: str, cls_map=None) -> str:
     """Expand ``lhs [NOT] IN (m1, m2, ...)`` with literal/expression
     members into the equivalent OR chain (see block comment above).
@@ -6574,10 +6690,14 @@ class _TypedPass:
         j, cls, pure = res
         classes = [cls]
         members = [(i, j, cls, pure)]
+        concat = None
         while j < hi:
             t = self.toks[j]
             opv = t[1].lower() if t[0] == "word" else t[1]
             if opv in ("+", "-", "*", "/", "%", "div"):
+                if concat:
+                    return None  # || mixed with arithmetic: bail
+                concat = False
                 # / and % class like + - * under SQLite's rules
                 # (typeof probed r9: a/2 and a%2 are INTEGER, r/2 and
                 # r%2 REAL — int division stays int, % int-truncates
@@ -6590,9 +6710,28 @@ class _TypedPass:
                 classes.append(c2)
                 pure = pure and p2
             elif opv == "||":
-                return None
+                # pure ||-chain: concat is always TEXT class in SQLite
+                # and NULL-propagates per member (r13 — lets
+                # tx||'' = 7 take the storage-class fold; a chain
+                # mixing || with arithmetic bails as before)
+                if concat is False:
+                    return None
+                concat = True
+                res = self.parse_primary(j + 1, subs)
+                if res is None:
+                    return None
+                members.append((j + 1, res[0], res[1], res[2]))
+                j, c2, p2 = res
+                classes.append(c2)
+                pure = pure and p2
             else:
                 break
+        if concat:
+            if not all(
+                c in (_CLS_INT, _CLS_REAL, _CLS_TEXT, _CLS_BLOB) for c in classes
+            ):
+                return None  # NULL-class member: chain is constant NULL
+            return (j, _CLS_TEXT, pure, members)
         if len(classes) > 1:
             if all(c == _CLS_INT for c in classes):
                 cls = _CLS_INT
@@ -6798,6 +6937,18 @@ class _TypedPass:
                 rep_lit = "'" + _sqlite_real_to_text(fv) + "'"
             self.edits.append((ts[0][2], ts[-1][3], rep_lit))
             return k
+        elif (
+            col_cls == _CLS_TEXT
+            and lit_cls in (_CLS_INT, _CLS_REAL)
+            and not col_is_col
+            and len(rmem if lpure else lmem) > 1
+        ):
+            # multi-member TEXT-classed chain == a pure ||-concat (r13):
+            # a concat result carries NO affinity (unlike a CAST), so
+            # SQLite applies no conversion — always the storage-class
+            # constant, NULL iff any member is NULL (concat
+            # NULL-propagates), which is exactly the guard path below
+            pass
         else:
             return None  # TEXT col vs REAL literal etc.: leave alone
         # NULL guard on the impure MEMBERS, not the chain text: SQLite

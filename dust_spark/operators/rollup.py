@@ -157,6 +157,64 @@ def funnel_counts(
     return rows
 
 
+def window_funnel(
+    events: DataFrame,
+    steps: tuple = ("signup", "click", "purchase"),
+    window_us: int = 7 * 86400 * 1_000_000,
+    user_col: str = "user_id",
+    ts_col: str = "ts",
+    type_col: str = "event_type",
+) -> DataFrame:
+    """Timeout funnel (r13; the ClickHouse ``windowFunnel`` shape): per
+    user, the chain completes stage k only when step k's earliest
+    eligible event falls STRICTLY AFTER stage k-1's completion AND
+    within ``window_us`` of stage 1's completion — the deterministic
+    earliest-chain discipline (t1 = min step-1 time; each later stage
+    the chained min under both constraints), so any engine replays it
+    exactly. Output: one row per stage with the user count reaching ≥
+    that stage.
+
+    Scale shape inherits :func:`funnel_counts`: len(steps) chained
+    per-user aggregations on the SAME user key (one real exchange of
+    (user, ts) pairs), each stage's per-user frame persisted — stage i
+    feeds stage i+1 and its own count branch (the r10 O(steps²)
+    scale-smoke lesson). The window constraint rides along as the t1
+    column; no global window anywhere.
+    """
+    t = F.unix_micros(F.col(ts_col))
+    base = events.select(
+        F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e")
+    )
+    cur = (
+        base.filter(F.col("e") == steps[0])
+        .groupBy("u")
+        .agg(F.min("t").alias("t1"))
+        .withColumn("tprev", F.col("t1"))
+    )
+    reached = [cur.persist()]
+    for step in steps[1:]:
+        nxt = (
+            base.filter(F.col("e") == step)
+            .join(reached[-1].select("u", "t1", "tprev"), "u")
+            .filter(
+                (F.col("t") > F.col("tprev"))
+                & (F.col("t") <= F.col("t1") + F.lit(window_us))
+            )
+            .groupBy("u", "t1")
+            .agg(F.min("t").alias("tnext"))
+            .select("u", "t1", F.col("tnext").alias("tprev"))
+        )
+        reached.append(nxt.persist())
+    rows = None
+    for i, r in enumerate(reached, start=1):
+        row = r.agg(
+            F.lit(i).cast("long").alias("stage"),
+            F.count("*").cast("long").alias("n_users"),
+        )
+        rows = row if rows is None else rows.unionByName(row)
+    return rows.orderBy("stage")
+
+
 def ewma_smooth(
     events: DataFrame,
     ts_col: str = "ts",

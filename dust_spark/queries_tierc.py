@@ -4347,3 +4347,195 @@ def touch_attribution_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderkey")
     )
     return out
+
+
+# ---------------------------------------------------------------------------
+# r13 additions: timeout funnel, Zipf fit, payload chunk near-dup
+# ---------------------------------------------------------------------------
+
+# Timeout funnel (ClickHouse windowFunnel shape): the chained-min
+# earliest-chain discipline with a window bound off stage 1 — exact
+# integer epoch-micro arithmetic end to end, so the oracle replays the
+# chain verbatim.
+_WINDOW_FUNNEL_ORACLE = """
+WITH e AS (
+  SELECT user_id AS u, epoch_us(ts) AS t, event_type AS et FROM events
+), s1 AS (
+  SELECT u, min(t) AS t1 FROM e WHERE et = 'signup' GROUP BY u
+), s2 AS (
+  SELECT e.u, s1.t1, min(t) AS t2 FROM e JOIN s1 ON e.u = s1.u
+  WHERE et = 'click' AND t > s1.t1 AND t <= s1.t1 + 604800000000
+  GROUP BY e.u, s1.t1
+), s3 AS (
+  SELECT e.u, min(t) AS t3 FROM e JOIN s2 ON e.u = s2.u
+  WHERE et = 'purchase' AND t > s2.t2 AND t <= s2.t1 + 604800000000
+  GROUP BY e.u
+)
+SELECT * FROM (
+  SELECT CAST(1 AS BIGINT) AS stage, CAST((SELECT count(*) FROM s1) AS BIGINT) AS n_users
+  UNION ALL
+  SELECT 2, (SELECT count(*) FROM s2)
+  UNION ALL
+  SELECT 3, (SELECT count(*) FROM s3)
+) ORDER BY stage
+"""
+
+
+@register("c6i_window_funnel", oracle=_WINDOW_FUNNEL_ORACLE, tags=("tierc", "rollup"))
+def window_funnel_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """signup→click→purchase timeout funnel with a 7-day window off
+    the signup completion (rollup.window_funnel docstring has the
+    chain discipline + scale shape)."""
+    from dust_spark.tables import load_table
+
+    return ops.window_funnel(
+        load_table(spark, sf_dir, "events"),
+        steps=("signup", "click", "purchase"),
+        window_us=7 * 86400 * 1_000_000,
+    )
+
+
+# Zipf rank-frequency fit (r13): per source, the OLS slope of
+# ln(count) against ln(rank) over the deterministic top-100 tokens
+# (count DESC, token ASC). INTEGER-EXACT recipe: both logs scale to
+# int64 micros (ROUND(ln·1e6) — the c4n bit-length lesson's sibling),
+# every OLS sum is exact int64 arithmetic, and only the final
+# num/den division touches doubles (int64→double conversion is
+# correctly rounded IEEE in both engines).
+_ZIPF_ORACLE = """
+WITH tok AS (
+  SELECT source, unnest(regexp_split_to_array(trim(lower(text)), '\\s+')) AS w
+  FROM documents WHERE length(trim(text)) > 0
+), cnt AS (
+  SELECT source, w, count(*) AS c FROM tok GROUP BY source, w
+), ranked AS (
+  SELECT source, c,
+         row_number() OVER (PARTITION BY source ORDER BY c DESC, w) AS r
+  FROM cnt QUALIFY r <= 100
+), pts AS (
+  SELECT source,
+         CAST(ROUND(ln(r) * 1000000, 0) AS BIGINT) AS x,
+         CAST(ROUND(ln(c) * 1000000, 0) AS BIGINT) AS y
+  FROM ranked
+), sums AS (
+  SELECT source, CAST(count(*) AS BIGINT) AS n,
+         sum(x) AS sx, sum(y) AS sy, sum(x*y) AS sxy, sum(x*x) AS sxx
+  FROM pts GROUP BY source
+)
+SELECT source, n,
+       ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+             / CAST(n * sxx - sx * sx AS DOUBLE), 6) AS zipf_slope
+FROM sums ORDER BY source
+"""
+
+
+@register("c4w_zipf_slope", oracle=_ZIPF_ORACLE, tags=("tierc", "text"))
+def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Zipf slope (log-log OLS over the top-100 token
+    rank/frequency curve) — the corpus-statistics health check a
+    natural-language corpus is screened by (slope ≈ -1 for Zipfian
+    text). Scale shape: one token hash-agg per (source, w) with
+    map-side combine, a per-source top-100 window over the COUNT
+    table (bounded rows per source), integer OLS sums."""
+    from dust_spark.functions import tokens
+    from pyspark.sql import Window as W
+
+    docs = _docs(spark, sf_dir)
+    cnt = (
+        docs.select("source", tokens("text").alias("__tok"))
+        .select("source", F.explode("__tok").alias("w"))
+        .groupBy("source", "w")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    pts = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            "source",
+            F.round(F.log("r") * 1_000_000, 0).cast("long").alias("x"),
+            F.round(F.log("c") * 1_000_000, 0).cast("long").alias("y"),
+        )
+    )
+    sums = pts.groupBy("source").agg(
+        F.count("*").cast("long").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+    den = (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    return sums.select(
+        "source", "n", F.round(num / den, 6).alias("zipf_slope")
+    ).orderBy("source")
+
+
+# Payload chunk-hash near-dup (r13, the multimodal/CDC shape): split
+# each payload into fixed 64-char chunks, hash each chunk, and pair
+# documents sharing >= 2 distinct chunk hashes — content-defined-
+# chunking dedup as media pipelines run it over bytes (the fixture
+# payload is the text column; substring/md5 are char/byte-identical
+# across engines on it). Only 16-byte chunk hashes ride the self-join
+# shuffle, never payloads.
+_CHUNK_DUP_ORACLE = """
+WITH d AS (
+  SELECT doc_id, trim(text) AS t FROM documents WHERE length(trim(text)) >= 128
+), ch AS (
+  SELECT DISTINCT doc_id, h FROM (
+    SELECT doc_id, unnest(list_transform(
+      range(1, CAST(length(t) // 64 AS BIGINT) + 1),
+      i -> md5(substring(t, CAST((i-1) * 64 + 1 AS BIGINT), 64)))) AS h
+    FROM d)
+), pairs AS (
+  SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
+  FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
+  GROUP BY 1, 2
+)
+SELECT id_a, id_b, shared FROM pairs WHERE shared >= 2 ORDER BY id_a, id_b
+"""
+
+
+@register("c5e_payload_chunk_dup", oracle=_CHUNK_DUP_ORACLE, tags=("tierc", "multimodal", "dedup"))
+def payload_chunk_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chunk-hash near-duplicate pairs over payloads (>= 2 shared
+    64-char chunk hashes). The chunk index column materializes as a
+    real attribute BEFORE the substring projection (the HOF-lambda
+    rule), and the (doc_id, h) postings are distinct-deduped before
+    the self-join."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select(
+        "doc_id", F.trim(F.col("text")).alias("t")
+    ).filter(F.length("t") >= 128)
+    ch = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(
+                F.sequence(F.lit(1), (F.length("t") / 64).cast("long"))
+            ).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.md5(
+                F.encode(F.expr("substring(t, (g-1)*64 + 1, 64)"), "UTF-8")
+            ).alias("h"),
+        )
+        .distinct()
+    )
+    a = ch.alias("a")
+    b = ch.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.h") == F.col("b.h"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .groupBy(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .agg(F.count("*").cast("long").alias("shared"))
+        .filter(F.col("shared") >= 2)
+        .orderBy("id_a", "id_b")
+    )

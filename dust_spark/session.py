@@ -4718,6 +4718,9 @@ class DustSession:
         # member/bound takes the comparison-affinity rewrites exactly
         # like '=' (window-frame BETWEEN guarded out)
         cls_map = self._int_cols_in_scope(sql)
+        # simple CASE desugars to searched CASE (r13) so WHEN operands
+        # become '=' comparisons and take the affinity machinery
+        sql = dialect.rewrite_simple_case(sql)
         sql = dialect._expand_between(sql)
         # r13: the class map lets bare-column members expand too, under
         # the LHS-affinity-only IN rule (closes the tx IN (i) edge)
@@ -4964,6 +4967,7 @@ class DustSession:
         coercions — sqlite3-probed divergences)."""
         try:
             cmap = self._tdef_class_map(tdef)
+            cond = dialect.rewrite_simple_case(cond)
             cond = dialect._expand_between(cond)
             cond = dialect._expand_in_lists(cond, cmap)
             return dialect.rewrite_typed_ops(cond, cmap)

@@ -2,6 +2,11 @@
 
 from dust_spark.streaming.stateful import running_user_counters
 from dust_spark.streaming.windows import (
+    attribution_from_pairs,
+    attribution_pairs_stream,
+    bucket_median_stream,
+    rolling_bucket_median,
+    stream_orders,
     dedup_stream,
     run_stream_to_memory,
     session_window_agg,
@@ -26,4 +31,9 @@ __all__ = [
     "stream_stream_join",
     "run_stream_to_memory",
     "running_user_counters",
+    "bucket_median_stream",
+    "rolling_bucket_median",
+    "attribution_pairs_stream",
+    "attribution_from_pairs",
+    "stream_orders",
 ]

@@ -199,6 +199,121 @@ def load_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return load_table(spark, sf_dir, "customer")
 
 
+def stream_orders(spark: SparkSession, sf_dir: str, max_files_per_trigger: int = 1) -> DataFrame:
+    """The orders fixture as a file-source stream (r13, for the
+    attribution twin's stream-stream join)."""
+    batch = spark.read.parquet(table_path(sf_dir, "orders"))
+    return (
+        spark.readStream.schema(batch.schema)
+        .option("maxFilesPerTrigger", max_files_per_trigger)
+        .parquet(_as_stream_dir(sf_dir, "orders"))
+    )
+
+
+def bucket_median_stream(
+    events: DataFrame, bucket_s: int = 3600, watermark: str = "10 minutes"
+) -> DataFrame:
+    """Streaming half of the c7g rolling-median twin (r13): exact
+    per-(key, time-bucket) sorted value state via a stateful
+    ``collect_list`` aggregation (complete mode, integer bucket keys —
+    the hypertable-rollup discipline). A per-ROW trailing frame is NOT
+    streamable: a frame over event order would re-open already-emitted
+    rows on out-of-order arrival (contrast ohlc_stream, whose
+    min_by/max_by picks are arrival-order-free), so the streamable
+    formulation keeps per-bucket exact state and composes the trailing
+    window across COMPLETED buckets downstream
+    (:func:`rolling_bucket_median` — bounded per-key bucket
+    cardinality, usable on the sink table or in batch). State per
+    (key, bucket) is the bucket's value multiset, bounded by bucket
+    width."""
+    src = events.withWatermark("ts", watermark) if events.isStreaming else events
+    t = F.unix_micros(F.col("ts"))
+    base = src.select(
+        F.col("user_id").alias("k"),
+        (F.floor(t / (bucket_s * 1_000_000)) * bucket_s).cast("long").alias("bucket_s"),
+        F.col("value").cast("double").alias("v"),
+    )
+    return base.groupBy("k", "bucket_s").agg(
+        F.array_sort(F.collect_list("v")).alias("vals"),
+        F.count("*").alias("n"),
+    )
+
+
+def rolling_bucket_median(buckets: DataFrame, k_buckets: int = 3) -> DataFrame:
+    """Trailing-``k_buckets`` exact median over the per-bucket sorted
+    arrays of :func:`bucket_median_stream` — the batch composition that
+    turns completed bucket state into the rolling robust center. The
+    window is a bounded ROWS frame over per-key BUCKET rows (low
+    cardinality: span/bucket_s per key), so the sort is cheap and the
+    exchange is one hash partition on the key. Even-count frames
+    interpolate (a+b)/2 exactly like operators.rolling_median."""
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("k").orderBy("bucket_s").rowsBetween(-(k_buckets - 1), 0)
+    arr = F.array_sort(F.flatten(F.collect_list("vals").over(w)))
+    n = F.size(arr)
+    lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+    hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+    med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
+    return buckets.select(
+        "k", "bucket_s", F.round(med, 6).alias("med"), n.alias("n_frame")
+    )
+
+
+def attribution_pairs_stream(
+    events: DataFrame,
+    conversions: DataFrame,
+    lookback: str = "30 days",
+    watermark: str = "1 hour",
+) -> DataFrame:
+    """Streaming half of the c6h touch-attribution twin (r13): a
+    stream-stream INTERVAL self-join over the event stream — per user,
+    every click whose timestamp falls in [conversion_ts - lookback,
+    conversion_ts] pairs with that purchase conversion. The lookback
+    bound is what makes the join state finite (real attribution windows
+    are bounded; c6h's unbounded as-of against the orders table is the
+    batch-only luxury — and the TPC-H order dates predate the event
+    fixture entirely, so the LIVE attribution surface is
+    click→purchase). First/last picks compose downstream
+    (:func:`attribution_from_pairs`) — min_by/max_by are
+    arrival-order-free, the ohlc lesson. INNER join scope: conversions
+    with zero clicks in the window surface only in the batch twin
+    (outer stream-stream rows emit on watermark close, which a bounded
+    fixture never crosses — documented)."""
+    clicks = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"),
+        F.col("ts").alias("c_ts"),
+        F.col("event_id").alias("eid"),
+    )
+    convs = conversions.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("ck"),
+        F.col("ts").alias("conv_ts"),
+        F.col("event_id").alias("conv_id"),
+    )
+    if clicks.isStreaming:
+        clicks = clicks.withWatermark("c_ts", watermark)
+    if convs.isStreaming:
+        convs = convs.withWatermark("conv_ts", watermark)
+    cond = (
+        (F.col("k") == F.col("ck"))
+        & (F.col("c_ts") <= F.col("conv_ts"))
+        & (F.col("c_ts") >= F.col("conv_ts") - F.expr(f"INTERVAL {lookback}"))
+    )
+    return clicks.join(convs, cond, "inner").select(
+        "conv_id", "eid", F.unix_micros("c_ts").alias("t")
+    )
+
+
+def attribution_from_pairs(pairs: DataFrame) -> DataFrame:
+    """First/last-touch picks over the (conv_id, eid, t) pair stream —
+    min_by/max_by on the (t, eid) struct resolve equal-time clicks by
+    the id tiebreak exactly like c6h's window plan."""
+    return pairs.groupBy("conv_id").agg(
+        F.min_by("eid", F.struct("t", "eid")).alias("first_click"),
+        F.max_by("eid", F.struct("t", "eid")).alias("last_click"),
+    )
+
+
 def ohlc_stream(events: DataFrame, bucket_s: int = 3600, watermark: str = "10 minutes") -> DataFrame:
     """Streaming twin of :func:`dust_spark.operators.resample_ohlc`
     (r10): the batch operator picks open/close via row_number over the

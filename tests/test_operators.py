@@ -1317,6 +1317,38 @@ def test_funnel_counts_strict_order(spark):
     assert got == {1: 3, 2: 2, 3: 1}
 
 
+def test_window_funnel_timeout(spark):
+    """r13 timeout funnel: the chain completes only within the window
+    measured off stage-1 completion — a click after the window or a
+    purchase before the click doesn't count; the earliest step-1 event
+    anchors the window even when a later one would fit."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, e, s):
+        return Row(user_id=u, event_type=e, ts=t0 + dt.timedelta(seconds=s), value=1.0)
+
+    df = spark.createDataFrame(
+        [
+            # full chain inside a 100s window
+            ev(1, "signup", 0), ev(1, "click", 10), ev(1, "purchase", 20),
+            # click lands past the window (anchored at the FIRST signup)
+            ev(2, "signup", 0), ev(2, "signup", 200), ev(2, "click", 250),
+            # purchase before the click: stage 3 not reached
+            ev(3, "signup", 0), ev(3, "purchase", 5), ev(3, "click", 10),
+            # purchase inside window but chain respects strict order
+            ev(4, "signup", 0), ev(4, "click", 50), ev(4, "purchase", 99),
+            ev(5, "click", 0), ev(5, "purchase", 5),  # no signup: nowhere
+        ]
+    )
+    got = {
+        r.stage: r.n_users
+        for r in ops.window_funnel(df, window_us=100 * 1_000_000).collect()
+    }
+    assert got == {1: 4, 2: 3, 3: 2}
+
+
 def test_ewma_smooth_exact_weights(spark):
     """EWMA with alpha=1/2: single-observation keys equal their own
     average; two observations give (0.5*cur + 0.25*prev)/0.75."""

@@ -722,6 +722,56 @@ def test_between_machine_matches_sqlite(db, ref, chain_tables, lhs, lo_, hi_, ne
 
 
 # ---------------------------------------------------------------------------
+# r13: CASE-operand position — SQLite defines the simple CASE as
+# successive base = w comparisons INCLUDING §4.2 affinity, so
+# rewrite_simple_case desugars to searched CASE and the '=' machinery
+# applies (CASE i+1 WHEN '10' must NOT match — the probe find).
+# ---------------------------------------------------------------------------
+
+_CASE_OPERAND_CASES = [
+    "SELECT id, CASE i+1 WHEN '10' THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx WHEN i THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE i WHEN tx THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE r WHEN i THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx WHEN '7' THEN 'a' WHEN 12 THEN 'b' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE i%3 WHEN '1' THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx WHEN NULL THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE -i WHEN '-9' THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx WHEN i THEN CASE r WHEN 0.5 THEN 'in' ELSE 'out' END ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT id, CASE tx||'' WHEN 7 THEN 'y' ELSE 'n' END AS c FROM ch ORDER BY id",
+    "SELECT count(*) AS n FROM ch WHERE CASE i WHEN '9' THEN 1 ELSE 0 END = 1",
+]
+
+
+def test_case_operand_affinity_matches_sqlite(db, ref, chain_tables):
+    for q in _CASE_OPERAND_CASES:
+        want = [list(rw) for rw in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+@settings(
+    max_examples=70,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
+)
+@given(
+    base=st.sampled_from(["tx", "i", "r", "id", "i+1", "i%3", "-i", "tx||''"]),
+    w1=st.sampled_from(["'7'", "7", "i", "tx", "0.0", "'9e1'", "NULL", "''", "'-9'", "4"]),
+    w2=st.one_of(st.none(), st.sampled_from(["9", "'0'", "i", "2.5", "'x'"])),
+)
+def test_case_operand_machine_matches_sqlite(db, ref, chain_tables, base, w1, w2):
+    # TEXT base with a REAL column member needs runtime %!.15g — the
+    # '=' path handles col-vs-col via the NUMERIC-affinity CASE, so no
+    # exclusions needed here
+    arms = f"WHEN {w1} THEN 'a'" + (f" WHEN {w2} THEN 'b'" if w2 else "")
+    q = f"SELECT id, CASE {base} {arms} ELSE 'n' END AS c FROM ch ORDER BY id"
+    want = [list(rw) for rw in ref.execute(q).fetchall()]
+    got = [list(v) for v in db.query_string_stmt(q)[0].values]
+    assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
+# ---------------------------------------------------------------------------
 # r13: window-frame bound position (the clause-position sweep's next
 # stop after WHERE/SELECT/ORDER/GROUP/HAVING/LIMIT/IN/BETWEEN/ON/DML/
 # CHECK). SQLite statically converts ROWS/GROUPS offsets with the

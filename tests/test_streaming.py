@@ -364,6 +364,128 @@ def test_hypertable_rollup_stream_parity(spark):
         q.stop()
 
 
+def test_bucket_median_stream_parity(spark):
+    """r13 (c7g twin): per-(key, bucket) sorted-value state streams in
+    complete mode and equals the batch formulation exactly; the
+    trailing-K rolling median composed over the completed buckets
+    equals (a) the same composition in batch and (b) a direct raw-event
+    computation of the same frame definition."""
+    from dust_spark.streaming.windows import (
+        bucket_median_stream,
+        rolling_bucket_median,
+    )
+
+    events_s = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    q = (
+        bucket_median_stream(events_s)
+        .writeStream.outputMode("complete")
+        .format("memory")
+        .queryName("med_buckets")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got_b = spark.table("med_buckets")
+        want_b = bucket_median_stream(events_b)
+        g = got_b.orderBy("k", "bucket_s").collect()
+        w = want_b.orderBy("k", "bucket_s").collect()
+        assert g == w and len(g) > 0
+        # rolling composition parity (streamed buckets vs batch buckets)
+        got_r = rolling_bucket_median(got_b).orderBy("k", "bucket_s").collect()
+        want_r = rolling_bucket_median(want_b).orderBy("k", "bucket_s").collect()
+        assert got_r == want_r and len(got_r) > 0
+        # direct raw-event oracle for one frame: the trailing-3-bucket
+        # frame of the LAST bucket of the first key equals the median
+        # of those buckets' raw values
+        import statistics
+
+        k0, b0 = got_r[-1]["k"], got_r[-1]["bucket_s"]
+        vals = (
+            events_b.select(
+                F.col("user_id").alias("k"),
+                (F.floor(F.unix_micros("ts") / 3_600_000_000) * 3600)
+                .cast("long")
+                .alias("b"),
+                F.col("value").cast("double").alias("v"),
+            )
+            .filter((F.col("k") == k0) & (F.col("b") <= b0))
+        )
+        last3 = sorted(
+            r["b"] for r in vals.select("b").distinct().orderBy("b").collect()
+        )[-3:]
+        raw = sorted(
+            r["v"] for r in vals.filter(F.col("b").isin(last3)).collect()
+        )
+        want_med = round(statistics.median(raw), 6)
+        assert got_r[-1]["med"] == want_med
+    finally:
+        q.stop()
+
+
+def test_attribution_stream_parity(spark):
+    """r13 (c6h twin): the stream-stream interval self-join (clicks ×
+    purchase conversions per user within the lookback) + min_by/max_by
+    picks equal the batch run of the same formulation, and agree with
+    an independent all-pairs batch oracle on every matched
+    conversion."""
+    from dust_spark.streaming.windows import (
+        attribution_from_pairs,
+        attribution_pairs_stream,
+    )
+
+    events_s1 = stream_events(spark, SF_DIR)
+    events_s2 = stream_events(spark, SF_DIR)
+    events_b = load_table(spark, SF_DIR, "events")
+    pairs_s = attribution_pairs_stream(events_s1, events_s2)
+    q = (
+        pairs_s.writeStream.outputMode("append")
+        .format("memory")
+        .queryName("attr_pairs")
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+        got = (
+            attribution_from_pairs(spark.table("attr_pairs"))
+            .orderBy("conv_id")
+            .collect()
+        )
+        want = (
+            attribution_from_pairs(attribution_pairs_stream(events_b, events_b))
+            .orderBy("conv_id")
+            .collect()
+        )
+        assert got == want and len(got) > 0
+        # independent all-pairs oracle (fine at test scale): for each
+        # purchase, the first/last click of the same user in
+        # [conv_ts - 30 days, conv_ts], (t, eid)-tiebroken
+        clicks = [
+            (r["user_id"], r["ts"], r["event_id"])
+            for r in events_b.filter(F.col("event_type") == "click").collect()
+        ]
+        convs = [
+            (r["user_id"], r["ts"], r["event_id"])
+            for r in events_b.filter(F.col("event_type") == "purchase").collect()
+        ]
+        import datetime
+
+        lb = datetime.timedelta(days=30)
+        oracle = {}
+        for uk, cts, cid in convs:
+            hits = sorted(
+                (ts, eid)
+                for (k2, ts, eid) in clicks
+                if k2 == uk and cts - lb <= ts <= cts
+            )
+            if hits:
+                oracle[cid] = (hits[0][1], hits[-1][1])
+        got_map = {r["conv_id"]: (r["first_click"], r["last_click"]) for r in got}
+        assert got_map == oracle and len(oracle) > 0
+    finally:
+        q.stop()
+
+
 def test_ohlc_stream_parity(spark):
     """r10: the streaming OHLC twin (min_by/max_by picks on the
     (ts, event_id) struct) must equal the batch resample_ohlc

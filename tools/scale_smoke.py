@@ -293,6 +293,123 @@ def oov_case(ops, F, docs):
     )
 
 
+def split_kl_case(ops, F, docs):
+    # r12 c9t shape: split labels + two token hash-aggs over a 200-word
+    # broadcast vocab grid; the KL fold itself is a 3-row tail
+    from dust_spark.functions import tokens
+
+    lab = ops.train_val_test_split(docs, hash_fn="xxhash64")
+    tok = lab.select("split", tokens("text").alias("t")).select(
+        "split", F.explode("t").alias("w")
+    )
+    vocab = (
+        tok.groupBy("w").count().orderBy(F.col("count").desc(), "w").limit(200)
+        .select("w")
+    )
+    cnts = (
+        tok.join(F.broadcast(vocab), "w")
+        .groupBy("split", "w")
+        .agg(F.count("*").alias("c"))
+    )
+    tr = cnts.filter(F.col("split") == "train").select("w", F.col("c").alias("ct"))
+    return (
+        cnts.filter(F.col("split") != "train")
+        .join(tr, "w")
+        .groupBy("split")
+        .agg(
+            F.sum(
+                (F.col("c") + 1)
+                * (F.log(F.col("c") + 1) - F.log(F.col("ct") + 1))
+            ).alias("s")
+        )
+    )
+
+
+def attribution_case(F, evs):
+    # r12 c6h shape: clicks + conversions ride ONE hash exchange on the
+    # user key, two unbounded-preceding windows pick first/last touch
+    from pyspark.sql import Window as W
+
+    clicks = evs.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("k"), F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"), F.lit(0).alias("tag"),
+    )
+    convs = evs.filter(F.col("event_type") == "purchase").select(
+        F.col("user_id").alias("k"), F.unix_micros("ts").alias("t"),
+        F.col("event_id").alias("eid"), F.lit(1).alias("tag"),
+    )
+    un = clicks.unionByName(convs)
+    w = (
+        W.partitionBy("k").orderBy("t", "tag", "eid")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    last_click = F.last(
+        F.when(F.col("tag") == 0, F.col("eid")), ignorenulls=True
+    ).over(w)
+    first_struct = F.min(F.when(F.col("tag") == 0, F.struct("t", "eid"))).over(w)
+    return (
+        un.withColumn("lc", last_click)
+        .withColumn("fc", first_struct["eid"])
+        .filter(F.col("tag") == 1)
+    )
+
+
+def zipf_case(F, docs):
+    # r13 c4w shape: (source, word) hash-agg with map-side combine, a
+    # bounded per-source top-100 window over the COUNT table, int64 OLS
+    from dust_spark.functions import tokens
+    from pyspark.sql import Window as W
+
+    cnt = (
+        docs.select((F.col("doc_id") % 20).alias("source"), tokens("text").alias("t"))
+        .select("source", F.explode("t").alias("w"))
+        .groupBy("source", "w")
+        .count()
+        .withColumnRenamed("count", "c")
+    )
+    w = W.partitionBy("source").orderBy(F.col("c").desc(), "w")
+    pts = (
+        cnt.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= 100)
+        .select(
+            "source",
+            F.round(F.log("r") * 1e6, 0).cast("long").alias("x"),
+            F.round(F.log("c") * 1e6, 0).cast("long").alias("y"),
+        )
+    )
+    return pts.groupBy("source").agg(
+        F.count("*").alias("n"), F.sum("x").alias("sx"), F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+
+
+def chunk_dup_case(F, docs):
+    # r13 c5e shape: 64-char chunk md5 postings (distinct per doc) +
+    # hash self-join — only 16-byte hashes shuffle, never payloads
+    d = docs.select("doc_id", F.trim(F.col("text")).alias("t")).filter(
+        F.length("t") >= 128
+    )
+    ch = (
+        d.select(
+            "doc_id", "t",
+            F.explode(F.sequence(F.lit(1), (F.length("t") / 64).cast("long"))).alias("g"),
+        )
+        .select(
+            "doc_id",
+            F.md5(F.encode(F.expr("substring(t, (g-1)*64 + 1, 64)"), "UTF-8")).alias("h"),
+        )
+        .distinct()
+    )
+    a, b = ch.alias("a"), ch.alias("b")
+    return (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("ia"), F.col("b.doc_id").alias("ib"))
+        .agg(F.count("*").alias("shared"))
+        .filter(F.col("shared") >= 2)
+    )
+
+
 def global_rank_case(F, evs):
     # r12 b5a/b5e shape: range partition + per-slice row_number +
     # broadcast prefix offsets — the no-single-task global rank
@@ -541,6 +658,13 @@ def main() -> None:
             ("oov_rate", lambda: oov_case(ops, F, docs)),
             ("rolling_median", lambda: ops.rolling_median(evs)),
             ("global_rank", lambda: global_rank_case(F, evs)),
+            # r13: the r12 verdict's 256×-tail asks (c9t/c6h shapes)
+            # plus the three r13-new operators
+            ("split_kl", lambda: split_kl_case(ops, F, docs)),
+            ("attribution", lambda: attribution_case(F, evs)),
+            ("window_funnel", lambda: ops.window_funnel(evs)),
+            ("zipf_slope", lambda: zipf_case(F, docs)),
+            ("payload_chunk_dup", lambda: chunk_dup_case(F, docs)),
             # flat assignment pinned (coarse_gate=None): the documented
             # O(n·k) = O(n²) curve the r12 gate exists to fix
             (
