@@ -375,6 +375,79 @@ def rolling_zscore(
     )
 
 
+def mad_anomalies(
+    events: DataFrame,
+    bucket_s: int = 3600,
+    n_mads: int = 3,
+    key_col: str = "user_id",
+    ts_col: str = "ts",
+    value_col: str = "value",
+) -> DataFrame:
+    """Median-absolute-deviation anomaly flags over hourly bucket
+    averages (r13): a bucket is anomalous when its average sits more
+    than ``n_mads`` MADs from the key's median — the robust-statistics
+    complement of the c7f z-score (outliers can't poison their own
+    threshold).
+
+    INTEGER-EXACT recipe (the hash-stability discipline for nested
+    medians): the bucket average rounds once to ten-thousandths and
+    scales to int64 (x); the median carries as med4 = 4·median (even
+    frames keep lo+hi doubled instead of halving), deviations as
+    d_q = |4x − med4| = 4·|x − med|, and the MAD as M2 = 8·MAD — so
+    the flag test |x−med| > n·MAD becomes the pure-int64 comparison
+    2·d_q > n·M2 and every halving a float could smear is deferred to
+    the exact display divisions (x/1e4, med4/4e4, M2/8e4 — int64 →
+    double is correctly rounded in both engines).
+
+    Scale shape: one hash exchange on the key for the bucket agg, then
+    two per-key aggregations + joins all riding the SAME key
+    partitioning; the per-key arrays are BUCKET counts (span/bucket_s),
+    never events.
+    """
+    keyed = events.select(
+        F.col(key_col).alias("k"),
+        (F.floor(F.unix_micros(F.col(ts_col)) / (bucket_s * 1_000_000)) * bucket_s)
+        .cast("long")
+        .alias("bucket_s"),
+        F.col(value_col).cast("decimal(25,6)").alias("v"),
+    )
+    avgs = keyed.groupBy("k", "bucket_s").agg(
+        F.round((F.sum("v").cast("double") / F.count("*")) * 10000, 0)
+        .cast("long")
+        .alias("x")
+    )
+
+    def _med4(col_list):
+        arr = F.array_sort(col_list)
+        n = F.size(arr)
+        lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
+        hi = F.element_at(arr, (n / 2 + 1).cast("int"))
+        return F.when(n % 2 == 1, 4 * lo).otherwise(2 * (lo + hi))
+
+    med_tab = avgs.groupBy("k").agg(_med4(F.collect_list("x")).alias("med4"))
+    devs = avgs.join(med_tab, "k").withColumn(
+        "d_q", F.abs(4 * F.col("x") - F.col("med4"))
+    )
+    mad_tab = devs.groupBy("k").agg(
+        (_med4(F.collect_list("d_q")) / 2).cast("long").alias("m2")
+    )
+    return (
+        devs.join(mad_tab, "k")
+        .select(
+            "k",
+            "bucket_s",
+            (F.col("x") / 10000.0).alias("avg_v"),
+            (F.col("med4") / 40000.0).alias("med_v"),
+            (F.col("m2") / 80000.0).alias("mad_v"),
+            F.when(2 * F.col("d_q") > n_mads * F.col("m2"), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("is_anomaly"),
+        )
+        .orderBy("k", "bucket_s")
+    )
+
+
 def rolling_median(
     events: DataFrame,
     window_rows: int = 10,

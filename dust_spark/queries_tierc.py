@@ -4482,12 +4482,15 @@ def zipf_slope_q(spark: SparkSession, sf_dir: str) -> DataFrame:
 _CHUNK_DUP_ORACLE = """
 WITH d AS (
   SELECT doc_id, trim(text) AS t FROM documents WHERE length(trim(text)) >= 128
-), ch AS (
+), ch0 AS (
   SELECT DISTINCT doc_id, h FROM (
     SELECT doc_id, unnest(list_transform(
       range(1, CAST(length(t) // 64 AS BIGINT) + 1),
       i -> md5(substring(t, CAST((i-1) * 64 + 1 AS BIGINT), 64)))) AS h
     FROM d)
+), ch AS (
+  SELECT doc_id, h FROM ch0
+  QUALIFY count(*) OVER (PARTITION BY h) <= 32
 ), pairs AS (
   SELECT a.doc_id AS id_a, b.doc_id AS id_b, CAST(count(*) AS BIGINT) AS shared
   FROM ch a JOIN ch b ON a.h = b.h AND a.doc_id < b.doc_id
@@ -4503,7 +4506,13 @@ def payload_chunk_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     64-char chunk hashes). The chunk index column materializes as a
     real attribute BEFORE the substring projection (the HOF-lambda
     rule), and the (doc_id, h) postings are distinct-deduped before
-    the self-join."""
+    the self-join. Frequent chunks (document frequency > 32 —
+    boilerplate) are pruned by a count-over-window on h that RIDES the
+    self-join's hash partitioning (the c2c stop-gram lesson; the r13
+    256× smoke showed pair output growing ~8× per 4× on
+    duplicate-heavy corpora without the cap)."""
+    from pyspark.sql import Window as W
+
     docs = _docs(spark, sf_dir)
     d = docs.select(
         "doc_id", F.trim(F.col("text")).alias("t")
@@ -4523,6 +4532,9 @@ def payload_chunk_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("h"),
         )
         .distinct()
+        .withColumn("__df", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("__df") <= 32)
+        .drop("__df")
     )
     a = ch.alias("a")
     b = ch.alias("b")
@@ -4539,3 +4551,49 @@ def payload_chunk_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("shared") >= 2)
         .orderBy("id_a", "id_b")
     )
+
+
+# MAD anomaly flags (r13): nested-median robust outlier detection with
+# the integer-exact scaling recipe (rollup.mad_anomalies docstring) —
+# med4 = 4·median, d_q = 4·deviation, M2 = 8·MAD, flag = pure-int64
+# 2·d_q > 3·M2; the oracle replays the same picks over DuckDB lists.
+_MAD_ORACLE = """
+WITH keyed AS (
+  SELECT user_id AS k,
+         CAST(floor(epoch(ts) / 3600) * 3600 AS BIGINT) AS bucket_s,
+         CAST(value AS DECIMAL(25,6)) AS v
+  FROM events
+), avgs AS (
+  SELECT k, bucket_s,
+         CAST(ROUND(CAST(SUM(v) AS DOUBLE) / count(*) * 10000, 0) AS BIGINT) AS x
+  FROM keyed GROUP BY k, bucket_s
+), med AS (
+  SELECT k, CASE WHEN len(l) % 2 = 1 THEN 4 * l[CAST((len(l)+1)//2 AS BIGINT)]
+                 ELSE 2 * (l[CAST((len(l)+1)//2 AS BIGINT)] + l[CAST(len(l)//2+1 AS BIGINT)]) END AS med4
+  FROM (SELECT k, list(x ORDER BY x) AS l FROM avgs GROUP BY k)
+), devs AS (
+  SELECT a.k, a.bucket_s, a.x, m.med4, abs(4 * a.x - m.med4) AS d_q
+  FROM avgs a JOIN med m ON a.k = m.k
+), mad AS (
+  SELECT k, CAST((CASE WHEN len(l) % 2 = 1 THEN 4 * l[CAST((len(l)+1)//2 AS BIGINT)]
+                 ELSE 2 * (l[CAST((len(l)+1)//2 AS BIGINT)] + l[CAST(len(l)//2+1 AS BIGINT)]) END) // 2 AS BIGINT) AS m2
+  FROM (SELECT k, list(d_q ORDER BY d_q) AS l FROM devs GROUP BY k)
+)
+SELECT d.k, d.bucket_s,
+       d.x / 10000.0 AS avg_v,
+       d.med4 / 40000.0 AS med_v,
+       md.m2 / 80000.0 AS mad_v,
+       CAST(CASE WHEN 2 * d.d_q > 3 * md.m2 THEN 1 ELSE 0 END AS BIGINT) AS is_anomaly
+FROM devs d JOIN mad md ON d.k = md.k
+ORDER BY d.k, d.bucket_s
+"""
+
+
+@register("c7h_mad_anomalies", oracle=_MAD_ORACLE, tags=("tierc", "rollup"))
+def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-key MAD anomaly flags over hourly bucket averages — the
+    robust complement of the c7f rolling z-score (the median threshold
+    can't be poisoned by the outliers it's hunting)."""
+    from dust_spark.tables import load_table
+
+    return ops.mad_anomalies(load_table(spark, sf_dir, "events"))

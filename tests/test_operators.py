@@ -1349,6 +1349,36 @@ def test_window_funnel_timeout(spark):
     assert got == {1: 4, 2: 3, 3: 2}
 
 
+def test_mad_anomalies_flags(spark):
+    """r13 MAD flags: the wild bucket flags, the rest don't, and a
+    constant-series key (MAD 0) flags any deviating bucket."""
+    import datetime as dt
+
+    t0 = dt.datetime(2024, 1, 1)
+
+    def ev(u, h, v):
+        return Row(user_id=u, event_type="x", ts=t0 + dt.timedelta(hours=h), value=float(v))
+
+    df = spark.createDataFrame(
+        # key 1: values 10,11,9,10,50 → median 10, MAD 1 wait —
+        # deviations |0,1,1,0,40| → sorted 0,0,1,1,40 → MAD 1;
+        # 50 deviates 40 > 3*1 → anomalous, others not
+        [ev(1, h, v) for h, v in enumerate([10, 11, 9, 10, 50])]
+        # key 2: constant 5 then one 6 → MAD 0, the 6 flags
+        + [ev(2, h, 5) for h in range(4)] + [ev(2, 4, 6)]
+    )
+    got = {
+        (r.k, r.bucket_s): (r.is_anomaly, r.med_v, r.mad_v)
+        for r in ops.mad_anomalies(df).collect()
+    }
+    k1 = sorted(b for (k, b) in got if k == 1)
+    assert [got[(1, b)][0] for b in k1] == [0, 0, 0, 0, 1]
+    assert got[(1, k1[0])][1:] == (10.0, 1.0)
+    k2 = sorted(b for (k, b) in got if k == 2)
+    assert [got[(2, b)][0] for b in k2] == [0, 0, 0, 0, 1]
+    assert got[(2, k2[0])][1:] == (5.0, 0.0)
+
+
 def test_ewma_smooth_exact_weights(spark):
     """EWMA with alpha=1/2: single-observation keys equal their own
     average; two observations give (0.5*cur + 0.25*prev)/0.75."""

@@ -386,7 +386,11 @@ def zipf_case(F, docs):
 
 def chunk_dup_case(F, docs):
     # r13 c5e shape: 64-char chunk md5 postings (distinct per doc) +
-    # hash self-join — only 16-byte hashes shuffle, never payloads
+    # hash self-join — only 16-byte hashes shuffle, never payloads;
+    # frequent-chunk prune (df <= 32) kills the quadratic dup-family
+    # pair growth the uncapped 256× smoke measured (~8× per 4×)
+    from pyspark.sql import Window as W
+
     d = docs.select("doc_id", F.trim(F.col("text")).alias("t")).filter(
         F.length("t") >= 128
     )
@@ -400,6 +404,9 @@ def chunk_dup_case(F, docs):
             F.md5(F.encode(F.expr("substring(t, (g-1)*64 + 1, 64)"), "UTF-8")).alias("h"),
         )
         .distinct()
+        .withColumn("df", F.count("*").over(W.partitionBy("h")))
+        .filter(F.col("df") <= 32)
+        .drop("df")
     )
     a, b = ch.alias("a"), ch.alias("b")
     return (
