@@ -4259,8 +4259,15 @@ def _rewrite_one_call(
     if n == "cast" and len(args) == 1:
         return _rewrite_cast(args[0])
     if n == "total" and len(args) == 1:
-        # SQLite total(): sum over DOUBLE, 0.0 (never NULL) for no rows
-        return f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)), CAST(0.0 AS DOUBLE))"
+        # SQLite total(): sum over DOUBLE, 0.0 (never NULL) for no rows.
+        # The per-value conversion is SQLite's REAL affinity — the
+        # numeric-PREFIX parse, not Spark's full-string cast ('7abc'
+        # contributes 7, '  -3.5x' contributes -3.5; the plain
+        # CAST-AS-DOUBLE NULLed both — r13 aggregate-position probe)
+        return (
+            f"coalesce(sum({_CAST_REAL_WRAP.format(x=args[0])}), "
+            "CAST(0.0 AS DOUBLE))"
+        )
     if n == "group_concat":
         # SQLite's default separator is ','; Spark's string_agg 1-arg
         # form concatenates with no separator. DISTINCT keeps SQLite's
@@ -4644,9 +4651,11 @@ def _rewrite_arg_fns(sql: str) -> str:
                     oend = None
                 if oend is not None:
                     over_txt = _rewrite_arg_fns(sql[end:oend])
+                    # same per-value REAL-affinity prefix conversion as
+                    # the scalar total() (r13)
                     out.append(
-                        f"coalesce(sum(CAST(({args[0]}) AS DOUBLE)) {over_txt}, "
-                        "CAST(0.0 AS DOUBLE))"
+                        f"coalesce(sum({_CAST_REAL_WRAP.format(x=args[0])}) "
+                        f"{over_txt}, CAST(0.0 AS DOUBLE))"
                     )
                     i = oend
                     continue
@@ -5206,6 +5215,53 @@ def rewrite_simple_case(sql: str) -> str:
             edits.append((p, p, f"{base_text} = "))
     if not edits:
         return sql
+    for s, e, r in sorted(edits, reverse=True):
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
+def rewrite_text_sums(sql: str, cls_map) -> str:
+    """``sum(tx)`` over a TEXT-affinity column applies SQLite's
+    per-value numeric conversion (r13, the aggregate-argument
+    position): sqlite3_value_numeric_type prefix-parses each text cell
+    ('7abc' → 7, '  -3.5x' → -3.5, junk → 0), so the argument takes
+    the REAL-affinity wrap. avg()/total() already did (r6/r13); sum
+    needs the class map because a numeric column's sum must keep its
+    native type. Documented edge: an all-int-formed TEXT column wires
+    3.0 where SQLite wires 3 (the per-cell int-form class — mixed
+    content is value-exact)."""
+    if not cls_map or not re.search(r"\bsum\s*\(", sql, re.I):
+        return sql
+    toks = _typed_tokenize(sql)
+    if toks is None:
+        return sql
+    n = len(toks)
+    edits: list[tuple[int, int, str]] = []
+    for idx in range(n):
+        t = toks[idx]
+        if t[0] != "word" or t[1].lower() != "sum":
+            continue
+        if idx + 1 >= n or toks[idx + 1][1] != "(":
+            continue
+        depth, close = 0, None
+        for j in range(idx + 1, n):
+            v = toks[j][1]
+            if v == "(":
+                depth += 1
+            elif v == ")":
+                depth -= 1
+                if depth == 0:
+                    close = j
+                    break
+        if close is None:
+            continue
+        ident = _is_dotted_ident(toks, idx + 2, close)
+        if ident is None or _cls_of_ident(ident, cls_map) != _CLS_TEXT:
+            continue
+        arg = sql[toks[idx + 2][2] : toks[close - 1][3]]
+        edits.append(
+            (toks[idx + 2][2], toks[close - 1][3], _CAST_REAL_WRAP.format(x=arg))
+        )
     for s, e, r in sorted(edits, reverse=True):
         sql = sql[:s] + r + sql[e:]
     return sql

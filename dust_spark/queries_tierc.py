@@ -4597,3 +4597,174 @@ def mad_anomalies_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dust_spark.tables import load_table
 
     return ops.mad_anomalies(load_table(spark, sf_dir, "events"))
+
+
+# Binary sign-quantization ANN (r13): 1-bit-per-dimension codes (two
+# 32-bit halves — no int64 sign-bit games), Hamming-distance candidate
+# generation via xor+bit_count, exact-cosine re-rank of the top-50 —
+# the classic memory-16× compression step before PQ. Codes, Hamming
+# and the c3b-established identical cosine fold all replay in DuckDB.
+_SIGN_ANN_ORACLE = """
+WITH codes AS (
+  SELECT vec_id,
+         list_sum(list_transform(range(0, 32), t ->
+           CASE WHEN CAST(embedding[t+1] AS DOUBLE) > 0
+                THEN (1::BIGINT << t) ELSE 0 END))::BIGINT AS lo,
+         list_sum(list_transform(range(0, 32), t ->
+           CASE WHEN CAST(embedding[t+33] AS DOUBLE) > 0
+                THEN (1::BIGINT << t) ELSE 0 END))::BIGINT AS hi
+  FROM embeddings
+), q AS (
+  SELECT * FROM codes WHERE vec_id <= 5
+), ham AS (
+  SELECT q.vec_id AS qid, d.vec_id AS nid,
+         CAST(bit_count(xor(q.lo, d.lo)) + bit_count(xor(q.hi, d.hi)) AS BIGINT) AS hd
+  FROM q JOIN codes d ON d.vec_id <> q.vec_id
+), cand AS (
+  SELECT qid, nid, hd FROM (
+    SELECT qid, nid, hd,
+           row_number() OVER (PARTITION BY qid ORDER BY hd, nid) AS rn
+    FROM ham) WHERE rn <= 50
+), scored AS (
+  SELECT c.qid, c.nid, c.hd,
+    list_cosine_similarity(CAST(qe.embedding AS DOUBLE[]), CAST(ne.embedding AS DOUBLE[])) AS cs
+  FROM cand c
+  JOIN embeddings qe ON qe.vec_id = c.qid
+  JOIN embeddings ne ON ne.vec_id = c.nid
+)
+SELECT qid, nid, hd, ROUND(cs, 4) + 0.0 AS cos FROM (
+  SELECT qid, nid, hd, cs,
+         row_number() OVER (PARTITION BY qid ORDER BY cs DESC, nid) AS rn
+  FROM scored) WHERE rn <= 10
+ORDER BY qid, nid
+"""
+
+
+@register("c3o_binary_sign_ann", oracle=_SIGN_ANN_ORACLE, tags=("tierc", "similarity"))
+def binary_sign_ann_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sign-bit ANN: pack each 64-dim vector into two 32-bit sign
+    words, Hamming-rank candidates, exact-cosine re-rank. Scale
+    shape: the corpus shuffles only its 16-byte codes; queries
+    broadcast; exact scoring touches 50 candidates per query instead
+    of n (the compression→candidate→re-rank discipline all binary/PQ
+    indexes share)."""
+    from dust_spark.functions import cosine
+    from pyspark.sql import Window as W
+
+    emb = _emb(spark, sf_dir).select("vec_id", F.col("embedding").alias("__e"))
+
+    def word(off: int):
+        return F.expr(
+            "aggregate(transform(sequence(0, 31), t -> "
+            f"IF(element_at(__e, t + {off + 1}) > CAST(0 AS FLOAT), "
+            "shiftleft(CAST(1 AS BIGINT), t), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+
+    codes = emb.select(
+        "vec_id", word(0).alias("lo"), word(32).alias("hi")
+    )
+    q = codes.filter(F.col("vec_id") <= 5).select(
+        F.col("vec_id").alias("qid"),
+        F.col("lo").alias("qlo"),
+        F.col("hi").alias("qhi"),
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            F.col("vec_id").alias("nid"),
+            (
+                F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+                + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))
+            )
+            .cast("long")
+            .alias("hd"),
+        )
+    )
+    wh = W.partitionBy("qid").orderBy("hd", "nid")
+    cand = ham.withColumn("rn", F.row_number().over(wh)).filter(
+        F.col("rn") <= 50
+    ).drop("rn")
+    qe = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("qid"), F.col("embedding").alias("qv")
+    )
+    ne = _emb(spark, sf_dir).select(
+        F.col("vec_id").alias("nid"), F.col("embedding").alias("nv")
+    )
+    scored = (
+        cand.join(F.broadcast(qe), "qid")
+        .join(ne, "nid")
+        .withColumn("cs", cosine(F.col("qv"), F.col("nv")))
+    )
+    wr = W.partitionBy("qid").orderBy(F.col("cs").desc(), "nid")
+    return (
+        scored.withColumn("rn", F.row_number().over(wr))
+        .filter(F.col("rn") <= 10)
+        .select("qid", "nid", "hd", (F.round("cs", 4) + 0.0).alias("cos"))
+        .orderBy("qid", "nid")
+    )
+
+
+# Character-entropy quality filter (r13): Shannon entropy of the
+# per-document character distribution — the gibberish/low-diversity
+# screen (binary blobs, repeated-char spam, base64 runs score low/high
+# distinctively). Integer-exact: H = (n·L(n) − Σ c·L(c)) / (n·1e9)
+# with L = ROUND(ln·1e9) scaled to int64 — every sum exact, one final
+# int64→double division (the c4w recipe).
+_ENTROPY_ORACLE = """
+WITH d AS (
+  SELECT doc_id, trim(text) AS t FROM documents WHERE length(trim(text)) > 0
+), chars AS (
+  SELECT doc_id, unnest(list_transform(range(1, length(t) + 1),
+         i -> substring(t, CAST(i AS BIGINT), 1))) AS ch
+  FROM d
+), cnt AS (
+  SELECT doc_id, ch, CAST(count(*) AS BIGINT) AS c FROM chars GROUP BY doc_id, ch
+), s AS (
+  SELECT doc_id, SUM(c * CAST(ROUND(ln(c) * 1000000000, 0) AS BIGINT)) AS sacc,
+         SUM(c) AS n
+  FROM cnt GROUP BY doc_id
+)
+SELECT doc_id, CAST(n AS BIGINT) AS n_chars,
+       ROUND(CAST(n * CAST(ROUND(ln(n) * 1000000000, 0) AS BIGINT) - sacc AS DOUBLE)
+             / (n * 1000000000.0), 6) AS entropy_nats
+FROM s ORDER BY doc_id
+"""
+
+
+@register("c4x_char_entropy", oracle=_ENTROPY_ORACLE, tags=("tierc", "text"))
+def char_entropy_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-document character-entropy (nats) via the int64-scaled ln
+    recipe. Scale shape: the char explode is the only wide stage and
+    aggregates per (doc, char) with map-side combine — the per-doc
+    histogram is ≤ alphabet-size rows."""
+    docs = _docs(spark, sf_dir)
+    d = docs.select("doc_id", F.trim(F.col("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    cnt = (
+        d.select(
+            "doc_id",
+            "t",
+            F.explode(F.sequence(F.lit(1), F.length("t"))).alias("g"),
+        )
+        .select("doc_id", F.expr("substring(t, g, 1)").alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").cast("long").alias("c"))
+    )
+    L = lambda x: F.round(F.log(x) * 1_000_000_000, 0).cast("long")  # noqa: E731
+    s = cnt.groupBy("doc_id").agg(
+        F.sum(F.col("c") * L(F.col("c"))).alias("sacc"),
+        F.sum("c").alias("n"),
+    )
+    return s.select(
+        "doc_id",
+        F.col("n").cast("long").alias("n_chars"),
+        F.round(
+            (F.col("n") * L(F.col("n")) - F.col("sacc")).cast("double")
+            / (F.col("n") * 1_000_000_000.0),
+            6,
+        ).alias("entropy_nats"),
+    ).orderBy("doc_id")

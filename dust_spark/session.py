@@ -4725,6 +4725,9 @@ class DustSession:
         # r13: the class map lets bare-column members expand too, under
         # the LHS-affinity-only IN rule (closes the tx IN (i) edge)
         sql = dialect._expand_in_lists(sql, cls_map)
+        # sum() over TEXT-affinity columns takes SQLite's per-value
+        # numeric-prefix conversion (r13 aggregate-argument position)
+        sql = dialect.rewrite_text_sums(sql, cls_map)
         # second typed-ops sweep, now column-affinity-aware: INTEGER
         # columns of the tables in scope make x/2 integer division,
         # exactly as their LongType storage implies

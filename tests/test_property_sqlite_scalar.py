@@ -864,6 +864,36 @@ def test_frame_bound_machine_matches_sqlite(db, ref, chain_tables, mode, lo_, hi
         assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
 
 
+_AGG_ARG_CASES = [
+    # r13 aggregate-argument position: sum/total over TEXT columns
+    # apply SQLite's per-value numeric-PREFIX conversion ('7abc' → 7,
+    # '  -3.5x' → -3.5, junk → 0) — plain CAST-AS-DOUBLE NULLed the
+    # prefix forms and silently dropped them from the sum
+    "SELECT sum(tx) AS s FROM ch",
+    "SELECT total(tx) AS t FROM ch",
+    "SELECT sum(ch.tx) AS s FROM ch",
+    "SELECT sum(i) AS s FROM ch",
+    "SELECT sum(r) AS s FROM ch",
+    "SELECT sum(tx) AS s FROM ch WHERE i > 0",
+    "SELECT id % 2 AS b, sum(tx) AS s FROM ch GROUP BY id % 2 ORDER BY b",
+    "SELECT sum(tx) OVER () AS s FROM ch LIMIT 1",
+    "SELECT sum(DISTINCT i) AS s FROM ch",
+    "SELECT avg(tx) AS a FROM ch",
+    "SELECT sum(tx) + 1 AS s FROM ch",
+    "SELECT sum(tx)/2 AS s FROM ch",
+    "SELECT min(tx) AS m, max(tx) AS x FROM ch",
+    "SELECT id, total(tx) OVER (ORDER BY id) AS t FROM ch ORDER BY id",
+    "SELECT total(tx) AS t FROM ch WHERE id > 99",
+]
+
+
+def test_aggregate_argument_affinity_matches_sqlite(db, ref, chain_tables):
+    for q in _AGG_ARG_CASES:
+        want = [list(rw) for rw in ref.execute(q).fetchall()]
+        got = [list(v) for v in db.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+
+
 def test_on_clause_affinity_matches_sqlite(db, ref, spark):
     """r12 probe pinned: JOIN ON conditions route through the same
     comparison-affinity machinery (two-typed-column CASE, chain

@@ -417,6 +417,56 @@ def chunk_dup_case(F, docs):
     )
 
 
+def char_entropy_case(F, docs):
+    # r13 c4x shape: one char explode with map-side combine; per-doc
+    # histograms are alphabet-sized
+    d = docs.select("doc_id", F.trim(F.col("text")).alias("t")).filter(
+        F.length("t") > 0
+    )
+    cnt = (
+        d.select("doc_id", "t", F.explode(F.sequence(F.lit(1), F.length("t"))).alias("g"))
+        .select("doc_id", F.expr("substring(t, g, 1)").alias("ch"))
+        .groupBy("doc_id", "ch")
+        .agg(F.count("*").alias("c"))
+    )
+    return cnt.groupBy("doc_id").agg(F.sum("c").alias("n"))
+
+
+def sign_ann_case(F, emb):
+    # r13 c3o shape: 16-byte sign codes shuffle; FIXED query set vs a
+    # growing corpus (flat Hamming scan is O(n·q) by design, the mips
+    # convention) — the linear-in-n term is what to verify
+    from pyspark.sql import Window as W
+
+    e = emb.select("vec_id", F.col("embedding").alias("__e"))
+
+    def word(off):
+        return F.expr(
+            "aggregate(transform(sequence(0, 31), t -> "
+            f"IF(element_at(__e, t + {off + 1}) > CAST(0 AS FLOAT), "
+            "shiftleft(CAST(1 AS BIGINT), t), CAST(0 AS BIGINT))), "
+            "CAST(0 AS BIGINT), (s, x) -> s + x)"
+        )
+
+    codes = e.select("vec_id", word(0).alias("lo"), word(32).alias("hi"))
+    q = codes.filter(F.col("vec_id") < 5000).filter(
+        F.col("vec_id") % 100 == 0
+    ).select(
+        F.col("vec_id").alias("qid"), F.col("lo").alias("qlo"), F.col("hi").alias("qhi")
+    )
+    ham = (
+        codes.crossJoin(F.broadcast(q))
+        .filter(F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid", F.col("vec_id").alias("nid"),
+            (F.bit_count(F.col("qlo").bitwiseXOR(F.col("lo")))
+             + F.bit_count(F.col("qhi").bitwiseXOR(F.col("hi")))).alias("hd"),
+        )
+    )
+    wh = W.partitionBy("qid").orderBy("hd", "nid")
+    return ham.withColumn("rn", F.row_number().over(wh)).filter(F.col("rn") <= 50)
+
+
 def global_rank_case(F, evs):
     # r12 b5a/b5e shape: range partition + per-slice row_number +
     # broadcast prefix offsets — the no-single-task global rank
@@ -672,6 +722,8 @@ def main() -> None:
             ("window_funnel", lambda: ops.window_funnel(evs)),
             ("zipf_slope", lambda: zipf_case(F, docs)),
             ("payload_chunk_dup", lambda: chunk_dup_case(F, docs)),
+            ("char_entropy", lambda: char_entropy_case(F, docs)),
+            ("sign_ann", lambda: sign_ann_case(F, emb)),
             # flat assignment pinned (coarse_gate=None): the documented
             # O(n·k) = O(n²) curve the r12 gate exists to fix
             (
