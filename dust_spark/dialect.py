@@ -5220,6 +5220,193 @@ def rewrite_simple_case(sql: str) -> str:
     return sql
 
 
+def register_real_text_udf(spark) -> bool:
+    """Register ``__sqlite_real_text(DOUBLE) → STRING`` — SQLite's
+    %!.15g REAL→TEXT rendering (:func:`_sqlite_real_to_text`) as an
+    Arrow-batched pandas UDF for RUNTIME column values (the r12 literal
+    rewrite only covered statically-known reals). Python in the hot
+    path is acceptable HERE because this is the SQLite-parity OLTP
+    surface (the reference serializes statements behind a mutex) — the
+    analytics catalog never routes through it. Returns False (and the
+    rewrite pass stays off) when the platform's longdouble isn't the
+    x87 layout the renderer was verified on."""
+    global _REAL_TEXT_UDF_OK
+    if not _x87_longdouble_ok():
+        return False
+    try:
+        import pandas as pd
+        from pyspark.sql.functions import pandas_udf
+
+        def _render(s):
+            return pd.Series(
+                [None if v is None or v != v else _sqlite_real_to_text(float(v))
+                 for v in s],
+                dtype="object",
+            )
+
+        spark.udf.register("__sqlite_real_text", pandas_udf(_render, "string"))
+        _REAL_TEXT_UDF_OK = True
+        return True
+    except Exception:
+        return False
+
+
+# TEXT-conversion contexts for REAL-classed bare columns: each entry is
+# (call name, 0-based argument positions that convert to text). SQLite
+# renders the double with %!.15g in every one of these ('1e20' →
+# '1.0e+20'), where Spark's implicit cast gives the Java form
+# ('1.0E20'). quote() is EXCLUDED — it renders at %!.20e precision
+# (probed: 20 significant digits), a different pipeline.
+_REAL_TEXT_FN_ARGS = {
+    "upper": (0,), "lower": (0,), "trim": (0,), "ltrim": (0,),
+    "rtrim": (0,), "reverse": (0,), "length": (0,), "replace": (0,),
+    "instr": (0, 1), "substr": (0,), "substring": (0,), "string_agg": (0,),
+}
+
+
+def rewrite_real_text_contexts(sql: str, cls_map) -> str:
+    """Wrap REAL-affinity bare columns with ``__sqlite_real_text`` in
+    the positions where SQLite converts them to text (r13): CAST-to-
+    STRING (the already-rewritten CAST(x AS TEXT)), ``||`` concat
+    members, ILIKE operands, and the direct text-taking arguments of
+    the common string functions (_REAL_TEXT_FN_ARGS). Class-map-gated
+    like rewrite_text_sums; runs AFTER rewrite_sqlite_fns so the
+    TEXT→STRING / LIKE→ILIKE / group_concat→string_agg rewrites have
+    landed."""
+    if not cls_map or not _REAL_TEXT_UDF_OK:
+        return sql
+    toks = _typed_tokenize(sql)
+    if toks is None:
+        return sql
+    n = len(toks)
+    edits: list[tuple[int, int, str]] = []
+
+    def _real_ident(lo, hi):
+        ident = _is_dotted_ident(toks, lo, hi)
+        if ident is not None and _cls_of_ident(ident, cls_map) == _CLS_REAL:
+            return sql[toks[lo][2] : toks[hi - 1][3]]
+        return None
+
+    def _wrap(lo, hi):
+        txt = _real_ident(lo, hi)
+        if txt is not None:
+            edits.append(
+                (toks[lo][2], toks[hi - 1][3], f"__sqlite_real_text({txt})")
+            )
+
+    def _ident_span_back(j):
+        """(lo, hi) of a dotted identifier ENDING at token j, else None."""
+        if j < 0 or toks[j][0] != "word":
+            return None
+        lo = j
+        while lo - 2 >= 0 and toks[lo - 1][1] == "." and toks[lo - 2][0] == "word":
+            lo -= 2
+        return (lo, j + 1)
+
+    def _ident_span_fwd(j):
+        if j >= n or toks[j][0] != "word" or toks[j][1].lower() in _IN_STOP_WORDS:
+            return None
+        hi = j + 1
+        while hi + 1 < n and toks[hi][1] == "." and toks[hi + 1][0] == "word":
+            hi += 2
+        if hi < n and toks[hi][1] == "(":
+            return None  # call, not a column
+        return (j, hi)
+
+    for idx in range(n):
+        t = toks[idx]
+        v = t[1].lower() if t[0] == "word" else t[1]
+        if v == "||":
+            got = _ident_span_back(idx - 1)
+            if got:
+                _wrap(*got)
+            got = _ident_span_fwd(idx + 1)
+            if got:
+                _wrap(*got)
+        elif t[0] == "word" and v == "ilike":
+            got = _ident_span_back(idx - 1)
+            if got:
+                _wrap(*got)
+            got = _ident_span_fwd(idx + 1)
+            if got:
+                _wrap(*got)
+        elif t[0] == "word" and v == "cast" and idx + 1 < n and toks[idx + 1][1] == "(":
+            # CAST(col AS STRING) — find the AS at depth 1
+            depth, j, as_i, close = 0, idx + 1, None, None
+            while j < n:
+                w = toks[j][1]
+                if w == "(":
+                    depth += 1
+                elif w == ")":
+                    depth -= 1
+                    if depth == 0:
+                        close = j
+                        break
+                elif (
+                    depth == 1
+                    and toks[j][0] == "word"
+                    and toks[j][1].lower() == "as"
+                ):
+                    as_i = j
+                j += 1
+            if (
+                as_i is not None
+                and close == as_i + 2
+                and toks[as_i + 1][0] == "word"
+                and toks[as_i + 1][1].lower() in ("string", "text")
+            ):
+                lo_, hi_ = idx + 2, as_i
+                # one paren level tolerated: every rewrite that
+                # canonicalizes text conversion emits CAST((col) AS
+                # STRING) — upper/lower via translate, the substr edge
+                # algorithm, printf %s — so this ONE branch covers them
+                if (
+                    hi_ - lo_ >= 3
+                    and toks[lo_][1] == "("
+                    and toks[hi_ - 1][1] == ")"
+                ):
+                    lo_, hi_ = lo_ + 1, hi_ - 1
+                _wrap(lo_, hi_)
+        elif (
+            t[0] == "word"
+            and v in _REAL_TEXT_FN_ARGS
+            and idx + 1 < n
+            and toks[idx + 1][1] == "("
+        ):
+            # direct bare-column arguments at the listed positions
+            depth, j, arg_no, arg_start = 0, idx + 1, 0, idx + 2
+            positions = _REAL_TEXT_FN_ARGS[v]
+            while j < n:
+                w = toks[j][1]
+                if w == "(":
+                    depth += 1
+                elif w == ")":
+                    depth -= 1
+                    if depth == 0:
+                        if arg_no in positions:
+                            _wrap(arg_start, j)
+                        break
+                elif depth == 1 and w == ",":
+                    if arg_no in positions:
+                        _wrap(arg_start, j)
+                    arg_no += 1
+                    arg_start = j + 1
+                j += 1
+    seen_spans: list[tuple[int, int]] = []
+    final = []
+    for s, e, r in sorted(edits, reverse=True):
+        if any(not (e <= cs or s >= ce) for cs, ce in seen_spans):
+            continue
+        seen_spans.append((s, e))
+        final.append((s, e, r))
+    for s, e, r in final:
+        sql = sql[:s] + r + sql[e:]
+    return sql
+
+
+_REAL_TEXT_UDF_OK = False
+
+
 def rewrite_text_sums(sql: str, cls_map) -> str:
     """``sum(tx)`` over a TEXT-affinity column applies SQLite's
     per-value numeric conversion (r13, the aggregate-argument

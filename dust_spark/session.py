@@ -174,6 +174,9 @@ class DustSession:
             json1.register(self.spark)  # json_set/insert/replace/remove + json_each
         except Exception:
             pass  # older Spark without UDTF support
+        # runtime REAL→TEXT rendering (%!.15g) for the text-conversion
+        # contexts — x87-gated, see dialect.register_real_text_udf
+        dialect.register_real_text_udf(self.spark)
         self.catalog = Catalog(self.spark, warehouse)
         self.deterministic_guard = deterministic_guard
         self._fk_enabled = False
@@ -4728,6 +4731,9 @@ class DustSession:
         # sum() over TEXT-affinity columns takes SQLite's per-value
         # numeric-prefix conversion (r13 aggregate-argument position)
         sql = dialect.rewrite_text_sums(sql, cls_map)
+        # REAL columns in text-conversion contexts render with SQLite's
+        # %!.15g via the __sqlite_real_text UDF (r13)
+        sql = dialect.rewrite_real_text_contexts(sql, cls_map)
         # second typed-ops sweep, now column-affinity-aware: INTEGER
         # columns of the tables in scope make x/2 integer division,
         # exactly as their LongType storage implies

@@ -887,6 +887,56 @@ _AGG_ARG_CASES = [
 ]
 
 
+def test_real_text_contexts_match_sqlite(db, ref, spark):
+    """r13: RUNTIME REAL column values render with SQLite's %!.15g in
+    every text-conversion context (CAST-to-TEXT incl. the one-paren
+    canonical form every rewrite funnels through, || members,
+    group_concat, upper/lower via translate, the substr edge
+    algorithm, replace/instr/trim/printf) — via the x87-gated
+    __sqlite_real_text pandas UDF. '1e20' must read '1.0e+20', not
+    Java's '1.0E20'."""
+    import sqlite3
+
+    ref2 = sqlite3.connect(":memory:")
+    s = DustSession(spark)
+    try:
+        for c in (
+            "CREATE TABLE rt (id INTEGER PRIMARY KEY, tx TEXT, r REAL, i INTEGER)",
+            "INSERT INTO rt VALUES (1,'7',2.5,9),(2,'a',1e20,3),(3,'b',0.1,4),"
+            "(4,'c',-1.5e-8,5),(5,'d',90.0,6),(6,'e',7.290279102206975e159,7),"
+            "(7,'f',NULL,8)",
+        ):
+            ref2.execute(c)
+            s.execute_string_stmt(c)
+        for q in (
+            "SELECT id, CAST(r AS TEXT) AS t FROM rt ORDER BY id",
+            "SELECT id, r || '' AS t FROM rt ORDER BY id",
+            "SELECT id, tx || r AS t FROM rt ORDER BY id",
+            "SELECT id, r || r AS t FROM rt ORDER BY id",
+            "SELECT group_concat(r) AS g FROM rt",
+            "SELECT id, upper(r) AS t FROM rt ORDER BY id",
+            "SELECT id, lower(r) AS t FROM rt ORDER BY id",
+            "SELECT id, substr(r, 2, 3) AS t FROM rt ORDER BY id",
+            "SELECT id, replace(r, '.', '_') AS t FROM rt ORDER BY id",
+            "SELECT id, instr(r, '.') AS t FROM rt ORDER BY id",
+            "SELECT id, length(r) AS t FROM rt ORDER BY id",
+            "SELECT id, trim(r) AS t FROM rt ORDER BY id",
+            "SELECT id, printf('%s', r) AS t FROM rt ORDER BY id",
+            "SELECT id FROM rt WHERE r LIKE '%+%' ORDER BY id",
+            "SELECT id, hex(CAST(r AS TEXT)) AS t FROM rt WHERE id = 2",
+            "SELECT rt.r || '' AS t FROM rt WHERE id = 2",
+            # integer/text columns keep their native paths
+            "SELECT id, CAST(i AS TEXT) AS t FROM rt ORDER BY id",
+            "SELECT id, tx || tx AS t FROM rt ORDER BY id",
+        ):
+            want = [list(rw) for rw in ref2.execute(q).fetchall()]
+            got = [list(v) for v in s.query_string_stmt(q)[0].values]
+            assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+    finally:
+        s.close()
+        ref2.close()
+
+
 def test_aggregate_argument_affinity_matches_sqlite(db, ref, chain_tables):
     for q in _AGG_ARG_CASES:
         want = [list(rw) for rw in ref.execute(q).fetchall()]
