@@ -5272,8 +5272,13 @@ def rewrite_real_text_contexts(sql: str, cls_map) -> str:
     the common string functions (_REAL_TEXT_FN_ARGS). Class-map-gated
     like rewrite_text_sums; runs AFTER rewrite_sqlite_fns so the
     TEXT→STRING / LIKE→ILIKE / group_concat→string_agg rewrites have
-    landed."""
-    if not cls_map or not _REAL_TEXT_UDF_OK:
+    landed. With cls_map None/empty only the STATIC literal fold runs
+    (the INSERT VALUES path — no columns in scope there)."""
+    if not _x87_longdouble_ok():
+        return sql
+    if not re.search(r"\|\||\bCAST\b|\bILIKE\b", sql, re.I) and not any(
+        re.search(rf"\b{f}\s*\(", sql, re.I) for f in _REAL_TEXT_FN_ARGS
+    ):
         return sql
     toks = _typed_tokenize(sql)
     if toks is None:
@@ -5282,10 +5287,34 @@ def rewrite_real_text_contexts(sql: str, cls_map) -> str:
     edits: list[tuple[int, int, str]] = []
 
     def _real_ident(lo, hi):
+        if not cls_map or not _REAL_TEXT_UDF_OK:
+            return None
         ident = _is_dotted_ident(toks, lo, hi)
         if ident is not None and _cls_of_ident(ident, cls_map) == _CLS_REAL:
             return sql[toks[lo][2] : toks[hi - 1][3]]
         return None
+
+    def _real_literal_text(lo, hi):
+        """Rendered %!.15g text for a [sign] REAL numeric literal span
+        (1e19 || 'x' must read '1.0e+19x' — static fold, no UDF)."""
+        sign, j = 1, lo
+        while j < hi and toks[j][1] in ("+", "-"):
+            if toks[j][1] == "-":
+                sign = -sign
+            j += 1
+        if j != hi - 1 or toks[j][0] != "num":
+            return None
+        text = toks[j][1]
+        t2 = text[:-1] if text and text[-1] in "dD" else text
+        if not re.search(r"[.eE]", t2) or t2.lower().startswith("0x"):
+            return None  # integer literal: Spark's rendering matches
+        try:
+            fv = float(t2) * sign
+        except ValueError:
+            return None
+        if math.isinf(fv) or fv != fv:
+            return None
+        return "'" + _sqlite_real_to_text(fv).replace("'", "''") + "'"
 
     def _wrap(lo, hi):
         txt = _real_ident(lo, hi)
@@ -5293,6 +5322,10 @@ def rewrite_real_text_contexts(sql: str, cls_map) -> str:
             edits.append(
                 (toks[lo][2], toks[hi - 1][3], f"__sqlite_real_text({txt})")
             )
+            return
+        lit = _real_literal_text(lo, hi)
+        if lit is not None:
+            edits.append((toks[lo][2], toks[hi - 1][3], lit))
 
     def _ident_span_back(j):
         """(lo, hi) of a dotted identifier ENDING at token j, else None."""
@@ -5313,21 +5346,33 @@ def rewrite_real_text_contexts(sql: str, cls_map) -> str:
             return None  # call, not a column
         return (j, hi)
 
+    def _back_span(j):
+        got = _ident_span_back(j)
+        if got:
+            return got
+        if 0 <= j < n and toks[j][0] == "num":
+            return (j, j + 1)
+        return None
+
+    def _fwd_span(j):
+        got = _ident_span_fwd(j)
+        if got:
+            return got
+        k = j
+        while k < n and toks[k][1] in ("+", "-"):
+            k += 1  # after ||/ILIKE a sign is provably unary
+        if k < n and toks[k][0] == "num":
+            return (j, k + 1)
+        return None
+
     for idx in range(n):
         t = toks[idx]
         v = t[1].lower() if t[0] == "word" else t[1]
-        if v == "||":
-            got = _ident_span_back(idx - 1)
+        if v == "||" or (t[0] == "word" and v == "ilike"):
+            got = _back_span(idx - 1)
             if got:
                 _wrap(*got)
-            got = _ident_span_fwd(idx + 1)
-            if got:
-                _wrap(*got)
-        elif t[0] == "word" and v == "ilike":
-            got = _ident_span_back(idx - 1)
-            if got:
-                _wrap(*got)
-            got = _ident_span_fwd(idx + 1)
+            got = _fwd_span(idx + 1)
             if got:
                 _wrap(*got)
         elif t[0] == "word" and v == "cast" and idx + 1 < n and toks[idx + 1][1] == "(":

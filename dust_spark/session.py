@@ -2146,6 +2146,9 @@ class DustSession:
             src = self.spark.range(1).select()
             cols = []
         elif src_sql.upper().startswith("VALUES"):
+            # static REAL literals in text contexts fold to SQLite's
+            # %!.15g (r13: VALUES (1e19 || 'x') stores '1.0e+19x')
+            src_sql = dialect.rewrite_real_text_contexts(src_sql, None)
             src = self.spark.sql(f"SELECT * FROM {src_sql}")
             cols = ins.columns or insertable
         else:
@@ -3560,7 +3563,12 @@ class DustSession:
             # hidden) unless a real column shadows the name
             if c.lower() in ("rowid", "_rowid_", "oid") and c.lower() not in real and tdef.rowid_column:
                 c = tdef.rowid_column
-            assigned[c] = dialect.resolve_rowid(e, tdef)
+            # SET expressions take the runtime/static REAL→TEXT
+            # rendering pass too (r13 altitude: UPDATE t SET tx = r||''
+            # must store '1.0e+20', not Java's '1.0E20')
+            assigned[c] = dialect.rewrite_real_text_contexts(
+                dialect.resolve_rowid(e, tdef), self._tdef_class_map(tdef)
+            )
         unknown = [c for c in assigned if c not in [f.name for f in tdef.schema.fields]]
         if unknown:
             raise DustError(f"no such column: {unknown[0]}")

@@ -932,6 +932,21 @@ def test_real_text_contexts_match_sqlite(db, ref, spark):
             want = [list(rw) for rw in ref2.execute(q).fetchall()]
             got = [list(v) for v in s.query_string_stmt(q)[0].values]
             assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
+        # DML altitude (r13): SET expressions and VALUES literals take
+        # the same rendering — UPDATE SET tx = r||'' stores '1.0e+20',
+        # VALUES (1e19 || 'x') stores '1.0e+19x' (static fold)
+        for dml in (
+            "UPDATE rt SET tx = r || '' WHERE id = 2",
+            "UPDATE rt SET tx = CAST(r AS TEXT) WHERE id = 4",
+            "INSERT INTO rt VALUES (8, 1e19 || 'x', 0, 1)",
+            "INSERT INTO rt VALUES (9, CAST(-2.5e-9 AS TEXT), 1, 2)",
+        ):
+            ref2.execute(dml)
+            s.execute_string_stmt(dml)
+        q = "SELECT id, tx FROM rt ORDER BY id"
+        want = [list(rw) for rw in ref2.execute(q).fetchall()]
+        got = [list(v) for v in s.query_string_stmt(q)[0].values]
+        assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
     finally:
         s.close()
         ref2.close()
