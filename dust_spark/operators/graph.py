@@ -153,6 +153,11 @@ def domain_rank_portable(
         )
         .select("src", F.lower(F.col("d")).alias("dst"))
         .distinct()
+        # r13 opt: persist — the edge list is read 2x by nodes, once by
+        # outdeg and once per power iteration; unpersisted, every one of
+        # those re-ran the corpus regex scan + explode + distinct
+        # (measured 5 full corpus passes at iterations=2).
+        .persist()
     )
     nodes = (
         edges.select(F.col("src").alias("node"))

@@ -250,14 +250,26 @@ def ewma_smooth(
         (F.sum("v").cast("double") / F.count("*")).alias("avg_v")
     )
     w = W.partitionBy("k").orderBy("bucket_s")
+    # r13 opt: materialize each lag ONCE as an attribute column before
+    # the weighted fold — Column expression trees are copied per textual
+    # reference, so folding F.lag(...).over(w) directly instantiated 3
+    # window frames per lag (24 total; plan-visible as _we0.._we23).
+    # One projection of 8 lag attributes leaves the Window node exactly
+    # 8 frames; the fold itself is a cheap scalar chain over attributes.
+    lagged = avgs.select(
+        "k",
+        "bucket_s",
+        "avg_v",
+        *[F.lag("avg_v", kk).over(w).alias(f"__l{kk}") for kk in range(lags)],
+    )
     num = F.lit(0.0)
     den = F.lit(0.0)
     for kk in range(lags):
         wt = 2.0 ** -(kk + 1)  # exact binary fraction
-        lv = F.lag("avg_v", kk).over(w)
+        lv = F.col(f"__l{kk}")
         num = num + F.when(lv.isNotNull(), lv * F.lit(wt)).otherwise(F.lit(0.0))
         den = den + F.when(lv.isNotNull(), F.lit(wt)).otherwise(F.lit(0.0))
-    return avgs.select(
+    return lagged.select(
         F.col("k"),
         "bucket_s",
         F.round(F.col("avg_v"), 4).alias("avg_v"),
@@ -345,14 +357,36 @@ def rolling_zscore(
         (F.sum("v").cast("double") / F.count("*")).alias("avg_v")
     )
     w = W.partitionBy("k").orderBy("bucket_s")
+    # r13 opt: materialize each lag ONCE as an attribute column, then
+    # fold the moments from a SECOND projection of attribute columns
+    # (mirrors the oracle's lagged/folded CTEs). The direct fold
+    # instantiated every F.lag().over(w) per textual reference — the
+    # mean/var/z chains expanded to ~200 window frames (plan-visible as
+    # _we0.._we199, 25x the 8 needed) and the Window stage dominated
+    # the query (measured ~15s cold / 2.4s warm at sf0.1 on one task).
+    lagged = avgs.select(
+        "k",
+        "bucket_s",
+        "avg_v",
+        *[F.lag("avg_v", kk).over(w).alias(f"__l{kk}") for kk in range(lags)],
+    )
     s1 = F.lit(0.0)
     s2 = F.lit(0.0)
     n = F.lit(0).cast("long")
     for kk in range(lags):
-        lv = F.lag("avg_v", kk).over(w)
+        lv = F.col(f"__l{kk}")
         s1 = s1 + F.when(lv.isNotNull(), lv).otherwise(F.lit(0.0))
         s2 = s2 + F.when(lv.isNotNull(), lv * lv).otherwise(F.lit(0.0))
         n = n + F.when(lv.isNotNull(), F.lit(1)).otherwise(F.lit(0))
+    folded = lagged.select(
+        "k",
+        "bucket_s",
+        "avg_v",
+        s1.alias("__s1"),
+        s2.alias("__s2"),
+        n.alias("__n"),
+    )
+    s1, s2, n = F.col("__s1"), F.col("__s2"), F.col("__n")
     mean = s1 / n
     # float cancellation on (sumsq/n - mean^2) can land EITHER side of
     # zero for a constant series: slightly negative makes sqrt() NaN
@@ -366,7 +400,7 @@ def rolling_zscore(
     z = F.when(
         (n >= 3) & (var > 0), F.round((F.col("avg_v") - mean) / std, 4)
     ).otherwise(F.lit(None).cast("double"))
-    return avgs.select(
+    return folded.select(
         "k",
         "bucket_s",
         F.round("avg_v", 4).alias("avg_v"),
@@ -482,10 +516,19 @@ def rolling_median(
     # Spark's median/percentile aggregates reject window FRAMES
     # (INVALID_WINDOW_SPEC_FOR_AGGREGATION_FUNC), so the frame median
     # is the exact array form: sort the bounded frame, pick/interpolate
-    # the middle — O(frame log frame) JVM-side, frame ≤ window_rows+1
-    arr = F.array_sort(F.collect_list("v").over(w))
+    # the middle — O(frame log frame) JVM-side, frame ≤ window_rows+1.
+    # r13 opt: materialize the sorted frame ONCE as an attribute column
+    # — Column trees are copied per textual reference, so picking
+    # lo/hi/n straight off the window expression instantiated SEVEN
+    # collect_list frames (7x the per-row frame buffer + sort).
+    witharr = base.withColumn("__arr", F.array_sort(F.collect_list("v").over(w)))
+    arr = F.col("__arr")
     n = F.size(arr)
     lo = F.element_at(arr, ((n + 1) / 2).cast("int"))
     hi = F.element_at(arr, (n / 2 + 1).cast("int"))
     med = F.when(n % 2 == 1, lo).otherwise((lo + hi) / 2.0)
-    return base.withColumn("med", F.round(med, 6)).orderBy("k", "ts_us", "v")
+    return (
+        witharr.withColumn("med", F.round(med, 6))
+        .drop("__arr")
+        .orderBy("k", "ts_us", "v")
+    )

@@ -781,36 +781,58 @@ def bigram_logprob(
     bigram; per-doc accumulation is count x rounded-logprob in exact
     DECIMAL with one final ROUND(4).
 
-    Scale shape: bigram/unigram counts are hash-aggs on 8-byte keys
-    (raw text never shuffles past the first projection); the per-doc
-    score joins (doc,bigram-hash) counts to the logprob table on the
-    hash key; V and the global totals ride a one-row broadcast.
+    Scale shape: ONE tokenize + explode pass over the corpus (r13 opt:
+    the bigram and unigram streams previously re-tokenized the corpus
+    three times — bi was evaluated under two different aggregations and
+    uni once). Each token position emits a (bigram-string, first-word)
+    struct — the LAST position a (NULL, word) marker — so unigram
+    counts fall out of the same exploded stream: every token is the
+    first word of exactly one emitted row. The per-(doc, bh, uh) count
+    table is persisted and every downstream table (unigram counts,
+    vocab size, bigram counts, per-doc scores) derives from it;
+    bigram/unigram counts stay hash-aggs on 8-byte keys (raw text never
+    shuffles past the first projection); V rides a one-row broadcast.
     """
     from dust_spark.functions import portable_char_hash, tokens
 
     base = docs.filter(F.length(F.trim(F.col(text_col))) > 0).select(
         F.col(id_col).alias("id"), tokens(text_col).alias("__tok")
     )
-    pairs = F.when(
-        F.size("__tok") >= 2,
-        F.transform(
-            F.sequence(F.lit(1), F.size("__tok") - 1),
-            lambda i: F.concat_ws(
-                " ", F.element_at(F.col("__tok"), i), F.element_at(F.col("__tok"), i + 1)
-            ),
+    n = F.size("__tok")
+    ents = F.transform(
+        F.sequence(F.lit(1), n),
+        lambda i: F.struct(
+            F.when(
+                i < n,
+                F.concat_ws(
+                    " ",
+                    F.element_at(F.col("__tok"), i),
+                    F.element_at(F.col("__tok"), i + 1),
+                ),
+            ).alias("bg"),
+            F.element_at(F.col("__tok"), i).alias("w"),
         ),
-    ).otherwise(F.array().cast("array<string>"))
-    bi = base.select("id", F.explode(pairs).alias("g")).select(
-        "id",
-        portable_char_hash(F.col("g")).alias("bh"),
-        portable_char_hash(F.split(F.col("g"), " ").getItem(0)).alias("uh"),
     )
-    uni = base.select(F.explode("__tok").alias("w")).select(
-        portable_char_hash(F.col("w")).alias("uh")
+    # materialize the exploded strings as attribute columns BEFORE the
+    # char-Horner hash touches them (the HOF re-evaluation trap)
+    rows = (
+        base.select("id", F.explode(ents).alias("e"))
+        .select("id", F.col("e.bg").alias("bg"), F.col("e.w").alias("w"))
+        .select(
+            "id",
+            # portable_char_hash(NULL) is NULL, so last-position marker
+            # rows keep bh NULL through the hash
+            portable_char_hash(F.col("bg")).alias("bh"),
+            portable_char_hash(F.col("w")).alias("uh"),
+        )
     )
-    uni_cnt = uni.groupBy("uh").agg(F.count("*").alias("c1"))
+    cnt = rows.groupBy("id", "bh", "uh").agg(F.count("*").alias("c")).persist()
+    uni_cnt = cnt.groupBy("uh").agg(F.sum("c").alias("c1"))
     vocab = uni_cnt.agg(F.count("*").alias("v"))
-    bi_cnt = bi.groupBy("bh", "uh").agg(F.count("*").alias("c12"))
+    # join on BOTH hash components: a bh collision across pairs with
+    # different first words would otherwise fan the lp join out
+    per = cnt.filter(F.col("bh").isNotNull())
+    bi_cnt = per.groupBy("bh", "uh").agg(F.sum("c").alias("c12"))
     lp = (
         bi_cnt.join(uni_cnt, "uh")
         .crossJoin(F.broadcast(vocab))
@@ -828,9 +850,6 @@ def bigram_logprob(
             .alias("lp"),
         )
     )
-    # join on BOTH hash components: a bh collision across pairs with
-    # different first words would otherwise fan the lp join out
-    per = bi.groupBy("id", "bh", "uh").agg(F.count("*").alias("c"))
     scored = (
         per.join(lp, ["bh", "uh"])
         .groupBy("id")

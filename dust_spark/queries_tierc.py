@@ -4210,20 +4210,21 @@ def split_kl_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         lab.select("split", tokens("text").alias("__tok"))
         .select("split", F.explode("__tok").alias("w"))
     )
+    # r13 opt: ONE tokenize+explode pass — aggregate to per-(split, w)
+    # counts once and persist the (vocabulary-sized) table; the global
+    # vocab ranking and the per-split observed counts both derive from
+    # it (previously vocab and cnts_obs each re-tokenized the corpus).
+    per_sw = tok.groupBy("split", "w").agg(F.count("*").alias("c0")).persist()
     vocab = (
-        tok.groupBy("w")
-        .count()
+        per_sw.groupBy("w")
+        .agg(F.sum("c0").alias("count"))
         .orderBy(F.col("count").desc(), "w")
         .limit(200)
         .select("w")
     )
     splits = spark.createDataFrame([("train",), ("val",), ("test",)], "split string")
     grid = vocab.crossJoin(splits)
-    cnts_obs = (
-        tok.join(F.broadcast(vocab), "w")
-        .groupBy("split", "w")
-        .agg(F.count("*").alias("c0"))
-    )
+    cnts_obs = per_sw.join(F.broadcast(vocab), "w")
     cnts = grid.join(cnts_obs, ["split", "w"], "left").select(
         "split", "w", F.coalesce(F.col("c0"), F.lit(0)).alias("c")
     )
