@@ -75,6 +75,10 @@ def exact_dedup_count(df: DataFrame, text_col: str = "text") -> DataFrame:
 
 _EMPTY_MIN = 0x7FFFFFFFFFFFFFFF  # sentinel for empty shingle sets
 
+# session-scoped memo of decontaminate's broadcast-gate probe scalar
+# (keyed on the canonicalized benchmark plan — see the gate comment)
+_probe_cache: dict[tuple, int] = {}
+
 
 _MERSENNE61 = (1 << 61) - 1
 
@@ -800,12 +804,31 @@ def decontaminate(
     # cross-pollinate through the plan cache (CacheManager matches plans
     # with hints stripped).
     if broadcast_limit:
-        approx_grams = (
-            benchmark.select(
-                F.sum(F.size(tokens(benchmark_text_col))).alias("s")
-            ).first()["s"]
-            or 0
-        )
+        # r13 opt: the probe scalar memoizes per session keyed on the
+        # canonicalized benchmark plan — the eager .first() otherwise
+        # re-evaluates the (possibly derived, e.g. c9k's cleaned-text)
+        # benchmark side at BUILD time on every run. Deterministic for
+        # a fixed input plan within a session; affects only the
+        # broadcast-vs-shuffle hint, never result rows.
+        try:
+            pkey = (
+                benchmark.sparkSession,
+                benchmark._jdf.queryExecution().analyzed().canonicalized().toString(),
+                benchmark_text_col,
+            )
+        except Exception:  # noqa: BLE001 — memo is an optimization only
+            pkey = None
+        if pkey is not None and pkey in _probe_cache:
+            approx_grams = _probe_cache[pkey]
+        else:
+            approx_grams = (
+                benchmark.select(
+                    F.sum(F.size(tokens(benchmark_text_col))).alias("s")
+                ).first()["s"]
+                or 0
+            )
+            if pkey is not None:
+                _probe_cache[pkey] = approx_grams
         hinted = F.broadcast(bench_grams) if approx_grams <= broadcast_limit else bench_grams
     else:
         hinted = F.broadcast(bench_grams)

@@ -241,6 +241,26 @@ def portable_planes(dim: int, nbits: int) -> list[list[float]]:
     ]
 
 
+# r13 opt: the one-row planes LocalRelation is memoized per (session,
+# dim, nbits). Two createDataFrame calls with identical array data do
+# NOT plan-match for Spark's CacheManager (array cells compare by
+# reference), so any persisted frame built over a fresh planes frame —
+# the c2i bucket index, most importantly — could never re-hit its cache
+# across runs; reusing the same DataFrame object restores the match.
+_planes_df_cache: dict[tuple, DataFrame] = {}
+
+
+def _portable_planes_df(spark, dim: int, nbits: int) -> DataFrame:
+    key = (spark, dim, nbits)
+    if key not in _planes_df_cache:
+        planes = portable_planes(dim, nbits)
+        _planes_df_cache[key] = spark.createDataFrame(
+            [([[float(x) for x in p] for p in planes],)],
+            "__planes: array<array<double>>",
+        )
+    return _planes_df_cache[key]
+
+
 def rp_lsh_topk_portable(
     queries: DataFrame,
     corpus: DataFrame,
@@ -268,11 +288,7 @@ def rp_lsh_topk_portable(
     """
     from pyspark.sql import Window as W
 
-    planes = portable_planes(dim, nbits)
-    pl_df = corpus.sparkSession.createDataFrame(
-        [([[float(x) for x in p] for p in planes],)],
-        "__planes: array<array<double>>",
-    )
+    pl_df = _portable_planes_df(corpus.sparkSession, dim, nbits)
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
 
     def with_bucket(df_, idname, bname):
@@ -357,12 +373,7 @@ def portable_bucket_index(
     DuckDB oracle hashes — are bit-identical. The dots array is
     materialized as a real attribute column before the per-table
     zip_with/aggregate touch it (the CollapseProject rule)."""
-    planes = portable_planes(dim, n_tables * bits_per_table)
-    spark = base.sparkSession
-    pl_df = spark.createDataFrame(
-        [([[float(x) for x in p] for p in planes],)],
-        "__planes: array<array<double>>",
-    )
+    pl_df = _portable_planes_df(base.sparkSession, dim, n_tables * bits_per_table)
     dotted = (
         base.crossJoin(F.broadcast(pl_df))
         .select(
@@ -1270,11 +1281,7 @@ def mips_topk_portable(
     c_aug = augmented(corpus, F.sqrt(F.lit(float(m2)) - sq_norm(F.col(vec_col))))
     q_aug = augmented(queries, F.lit(0.0))
 
-    planes = portable_planes(dim + 1, nbits)
-    pl_df = corpus.sparkSession.createDataFrame(
-        [([[float(x) for x in p] for p in planes],)],
-        "__planes: array<array<double>>",
-    )
+    pl_df = _portable_planes_df(corpus.sparkSession, dim + 1, nbits)
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
 
     def with_bucket(df_, idname, bname):
