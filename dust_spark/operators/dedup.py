@@ -866,6 +866,10 @@ def span_dup_fraction(
         df.select(F.col(id_col), tokens(text_col).alias("__tok"))
         .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
         .select(id_col, F.xxhash64("__g").alias("__gh"))
+        # r13 opt: persist — the (id, hash) pair table feeds BOTH the
+        # gram document-frequency agg and the per-doc join; unpersisted,
+        # each consumer re-ran the tokenize + shingle explode.
+        .persist()
     )
     # document frequency per gram ((id, gh) pairs are distinct already)
     gdf = grams.groupBy("__gh").agg(F.count("*").alias("__df"))

@@ -203,8 +203,12 @@ def tf_idf(
     broadcast at any corpus scale.
     """
     tok = df.select(F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("term"))
-    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id_").alias("df"))
+    # r13 opt: ONE tokenize+explode pass — the (doc, term) tf table is
+    # persisted and the doc-frequency table derives from it (df = the
+    # number of tf rows per term == countDistinct(doc)), where
+    # previously tf and dfreq each re-ran the corpus explode.
+    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf")).persist()
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     n_docs = df.count()  # scalar; folded into the expression as a literal
     return (
         tf.join(dfreq, "term")
@@ -549,23 +553,30 @@ def token_rarity(
     tok = df.select(
         F.col(id_col).alias("id"), F.explode(tokens(text_col)).alias("t")
     )
-    ct = tok.groupBy("t").agg(F.count("*").alias("c"))
+    # r13 opt: ONE tokenize+explode pass — aggregate to per-(doc, token)
+    # occurrence counts once and persist; the corpus count table derives
+    # from it and the per-doc profile re-weights by the occurrence count
+    # (Σk, Σk·[c≤2], Σk·bitlen(c) are the same integers the token-level
+    # rows summed to), so every output value is bit-identical.
+    pt = tok.groupBy("id", "t").agg(F.count("*").alias("k")).persist()
+    ct = pt.groupBy("t").agg(F.sum("k").alias("c"))
     tot = ct.agg(F.length(F.bin(F.sum("c"))).alias("blt"))
-    j = tok.join(ct, "t").crossJoin(F.broadcast(tot))
+    j = pt.join(ct, "t").crossJoin(F.broadcast(tot))
+    n = F.sum("k").cast("long")
     return (
         j.groupBy(F.col("id").alias(id_col))
         .agg(
-            F.count("*").alias("n_tokens"),
+            n.alias("n_tokens"),
             F.round(
-                F.sum((F.col("c") <= 2).cast("long")).cast("double") / F.count("*"),
+                F.sum(F.col("k") * (F.col("c") <= 2).cast("long")).cast("double") / n,
                 4,
             ).alias("rare_frac"),
             F.round(
                 (
-                    F.count("*") * F.first("blt")
-                    - F.sum(F.length(F.bin(F.col("c"))).cast("long"))
+                    n * F.first("blt")
+                    - F.sum(F.col("k") * F.length(F.bin(F.col("c"))).cast("long"))
                 ).cast("double")
-                / F.count("*"),
+                / n,
                 4,
             ).alias("avg_bits"),
         )
@@ -645,9 +656,13 @@ def bm25_topk(
     tok = df.select(
         F.col(id_col).alias("doc_id_"), F.explode(tokens(text_col)).alias("term")
     )
-    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf"))
-    dl = tok.groupBy("doc_id_").agg(F.count("*").alias("dl"))
-    dfreq = tok.groupBy("term").agg(F.countDistinct("doc_id_").alias("df"))
+    # r13 opt: ONE tokenize+explode pass — tf persists; document length
+    # (dl = sum of tf per doc) and document frequency (df = tf rows per
+    # term == countDistinct(doc)) both derive from it, where previously
+    # tf/dl/dfreq each re-ran the corpus explode.
+    tf = tok.groupBy("doc_id_", "term").agg(F.count("*").alias("tf")).persist()
+    dl = tf.groupBy("doc_id_").agg(F.sum("tf").alias("dl"))
+    dfreq = tf.groupBy("term").agg(F.count("*").alias("df"))
     stats = dl.agg(
         F.count("*").alias("n_docs"),
         (F.sum("dl").cast("double") / F.count("*")).alias("avgdl"),

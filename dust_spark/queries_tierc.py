@@ -408,13 +408,26 @@ _PORTABLE_ANN_ORACLE = (
 )
 
 
+def _rp_ann_result(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared (qid, nid, cos) portable RP-LSH top-10 over the standard
+    query set — c3f returns it and c3g grades it against the exact
+    top-10, so the probe/candidate/re-rank chain runs once per session
+    instead of once per query (r13; the _pq_ann_result discipline)."""
+    key = (spark, sf_dir, "rp")
+    if key not in _sig_cache:
+        emb = _emb(spark, sf_dir)
+        _sig_cache[key] = ops.rp_lsh_topk_portable(
+            emb.filter(F.col("vec_id") <= 5), emb, k=10
+        ).persist()
+    return _sig_cache[key]
+
+
 @register("c3f_ann_portable", oracle=_PORTABLE_ANN_ORACLE, tags=("tierc", "similarity", "jit"))
 def ann_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hamming-1 multiprobe LSH ANN on deterministic portable planes —
     the hard-oracled twin of c3c (whose np.random planes cannot be
     regenerated in SQL)."""
-    emb = _emb(spark, sf_dir)
-    return ops.rp_lsh_topk_portable(emb.filter(F.col("vec_id") <= 5), emb, k=10).select(
+    return _rp_ann_result(spark, sf_dir).select(
         "qid", "nid", (F.col("cos") + F.lit(0.0)).alias("cos")
     )
 
@@ -444,8 +457,11 @@ def ann_recall_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-query recall scalar hash-compares exactly."""
     emb = _emb(spark, sf_dir)
     q = emb.filter(F.col("vec_id") <= 5)
-    ann = ops.rp_lsh_topk_portable(q, emb, k=10).select("qid", "nid")
-    exact = ops.cosine_topk(q, emb, k=10).select("qid", "nid")
+    # r13 opt: the ANN side rides the session-shared c3f result; the
+    # exact side persists (a 50-row frame referenced twice — by the
+    # semi-join and by the per-query spine)
+    ann = _rp_ann_result(spark, sf_dir).select("qid", "nid")
+    exact = ops.cosine_topk(q, emb, k=10).select("qid", "nid").persist()
     matched = exact.join(ann, ["qid", "nid"], "left_semi").groupBy("qid").agg(
         F.count("*").alias("__m")
     )
@@ -1488,6 +1504,8 @@ def _recall_vs_exact(emb: DataFrame, q: DataFrame, ann: DataFrame) -> DataFrame:
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 10)
         .select("qid", "nid")
+        # r13 opt: 50-row frame referenced twice (semi-join + spine)
+        .persist()
     )
     matched = exact.join(ann, ["qid", "nid"], "left_semi").groupBy("qid").agg(
         F.count("*").alias("__m")
