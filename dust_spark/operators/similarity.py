@@ -579,6 +579,8 @@ _lloyd_cache: dict[tuple, list] = {}
 # (array cells compare by reference), so a downstream .persist() would
 # never re-hit across runs unless the SAME frame object is reused.
 _lloyd_frame_cache: dict[tuple, DataFrame] = {}
+# session-scoped PQ codebook training memo (see _pq_train_encode)
+_pq_cb_cache: dict[tuple, dict] = {}
 
 
 def _lloyd_cents_key(cents) -> tuple:
@@ -1040,57 +1042,168 @@ def _pq_dist():
     )
 
 
+def _pq_cb_df(spark, cb_py) -> DataFrame:
+    """(s, cid, c) codebook table as a value-memoized LocalRelation."""
+    from pyspark.sql import types as T
+
+    key = (
+        spark,
+        "pqcb",
+        tuple(
+            (s, cid, tuple(c)) for s in sorted(cb_py) for cid, c in cb_py[s]
+        ),
+    )
+    if key not in _lloyd_frame_cache:
+        schema = T.StructType(
+            [
+                T.StructField("s", T.IntegerType(), False),
+                T.StructField("cid", T.IntegerType(), False),
+                T.StructField("c", T.ArrayType(T.DoubleType()), False),
+            ]
+        )
+        rows = [(s, cid, c) for s in sorted(cb_py) for cid, c in cb_py[s]]
+        _lloyd_frame_cache[key] = spark.createDataFrame(rows, schema)
+    return _lloyd_frame_cache[key]
+
+
+def _pq_cb_row_df(spark, cb_py) -> DataFrame:
+    """All codebooks as ONE broadcast row: ``__cb[s + 1]`` is subspace
+    ``s``'s array of (i, c) codewords (s is 0-based contiguous by
+    construction in _pq_subspaces)."""
+    from pyspark.sql import types as T
+
+    key = (
+        spark,
+        "pqrow",
+        tuple(
+            (s, cid, tuple(c)) for s in sorted(cb_py) for cid, c in cb_py[s]
+        ),
+    )
+    if key not in _lloyd_frame_cache:
+        schema = T.StructType(
+            [
+                T.StructField(
+                    "__cb",
+                    T.ArrayType(
+                        T.ArrayType(
+                            T.StructType(
+                                [
+                                    T.StructField("i", T.IntegerType(), False),
+                                    T.StructField(
+                                        "c", T.ArrayType(T.DoubleType()), False
+                                    ),
+                                ]
+                            )
+                        )
+                    ),
+                    False,
+                )
+            ]
+        )
+        data = [[[(cid, c) for cid, c in cb_py[s]] for s in sorted(cb_py)]]
+        _lloyd_frame_cache[key] = spark.createDataFrame([(data[0],)], schema)
+    return _lloyd_frame_cache[key]
+
+
+def _pq_assign(sub_base: DataFrame, cb_py, with_sv: bool = False) -> DataFrame:
+    """Per-(vid, s) nearest-codeword assignment as ONE narrow pass (the
+    _lloyd_assign shape with the subspace id indexing into the
+    broadcast row); array_min over (d, i) structs replays the
+    struct-min tie rule."""
+
+    def dist(carr):
+        return F.aggregate(
+            F.zip_with("sv", carr, lambda x, y: (x - y) * (x - y)),
+            F.lit(0.0),
+            lambda acc, x: acc + x,
+        )
+
+    codes_for_s = F.element_at(F.col("__cb"), F.col("s") + 1)
+    pick = F.array_min(
+        F.transform(
+            codes_for_s, lambda g: F.struct(dist(g["c"]).alias("d"), g["i"].alias("i"))
+        )
+    )["i"].alias("cid")
+    out = sub_base.crossJoin(
+        F.broadcast(_pq_cb_row_df(sub_base.sparkSession, cb_py))
+    )
+    cols = ["vid", "s", pick] + (["sv"] if with_sv else [])
+    return out.select(*cols)
+
+
 def _pq_train_encode(sub_base: DataFrame, n_codes: int, iterations: int):
     """(codebooks, codes): per-subspace portable-Lloyd codebooks (the
     c3i decimal recipe with the subspace id as one more grouping
     column) and the compressed corpus — one row per vector, codes in
     subspace order, the ONLY shuffle the corpus pays after encoding
-    (n×m → n rows of (vid, m small ints); the float payload is gone)."""
+    (n×m → n rows of (vid, m small ints); the float payload is gone).
+
+    r13 opt: driver-paced like :func:`_portable_lloyd` — the bounded
+    m×n_codes codebook collects per iteration and rides back in as one
+    broadcast row; training memoizes per session on the canonicalized
+    sub_base plan. Values are bit-identical to the r12 all-DataFrame
+    loop (same init window, same DECIMAL(25,12)/ROUND(6) update, same
+    (d, cid) tie rule)."""
     from pyspark.sql import Window as W
 
-    w0 = W.partitionBy("s").orderBy("vid")
-    cents = (
-        sub_base.withColumn("cid", F.row_number().over(w0))
-        .filter(F.col("cid") <= n_codes)
-        .select("s", "cid", F.col("sv").alias("c"))
-    )
-
-    def _assign(cbooks):
-        return (
-            sub_base.join(F.broadcast(cbooks), "s")
-            .withColumn("__dc", F.struct(_pq_dist().alias("d"), F.col("cid").alias("i")))
-            .groupBy("vid", "s")
-            .agg(F.min("__dc").alias("mm"))
-            .select("vid", "s", F.col("mm.i").alias("cid"))
+    spark = sub_base.sparkSession
+    try:
+        key = (
+            spark,
+            sub_base._jdf.queryExecution().analyzed().canonicalized().toString(),
+            n_codes,
+            iterations,
         )
-
-    for _ in range(iterations - 1):
-        cents = (
-            _assign(cents)
-            .join(sub_base, ["vid", "s"])
-            .select("s", "cid", F.posexplode("sv").alias("d", "x"))
-            .groupBy("s", "cid", "d")
-            .agg(
-                F.round(
-                    F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
-                    / F.count("*"),
-                    6,
-                ).alias("mv")
-            )
-            .groupBy("s", "cid")
-            .agg(
-                F.transform(
-                    F.array_sort(F.collect_list(F.struct("d", "mv"))),
-                    lambda st: st["mv"],
-                ).alias("c")
-            )
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        key = None
+    if key is not None and key in _pq_cb_cache:
+        cb_py = _pq_cb_cache[key]
+    else:
+        w0 = W.partitionBy("s").orderBy("vid")
+        init = (
+            sub_base.withColumn("cid", F.row_number().over(w0))
+            .filter(F.col("cid") <= n_codes)
+            .select("s", "cid", F.col("sv").alias("c"))
+            .collect()
         )
-    # the codebooks are m*n_codes rows — flatten the whole training
-    # lineage here so the encode pass and the query distance table
-    # don't each re-run Lloyd's
-    codebooks = cents.localCheckpoint(eager=True)
+        cb_py: dict[int, list] = {}
+        for r in init:
+            cb_py.setdefault(r["s"], []).append(
+                (r["cid"], [float(x) for x in r["c"]])
+            )
+        for s in cb_py:
+            cb_py[s].sort()
+        for _ in range(iterations - 1):
+            upd = (
+                _pq_assign(sub_base, cb_py, with_sv=True)
+                .select("s", "cid", F.posexplode("sv").alias("d", "x"))
+                .groupBy("s", "cid", "d")
+                .agg(
+                    F.round(
+                        F.sum(F.col("x").cast("decimal(25,12)")).cast("double")
+                        / F.count("*"),
+                        6,
+                    ).alias("mv")
+                )
+                .collect()
+            )
+            nb: dict[int, dict[int, dict[int, float]]] = {}
+            for r in upd:
+                nb.setdefault(r["s"], {}).setdefault(r["cid"], {})[r["d"]] = float(
+                    r["mv"]
+                )
+            cb_py = {
+                s: [
+                    (cid, [nb[s][cid][d] for d in sorted(nb[s][cid])])
+                    for cid in sorted(nb[s])
+                ]
+                for s in sorted(nb)
+            }
+        if key is not None:
+            _pq_cb_cache[key] = cb_py
+    codebooks = _pq_cb_df(spark, cb_py)
     codes = (
-        _assign(codebooks)
+        _pq_assign(sub_base, cb_py)
         .groupBy("vid")
         .agg(F.collect_list(F.struct("s", "cid")).alias("__sc"))
         .select(
