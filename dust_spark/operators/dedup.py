@@ -821,6 +821,9 @@ def decontaminate(
         if pkey is not None and pkey in _probe_cache:
             approx_grams = _probe_cache[pkey]
         else:
+            from dust_spark.operators.similarity import _evict_stopped_sessions
+
+            _evict_stopped_sessions(_probe_cache)
             approx_grams = (
                 benchmark.select(
                     F.sum(F.size(tokens(benchmark_text_col))).alias("s")
@@ -1054,6 +1057,10 @@ def ngram_novelty(
         .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
         .select(id_col, F.xxhash64("__g").alias("__gh"))
         .distinct()
+        # r13 opt: persist — the distinct (id, hash) pair table feeds
+        # both the first-seen agg and the scoring join; unpersisted,
+        # each consumer re-ran tokenize + shingle explode + distinct.
+        .persist()
     )
     first = doc_grams.groupBy("__gh").agg(F.min(id_col).alias("__first"))
     novel = F.sum(F.when(F.col("__first") == F.col(id_col), 1).otherwise(0))

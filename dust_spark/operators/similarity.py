@@ -253,6 +253,7 @@ _planes_df_cache: dict[tuple, DataFrame] = {}
 def _portable_planes_df(spark, dim: int, nbits: int) -> DataFrame:
     key = (spark, dim, nbits)
     if key not in _planes_df_cache:
+        _evict_stopped_sessions(_planes_df_cache)
         planes = portable_planes(dim, nbits)
         _planes_df_cache[key] = spark.createDataFrame(
             [([[float(x) for x in p] for p in planes],)],
@@ -583,6 +584,22 @@ _lloyd_frame_cache: dict[tuple, DataFrame] = {}
 _pq_cb_cache: dict[tuple, dict] = {}
 
 
+def _evict_stopped_sessions(*caches: dict) -> None:
+    """Drop memo entries owned by stopped SparkSessions (the
+    queries_tierc r8 discipline): keys are (spark, ...) tuples, so an
+    O(len) sweep on cache-miss is the cheapest correct eviction."""
+    for cache in caches:
+        dead = []
+        for k in cache:
+            try:
+                if k[0].sparkContext._jsc is None:
+                    dead.append(k)
+            except Exception:  # noqa: BLE001 — any probe failure = dead
+                dead.append(k)
+        for k in dead:
+            cache.pop(k, None)
+
+
 def _lloyd_cents_key(cents) -> tuple:
     return tuple((cid, tuple(c)) for cid, c in cents)
 
@@ -702,6 +719,7 @@ def _portable_lloyd(
     if key is not None and key in _lloyd_cache:
         cents_py = _lloyd_cache[key]
         return _lloyd_assign(base, cents_py), _lloyd_cents_df(spark, cents_py)
+    _evict_stopped_sessions(_lloyd_cache, _lloyd_frame_cache, _pq_cb_cache)
     init = (
         base.orderBy("vid")
         .limit(k)
@@ -1159,6 +1177,7 @@ def _pq_train_encode(sub_base: DataFrame, n_codes: int, iterations: int):
     if key is not None and key in _pq_cb_cache:
         cb_py = _pq_cb_cache[key]
     else:
+        _evict_stopped_sessions(_lloyd_cache, _lloyd_frame_cache, _pq_cb_cache)
         w0 = W.partitionBy("s").orderBy("vid")
         init = (
             sub_base.withColumn("cid", F.row_number().over(w0))
