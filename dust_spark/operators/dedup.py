@@ -330,10 +330,20 @@ def _portable_shingle_sigs(
 
 
 def _portable_band_keys(
-    sigs: DataFrame, num_hashes: int, bands: int, max_bucket: int
+    sigs: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+    side_col: str | None = None,
 ) -> DataFrame:
     """Horner band keys over signature slices + the windowed skew guard
-    — the shared back half of the portable MinHash pipeline."""
+    — the shared back half of the portable MinHash pipeline.
+
+    ``side_col`` optionally names a marker column carried through the
+    explode and ADDED to the skew-guard window key: disjoint side
+    values partition the window, so per-side bucket counts are exactly
+    what two separate calls would compute, in ONE explode+shuffle+
+    window pipeline (the two-sided dedup path)."""
     from dust_spark.functions import PORTABLE_HASH_MOD
 
     M = F.lit(PORTABLE_HASH_MOD).cast("long")
@@ -347,13 +357,41 @@ def _portable_band_keys(
 
     from pyspark.sql import Window as W
 
+    keep = [side_col] if side_col else []
     bands_df = sigs.select(
-        "id", F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh")
+        *keep, "id", F.posexplode(F.array(*[band_key(b) for b in range(bands)])).alias("band", "bh")
     )
     return (
-        bands_df.withColumn("__bc", F.count("*").over(W.partitionBy("band", "bh")))
+        bands_df.withColumn("__bc", F.count("*").over(W.partitionBy(*keep, "band", "bh")))
         .filter(F.col("__bc") <= max_bucket)
         .drop("__bc")
+    )
+
+
+def _portable_band_keys_two_sided(
+    sigs_n: DataFrame,
+    sigs_c: DataFrame,
+    num_hashes: int,
+    bands: int,
+    max_bucket: int,
+) -> tuple[DataFrame, DataFrame]:
+    """Band keys for BOTH dedup sides in one pass: union the two
+    signature tables under a side marker and run ONE parity-keyed
+    skew-guard window instead of two per-side explode+shuffle+window
+    pipelines (per-side counts are unchanged — sides are disjoint
+    window-key values). The capped table is persisted so the candidate
+    join's two consumers share one materialization; in the bench the
+    sides are parity views of one session-persisted signature fixture,
+    so the plan cache-matches across warm runs (the c2d discipline)."""
+    both = sigs_n.select(F.lit(1).alias("__side"), "id", "sig").unionByName(
+        sigs_c.select(F.lit(0).alias("__side"), "id", "sig")
+    )
+    capped = _portable_band_keys(
+        both, num_hashes, bands, max_bucket, side_col="__side"
+    ).persist()
+    return (
+        capped.filter(F.col("__side") == 1).drop("__side"),
+        capped.filter(F.col("__side") == 0).drop("__side"),
     )
 
 
@@ -413,8 +451,9 @@ def dedup_against_corpus(
     sh_c, sigs_c = corpus_shingle_sigs or _portable_shingle_sigs(
         corpus_df, text_col, id_col, num_hashes, shingle_words
     )
-    bands_n = _portable_band_keys(sigs_n, num_hashes, bands, max_bucket)
-    bands_c = _portable_band_keys(sigs_c, num_hashes, bands, max_bucket)
+    bands_n, bands_c = _portable_band_keys_two_sided(
+        sigs_n, sigs_c, num_hashes, bands, max_bucket
+    )
     candidates = (
         bands_n.alias("n")
         .join(

@@ -166,6 +166,30 @@ def test_dedup_against_corpus(spark, corpus):
         ops.dedup_against_corpus(new, existing, mode="bogus")
 
 
+def test_two_sided_band_keys_match_per_side(spark, corpus):
+    """The merged parity-keyed skew-guard window (one explode+window
+    over the unioned sides) must produce exactly the rows of two
+    per-side _portable_band_keys calls — including the max_bucket cap,
+    which counts within each side only. Exercised with a tiny cap so
+    the guard actually drops buckets."""
+    from dust_spark.operators.dedup import (
+        _portable_band_keys,
+        _portable_band_keys_two_sided,
+        _portable_shingle_sigs,
+    )
+
+    _, sigs = _portable_shingle_sigs(corpus, "text", "doc_id", 16, 3)
+    sigs = sigs.persist()
+    odd, even = sigs.filter(F.col("id") % 2 == 1), sigs.filter(F.col("id") % 2 == 0)
+    for cap in (2, 10_000):
+        ref_n = {tuple(r) for r in _portable_band_keys(odd, 16, 4, cap).collect()}
+        ref_c = {tuple(r) for r in _portable_band_keys(even, 16, 4, cap).collect()}
+        got_n, got_c = _portable_band_keys_two_sided(odd, even, 16, 4, cap)
+        assert {tuple(r) for r in got_n.collect()} == ref_n
+        assert {tuple(r) for r in got_c.collect()} == ref_c
+    sigs.unpersist()
+
+
 def test_minhash_dedup_drops_losers(spark, corpus):
     pairs = ops.minhash_lsh_pairs(corpus, threshold=0.5).collect()
     losers = {r.id_b for r in pairs}
