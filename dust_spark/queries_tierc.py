@@ -4558,6 +4558,10 @@ def payload_chunk_dup_q(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("__df", F.count("*").over(W.partitionBy("h")))
         .filter(F.col("__df") <= 32)
         .drop("__df")
+        # r13 opt: persist AFTER the cap — the self-join otherwise
+        # re-runs scan + chunk explode + md5 + distinct + cap window on
+        # BOTH sides (the r10 c2i / r13 c2d lesson, same shape).
+        .persist()
     )
     a = ch.alias("a")
     b = ch.alias("b")
