@@ -1022,6 +1022,40 @@ def boilerplate_lines(
     )
 
 
+def _distinct_gram_pairs(
+    df: DataFrame, text_col: str, ngram_words: int, id_col: str
+) -> DataFrame:
+    """Distinct (id, 8-byte gram hash) pairs of ``df``'s word n-grams —
+    the shared corpus pass behind :func:`ngram_novelty` and the
+    containment family. The pipeline is pure Catalyst over the input
+    scan, so identical calls canonicalize to the same plan (one
+    persisted instance cache-serves every consumer)."""
+    return (
+        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
+        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
+        .select(id_col, F.xxhash64("__g").alias("__gh"))
+        .distinct()
+    )
+
+
+def _containment_agg(doc_grams: DataFrame, ref_grams: DataFrame, id_col: str) -> DataFrame:
+    """Left join on the gram hash + per-id matched-fraction aggregate
+    (the shared tail of the containment variants)."""
+    return (
+        doc_grams.join(ref_grams, "__gh", "left")
+        .groupBy(id_col)
+        .agg(
+            F.count("*").alias("n_grams"),
+            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("matched"),
+            F.round(
+                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
+                / F.count("*"),
+                4,
+            ).alias("containment"),
+        )
+    )
+
+
 def containment_scores(
     df: DataFrame,
     ref: DataFrame,
@@ -1042,7 +1076,9 @@ def containment_scores(
     shuffles), documents explode to distinct (id, gram-hash) pairs, and
     one left join + per-id aggregation computes the matched fraction.
     Output: (id, n_grams, matched, containment) for every document with
-    at least one gram.
+    at least one gram. When ``df`` and ``ref`` are a predicate split of
+    ONE corpus, use :func:`containment_scores_split` — it runs the
+    tokenize/shingle/hash pass once instead of twice.
     """
     ref_grams = (
         ref.select(tokens(ref_text_col).alias("__tok"))
@@ -1051,25 +1087,44 @@ def containment_scores(
         .distinct()
         .withColumn("__hit", F.lit(1))
     )
-    doc_grams = (
-        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
-        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
-        .select(id_col, F.xxhash64("__g").alias("__gh"))
-        .distinct()
+    doc_grams = _distinct_gram_pairs(df, text_col, ngram_words, id_col)
+    return _containment_agg(doc_grams, ref_grams, id_col)
+
+
+def containment_scores_split(
+    corpus: DataFrame,
+    ref_pred: Column,
+    doc_pred: Column,
+    text_col: str = "text",
+    ngram_words: int = 3,
+    id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
+) -> DataFrame:
+    """:func:`containment_scores` for the common case where the
+    reference and the scored documents are a PREDICATE SPLIT of one
+    corpus (held-out benchmark shard vs training shard): the corpus
+    tokenize + shingle + hash + distinct pass runs ONCE into a shared
+    (id, gram-hash) pair table, and both sides derive from it — at
+    scale that is one full-corpus scan instead of two.
+
+    Values are identical to
+    ``containment_scores(corpus.filter(doc_pred), corpus.filter(ref_pred))``:
+    the reference side's distinct-over-hash yields the same set whether
+    or not the per-(id, hash) distinct ran first, and the scored side's
+    pair table is the same distinct pairs, just filtered after the
+    explode instead of before.
+
+    ``pairs`` optionally supplies a precomputed (persisted) pair table
+    from :func:`_distinct_gram_pairs` so several queries over the same
+    corpus share one materialization.
+    """
+    if pairs is None:
+        pairs = _distinct_gram_pairs(corpus, text_col, ngram_words, id_col).persist()
+    ref_grams = (
+        pairs.filter(ref_pred).select("__gh").distinct().withColumn("__hit", F.lit(1))
     )
-    return (
-        doc_grams.join(ref_grams, "__gh", "left")
-        .groupBy(id_col)
-        .agg(
-            F.count("*").alias("n_grams"),
-            F.sum(F.coalesce(F.col("__hit"), F.lit(0))).alias("matched"),
-            F.round(
-                F.sum(F.coalesce(F.col("__hit"), F.lit(0))).cast("double")
-                / F.count("*"),
-                4,
-            ).alias("containment"),
-        )
-    )
+    doc_grams = pairs.filter(doc_pred)
+    return _containment_agg(doc_grams, ref_grams, id_col)
 
 
 def ngram_novelty(
@@ -1077,6 +1132,7 @@ def ngram_novelty(
     text_col: str = "text",
     ngram_words: int = 3,
     id_col: str = "doc_id",
+    pairs: DataFrame | None = None,
 ) -> DataFrame:
     """Temporal n-gram NOVELTY: the fraction of a document's distinct
     word n-grams whose FIRST corpus occurrence (minimum id over the
@@ -1091,15 +1147,14 @@ def ngram_novelty(
     global order. Output: (id, n_grams, novel, novelty) for every
     document with at least one gram.
     """
+    # r13 opt: persist — the distinct (id, hash) pair table feeds
+    # both the first-seen agg and the scoring join; unpersisted,
+    # each consumer re-ran tokenize + shingle explode + distinct.
+    # ``pairs`` lets callers share one materialization across queries.
     doc_grams = (
-        df.select(F.col(id_col), tokens(text_col).alias("__tok"))
-        .select(id_col, F.explode(word_shingles(F.col("__tok"), ngram_words)).alias("__g"))
-        .select(id_col, F.xxhash64("__g").alias("__gh"))
-        .distinct()
-        # r13 opt: persist — the distinct (id, hash) pair table feeds
-        # both the first-seen agg and the scoring join; unpersisted,
-        # each consumer re-ran tokenize + shingle explode + distinct.
-        .persist()
+        _distinct_gram_pairs(df, text_col, ngram_words, id_col).persist()
+        if pairs is None
+        else pairs
     )
     first = doc_grams.groupBy("__gh").agg(F.min(id_col).alias("__first"))
     novel = F.sum(F.when(F.col("__first") == F.col(id_col), 1).otherwise(0))

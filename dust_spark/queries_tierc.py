@@ -117,6 +117,20 @@ def _xx_sigs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _sig_cache[key]
 
 
+def _gram_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shared distinct (doc_id, 3-word-gram xxhash64) pair table over
+    the document corpus — c4q (novelty), c2l and c9m (containment) all
+    consume the identical table, so the tokenize + shingle-explode +
+    distinct corpus pass runs once per session instead of once per
+    side per query. Persisted, caller-owned."""
+    key = (spark, sf_dir, "grampairs")
+    if key not in _sig_cache:
+        _sig_cache[key] = ops._distinct_gram_pairs(
+            _docs(spark, sf_dir), "text", 3, "doc_id"
+        ).persist()
+    return _sig_cache[key]
+
+
 def _portable_sigs(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, DataFrame]:
     """Shared portable-hash (shingle sets, signatures) pair over the
     document corpus — consumed by c2g/c2j (whole corpus) and c2h
@@ -147,6 +161,8 @@ def warm_shared_fixtures(spark: SparkSession, sf_dir: str) -> None:
     p_sh, p_sigs = _portable_sigs(spark, sf_dir)
     p_sh.count()
     p_sigs.count()
+    # shared gram-hash pair table (c4q/c2l/c9m)
+    _gram_pairs(spark, sf_dir).count()
 
 
 # ---------------------------------------------------------------------------
@@ -2671,8 +2687,12 @@ def containment_scores_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary decontamination (score quotation density instead of dropping
     on one shared gram)."""
     docs = _docs(spark, sf_dir)
-    ref = docs.filter(F.col("doc_id") % 10 == 0)
-    out = ops.containment_scores(docs.filter(F.col("doc_id") % 10 != 0), ref)
+    out = ops.containment_scores_split(
+        docs,
+        ref_pred=F.col("doc_id") % 10 == 0,
+        doc_pred=F.col("doc_id") % 10 != 0,
+        pairs=_gram_pairs(spark, sf_dir),
+    )
     return out.select(
         "doc_id", "n_grams", F.col("matched").cast("long").alias("matched"), "containment"
     ).orderBy("doc_id")
@@ -3012,7 +3032,9 @@ def ngram_novelty_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-document share of corpus-first n-grams (novelty scoring for
     curation): one gram-hash groupBy builds the first-seen map, one
     join back scores every doc."""
-    return ops.ngram_novelty(_docs(spark, sf_dir)).select(
+    return ops.ngram_novelty(
+        _docs(spark, sf_dir), pairs=_gram_pairs(spark, sf_dir)
+    ).select(
         "doc_id", "n_grams", F.col("novel").cast("long").alias("novel"), "novelty"
     ).orderBy("doc_id")
 
@@ -3229,8 +3251,12 @@ def contamination_report_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     (gram-hash join) with a source rollup; both aggregations key on
     already-shuffled keys."""
     docs = _docs(spark, sf_dir)
-    bench = docs.filter(F.col("doc_id") % 50 == 0)
-    scored = ops.containment_scores(docs.filter(F.col("doc_id") % 50 != 0), bench)
+    scored = ops.containment_scores_split(
+        docs,
+        ref_pred=F.col("doc_id") % 50 == 0,
+        doc_pred=F.col("doc_id") % 50 != 0,
+        pairs=_gram_pairs(spark, sf_dir),
+    )
     flagged = scored.select(
         "doc_id", (F.col("matched") > 0).cast("long").alias("contaminated")
     )

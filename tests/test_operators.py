@@ -1319,6 +1319,47 @@ def test_containment_scores_planted(spark):
     assert got[2] == (2, 0, 0.0)
 
 
+def test_containment_split_matches_two_sided(spark):
+    """r13 opt: containment_scores_split (one shared corpus pass) must
+    equal containment_scores over the same predicate split — including
+    a duplicated gram WITHIN the reference shard (the ref side's
+    distinct-over-hash must collapse it either way) and a doc sharing
+    grams with another non-ref doc (must NOT count as matched)."""
+    corpus = spark.createDataFrame(
+        [
+            Row(doc_id=0, text="alpha beta gamma delta epsilon"),
+            Row(doc_id=10, text="alpha beta gamma repeated here alpha beta gamma"),
+            Row(doc_id=1, text="alpha beta gamma delta zz ww"),
+            Row(doc_id=2, text="one two three four"),
+            Row(doc_id=3, text="one two three five"),
+            Row(doc_id=4, text="too short"),
+        ]
+    )
+    ref_pred = F.col("doc_id") % 10 == 0
+    doc_pred = F.col("doc_id") % 10 != 0
+    want = {
+        r.doc_id: (r.n_grams, r.matched, r.containment)
+        for r in ops.containment_scores(
+            corpus.filter(doc_pred), corpus.filter(ref_pred)
+        ).collect()
+    }
+    got = {
+        r.doc_id: (r.n_grams, r.matched, r.containment)
+        for r in ops.containment_scores_split(corpus, ref_pred, doc_pred).collect()
+    }
+    assert got == want
+    assert set(got) == {1, 2, 3}  # doc 4 has no 3-gram; ref docs excluded
+    # and the explicit shared-pairs handle gives the same result
+    pairs = ops._distinct_gram_pairs(corpus, "text", 3, "doc_id")
+    via_pairs = {
+        r.doc_id: (r.n_grams, r.matched, r.containment)
+        for r in ops.containment_scores_split(
+            corpus, ref_pred, doc_pred, pairs=pairs
+        ).collect()
+    }
+    assert via_pairs == want
+
+
 def test_funnel_counts_strict_order(spark):
     """Funnel steps chain strictly-after: a purchase BEFORE the click
     doesn't count; a user missing the first step counts nowhere."""
