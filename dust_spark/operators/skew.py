@@ -186,10 +186,13 @@ def distributed_rank(
     percent_rank = (rank-1)/(n-1) and cume_dist = (rank-1+ties)/n
     derive from the same offsets (ties counted per (slice, part,
     order) — safe because equal keys share a slice). The slice tagging
-    is pinned with an eager localCheckpoint: the counts job and the
-    output would otherwise re-evaluate the range partitioning with a
-    fresh sample RNG and disagree on slice ids (the
-    _with_insertion_index lesson).
+    is pinned with a localCheckpoint: the counts job and the output
+    would otherwise re-evaluate the range partitioning with a fresh
+    sample RNG and disagree on slice ids (the _with_insertion_index
+    lesson). The checkpoint is LAZY and the counts job is its
+    materializing action (it aggregates every partition, so the
+    checkpoint is fully pinned before the output job runs) — one full
+    pass over the shuffled data instead of two (r13 opt).
 
     Output: input columns + ``rk`` (long), ``pr``, ``cd`` (double).
     NULL order keys follow Spark's NULLS FIRST ascending default —
@@ -206,8 +209,9 @@ def distributed_rank(
     tagged = (
         df.repartitionByRange(n_slices, F.col(part_col), F.col(order_col))
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # the materializing action: computes (and pins) every partition
     counts = tagged.groupBy("__pid", part_col).count().collect()
     totals: dict = {}
     for r in sorted(counts, key=lambda r: (r["__pid"],)):
@@ -277,9 +281,10 @@ def global_row_number(
 
     The caller must pass a TIE-FREE order (append a unique key):
     duplicate keys may straddle a slice boundary and would receive
-    sampler-dependent numbers. The slice tagging is pinned with an
-    eager localCheckpoint so the counts job and the output agree on
-    slice ids (the distributed_rank lesson). Returns
+    sampler-dependent numbers. The slice tagging is pinned with a lazy
+    localCheckpoint materialized BY the counts job (every partition
+    aggregated — the distributed_rank discipline), so the counts job
+    and the output agree on slice ids in one pass. Returns
     ``(df + rn [long], total_count)`` — the total rides along free
     from the counts pass.
     """
@@ -294,8 +299,9 @@ def global_row_number(
     tagged = (
         df.repartitionByRange(n_slices, *cols)
         .withColumn("__pid", F.spark_partition_id())
-        .localCheckpoint(eager=True)
+        .localCheckpoint(eager=False)
     )
+    # the materializing action: computes (and pins) every partition
     counts = sorted(
         tagged.groupBy("__pid").count().collect(), key=lambda r: r["__pid"]
     )
