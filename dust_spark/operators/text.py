@@ -468,11 +468,15 @@ def pack_sequences(
     # the narrow (id, n_tokens, pid, cum) projection is computed for the
     # offsets collect AND the returned plan — cache it (16 bytes/row;
     # the caller's corpus text never enters this table)
-    # eager localCheckpoint: computed once for both consumers, lineage
+    # localCheckpoint: computed once for both consumers, lineage
     # truncated, and blocks are released by the ContextCleaner when the
     # returned plan is garbage-collected (a bare persist would pin them
-    # for the session's lifetime)
-    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w)).localCheckpoint(eager=True)
+    # for the session's lifetime). LAZY, with the offsets collect below
+    # as the materializing action (it aggregates every partition, so
+    # the checkpoint is fully pinned before the returned plan runs) —
+    # one full pass instead of two (r13 opt, the distributed_rank
+    # discipline)
+    base = base.withColumn("__cum_in", F.sum("n_tokens").over(w)).localCheckpoint(eager=False)
     counts = sorted(
         (r["__pid"], r["s"])
         for r in base.groupBy("__pid").agg(F.sum("n_tokens").alias("s")).collect()
