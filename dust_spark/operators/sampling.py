@@ -374,6 +374,7 @@ def temperature_mix(
     source_col: str = "source",
     key: str = "doc_id",
     seed: int = 42,
+    counts: DataFrame | None = None,
 ) -> DataFrame:
     """Temperature-scaled source mixing at alpha = 0.5: each source's
     target share of the kept budget is proportional to sqrt(n_s) — the
@@ -394,8 +395,16 @@ def temperature_mix(
     table, one window partitioned by source — per-source occupancy is
     whatever the corpus has; compose with hash_sample for pathological
     single-source skew, like cap_per_stratum documents.
+
+    ``counts`` optionally supplies a precomputed (ideally persisted)
+    ``groupBy(source).count()`` frame with columns (source, n) so an
+    auditing caller that also needs the per-source counts shares one
+    aggregation instead of re-running it (r13 opt: c9q planned the
+    corpus count agg SIX times — ReuseExchange does not dedupe across
+    the operator/query boundary once AQE rewrites the subtrees).
     """
-    counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
+    if counts is None:
+        counts = df.groupBy(source_col).agg(F.count("*").alias("n"))
     ss = counts.select(
         source_col,
         "n",

@@ -3371,10 +3371,19 @@ def temperature_mix_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     20% budget — the flattening pass between per-source caps (c9h) and
     budget mixing (c9i)."""
     docs = _docs(spark, sf_dir)
-    kept = ops.temperature_mix(docs, budget_permille=200).groupBy("source").agg(
-        F.count("*").alias("kept")
+    # r13 opt: the per-source count agg fed SIX plan subtrees (operator
+    # internals + this audit) and the kept-agg two (join + k_tot) —
+    # ReuseExchange does not dedupe them once AQE rewrites the
+    # subtrees. Persist both tiny (≤ sources rows) frames and share the
+    # counts with the operator; values unchanged.
+    shared_counts = docs.groupBy("source").agg(F.count("*").alias("n")).persist()
+    kept = (
+        ops.temperature_mix(docs, budget_permille=200, counts=shared_counts)
+        .groupBy("source")
+        .agg(F.count("*").alias("kept"))
+        .persist()
     )
-    counts = docs.groupBy("source").agg(F.count("*").alias("n_docs"))
+    counts = shared_counts.select("source", F.col("n").alias("n_docs"))
     ss = counts.select(
         "source",
         "n_docs",
