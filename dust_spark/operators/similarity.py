@@ -603,6 +603,10 @@ _lloyd_frame_cache: dict[tuple, DataFrame] = {}
 _pq_cb_cache: dict[tuple, dict] = {}
 # session-scoped IVF quantizer memo (see ivf_topk)
 _kmeans_cents_cache: dict[tuple, object] = {}
+# session-scoped MIPS memo: (max squared norm, persisted augmented
+# corpus bucket index) per canonicalized corpus plan (see
+# mips_topk_portable)
+_mips_cache: dict[tuple, tuple] = {}
 
 
 def _evict_stopped_sessions(*caches: dict) -> None:
@@ -1467,9 +1471,24 @@ def mips_topk_portable(
             v, F.lit(0.0), lambda s, x: s + x.cast("double") * x.cast("double")
         )
 
-    m2 = corpus.agg(F.max(sq_norm(F.col(vec_col)))).collect()[0][0]
-    if m2 is None:
-        m2 = 0.0  # empty corpus: keep the plan valid, result is empty anyway
+    # r13 opt: the max-norm probe (an eager corpus agg) and the corpus
+    # bucket index (the expensive n × nbits·(dim+1) dot pass) re-ran on
+    # every invocation — memoize both per (session, canonicalized
+    # corpus plan), the build-once-LSH discipline of c2d/c3c. Cold
+    # pays, warm replays bit-identical (m2 is a collected double, the
+    # index a persisted deterministic plan).
+    spark = corpus.sparkSession
+    try:
+        ckey = (
+            spark,
+            corpus._jdf.queryExecution().analyzed().canonicalized().toString(),
+            id_col,
+            vec_col,
+            dim,
+            nbits,
+        )
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        ckey = None
 
     def augmented(df_, extra):
         return df_.select(
@@ -1480,10 +1499,7 @@ def mips_topk_portable(
             ).alias("v"),
         )
 
-    c_aug = augmented(corpus, F.sqrt(F.lit(float(m2)) - sq_norm(F.col(vec_col))))
-    q_aug = augmented(queries, F.lit(0.0))
-
-    pl_df = _portable_planes_df(corpus.sparkSession, dim + 1, nbits)
+    pl_df = _portable_planes_df(spark, dim + 1, nbits)
     masks = F.array(*[F.lit(1 << j).cast("long") for j in range(nbits)])
 
     def with_bucket(df_, idname, bname):
@@ -1504,7 +1520,23 @@ def mips_topk_portable(
         )
         return dotted.select(idname, word.alias(bname))
 
-    cb = with_bucket(c_aug, "nid", "bucket")
+    if ckey is not None and ckey in _mips_cache:
+        m2, cb = _mips_cache[ckey]
+    else:
+        _evict_stopped_sessions(_mips_cache)
+        m2 = corpus.agg(F.max(sq_norm(F.col(vec_col)))).collect()[0][0]
+        if m2 is None:
+            m2 = 0.0  # empty corpus: keep the plan valid, result is empty anyway
+        cb = with_bucket(
+            augmented(corpus, F.sqrt(F.lit(float(m2)) - sq_norm(F.col(vec_col)))),
+            "nid",
+            "bucket",
+        ).persist()
+        if ckey is not None:
+            _mips_cache[ckey] = (m2, cb)
+
+    c_aug = augmented(corpus, F.sqrt(F.lit(float(m2)) - sq_norm(F.col(vec_col))))
+    q_aug = augmented(queries, F.lit(0.0))
     qb = with_bucket(q_aug, "qid", "qbucket")
     probes = qb.select(
         "qid",
