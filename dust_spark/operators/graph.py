@@ -24,6 +24,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# session-scoped CC memo: three catalog queries (c1f/c9j/c10b) run the
+# closure over the SAME pair fixture, each paying the size-gate probe +
+# the union-find collect (local path) per invocation. Keyed on the
+# canonicalized pair plan; the local path's LocalRelation result is
+# memoized by OBJECT so downstream plans cache-match (r13 finding 2).
+_cc_cache: dict[tuple, DataFrame] = {}
+
 
 def connected_components(
     pairs: DataFrame,
@@ -43,10 +50,40 @@ def connected_components(
     graphs take the O(log n)-round distributed pointer-jumping loop,
     which is the 100 TB path.
     """
+    from dust_spark.operators.similarity import _evict_stopped_sessions
+
+    try:
+        plan = pairs._jdf.queryExecution().analyzed().canonicalized().toString()
+        # LocalRelation / LogicalRDD canonicalize to their SCHEMA only (no
+        # rows), so two different createDataFrame inputs with the same shape
+        # would share a key — never memoize those (the catalog queries feed
+        # parquet plans, whose canonicalized string includes file locations)
+        if "LocalRelation" in plan or "LogicalRDD" in plan:
+            key = None
+        else:
+            key = (
+                pairs.sparkSession,
+                plan,
+                src,
+                dst,
+                max_iterations,
+                local_threshold,
+            )
+    except Exception:  # noqa: BLE001 — memo is an optimization only
+        key = None
+    if key is not None and key in _cc_cache:
+        return _cc_cache[key]
+    _evict_stopped_sessions(_cc_cache)
+
+    def _memo(out: DataFrame) -> DataFrame:
+        if key is not None:
+            _cc_cache[key] = out
+        return out
+
     if local_threshold:
         cap = pairs.select(src, dst).limit(local_threshold + 1).count()
         if cap <= local_threshold:
-            return _local_components(pairs, src, dst)
+            return _memo(_local_components(pairs, src, dst))
     edges = (
         pairs.select(F.col(src).alias("u"), F.col(dst).alias("v"))
         .union(pairs.select(F.col(dst).alias("u"), F.col(src).alias("v")))
@@ -90,7 +127,11 @@ def connected_components(
         if changed == 0:
             break
     edges.unpersist()
-    return labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+    # distributed path: labels are checkpoint-pinned, so the memoized
+    # handle replays the identical result without re-running the loop
+    return _memo(
+        labels.select(F.col("u").alias("node"), F.col("label").alias("component"))
+    )
 
 
 def _local_components(pairs: DataFrame, src: str, dst: str) -> DataFrame:

@@ -4172,10 +4172,18 @@ def canonical_keepers_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = _docs(spark, sf_dir)
     pairs = _ngram_pairs(spark, sf_dir)
     comp = ops.connected_components(pairs)
-    lab = docs.join(comp, docs.doc_id == comp.node, "left").select(
-        docs.doc_id,
-        docs.n_chars,
-        F.coalesce(comp.component, docs.doc_id).alias("cluster"),
+    # r13 opt: the narrow (id, n_chars, cluster) label table feeds both
+    # the family agg and the keeper window — persist or the docs⋈comp
+    # join runs twice (comp is a LocalRelation on the local-CC path, so
+    # the join can never ReuseExchange)
+    lab = (
+        docs.join(comp, docs.doc_id == comp.node, "left")
+        .select(
+            docs.doc_id,
+            docs.n_chars,
+            F.coalesce(comp.component, docs.doc_id).alias("cluster"),
+        )
+        .persist()
     )
     w = W.partitionBy("cluster").orderBy(F.col("n_chars").desc(), "doc_id")
     fam = (
