@@ -650,21 +650,51 @@ def simhash_table_portable(
     bit-exactly and the driver records a hard hash row (the
     xxhash64-based table is rows-only by construction).
 
-    Shape: narrow and 100% Catalyst — no Python stage at all. Three
-    projections: tokens → per-token Horner hashes → ``bits`` aggregate
-    majority folds, each input materialized as an attribute so no
-    expression is re-evaluated inside a lambda. Default 31 bits because
+    Shape: narrow — token Horner hashes stay pure Catalyst (that is what
+    the DuckDB oracle replays), but the per-bit majority vote is the
+    same Arrow-batched numpy kernel as :func:`simhash_table`: the
+    Catalyst form (``bits`` separate aggregate folds over the hash
+    array) is interpreted per element and burned ~24 s executor CPU per
+    5 k docs at sf0.1, vs microseconds in numpy. Exact-integer majority
+    (+1/−1, ties → 0, empty → 0) — values identical. The output is
+    SORTED BY id, and the sort sits BELOW the UDF projection on
+    purpose: with a Sort anywhere above this UDF-over-HOF projection,
+    ExtractPythonUDFs fails to pull the UDF into an ArrowEvalPython
+    node over this fixture shape (probed: same expression over a plain
+    createDataFrame extracts fine; over the spread+persisted view scan
+    it stays raw in the Project — even with the argument as a real
+    attribute column — and the range-partitioner sampling then dies
+    with INTERNAL_ERROR "Cannot generate code for expression"). Callers
+    must NOT re-sort above this frame. Default 31 bits because
     the portable hashes carry 31 bits of entropy; the hamming-pigeonhole
     candidate trick works the same, just with 8-bit pieces.
     """
-    from dust_spark.functions import portable_char_hash, simhash_bits
+    from pyspark.sql.functions import pandas_udf
+
+    from dust_spark.functions import portable_char_hash
+
+    shifts = np.arange(bits, dtype=np.uint64)
+
+    @pandas_udf("long")
+    def simhash_bits_udf(hashes: pd.Series) -> pd.Series:
+        out = np.zeros(len(hashes), dtype=np.uint64)
+        for r, h in enumerate(hashes):
+            if h is None or len(h) == 0:
+                continue
+            H = np.asarray(h, dtype=np.int64).astype(np.uint64)
+            b = (H[:, None] >> shifts[None, :]) & np.uint64(1)  # (n_tok, bits)
+            maj = 2 * b.sum(0, dtype=np.int64) - len(H)  # Σ(+1/-1) per bit
+            out[r] = ((maj > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
+        return pd.Series(out.astype(np.int64))
 
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
     hashed = base.select(
         "id",
         F.transform(F.col("__tok"), lambda t: portable_char_hash(t)).alias("__th"),
     )
-    return hashed.select("id", simhash_bits(F.col("__th"), bits).alias("simhash"))
+    return hashed.orderBy("id").select(
+        "id", simhash_bits_udf(F.col("__th")).alias("simhash")
+    )
 
 
 def simhash_pairs(

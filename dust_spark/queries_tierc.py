@@ -1888,8 +1888,11 @@ FROM th ORDER BY id
 def simhash_portable_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """31-bit SimHash on the portable polynomial hash family — the
     hard-oracled twin of c2b (whose xxhash64 base is rows-only): DuckDB
-    replays token hashing and the per-bit majority vote bit-exactly."""
-    return ops.simhash_table_portable(_docs(spark, sf_dir)).orderBy("id")
+    replays token hashing and the per-bit majority vote bit-exactly.
+    The operator output is already id-sorted (its internal sort must
+    stay BELOW the Arrow kernel — see simhash_table_portable); adding
+    an orderBy here would re-trigger the extraction failure."""
+    return ops.simhash_table_portable(_docs(spark, sf_dir))
 
 
 # Full MinHash+LSH pipeline on the portable hash family: DuckDB replays

@@ -98,6 +98,30 @@ def test_simhash_fully_narrow(spark):
     assert plans.count_shuffles(simhash_table(docs)) == 0
 
 
+def test_simhash_portable_udf_extracted_above_sort(spark):
+    """The portable-simhash majority vote is an Arrow kernel whose
+    projection must sit ABOVE the id sort: with a Sort above the
+    UDF-over-HOF projection, ExtractPythonUDFs fails to pull the UDF
+    out over this fixture shape and range-partitioner sampling dies
+    with INTERNAL_ERROR (see simhash_table_portable docstring). Pin
+    (a) the UDF lands in an ArrowEvalPython node, (b) that node is
+    above the Sort, (c) no raw PythonUDF is left inside a Project."""
+    from dust_spark.operators import simhash_table_portable
+
+    docs = load_table(spark, SF_DIR, "documents")
+    plan = simhash_table_portable(docs)._jdf.queryExecution().executedPlan().toString()
+    arrow = plan.find("ArrowEvalPython")
+    sort = plan.find("Sort [id")
+    assert arrow != -1, f"simhash_bits_udf not extracted:\n{plan[:1500]}"
+    assert sort != -1 and arrow < sort, (
+        f"Sort must sit below the ArrowEvalPython node:\n{plan[:1500]}"
+    )
+    assert "BatchEvalPython" not in plan
+    # the UDF name appears exactly once — in the ArrowEvalPython node,
+    # never as an unextracted expression inside a Project
+    assert plan.count("simhash_bits_udf") == 1, plan[:1500]
+
+
 def test_lsh_exchanges_never_carry_vectors(spark):
     """Candidate generation / dedup must shuffle ids and bucket keys
     only — never the embedding arrays (the round-1 anti-pattern)."""
