@@ -706,11 +706,23 @@ def _lloyd_assign(base: DataFrame, cents, with_v: bool = False) -> DataFrame:
 def _portable_lloyd(
     base: DataFrame, k: int, iterations: int, checkpoint: bool = False
 ):
+    """Hash-stable Lloyd loop over a (vid, v) frame — see
+    :func:`_portable_lloyd_py`; this wrapper keeps the historical
+    two-tuple return shape."""
+    assign, cents, _ = _portable_lloyd_py(base, k, iterations, checkpoint)
+    return assign, cents
+
+
+def _portable_lloyd_py(
+    base: DataFrame, k: int, iterations: int, checkpoint: bool = False
+):
     """Hash-stable Lloyd loop over a (vid, v) frame. Returns
-    ``(assign, cents)`` where ``assign`` is the final (vid, cid)
-    assignment and ``cents`` the (cid, c) centroids USED for that final
-    assignment (i.e. after ``iterations - 1`` updates) — exactly the c1
-    frame a DuckDB replay probes queries against.
+    ``(assign, cents, cents_py)`` where ``assign`` is the final
+    (vid, cid) assignment, ``cents`` the (cid, c) centroids USED for
+    that final assignment (i.e. after ``iterations - 1`` updates) —
+    exactly the c1 frame a DuckDB replay probes queries against — and
+    ``cents_py`` the same centroids as driver-side Python values
+    (for the Arrow-kernel consumers, e.g. :func:`_gated_argmin`).
 
     r13 opt: the loop is driver-paced — each iteration's ROUND(6)'d
     per-(cid, dim) means (a k×dim table, bounded by construction)
@@ -733,17 +745,24 @@ def _portable_lloyd(
     relation, so there is no lineage left to truncate)."""
     spark = base.sparkSession
     try:
-        key = (
-            spark,
-            base._jdf.queryExecution().analyzed().canonicalized().toString(),
-            k,
-            iterations,
-        )
+        canon = base._jdf.queryExecution().analyzed().canonicalized().toString()
+        # LocalRelation/LogicalRDD canonicalize to SCHEMA-ONLY strings
+        # (the graph.connected_components probe): two different inputs
+        # with the same shape would share a key — never plan-memoize
+        # those (value-level memos, e.g. _gated_route, cover them).
+        if "LocalRelation" in canon or "LogicalRDD" in canon or "ExistingRDD" in canon:
+            key = None
+        else:
+            key = (spark, canon, k, iterations)
     except Exception:  # noqa: BLE001 — memo is an optimization only
         key = None
     if key is not None and key in _lloyd_cache:
         cents_py = _lloyd_cache[key]
-        return _lloyd_assign(base, cents_py), _lloyd_cents_df(spark, cents_py)
+        return (
+            _lloyd_assign(base, cents_py),
+            _lloyd_cents_df(spark, cents_py),
+            cents_py,
+        )
     _evict_stopped_sessions(_lloyd_cache, _lloyd_frame_cache, _pq_cb_cache)
     init = (
         base.orderBy("vid")
@@ -776,7 +795,7 @@ def _portable_lloyd(
         ]
     if key is not None:
         _lloyd_cache[key] = cents_py
-    return _lloyd_assign(base, cents_py), _lloyd_cents_df(spark, cents_py)
+    return _lloyd_assign(base, cents_py), _lloyd_cents_df(spark, cents_py), cents_py
 
 
 def kmeans_assign_portable(
@@ -1572,102 +1591,140 @@ def mips_topk_portable(
     )
 
 
-def _gated_argmin(base: DataFrame, cents: DataFrame, n_coarse: int, n_probe: int = 2):
+def _gated_route(spark, cents_py, n_coarse: int):
+    """Coarse routing tables for :func:`_gated_argmin`: Lloyd-cluster
+    the k fine centroids into ``n_coarse`` groups (the existing
+    decimal-stable Spark loop — k tiny rows, 2 iterations) and compute
+    the FINAL coarse assignment of each fine centroid in pure Python
+    IEEE doubles (the exact op sequence of :func:`_lloyd_assign`'s
+    fold: ``s = s + (x-y)*(x-y)`` in array order, min by (d, gid) —
+    Python floats are the same IEEE doubles, so the values are
+    bit-identical; probed against the Catalyst path in
+    ``test_gated_argmin_probe_all_equals_flat``). Memoized per session
+    BY VALUE (the centroid tuple), never by plan — the coarse base is
+    a LocalRelation, whose canonicalized plan is schema-only.
+
+    Returns ``(gcents_py, cmap)``: the coarse centroids and the
+    fine-cid → coarse-gid map."""
+    key = (spark, "gated_route", _lloyd_cents_key(cents_py), n_coarse)
+    if key in _lloyd_cache:
+        return _lloyd_cache[key]
+    cbase = _lloyd_cents_df(spark, cents_py).select(
+        F.col("cid").alias("vid"), F.col("c").cast("array<double>").alias("v")
+    )
+    _, _, gcents_py = _portable_lloyd_py(cbase, n_coarse, 2)
+    cmap: dict[int, int] = {}
+    for cid, c in cents_py:
+        best = None
+        for gid, gc in gcents_py:
+            s = 0.0
+            for x, y in zip(c, gc):
+                s = s + (x - y) * (x - y)
+            if best is None or (s, gid) < best:
+                best = (s, gid)
+        cmap[cid] = best[1]
+    _lloyd_cache[key] = (gcents_py, cmap)
+    return gcents_py, cmap
+
+
+def _gated_argmin(base: DataFrame, cents_py, n_coarse: int, n_probe: int = 2):
     """Hierarchical nearest-centroid assignment (r12, verdict #3 — the
     c9p scale gate): instead of comparing every vector against all k
     fine centroids (O(n·k) — quadratic when k ∝ n, the SemDeDup
     convention), cluster the k CENTROIDS themselves into ``n_coarse``
     coarse groups (portable Lloyd over k tiny rows), route each vector
-    to its ``n_probe`` nearest coarse centroids (O(n·n_coarse), fully
-    narrow — the coarse table rides in as ONE broadcast array row),
-    and argmin only over the fine centroids in the probed groups
-    (O(n·n_probe·k/n_coarse)). At n_coarse = √k the per-row cost drops
-    from k to ~√k·(1+n_probe) — the c3l IVF list-gating shape applied
-    to assignment.
+    to its ``n_probe`` nearest coarse centroids, and argmin only over
+    the fine centroids in the probed groups (O(n·n_probe·k/n_coarse)).
+    At n_coarse = √k the per-row cost drops from k to ~√k·(1+n_probe)
+    — the c3l IVF list-gating shape applied to assignment.
 
-    Deterministic end-to-end (ties to the lowest id via (d, id) struct
-    ordering; centroid folds in array order), so a DuckDB oracle can
-    replay it exactly — c9r_diversity_keep_gated does. Probes are
+    r13 opt: the probe + in-list argmin run as ONE Arrow-batched numpy
+    kernel over (vid, v) — fully narrow, ZERO shuffles (the previous
+    Catalyst form cross-joined a coarse broadcast row, exploded the
+    probes, broadcast-joined the fine lists and re-grouped by vid, all
+    through interpreted higher-order-function lambdas — the dominant
+    per-run cost under the bench's interpret-small-input policy). The
+    numpy fold accumulates ``(x_t-y_t)²`` sequentially over t exactly
+    like the Catalyst ``aggregate`` fold (each step one IEEE-double
+    sub/mul/add in the same order — numpy never fuses), the probe pick
+    is a stable argsort over gid-ordered columns (== ORDER BY d, gid)
+    and the final pick is a first-min argmin over cid-ordered columns
+    (== the (d, cid) struct-min tie rule), so every value is
+    bit-identical to the Catalyst path — asserted exactly by
+    ``test_gated_argmin_probe_all_equals_flat`` and hash-checked
+    end-to-end by the c9r DuckDB oracle.
+
+    Deterministic end-to-end (ties to the lowest id); probes are
     restricted to coarse groups that actually received fine centroids
     in the final coarse assignment, so no vector can lose all its
     probes. Returns (vid, cid, d) with d the RAW squared-L2 distance
-    to the chosen fine centroid.
+    to the chosen fine centroid. ``cents_py`` is the driver-side
+    centroid list from :func:`_portable_lloyd_py`; corpus vectors must
+    be non-null fixed-dim (the _batch_matrix contract).
     """
-    _d = lambda v, c: F.aggregate(  # noqa: E731 — exact in-order fold
-        F.zip_with(v, c, lambda x, y: (x - y) * (x - y)),
-        F.lit(0.0),
-        lambda s, x: s + x,
-    )
-    cbase = cents.select(
-        F.col("cid").alias("vid"), F.col("c").cast("array<double>").alias("v")
-    )
-    # checkpoint=True pins the coarse centroids (k rows) before their
-    # two consumers (final coarse assignment + the probe table)
-    cassign, gcents = _portable_lloyd(cbase, n_coarse, 2, checkpoint=True)
-    cassign = cassign.localCheckpoint(eager=True)
-    cmap = cassign.select(F.col("vid").alias("fcid"), F.col("cid").alias("gid"))
-    # fine lists per coarse group: ≤ n_coarse tiny rows, array-sorted by
-    # cid so every fold order is pinned
-    fineg = (
-        cents.join(cmap, cents["cid"] == cmap["fcid"])
-        .groupBy("gid")
-        .agg(
-            F.array_sort(
-                F.collect_list(
-                    F.struct(
-                        F.col("cid"), F.col("c").cast("array<double>").alias("c")
-                    )
-                )
-            ).alias("fl")
+    from pyspark.sql.functions import pandas_udf
+
+    spark = base.sparkSession
+    gcents_py, cmap = _gated_route(spark, cents_py, n_coarse)
+    fine = sorted(cents_py)
+    dim = len(fine[0][1])
+    # non-empty coarse groups only, gid-ascending (== the garr order)
+    negids = sorted(set(cmap.values()))
+    gby = dict((gid, gc) for gid, gc in gcents_py)
+    GC = np.array([gby[g] for g in negids], dtype=np.float64)  # (g, dim)
+    GIDS = np.array(negids, dtype=np.int64)
+    p = min(n_probe, len(negids))
+    # fine centroids grouped by coarse gid, cid-ascending inside each
+    # group — only PROBED groups are scored (the √k·(1+p) posture)
+    groups = [
+        (
+            g,
+            np.array([c for cid, c in fine if cmap[cid] == g], dtype=np.float64),
+            np.array([cid for cid, _ in fine if cmap[cid] == g], dtype=np.int64),
         )
-    )
-    # coarse centroids as ONE broadcast array row, restricted to
-    # non-empty groups; the probe pass is narrow (no shuffle)
-    ne = fineg.select(F.col("gid").alias("__negid"))
-    garr = (
-        gcents.join(F.broadcast(ne), gcents["cid"] == ne["__negid"])
-        .select(F.col("cid").alias("gid"), F.col("c").cast("array<double>").alias("c"))
-        .agg(F.array_sort(F.collect_list(F.struct("gid", "c"))).alias("ga"))
-    )
+        for g in negids
+    ]
+
+    @pandas_udf("i int, d double")
+    def gated_pick(v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        V = _batch_matrix(v, dim)
+        # sequential over t, vectorized over rows: bit-identical to the
+        # Catalyst fold (same IEEE op sequence per (row, centroid))
+        DC = np.zeros((n, GC.shape[0]), dtype=np.float64)
+        for t in range(dim):
+            dc = V[:, t, None] - GC[None, :, t]
+            DC += dc * dc
+        # top-p probes by (d, gid): stable sort over gid-ordered columns
+        order = np.argsort(DC, axis=1, kind="stable")[:, :p]
+        pg = GIDS[order]  # (n, p) probed gids
+        best_d = np.full(n, np.inf)
+        best_c = np.zeros(n, dtype=np.int64)
+        for g, FG, CG in groups:
+            rows = np.nonzero((pg == g).any(axis=1))[0]
+            if rows.size == 0:
+                continue
+            sub = V[rows]
+            D = np.zeros((rows.size, FG.shape[0]), dtype=np.float64)
+            for t in range(dim):
+                df_ = sub[:, t, None] - FG[None, :, t]
+                D += df_ * df_
+            # first-occurrence argmin over cid-ordered columns, then an
+            # explicit (d, cid) tie-break across groups == the global
+            # (d, cid) struct-min over the probed union
+            jl = np.argmin(D, axis=1)
+            dg = D[np.arange(rows.size), jl]
+            cg = CG[jl]
+            cur_d, cur_c = best_d[rows], best_c[rows]
+            take = (dg < cur_d) | ((dg == cur_d) & (cg < cur_c))
+            best_d[rows] = np.where(take, dg, cur_d)
+            best_c[rows] = np.where(take, cg, cur_c)
+        return pd.DataFrame({"i": best_c.astype(np.int32), "d": best_d})
+
     vbase = base.select("vid", F.col("v").cast("array<double>").alias("v"))
-    probed = (
-        vbase.crossJoin(F.broadcast(garr))
-        .withColumn(
-            "pg",
-            F.slice(
-                F.array_sort(
-                    F.transform(
-                        "ga",
-                        lambda s: F.struct(
-                            _d(F.col("v"), s["c"]).alias("d"), s["gid"].alias("gid")
-                        ),
-                    )
-                ),
-                1,
-                n_probe,
-            ),
-        )
-        .select("vid", "v", F.explode(F.col("pg.gid")).alias("gid"))
+    return vbase.select("vid", gated_pick(F.col("v")).alias("b")).select(
+        "vid", F.col("b.i").alias("cid"), F.col("b.d").alias("d")
     )
-    best = (
-        probed.join(F.broadcast(fineg), "gid")
-        .withColumn(
-            "b",
-            F.array_min(
-                F.transform(
-                    "fl",
-                    lambda s: F.struct(
-                        _d(F.col("v"), s["c"]).alias("d"), s["cid"].alias("i")
-                    ),
-                )
-            ),
-        )
-        # vectors leave before the only shuffle: (vid, struct) rows only
-        .select("vid", "b")
-        .groupBy("vid")
-        .agg(F.min("b").alias("m"))
-    )
-    return best.select("vid", F.col("m.i").alias("cid"), F.col("m.d").alias("d"))
 
 
 def diversity_keep(
@@ -1715,16 +1772,16 @@ def diversity_keep(
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     tbase = base.orderBy("vid").limit(train_sample) if train_sample else base
-    _, cents = _portable_lloyd(tbase, k_clusters, iterations)
+    _, cents, cents_py = _portable_lloyd_py(tbase, k_clusters, iterations)
     if coarse_gate is not None and k_clusters > coarse_gate:
         from math import isqrt
 
-        # the trained-centroid frame fans into FOUR consumers in the
-        # gated path (coarse training, coarse assignment, fine lists,
-        # probe table) — pin the k-row result once or the whole corpus
-        # Lloyd re-plans/re-runs per branch (r12: c9r 4.9 s → ~2 s)
-        cents = cents.localCheckpoint(eager=True)
-        a = _gated_argmin(base, cents, max(2, isqrt(k_clusters)), n_probe)
+        # the gated assignment takes the trained centroids as VALUES
+        # (cents_py) — routing tables build driver-side and the whole
+        # probe+argmin is one narrow Arrow kernel (r13 opt; the former
+        # DataFrame pipeline localCheckpoint'd the k-row centroid frame
+        # for its four consumers)
+        a = _gated_argmin(base, cents_py, max(2, isqrt(k_clusters)), n_probe)
         a = a.select(
             "vid",
             F.col("cid").cast("long").alias("cid"),

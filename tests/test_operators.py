@@ -1643,7 +1643,7 @@ def test_gated_argmin_probe_all_equals_flat(spark):
     """With n_probe == n_coarse (probe every coarse group) the gated
     assignment must EQUAL the flat argmin exactly — the gate only
     prunes, it never rescores."""
-    from dust_spark.operators.similarity import _gated_argmin, _portable_lloyd
+    from dust_spark.operators.similarity import _gated_argmin, _portable_lloyd_py
 
     emb = (
         spark.range(0, 120)
@@ -1655,7 +1655,7 @@ def test_gated_argmin_probe_all_equals_flat(spark):
             ).alias("v"),
         )
     )
-    _, cents = _portable_lloyd(emb, 12, 2)
+    _, cents, cents_py = _portable_lloyd_py(emb, 12, 2)
     flat = (
         emb.join(F.broadcast(cents))
         .withColumn(
@@ -1670,5 +1670,62 @@ def test_gated_argmin_probe_all_equals_flat(spark):
         .agg(F.min(F.struct("d", "cid")).alias("m"))
         .select("vid", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
     )
-    gated = _gated_argmin(emb, cents, n_coarse=3, n_probe=3)
+    gated = _gated_argmin(emb, cents_py, n_coarse=3, n_probe=3)
     assert gated.join(flat, ["vid", "cid", "d"]).count() == 120
+
+
+def test_gated_argmin_is_one_narrow_arrow_pass(spark):
+    """The r13-opt kernel form: the gated assignment is ONE
+    ArrowEvalPython projection — no Exchange (the former Catalyst
+    pipeline exploded probes and re-grouped by vid), and the pruning
+    path (n_probe < n_coarse) stays bit-identical to the exact argmin
+    whenever the nearest centroid's group is probed."""
+    from dust_spark.operators.similarity import _gated_argmin, _portable_lloyd_py
+
+    emb = (
+        spark.range(0, 200)
+        .select(
+            F.col("id").alias("vid"),
+            F.transform(
+                F.sequence(F.lit(1), F.lit(6)),
+                lambda j: ((F.col("id") * 31 + j * 11) % 23).cast("double") / 7.0,
+            ).alias("v"),
+        )
+    )
+    _, cents, cents_py = _portable_lloyd_py(emb, 9, 2)
+    gated = _gated_argmin(emb, cents_py, n_coarse=3, n_probe=2)
+    plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "Exchange" not in plan
+    # rows whose exact-nearest centroid lives in a probed group must
+    # carry the exact flat (cid, d) — the gate prunes, never rescores
+    flat = (
+        emb.join(F.broadcast(cents))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with("v", "c", lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        .groupBy("vid")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vid", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+    both = gated.alias("g").join(flat.alias("f"), "vid").select(
+        "vid",
+        F.col("g.cid").alias("gc"),
+        F.col("g.d").alias("gd"),
+        F.col("f.cid").alias("fc"),
+        F.col("f.d").alias("fd"),
+    ).collect()
+    assert len(both) == 200
+    agree = sum(1 for r in both if r.gc == r.fc and r.gd == r.fd)
+    for r in both:
+        # gated never reports a SMALLER distance than the exact argmin
+        assert r.gd >= r.fd, r
+        if r.gc == r.fc:
+            assert r.gd == r.fd, r
+    # the probe must hit for the overwhelming majority of rows
+    assert agree >= 180, agree
