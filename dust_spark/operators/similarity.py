@@ -676,31 +676,37 @@ def _lloyd_carr_df(spark, cents) -> DataFrame:
 
 
 def _lloyd_assign(base: DataFrame, cents, with_v: bool = False) -> DataFrame:
-    """Nearest-centroid assignment as ONE narrow pass: the centroids
-    ride in as a single broadcast array row (the _gated_argmin garr
-    pattern) and array_min over (d, cid) structs replays the struct-min
-    aggregate's tie rule (equal distance → lowest cid) without an
-    argmin groupBy or a k-way join."""
+    """Nearest-centroid assignment as ONE narrow Arrow pass (r13 opt):
+    the centroids close over the numpy kernel (they are driver-side
+    values already) and the squared-L2 fold accumulates sequentially
+    over dims — the exact IEEE op sequence of the former Catalyst
+    ``aggregate`` fold, so distances are bit-identical; the
+    first-occurrence ``argmin`` over cid-ordered columns replays the
+    (d, cid) struct-min tie rule (equal distance → lowest cid). The
+    former form (broadcast array row + array_min over interpreted HOF
+    lambdas) burned per-element interpreter CPU on every training
+    iteration and every final assignment; the kernel is a plain numpy
+    loop over dims. Bit-identity pinned by
+    ``test_lloyd_assign_kernel_matches_catalyst``; corpus vectors must
+    be non-null fixed-dim (the _batch_matrix contract)."""
+    from pyspark.sql.functions import pandas_udf
 
-    def dist(carr):
-        return F.aggregate(
-            F.zip_with(
-                F.col("v"),
-                carr,
-                lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
+    fine = sorted(cents)
+    dim = len(fine[0][1])
+    C = np.array([c for _, c in fine], dtype=np.float64)
+    CIDS = np.array([cid for cid, _ in fine], dtype=np.int64)
 
-    pick = F.array_min(
-        F.transform(
-            F.col("__ca"),
-            lambda g: F.struct(dist(g["c"]).alias("d"), g["i"].alias("i")),
-        )
-    )["i"].alias("cid")
-    out = base.crossJoin(F.broadcast(_lloyd_carr_df(base.sparkSession, cents)))
-    return out.select("vid", pick, "v") if with_v else out.select("vid", pick)
+    @pandas_udf("int")
+    def nearest_cid(v: pd.Series) -> pd.Series:
+        V = _batch_matrix(v, dim)
+        D = np.zeros((len(v), C.shape[0]), dtype=np.float64)
+        for t in range(dim):
+            diff = V[:, t, None] - C[None, :, t]
+            D += diff * diff
+        return pd.Series(CIDS[np.argmin(D, axis=1)].astype(np.int32))
+
+    pick = nearest_cid(F.col("v").cast("array<double>")).alias("cid")
+    return base.select("vid", pick, "v") if with_v else base.select("vid", pick)
 
 
 def _portable_lloyd(
@@ -1627,6 +1633,39 @@ def _gated_route(spark, cents_py, n_coarse: int):
     return gcents_py, cmap
 
 
+def _flat_argmin(base: DataFrame, cents_py):
+    """Exact nearest-centroid (cid, squared-L2 d) as ONE narrow Arrow
+    pass — the flat twin of :func:`_gated_argmin` (same sequential
+    fold, same first-occurrence-argmin == (d, cid) struct-min tie
+    rule, so values are bit-identical to the former Catalyst
+    broadcast-join + groupBy-min pipeline, whose per-vid re-group was
+    also the only Exchange in the assignment)."""
+    from pyspark.sql.functions import pandas_udf
+
+    fine = sorted(cents_py)
+    dim = len(fine[0][1])
+    C = np.array([c for _, c in fine], dtype=np.float64)
+    CIDS = np.array([cid for cid, _ in fine], dtype=np.int64)
+
+    @pandas_udf("i int, d double")
+    def pick(v: pd.Series) -> pd.DataFrame:
+        n = len(v)
+        V = _batch_matrix(v, dim)
+        D = np.zeros((n, C.shape[0]), dtype=np.float64)
+        for t in range(dim):
+            diff = V[:, t, None] - C[None, :, t]
+            D += diff * diff
+        j = np.argmin(D, axis=1)
+        return pd.DataFrame(
+            {"i": CIDS[j].astype(np.int32), "d": D[np.arange(n), j]}
+        )
+
+    vbase = base.select("vid", F.col("v").cast("array<double>").alias("v"))
+    return vbase.select("vid", pick(F.col("v")).alias("b")).select(
+        "vid", F.col("b.i").alias("cid"), F.col("b.d").alias("d")
+    )
+
+
 def _gated_argmin(base: DataFrame, cents_py, n_coarse: int, n_probe: int = 2):
     """Hierarchical nearest-centroid assignment (r12, verdict #3 — the
     c9p scale gate): instead of comparing every vector against all k
@@ -1772,7 +1811,7 @@ def diversity_keep(
 
     base = df.select(F.col(id_col).alias("vid"), F.col(vec_col).alias("v"))
     tbase = base.orderBy("vid").limit(train_sample) if train_sample else base
-    _, cents, cents_py = _portable_lloyd_py(tbase, k_clusters, iterations)
+    _, _, cents_py = _portable_lloyd_py(tbase, k_clusters, iterations)
     if coarse_gate is not None and k_clusters > coarse_gate:
         from math import isqrt
 
@@ -1788,23 +1827,14 @@ def diversity_keep(
             F.round(F.col("d"), 6).alias("dist"),
         )
     else:
-        dist = F.aggregate(
-            F.zip_with(
-                "v", "c", lambda x, y: (x.cast("double") - y) * (x.cast("double") - y)
-            ),
-            F.lit(0.0),
-            lambda s, x: s + x,
-        )
-        m = (
-            base.join(F.broadcast(cents))
-            .withColumn("__dc", F.struct(dist.alias("d"), F.col("cid").alias("i")))
-            .groupBy("vid")
-            .agg(F.min("__dc").alias("m"))
-        )
+        # flat exact argmin, same Arrow kernel family (r13 opt — the
+        # former broadcast join + per-vid groupBy-min re-grouped the
+        # corpus for nothing; values bit-identical, see _flat_argmin)
+        m = _flat_argmin(base, cents_py)
         a = m.select(
             "vid",
-            F.col("m.i").cast("long").alias("cid"),
-            F.round(F.col("m.d"), 6).alias("dist"),
+            F.col("cid").cast("long").alias("cid"),
+            F.round(F.col("d"), 6).alias("dist"),
         )
     w = W.partitionBy("cid").orderBy(F.col("dist").desc(), "vid")
     return (

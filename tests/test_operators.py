@@ -1729,3 +1729,56 @@ def test_gated_argmin_is_one_narrow_arrow_pass(spark):
             assert r.gd == r.fd, r
     # the probe must hit for the overwhelming majority of rows
     assert agree >= 180, agree
+
+
+def test_lloyd_assign_kernel_matches_catalyst(spark):
+    """The r13-opt Arrow kernels (_lloyd_assign / _flat_argmin) must be
+    BIT-IDENTICAL to the former Catalyst pipeline: the numpy kernel
+    folds squared diffs sequentially over dims (the exact IEEE op
+    sequence of aggregate(zip_with(...), 0.0, s+x)) and np.argmin's
+    first-occurrence rule over cid-sorted centroids replays the
+    (d, cid) struct-min tie rule. Also pins the plan shape: one
+    ArrowEvalPython, no Exchange."""
+    from dust_spark.operators.similarity import (
+        _flat_argmin,
+        _lloyd_assign,
+        _portable_lloyd_py,
+    )
+
+    emb = spark.range(0, 150).select(
+        F.col("id").alias("vid"),
+        F.transform(
+            F.sequence(F.lit(1), F.lit(7)),
+            lambda j: ((F.col("id") * 13 + j * 29) % 19).cast("double") / 19.0,
+        ).alias("v"),
+    )
+    _, cents, cents_py = _portable_lloyd_py(emb, 10, 2)
+    # the former Catalyst shape: broadcast join + (d, cid) struct-min
+    flat = (
+        emb.join(F.broadcast(cents))
+        .withColumn(
+            "d",
+            F.aggregate(
+                F.zip_with(
+                    "v",
+                    "c",
+                    lambda x, y: (x.cast("double") - y) * (x.cast("double") - y),
+                ),
+                F.lit(0.0),
+                lambda s, x: s + x,
+            ),
+        )
+        .groupBy("vid")
+        .agg(F.min(F.struct("d", "cid")).alias("m"))
+        .select("vid", F.col("m.cid").alias("cid"), F.col("m.d").alias("d"))
+    )
+    got = _flat_argmin(emb, cents_py)
+    assert got.join(flat, ["vid", "cid", "d"]).count() == 150, (
+        "(cid, d) must match the Catalyst struct-min bit-for-bit"
+    )
+    assign = _lloyd_assign(emb, cents_py)
+    assert assign.join(flat.select("vid", "cid"), ["vid", "cid"]).count() == 150
+    for frame in (got, assign):
+        plan = frame._jdf.queryExecution().executedPlan().toString()
+        assert "ArrowEvalPython" in plan
+        assert "Exchange" not in plan
