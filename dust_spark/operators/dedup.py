@@ -277,6 +277,81 @@ def minhash_lsh_pairs(
     return verified
 
 
+# the sig kernel carries no data closure (only num_hashes), so one
+# UDF object per k serves every call — a fresh pandas_udf per call
+# would serialize a distinct Python command each time and defeat
+# plan-cache matching of the persisted sigs frames (the c2d lesson)
+_portable_sig_udf_cache: dict[int, object] = {}
+
+
+def _portable_sig_udf(num_hashes: int):
+    """Arrow-batched portable MinHash signature kernel (r13 opt): the
+    per-character Horner folds (``h0 = fold (acc*31 + codepoint) % M``,
+    ``p = 31^len % M``) and the ``k`` seeded mul-add/array_min hashes
+    ran as interpreted HOF lambdas — ~90 s executor CPU per corpus pass
+    at sf0.1 under the bench's interpret-small-input policy (and a
+    multi-second Janino compile of the wide fold expression under
+    codegen). The kernel is exact integer arithmetic: M = 2^31−1 keeps
+    every intermediate (< 2^37) inside int64, numpy's wraparound never
+    fires, and the batch is ONE utf-32 encode + a position loop over
+    max shingle length (vectorized over all shingles) + k
+    ``minimum.reduceat`` segment folds. codepoints == Spark's
+    ``ascii(substring(s, i, 1))`` per character (both count code
+    points; bit-equality vs the Catalyst fold is pinned on the real
+    fixture by ``test_portable_sig_kernel_matches_catalyst``). Rows
+    with no shingles return NULL — the caller's Catalyst sentinel
+    branch covers them (it needs the row id, which the kernel does not
+    see)."""
+    if num_hashes in _portable_sig_udf_cache:
+        return _portable_sig_udf_cache[num_hashes]
+
+    from pyspark.sql.functions import pandas_udf
+
+    from dust_spark.functions import PORTABLE_HASH_MOD
+
+    M = PORTABLE_HASH_MOD
+    K = num_hashes
+
+    @pandas_udf("array<long>")
+    def sig_kernel(sh: pd.Series) -> pd.Series:
+        counts = np.zeros(len(sh), dtype=np.int64)
+        flat: list[str] = []
+        for r, arr in enumerate(sh):
+            if arr is None or len(arr) == 0:
+                continue
+            counts[r] = len(arr)
+            flat.extend(arr)
+        out: list = [None] * len(sh)
+        if not flat:
+            return pd.Series(out)
+        lens = np.fromiter((len(s) for s in flat), dtype=np.int64, count=len(flat))
+        buf = np.frombuffer(
+            "".join(flat).encode("utf-32-le"), dtype=np.uint32
+        ).astype(np.int64)
+        starts = np.zeros(len(flat), dtype=np.int64)
+        np.cumsum(lens[:-1], out=starts[1:])
+        maxlen = int(lens.max())
+        h0 = np.zeros(len(flat), dtype=np.int64)
+        pow31 = np.ones(maxlen + 1, dtype=np.int64)
+        for t in range(maxlen):
+            pow31[t + 1] = (pow31[t] * 31) % M
+            live = lens > t
+            h0[live] = (h0[live] * 31 + buf[starts[live] + t]) % M
+        p = pow31[lens]
+        nz = np.flatnonzero(counts)
+        seg_starts = np.zeros(len(nz), dtype=np.int64)
+        np.cumsum(counts[nz][:-1], out=seg_starts[1:])
+        sig = np.empty((len(nz), K), dtype=np.int64)
+        for i in range(K):
+            sig[:, i] = np.minimum.reduceat((i * p + h0) % M, seg_starts)
+        for j, r in enumerate(nz):
+            out[r] = sig[j]
+        return pd.Series(out)
+
+    _portable_sig_udf_cache[num_hashes] = sig_kernel
+    return sig_kernel
+
+
 def _portable_shingle_sigs(
     df: DataFrame,
     text_col: str,
@@ -287,44 +362,22 @@ def _portable_shingle_sigs(
     """(shingle sets, MinHash signatures) on the portable polynomial
     hash family — the shared front half of the portable MinHash
     pipeline (see :func:`minhash_lsh_pairs_portable` for the affine-
-    Horner seeding and the empty-doc sentinel rule). Fully narrow."""
+    Horner seeding and the empty-doc sentinel rule). Fully narrow:
+    one ArrowEvalPython projection over the shingles attribute
+    (:func:`_portable_sig_udf`), the empty-doc sentinel stays
+    Catalyst (it needs the row id)."""
     from dust_spark.functions import PORTABLE_HASH_MOD
 
     M = F.lit(PORTABLE_HASH_MOD).cast("long")
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
     sh = base.select("id", word_shingles(F.col("__tok"), shingle_words).alias("shingles"))
-    hp = sh.select(
-        "id",
-        F.transform(
-            "shingles",
-            lambda s: F.aggregate(
-                F.transform(
-                    F.sequence(F.lit(1), F.length(s)),
-                    lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
-                ),
-                F.lit(0).cast("long"),
-                lambda acc, ch: (acc * 31 + ch) % M,
-            ),
-        ).alias("__h0"),
-        F.transform(
-            "shingles",
-            lambda s: F.aggregate(
-                F.sequence(F.lit(1), F.length(s)),
-                F.lit(1).cast("long"),
-                lambda acc, _: (acc * 31) % M,
-            ),
-        ).alias("__p"),
-    )
-    seq = F.sequence(F.lit(0), F.lit(num_hashes - 1))
-    sig = F.transform(
-        seq,
-        lambda i: F.array_min(
-            F.zip_with(F.col("__h0"), F.col("__p"), lambda h, p: (i * p + h) % M)
-        ),
-    )
     sentinel = F.array_repeat(M + F.col("id").cast("long"), num_hashes)
-    sigs = hp.select(
-        "id", F.when(F.size("__h0") == 0, sentinel).otherwise(sig).alias("sig")
+    kernel = _portable_sig_udf(num_hashes)
+    sigs = sh.select(
+        "id",
+        F.when(F.size("shingles") == 0, sentinel)
+        .otherwise(kernel(F.col("shingles")))
+        .alias("sig"),
     )
     return sh, sigs
 

@@ -190,6 +190,68 @@ def test_two_sided_band_keys_match_per_side(spark, corpus):
     sigs.unpersist()
 
 
+def test_portable_sig_kernel_matches_catalyst(spark, corpus):
+    """The r13-opt Arrow signature kernel (_portable_sig_udf) must be
+    BIT-IDENTICAL to the former Catalyst HOF pipeline: per-character
+    Horner fold (acc*31 + codepoint) % M, p = 31^len % M, and the k
+    seeded (i*p + h0) % M mul-adds with array_min — all exact integer
+    arithmetic (M = 2^31−1 keeps every intermediate inside int64).
+    Sentinel rows (no shingles: the empty doc AND the sub-shingle-length
+    doc in the fixture) stay Catalyst and must survive unchanged."""
+    from dust_spark.functions import PORTABLE_HASH_MOD
+    from dust_spark.operators.dedup import _portable_shingle_sigs
+
+    k = 16
+    M = F.lit(PORTABLE_HASH_MOD).cast("long")
+    sh, got = _portable_shingle_sigs(corpus, "text", "doc_id", k, 3)
+    # the former Catalyst form, verbatim
+    hp = sh.select(
+        "id",
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * 31 + ch) % M,
+            ),
+        ).alias("__h0"),
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.sequence(F.lit(1), F.length(s)),
+                F.lit(1).cast("long"),
+                lambda acc, _: (acc * 31) % M,
+            ),
+        ).alias("__p"),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(k - 1)),
+        lambda i: F.array_min(
+            F.zip_with(F.col("__h0"), F.col("__p"), lambda h, p: (i * p + h) % M)
+        ),
+    )
+    sentinel = F.array_repeat(M + F.col("id").cast("long"), k)
+    want = {
+        r.id: list(r.sig)
+        for r in hp.select(
+            "id", F.when(F.size("__h0") == 0, sentinel).otherwise(sig).alias("sig")
+        ).collect()
+    }
+    rows = got.collect()
+    assert len(rows) == len(want)
+    for r in rows:
+        assert list(r.sig) == want[r.id], r.id
+    # sentinel docs really took the sentinel branch
+    assert want[300][0] == PORTABLE_HASH_MOD + 300
+    assert want[301][0] == PORTABLE_HASH_MOD + 301
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_minhash_dedup_drops_losers(spark, corpus):
     pairs = ops.minhash_lsh_pairs(corpus, threshold=0.5).collect()
     losers = {r.id_b for r in pairs}
