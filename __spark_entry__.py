@@ -247,6 +247,24 @@ _ROUND12_VERIFIED = (
     "b4g_distinct b4h_cube b5a_row_number_rank b5b_lag_lead"
 ).split()
 
+# Hash-green in CORRECTNESS_r13 (44 names: the r13-new queries
+# c6i/c4w/c5e/c7h/c3o/c4x plus the rotation filler re-confirmed there):
+_ROUND13_VERIFIED = (
+    "c6i_window_funnel c4w_zipf_slope c5e_payload_chunk_dup "
+    "c7h_mad_anomalies c3o_binary_sign_ann c4x_char_entropy "
+    "b5c_first_value b5d_running_sum b5e_ntile_dense_rank "
+    "b5g_window_filter b6a_order_by b6b_multi_key_order b6c_top_k "
+    "b6d_limit_offset b7a_union_all b7b_union_distinct b7c_intersect "
+    "b7d_except b8a_scalar_subquery b8b_in_subquery b8c_derived_table "
+    "b8d_cte b8f_recursive_cte b8e_correlated_scalar b9a_string_funcs "
+    "b9b_math_funcs b9c_date_extract b9d_date_trunc b9e_case_coalesce "
+    "b9g_json c4m_quality_filter c8d_distributed_rank "
+    "c2l_containment_scores c6f_event_funnel c7d_ewma_smooth "
+    "c9j_keep_k_per_cluster c9k_prep_pipeline b1a_full_scan "
+    "b1b_dup_projection b1c_expr_projection b2a_eq_filter "
+    "b2b_empty_result b5h_exclude_frames b11a_tumbling_window"
+).split()
+
 # Sketch queries whose best-achievable record is rows-only (no DuckDB
 # oracle by construction): keep them in the window for fresh rows-only
 # records, after anything that can still earn a first hash-green row.
@@ -274,6 +292,7 @@ def _prioritized():
         _ROUND10_VERIFIED,
         _ROUND11_VERIFIED,
         _ROUND12_VERIFIED,
+        _ROUND13_VERIFIED,
     ]
     # latest round each name was hash-confirmed in (1-based; 0 = never)
     latest: dict[str, int] = {}

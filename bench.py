@@ -55,6 +55,8 @@ def interpret_small_input(q, sf_dir: str) -> bool:
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    load_start = round(os.getloadavg()[0], 2)
+    t_setup0 = time.perf_counter()
 
     from pyspark.sql import SparkSession
 
@@ -97,6 +99,7 @@ def main() -> None:
     spark.conf.set("spark.sql.codegen.wholeStage", str(not corpus_small).lower())
     warm_shared_fixtures(spark, sf_dir)
     spark.conf.set("spark.sql.codegen.wholeStage", "true")
+    setup_sec = round(time.perf_counter() - t_setup0, 2)
 
     # Two timed runs per query, BACK-TO-BACK: run 1 is COLD (charges
     # per-query persisted index builds + plan compilation), run 2 is
@@ -129,6 +132,27 @@ def main() -> None:
     p50 = statistics.median(vals) if vals else float("nan")
     tier_b = [v for k, v in timings.items() if k.startswith("b")]
     tier_c = [v for k, v in timings.items() if k.startswith("c")]
+    # telemetry (r14, additive): box-load drift markers, the untimed
+    # setup share, and a geomean over the FULL warm map — the stdout
+    # queries map trims to the slowest ~53, which hides tail-side
+    # improvements from a per-query diff; the geomean doesn't.
+    warm_geomean = (
+        round(statistics.geometric_mean(max(v, 1e-4) for v in vals), 4)
+        if vals
+        else None
+    )
+    # cached-storage census at end of run (nothing unpersists session
+    # fixtures, so end-of-run == peak for the fixture pool)
+    try:
+        sc = spark.sparkContext
+        sc._jsc.sc().listenerBus().waitUntilEmpty()
+        rdds = sc._jsc.sc().statusStore().rddList(False)
+        storage_mb = round(
+            sum(rdds.apply(i).memoryUsed() for i in range(rdds.size())) / 2**20, 1
+        )
+        n_cached = rdds.size()
+    except Exception:
+        storage_mb, n_cached = None, None
     out = {
         "metric": "p50_query_sec_warm",
         "value": round(p50, 4),
@@ -143,6 +167,12 @@ def main() -> None:
         "cpus": int(cpus),
         "tier_b_p50": round(statistics.median(tier_b), 4) if tier_b else None,
         "tier_c_total_sec": round(sum(tier_c), 2),
+        "warm_geomean": warm_geomean,
+        "setup_sec": setup_sec,
+        "loadavg_start": load_start,
+        "loadavg_end": round(os.getloadavg()[0], 2),
+        "storage_mb": storage_mb,
+        "n_cached_rdds": n_cached,
     }
     if errors:
         out["errors"] = errors

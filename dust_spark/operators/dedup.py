@@ -21,6 +21,8 @@ All signature/sketch computation is pure Catalyst expressions
 
 from __future__ import annotations
 
+import os
+
 import numpy as np
 import pandas as pd
 from pyspark.sql import Column, DataFrame
@@ -277,6 +279,30 @@ def minhash_lsh_pairs(
     return verified
 
 
+# Input-size gate for the string-transfer-heavy Arrow kernels (the
+# portable sig folds and the portable simhash majority, r14): below the
+# threshold the pure-Catalyst fold wins on WALL (no Python boundary, no
+# Arrow string transfer, fixed stage latency dominates — and it is the
+# shape the r12 driver bench measured fast); above it, the kernel's
+# ~4× per-byte CPU advantage amortizes the transfer — which is the
+# 100 TB configuration. Same philosophy as bench.interpret_small_input,
+# applied at operator level from the input's own plan statistics, so
+# the decision is scale-adaptive rather than tuned to either local mode
+# or the cluster. Both paths are bit-identical (pinned by
+# test_portable_sig_kernel_matches_catalyst / the c2f plan tests).
+_ARROW_KERNEL_MIN_INPUT_BYTES = int(
+    os.environ.get("DUST_ARROW_KERNEL_MIN_BYTES", str(32 << 20))
+)
+
+
+def _arrow_kernel_pays(df: DataFrame) -> bool:
+    try:
+        stats = df._jdf.queryExecution().optimizedPlan().stats()
+        return int(str(stats.sizeInBytes())) >= _ARROW_KERNEL_MIN_INPUT_BYTES
+    except Exception:  # noqa: BLE001 — no estimate → keep the scale path
+        return True
+
+
 # the sig kernel carries no data closure (only num_hashes), so one
 # UDF object per k serves every call — a fresh pandas_udf per call
 # would serialize a distinct Python command each time and defeat
@@ -362,22 +388,60 @@ def _portable_shingle_sigs(
     """(shingle sets, MinHash signatures) on the portable polynomial
     hash family — the shared front half of the portable MinHash
     pipeline (see :func:`minhash_lsh_pairs_portable` for the affine-
-    Horner seeding and the empty-doc sentinel rule). Fully narrow:
-    one ArrowEvalPython projection over the shingles attribute
-    (:func:`_portable_sig_udf`), the empty-doc sentinel stays
-    Catalyst (it needs the row id)."""
+    Horner seeding and the empty-doc sentinel rule). Fully narrow and
+    input-size-gated (:func:`_arrow_kernel_pays`, r14): above the
+    threshold one ArrowEvalPython projection over the shingles
+    attribute (:func:`_portable_sig_udf`), below it the bit-identical
+    pure-Catalyst Horner fold; the empty-doc sentinel stays Catalyst
+    either way (it needs the row id)."""
     from dust_spark.functions import PORTABLE_HASH_MOD
 
     M = F.lit(PORTABLE_HASH_MOD).cast("long")
     base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
     sh = base.select("id", word_shingles(F.col("__tok"), shingle_words).alias("shingles"))
     sentinel = F.array_repeat(M + F.col("id").cast("long"), num_hashes)
-    kernel = _portable_sig_udf(num_hashes)
-    sigs = sh.select(
+    if _arrow_kernel_pays(df):
+        kernel = _portable_sig_udf(num_hashes)
+        sigs = sh.select(
+            "id",
+            F.when(F.size("shingles") == 0, sentinel)
+            .otherwise(kernel(F.col("shingles")))
+            .alias("sig"),
+        )
+        return sh, sigs
+    # small input: the pure-Catalyst fold (bit-identical, no Python
+    # boundary). __h0/__p materialize as attributes before the seeded
+    # mul-add lambda references them (the lambda re-eval trap).
+    hp = sh.select(
         "id",
-        F.when(F.size("shingles") == 0, sentinel)
-        .otherwise(kernel(F.col("shingles")))
-        .alias("sig"),
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.transform(
+                    F.sequence(F.lit(1), F.length(s)),
+                    lambda i: F.ascii(F.substring(s, i, F.lit(1))).cast("long"),
+                ),
+                F.lit(0).cast("long"),
+                lambda acc, ch: (acc * 31 + ch) % M,
+            ),
+        ).alias("__h0"),
+        F.transform(
+            "shingles",
+            lambda s: F.aggregate(
+                F.sequence(F.lit(1), F.length(s)),
+                F.lit(1).cast("long"),
+                lambda acc, _: (acc * 31) % M,
+            ),
+        ).alias("__p"),
+    )
+    sig = F.transform(
+        F.sequence(F.lit(0), F.lit(num_hashes - 1)),
+        lambda i: F.array_min(
+            F.zip_with(F.col("__h0"), F.col("__p"), lambda h, p: (i * p + h) % M)
+        ),
+    )
+    sigs = hp.select(
+        "id", F.when(F.size("__h0") == 0, sentinel).otherwise(sig).alias("sig")
     )
     return sh, sigs
 
@@ -704,7 +768,11 @@ def simhash_table_portable(
     xxhash64-based table is rows-only by construction).
 
     Shape: narrow — token Horner hashes stay pure Catalyst (that is what
-    the DuckDB oracle replays), but the per-bit majority vote is the
+    the DuckDB oracle replays); the per-bit majority vote is
+    input-size-gated (:func:`_arrow_kernel_pays`, r14): below the
+    threshold it is the pure-Catalyst :func:`simhash_bits` fold (no
+    Python boundary — bench-scale inputs are stage-latency-bound and
+    the Arrow string/array transfer never amortizes), above it the
     same Arrow-batched numpy kernel as :func:`simhash_table`: the
     Catalyst form (``bits`` separate aggregate folds over the hash
     array) is interpreted per element and burned ~24 s executor CPU per
@@ -724,7 +792,20 @@ def simhash_table_portable(
     """
     from pyspark.sql.functions import pandas_udf
 
-    from dust_spark.functions import portable_char_hash
+    from dust_spark.functions import portable_char_hash, simhash_bits
+
+    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
+    hashed = base.select(
+        "id",
+        F.transform(F.col("__tok"), lambda t: portable_char_hash(t)).alias("__th"),
+    )
+    if not _arrow_kernel_pays(df):
+        # small input: the pure-Catalyst majority fold (bit-identical,
+        # no Python boundary; __th is an attribute, so the bits+1
+        # references never re-evaluate the hash lambda)
+        return hashed.orderBy("id").select(
+            "id", simhash_bits(F.col("__th"), bits).alias("simhash")
+        )
 
     shifts = np.arange(bits, dtype=np.uint64)
 
@@ -740,11 +821,6 @@ def simhash_table_portable(
             out[r] = ((maj > 0).astype(np.uint64) << shifts).sum(dtype=np.uint64)
         return pd.Series(out.astype(np.int64))
 
-    base = df.select(F.col(id_col).alias("id"), tokens(text_col).alias("__tok"))
-    hashed = base.select(
-        "id",
-        F.transform(F.col("__tok"), lambda t: portable_char_hash(t)).alias("__th"),
-    )
     return hashed.orderBy("id").select(
         "id", simhash_bits_udf(F.col("__th")).alias("simhash")
     )

@@ -190,19 +190,35 @@ def test_two_sided_band_keys_match_per_side(spark, corpus):
     sigs.unpersist()
 
 
-def test_portable_sig_kernel_matches_catalyst(spark, corpus):
+def test_portable_sig_kernel_matches_catalyst(spark, corpus, monkeypatch):
     """The r13-opt Arrow signature kernel (_portable_sig_udf) must be
-    BIT-IDENTICAL to the former Catalyst HOF pipeline: per-character
-    Horner fold (acc*31 + codepoint) % M, p = 31^len % M, and the k
-    seeded (i*p + h0) % M mul-adds with array_min — all exact integer
-    arithmetic (M = 2^31−1 keeps every intermediate inside int64).
-    Sentinel rows (no shingles: the empty doc AND the sub-shingle-length
-    doc in the fixture) stay Catalyst and must survive unchanged."""
+    BIT-IDENTICAL to the Catalyst HOF pipeline (which since r14 is also
+    the live small-input path below the _arrow_kernel_pays gate):
+    per-character Horner fold (acc*31 + codepoint) % M, p = 31^len % M,
+    and the k seeded (i*p + h0) % M mul-adds with array_min — all exact
+    integer arithmetic (M = 2^31−1 keeps every intermediate inside
+    int64). Sentinel rows (no shingles: the empty doc AND the
+    sub-shingle-length doc in the fixture) stay Catalyst and must
+    survive unchanged. Also pins the gate's Catalyst branch: it must
+    produce identical values with no Python node. (The corpus fixture
+    is a LocalRelation, whose plan stats report the unknown-size
+    sentinel — the gate reads that as 'scale path', so each branch is
+    forced via the threshold here; the real parquet-backed gate
+    decision is pinned in test_plans.py.)"""
     from dust_spark.functions import PORTABLE_HASH_MOD
+    from dust_spark.operators import dedup
     from dust_spark.operators.dedup import _portable_shingle_sigs
 
     k = 16
     M = F.lit(PORTABLE_HASH_MOD).cast("long")
+    # above Long.MaxValue: even the unknown-size sentinel stays below
+    monkeypatch.setattr(dedup, "_ARROW_KERNEL_MIN_INPUT_BYTES", 1 << 70)
+    _, gated = _portable_shingle_sigs(corpus, "text", "doc_id", k, 3)
+    gated_plan = gated._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in gated_plan  # below threshold → Catalyst
+    gated_vals = {r.id: list(r.sig) for r in gated.collect()}
+
+    monkeypatch.setattr(dedup, "_ARROW_KERNEL_MIN_INPUT_BYTES", 0)
     sh, got = _portable_shingle_sigs(corpus, "text", "doc_id", k, 3)
     # the former Catalyst form, verbatim
     hp = sh.select(
@@ -250,6 +266,8 @@ def test_portable_sig_kernel_matches_catalyst(spark, corpus):
     plan = got._jdf.queryExecution().executedPlan().toString()
     assert "ArrowEvalPython" in plan
     assert "BatchEvalPython" not in plan
+    # the live gated (Catalyst) path produced the same signatures
+    assert gated_vals == want
 
 
 def test_minhash_dedup_drops_losers(spark, corpus):

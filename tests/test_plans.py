@@ -98,17 +98,24 @@ def test_simhash_fully_narrow(spark):
     assert plans.count_shuffles(simhash_table(docs)) == 0
 
 
-def test_simhash_portable_udf_extracted_above_sort(spark):
-    """The portable-simhash majority vote is an Arrow kernel whose
-    projection must sit ABOVE the id sort: with a Sort above the
-    UDF-over-HOF projection, ExtractPythonUDFs fails to pull the UDF
-    out over this fixture shape and range-partitioner sampling dies
-    with INTERNAL_ERROR (see simhash_table_portable docstring). Pin
-    (a) the UDF lands in an ArrowEvalPython node, (b) that node is
-    above the Sort, (c) no raw PythonUDF is left inside a Project."""
-    from dust_spark.operators import simhash_table_portable
+def test_simhash_portable_udf_extracted_above_sort(spark, monkeypatch):
+    """The portable-simhash majority vote is an Arrow kernel (above the
+    r14 input-size gate) whose projection must sit ABOVE the id sort:
+    with a Sort above the UDF-over-HOF projection, ExtractPythonUDFs
+    fails to pull the UDF out over this fixture shape and
+    range-partitioner sampling dies with INTERNAL_ERROR (see
+    simhash_table_portable docstring). Pin (a) the UDF lands in an
+    ArrowEvalPython node, (b) that node is above the Sort, (c) no raw
+    PythonUDF is left inside a Project. Below the gate the operator is
+    pure Catalyst — no Python node at all (also pinned)."""
+    from dust_spark.operators import dedup, simhash_table_portable
 
     docs = load_table(spark, SF_DIR, "documents")
+    # small input (test SF is far below the threshold): pure Catalyst
+    small = simhash_table_portable(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "ArrowEvalPython" not in small and "BatchEvalPython" not in small
+
+    monkeypatch.setattr(dedup, "_ARROW_KERNEL_MIN_INPUT_BYTES", 0)
     plan = simhash_table_portable(docs)._jdf.queryExecution().executedPlan().toString()
     arrow = plan.find("ArrowEvalPython")
     sort = plan.find("Sort [id")

@@ -1,5 +1,5 @@
 #!/usr/bin/env python
-"""Capture .explain("formatted") for declared queries into plans/r13/.
+"""Capture .explain("formatted") for declared queries into plans/r14/.
 
 Usage: python tools/capture_plans.py before [name ...]
        python tools/capture_plans.py after  [name ...]
@@ -22,7 +22,7 @@ def main() -> None:
     names = sys.argv[2:]
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
-    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r13")
+    out_dir = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "plans", "r14")
     os.makedirs(out_dir, exist_ok=True)
 
     from pyspark.sql import SparkSession
