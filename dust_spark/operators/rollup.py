@@ -135,7 +135,18 @@ def funnel_counts(
     aggregates — orders of magnitude smaller than the events.
     """
     t = F.unix_micros(F.col(ts_col))
-    base = events.select(F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e"))
+    # persist the steps-filtered (u, t, e) projection: every stage
+    # filtered `base` separately, re-scanning the event source once per
+    # step (r14; len(steps) scans → 1 — the c4u persisted-base shape).
+    # Funnel-relevant events ≪ events, and the projection is 3 narrow
+    # columns.
+    base = (
+        events.select(
+            F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e")
+        )
+        .filter(F.col("e").isin(*steps))
+        .persist()
+    )
     cur = base.filter(F.col("e") == steps[0]).groupBy("u").agg(F.min("t").alias("t1"))
     reached = [cur.persist()]
     for i, step in enumerate(steps[1:], start=2):
@@ -182,8 +193,14 @@ def window_funnel(
     column; no global window anywhere.
     """
     t = F.unix_micros(F.col(ts_col))
-    base = events.select(
-        F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e")
+    # one persisted steps-filtered projection instead of a scan per
+    # stage (r14 — see funnel_counts)
+    base = (
+        events.select(
+            F.col(user_col).alias("u"), t.alias("t"), F.col(type_col).alias("e")
+        )
+        .filter(F.col("e").isin(*steps))
+        .persist()
     )
     cur = (
         base.filter(F.col("e") == steps[0])
@@ -445,11 +462,17 @@ def mad_anomalies(
         .alias("bucket_s"),
         F.col(value_col).cast("decimal(25,6)").alias("v"),
     )
+    # persist the bucket table (rows = distinct (key, bucket) ≪ events):
+    # it feeds the median agg, the deviation join, the MAD agg and the
+    # final projection — without it the plan duplicates the
+    # scan+bucket-agg subtree 8× and leans on runtime ReuseExchange to
+    # dedupe it (r14; the c4u persisted-base shape). Same values: the
+    # cache replays one deterministic aggregation.
     avgs = keyed.groupBy("k", "bucket_s").agg(
         F.round((F.sum("v").cast("double") / F.count("*")) * 10000, 0)
         .cast("long")
         .alias("x")
-    )
+    ).persist()
 
     def _med4(col_list):
         arr = F.array_sort(col_list)

@@ -2519,18 +2519,23 @@ class DustSession:
             overlay, tdef, new_rows.drop("__rn", "__auto"), None if ins.or_replace else existing
         )
 
-        n = new_rows.count()
-        if n == 0:
-            return self._ok(0)
-
         if tdef.rowid_column:
+            # fold the row count into the id-stats aggregation — one
+            # job instead of two on every rowid-table insert (r14)
             stats = new_rows.agg(
+                F.count("*").alias("__n"),
                 F.max(tdef.rowid_column).alias("mx"),
                 F.max(F.struct(F.col("__rn"), F.col(tdef.rowid_column))).alias("last"),
             ).collect()[0]
+            n = int(stats["__n"])
+            if n == 0:
+                return self._ok(0)
             high_water = max(st.high_water, int(stats.mx))
             last_id = int(stats.last[tdef.rowid_column])
         else:
+            n = new_rows.count()
+            if n == 0:
+                return self._ok(0)
             high_water = st.high_water + n
             last_id = high_water
 
@@ -4653,12 +4658,16 @@ class DustSession:
         for colset in tdef.unique:
             cand = new_rows.select(*colset).na.drop()
             label = ", ".join(f"{tdef.name}.{c}" for c in colset)
+            # one job for both violation kinds (r14): the table invariant
+            # makes `existing` duplicate-free, so a key group with count
+            # > 1 in (cand ∪ existing) is exactly "dup within the batch
+            # OR clash with the table" — the error string is identical
+            # either way, so the split probes (2 jobs per statement on
+            # every keyed insert) collapse into one aggregation
+            if not full_table and existing is not None:
+                cand = cand.unionByName(existing.select(*colset).na.drop())
             if cand.groupBy(*colset).count().filter(F.col("count") > 1).limit(1).count() > 0:
                 raise DustError(f"UNIQUE constraint failed: {label}")
-            if not full_table and existing is not None:
-                clash = cand.join(existing.select(*colset).na.drop(), list(colset), "left_semi")
-                if clash.limit(1).count() > 0:
-                    raise DustError(f"UNIQUE constraint failed: {label}")
 
         if self._fk_enabled:
             for fk in tdef.foreign_keys:

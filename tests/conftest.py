@@ -21,7 +21,7 @@ def spark():
     s = (
         SparkSession.builder.master("local[8]")
         .appName("dust_spark_tests")
-        .config("spark.sql.shuffle.partitions", "8")
+        .config("spark.sql.shuffle.partitions", "2")
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
@@ -32,6 +32,14 @@ def spark():
         # gateway) — the 2-8-member chain machines alone compile
         # hundreds of multi-KB codegen classes
         .config("spark.driver.memory", "12g")
+        # r14 suite-duration work (the driver's verify window): test
+        # tables are rows-to-hundreds — whole-stage Janino compilation
+        # costs more than the interpreted row work (the bench's
+        # interpret-small-input finding applied to the suite), and 2
+        # shuffle partitions cut per-job task overhead on the ~13-job
+        # OLTP statement path. Semantics identical; slice-sensitive
+        # tests pass explicit n_slices.
+        .config("spark.sql.codegen.wholeStage", "false")
         .config("spark.ui.enabled", "false")
         .getOrCreate()
     )

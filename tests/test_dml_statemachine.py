@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import pytest
 from hypothesis import HealthCheck, settings
+
+from tests._budget import examples
 from hypothesis import strategies as st
 from hypothesis.stateful import RuleBasedStateMachine, initialize, invariant, precondition, rule
 
@@ -232,7 +234,7 @@ class DmlMachine(RuleBasedStateMachine):
 def test_dml_state_machine(spark):
     DmlMachine.spark = spark
     DmlMachine.TestCase.settings = settings(
-        max_examples=6,
+        max_examples=examples(6),
         stateful_step_count=8,
         deadline=None,
         suppress_health_check=list(HealthCheck),
@@ -262,7 +264,7 @@ class DmlMachineImplicit(DmlMachine):
 def test_dml_state_machine_implicit_rowid(spark):
     DmlMachine.spark = spark
     DmlMachineImplicit.TestCase.settings = settings(
-        max_examples=4,
+        max_examples=examples(4),
         stateful_step_count=8,
         deadline=None,
         suppress_health_check=list(HealthCheck),

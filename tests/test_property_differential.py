@@ -8,6 +8,8 @@ from __future__ import annotations
 import duckdb
 import pytest
 from hypothesis import HealthCheck, assume, given, settings
+
+from tests._budget import examples
 from hypothesis import strategies as st
 
 from dust_spark.tables import register_views, table_path
@@ -80,7 +82,7 @@ def duck_orders():
     return _DuckHolder(("orders",))
 
 
-@settings(max_examples=25, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=examples(25), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pred=predicates())
 def test_random_filter_agg_matches_duckdb(spark, duck_orders, pred):
     register_views(spark, SF_DIR)
@@ -94,7 +96,7 @@ def test_random_filter_agg_matches_duckdb(spark, duck_orders, pred):
     assert (got.n, got.sk, got.mn, got.mx) == want, f"predicate: {pred}"
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(pred=predicates(), key=st.sampled_from(STR_COLS))
 def test_random_groupby_matches_duckdb(spark, duck_orders, pred, key):
     register_views(spark, SF_DIR)
@@ -104,7 +106,7 @@ def test_random_groupby_matches_duckdb(spark, duck_orders, pred, key):
     assert got == want, f"predicate: {pred}"
 
 
-@settings(max_examples=10, deadline=None, suppress_health_check=list(HealthCheck))
+@settings(max_examples=examples(10), deadline=None, suppress_health_check=list(HealthCheck))
 @given(
     pred=predicates(depth=1),
     join_type=st.sampled_from(["JOIN", "LEFT JOIN"]),

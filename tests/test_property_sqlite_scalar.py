@@ -23,6 +23,8 @@ import sqlite3
 
 import pytest
 from hypothesis import HealthCheck, given, settings
+
+from tests._budget import examples
 from hypothesis import strategies as st
 
 from dust_spark import DustSession
@@ -216,7 +218,7 @@ def ref():
 
 
 @settings(
-    max_examples=120,
+    max_examples=examples(120),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -289,7 +291,7 @@ def column_chain_exprs(draw):
 
 
 @settings(
-    max_examples=120,
+    max_examples=examples(120),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -302,7 +304,7 @@ def test_column_chain_matches_sqlite(db, ref, chain_tables, expr):
 
 
 @settings(
-    max_examples=60,
+    max_examples=examples(60),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -328,7 +330,7 @@ def test_column_chain_truthiness_matches_sqlite(db, ref, chain_tables, expr):
 
 
 @settings(
-    max_examples=80,
+    max_examples=examples(80),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -342,7 +344,7 @@ def test_chain_in_order_by_matches_sqlite(db, ref, chain_tables, expr, desc):
 
 
 @settings(
-    max_examples=80,
+    max_examples=examples(80),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -404,7 +406,7 @@ def compound_stmts(draw):
     return out
 
 
-@settings(max_examples=300, deadline=None)
+@settings(max_examples=examples(300), deadline=None)
 @given(stmt=compound_stmts())
 def test_static_compound_matches_sqlite(stmt):
     import sqlite3
@@ -541,7 +543,7 @@ def in_member_exprs(draw):
 
 
 @settings(
-    max_examples=80,
+    max_examples=examples(80),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -561,7 +563,7 @@ def test_in_list_machine_matches_sqlite(db, ref, chain_tables, lhs, members, neg
 
 
 @settings(
-    max_examples=80,
+    max_examples=examples(80),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -595,7 +597,7 @@ def test_in_column_member_machine_matches_sqlite(
 
 
 @settings(
-    max_examples=60,
+    max_examples=examples(60),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -631,7 +633,7 @@ def test_limit_machine_matches_sqlite(db, ref, chain_tables, lim, off):
         assert got == want, f"{q}: spark={got!r} sqlite={want!r}"
 
 
-@settings(max_examples=250, deadline=None,
+@settings(max_examples=examples(250), deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 @given(v=st.floats(allow_nan=False, allow_infinity=False))
 def test_real_text_rendering_matches_sqlite(ref, v):
@@ -703,7 +705,7 @@ def test_between_affinity_matches_sqlite(db, ref, chain_tables):
 
 
 @settings(
-    max_examples=70,
+    max_examples=examples(70),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -751,7 +753,7 @@ def test_case_operand_affinity_matches_sqlite(db, ref, chain_tables):
 
 
 @settings(
-    max_examples=70,
+    max_examples=examples(70),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -826,7 +828,7 @@ def test_frame_bounds_match_sqlite(db, ref, chain_tables):
 
 
 @settings(
-    max_examples=70,
+    max_examples=examples(70),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -13,6 +13,8 @@ from __future__ import annotations
 import sqlite3
 
 from hypothesis import HealthCheck, given, settings
+
+from tests._budget import examples
 from hypothesis import strategies as st
 
 from dust_spark import DustSession
@@ -31,7 +33,7 @@ _OPS = st.one_of(
 
 
 @settings(
-    max_examples=15,
+    max_examples=examples(15),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )

@@ -29,6 +29,8 @@ import sqlite3
 
 import pytest
 
+from tests import _budget
+
 from dust_spark import DustSession
 from dust_spark.session import DustError
 
@@ -1041,7 +1043,10 @@ def test_recursion_depth_error(pair):
     )
     with pytest.raises(sqlite3.OperationalError, match="too many levels of trigger recursion"):
         ref.execute("INSERT INTO x VALUES (1)")
-    db._max_trigger_depth = 40
+    # the cap value is arbitrary for the error-path assertion; each
+    # level costs an engine statement, so the fast profile uses a
+    # lower cap (full budget keeps the r8 value)
+    db._max_trigger_depth = 40 if _budget.FULL else 12
     rs = db.execute_string_stmt("INSERT INTO x VALUES (1)")
     assert rs[0].error == "too many levels of trigger recursion"
     db._max_trigger_depth = 1000
@@ -1067,6 +1072,11 @@ def test_without_rowid_trigger_scan_order(pair):
     q_both(db, ref, "SELECT m FROM log ORDER BY rowid")
 
 
+@pytest.mark.skipif(
+    not _budget.FULL,
+    reason="soak (~60s of engine statement latency); runs in the "
+    "DUST_FULL_BUDGET=1 pre-land gate",
+)
 def test_recursion_past_old_cap_completes(pair):
     """A WHEN-bounded recursive trigger chain 120 levels deep (past the
     r7 cap of 100, under SQLite's 1000) completes with identical table
@@ -1091,7 +1101,10 @@ def test_recursion_past_old_cap_completes(pair):
 # ---------------------------------------------------------------------------
 
 from hypothesis import HealthCheck, given, settings
+
 from hypothesis import strategies as st
+
+from tests._budget import examples
 
 _ZOO = [
     "CREATE TRIGGER tg_ai AFTER INSERT ON t BEGIN "
@@ -1237,7 +1250,7 @@ def _drive(spark, trig_sqls, ops, log_order):
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
@@ -1254,7 +1267,7 @@ def test_trigger_machine_matches_sqlite(spark, zoo, ops):
 
 
 @settings(
-    max_examples=8,
+    max_examples=examples(8),
     deadline=None,
     suppress_health_check=[HealthCheck.function_scoped_fixture, HealthCheck.too_slow],
 )
